@@ -1,0 +1,33 @@
+"""Relational + pipeline operators the engine adds on top of Spark.
+
+Everything here is built from DataFrame primitives (SURVEY.md §7.3):
+Catalyst plans and Tungsten executes; these helpers only encode the
+*semantics* Spark lacks as a single call (as-of join, top-n,
+dedup families, similarity search, text analysis).
+"""
+
+from flink_efo_spark.operators.joins import asof_join, interval_join
+from flink_efo_spark.operators.topn import top_n
+from flink_efo_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    dedup_keep_last,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "top_n",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_keep_last",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

@@ -1,0 +1,308 @@
+"""Deduplication operators.
+
+Two families:
+
+1. **Row dedup** (reference semantics: StreamExecDeduplicate.scala:52,
+   DeduplicateKeepFirstRowFunction / DeduplicateKeepLastRowFunction in
+   /root/reference, the `ROW_NUMBER()=1` pattern) — keep first/last
+   row per key.
+
+2. **Near-duplicate detection for training-data pipelines** (beyond
+   the reference's surface, required for the 100 TB corpus use case):
+   exact-hash, MinHash+LSH, SimHash, and exhaustive n-gram Jaccard.
+
+Cross-engine determinism: every hash used here is derived from
+``md5`` (identical in Spark / DuckDB / anything), mapped to int via
+hex→decimal, then mixed with pure integer arithmetic. This makes the
+operators oracle-checkable bit-for-bit — no engine-specific hash
+(xxhash64, murmur) in the contract.
+
+Scale notes (100 TB):
+* MinHash/LSH is the linear-cost path: per doc O(shingles × perms)
+  map-side work, one shuffle on band buckets, and pairwise work only
+  *within* buckets. The exact-Jaccard verify join touches candidate
+  pairs only.
+* Exhaustive ``ngram_jaccard_pairs`` is quadratic per block — callers
+  must provide a blocking key; it exists as the oracle/verify path.
+* All expressions are built-in Catalyst functions (no Python UDFs):
+  whole-stage codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1 (prime): minhash universe. Kept < 2^31 so a*h+b stays in i64.
+MERSENNE31 = 2147483647
+
+
+def dedup_keep_first(
+    df: DataFrame, key: list[str], order_by: list[Column]
+) -> DataFrame:
+    """Keep the first row per key in the given order (deterministic —
+    pass a unique tiebreak). Reference: DeduplicateKeepFirstRowFunction."""
+    w = Window.partitionBy(*key).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_last(df: DataFrame, key: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep the last row per key (reference: DeduplicateKeepLastRowFunction)."""
+    return dedup_keep_first(df, key, [c.desc() for c in order_by])
+
+
+def dedup_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-content dedup: group by content fingerprint, keep the row
+    with the smallest id. Returns the surviving rows plus the
+    fingerprint and the duplicate-group size.
+
+    The fingerprint is md5 of (optionally normalized) text — a
+    shuffle on a 32-char key instead of the full document, which is
+    what makes this viable at 100 TB.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.regexp_replace(F.lower(F.trim(content)), r"\s+", " ")
+    with_fp = df.withColumn("fingerprint", F.md5(content))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("fingerprint")))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + deterministic hashing building blocks
+# ---------------------------------------------------------------------------
+
+
+def _shingles_expr(text_col: str, k: int) -> Column:
+    """Distinct word k-gram shingles of lower(text), 1-indexed
+    element_at so the same expression translates to DuckDB lists."""
+    toks = f"split(trim(lower({text_col})), ' ')"
+    parts = ", ".join(f"element_at(__t, i + {j})" for j in range(k))
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(__t) - {k - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts})))"
+    ).alias("shingles")
+
+
+def _hash64_expr(inner: str) -> str:
+    """Portable string→int hash: first 15 hex chars of md5 → bigint.
+    (< 2^60, positive.)"""
+    return f"cast(conv(substr(md5({inner}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) with empty-shingle docs removed."""
+    return (
+        df.withColumn("__t", F.expr(f"split(trim(lower({text_col})), ' ')"))
+        .select(F.col(id_col), _shingles_expr(text_col, shingle_size))
+        .where(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 12
+) -> DataFrame:
+    """Add ``mh`` — array of num_perm minhash values.
+
+    mh_j = min over shingles of ((a_j * (h64 % M) + b_j) mod M),
+    a_j = 2j+1, b_j = 104729*j + 12345, M = 2^31-1. Integer-only —
+    identical in any engine.
+    """
+    h = _hash64_expr("s")
+    perms = ", ".join(
+        f"array_min(transform(shingles, s -> "
+        f"(({2 * j + 1} * ({h} % {MERSENNE31}) + {104729 * j + 12345}) % {MERSENNE31})))"
+        for j in range(num_perm)
+    )
+    return shingled.withColumn("mh", F.expr(f"array({perms})"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 12,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. LSH (bands × rows) prunes the candidate set;
+    the verify step recomputes exact shingle-set Jaccard so LSH only
+    affects recall, never precision.
+    """
+    rows_per_band = num_perm // bands
+    shingled = shingle_sets(df, id_col, text_col, shingle_size)
+    sigs = minhash_signatures(shingled, num_perm)
+
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[
+                F.element_at("mh", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bucket")
+    )
+    # candidate pairs: ids sharing any band bucket
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify: exact Jaccard on the shingle sets (candidates only)
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_by: str,
+    threshold: float = 0.8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exhaustive within-block n-gram Jaccard (the verify/oracle path;
+    quadratic per block — ``block_by`` bounds the blowup)."""
+    shingled = (
+        df.withColumn("__t", F.expr(f"split(trim(lower({text_col})), ' ')"))
+        .select(F.col(id_col), F.col(block_by), _shingles_expr(text_col, shingle_size))
+        .where(F.size("shingles") > 0)
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_by}") == F.col(f"b.{block_by}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.shingles", "b.shingles"))
+                / F.size(F.array_union("a.shingles", "b.shingles"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    chunks: int = 4,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """64-bit SimHash, emitted as ``chunks`` × ``chunk_bits`` integer
+    chunks (chunked form doubles as the LSH banding key: hamming ≤
+    chunks-1 pairs must share ≥1 chunk).
+
+    bit_b = sign of sum over shingles of (2*((h >> b) & 1) - 1).
+    """
+    shingled = shingle_sets(df, id_col, text_col, shingle_size)
+    h = _hash64_expr("s")
+    chunk_cols = []
+    for c in range(chunks):
+        bit_terms = " + ".join(
+            f"(case when aggregate(shingles, 0L, (acc, s) -> acc + "
+            f"(2 * (({h} >> {c * chunk_bits + i}) & 1) - 1)) > 0 "
+            f"then {1 << i} else 0 end)"
+            for i in range(chunk_bits)
+        )
+        chunk_cols.append(F.expr(f"cast({bit_terms} as bigint)").alias(f"sim_c{c}"))
+    return shingled.select(F.col(id_col), *chunk_cols)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming
+    (≤ 3 guaranteed found by 4-chunk banding; the check is exact)."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_size)
+    chunk_names = [c for c in sigs.columns if c.startswith("sim_c")]
+    pairs = None
+    a, b = sigs.alias("a"), sigs.alias("b")
+    for c in chunk_names:
+        p = a.join(
+            b,
+            (F.col(f"a.{c}") == F.col(f"b.{c}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    pairs = pairs.distinct()
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in chunk_names]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in chunk_names]
+    )
+    hamming = None
+    for c in chunk_names:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

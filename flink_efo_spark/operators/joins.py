@@ -1,0 +1,138 @@
+"""Join operators beyond Spark's built-in join types.
+
+Reference semantics reproduced here (cites into /root/reference):
+
+* **temporal / as-of join** — `FOR SYSTEM_TIME AS OF a.rowtime`:
+  StreamExecTemporalJoin.scala:51, TemporalRowTimeJoinOperator.java:72.
+  For each probe row, pick the latest build row with the same key and
+  ``build.ts <= probe.ts``.
+* **interval join** — `a.ts BETWEEN b.ts - X AND b.ts + Y`:
+  StreamExecWindowJoin.scala:53, TimeBoundedStreamJoin.java:52,
+  IntervalJoinOperator.java:87.
+
+Scale design (100 TB):
+
+``asof_join`` is implemented as the *union–sort–backfill* pattern, NOT
+as a range join: tag both inputs, union them, and run one window pass
+``last(build_cols, ignorenulls) OVER (PARTITION BY key ORDER BY ts)``.
+Cost = exactly ONE shuffle of (|probe| + |build|) rows and one
+partition-local sort — versus a key-equi range join whose worst case
+is |probe| × |build-rows-per-key| intermediate pairs. The window is
+rows-unbounded-preceding, which Spark evaluates streaming-ly within
+the partition (no buffering of the whole frame), so skewed keys cost
+sort time, not memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str | list[str],
+    probe_ts: str,
+    build_ts: str,
+    build_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each probe row, attach the latest build row (same key,
+    ``build_ts <= probe_ts``). Left-outer semantics: probe rows with
+    no earlier build row get NULLs.
+
+    tiebreak: build column that breaks equal-``build_ts`` ties
+    (highest wins), making results deterministic.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in keys and c != build_ts]
+    out_names = {c: (c + suffix if c in probe.columns else c) for c in build_cols}
+    # also expose the matched build timestamp
+    ts_out = build_ts + suffix if build_ts in probe.columns else build_ts
+
+    probe_tagged = probe.select(
+        *[F.col(c) for c in probe.columns],
+        F.lit(1).alias("__side"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(None).cast(build.schema[build_ts].dataType).alias("__bts"),
+        *[
+            F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}")
+            for c in build_cols
+        ],
+    )
+    build_tagged = build.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe.columns
+            if c not in keys
+        ],
+        F.lit(0).alias("__side"),
+        F.col(build_ts).alias("__ts"),
+        F.col(build_ts).alias("__bts"),
+        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+    )
+    unioned = probe_tagged.unionByName(build_tagged)
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        # among equal-ts build rows the highest tiebreak is emitted
+        # last, so last() picks it; probe rows sort after build rows
+        # at equal ts (__side), giving <= semantics.
+        order.insert(1, F.asc_nulls_first(f"__b_{tiebreak}"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("__bts", ignorenulls=True).over(w).alias(f"__f_{build_ts}"),
+        *[
+            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in build_cols
+        ],
+    )
+    result = filled.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in probe.columns],
+        F.col(f"__f_{build_ts}").alias(ts_out),
+        *[F.col(f"__f_{c}").alias(out_names[c]) for c in build_cols],
+    )
+    return result
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: rows pair when keys match and
+    ``left_ts + lower <= right_ts <= left_ts + upper``.
+
+    ``lower`` / ``upper`` are SQL interval strings ("INTERVAL 5
+    MINUTES") or Columns. Batch: Catalyst plans the equi-key part as a
+    hash/sort-merge join and applies the range as a post-filter — the
+    shuffle is on the key only. Streaming: same expression shape is
+    exactly what Structured Streaming requires to bound state for
+    stream-stream joins (both sides need watermarks).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lo = F.expr(lower) if isinstance(lower, str) else lower
+    hi = F.expr(upper) if isinstance(upper, str) else upper
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = cond & (rts >= lts + lo) & (rts <= lts + hi)
+    return l.join(r, cond, how)

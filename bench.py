@@ -1,0 +1,74 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is materialized via a count-ish action (``collect`` on
+already-small results, ``count`` otherwise is wrong for bench purposes
+— we want full result production, so we use ``df.collect()`` when the
+result is bounded and ``df.count()`` only to force full evaluation of
+unbounded outputs; both execute the complete plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_efo_spark.queries import QUERIES  # noqa: E402
+from flink_efo_spark.session import get_spark  # noqa: E402
+
+# headline subset: one per major operator family, heaviest shapes first
+BENCH_QUERIES = [
+    "hash_agg",
+    "join_inner_agg",
+    "join_left_outer",
+    "broadcast_dim_join",
+    "rollup_agg",
+    "over_window",
+    "top_n",
+    "dedup_exact",
+    "interval_join",
+    "asof_join",
+    "window_tumble",
+    "minhash_pairs",
+    "cosine_topk",
+    "token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("flink-efo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

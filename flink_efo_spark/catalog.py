@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # the driver-generated TPC-H-ish star schema + pipeline tables
 KNOWN_TABLES = [
@@ -36,9 +37,54 @@ def table_path(data_dir: str, name: str) -> str:
     return os.path.join(data_dir, f"{name}.parquet")
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in ``path``.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by the engine
+    session) such columns surface as raw nano longs. We detect them
+    from the footer so the catalog can cast to micros — exactly the
+    truncation DuckDB applies reading the same file, keeping engine
+    and oracle bit-identical.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's semantics depend on
+    on a session the engine did NOT create (e.g. the driver's vanilla
+    session): nanos-parquet readability and deterministic UTC time.
+    Both are runtime SQL confs — safe to set on a live session."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked down (cluster ACLs) — engine sessions set these at build
+
+
 def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
-    """Read one parquet table. No caching: Catalyst prunes per query."""
-    return spark.read.parquet(table_path(data_dir, name))
+    """Read one parquet table, normalizing nanosecond timestamps to
+    Spark ``timestamp`` (micros). No caching: Catalyst prunes per query."""
+    ensure_session_confs(spark)
+    path = table_path(data_dir, name)
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        if c in df.columns:
+            # integer `div`, not `/`: nano longs exceed double's exact
+            # integer range, so float division could round the micros
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def register_tables(
@@ -50,7 +96,7 @@ def register_tables(
         path = table_path(data_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, data_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -14,9 +14,16 @@ from flink_efo_spark.operators.dedup import (
     dedup_keep_last,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_efo_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_stats,
+    token_stats,
+)
 
 __all__ = [
     "asof_join",
@@ -27,7 +34,12 @@ __all__ = [
     "dedup_keep_last",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "simhash_near_duplicates",
     "simhash_signatures",
     "cosine_topk",
     "lsh_cosine_topk",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_stats",
+    "token_stats",
 ]

@@ -90,11 +90,16 @@ def dedup_exact(
 def _shingles_expr(text_col: str, k: int) -> Column:
     """Distinct word k-gram shingles of lower(text), 1-indexed
     element_at so the same expression translates to DuckDB lists."""
-    toks = f"split(trim(lower({text_col})), ' ')"
     parts = ", ".join(f"element_at(__t, i + {j})" for j in range(k))
+    # Guard docs shorter than k tokens: sequence(1, 0) is DESCENDING
+    # ([1, 0]) in Spark, so the unguarded form indexes past the array
+    # and throws under ANSI mode. Short docs yield an empty shingle
+    # set instead (then dropped by shingle_sets' size>0 filter).
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(__t) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', {parts})))"
+        f"case when size(__t) >= {k} then "
+        f"array_distinct(transform(sequence(1, size(__t) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts}))) "
+        f"else cast(array() as array<string>) end"
     ).alias("shingles")
 
 

@@ -49,6 +49,11 @@ def asof_join(
     keys = [key] if isinstance(key, str) else list(key)
     if build_cols is None:
         build_cols = [c for c in build.columns if c not in keys and c != build_ts]
+    # the tiebreak column must ride along in the tagged union even when
+    # the caller doesn't want it in the output
+    carry_cols = list(build_cols)
+    if tiebreak is not None and tiebreak not in carry_cols:
+        carry_cols.append(tiebreak)
     out_names = {c: (c + suffix if c in probe.columns else c) for c in build_cols}
     # also expose the matched build timestamp
     ts_out = build_ts + suffix if build_ts in probe.columns else build_ts
@@ -60,7 +65,7 @@ def asof_join(
         F.lit(None).cast(build.schema[build_ts].dataType).alias("__bts"),
         *[
             F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}")
-            for c in build_cols
+            for c in carry_cols
         ],
     )
     build_tagged = build.select(
@@ -73,16 +78,20 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.col(build_ts).alias("__ts"),
         F.col(build_ts).alias("__bts"),
-        *[F.col(c).alias(f"__b_{c}") for c in build_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in carry_cols],
     )
     unioned = probe_tagged.unionByName(build_tagged)
 
+    # __side AFTER __ts but BEFORE any tiebreak: build rows (0) must
+    # sort before probe rows (1) at equal ts so last() sees them
+    # (inclusive <= semantics, matching TemporalRowTimeJoinOperator);
+    # probe rows carry NULL tiebreak, so tiebreak must never outrank
+    # __side in the sort key.
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tiebreak is not None:
         # among equal-ts build rows the highest tiebreak is emitted
-        # last, so last() picks it; probe rows sort after build rows
-        # at equal ts (__side), giving <= semantics.
-        order.insert(1, F.asc_nulls_first(f"__b_{tiebreak}"))
+        # last, so last() picks it.
+        order.append(F.asc_nulls_first(f"__b_{tiebreak}"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

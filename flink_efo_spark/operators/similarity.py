@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond the reference's relational surface (required for the
+training-data-pipeline north star): approximate nearest neighbor over
+the ``embeddings`` fixture.
+
+Two paths:
+
+* :func:`cosine_topk` — exact brute-force top-k. The query side is
+  broadcast (it is the small side by construction), the corpus is
+  scanned once, and the per-query top-k filter is the
+  ``row_number() <= k`` pattern that Spark ≥3.5 rewrites to
+  ``WindowGroupLimit``: each map task keeps only k rows per query
+  BEFORE the shuffle, so the shuffled volume is |queries| × k, not
+  |queries| × |corpus|. This is the scale story at 100 TB — the full
+  cross product never materializes across the wire.
+* :func:`lsh_cosine_topk` — random-hyperplane LSH: sign-bit
+  signatures, banded buckets, candidate join within buckets, exact
+  re-scoring of candidates only. Linear map-side cost; the shuffle
+  carries (id, bucket) pairs and candidate pairs only.
+
+All math is built-in Catalyst expressions (``zip_with`` +
+``aggregate`` — sequential left-to-right folds, so scores are
+bit-reproducible against a DuckDB oracle evaluating in the same
+order). No Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential-order dot product of two array columns (double)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0.0 as double), "
+            f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for every query row, the ``k`` most similar
+    corpus rows. Returns (query_id, neighbor_id, score, rank).
+
+    Ties broken by neighbor id (deterministic). ``exclude_self`` drops
+    the trivial query==corpus match when both come from one table.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        _norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("__qid") != F.col("neighbor_id"))
+    scored = pairs.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes (driver-side literals; a few
+    KB shipped inside the plan, never a runtime dependency)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_signature(
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Add ``__sig`` — array of sign bits of <v, plane_j>."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bits = []
+    for p in planes:
+        arr = ", ".join(f"cast({x!r} as double)" for x in p)
+        bits.append(
+            F.expr(
+                f"case when aggregate(zip_with({vec_col}, array({arr}), "
+                f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+                f"(acc, v) -> acc + v) >= 0 then 1 else 0 end"
+            )
+        )
+    return df.withColumn("__sig", F.array(*bits))
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs cosine top-k via random-hyperplane LSH.
+
+    Signature bits are split into ``bands``; rows sharing any band
+    bucket become candidates; candidates are re-scored with exact
+    cosine and the top ``k`` per id kept. Recall < 1 by construction
+    (pairs disagreeing in every band are missed) — that is the
+    approximate contract; precision is exact.
+
+    Scale: one shuffle on (band, bucket) keys; candidate volume is
+    bounded by bucket co-membership, not |df|². Hot buckets (many
+    near-identical vectors) are capped implicitly by the top-k window
+    and can be salted via more planes per band.
+    """
+    rows_per_band = num_planes // bands
+    sigs = lsh_signature(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+    ).withColumn("__n", _norm(vec_col))
+
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[
+                F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("__bucket")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("__qid"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    va = sigs.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    vb = sigs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    scored = (
+        cand.join(va, "__qid")
+        .join(vb, "neighbor_id")
+        .select(
+            F.col("__qid").alias(id_col),
+            "neighbor_id",
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

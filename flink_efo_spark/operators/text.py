@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's relational surface (north-star extension):
+language ID, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table.
+
+Everything is built-in Catalyst expressions — regex + array
+functions, no Python UDFs — so the operators whole-stage-codegen and
+are bit-reproducible against a DuckDB oracle. All regexes are kept to
+the common subset of Java regex (Spark) and RE2 (DuckDB).
+
+Scale: each operator is a narrow map over the documents scan — no
+shuffle at all except ``doc_fingerprint``'s optional dedup join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language heuristic. Deliberately small: the heuristic is a scoring
+# demo, not a lingua port.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+# whitespace tokenizer + a BPE-ish word/number/punct splitter; the
+# pattern is identical in Java regex and RE2
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _tokens(text_col: str) -> str:
+    return f"filter(split(trim(lower({text_col})), ' +'), t -> t != '')"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char statistics.
+
+    Returns (id, n_chars_calc, n_tokens, n_types, avg_token_len,
+    bpe_tokens) — ``n_types`` is the distinct-token count and
+    ``bpe_tokens`` the count under the BPE-ish regex splitter.
+    """
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_calc"),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").cast("bigint").alias("n_types"),
+        F.round(
+            F.expr(
+                f"aggregate({toks}, cast(0.0 as double), (a, t) -> a + length(t))"
+                f" / greatest(size({toks}), 1)"
+            ),
+            4,
+        ).alias("avg_token_len"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{_BPE_PATTERN}', 0))")
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
+def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signals: punctuation / digit / stopword
+    ratios + a composite score in [0, 1], rounded for cross-engine
+    hash stability.
+
+    Mirrors the shape of common corpus-quality filters (length,
+    symbol ratio, stopword presence).
+    """
+    toks = _tokens(text_col)
+    en = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS["en"])
+    n_chars = F.length(F.col(text_col))
+    punct = F.expr(f"size(regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0))")
+    digits = F.expr(f"size(regexp_extract_all({text_col}, '[0-9]', 0))")
+    stop = F.expr(
+        f"size(filter({toks}, t -> array_contains(array({en}), t)))"
+    )
+    ntok = F.expr(f"size({toks})")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    digit_ratio = digits / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop / F.greatest(ntok, F.lit(1))
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language guess: argmax over per-language
+    stopword hit counts (ties → lexicographically first language;
+    zero hits → 'und' undetermined)."""
+    toks = _tokens(text_col)
+    score_cols = []
+    for lang, words in sorted(_LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            F.expr(
+                f"size(filter({toks}, t -> array_contains(array({lst}), t)))"
+            ).alias(f"__s_{lang}")
+        )
+    scored = df.select(F.col(id_col), *score_cols)
+    langs = sorted(_LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pick = pick.when(F.col(f"__s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        pick.alias("lang_guess"),
+        best.cast("bigint").alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum (and count of
+    distinct) 64-bit rolling shingle hashes per document. Two docs
+    sharing ``fp_min`` share at least one k-shingle — a cheap
+    first-pass near-dup blocking key.
+
+    Hash = md5-derived (portable across engines, see dedup.py).
+    """
+    from flink_efo_spark.operators.dedup import _hash64_expr, _shingles_expr
+
+    h = _hash64_expr("s")
+    return (
+        df.withColumn("__t", F.expr(_tokens(text_col)))
+        .select(F.col(id_col), _shingles_expr(text_col, shingle_size))
+        .select(
+            F.col(id_col),
+            F.expr(f"array_min(transform(shingles, s -> {h}))").alias("fp_min"),
+            F.expr("size(shingles)").cast("bigint").alias("fp_count"),
+        )
+    )

@@ -1,0 +1,1152 @@
+"""Query corpus: one named query per implemented operator family.
+
+This is the engine's demonstration + correctness surface. Every entry
+has a Spark implementation (``QUERIES[name]`` — a callable
+``(spark, sf_dir) -> DataFrame``) and, where SQL-expressible, a
+DuckDB oracle (``ORACLES[name]``) producing identical column names
+and values. The driver hash-compares them at sf0.01
+(CORRECTNESS_r{N}.json); ``bench.py`` times a headline subset at
+sf0.1.
+
+Conventions for cross-engine hash stability:
+
+* every computed column is aliased identically on both sides;
+* double aggregates are ``round(x, 2..6)`` on both sides;
+* timestamps that flow into results are emitted as epoch **micros**
+  (bigint) — no tz/representation ambiguity (`unix_micros` ↔
+  `epoch_us`);
+* ties in top-n / limit queries are always broken by a unique key.
+
+Reference parity cites (files under /root/reference): each query
+names the exec node / ITCase family it mirrors, e.g. hash_agg ↔
+BatchExecHashAggregate.scala + AggregateITCase.scala.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_efo_spark.catalog import load_table
+from flink_efo_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    dedup_keep_last,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flink_efo_spark.operators.joins import asof_join, interval_join
+from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_efo_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_stats,
+    token_stats,
+)
+from flink_efo_spark.operators.topn import top_n
+from flink_efo_spark.functions import flink_fns as ff
+
+
+class _T:
+    """Lazy per-query table loader (nanos-normalizing, see catalog)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _us(col) -> Column:
+    """Epoch micros of a timestamp column regardless of NTZ/LTZ flavor
+    (session tz is UTC, so NTZ→LTZ cast is identity and this matches
+    DuckDB's ``epoch_us`` on naive timestamps)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def _money(col) -> Column:
+    """round(x, 2) with deterministic HALF_UP tie behavior identical
+    across engines: floor(x*100 + 0.5)/100 on IEEE doubles (positive
+    domain). Spark's round() and DuckDB's round() disagree on ties."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
+_MONEY_SQL = "floor(({x}) * 100 + 0.5) / 100"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from flink_efo_spark.catalog import ensure_session_confs
+
+            ensure_session_confs(spark)
+            return fn(_T(spark, sf_dir))
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Calc — fused project + filter
+# (StreamExecCalc.scala:39 / BatchExecCalc.scala:38; CalcITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "calc",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue,
+           upper(l_returnflag) AS flag_u
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 10
+    """,
+)
+def q_calc(t: _T) -> DataFrame:
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 10)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.upper("l_returnflag").alias("flag_u"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 hash aggregation — TPC-H Q1 pricing summary
+# (BatchExecHashAggregate.scala:43; AggregateITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hash_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_hash_agg(t: _T) -> DataFrame:
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 inner join + agg + top-n — TPC-H Q3 shape (flagship)
+# (BatchExecHashJoin.scala:53; JoinITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_inner_agg",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_join_inner_agg(t: _T) -> DataFrame:
+    return (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders.where(F.col("o_orderstatus") == "O"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey", "revenue", _us("o_orderdate").alias("orderdate_us")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 left outer join — TPC-H Q13 customer order-count distribution
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_left_outer",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_join_left_outer(t: _T) -> DataFrame:
+    per_cust = (
+        t.customer.join(
+            t.orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 semi / anti joins
+# (StreamingSemiAntiJoinOperator.java:36; SemiAntiJoinStreamITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+                    AND l.l_quantity > 45)
+    """,
+)
+def q_join_semi(t: _T) -> DataFrame:
+    flagged = t.lineitem.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)
+    )
+    return (
+        t.supplier.join(
+            flagged, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        ).select("s_suppkey", "s_name")
+    )
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(t: _T) -> DataFrame:
+    return (
+        t.customer.join(
+            t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        ).select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 broadcast dimension join (BatchExecHashJoinRule.canBroadcast)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "broadcast_dim_join",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_broadcast_dim_join(t: _T) -> DataFrame:
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 GROUPING SETS / ROLLUP / CUBE (DecomposeGroupingSetsRule)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(t: _T) -> DataFrame:
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+
+
+@_q(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(t: _T) -> DataFrame:
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    ).select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 batch OVER windows — ROWS frame, rank, lag
+# (BatchExecOverAggregate.scala:73; OverWindowITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "over_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           CAST(rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             AS INT) AS price_rank,
+           round(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+             AS prev_price
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q_over_window(t: _T) -> DataFrame:
+    time_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rank_w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.where(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(time_w), 2).alias("running_total"),
+        F.rank().over(rank_w).cast("int").alias("price_rank"),
+        F.round(F.lag("o_totalprice").over(lag_w), 2).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Top-N per key (StreamExecRank.scala:52; RankITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "top_n",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_top_n(t: _T) -> DataFrame:
+    return top_n(
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 dedup keep-first / keep-last
+# (StreamExecDeduplicate.scala:52, DeduplicateKeep{First,Last}RowFunction)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_keep_first",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keep_first(t: _T) -> DataFrame:
+    return dedup_keep_first(
+        t.events.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        [F.col("ts"), F.col("event_id")],
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+    )
+
+
+@_q(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keep_last(t: _T) -> DataFrame:
+    return dedup_keep_last(
+        t.events.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        [F.col("ts"), F.col("event_id")],
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 interval join (TimeBoundedStreamJoin.java:52; IntervalJoinOperator)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "interval_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS error_id,
+           a.user_id AS user_id,
+           epoch_us(a.ts) AS click_ts_us, epoch_us(b.ts) AS error_ts_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+)
+def q_interval_join(t: _T) -> DataFrame:
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = interval_join(
+        clicks, errors, "user_id", "ts", "ts",
+        "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    return joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros("l.ts").alias("click_ts_us"),
+        F.unix_micros("r.ts").alias("error_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 temporal / as-of join (TemporalRowTimeJoinOperator.java:72)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           b.bts_us AS signup_ts_us, b.bval AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    LEFT JOIN LATERAL (
+      SELECT epoch_us(b.ts) AS bts_us, b.value AS bval
+      FROM events b
+      WHERE b.event_type = 'signup' AND b.user_id = p.user_id
+        AND b.ts <= p.ts
+      ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
+    ) b ON true
+    """,
+)
+def q_asof_join(t: _T) -> DataFrame:
+    ev = t.events
+    probe = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        probe,
+        build.withColumnRenamed("event_id", "b_event_id"),
+        "user_id",
+        "ts",
+        "ts",
+        build_cols=["value"],
+        tiebreak="b_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_asof").alias("signup_ts_us"),
+        F.col("value").alias("signup_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 set operations (ReplaceIntersectWithSemiJoinRule etc.)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_intersect(t: _T) -> DataFrame:
+    o = t.orders
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(o.where(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@_q(
+    "set_except_all",
+    """
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def q_set_except_all(t: _T) -> DataFrame:
+    l = t.lineitem
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+        .exceptAll(l.where(F.col("l_returnflag") == "A").select("l_suppkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sort / limit / offset (BatchExecSortLimit.scala:52; SortITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS orderdate_us
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15 OFFSET 5
+    """,
+)
+def q_sort_limit_offset(t: _T) -> DataFrame:
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            _us("o_orderdate").alias("orderdate_us"),
+        )
+        .offset(5)
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 UNNEST / Correlate (LogicalUnnestRule.scala; UnnestITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "unnest_tokens",
+    """
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 20)
+    """,
+)
+def q_unnest_tokens(t: _T) -> DataFrame:
+    return (
+        t.documents.where(F.col("doc_id") < 20)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
+        .select("doc_id", "pos", "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 scalar function surface (FlinkSqlOperatorTable.java:114-830)
+# one row-set exercising ~18 functions incl. the Flink-only shims
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_fns",
+    """
+    SELECT doc_id,
+           string_split(source, 'c')[2] AS split_idx,
+           source ~ '^[a-zA-Z]+$' AS is_alpha_src,
+           source ~ '^[0-9]+$' AS is_digit_src,
+           lpad(source, 8, '*') AS lp, rpad(source, 8, '#') AS rp,
+           reverse(source) AS rev,
+           upper(lang) AS lang_u, lower(source) AS src_l,
+           substr(text, 1, 10) AS prefix10,
+           left(text, 4) AS l4, right(source, 2) AS r2,
+           repeat(lang, 3) AS lang3,
+           replace(source, 'src', 'S') AS repl,
+           CAST(strpos(text, 'table') AS INT) AS pos_table,
+           regexp_extract(source, '([0-9]+)', 1) AS src_num,
+           md5(source) AS src_md5,
+           length(text) AS len_text,
+           concat_ws('|', lang, source) AS cw,
+           trim(' ' || source || ' ') AS trimmed
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_scalar_fns(t: _T) -> DataFrame:
+    d = t.documents.where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        ff.split_index("source", "c", 1).alias("split_idx"),
+        ff.is_alpha("source").alias("is_alpha_src"),
+        ff.is_digit("source").alias("is_digit_src"),
+        F.lpad("source", 8, "*").alias("lp"),
+        F.rpad("source", 8, "#").alias("rp"),
+        F.reverse("source").alias("rev"),
+        F.upper("lang").alias("lang_u"),
+        F.lower("source").alias("src_l"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.expr("left(text, 4)").alias("l4"),
+        F.expr("right(source, 2)").alias("r2"),
+        F.repeat("lang", 3).alias("lang3"),
+        F.expr("replace(source, 'src', 'S')").alias("repl"),
+        F.locate("table", F.col("text").cast("string")).cast("int").alias("pos_table"),
+        F.regexp_extract("source", "([0-9]+)", 1).alias("src_num"),
+        F.md5("source").alias("src_md5"),
+        F.length("text").cast("bigint").alias("len_text"),
+        F.concat_ws("|", "lang", "source").alias("cw"),
+        F.trim(F.concat(F.lit(" "), F.col("source"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 agg function set: LISTAGG / FIRST_VALUE / LAST_VALUE analogs
+# (AggFunctionFactory.scala:64-135)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_fn_set",
+    """
+    SELECT n.n_name,
+           string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)
+             AS segments,
+           min_by(c.c_name, c.c_custkey) AS first_cust,
+           max_by(c.c_name, c.c_custkey) AS last_cust,
+           count(DISTINCT c.c_mktsegment) AS n_segments,
+           round(stddev_samp(c.c_acctbal), 4) AS bal_stddev,
+           round(var_pop(c.c_acctbal), 4) AS bal_varpop
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_fn_set(t: _T) -> DataFrame:
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            ff.listagg("c_mktsegment", ",", distinct=True).alias("segments"),
+            F.min_by("c_name", "c_custkey").alias("first_cust"),
+            F.max_by("c_name", "c_custkey").alias("last_cust"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+            F.round(F.var_pop("c_acctbal"), 4).alias("bal_varpop"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 group windows: TUMBLE / HOP / SESSION over bounded events
+# (WindowOperator.java:98; WindowAggregateITCase)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_tumble",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000 AS w_start_us,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumble(t: _T) -> DataFrame:
+    return (
+        t.events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("w_start_us"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+@_q(
+    "window_hop",
+    """
+    SELECT w_start * 1000000 AS w_start_us,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300,
+                     CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)]) AS w_start,
+             value
+      FROM events)
+    GROUP BY w_start
+    """,
+)
+def q_window_hop(t: _T) -> DataFrame:
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_micros("w.start").alias("w_start_us"), "cnt", "sum_value")
+    )
+
+
+@_q(
+    "window_session",
+    """
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def q_window_session(t: _T) -> DataFrame:
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction (event props column)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "json_extract",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_json_extract(t: _T) -> DataFrame:
+    return (
+        t.events.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# north star: exact dedup / minhash / ngram jaccard / simhash
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id, fingerprint, group_size
+    FROM (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS group_size
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fingerprint
+            FROM documents))
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(t: _T) -> DataFrame:
+    return dedup_exact(t.documents, "doc_id", "text").select(
+        "doc_id", "fingerprint", "group_size"
+    )
+
+
+_SHINGLE_CTE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents)
+    )
+"""
+
+
+@_q(
+    "minhash_pairs",
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+    """,
+)
+def q_minhash_pairs(t: _T) -> DataFrame:
+    return minhash_near_duplicates(
+        t.documents, "doc_id", "text",
+        threshold=0.6, num_perm=12, bands=12, shingle_size=3,
+    )
+
+
+@_q(
+    "ngram_jaccard",
+    _SHINGLE_CTE.replace("FROM documents)", "FROM documents)")
+    + """
+    , shs AS (
+      SELECT s.doc_id, d.source, s.shingles
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+      WHERE len(s.shingles) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM shs a JOIN shs b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+    """,
+)
+def q_ngram_jaccard(t: _T) -> DataFrame:
+    return ngram_jaccard_pairs(
+        t.documents, "doc_id", "text", block_by="source",
+        threshold=0.3, shingle_size=3,
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# north star: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cosine_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings)
+    SELECT vec_id, neighbor_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT q.vec_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.n * c.n) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(q.e, c.e) / (q.n * c.n)
+                                  DESC, c.vec_id) AS rank
+      FROM (SELECT * FROM v WHERE vec_id < 10) q
+      JOIN v c ON c.vec_id != q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(t: _T) -> DataFrame:
+    emb = t.embeddings
+    out = cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, "vec_id", "vec_id",
+        vec_col="embedding", k=5,
+    )
+    return out.select(
+        "vec_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@_q("lsh_cosine_topk")  # approximate: rows-only check (no exact oracle)
+def q_lsh_cosine_topk(t: _T) -> DataFrame:
+    out = lsh_cosine_topk(t.embeddings, "vec_id", "embedding", dim=64, k=5)
+    return out.select(
+        "vec_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# north star: text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS_DD = "list_filter(string_split_regex(trim(lower(text)), ' +'), t -> t != '')"
+
+
+@_q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({_TOKS_DD}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS_DD})) AS BIGINT) AS n_types,
+           round(CAST(list_sum(list_transform({_TOKS_DD}, t -> length(t)))
+                 AS DOUBLE) / greatest(len({_TOKS_DD}), 1), 4) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(t: _T) -> DataFrame:
+    return token_stats(t.documents, "doc_id", "text")
+
+
+@_q(
+    "lang_id",
+    """
+    WITH scores AS (
+      SELECT doc_id,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            t -> t != ''), t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t))) AS s_en,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            t -> t != ''), t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS s_de,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            t -> t != ''), t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t))) AS s_fr,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), ' +'),
+            t -> t != ''), t -> list_contains(['el','la','los','y','es','un','una','en','por','que'], t))) AS s_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_hits
+    FROM scores
+    """,
+)
+def q_lang_id(t: _T) -> DataFrame:
+    return lang_id(t.documents, "doc_id", "text")
+
+
+@_q(
+    "quality_stats",
+    f"""
+    SELECT doc_id,
+      round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE)
+            / greatest(length(text), 1), 4) AS punct_ratio,
+      round(CAST(len(regexp_extract_all(text, '[0-9]', 0)) AS DOUBLE)
+            / greatest(length(text), 1), 4) AS digit_ratio,
+      round(CAST(len(list_filter({_TOKS_DD},
+            t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t)))
+            AS DOUBLE) / greatest(len({_TOKS_DD}), 1), 4) AS stopword_ratio,
+      round(0.4 * least(CAST(len({_TOKS_DD}) AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * least((CAST(len(list_filter({_TOKS_DD},
+              t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t)))
+              AS DOUBLE) / greatest(len({_TOKS_DD}), 1)) * 5, 1.0)
+          + 0.3 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))
+              AS DOUBLE) / greatest(length(text), 1)) * 10, 1.0)), 4)
+        AS quality_score
+    FROM documents
+    """,
+)
+def q_quality_stats(t: _T) -> DataFrame:
+    return quality_stats(t.documents, "doc_id", "text")
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents))
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fp_min,
+           CAST(len(shingles) AS BIGINT) AS fp_count
+    FROM sh
+    """,
+)
+def q_doc_fingerprint(t: _T) -> DataFrame:
+    return doc_fingerprint(t.documents, "doc_id", "text", shingle_size=3)
+
+
+# ---------------------------------------------------------------------------
+# simhash signatures (rows-only unless the chunked oracle proves out)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    hash64 = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+    chunk_exprs = []
+    for c in range(4):
+        bit_terms = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(shingles, "
+            f"s -> 2 * (({hash64} >> {c * 16 + i}) & 1) - 1)) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        chunk_exprs.append(f"CAST({bit_terms} AS BIGINT) AS sim_c{c}")
+    cols = ", ".join(chunk_exprs)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents))
+    SELECT doc_id, {cols} FROM sh WHERE len(shingles) > 0
+    """
+
+
+@_q("simhash_signatures", _simhash_oracle())
+def q_simhash_signatures(t: _T) -> DataFrame:
+    return simhash_signatures(t.documents, "doc_id", "text", shingle_size=3)
+
+
+# ---------------------------------------------------------------------------
+# VALUES literal rows (StreamExecValues.scala:39)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "values_literal",
+    """
+    SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL))
+      t(id, name, score)
+    """,
+)
+def q_values_literal(t: _T) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    return t.spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)], schema
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smoke-check query (driver's ``entry``): Q3-shaped
+    customer ⋈ orders ⋈ lineitem filter + agg + top-n."""
+    return QUERIES["join_inner_agg"](spark, sf_dir)

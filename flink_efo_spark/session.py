@@ -44,7 +44,15 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # Parquet TIMESTAMP(NANOS) (the driver's events.ts) has no Spark
+    # type; read as long and let the catalog cast to micros (the same
+    # truncation DuckDB applies when it reads nanos into TIMESTAMP).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # shuffle.partitions is only the FLOOR under AQE: initialPartitionNum
+    # sets the pre-coalesce fan-out, so the same code keeps full initial
+    # parallelism at 100 TB while AQE coalesces small stages down.
     "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
 }
 
 

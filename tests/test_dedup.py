@@ -1,0 +1,82 @@
+"""Dedup operator unit tests incl. the short-document edge case that
+crashed round 1 (_shingles_expr on docs with < shingle_size tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_efo_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    dedup_keep_last,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy cat", "a"),
+    (3, "completely different text about spark engines here", "a"),
+    (4, "hi", "a"),  # shorter than shingle_size → must not crash
+    (5, "", "a"),  # empty doc
+    (6, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+]
+SCHEMA = "doc_id int, text string, source string"
+
+
+def test_shingles_short_docs_no_crash(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    out = shingle_sets(df, "doc_id", "text", shingle_size=3).collect()
+    ids = {r.doc_id for r in out}
+    assert 4 not in ids and 5 not in ids  # short docs dropped, not crashed
+    assert 1 in ids
+
+
+def test_minhash_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.5, num_perm=12, bands=12
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 6) in got  # exact dup → jaccard 1.0
+    assert (1, 2) in got  # one-word change → high jaccard
+    assert all((a, b) != (1, 3) for a, b in got)
+
+
+def test_ngram_jaccard_blocked(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = ngram_jaccard_pairs(
+        df, "doc_id", "text", block_by="source", threshold=0.99
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 6)}
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = simhash_near_duplicates(df, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 6) in got
+    hamming = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert hamming[(1, 6)] == 0
+
+
+def test_dedup_exact_keeps_smallest_id(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    out = dedup_exact(df, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 6 not in by_id and 1 in by_id
+    assert by_id[1].group_size == 2
+
+
+def test_keep_first_last(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")],
+        "k int, seq int, v string",
+    )
+    first = dedup_keep_first(df, ["k"], [F.col("seq")]).collect()
+    last = dedup_keep_last(df, ["k"], [F.col("seq")]).collect()
+    assert {(r.k, r.v) for r in first} == {(1, "a"), (2, "x")}
+    assert {(r.k, r.v) for r in last} == {(1, "c"), (2, "x")}

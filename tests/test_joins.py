@@ -1,0 +1,79 @@
+"""Operator unit tests: as-of join and interval join edge cases.
+
+Mirrors the reference's TemporalJoinITCase / JoinITCase row-set style
+(SURVEY §5), with the equal-timestamp inclusive-<= case the reference's
+TemporalRowTimeJoinOperator guarantees (round 1 regression).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_efo_spark.operators.joins import asof_join, interval_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_equal_ts_inclusive(spark):
+    """A build row AT the probe timestamp must match (<= semantics)."""
+    probe = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(5)), (2, _ts(10))], "k int, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(10), "at10"), (1, _ts(4), "at4"), (2, _ts(11), "at11")],
+        "k int, ts timestamp, v string",
+    )
+    out = asof_join(probe, build, "k", "ts", "ts", build_cols=["v"])
+    got = {(r.k, r.ts.minute): r.v for r in out.collect()}
+    assert got[(1, 10)] == "at10"  # equal-ts match taken
+    assert got[(1, 5)] == "at4"  # latest earlier row
+    assert got[(2, 10)] is None  # build only in the future → NULL
+
+
+def test_asof_tiebreak_highest_wins(spark):
+    """Equal build timestamps: the highest tiebreak value wins, and a
+    probe at the same instant still sees the build rows."""
+    probe = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    build = spark.createDataFrame(
+        [(1, _ts(10), 1, "first"), (1, _ts(10), 2, "second")],
+        "k int, ts timestamp, seq int, v string",
+    )
+    out = asof_join(
+        probe, build, "k", "ts", "ts", build_cols=["v"], tiebreak="seq"
+    )
+    [row] = out.collect()
+    assert row.v == "second"
+
+
+def test_asof_tiebreak_not_in_build_cols(spark):
+    """tiebreak column outside build_cols must not crash (round-2 fix)."""
+    probe = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    build = spark.createDataFrame(
+        [(1, _ts(9), 7, "x")], "k int, ts timestamp, seq int, v string"
+    )
+    out = asof_join(
+        probe, build, "k", "ts", "ts", build_cols=["v"], tiebreak="seq"
+    )
+    [row] = out.collect()
+    assert row.v == "x"
+    assert "seq" not in out.columns
+
+
+def test_interval_join_bounds(spark):
+    left = spark.createDataFrame([(1, _ts(0), "l0")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(0), "r0"), (1, _ts(5), "r5"), (1, _ts(6), "r6"), (2, _ts(1), "rx")],
+        "k int, ts timestamp, rv string",
+    )
+    out = interval_join(
+        left, right, "k", "ts", "ts",
+        "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    got = sorted(r["rv"] for r in out.select(F.col("r.rv")).collect())
+    assert got == ["r0", "r5"]  # inclusive bounds, r6 outside, rx key-mismatch

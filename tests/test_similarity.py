@@ -1,0 +1,39 @@
+"""Similarity-search operator tests (cosine_topk exact; LSH recall)."""
+
+from __future__ import annotations
+
+import math
+
+from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, _vec(1, 0, 0, 0)),
+        (2, _vec(0.9, 0.1, 0, 0)),
+        (3, _vec(0, 1, 0, 0)),
+        (4, _vec(-1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = cosine_topk(df, df, "vec_id", "vec_id", k=2)
+    got = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.score) for r in out.collect()
+    }
+    assert got[(1, 1)][0] == 2  # closest to e_x is the 0.9/0.1 vector
+    assert math.isclose(got[(1, 1)][1], 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-9)
+    assert got[(1, 2)][0] == 3  # orthogonal beats antipodal
+    assert got[(4, 2)][0] in (2, 3)
+
+
+def test_lsh_recall_on_identical_vectors(spark):
+    """Identical vectors share every band bucket → always candidates."""
+    rows = [(i, _vec(*(1.0 if j == i else 0.1 for j in range(8)))) for i in range(4)]
+    rows.append((100, rows[0][1]))  # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = lsh_cosine_topk(df, "vec_id", "embedding", dim=8, k=3)
+    top = {r.vec_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert top[0] == 100 and top[100] == 0

@@ -89,17 +89,30 @@ def dedup_exact(
 
 def _shingles_expr(text_col: str, k: int) -> Column:
     """Distinct word k-gram shingles of lower(text), 1-indexed
-    element_at so the same expression translates to DuckDB lists."""
+    element_at so the same expression translates to DuckDB lists.
+
+    Two non-obvious shapes in here:
+
+    * Guard docs shorter than k tokens: sequence(1, 0) is DESCENDING
+      ([1, 0]) in Spark, so an unguarded form indexes past the array
+      and throws under ANSI mode. Short docs yield an empty shingle
+      set (then dropped by shingle_sets' size>0 filter).
+    * The token array is bound via ``transform(array(split(...)),
+      __t -> ...)[1]`` instead of a projected column: CollapseProject
+      inlines column aliases into every lambda reference, so the
+      naive form re-evaluates split() per element_at per position —
+      measured 16× slower at sf0.1.
+    """
     parts = ", ".join(f"element_at(__t, i + {j})" for j in range(k))
-    # Guard docs shorter than k tokens: sequence(1, 0) is DESCENDING
-    # ([1, 0]) in Spark, so the unguarded form indexes past the array
-    # and throws under ANSI mode. Short docs yield an empty shingle
-    # set instead (then dropped by shingle_sets' size>0 filter).
-    return F.expr(
+    body = (
         f"case when size(__t) >= {k} then "
         f"array_distinct(transform(sequence(1, size(__t) - {k - 1}),"
         f" i -> concat_ws(' ', {parts}))) "
         f"else cast(array() as array<string>) end"
+    )
+    return F.expr(
+        f"element_at(transform(array(split(trim(lower({text_col})), ' ')), "
+        f"__t -> {body}), 1)"
     ).alias("shingles")
 
 
@@ -113,11 +126,9 @@ def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
 ) -> DataFrame:
     """(id, shingles array<string>) with empty-shingle docs removed."""
-    return (
-        df.withColumn("__t", F.expr(f"split(trim(lower({text_col})), ' ')"))
-        .select(F.col(id_col), _shingles_expr(text_col, shingle_size))
-        .where(F.size("shingles") > 0)
-    )
+    return df.select(
+        F.col(id_col), _shingles_expr(text_col, shingle_size)
+    ).where(F.size("shingles") > 0)
 
 
 def minhash_signatures(
@@ -128,14 +139,25 @@ def minhash_signatures(
     mh_j = min over shingles of ((a_j * (h64 % M) + b_j) mod M),
     a_j = 2j+1, b_j = 104729*j + 12345, M = 2^31-1. Integer-only —
     identical in any engine.
+
+    The md5-derived base hash is computed ONCE per shingle into an
+    intermediate array; the num_perm affine permutations then run over
+    the integer array (md5 is ~20× the cost of the affine step, so
+    hashing per-perm would multiply the map cost by num_perm).
     """
     h = _hash64_expr("s")
     perms = ", ".join(
-        f"array_min(transform(shingles, s -> "
-        f"(({2 * j + 1} * ({h} % {MERSENNE31}) + {104729 * j + 12345}) % {MERSENNE31})))"
+        f"array_min(transform(__hs, h -> "
+        f"(({2 * j + 1} * h + {104729 * j + 12345}) % {MERSENNE31})))"
         for j in range(num_perm)
     )
-    return shingled.withColumn("mh", F.expr(f"array({perms})"))
+    return (
+        shingled.withColumn(
+            "__hs", F.expr(f"transform(shingles, s -> {h} % {MERSENNE31})")
+        )
+        .withColumn("mh", F.expr(f"array({perms})"))
+        .drop("__hs")
+    )
 
 
 def minhash_near_duplicates(
@@ -155,7 +177,13 @@ def minhash_near_duplicates(
     affects recall, never precision.
     """
     rows_per_band = num_perm // bands
-    shingled = shingle_sets(df, id_col, text_col, shingle_size)
+    # persist: the shingle+signature pipeline feeds the bucket
+    # self-join (2 consumers) AND the verify join (2 more); without an
+    # explicit persist Spark recomputes the md5+shingle map 4-5× (AQE
+    # tends to defeat ReusedExchange across the self-join). At scale
+    # this is (id, shingles) only — not the documents — and spills to
+    # disk per executor rather than re-reading the corpus.
+    shingled = shingle_sets(df, id_col, text_col, shingle_size).persist()
     sigs = minhash_signatures(shingled, num_perm)
 
     band_exprs = [
@@ -171,7 +199,7 @@ def minhash_near_duplicates(
     ]
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bucket")
-    )
+    ).persist()
     # candidate pairs: ids sharing any band bucket
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -217,11 +245,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exhaustive within-block n-gram Jaccard (the verify/oracle path;
     quadratic per block — ``block_by`` bounds the blowup)."""
-    shingled = (
-        df.withColumn("__t", F.expr(f"split(trim(lower({text_col})), ' ')"))
-        .select(F.col(id_col), F.col(block_by), _shingles_expr(text_col, shingle_size))
-        .where(F.size("shingles") > 0)
-    )
+    shingled = df.select(
+        F.col(id_col), F.col(block_by), _shingles_expr(text_col, shingle_size)
+    ).where(F.size("shingles") > 0)
     a = shingled.alias("a")
     b = shingled.alias("b")
     return (
@@ -258,16 +284,19 @@ def simhash_signatures(
     """
     shingled = shingle_sets(df, id_col, text_col, shingle_size)
     h = _hash64_expr("s")
+    # hash each shingle ONCE into an integer array; the 64 per-bit
+    # majority sums then fold over integers, not re-run md5 64 times
+    hashed = shingled.withColumn("__hs", F.expr(f"transform(shingles, s -> {h})"))
     chunk_cols = []
     for c in range(chunks):
         bit_terms = " + ".join(
-            f"(case when aggregate(shingles, 0L, (acc, s) -> acc + "
-            f"(2 * (({h} >> {c * chunk_bits + i}) & 1) - 1)) > 0 "
+            f"(case when aggregate(__hs, 0L, (acc, h) -> acc + "
+            f"(2 * ((h >> {c * chunk_bits + i}) & 1) - 1)) > 0 "
             f"then {1 << i} else 0 end)"
             for i in range(chunk_bits)
         )
         chunk_cols.append(F.expr(f"cast({bit_terms} as bigint)").alias(f"sim_c{c}"))
-    return shingled.select(F.col(id_col), *chunk_cols)
+    return hashed.select(F.col(id_col), *chunk_cols)
 
 
 def simhash_near_duplicates(
@@ -279,7 +308,8 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming
     (≤ 3 guaranteed found by 4-chunk banding; the check is exact)."""
-    sigs = simhash_signatures(df, id_col, text_col, shingle_size)
+    # persisted: 4 chunk self-joins + the hamming verify all reuse it
+    sigs = simhash_signatures(df, id_col, text_col, shingle_size).persist()
     chunk_names = [c for c in sigs.columns if c.startswith("sim_c")]
     pairs = None
     a, b = sigs.alias("a"), sigs.alias("b")

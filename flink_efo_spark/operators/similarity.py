@@ -144,9 +144,15 @@ def lsh_cosine_topk(
     and can be salted via more planes per band.
     """
     rows_per_band = num_planes // bands
-    sigs = lsh_signature(
-        df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
-    ).withColumn("__n", _norm(vec_col))
+    # persisted: bucket self-join + two re-score joins reuse the
+    # signature/norm computation (persist (id, vec, sig, norm) once)
+    sigs = (
+        lsh_signature(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+        )
+        .withColumn("__n", _norm(vec_col))
+        .persist()
+    )
 
     band_exprs = [
         F.concat_ws(

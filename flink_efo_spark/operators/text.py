@@ -138,8 +138,7 @@ def doc_fingerprint(
 
     h = _hash64_expr("s")
     return (
-        df.withColumn("__t", F.expr(_tokens(text_col)))
-        .select(F.col(id_col), _shingles_expr(text_col, shingle_size))
+        df.select(F.col(id_col), _shingles_expr(text_col, shingle_size))
         .select(
             F.col(id_col),
             F.expr(f"array_min(transform(shingles, s -> {h}))").alias("fp_min"),

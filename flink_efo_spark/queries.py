@@ -1146,6 +1146,105 @@ def q_values_literal(t: _T) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.5/2.7/2.11 streaming: real micro-batch runs (availableNow) over the
+# bounded events stream — StreamExecGroupWindowAggregate /
+# StreamExecDeduplicate / StreamExecRank + the EFO source analog
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_tumble",
+    """
+    WITH wm AS (SELECT epoch(max(ts)) - 600 AS w FROM events)
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000 AS w_start_us,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    HAVING (floor(epoch(any_value(ts)) / 300) * 300 + 300) <= (SELECT w FROM wm)
+    """,
+)
+def q_stream_tumble(t: _T) -> DataFrame:
+    """Streaming tumble agg, append mode: emits exactly the windows
+    finalized by the watermark (max ts - 10 min); Spark has no
+    end-of-input MAX_WATERMARK flush (documented gap, SURVEY §7.4)."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table,
+        tumble_agg,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = tumble_agg(ev, "ts", "5 minutes", ["event_type"], F.count("*").alias("cnt"))
+    return run_stream_to_table(agg).select(
+        F.unix_micros("w_start").alias("w_start_us"), "event_type", "cnt"
+    )
+
+
+@_q(
+    "stream_dedup_first",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_first(t: _T) -> DataFrame:
+    """Streaming dedup keep-first (dropDuplicates keyed state) on a
+    projection functionally determined by the key — deterministic
+    under any arrival order."""
+    from flink_efo_spark.streaming import run_stream_to_table, stream_dedup_keep_first, stream_table
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    dd = stream_dedup_keep_first(
+        ev.select("user_id", "event_type"), ["user_id", "event_type"]
+    )
+    return run_stream_to_table(dd)
+
+
+@_q(
+    "stream_top_n",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def q_stream_top_n(t: _T) -> DataFrame:
+    """Streaming per-key Top-N via applyInPandasWithState
+    (AppendOnlyTopNFunction semantics, bounded per-key state)."""
+    from flink_efo_spark.streaming import run_stream_to_table, stream_table, stream_top_n
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    tn = stream_top_n(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"], "value", 3, ascending=False, tiebreak="event_id",
+    )
+    return run_stream_to_table(tn)
+
+
+@_q(
+    "efo_shard_stats",
+    """
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 4 AS INT) AS shard,
+           count(*) AS n_records,
+           epoch_us(max(ts)) AS max_ts_us, epoch_us(min(ts)) AS min_ts_us
+    FROM events GROUP BY 1
+    """,
+)
+def q_efo_shard_stats(t: _T) -> DataFrame:
+    """EFO-analog sharded stream: per-shard consumption accounting
+    (KinesisDataFetcher / ShardConsumer observability surface)."""
+    from flink_efo_spark.sources import efo_event_stream
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ev = efo_event_stream(t.spark, t.sf_dir, num_shards=4)
+    stats = ev.groupBy("shard").agg(
+        F.count("*").alias("n_records"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+    )
+    return run_stream_to_table(stats, mode="complete")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

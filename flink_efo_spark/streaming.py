@@ -1,0 +1,350 @@
+"""Streaming core: Structured Streaming equivalents of the reference's
+stream-side operators.
+
+Reference parity (cites into /root/reference):
+
+* watermark assignment — StreamExecWatermarkAssigner.scala:46,
+  WatermarkAssignerOperator.java:41 → ``with_watermark`` /
+  ``stream_table(..., watermark=...)``.
+* group windows (TUMBLE/HOP/SESSION) —
+  StreamExecGroupWindowAggregate.scala:33, WindowOperator.java:98 →
+  ``tumble_agg`` / ``hop_agg`` / ``session_agg`` (same helpers work on
+  batch and streaming frames — Flink's unified-runner behavior).
+* streaming dedup keep-first — StreamExecDeduplicate.scala:52,
+  DeduplicateKeepFirstRowFunction.java → ``stream_dedup_keep_first``
+  (built-in ``dropDuplicates`` state).
+* streaming dedup keep-last — DeduplicateKeepLastRowFunction.java:36 →
+  ``stream_dedup_keep_last`` (``applyInPandasWithState`` latest-wins).
+* streaming Top-N — StreamExecRank.scala:52,
+  AppendOnlyTopNFunction.java:48 → ``stream_top_n``
+  (``applyInPandasWithState`` per-key bounded buffer).
+* changelog/output-mode inference —
+  FlinkChangelogModeInferenceProgram.scala:39 → ``infer_output_mode``
+  (engine-level plan analysis; Catalyst has no changelog trait).
+* temporal proc-time join — TemporalProcessTimeJoinOperator.java:40 →
+  ``temporal_join_proctime`` (per-micro-batch broadcast snapshot via
+  ``foreachBatch``).
+
+Scale notes (100 TB / continuous):
+* State lives in the RocksDB state store (session default conf) —
+  keep-last and top-n state is per-key-bounded (one row / N rows), so
+  state size is O(distinct keys), not O(stream).
+* ``applyInPandasWithState`` moves only the grouped batch through
+  Arrow; the hot built-in paths (window agg, dropDuplicates,
+  stream-stream join) stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+from flink_efo_spark.catalog import (
+    _nanos_timestamp_cols,
+    ensure_session_confs,
+    table_path,
+)
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def stream_table(
+    spark: SparkSession,
+    data_dir: str,
+    name: str,
+    watermark: tuple[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a driver parquet table as a file stream
+    (micro-batch-replayed), normalizing nano timestamps exactly like
+    the batch catalog so batch and stream plans see one schema.
+
+    ``watermark=("ts", "10 minutes")`` declares the event-time
+    attribute — the engine's WatermarkSpec equivalent (SURVEY §1.4).
+    """
+    ensure_session_confs(spark)
+    path = table_path(data_dir, name)
+    # readStream needs an explicit schema; derive it from the batch
+    # reader (post-nanosAsLong, so nanos columns surface as long)
+    batch_schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory basePath; stream the
+    # sf dir filtered down to this table's file
+    reader = spark.readStream.schema(batch_schema).option(
+        "pathGlobFilter", os.path.basename(path)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(data_dir)
+    for c in _nanos_timestamp_cols(path):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if watermark is not None:
+        df = df.withWatermark(*watermark)
+    return df
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """WatermarkSpec equivalent (WatermarkAssignerOperator.java:41):
+    bounded-out-of-orderness watermark on an event-time column."""
+    return df.withWatermark(ts_col, delay)
+
+
+# ---------------------------------------------------------------------------
+# group windows (work on both batch and streaming frames)
+# ---------------------------------------------------------------------------
+
+
+def _windowed_agg(
+    df: DataFrame, window_col: Column, keys: list[str], aggs: tuple[Column, ...]
+) -> DataFrame:
+    out = df.groupBy(window_col.alias("__w"), *keys).agg(*aggs)
+    agg_names = [c for c in out.columns if c != "__w" and c not in keys]
+    return out.select(
+        F.col("__w.start").alias("w_start"),
+        F.col("__w.end").alias("w_end"),
+        *keys,
+        *agg_names,
+    )
+
+
+def tumble_agg(
+    df: DataFrame, ts_col: str, size: str, keys: list[str], *aggs: Column
+) -> DataFrame:
+    """TUMBLE window aggregate (WindowOperator.java:98, tumbling
+    assigner). Emits w_start/w_end + keys + aggs."""
+    return _windowed_agg(df, F.window(ts_col, size), keys, aggs)
+
+
+def hop_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: list[str],
+    *aggs: Column,
+) -> DataFrame:
+    """HOP (sliding) window aggregate."""
+    return _windowed_agg(df, F.window(ts_col, size, slide), keys, aggs)
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], *aggs: Column
+) -> DataFrame:
+    """SESSION window aggregate (SessionWindowAssigner.java:36)."""
+    return _windowed_agg(df, F.session_window(ts_col, gap), keys, aggs)
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_keep_first(
+    df: DataFrame,
+    keys: list[str],
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Keep the FIRST arrival per key (DeduplicateKeepFirstRowFunction).
+    Built-in: ``dropDuplicates`` keyed state; with a watermark the
+    state is GC'd (``dropDuplicatesWithinWatermark`` semantics are the
+    TTL'd variant)."""
+    if watermark is not None:
+        df = df.withWatermark(*watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def stream_dedup_keep_last(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Keep the LAST (max event-time) row per key — continuously
+    updated state, one row per key
+    (DeduplicateKeepLastRowFunction.java:36 semantics).
+
+    ``applyInPandasWithState``: state = the current winning row;
+    each micro-batch replaces it when a later row arrives. Output
+    mode must be ``update``.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    out_schema = df.schema
+    state_schema = StructType(
+        [f for f in df.schema.fields]  # winner row mirrors input schema
+    )
+    ts_idx = df.columns.index(ts_col)
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        best = None
+        if state.exists:
+            best = list(state.get)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            cand = pdf.iloc[-1]
+            if best is None or cand[ts_col] >= best[ts_idx]:
+                best = [cand[c] for c in pdf.columns]
+        if best is not None:
+            state.update(tuple(best))
+            yield pd.DataFrame([best], columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming Top-N
+# ---------------------------------------------------------------------------
+
+
+def stream_top_n(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key incremental Top-N (AppendOnlyTopNFunction.java:48): the
+    state is the current top-N buffer per key; each batch merges new
+    rows and re-emits the buffer. Output mode ``update`` (the
+    reference emits retractions; Spark's update mode re-emits changed
+    rows — SURVEY §7.4 gap note).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType
+
+    out_schema = df.schema
+    cols = df.columns
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    sort_asc = [ascending] + ([True] if tiebreak else [])
+
+    # GroupState holds ONE tuple — pack the whole top-N buffer as one
+    # array per column (parallel-indexed), so state is N rows per key.
+    packed = StructType()
+    for f in df.schema.fields:
+        packed = packed.add(f.name, ArrayType(f.dataType))
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        frames = []
+        if state.exists:
+            st = state.get
+            frames.append(pd.DataFrame({c: list(st[i]) for i, c in enumerate(cols)}))
+        frames.extend(p for p in pdfs if len(p))
+        if not frames:
+            return
+        allrows = pd.concat(frames, ignore_index=True)
+        allrows = allrows.sort_values(
+            sort_cols, ascending=sort_asc, kind="mergesort"
+        ).head(n)
+        state.update(tuple(list(allrows[c]) for c in cols))
+        yield allrows
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, packed, "update", "NoTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal join (proc-time snapshot)
+# ---------------------------------------------------------------------------
+
+
+def temporal_join_proctime(
+    stream_df: DataFrame,
+    dim_provider: Callable[[SparkSession], DataFrame],
+    on: list[str],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+):
+    """Proc-time temporal join (TemporalProcessTimeJoinOperator.java:40):
+    every micro-batch joins against the dimension table AS OF that
+    batch — re-evaluated via ``dim_provider`` and broadcast. The
+    joined batch is handed to ``sink(batch_df, batch_id)``.
+
+    Returns the started StreamingQuery.
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="efo-tjoin-")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_provider(batch_df.sparkSession)
+        joined = batch_df.join(F.broadcast(dim), on=on, how="left")
+        sink(joined, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# changelog / output-mode inference
+# ---------------------------------------------------------------------------
+
+
+def infer_output_mode(df: DataFrame) -> str:
+    """Engine-level port of FlinkChangelogModeInferenceProgram.scala:39:
+    decide append / update / complete from the plan shape, since
+    Catalyst carries no changelog trait.
+
+    * pure pipeline (no stateful agg) → append
+    * windowed/watermarked aggregation → append (results finalize)
+    * unwindowed aggregation → update (rows change as data arrives;
+      `complete` only for small result cardinality — caller's call)
+    * dropDuplicates → append
+    """
+    if not df.isStreaming:
+        return "append"
+    plan = df._jdf.queryExecution().analyzed().toString()
+    has_agg = "Aggregate" in plan
+    has_window = "window#" in plan or "session_window" in plan
+    has_watermark = "EventTimeWatermark" in plan
+    has_flatmap_state = "FlatMapGroupsInPandasWithState" in plan
+    if has_flatmap_state:
+        return "update"
+    if has_agg and has_window and has_watermark:
+        return "append"
+    if has_agg:
+        return "update"
+    return "append"
+
+
+# ---------------------------------------------------------------------------
+# bounded execution helper (tests + oracle-checkable stream queries)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_to_table(
+    df: DataFrame, mode: str | None = None, name: str | None = None
+) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow — one
+    bounded replay of the source, the Flink bounded-stream execution
+    equivalent) into a memory sink; return the result as a batch
+    DataFrame."""
+    spark = df.sparkSession
+    name = name or f"efo_stream_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"efo-ckpt-{name}-")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode or infer_output_mode(df))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,49 +1,89 @@
-"""SQL-name registry: make Flink-named functions callable from
-``spark.sql(...)`` strings.
+"""SQL-name registration for the Flink-only function surface.
 
-The reference registers functions through
-TableEnvironmentImpl.java:345 ``registerFunction`` /
-:352 ``createTemporarySystemFunction`` (/root/reference). Here, names
-that Spark already has (SURVEY.md §2.10 left column ≈ right column)
-need nothing; the Flink-only names are registered as SQL expressions
-via a tiny preprocessor-free trick: Spark SQL macros are not a thing,
-so we register them with ``spark.sql("CREATE TEMPORARY FUNCTION")``
-only where a pure-SQL lambda exists, else leave them Python-API-only
-(flink_fns module). No row-at-a-time Python UDFs are registered —
-keeping spark.sql the fast path.
+The reference's TableEnvironment exposes every function in
+FlinkSqlOperatorTable.java (lines 114-830 are the Flink extensions;
+/root/reference flink-table/flink-table-planner-blink/.../functions/sql/)
+by SQL name. Most have same-name Spark builtins; the residue below is
+registered as **SQL scalar UDFs** (``CREATE TEMPORARY FUNCTION ...
+RETURN <expr>``) so ``EfoSession.sql("SELECT SPLIT_INDEX(...)")``
+works verbatim. SQL UDF bodies are inlined by Catalyst — they codegen
+like builtins, no Python at runtime.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-# Flink name -> Spark SQL expression template (args $0, $1, ...)
-_SQL_EQUIVALENTS: dict[str, str] = {
-    "SPLIT_INDEX": "get(split($0, $1, -1), $2)",
-    "IS_ALPHA": "$0 rlike '^[a-zA-Z]+$'",
-    "IS_DIGIT": "$0 rlike '^[0-9]+$'",
-    "HASH_CODE": "hash($0)",
-    "LOG2": "log2($0)",
-    "TO_BASE64": "base64($0)",
-    "FROM_BASE64": "unbase64($0)",
+# name -> (typed arg list, return type, body expression)
+# Runtime semantics from SqlFunctionUtils.java / SqlDateTimeUtils.java.
+_SQL_UDFS: dict[str, tuple[str, str, str]] = {
+    # SPLIT_INDEX(str, delim, idx): 0-based, NULL out of range
+    "SPLIT_INDEX": (
+        "(s STRING, d STRING, i INT)",
+        "STRING",
+        "get(split(s, d, -1), i)",
+    ),
+    "IS_ALPHA": ("(s STRING)", "BOOLEAN", "s rlike '^[a-zA-Z]+$'"),
+    "IS_DIGIT": ("(s STRING)", "BOOLEAN", "s rlike '^[0-9]+$'"),
+    "IS_DECIMAL": (
+        "(s STRING)",
+        "BOOLEAN",
+        r"s rlike '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$'",
+    ),
+    "HASH_CODE": ("(s STRING)", "INT", "hash(s)"),
+    # TRUNCATE(x, n): toward zero at n decimal places
+    "TRUNCATE": (
+        "(x DOUBLE, n INT)",
+        "DOUBLE",
+        "case when x >= 0 then floor(x * power(10, n)) / power(10, n) "
+        "else -(floor(-x * power(10, n)) / power(10, n)) end",
+    ),
+    "TO_BASE64": ("(b BINARY)", "STRING", "base64(b)"),
+    "FROM_BASE64": ("(s STRING)", "BINARY", "unbase64(s)"),
+    "RAND_INTEGER": ("(bound INT)", "INT", "cast(floor(rand() * bound) as int)"),
+    # PROCTIME(): processing-time attribute = batch-local now
+    "PROCTIME": ("()", "TIMESTAMP", "current_timestamp()"),
+    # CONVERT_TZ(str, tzFrom, tzTo) — string in/out like Flink
+    "CONVERT_TZ": (
+        "(s STRING, tz_from STRING, tz_to STRING)",
+        "STRING",
+        "date_format(from_utc_timestamp(to_utc_timestamp("
+        "cast(s as timestamp), tz_from), tz_to), 'yyyy-MM-dd HH:mm:ss')",
+    ),
+    # JSON predicates (FlinkSqlOperatorTable:1007-1012)
+    "IS_JSON_VALUE": (
+        "(s STRING)",
+        "BOOLEAN",
+        "try_parse_json(s) is not null",
+    ),
+    "IS_JSON_OBJECT": (
+        "(s STRING)",
+        "BOOLEAN",
+        "try_parse_json(s) is not null and startswith(ltrim(s), '{')",
+    ),
 }
+
+# Flink names that exist in Spark SQL under the SAME name (sanity list,
+# asserted by tests — no registration needed): CONCAT, CONCAT_WS, LOG,
+# LOG2, BIN, HEX, SINH, COSH, TANH, ROUND, E, PI, UUID, RAND, ASCII,
+# CHR, LPAD, RPAD, REPEAT, REVERSE, REPLACE, LEFT, RIGHT, LOCATE,
+# INSTR, SUBSTR, SUBSTRING, LTRIM, RTRIM, TRIM, INITCAP, OVERLAY,
+# POSITION, REGEXP_EXTRACT, REGEXP_REPLACE, PARSE_URL, STR_TO_MAP,
+# ENCODE, DECODE, MD5, SHA1, SHA2, DATE_FORMAT, TO_DATE, TO_TIMESTAMP,
+# FROM_UNIXTIME, UNIX_TIMESTAMP, NOW, IF, GROUPING, GROUPING_ID, REGEXP,
+# CHAR_LENGTH, CHARACTER_LENGTH, UPPER, LOWER, ABS, MOD, CARDINALITY
+# (as SIZE), ELEMENT_AT.
 
 
 def register_all(spark: SparkSession) -> None:
-    """Idempotent registration hook called by EfoSession.
-
-    Spark has no CREATE FUNCTION ... AS <sql-expr> for temporary
-    expression macros, so SQL-string users get the mapping table via
-    :func:`sql_equivalent`; DataFrame users import flink_fns. This
-    hook stays for future server-side registration (e.g. if a
-    SQL-macro mechanism lands) and to keep EfoSession's contract
-    stable.
-    """
-    # intentionally no Python UDF registration — see module docstring
-    return None
+    """Register every Flink-residue function as a SQL scalar UDF on
+    this session. Idempotent (CREATE OR REPLACE)."""
+    for name, (args, ret, body) in _SQL_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} "
+            f"RETURNS {ret} RETURN {body}"
+        )
 
 
-def sql_equivalent(flink_name: str) -> str | None:
-    """Return the Spark SQL expression template for a Flink-only
-    function name, or None if Spark has it under the same name."""
-    return _SQL_EQUIVALENTS.get(flink_name.upper())
+def registered_names() -> list[str]:
+    return sorted(_SQL_UDFS)

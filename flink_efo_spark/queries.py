@@ -1147,6 +1147,48 @@ def q_values_literal(t: _T) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.10/2.13 SQL-name function registry through spark.sql
+# (TableEnvironmentImpl.registerFunction:345; FlinkSqlOperatorTable residue)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "flink_sql_fns",
+    r"""
+    SELECT doc_id,
+           string_split(source, 'c')[2] AS si,
+           source ~ '^[a-zA-Z]+$' AS ia,
+           source ~ '^[0-9]+$' AS idg,
+           regexp_matches(source, '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$') AS idc,
+           floor(n_chars / 7.0 * 100) / 100 AS tr,
+           base64(encode(source)) AS b64,
+           source AS rt
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_flink_sql_fns(t: _T) -> DataFrame:
+    """Flink SQL names resolved through spark.sql — proves the
+    registry registers real (codegen-inlined) SQL UDFs, not shims."""
+    from flink_efo_spark.functions.registry import register_all
+
+    register_all(t.spark)
+    t.documents.createOrReplaceTempView("__efo_documents")
+    return t.spark.sql(
+        """
+        SELECT doc_id,
+               SPLIT_INDEX(source, 'c', 1) AS si,
+               IS_ALPHA(source) AS ia,
+               IS_DIGIT(source) AS idg,
+               IS_DECIMAL(source) AS idc,
+               TRUNCATE(n_chars / 7.0, 2) AS tr,
+               TO_BASE64(CAST(source AS BINARY)) AS b64,
+               CAST(FROM_BASE64(TO_BASE64(CAST(source AS BINARY))) AS STRING) AS rt
+        FROM __efo_documents WHERE doc_id < 50
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.5/2.7/2.11 streaming: real micro-batch runs (availableNow) over the
 # bounded events stream — StreamExecGroupWindowAggregate /
 # StreamExecDeduplicate / StreamExecRank + the EFO source analog

@@ -85,8 +85,10 @@ class EfoSession:
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
+        from flink_efo_spark.catalog import ensure_session_confs
         from flink_efo_spark.functions.registry import register_all
 
+        ensure_session_confs(self.spark)
         register_all(self.spark)
 
     def register_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
@@ -94,8 +96,41 @@ class EfoSession:
 
         register_tables(self.spark, data_dir, tables)
 
+    # -- SQL (TableEnvironmentImpl.sqlQuery:626 / executeSql:646) ------
     def sql(self, query: str):
         return self.spark.sql(query)
 
+    execute_sql = sql
+
     def table(self, name: str):
         return self.spark.table(name)
+
+    # -- fluent Table API (SURVEY §2.13; pyflink table_environment) ----
+    def from_path(self, name: str):
+        """PyFlink ``from_path``: a registered table as a fluent Table."""
+        from flink_efo_spark.table import Table
+
+        return Table(self.spark.table(name))
+
+    def from_elements(self, rows, schema=None):
+        """PyFlink ``from_elements`` / SQL VALUES
+        (StreamExecValues.scala:39): literal rows as a Table."""
+        from flink_efo_spark.table import Table
+
+        return Table(self.spark.createDataFrame(rows, schema))
+
+    def create_temporary_view(self, name: str, table) -> None:
+        df = table.to_df() if hasattr(table, "to_df") else table
+        df.createOrReplaceTempView(name)
+
+    # -- UDF surface (SURVEY §2.12; TableEnvironmentImpl.java:345) -----
+    def register_function(self, name: str, fn, return_type=None) -> None:
+        """ScalarFunction registration → ``spark.udf.register``.
+        Prefer SQL-expression functions (registry) or pandas_udf for
+        hot paths; row-at-a-time Python UDFs are the slow path."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def register_table_function(self, name: str, udtf_class) -> None:
+        """TableFunction (UDTF) registration → Python UDTF
+        (Spark 3.5+): a class with an ``eval`` yielding rows."""
+        self.spark.udtf.register(name, udtf_class)

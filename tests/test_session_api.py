@@ -1,0 +1,99 @@
+"""EfoSession surface tests: SQL-name function registry, fluent Table
+API, VALUES, UDF/UDTF registration (SURVEY §2.10/2.12/2.13).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_efo_spark.session import EfoSession
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    env = EfoSession(spark)
+    env.register_dir(SF_DIR)
+    return env
+
+
+def test_flink_sql_names_work(env):
+    row = env.sql(
+        """
+        SELECT SPLIT_INDEX('a,b,c', ',', 1) AS si,
+               SPLIT_INDEX('a,b,c', ',', 9) AS si_oob,
+               IS_ALPHA('abc') AS ia, IS_ALPHA('a1') AS ia2,
+               IS_DIGIT('123') AS idg, IS_DECIMAL('-3.5') AS idc,
+               REGEXP('foobar', 'o+b') AS re,  -- same-name Spark builtin
+               TRUNCATE(-1.239, 2) AS tr,
+               TO_BASE64(CAST('hi' AS BINARY)) AS b64,
+               CAST(FROM_BASE64('aGk=') AS STRING) AS unb64,
+               CONVERT_TZ('2024-01-01 00:00:00', 'UTC', 'Asia/Tokyo') AS ctz,
+               IS_JSON_VALUE('{"a": 1}') AS jv,
+               IS_JSON_OBJECT('[1]') AS jo
+        """
+    ).first()
+    assert row.si == "b" and row.si_oob is None
+    assert row.ia and not row.ia2 and row.idg and row.idc
+    assert row.re
+    assert row.tr == -1.23
+    assert row.b64 == "aGk=" and row.unb64 == "hi"
+    assert row.ctz == "2024-01-01 09:00:00"
+    assert row.jv and not row.jo
+
+
+def test_fluent_table_api(env, ddb):
+    got = (
+        env.from_path("customer")
+        .filter("c_acctbal > 1000")
+        .group_by("c_mktsegment")
+        .select("c_mktsegment", "count(*) AS n", "round(avg(c_acctbal), 4) AS b")
+        .order_by("n DESC", "c_mktsegment")
+        .fetch(3)
+        .execute()
+    )
+    exp = ddb.execute(
+        """
+        SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS b
+        FROM customer WHERE c_acctbal > 1000
+        GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment LIMIT 3
+        """
+    ).fetchall()
+    assert [(r.c_mktsegment, r.n, r.b) for r in got] == exp
+
+
+def test_fluent_join_and_setops(env):
+    nation = env.from_path("nation")
+    region = env.from_path("region")
+    joined = (
+        nation.join(region, "n_regionkey = r_regionkey")
+        .select("n_name", "r_name")
+    )
+    assert len(joined.execute()) == 25
+    a = nation.select("n_regionkey")
+    assert len(a.union(a).execute()) == 5  # distinct union
+    assert len(a.union_all(a).execute()) == 50
+    assert len(a.minus_all(a).execute()) == 0
+
+
+def test_from_elements_values(env):
+    t = env.from_elements([(1, "a"), (2, "b")], "id int, name string")
+    assert sorted((r.id, r.name) for r in t.execute()) == [(1, "a"), (2, "b")]
+
+
+def test_register_python_udf(env):
+    env.register_function("py_double_it", lambda x: x * 2, "int")
+    assert env.sql("SELECT py_double_it(21) AS v").first().v == 42
+
+
+def test_register_udtf(env):
+    from pyspark.sql.functions import udtf
+
+    class Explode3:
+        def eval(self, n: int):
+            for i in range(3):
+                yield (n + i,)
+
+    env.register_table_function("explode3", udtf(Explode3, returnType="v int"))
+    vals = [r.v for r in env.sql("SELECT * FROM explode3(10)").collect()]
+    assert vals == [10, 11, 12]

@@ -1,0 +1,137 @@
+"""Sources, sinks and formats (SURVEY §2.1).
+
+The reference's connector/format surface maps almost 1:1 onto Spark's
+built-in DataSource V2 names; this module is the engine's thin,
+uniform entry so a reference user finds the same capabilities:
+
+| reference | cite (/root/reference) | here |
+|---|---|---|
+| filesystem connector, partitioned dir | flink-table-runtime-blink/.../filesystem/FileSystemTableFactory.java | ``read_table`` / ``write_table`` (partition_by) |
+| csv / json / avro / orc / parquet formats | flink-formats/flink-{csv,json,avro,parquet,orc}/.../\*FormatFactory.java | same format names via ``format=`` |
+| Kafka source/sink | flink-connector-kafka/.../KafkaDynamicTableFactory.java:37 | ``kafka_source`` / ``kafka_sink`` (needs the spark-sql-kafka package on the cluster) |
+| datagen utility source | DataGenTableSourceFactory.java | ``datagen`` (rate source) |
+| print sink | PrintTableSinkFactory.java | ``print_sink`` (console) |
+| blackhole sink | BlackHoleTableSinkFactory.java | ``blackhole_sink`` (noop) |
+
+Scale notes: ``write_table`` defaults to snappy parquet with
+partitionBy for partition-pruned downstream scans; avro needs the
+spark-avro package (gated, like Kafka).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+BUILTIN_FORMATS = {"parquet", "csv", "json", "orc", "text"}
+PACKAGED_FORMATS = {"avro", "kafka"}  # need extra jars on the cluster
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Batch read in any supported format. CSV defaults mirror the
+    reference csv format's header/infer behavior."""
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", schema is None)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Batch sink (BatchExecSink / FileSystemTableSink semantics):
+    write a directory table, optionally hive-partitioned."""
+    writer = df.write.format(format).mode(mode)
+    if format == "parquet":
+        options.setdefault("compression", "snappy")
+    if format == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def datagen(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
+) -> DataFrame:
+    """`datagen` utility source analog: monotonically increasing
+    (timestamp, value) stream at a fixed rate."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+
+
+def print_sink(df: DataFrame, **options):
+    """`print` sink analog. Streaming frame → console writeStream
+    (returns the started query); batch frame → show()."""
+    if df.isStreaming:
+        return df.writeStream.format("console").options(**options).start()
+    df.show(truncate=False)
+    return None
+
+
+def blackhole_sink(df: DataFrame, **options):
+    """`blackhole` sink analog: full evaluation, no output. The
+    batch path is a noop-format write (runs the whole plan through
+    the sink exec, same as the reference's BlackHoleTableSink)."""
+    if df.isStreaming:
+        return df.writeStream.format("noop").options(**options).start()
+    df.write.format("noop").mode("overwrite").save()
+    return None
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka source (KafkaDynamicTableFactory analog). Requires the
+    spark-sql-kafka package on the cluster — raises a clear error
+    locally where the connector jar is absent."""
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    return (
+        reader.option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """Kafka sink: df must carry ``key``/``value`` binary columns
+    (the connector contract, same as the reference's key/value format
+    split)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

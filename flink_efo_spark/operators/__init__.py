@@ -6,7 +6,14 @@ Catalyst plans and Tungsten executes; these helpers only encode the
 dedup families, similarity search, text analysis).
 """
 
+from flink_efo_spark.operators.aggregates import collect_multiset, flat_aggregate
 from flink_efo_spark.operators.joins import asof_join, interval_join
+from flink_efo_spark.operators.lookup import lookup_join, lookup_join_batched
+from flink_efo_spark.operators.multimodal import (
+    decode_image,
+    frame_sample,
+    media_metadata,
+)
 from flink_efo_spark.operators.topn import top_n
 from flink_efo_spark.operators.dedup import (
     dedup_exact,
@@ -29,6 +36,13 @@ __all__ = [
     "asof_join",
     "interval_join",
     "top_n",
+    "collect_multiset",
+    "flat_aggregate",
+    "lookup_join",
+    "lookup_join_batched",
+    "decode_image",
+    "frame_sample",
+    "media_metadata",
     "dedup_exact",
     "dedup_keep_first",
     "dedup_keep_last",

@@ -1,0 +1,78 @@
+"""Lookup join (SURVEY §2.3: StreamExecLookupJoin / BatchExecLookupJoin,
+LookupJoinRunner.java:36, AsyncLookupJoinRunner.java in /root/reference).
+
+Two realizations:
+
+* :func:`lookup_join` — the dimension is (re)loadable as a DataFrame:
+  broadcast hash join against the current snapshot. This is the right
+  plan whenever the dim table fits the broadcast threshold — per-row
+  point lookups are strictly worse on a cluster.
+* :func:`lookup_join_batched` — the dimension is only reachable
+  through a point-lookup callable (external KV store/service):
+  ``mapInPandas`` batches distinct keys per Arrow batch and invokes
+  the callable once per batch (AsyncLookupJoinRunner's batching,
+  without the async client). Python-side by necessity — the external
+  client is Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def lookup_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Snapshot lookup join: broadcast the dimension's current state.
+    In streaming, call inside foreachBatch with a re-read dim for
+    per-batch snapshot semantics (TemporalProcessTimeJoinOperator)."""
+    return probe.join(F.broadcast(dim), on=on, how=how)
+
+
+def lookup_join_batched(
+    probe: DataFrame,
+    lookup_fn: Callable[[list], Mapping],
+    key_col: str,
+    value_fields: list[tuple[str, str]],
+) -> DataFrame:
+    """Batched point-lookup join: ``lookup_fn(keys) -> {key: row_dict}``
+    is called once per Arrow batch with the batch's distinct keys.
+
+    ``value_fields``: [(name, spark_type_ddl)] of the looked-up columns
+    (left-join semantics — missing keys yield NULLs).
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        probe.schema.fields
+        + [
+            StructField(n, _parse_type(t))
+            for n, t in value_fields
+        ]
+    )
+    names = [n for n, _ in value_fields]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            keys = list(pd.unique(pdf[key_col].dropna()))
+            found = lookup_fn(keys) if keys else {}
+            for n in names:
+                pdf = pdf.assign(
+                    **{n: pdf[key_col].map(lambda k: (found.get(k) or {}).get(n))}
+                )
+            yield pdf
+
+    return probe.mapInPandas(fn, out_schema)
+
+
+def _parse_type(ddl: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)

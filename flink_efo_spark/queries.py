@@ -1287,6 +1287,158 @@ def q_efo_shard_stats(t: _T) -> DataFrame:
     return run_stream_to_table(stats, mode="complete")
 
 
+# ---------------------------------------------------------------------------
+# §2.3 lookup join / §2.4 table aggregate + MULTISET / §2.6 streaming OVER /
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lookup_join_dim",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_lookup_join_dim(t: _T) -> DataFrame:
+    """Lookup join against a dimension snapshot (LookupJoinRunner
+    semantics; broadcast per SURVEY §2.3)."""
+    from flink_efo_spark.operators.lookup import lookup_join
+
+    probe = t.orders.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    dim = t.customer.select("c_custkey", "c_name", "c_mktsegment")
+    return lookup_join(probe, dim, on=["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@_q(
+    "flat_agg_top2",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 2
+    """,
+)
+def q_flat_agg_top2(t: _T) -> DataFrame:
+    """Table aggregate (flatAggregate): per-key UDF emitting multiple
+    rows — the reference's canonical Top2 example
+    (GroupTableAggFunction.java)."""
+    from flink_efo_spark.operators.aggregates import flat_aggregate
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+
+    return flat_aggregate(
+        t.customer.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        top2,
+        "c_nationkey int, c_custkey bigint, c_acctbal double",
+    )
+
+
+@_q(
+    "collect_multiset_agg",
+    """
+    SELECT user_id,
+           string_agg(et || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY et)
+             AS type_counts
+    FROM (SELECT user_id, event_type AS et, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+    GROUP BY user_id
+    """,
+)
+def q_collect_multiset_agg(t: _T) -> DataFrame:
+    """Flink COLLECT → MULTISET (MultisetType.java): count-valued map,
+    serialized to a sorted entries string for cross-engine hashing."""
+    from flink_efo_spark.operators.aggregates import collect_multiset
+
+    return (
+        t.events.groupBy("user_id")
+        .agg(collect_multiset("event_type").alias("ms"))
+        .select(
+            "user_id",
+            F.expr(
+                "concat_ws(',', transform(array_sort(map_entries(ms)), "
+                "e -> concat(e.key, ':', cast(e.value as string))))"
+            ).alias("type_counts"),
+        )
+    )
+
+
+@_q(
+    "stream_over_running",
+    """
+    SELECT user_id, event_id, running_cnt, round(running_sum, 4) AS rs
+    FROM (
+      SELECT user_id, event_id,
+             count(*) OVER w AS running_cnt,
+             sum(value) OVER w AS running_sum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    """,
+)
+def q_stream_over_running(t: _T) -> DataFrame:
+    """Streaming OVER aggregation (RowTimeUnboundedPrecedingFunction):
+    per-row running aggregates via keyed state."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_over_unbounded,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    over = stream_over_unbounded(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ["user_id"], "ts", "value", tiebreak="event_id",
+    )
+    return run_stream_to_table(over).select(
+        "user_id", "event_id", "running_cnt",
+        F.round("running_sum", 4).alias("rs"),
+    )
+
+
+@_q(
+    "media_pipeline",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CAST(('0x' || substr(md5(text), 1, 4)) AS INT) AS f0_u16,
+           CAST(('0x' || substr(md5(text), 5, 4)) AS INT) AS f1_u16
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_media_pipeline(t: _T) -> DataFrame:
+    """Multimodal plumbing over binary columns: metadata extraction +
+    (stubbed, deterministic) feature decode — the mapInPandas batch
+    shape a real codec pipeline uses, oracle-checked end to end."""
+    from flink_efo_spark.operators.multimodal import decode_image, media_metadata
+
+    docs = t.documents.where(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    with_meta = media_metadata(docs)
+    feats = decode_image(with_meta, fake=True, feature_dim=2)
+    # features are float32; recover the exact u16 the fake decoder
+    # derived (error << 0.5 ULP) so the oracle compare is integral
+    return feats.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(F.element_at("features", 1) * 65535).cast("int").alias("f0_u16"),
+        F.round(F.element_at("features", 2) * 65535).cast("int").alias("f1_u16"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -199,9 +199,11 @@ def stream_dedup_keep_last(
             state.update(tuple(best))
             yield pd.DataFrame([best], columns=[f.name for f in out_schema.fields])
 
-    return df.groupBy(*keys).applyInPandasWithState(
+    out = df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
+    out._efo_output_mode = "update"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -252,9 +254,86 @@ def stream_top_n(
         state.update(tuple(list(allrows[c]) for c in cols))
         yield allrows
 
-    return df.groupBy(*keys).applyInPandasWithState(
+    out = df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, packed, "update", "NoTimeout"
     )
+    out._efo_output_mode = "update"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# streaming OVER aggregation
+# ---------------------------------------------------------------------------
+
+
+def stream_over_unbounded(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming OVER (... ROWS UNBOUNDED PRECEDING) aggregation —
+    RowTimeUnboundedPrecedingFunction / ProcTimeUnboundedPrecedingFunction
+    semantics (/root/reference R/over/): every input row is emitted
+    with running sum / count / min / max of ``value_col`` over all
+    prior rows of its key (event-time order within each batch; state
+    carries the running aggregates across batches — O(1) per key).
+
+    Output columns: input columns + running_sum / running_cnt /
+    running_min / running_max.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("running_sum", DoubleType()),
+            StructField("running_cnt", LongType()),
+            StructField("running_min", DoubleType()),
+            StructField("running_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", DoubleType()),
+            StructField("c", LongType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        s, c, mn, mx = (state.get if state.exists else (0.0, 0, None, None))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            v = pdf[value_col].astype(float)
+            csum = v.cumsum() + s
+            ccnt = pd.RangeIndex(1, len(pdf) + 1) + c
+            cmin = v.cummin() if mn is None else v.cummin().clip(upper=mn)
+            cmax = v.cummax() if mx is None else v.cummax().clip(lower=mx)
+            out = pdf.copy()
+            out["running_sum"] = csum
+            out["running_cnt"] = list(ccnt)
+            out["running_min"] = cmin
+            out["running_max"] = cmax
+            s = float(csum.iloc[-1])
+            c = int(ccnt[-1])
+            mn = float(cmin.iloc[-1])
+            mx = float(cmax.iloc[-1])
+            yield out
+        state.update((s, c, mn, mx))
+
+    out = df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +388,12 @@ def infer_output_mode(df: DataFrame) -> str:
     """
     if not df.isStreaming:
         return "append"
+    # stateful engine operators declare their sink mode explicitly
+    # (applyInPandasWithState's declared mode is not recoverable from
+    # the analyzed plan)
+    declared = getattr(df, "_efo_output_mode", None)
+    if declared is not None:
+        return declared
     plan = df._jdf.queryExecution().analyzed().toString()
     has_agg = "Aggregate" in plan
     has_window = "window#" in plan or "session_window" in plan

@@ -87,6 +87,50 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     return df
 
 
+class TableSpec:
+    """Engine-level DDL record (SURVEY §2.14): Spark has no DDL syntax
+    for WATERMARK or computed columns (SqlCreateTable.java:56,
+    WatermarkSpec.java:36 in the reference) — the engine records them
+    here and applies them at scan time (batch: computed columns only;
+    stream: + withWatermark)."""
+
+    def __init__(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        watermark: tuple[str, str] | None = None,
+        computed_columns: dict[str, str] | None = None,
+        options: dict | None = None,
+    ):
+        self.name = name
+        self.path = path
+        self.format = format
+        self.watermark = watermark
+        self.computed_columns = computed_columns or {}
+        self.options = options or {}
+
+    def scan(self, spark: SparkSession, streaming: bool = False) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ensure_session_confs(spark)
+        if streaming:
+            schema = spark.read.format(self.format).load(self.path).schema
+            df = (
+                spark.readStream.schema(schema)
+                .format(self.format)
+                .options(**self.options)
+                .load(self.path)
+            )
+        else:
+            df = spark.read.format(self.format).options(**self.options).load(self.path)
+        for col, expr in self.computed_columns.items():
+            df = df.withColumn(col, F.expr(expr))
+        if streaming and self.watermark is not None:
+            df = df.withWatermark(*self.watermark)
+        return df
+
+
 def register_tables(
     spark: SparkSession, data_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:

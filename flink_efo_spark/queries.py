@@ -1439,6 +1439,75 @@ def q_media_pipeline(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "match_recognize_funnel",
+    """
+    SELECT user_id, prev_id AS click_id, event_id AS purchase_id
+    FROM (SELECT user_id, event_id, event_type,
+                 lag(event_type) OVER w AS prev_et,
+                 lag(event_id) OVER w AS prev_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'purchase' AND prev_et = 'click'
+    """,
+)
+def q_match_recognize_funnel(t: _T) -> DataFrame:
+    """MATCH_RECOGNIZE subset (StreamExecMatch.scala:68): adjacent
+    click→purchase funnel per user. Length-2 concatenation matches are
+    provably non-overlapping, so the lag-based SQL oracle is exact."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    out = match_recognize(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A B",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "click_id": ("A", "first", "event_id"),
+            "purchase_id": ("B", "last", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+@_q(
+    "stream_interval_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS error_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+)
+def q_stream_interval_join(t: _T) -> DataFrame:
+    """STREAM-stream interval join (StreamExecWindowJoin.scala:53 /
+    TimeBoundedStreamJoin.java:52): watermarks on both sides bound the
+    state; the same interval_join operator drives batch and stream."""
+    from flink_efo_spark.operators.joins import interval_join
+    from flink_efo_spark.streaming import run_stream_to_table, stream_table
+
+    ev_l = stream_table(
+        t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "click")
+    ev_r = stream_table(
+        t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "error")
+    joined = interval_join(
+        ev_l, ev_r, "user_id", "ts", "ts",
+        "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    return run_stream_to_table(out)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -90,6 +90,7 @@ class EfoSession:
 
         ensure_session_confs(self.spark)
         register_all(self.spark)
+        self._specs: dict[str, object] = {}
 
     def register_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
         from flink_efo_spark.catalog import register_tables
@@ -122,6 +123,37 @@ class EfoSession:
     def create_temporary_view(self, name: str, table) -> None:
         df = table.to_df() if hasattr(table, "to_df") else table
         df.createOrReplaceTempView(name)
+
+    # -- DDL / catalog statements (SURVEY §2.14) -----------------------
+    def create_table(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        watermark: tuple[str, str] | None = None,
+        computed_columns: dict[str, str] | None = None,
+        **options,
+    ):
+        """CREATE TABLE with WATERMARK / computed-column specs
+        (SqlCreateTable.java:56 + WatermarkSpec.java:36 semantics Spark
+        DDL can't express). Registers a batch temp view immediately;
+        ``stream(name)`` opens the streaming scan with the watermark."""
+        from flink_efo_spark.catalog import TableSpec
+
+        spec = TableSpec(name, path, format, watermark, computed_columns, options)
+        self._specs[name] = spec
+        spec.scan(self.spark).createOrReplaceTempView(name)
+        return spec
+
+    def stream(self, name: str):
+        """Streaming scan of a created table, watermark applied."""
+        return self._specs[name].scan(self.spark, streaming=True)
+
+    def show_tables(self):
+        return self.spark.sql("SHOW TABLES")
+
+    def describe_table(self, name: str):
+        return self.spark.sql(f"DESCRIBE TABLE {name}")
 
     # -- UDF surface (SURVEY §2.12; TableEnvironmentImpl.java:345) -----
     def register_function(self, name: str, fn, return_type=None) -> None:

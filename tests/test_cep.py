@@ -1,0 +1,103 @@
+"""MATCH_RECOGNIZE subset tests (MatchRecognizeITCase row-set style)."""
+
+from __future__ import annotations
+
+from flink_efo_spark.operators.cep import match_recognize
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "k string, seq int, et string, v double")
+
+
+def test_simple_concatenation(spark):
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "click", 1.0),
+            ("u1", 2, "purchase", 9.0),
+            ("u1", 3, "click", 1.0),
+            ("u1", 4, "click", 1.0),
+            ("u1", 5, "purchase", 5.0),
+            ("u2", 1, "purchase", 2.0),
+        ],
+    )
+    out = match_recognize(
+        df,
+        ["k"], "seq",
+        pattern="A B",
+        defines={"A": "et = 'click'", "B": "et = 'purchase'"},
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "b_seq": ("B", "last", "seq"),
+            "amount": ("B", "last", "v"),
+        },
+    )
+    got = sorted((r.k, r.a_seq, r.b_seq, r.amount) for r in out.collect())
+    assert got == [("u1", 1, 2, 9.0), ("u1", 4, 5, 5.0)]
+
+
+def test_plus_quantifier_greedy(spark):
+    # V-shape: price drops then rises (the canonical Flink CEP demo)
+    df = _events(
+        spark,
+        [
+            ("s", 1, "t", 10.0),
+            ("s", 2, "t", 8.0),
+            ("s", 3, "t", 6.0),
+            ("s", 4, "t", 7.0),
+            ("s", 5, "t", 9.0),
+            ("s", 6, "t", 9.0),
+        ],
+    )
+    out = match_recognize(
+        df,
+        ["k"], "seq",
+        pattern="START DOWN+ UP+",
+        defines={
+            "START": "true",
+            "DOWN": "v < prev_v",
+            "UP": "v > prev_v",
+        },
+        measures={
+            "start_seq": ("START", "first", "seq"),
+            "bottom": ("DOWN", "last", "v"),
+            "end_seq": ("UP", "last", "seq"),
+            "n_down": ("DOWN", "count", ""),
+        },
+    )
+    [m] = out.collect()
+    assert (m.start_seq, m.bottom, m.end_seq, m.n_down) == (1, 6.0, 5, 2)
+
+
+def test_optional_and_skip_past_last(spark):
+    df = _events(
+        spark,
+        [
+            ("u", 1, "a", 0.0),
+            ("u", 2, "b", 0.0),
+            ("u", 3, "a", 0.0),
+            ("u", 4, "a", 0.0),
+            ("u", 5, "b", 0.0),
+        ],
+    )
+    out = match_recognize(
+        df,
+        ["k"], "seq",
+        pattern="X Y?",
+        defines={"X": "et = 'a'", "Y": "et = 'b'"},
+        measures={"x": ("X", "first", "seq"), "y": ("Y", "last", "seq")},
+    )
+    got = sorted((r.x, r.y) for r in out.collect())
+    # matches: (1,2), (3,None) — 4 consumed? no: greedy X at 3, Y? no b
+    # at 4 → match [3], skip to 4 → X at 4, Y at 5 → (4,5)
+    assert got == [(1, 2), (3, None), (4, 5)]
+
+
+def test_no_match_empty(spark):
+    df = _events(spark, [("u", 1, "z", 0.0)])
+    out = match_recognize(
+        df, ["k"], "seq", "A B",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={"a": ("A", "first", "seq")},
+    )
+    assert out.count() == 0

@@ -97,3 +97,25 @@ def test_register_udtf(env):
     env.register_table_function("explode3", udtf(Explode3, returnType="v int"))
     vals = [r.v for r in env.sql("SELECT * FROM explode3(10)").collect()]
     assert vals == [10, 11, 12]
+
+
+def test_create_table_ddl_with_watermark(env, tmp_path):
+    src = env.spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2.0), (2, "2024-01-01 00:10:00", 3.0)],
+        "id int, ts_str string, v double",
+    )
+    p = str(tmp_path / "ddl_tbl")
+    src.write.mode("overwrite").parquet(p)
+    env.create_table(
+        "ddl_tbl", p,
+        watermark=("ts", "5 minutes"),
+        computed_columns={"ts": "cast(ts_str as timestamp)", "v2": "v * 2"},
+    )
+    # batch view has the computed columns
+    rows = env.sql("SELECT id, v2 FROM ddl_tbl ORDER BY id").collect()
+    assert [(r.id, r.v2) for r in rows] == [(1, 4.0), (2, 6.0)]
+    # streaming scan carries the watermark
+    sdf = env.stream("ddl_tbl")
+    assert sdf.isStreaming
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().analyzed().toString()
+    assert env.describe_table("ddl_tbl").count() > 0

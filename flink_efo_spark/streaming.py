@@ -262,6 +262,95 @@ def stream_top_n(
 
 
 # ---------------------------------------------------------------------------
+# streaming semi / anti joins (StreamingSemiAntiJoinOperator.java:36)
+# ---------------------------------------------------------------------------
+
+
+def stream_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """Streaming EXISTS: left rows with a time-bounded right match.
+    Built-in left-semi stream-stream join; both sides need watermarks
+    (state bounded by the interval)."""
+    from flink_efo_spark.operators.joins import interval_join
+
+    return interval_join(
+        left, right, key, left_ts, right_ts, lower, upper, how="left_semi"
+    ).select("l.*")
+
+
+def stream_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """Streaming NOT EXISTS within the time bound: left-outer
+    stream-stream join + IS NULL filter (the rewrite the reference's
+    planner applies for NOT EXISTS; StreamingSemiAntiJoinOperator).
+    Emission waits for the watermark to close the interval."""
+    from flink_efo_spark.operators.joins import interval_join
+
+    keys = [key] if isinstance(key, str) else list(key)
+    probe_cols = [f"l.{c}" for c in left.columns]
+    joined = interval_join(
+        left, right, key, left_ts, right_ts, lower, upper, how="left_outer"
+    )
+    return joined.where(F.col(f"r.{right_ts}").isNull()).select(*probe_cols)
+
+
+# ---------------------------------------------------------------------------
+# temporal sort (StreamExecTemporalSort.scala:50, RowTimeSortOperator)
+# ---------------------------------------------------------------------------
+
+
+def stream_temporal_sort(
+    df: DataFrame,
+    ts_col: str,
+    sink: Callable[[DataFrame, int], None],
+    extra_order: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Event-time sort, the only streaming-legal sort: each micro-batch
+    is sorted by (event time, tiebreaks) before reaching the sink
+    (RowTimeSortOperator semantics — ordering guaranteed per batch,
+    SURVEY §7.4 gap note). Returns the started query."""
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="efo-tsort-")
+    order = [ts_col] + (extra_order or [])
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df.orderBy(*order), batch_id)
+
+    return (
+        df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def split_late(
+    batch_df: DataFrame, ts_col: str, watermark_ts
+) -> tuple[DataFrame, DataFrame]:
+    """Late-data side-output analog (WindowedStream.sideOutputLateData
+    in the reference; Spark silently drops late rows): inside
+    foreachBatch, split a batch into (on-time, late) against a
+    watermark timestamp the caller tracks."""
+    on_time = batch_df.where(F.col(ts_col) >= F.lit(watermark_ts))
+    late = batch_df.where(F.col(ts_col) < F.lit(watermark_ts))
+    return on_time, late
+
+
+# ---------------------------------------------------------------------------
 # streaming OVER aggregation
 # ---------------------------------------------------------------------------
 

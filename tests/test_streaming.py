@@ -142,3 +142,95 @@ def test_efo_stream_shard_stats(spark, ddb):
         "shard", shard_of("user_id", 4)
     )
     assert batch.select("shard").distinct().count() == len(rows)
+
+
+def test_stream_semi_anti_join(spark, ddb):
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_anti_join,
+        stream_semi_join,
+        stream_table,
+    )
+
+    clicks = stream_table(
+        spark, SF_DIR, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "click")
+    errors = stream_table(
+        spark, SF_DIR, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "error")
+    semi = stream_semi_join(
+        clicks.select("event_id", "user_id", "ts"), errors,
+        "user_id", "ts", "ts", "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    got_semi = {r.event_id for r in run_stream_to_table(semi).collect()}
+    exp_semi = {
+        r[0]
+        for r in ddb.execute(
+            """
+            SELECT a.event_id FROM events a
+            WHERE a.event_type = 'click' AND EXISTS (
+              SELECT 1 FROM events b
+              WHERE b.event_type = 'error' AND b.user_id = a.user_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+            """
+        ).fetchall()
+    }
+    assert got_semi == exp_semi
+
+    anti = stream_anti_join(
+        clicks.select("event_id", "user_id", "ts"), errors,
+        "user_id", "ts", "ts", "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    got_anti = {r.event_id for r in run_stream_to_table(anti).collect()}
+    [n_clicks] = ddb.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'click'"
+    ).fetchone()
+    # anti emission waits for the watermark: rows whose interval is not
+    # yet closed at end-of-input stay in state, so got_anti is a subset
+    exp_anti_full = set(
+        r[0]
+        for r in ddb.execute(
+            """
+            SELECT a.event_id FROM events a
+            WHERE a.event_type = 'click' AND NOT EXISTS (
+              SELECT 1 FROM events b
+              WHERE b.event_type = 'error' AND b.user_id = a.user_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+            """
+        ).fetchall()
+    )
+    assert got_anti <= exp_anti_full
+    assert got_semi.isdisjoint(got_anti)
+    assert len(got_semi | exp_anti_full) == n_clicks
+
+
+def test_stream_temporal_sort(spark):
+    from flink_efo_spark.streaming import stream_table, stream_temporal_sort
+
+    ev = stream_table(spark, SF_DIR, "events")
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.select("ts", "event_id").collect()
+        seen[batch_id] = rows
+
+    q = stream_temporal_sort(ev, "ts", sink, extra_order=["event_id"])
+    q.awaitTermination()
+    assert seen
+    for rows in seen.values():
+        ts_list = [(r.ts, r.event_id) for r in rows]
+        assert ts_list == sorted(ts_list)
+
+
+def test_split_late(spark):
+    import datetime as dt
+
+    from flink_efo_spark.streaming import split_late
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, base + dt.timedelta(hours=2))], "id int, ts timestamp"
+    )
+    on_time, late = split_late(df, "ts", base + dt.timedelta(hours=1))
+    assert [r.id for r in on_time.collect()] == [2]
+    assert [r.id for r in late.collect()] == [1]

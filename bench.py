@@ -34,8 +34,12 @@ BENCH_QUERIES = [
     "asof_join",
     "window_tumble",
     "minhash_pairs",
+    "simhash_signatures",
     "cosine_topk",
+    "lsh_cosine_topk",
     "token_stats",
+    "match_recognize_funnel",
+    "stream_tumble",
 ]
 
 

@@ -177,13 +177,17 @@ def minhash_near_duplicates(
     affects recall, never precision.
     """
     rows_per_band = num_perm // bands
-    # persist: the shingle+signature pipeline feeds the bucket
-    # self-join (2 consumers) AND the verify join (2 more); without an
-    # explicit persist Spark recomputes the md5+shingle map 4-5× (AQE
-    # tends to defeat ReusedExchange across the self-join). At scale
-    # this is (id, shingles) only — not the documents — and spills to
-    # disk per executor rather than re-reading the corpus.
+    # persist + eager count: the shingle+signature pipeline feeds the
+    # bucket self-join (2 consumers) AND the verify join (2 more);
+    # without persist Spark recomputes the md5+shingle map 4-5× (AQE
+    # defeats ReusedExchange across the self-join), and without the
+    # eager barrier the self-join's two concurrent stages race the
+    # cache and duplicate the map work anyway (measured 12s → 7.6s at
+    # sf0.1). At scale this materializes (id, shingles) only — not the
+    # documents — spilling per executor rather than re-reading the
+    # corpus.
     shingled = shingle_sets(df, id_col, text_col, shingle_size).persist()
+    shingled.count()  # eager barrier — see note above
     sigs = minhash_signatures(shingled, num_perm)
 
     band_exprs = [
@@ -200,6 +204,7 @@ def minhash_near_duplicates(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bucket")
     ).persist()
+    buckets.count()  # eager barrier for the self-join below
     # candidate pairs: ids sharing any band bucket
     a = buckets.alias("a")
     b = buckets.alias("b")

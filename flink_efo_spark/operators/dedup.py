@@ -168,6 +168,7 @@ def minhash_near_duplicates(
     num_perm: int = 12,
     bands: int = 4,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -175,6 +176,14 @@ def minhash_near_duplicates(
     jaccard >= threshold. LSH (bands × rows) prunes the candidate set;
     the verify step recomputes exact shingle-set Jaccard so LSH only
     affects recall, never precision.
+
+    ``max_bucket_size``: hot-bucket straggler guard for 100 TB corpora
+    — a bucket holding B near-identical docs (boilerplate) yields
+    B²/2 candidate pairs inside one task. Capping drops buckets larger
+    than the limit from candidate generation (an explicit recall
+    tradeoff: members of dropped buckets usually co-occur in other,
+    smaller buckets; default None = exact LSH recall, right for
+    oracle-checked runs).
     """
     rows_per_band = num_perm // bands
     # persist + eager count: the shingle+signature pipeline feeds the
@@ -205,6 +214,13 @@ def minhash_near_duplicates(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bucket")
     ).persist()
     buckets.count()  # eager barrier for the self-join below
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count("*").over(bw))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     # candidate pairs: ids sharing any band bucket
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -1508,6 +1508,120 @@ def q_stream_interval_join(t: _T) -> DataFrame:
     return run_stream_to_table(out)
 
 
+# ---------------------------------------------------------------------------
+# subquery shapes (FlinkSubQueryRemoveRule / decorrelation, SURVEY §4.1) and
+# CASE aggregation — classic TPC-H shapes the reference's corpus exercises
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_subquery",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND c_custkey % 7 = 0
+    """,
+)
+def q_scalar_subquery(t: _T) -> DataFrame:
+    """Scalar subquery in a predicate (TPC-H Q22 shape) — Catalyst
+    plans the subquery as a broadcast scalar value."""
+    t.customer.createOrReplaceTempView("__efo_customer")
+    return t.spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM __efo_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM __efo_customer
+                           WHERE c_acctbal > 0.0)
+          AND c_custkey % 7 = 0
+        """
+    )
+
+
+@_q(
+    "exists_correlated",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_exists_correlated(t: _T) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) — rewritten to a semi join
+    by Catalyst (the reference: FlinkSubQueryRemoveRule)."""
+    t.orders.createOrReplaceTempView("__efo_orders")
+    t.lineitem.createOrReplaceTempView("__efo_lineitem")
+    return t.spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM __efo_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM __efo_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@_q(
+    "case_agg",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 30
+    """,
+)
+def q_case_agg(t: _T) -> DataFrame:
+    """CASE inside aggregates + LIKE predicate (TPC-H Q14 shape)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.where(F.col("l_quantity") > 30)
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "stream_group_agg",
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_group_agg(t: _T) -> DataFrame:
+    """Streaming unwindowed group aggregation in UPDATE mode
+    (StreamExecGroupAggregate.scala:52 / GroupAggFunction.java:43):
+    continuously-updated per-key aggregates; the bounded replay's
+    final update equals the batch result."""
+    from flink_efo_spark.streaming import (
+        infer_output_mode,
+        run_stream_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    assert infer_output_mode(agg) == "update"
+    return run_stream_to_table(agg)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

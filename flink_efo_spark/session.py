@@ -155,6 +155,13 @@ class EfoSession:
     def describe_table(self, name: str):
         return self.spark.sql(f"DESCRIBE TABLE {name}")
 
+    def create_statement_set(self) -> "StatementSet":
+        """Multi-sink execution (StatementSet.java:32 /
+        CommonSubGraphBasedOptimizer.scala:56): one query feeding
+        several sinks. Spark analog: persist the shared sub-plan,
+        run all writers (SURVEY §2.13b)."""
+        return StatementSet()
+
     # -- UDF surface (SURVEY §2.12; TableEnvironmentImpl.java:345) -----
     def register_function(self, name: str, fn, return_type=None) -> None:
         """ScalarFunction registration → ``spark.udf.register``.
@@ -166,3 +173,35 @@ class EfoSession:
         """TableFunction (UDTF) registration → Python UDTF
         (Spark 3.5+): a class with an ``eval`` yielding rows."""
         self.spark.udtf.register(name, udtf_class)
+
+
+class StatementSet:
+    """Collect several sink statements, execute together with the
+    shared upstream persisted once (the reference's common-subgraph
+    optimizer shares the sub-plan across sinks; Spark's unit of reuse
+    is an explicit persist)."""
+
+    def __init__(self):
+        self._inserts: list[tuple[object, str, str, str]] = []
+        self._shared: list = []
+
+    def share(self, df):
+        """Mark a DataFrame as feeding multiple sinks — persisted for
+        the duration of execute() (IntermediateTableScan analog)."""
+        self._shared.append(df)
+        return df.persist()
+
+    def add_insert(self, path: str, df, format: str = "parquet",
+                   mode: str = "overwrite") -> "StatementSet":
+        self._inserts.append((df, path, format, mode))
+        return self
+
+    def execute(self) -> None:
+        try:
+            for df, path, format, mode in self._inserts:
+                df.write.format(format).mode(mode).save(path)
+        finally:
+            for df in self._shared:
+                df.unpersist()
+            self._inserts.clear()
+            self._shared.clear()

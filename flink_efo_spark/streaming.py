@@ -426,6 +426,121 @@ def stream_over_unbounded(
 
 
 # ---------------------------------------------------------------------------
+# temporal join (row-time, stateful) — TemporalRowTimeJoinOperator.java:72
+# ---------------------------------------------------------------------------
+
+
+def stream_asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    build_value: str,
+) -> DataFrame:
+    """Streaming row-time temporal (as-of) join: for each probe row,
+    the latest build row with the same key and build_ts <= probe_ts.
+
+    Realization of TemporalRowTimeJoinOperator.java:72 semantics on
+    ``applyInPandasWithState``: both streams are tagged and unioned
+    (the operator's two-input form has no Spark equivalent), grouped
+    by key; state buffers the build side's (ts, value) history sorted
+    by ts; each micro-batch joins that batch's probe rows against
+    state + batch build rows. Emission is per-batch (probe rows match
+    build rows up to the data seen so far — the micro-batch watermark
+    analog; the reference fires on watermark advance the same way).
+
+    Output: probe columns (key, probe_ts renamed ``ts``, ``probe_id``
+    passthrough via extra columns is not supported in this minimal
+    signature) + ``asof_ts`` + ``asof_value``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StructField
+
+    kt = probe.schema[key].dataType
+    ptt = probe.schema[probe_ts].dataType
+    btt = build.schema[build_ts].dataType
+    bvt = build.schema[build_value].dataType
+
+    probe_cols = [c for c in probe.columns]
+    tagged_probe = probe.select(
+        F.col(key).alias("__k"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(bvt).alias("__bv"),
+        F.struct(*[F.col(c) for c in probe_cols]).alias("__p"),
+    )
+    tagged_build = build.select(
+        F.col(key).alias("__k"),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(build_value).alias("__bv"),
+        F.lit(None).cast(tagged_probe.schema["__p"].dataType).alias("__p"),
+    )
+    unioned = tagged_probe.unionByName(tagged_build)
+
+    out_schema = StructType(
+        [StructField(f.name, f.dataType) for f in probe.schema.fields]
+        + [StructField("asof_ts", btt), StructField("asof_value", bvt)]
+    )
+    # state: parallel arrays of the build history (kept sorted by ts)
+    state_schema = StructType(
+        [
+            StructField("ts", ArrayType(btt)),
+            StructField("v", ArrayType(bvt)),
+        ]
+    )
+
+    def fn(k, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        hist_ts: list = []
+        hist_v: list = []
+        if state.exists:
+            st = state.get
+            hist_ts, hist_v = list(st[0]), list(st[1])
+        probes = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            b = pdf[pdf["__side"] == 0]
+            hist_ts.extend(b["__ts"])
+            hist_v.extend(b["__bv"])
+            probes.append(pdf[pdf["__side"] == 1])
+        # (ts, value) sort: among equal-ts build rows the max value is
+        # last, so the bisect below deterministically picks it (NULL
+        # values sort first, matching DESC NULLS LAST oracle order)
+        order = sorted(
+            range(len(hist_ts)),
+            key=lambda i: (
+                hist_ts[i],
+                hist_v[i] is not None,
+                hist_v[i] if hist_v[i] is not None else 0.0,
+            ),
+        )
+        hist_ts = [hist_ts[i] for i in order]
+        hist_v = [hist_v[i] for i in order]
+        state.update((list(hist_ts), list(hist_v)))
+        if not probes:
+            return
+        import bisect
+
+        allp = pd.concat(probes, ignore_index=True)
+        rows = []
+        for _, r in allp.iterrows():
+            i = bisect.bisect_right(hist_ts, r["__ts"]) - 1
+            rec = dict(r["__p"].asDict() if hasattr(r["__p"], "asDict") else r["__p"])
+            rec["asof_ts"] = hist_ts[i] if i >= 0 else None
+            rec["asof_value"] = hist_v[i] if i >= 0 else None
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    out = unioned.groupBy("__k").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # temporal join (proc-time snapshot)
 # ---------------------------------------------------------------------------
 

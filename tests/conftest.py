@@ -47,13 +47,20 @@ def ddb():
     con.close()
 
 
+def _sort_key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
 def rows_of(df) -> list[tuple]:
-    """Sorted, normalized row set of a Spark DataFrame."""
-    return sorted(tuple(_norm(v) for v in r) for r in df.collect())
+    """Sorted, normalized row set of a Spark DataFrame (None-safe)."""
+    return sorted((tuple(_norm(v) for v in r) for r in df.collect()), key=_sort_key)
 
 
 def duck_rows(con, sql: str) -> list[tuple]:
-    return sorted(tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall())
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in con.execute(sql).fetchall()),
+        key=_sort_key,
+    )
 
 
 def _norm(v):

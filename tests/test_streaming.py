@@ -234,3 +234,71 @@ def test_split_late(spark):
     on_time, late = split_late(df, "ts", base + dt.timedelta(hours=1))
     assert [r.id for r in on_time.collect()] == [2]
     assert [r.id for r in late.collect()] == [1]
+
+
+def test_stream_asof_join_bounded(spark, ddb):
+    from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join, stream_table
+
+    ev = stream_table(spark, SF_DIR, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = stream_asof_join(probe, build, "user_id", "ts", "ts", "value")
+    got = run_stream_to_table(out).select(
+        "event_id", F.round("asof_value", 4).alias("av")
+    )
+    exp = ddb.execute(
+        """
+        SELECT p.event_id, round(b.bval, 4) AS av
+        FROM (SELECT * FROM events WHERE event_type = 'click') p
+        LEFT JOIN LATERAL (
+          SELECT b.value AS bval FROM events b
+          WHERE b.event_type = 'signup' AND b.user_id = p.user_id
+            AND b.ts <= p.ts
+          ORDER BY b.ts DESC LIMIT 1
+        ) b ON true
+        """
+    ).fetchall()
+    exp_map = {r[0]: r[1] for r in exp}
+    got_rows = got.collect()
+    assert len(got_rows) == len(exp_map)
+    mismatch = [r for r in got_rows if exp_map[r.event_id] != r.av]
+    # equal-ts build duplicates could tie-break differently; allow none
+    # here because (user_id, ts) is near-unique in the fixture
+    assert not mismatch, mismatch[:3]
+
+
+def test_stream_asof_join_cross_batch(spark, tmp_path):
+    """Build rows arriving in an EARLIER batch must be visible to probe
+    rows in a LATER batch (state carries the build history)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    b_dir = str(tmp_path / "asof_src")
+    # batch 1: one build row; batch 2: one probe row after it
+    spark.createDataFrame(
+        [(1, base, 0, 10.0)], "k int, ts timestamp, side int, v double"
+    ).write.parquet(b_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5), 1, 0.0)],
+        "k int, ts timestamp, side int, v double",
+    ).write.parquet(b_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join
+
+    schema = spark.read.parquet(b_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(b_dir)
+    )
+    probe = src.where(F.col("side") == 1).select("k", "ts")
+    build = src.where(F.col("side") == 0).select("k", "ts", "v")
+    out = stream_asof_join(probe, build, "k", "ts", "ts", "v")
+    got = run_stream_to_table(out).collect()
+    assert len(got) == 1
+    assert got[0].asof_value == 10.0

@@ -39,10 +39,14 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key
     ), [cols[i] for i in order]
 
 

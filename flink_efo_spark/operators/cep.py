@@ -124,10 +124,14 @@ def match_recognize(
     flag_list = [flag_names[v] for v in step_vars]
     meas_items = list(measures.items())
 
-    def matcher(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def match_one_key(pdf: "pd.DataFrame") -> list[dict]:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = [pdf[f].fillna(False).to_numpy() for f in flag_list]
         n = len(pdf)
+        # column arrays once per group — pdf.iloc row access per match
+        # per measure is the pandas slow path
+        data = {c: pdf[c].to_numpy() for c in meas_cols}
+        part_vals = {k: pdf[k].iloc[0] for k in partition_by} if n else {}
 
         def try_match(start: int):
             """Greedy with backtracking; returns per-step row index
@@ -165,7 +169,7 @@ def match_recognize(
                 continue
             seq += 1
             var_rows = {step_vars[k]: m[k] for k in range(len(steps))}
-            rec = {k: pdf.iloc[0][k] for k in partition_by}
+            rec = dict(part_vals)
             rec["match_seq"] = seq
             for out_col, (var, fn, col) in meas_items:
                 idxs = var_rows.get(var, [])
@@ -174,15 +178,31 @@ def match_recognize(
                 elif not idxs:
                     rec[out_col] = None
                 elif fn == "first":
-                    rec[out_col] = pdf.iloc[idxs[0]][col]
+                    rec[out_col] = data[col][idxs[0]]
                 elif fn == "last":
-                    rec[out_col] = pdf.iloc[idxs[-1]][col]
+                    rec[out_col] = data[col][idxs[-1]]
                 else:
                     raise ValueError(f"unsupported measure fn: {fn}")
             rows.append(rec)
             last_row = max((ix for lst in m for ix in lst), default=i)
             i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
-        cols = [f.name for f in out_schema.fields]
+        return rows
+
+    cols = [f.name for f in out_schema.fields]
+
+    def matcher(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # one Arrow round-trip serves MANY keys: the engine groups by a
+        # hash bucket of the partition keys and iterates keys here —
+        # one python call per key (5k tiny groups at sf0.1) costs more
+        # than the matching itself
+        rows: list[dict] = []
+        for _, sub in pdf.groupby(partition_by, sort=False, dropna=False):
+            rows.extend(match_one_key(sub))
         return pd.DataFrame(rows, columns=cols)
 
-    return slim.groupBy(*partition_by).applyInPandas(matcher, out_schema)
+    bucket = F.pmod(F.hash(*[F.col(c) for c in partition_by]), F.lit(256))
+    return (
+        slim.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandas(matcher, out_schema)
+    )

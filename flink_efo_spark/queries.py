@@ -1659,6 +1659,79 @@ def q_stream_asof_join(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "stream_session",
+    """
+    WITH sess AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM (SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+              FROM events))
+      GROUP BY user_id, sid),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT user_id, epoch_us(s_start) AS session_start_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM sess
+    WHERE s_end + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def q_stream_session(t: _T) -> DataFrame:
+    """STREAMING session windows (SessionWindowAssigner.java:36 with
+    merging): append mode emits exactly the sessions closed by the
+    final watermark (session end = last event + gap)."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        session_agg,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = session_agg(ev, "ts", "30 minutes", ["user_id"], F.count("*").alias("n_events"))
+    return run_stream_to_table(agg).select(
+        "user_id",
+        F.unix_micros("w_start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@_q(
+    "decimal_arith",
+    """
+    SELECT id,
+           CAST(CAST(a AS DECIMAL(12,2)) + CAST(b AS DECIMAL(12,2)) AS VARCHAR)
+             AS s,
+           CAST(CAST(CAST(a AS DECIMAL(12,2)) * CAST(b AS DECIMAL(12,2))
+                AS DECIMAL(20,4)) AS VARCHAR) AS p,
+           CAST(CAST(round(CAST(a AS DECIMAL(12,2)) / 3, 4) AS DECIMAL(20,4))
+                AS VARCHAR) AS q
+    FROM (VALUES (1, '1234567.89', '0.01'),
+                 (2, '-0.05', '99.99'),
+                 (3, '0.10', '0.20')) t(id, a, b)
+    """,
+)
+def q_decimal_arith(t: _T) -> DataFrame:
+    """DECIMAL(p,s) arithmetic (DecimalITCase; SURVEY §1.3) — exact
+    fixed-point results serialized as strings for cross-engine
+    comparison."""
+    rows = [(1, "1234567.89", "0.01"), (2, "-0.05", "99.99"), (3, "0.10", "0.20")]
+    df = t.spark.createDataFrame(rows, "id int, a string, b string")
+    a = F.col("a").cast("decimal(12,2)")
+    b = F.col("b").cast("decimal(12,2)")
+    return df.select(
+        "id",
+        (a + b).cast("string").alias("s"),
+        (a * b).cast("decimal(20,4)").cast("string").alias("p"),
+        F.round(a / 3, 4).cast("decimal(20,4)").cast("string").alias("q"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

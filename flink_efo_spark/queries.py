@@ -1732,6 +1732,63 @@ def q_decimal_arith(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "over_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 4)
+             AS rolling_30m,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_30m
+    FROM events
+    """,
+)
+def q_over_range_frame(t: _T) -> DataFrame:
+    """RANGE frame over-window (BatchExecOverAggregate.scala:73,
+    RangeSlidingOverFrame): rolling 30-minute window keyed on the
+    event-time value, exact frame-spec mapping to Spark rangeBetween."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_30m"),
+        F.count("*").over(w).alias("n_30m"),
+    )
+
+
+@_q(
+    "stream_hop",
+    """
+    WITH wm AS (SELECT epoch(max(ts)) - 600 AS w FROM events)
+    SELECT w_start * 1000000 AS w_start_us, count(*) AS cnt
+    FROM (
+      SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300,
+                     CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)]) AS w_start
+      FROM events)
+    GROUP BY w_start
+    HAVING w_start + 600 <= (SELECT w FROM wm)
+    """,
+)
+def q_stream_hop(t: _T) -> DataFrame:
+    """STREAMING HOP (sliding) windows, append mode: emits windows
+    finalized by the final watermark (window end <= max_ts - delay)."""
+    from flink_efo_spark.streaming import hop_agg, run_stream_to_table, stream_table
+
+    ev = stream_table(t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = hop_agg(ev, "ts", "10 minutes", "5 minutes", [], F.count("*").alias("cnt"))
+    return run_stream_to_table(agg).select(
+        F.unix_micros("w_start").alias("w_start_us"), "cnt"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -17,11 +17,16 @@ from pyspark.sql import SparkSession
 # name -> (typed arg list, return type, body expression)
 # Runtime semantics from SqlFunctionUtils.java / SqlDateTimeUtils.java.
 _SQL_UDFS: dict[str, tuple[str, str, str]] = {
-    # SPLIT_INDEX(str, delim, idx): 0-based, NULL out of range
+    # SPLIT_INDEX(str, delim, idx): 0-based, NULL out of range.
+    # The reference treats the delimiter as a LITERAL separator
+    # (SqlFunctionUtils.splitIndex ->
+    # StringUtils.splitByWholeSeparatorPreserveAllTokens), while Spark's
+    # split() takes a Java regex — so quote it with \Q...\E so '.', '|',
+    # '+' etc. split literally.
     "SPLIT_INDEX": (
         "(s STRING, d STRING, i INT)",
         "STRING",
-        "get(split(s, d, -1), i)",
+        r"get(split(s, concat('\\Q', d, '\\E'), -1), i)",
     ),
     "IS_ALPHA": ("(s STRING)", "BOOLEAN", "s rlike '^[a-zA-Z]+$'"),
     "IS_DIGIT": ("(s STRING)", "BOOLEAN", "s rlike '^[0-9]+$'"),
@@ -30,7 +35,22 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "BOOLEAN",
         r"s rlike '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$'",
     ),
-    "HASH_CODE": ("(s STRING)", "INT", "hash(s)"),
+    # HASH_CODE(str): reference returns Math.abs(str.hashCode())
+    # (SqlFunctionUtils.java:894) — Java's 31-multiplier fold with 32-bit
+    # wraparound over UTF-16 code units, then abs. Reproduced with a
+    # bigint fold kept in [0, 2^32) via pmod (ANSI-overflow-safe), folded
+    # back to signed 32-bit at the end. Matches Java exactly for BMP
+    # strings (ascii() yields the code point == code unit there);
+    # supplementary-plane chars (surrogate pairs) diverge.
+    "HASH_CODE": (
+        "(s STRING)",
+        "INT",
+        "cast(aggregate(split(s, ''), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + ascii(c), 4294967296), "
+        "acc -> if(pmod(acc + 2147483648, 4294967296) = 0, "
+        "cast(-2147483648 as bigint), "
+        "abs(pmod(acc + 2147483648, 4294967296) - 2147483648))) as int)",
+    ),
     # TRUNCATE(x, n): toward zero at n decimal places
     "TRUNCATE": (
         "(x DOUBLE, n INT)",

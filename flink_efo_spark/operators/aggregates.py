@@ -36,13 +36,37 @@ def flat_aggregate(
 
 
 def collect_multiset(col: str) -> Column:
-    """Flink COLLECT → MULTISET: map of element → occurrence count,
-    all built-in expressions (fold over collect_list). ``col`` is a
-    column name (the expression is assembled in SQL text)."""
-    # type-generic: a fold needs a typed empty map; map_from_arrays
-    # over the distinct elements works for any element type
+    """Flink COLLECT → MULTISET as a single aggregate Column: map of
+    element → occurrence count. ``col`` is a column name.
+
+    NOTE: this single-expression form is O(n·d) per group (it filters
+    the collected list once per distinct element) — convenient for
+    small groups, wrong at scale. The scale path is
+    :func:`multiset_agg`, the two-level aggregation (partial counts
+    map-side, tiny map per key on the reduce side)."""
     return F.expr(
         f"map_from_arrays(array_distinct(collect_list({col})), "
         f"transform(array_distinct(collect_list({col})), "
         f"x -> size(filter(collect_list({col}), y -> y = x))))"
+    )
+
+
+def multiset_agg(
+    df: DataFrame, keys: list[str], value_col: str, out_col: str = "multiset"
+) -> DataFrame:
+    """Flink COLLECT → MULTISET (MultisetType.java) via two-level
+    aggregation: ``groupBy(keys, value).count`` (map-side partial
+    combine shrinks the shuffle to one row per (key, distinct value)),
+    then ``map_from_entries(collect_list(struct(value, cnt)))`` per
+    key. O(n) total work, no per-group quadratic list scans — the
+    shape to use for 1M-row groups at 100 TB."""
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("__cnt"))
+    return counts.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col(value_col).alias("key"), F.col("__cnt").alias("value")
+                )
+            )
+        ).alias(out_col)
     )

@@ -210,10 +210,11 @@ def minhash_near_duplicates(
         ).alias("bucket")
         for b in range(bands)
     ]
-    buckets = sigs.select(
+    buckets_cached = sigs.select(
         F.col(id_col), F.explode(F.array(*band_exprs)).alias("bucket")
     ).persist()
-    buckets.count()  # eager barrier for the self-join below
+    buckets_cached.count()  # eager barrier for the self-join below
+    buckets = buckets_cached
     if max_bucket_size is not None:
         bw = Window.partitionBy("bucket")
         buckets = (
@@ -253,7 +254,15 @@ def minhash_near_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    # materialize the (small) verified pair set, then drop the big
+    # cached intermediates — without this every call leaks the shingle
+    # + bucket caches for the session lifetime. localCheckpoint blocks
+    # are executor-resident and auto-cleaned when the returned frame
+    # is GC'd (ContextCleaner), unlike catalog-cached plans.
+    out = verified.localCheckpoint(eager=True)
+    buckets_cached.unpersist()
+    shingled.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -330,7 +339,10 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs with hamming distance ≤ max_hamming
     (≤ 3 guaranteed found by 4-chunk banding; the check is exact)."""
     # persisted: 4 chunk self-joins + the hamming verify all reuse it
+    # (eager count = barrier so concurrent join stages don't race the
+    # cache and duplicate the signature map work)
     sigs = simhash_signatures(df, id_col, text_col, shingle_size).persist()
+    sigs.count()
     chunk_names = [c for c in sigs.columns if c.startswith("sim_c")]
     pairs = None
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -355,10 +367,15 @@ def simhash_near_duplicates(
     for c in chunk_names:
         term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
         hamming = term if hamming is None else hamming + term
-    return (
+    result = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # materialize the small pair set, release the signature cache
+    # (same no-leak contract as minhash_near_duplicates)
+    out = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out

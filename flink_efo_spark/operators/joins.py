@@ -58,15 +58,24 @@ def asof_join(
     # also expose the matched build timestamp
     ts_out = build_ts + suffix if build_ts in probe.columns else build_ts
 
+    # the build row rides the union as ONE struct (ts + carry cols):
+    # a single last(ignorenulls) over the struct emits the WHOLE
+    # latest build row atomically — backfilling columns independently
+    # would mix values from different build rows whenever the latest
+    # row holds a NULL in one column (TemporalRowTimeJoinOperator
+    # emits whole rows, never column-wise mixtures).
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    bstruct_type = _ST(
+        [_SF("__bts", build.schema[build_ts].dataType)]
+        + [_SF(c, build.schema[c].dataType) for c in carry_cols]
+    )
     probe_tagged = probe.select(
         *[F.col(c) for c in probe.columns],
         F.lit(1).alias("__side"),
         F.col(probe_ts).alias("__ts"),
-        F.lit(None).cast(build.schema[build_ts].dataType).alias("__bts"),
-        *[
-            F.lit(None).cast(build.schema[c].dataType).alias(f"__b_{c}")
-            for c in carry_cols
-        ],
+        F.lit(None).cast(bstruct_type).alias("__b"),
     )
     build_tagged = build.select(
         *[F.col(k) for k in keys],
@@ -77,8 +86,10 @@ def asof_join(
         ],
         F.lit(0).alias("__side"),
         F.col(build_ts).alias("__ts"),
-        F.col(build_ts).alias("__bts"),
-        *[F.col(c).alias(f"__b_{c}") for c in carry_cols],
+        F.struct(
+            F.col(build_ts).alias("__bts"),
+            *[F.col(c).alias(c) for c in carry_cols],
+        ).alias("__b"),
     )
     unioned = probe_tagged.unionByName(build_tagged)
 
@@ -90,25 +101,21 @@ def asof_join(
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tiebreak is not None:
         # among equal-ts build rows the highest tiebreak is emitted
-        # last, so last() picks it.
-        order.append(F.asc_nulls_first(f"__b_{tiebreak}"))
+        # last, so last() picks it (probe rows' NULL struct sorts
+        # first and never outranks a build row).
+        order.append(F.col("__b").getField(tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        F.last("__bts", ignorenulls=True).over(w).alias(f"__f_{build_ts}"),
-        *[
-            F.last(f"__b_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in build_cols
-        ],
+        "*", F.last("__b", ignorenulls=True).over(w).alias("__f")
     )
     result = filled.where(F.col("__side") == 1).select(
         *[F.col(c) for c in probe.columns],
-        F.col(f"__f_{build_ts}").alias(ts_out),
-        *[F.col(f"__f_{c}").alias(out_names[c]) for c in build_cols],
+        F.col("__f").getField("__bts").alias(ts_out),
+        *[F.col("__f").getField(c).alias(out_names[c]) for c in build_cols],
     )
     return result
 

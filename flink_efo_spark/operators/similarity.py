@@ -219,7 +219,13 @@ def lsh_cosine_topk(
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+    # materialize the |df| × k result, release the signature cache —
+    # repeated calls must not leak cached partitions for the session
+    # lifetime (localCheckpoint blocks are GC'd with the frame).
+    out = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out

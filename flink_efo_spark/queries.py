@@ -1360,12 +1360,18 @@ def q_flat_agg_top2(t: _T) -> DataFrame:
 )
 def q_collect_multiset_agg(t: _T) -> DataFrame:
     """Flink COLLECT → MULTISET (MultisetType.java): count-valued map,
-    serialized to a sorted entries string for cross-engine hashing."""
-    from flink_efo_spark.operators.aggregates import collect_multiset
+    serialized to a sorted entries string for cross-engine hashing.
+    Two-level aggregation (partial counts map-side) — never a
+    quadratic per-group list scan."""
+    from flink_efo_spark.operators.aggregates import multiset_agg
 
     return (
-        t.events.groupBy("user_id")
-        .agg(collect_multiset("event_type").alias("ms"))
+        multiset_agg(
+            t.events.select("user_id", "event_type"),
+            ["user_id"],
+            "event_type",
+            "ms",
+        )
         .select(
             "user_id",
             F.expr(

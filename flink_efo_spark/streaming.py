@@ -437,6 +437,8 @@ def stream_asof_join(
     probe_ts: str,
     build_ts: str,
     build_value: str,
+    watermark_delay: str | None = None,
+    max_history: int | None = None,
 ) -> DataFrame:
     """Streaming row-time temporal (as-of) join: for each probe row,
     the latest build row with the same key and build_ts <= probe_ts.
@@ -446,21 +448,31 @@ def stream_asof_join(
     (the operator's two-input form has no Spark equivalent), grouped
     by key; state buffers the build side's (ts, value) history sorted
     by ts; each micro-batch joins that batch's probe rows against
-    state + batch build rows. Emission is per-batch (probe rows match
-    build rows up to the data seen so far — the micro-batch watermark
-    analog; the reference fires on watermark advance the same way).
+    state + batch build rows.
 
-    Output: probe columns (key, probe_ts renamed ``ts``, ``probe_id``
-    passthrough via extra columns is not supported in this minimal
-    signature) + ``asof_ts`` + ``asof_value``.
+    State is BOUNDED two ways (the reference registers cleanup timers
+    and prunes versions below the watermark on every watermark
+    advance — same contract here):
+
+    * ``watermark_delay`` — declares a watermark on the unioned
+      event-time column; each trigger prunes every build version whose
+      ts is <= watermark EXCEPT the latest such version (which future
+      probes with ts > watermark may still match). This is exactly
+      TemporalRowTimeJoinOperator's retention rule.
+    * ``max_history`` — per-key hard cap (keep the newest N versions),
+      a belt-and-braces guard for watermark-less event-time columns.
+
+    Probing is vectorized: one ``np.searchsorted`` over the sorted
+    history per micro-batch, not a Python loop per probe row.
+
+    Output: probe columns + ``asof_ts`` + ``asof_value``.
     """
     import pandas as pd
-    from pyspark.sql.types import ArrayType, StructField
+    from pyspark.sql.types import ArrayType, StructField, TimestampType
 
-    kt = probe.schema[key].dataType
-    ptt = probe.schema[probe_ts].dataType
     btt = build.schema[build_ts].dataType
     bvt = build.schema[build_value].dataType
+    ts_is_timestamp = isinstance(btt, TimestampType)
 
     probe_cols = [c for c in probe.columns]
     tagged_probe = probe.select(
@@ -478,6 +490,8 @@ def stream_asof_join(
         F.lit(None).cast(tagged_probe.schema["__p"].dataType).alias("__p"),
     )
     unioned = tagged_probe.unionByName(tagged_build)
+    if watermark_delay is not None:
+        unioned = unioned.withWatermark("__ts", watermark_delay)
 
     out_schema = StructType(
         [StructField(f.name, f.dataType) for f in probe.schema.fields]
@@ -490,6 +504,7 @@ def stream_asof_join(
             StructField("v", ArrayType(bvt)),
         ]
     )
+    out_cols = [f.name for f in out_schema.fields]
 
     def fn(k, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         hist_ts: list = []
@@ -506,8 +521,8 @@ def stream_asof_join(
             hist_v.extend(b["__bv"])
             probes.append(pdf[pdf["__side"] == 1])
         # (ts, value) sort: among equal-ts build rows the max value is
-        # last, so the bisect below deterministically picks it (NULL
-        # values sort first, matching DESC NULLS LAST oracle order)
+        # last, so the searchsorted probe deterministically picks it
+        # (NULL values sort first, matching DESC NULLS LAST oracles)
         order = sorted(
             range(len(hist_ts)),
             key=lambda i: (
@@ -518,20 +533,70 @@ def stream_asof_join(
         )
         hist_ts = [hist_ts[i] for i in order]
         hist_v = [hist_v[i] for i in order]
+
+        # --- state pruning (TemporalRowTimeJoinOperator.java:72's
+        # cleanup-on-watermark-advance): versions at or below the
+        # watermark can never be matched by a future probe EXCEPT the
+        # latest one of them, which remains the as-of answer for any
+        # probe ts in (version_ts, watermark+delay...]. Keep that one,
+        # drop everything older.
+        wm_ms = 0
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        if wm_ms > 0 and ts_is_timestamp and hist_ts:
+            cutoff = pd.Timestamp(wm_ms, unit="ms")
+            import bisect
+
+            # index of first version strictly above the watermark
+            first_live = bisect.bisect_right(hist_ts, cutoff)
+            keep_from = max(0, first_live - 1)  # retain latest <= wm
+            if keep_from > 0:
+                hist_ts = hist_ts[keep_from:]
+                hist_v = hist_v[keep_from:]
+        if max_history is not None and len(hist_ts) > max_history:
+            hist_ts = hist_ts[-max_history:]
+            hist_v = hist_v[-max_history:]
         state.update((list(hist_ts), list(hist_v)))
+
         if not probes:
             return
-        import bisect
-
         allp = pd.concat(probes, ignore_index=True)
-        rows = []
-        for _, r in allp.iterrows():
-            i = bisect.bisect_right(hist_ts, r["__ts"]) - 1
-            rec = dict(r["__p"].asDict() if hasattr(r["__p"], "asDict") else r["__p"])
-            rec["asof_ts"] = hist_ts[i] if i >= 0 else None
-            rec["asof_value"] = hist_v[i] if i >= 0 else None
-            rows.append(rec)
-        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        if not len(allp):
+            return
+        recs = pd.DataFrame(
+            [
+                dict(p.asDict()) if hasattr(p, "asDict") else dict(p)
+                for p in allp["__p"]
+            ]
+        )
+        if hist_ts:
+            import numpy as np
+
+            hist_ts_np = pd.Index(hist_ts).values
+            idx = (
+                np.searchsorted(
+                    hist_ts_np, pd.Index(allp["__ts"]).values, side="right"
+                )
+                - 1
+            )
+            got = idx >= 0
+            safe = np.clip(idx, 0, None)
+            if ts_is_timestamp:
+                picked_ts = hist_ts_np[safe].copy()
+                picked_ts[~got] = np.datetime64("NaT")
+            else:
+                picked_ts = np.where(got, hist_ts_np[safe], None)
+            picked_v = np.where(
+                got, np.asarray(hist_v, dtype=object)[safe], None
+            )
+            recs["asof_ts"] = picked_ts
+            recs["asof_value"] = picked_v
+        else:
+            recs["asof_ts"] = pd.NaT if ts_is_timestamp else None
+            recs["asof_value"] = None
+        yield recs[out_cols]
 
     out = unioned.groupBy("__k").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
@@ -613,27 +678,140 @@ def infer_output_mode(df: DataFrame) -> str:
 
 
 # ---------------------------------------------------------------------------
+# updatable sink (RetractableTopNFunction.java:57 / UpdatableTopNFunction
+# semantics): keyed upsert into a real (parquet) sink via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+def stream_upsert_sink(
+    df: DataFrame,
+    keys: list[str],
+    out_dir: str,
+    mode: str = "update",
+    checkpoint_dir: str | None = None,
+):
+    """Maintain a continuously-updated keyed table in a REAL sink —
+    what the reference's retract stream (-U/+U pairs,
+    StreamingJoinOperator.java:38, RetractableTopNFunction.java:57)
+    drives into an upserting external system.
+
+    Plain parquet has no transactional MERGE, so this uses the
+    log-structured shape every lakehouse MERGE implements underneath:
+    each micro-batch APPENDS its updated key-groups stamped with
+    ``__batch_id`` (O(batch) per trigger — never rewrites the table),
+    and :func:`read_upsert_result` resolves last-writer-wins per key
+    at read time. Periodic :func:`compact_upsert` bounds read
+    amplification. On Delta/Iceberg the foreachBatch body would be a
+    single ``MERGE INTO`` — the operator contract is identical.
+
+    Returns the started StreamingQuery (bounded via availableNow).
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="efo-upsert-ckpt-")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        df.writeStream.foreachBatch(upsert)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_result(
+    spark: SparkSession, out_dir: str, keys: list[str]
+) -> DataFrame:
+    """Resolve the upsert log to the current table: per key-group, the
+    rows written by the LATEST batch that touched it (update-mode
+    operators re-emit the whole group per batch, so the last batch's
+    rows ARE the group's current state)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy(*keys)
+    return (
+        log.withColumn("__maxb", F.max("__batch_id").over(w))
+        .where(F.col("__batch_id") == F.col("__maxb"))
+        .drop("__batch_id", "__maxb")
+    )
+
+
+def compact_upsert(spark: SparkSession, out_dir: str, keys: list[str]) -> None:
+    """Rewrite the upsert log as a resolved snapshot (single batch id
+    0) — the compaction that bounds read amplification on a
+    long-running stream."""
+    snap = read_upsert_result(spark, out_dir, keys).withColumn(
+        "__batch_id", F.lit(0)
+    )
+    tmp = out_dir.rstrip("/") + ".compact"
+    snap.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(out_dir)
+    shutil.move(tmp, out_dir)
+
+
+# ---------------------------------------------------------------------------
 # bounded execution helper (tests + oracle-checkable stream queries)
 # ---------------------------------------------------------------------------
 
 
 def run_stream_to_table(
-    df: DataFrame, mode: str | None = None, name: str | None = None
+    df: DataFrame,
+    mode: str | None = None,
+    name: str | None = None,
+    update_keys: list[str] | None = None,
 ) -> DataFrame:
-    """Execute a streaming frame to completion (availableNow — one
-    bounded replay of the source, the Flink bounded-stream execution
-    equivalent) into a memory sink; return the result as a batch
-    DataFrame."""
+    """TEST/ORACLE HARNESS ONLY — executes a streaming frame to
+    completion (availableNow, one bounded replay — the Flink
+    bounded-stream execution equivalent) and returns the result as a
+    batch DataFrame. The memory sink collects every output row onto
+    the driver; user-facing pipelines should write through
+    ``writeStream`` sinks or :func:`stream_upsert_sink` instead (the
+    operators themselves are sink-agnostic).
+
+    Update-mode caveat (exactly the reference's retract-stream
+    contract): the memory sink APPENDS each batch's updates, so a
+    multi-batch update-mode replay leaves stale per-key rows in the
+    table. Pass ``update_keys`` for such queries — the run then goes
+    through :func:`stream_upsert_sink` + last-writer-wins resolution
+    and is correct for any trigger cadence. Without ``update_keys``,
+    update-mode results are only valid for single-trigger replays
+    (asserted here).
+    """
     spark = df.sparkSession
     name = name or f"efo_stream_{uuid.uuid4().hex[:8]}"
+    mode = mode or infer_output_mode(df)
+    if mode == "update" and update_keys is not None:
+        out_dir = os.path.join(
+            tempfile.mkdtemp(prefix=f"efo-upsert-{name}-"), "data"
+        )
+        q = stream_upsert_sink(df, update_keys, out_dir, mode=mode)
+        q.awaitTermination()
+        return read_upsert_result(spark, out_dir, update_keys)
     checkpoint = tempfile.mkdtemp(prefix=f"efo-ckpt-{name}-")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode(mode or infer_output_mode(df))
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if mode == "update":
+        # single-trigger replays emit each key-group once; more than
+        # one trigger means the memory table holds stale duplicates —
+        # fail loudly rather than return wrong rows.
+        real = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(real) > 1:
+            raise ValueError(
+                f"update-mode replay ran {len(real)} triggers with input; "
+                "memory-sink results would contain stale per-key rows — "
+                "pass update_keys= for a keyed-upsert resolution"
+            )
     return spark.table(name)

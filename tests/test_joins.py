@@ -36,6 +36,24 @@ def test_asof_equal_ts_inclusive(spark):
     assert got[(2, 10)] is None  # build only in the future → NULL
 
 
+def test_asof_whole_row_backfill(spark):
+    """A NULL in one column of the LATEST build row must surface as
+    NULL — never be backfilled from an older build row (the reference
+    emits whole rows: TemporalRowTimeJoinOperator, never column-wise
+    mixtures). Round-2 ADVICE regression."""
+    probe = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    build = spark.createDataFrame(
+        [(1, _ts(1), "old_v", "old_w"), (1, _ts(5), None, "new_w")],
+        "k int, ts timestamp, v string, w string",
+    )
+    out = asof_join(probe, build, "k", "ts", "ts", build_cols=["v", "w"])
+    [row] = out.collect()
+    # latest build row is (_ts(5), NULL, "new_w"): v must be NULL,
+    # NOT "old_v" leaked from the _ts(1) row
+    assert row.v is None
+    assert row.w == "new_w"
+
+
 def test_asof_tiebreak_highest_wins(spark):
     """Equal build timestamps: the highest tiebreak value wins, and a
     probe at the same instant still sees the build rows."""

@@ -42,6 +42,45 @@ def test_flink_sql_names_work(env):
     assert row.jv and not row.jo
 
 
+def test_split_index_literal_delimiter(env):
+    """SPLIT_INDEX must treat the delimiter as a LITERAL (the
+    reference's splitByWholeSeparatorPreserveAllTokens), not a regex —
+    '.', '|', '+' are the silent-corruption cases."""
+    row = env.sql(
+        """
+        SELECT SPLIT_INDEX('a.b.c', '.', 0) AS dot,
+               SPLIT_INDEX('a|b|c', '|', 1) AS pipe,
+               SPLIT_INDEX('a+b+c', '+', 2) AS plus,
+               SPLIT_INDEX('x(y)z', '(', 1) AS paren
+        """
+    ).first()
+    assert row.dot == "a"
+    assert row.pipe == "b"
+    assert row.plus == "c"
+    assert row.paren == "y)z"
+
+
+def test_hash_code_java_semantics(env):
+    """HASH_CODE = Math.abs(String.hashCode()) per
+    SqlFunctionUtils.java:894 — including the Integer.MIN_VALUE
+    edge where Math.abs is a no-op."""
+    row = env.sql(
+        """
+        SELECT HASH_CODE('hello') AS h1,
+               HASH_CODE('') AS h2,
+               HASH_CODE('polygenelubricants') AS h3,
+               HASH_CODE('a') AS h4,
+               HASH_CODE('Ab') AS h5
+        """
+    ).first()
+    assert row.h1 == 99162322  # "hello".hashCode()
+    assert row.h2 == 0
+    # "polygenelubricants".hashCode() == Integer.MIN_VALUE; abs keeps it
+    assert row.h3 == -2147483648
+    assert row.h4 == 97
+    assert row.h5 == 2113  # 'A'*31 + 'b'
+
+
 def test_fluent_table_api(env, ddb):
     got = (
         env.from_path("customer")

@@ -302,3 +302,144 @@ def test_stream_asof_join_cross_batch(spark, tmp_path):
     got = run_stream_to_table(out).collect()
     assert len(got) == 1
     assert got[0].asof_value == 10.0
+
+
+def test_stream_asof_join_state_bounded(spark, tmp_path):
+    """With a watermark, build versions below it are pruned (except the
+    latest — still the as-of answer for future probes), and with
+    max_history the per-key state is hard-capped; results for in-order
+    probes must be identical either way. Round-2 VERDICT item 2."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    b_dir = str(tmp_path / "asof_bounded")
+    # 4 batches: build updates every batch, probe rows trail behind
+    for i in range(4):
+        rows = [(1, base + dt.timedelta(minutes=10 * i), 0, float(i))]
+        if i >= 1:
+            # probe at the time of the PREVIOUS build version
+            rows.append(
+                (1, base + dt.timedelta(minutes=10 * (i - 1), seconds=30), 1, 0.0)
+            )
+        spark.createDataFrame(
+            rows, "k int, ts timestamp, side int, v double"
+        ).write.parquet(b_dir + f"/f{i}.parquet")
+
+    from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join
+
+    schema = spark.read.parquet(b_dir + "/f0.parquet").schema
+
+    def run(**kw):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(b_dir)
+        )
+        probe = src.where(F.col("side") == 1).select("k", "ts")
+        build = src.where(F.col("side") == 0).select("k", "ts", "v")
+        out = stream_asof_join(probe, build, "k", "ts", "ts", "v", **kw)
+        return sorted(
+            (r.ts, r.asof_value) for r in run_stream_to_table(out).collect()
+        )
+
+    unbounded = run()
+    watermarked = run(watermark_delay="5 minutes")
+    capped = run(max_history=2)
+    # each probe at minute 10(i-1)+0.5 must see build version i-1
+    assert [v for _, v in unbounded] == [0.0, 1.0, 2.0]
+    assert watermarked == unbounded
+    assert capped == unbounded
+
+
+def test_run_stream_to_table_update_multibatch(spark, tmp_path):
+    """Update-mode + multi-trigger replay: the memory sink holds stale
+    per-key rows, so run_stream_to_table must refuse without
+    update_keys and resolve last-writer-wins with them (round-2
+    ADVICE regression)."""
+    import pytest
+
+    src_dir = str(tmp_path / "upd_src")
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    ).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [("a", 3.0)], "k string, v double"
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+
+    def agg_stream():
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        return src.groupBy("k").agg(F.sum("v").alias("s"))
+
+    with pytest.raises(ValueError, match="update_keys"):
+        run_stream_to_table(agg_stream())
+
+    got = {
+        r.k: r.s
+        for r in run_stream_to_table(
+            agg_stream(), update_keys=["k"]
+        ).collect()
+    }
+    assert got == {"a": 4.0, "b": 2.0}
+
+
+def test_stream_upsert_sink_multibatch(spark, tmp_path):
+    """Updatable-sink demo (RetractableTopNFunction semantics): after
+    a multi-batch replay through the keyed-upsert parquet sink, the
+    resolved table equals the batch answer — including after
+    compaction. Round-2 VERDICT item 8."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src_dir = str(tmp_path / "ups_src")
+    # two batches of scored rows per key; top-2 per key should evolve
+    spark.createDataFrame(
+        [("a", base, 1.0), ("a", base, 5.0), ("b", base, 7.0)],
+        "k string, ts timestamp, score double",
+    ).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [("a", base + dt.timedelta(minutes=1), 9.0),
+         ("b", base + dt.timedelta(minutes=1), 3.0)],
+        "k string, ts timestamp, score double",
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import (
+        compact_upsert,
+        read_upsert_result,
+        stream_top_n,
+        stream_upsert_sink,
+    )
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    topn = stream_top_n(src, ["k"], "score", n=2)
+    out_dir = str(tmp_path / "ups_out")
+    q = stream_upsert_sink(topn, ["k"], out_dir)
+    q.awaitTermination()
+
+    expected = {("a", 9.0), ("a", 5.0), ("b", 7.0), ("b", 3.0)}
+    got = {
+        (r.k, r.score)
+        for r in read_upsert_result(spark, out_dir, ["k"]).collect()
+    }
+    assert got == expected
+    compact_upsert(spark, out_dir, ["k"])
+    got2 = {
+        (r.k, r.score)
+        for r in read_upsert_result(spark, out_dir, ["k"]).collect()
+    }
+    assert got2 == expected

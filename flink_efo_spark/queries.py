@@ -1976,6 +1976,105 @@ def q_tpch_q10(t: _T) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.5 count windows (CountTumblingWindowAssigner.java, CountTrigger.java)
+# and dynamic-gap sessions (DynamicEventTimeSessionWindows.java:47)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "count_window_agg",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events)
+    SELECT user_id, CAST(floor(rn / 5) AS INT) AS w_idx,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM o GROUP BY user_id, w_idx HAVING count(*) = 5
+    """,
+)
+def q_count_window_agg(t: _T) -> DataFrame:
+    """Streaming per-key count-tumbling window (DataStream
+    ``countWindow(5)``: CountTumblingWindowAssigner.java +
+    CountTrigger.java:42): windows fire at exactly 5 elements;
+    the trailing partial window never fires. Oracle buckets by
+    row_number — the batch ground truth of arrival-order counting."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_count_tumble,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    out = stream_count_tumble(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        5,
+        "value",
+        order_by=["ts", "event_id"],
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "w_idx", "cnt", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+@_q(
+    "window_session_dynamic",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value, event_id,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 10 MINUTE END AS w_end
+      FROM events),
+    m AS (
+      SELECT *, max(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e),
+    s AS (
+      SELECT *, sum(CASE WHEN prev_max IS NULL OR ts > prev_max
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM m)
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_window_session_dynamic(t: _T) -> DataFrame:
+    """Dynamic-gap session windows
+    (DynamicEventTimeSessionWindows.java:47 /
+    SessionWindowTimeGapExtractor): the inactivity gap is a PER-ROW
+    expression — 30 min after a click, 10 min otherwise. Spark's
+    session_window takes the gap as a Column natively; the oracle
+    sessionizes with a running max of per-row window ends."""
+    from flink_efo_spark.streaming import session_agg
+
+    # session_window's dynamic gap must be CalendarIntervalType —
+    # make_interval, not the (DayTimeInterval-typed) interval literal
+    gap = F.expr(
+        "case when event_type = 'click' then make_interval(0,0,0,0,0,30,0) "
+        "else make_interval(0,0,0,0,0,10,0) end"
+    )
+    out = session_agg(
+        t.events,
+        "ts",
+        gap,
+        ["user_id"],
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        _us("w_start").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -41,7 +41,7 @@ import tempfile
 import uuid
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
@@ -137,10 +137,148 @@ def hop_agg(
 
 
 def session_agg(
-    df: DataFrame, ts_col: str, gap: str, keys: list[str], *aggs: Column
+    df: DataFrame, ts_col: str, gap: str | Column, keys: list[str], *aggs: Column
 ) -> DataFrame:
-    """SESSION window aggregate (SessionWindowAssigner.java:36)."""
+    """SESSION window aggregate (SessionWindowAssigner.java:36).
+
+    ``gap`` may be a Column expression for a PER-ROW dynamic gap —
+    the reference's DynamicEventTimeSessionWindows.java:47
+    (SessionWindowTimeGapExtractor): e.g. a longer inactivity gap for
+    'session_start' events. Spark's session_window accepts exactly
+    this dynamic-gap form natively."""
     return _windowed_agg(df, F.session_window(ts_col, gap), keys, aggs)
+
+
+# ---------------------------------------------------------------------------
+# count windows (CountTumblingWindowAssigner.java /
+# CountSlidingWindowAssigner.java; DataStream countWindow = CountTrigger
+# of size N + (for slide) CountEvictor)
+# ---------------------------------------------------------------------------
+
+
+def count_tumble_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    size: int,
+    value_col: str,
+) -> DataFrame:
+    """BATCH count-tumbling window (CountTumblingWindowAssigner.java):
+    per key, rows in ``order_by`` order are bucketed into consecutive
+    groups of ``size``; only COMPLETE windows emit (the count trigger
+    fires at exactly N elements — a trailing partial window never
+    fires, same as the reference).
+
+    Pure Catalyst: one window pass (row_number) + one hash aggregate.
+    Output: keys + w_idx + cnt + sum_value + min_value + max_value.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    bucketed = df.withColumn(
+        "w_idx", ((F.row_number().over(w) - 1) / size).cast("int")
+    )
+    return (
+        bucketed.groupBy(*keys, "w_idx")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .where(F.col("cnt") == size)
+    )
+
+
+def stream_count_tumble(
+    df: DataFrame,
+    keys: list[str],
+    size: int,
+    value_col: str,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """STREAMING per-key count-tumbling window
+    (CountTumblingWindowAssigner.java + CountTrigger.java:42 —
+    DataStream ``countWindow(size)``): state carries the next window
+    index plus the pending (incomplete) window's values; each
+    micro-batch appends its rows (sorted by ``order_by`` within the
+    batch; arrival order across batches, exactly the reference's
+    count-window contract), emits every window that reaches ``size``
+    elements, and keeps the remainder.
+
+    State per key is BOUNDED: at most ``size - 1`` pending values +
+    one counter (the fired windows leave state immediately).
+
+    Output rows: keys + w_idx + cnt + sum_value + min_value +
+    max_value, append mode (fired count windows are final).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+    )
+
+    key_fields = [StructField(k, df.schema[k].dataType) for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("w_idx", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("w_base", LongType()),
+            StructField("pend", ArrayType(DoubleType())),
+        ]
+    )
+    sort_cols = list(order_by) if order_by else None
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        w_base, pend = (state.get if state.exists else (0, []))
+        pend = list(pend)
+        # a micro-batch's group data arrives as MULTIPLE Arrow chunks
+        # in arbitrary order — concatenate and sort ONCE per batch
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            allr = pd.concat(frames, ignore_index=True)
+            if sort_cols:
+                allr = allr.sort_values(sort_cols, kind="mergesort")
+            vals = pend + [float(x) for x in allr[value_col]]
+            n_complete = len(vals) // size
+            if n_complete:
+                import numpy as np
+
+                arr = np.asarray(vals[: n_complete * size]).reshape(
+                    n_complete, size
+                )
+                out = pd.DataFrame(
+                    {
+                        "w_idx": (w_base + np.arange(n_complete)).astype(
+                            "int32"
+                        ),
+                        "cnt": np.full(n_complete, size, dtype="int64"),
+                        "sum_value": arr.sum(axis=1),
+                        "min_value": arr.min(axis=1),
+                        "max_value": arr.max(axis=1),
+                    }
+                )
+                for i, k in enumerate(keys):
+                    out.insert(i, k, key[i])
+                w_base += n_complete
+                yield out[[f.name for f in out_schema.fields]]
+            pend = vals[n_complete * size :]
+        state.update((int(w_base), list(pend)))
+
+    out = df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -397,9 +535,11 @@ def stream_over_unbounded(
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         s, c, mn, mx = (state.get if state.exists else (0.0, 0, None, None))
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # concat the batch's Arrow chunks before sorting — chunk order
+        # within a micro-batch is arbitrary, so per-chunk sorting
+        # would process the key's rows out of event-time order
+        frames = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(frames, ignore_index=True)] if frames else []):
             pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
             v = pdf[value_col].astype(float)
             csum = v.cumsum() + s

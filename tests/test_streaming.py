@@ -392,6 +392,64 @@ def test_run_stream_to_table_update_multibatch(spark, tmp_path):
     assert got == {"a": 4.0, "b": 2.0}
 
 
+def test_count_tumble_stream_matches_batch(spark, tmp_path):
+    """Count-tumbling windows (countWindow(3)): a multi-batch replay
+    in arrival order must fire exactly the complete windows the batch
+    bucketing produces, with pending partial windows carried in state
+    across batches (CountTumblingWindowAssigner + CountTrigger)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src_dir = str(tmp_path / "cw_src")
+    # key 1: 5 rows over two batches -> one complete window of 3,
+    # remainder 2 never fires; key 2: exactly 3 rows -> one window
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), float(m)) for m in (0, 1)]
+        + [(2, base + dt.timedelta(minutes=m), 10.0 + m) for m in (0, 1)],
+        "k int, ts timestamp, v double",
+    ).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), float(m)) for m in (2, 3, 4)]
+        + [(2, base + dt.timedelta(minutes=2), 12.0)],
+        "k int, ts timestamp, v double",
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import (
+        count_tumble_agg,
+        run_stream_to_table,
+        stream_count_tumble,
+    )
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    got = run_stream_to_table(
+        stream_count_tumble(src, ["k"], 3, "v", order_by=["ts"])
+    )
+    batch = count_tumble_agg(
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir),
+        ["k"],
+        ["ts"],
+        3,
+        "v",
+    )
+    key = lambda r: (r.k, r.w_idx)
+    got_rows = sorted(
+        ((r.k, r.w_idx, r.cnt, r.sum_value) for r in got.collect())
+    )
+    batch_rows = sorted(
+        ((r.k, r.w_idx, r.cnt, r.sum_value) for r in batch.collect())
+    )
+    assert got_rows == batch_rows
+    # exactly one fired window per key; partials never fire
+    assert [r[0] for r in got_rows] == [1, 2]
+    assert got_rows[0][2] == 3 and got_rows[1][2] == 3
+
+
 def test_stream_upsert_sink_multibatch(spark, tmp_path):
     """Updatable-sink demo (RetractableTopNFunction semantics): after
     a multi-batch replay through the keyed-upsert parquet sink, the

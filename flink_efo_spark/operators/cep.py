@@ -1,11 +1,11 @@
 """MATCH_RECOGNIZE subset — CEP pattern matching over ordered rows.
 
 Reference: StreamExecMatch.scala:68 + flink-libraries/flink-cep
-(NFA.java, SharedBuffer.java) in /root/reference. Scope per SURVEY §7
-Phase 4: **concatenation + greedy quantifiers (?, *, +), AFTER MATCH
-SKIP PAST LAST ROW, FIRST/LAST/COUNT measures** — no alternation, no
-complex SKIP modes (the reference's own docs mark those as the common
-core).
+(NFA.java, SharedBuffer.java:54) in /root/reference. Scope per SURVEY
+§7 Phase 4, extended in round 3: **concatenation + alternation groups
+(``(A|B)``) + greedy quantifiers (?, *, +), AFTER MATCH SKIP PAST LAST
+ROW, FIRST/LAST/COUNT measures** — no nested groups or complex SKIP
+modes (the reference's own docs mark those as the rare tail).
 
 Spark realization:
 
@@ -13,13 +13,23 @@ Spark realization:
   JVM-side into one boolean column per pattern variable *before* the
   match step — predicates stay in codegen, the Python NFA only reads
   booleans. ``PREV(col)`` is supported by pre-materializing
-  ``prev_<col>`` columns (``lag`` over the same partition/order).
-* The match loop is a per-key ``applyInPandas`` (batch) over rows
+  ``prev_<col>`` columns (``lag`` over the same partition/order;
+  batch only — streaming lag is not expressible).
+* Batch: the match loop is a per-bucket ``applyInPandas`` over rows
   sorted by the order column — a backtracking greedy matcher, linear
   in rows for the supported quantifier set.
-* Streaming: run inside ``foreachBatch`` per micro-batch, or over a
-  bounded replay (``run_stream_to_table``); cross-batch partial-match
-  state is out of scope (documented gap).
+* Streaming: :func:`stream_match_recognize` keeps the per-key
+  unconsumed tail in ``applyInPandasWithState`` — partial matches
+  SURVIVE micro-batch boundaries (the reference's
+  SharedBuffer.java:54 role). A completed match is emitted as soon
+  as it is *closed* — a later buffered row failed to extend it, or
+  no step has remaining capacity — mirroring the NFA's
+  emit-on-no-extension behavior. A match still extendable at
+  buffer end is HELD in state for the next batch (on a bounded
+  replay that ends the stream, a held still-extendable match is not
+  flushed — Spark has no end-of-input MAX_WATERMARK hook; patterns
+  ending in a bounded concrete step, e.g. a funnel's final
+  ``purchase``, close immediately and are unaffected).
 """
 
 from __future__ import annotations
@@ -30,80 +40,161 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
-    _parse_datatype_string,
 )
 
 _QUANTS = {"?": (0, 1), "*": (0, None), "+": (1, None), "": (1, 1)}
 
+Step = tuple[list[str], int, "int | None"]
 
-def _parse_pattern(pattern: str) -> list[tuple[str, int, int | None]]:
-    """'A B+ C?' → [(A,1,1), (B,1,None), (C,0,1)]."""
-    steps = []
+
+def _parse_pattern(pattern: str) -> list[Step]:
+    """'A (B|E)+ C?' → [([A],1,1), ([B,E],1,None), ([C],0,1)].
+
+    Alternation groups map to the reference NFA's OR-states
+    (NFA.java); a step matches a row when ANY member variable's
+    DEFINE holds (attribution goes to the first member that does).
+    """
+    steps: list[Step] = []
     for tok in pattern.split():
-        m = re.fullmatch(r"([A-Za-z_]\w*)([?*+]?)", tok)
-        if not m:
-            raise ValueError(f"unsupported pattern token: {tok!r}")
-        lo, hi = _QUANTS[m.group(2)]
-        steps.append((m.group(1), lo, hi))
+        m = re.fullmatch(
+            r"\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\)([?*+]?)", tok
+        )
+        if m:
+            variables = m.group(1).split("|")
+            lo, hi = _QUANTS[m.group(2)]
+        else:
+            m2 = re.fullmatch(r"([A-Za-z_]\w*)([?*+]?)", tok)
+            if not m2:
+                raise ValueError(f"unsupported pattern token: {tok!r}")
+            variables = [m2.group(1)]
+            lo, hi = _QUANTS[m2.group(2)]
+        steps.append((variables, lo, hi))
     return steps
 
 
-def match_recognize(
-    df: DataFrame,
-    partition_by: list[str],
-    order_by: str,
-    pattern: str,
-    defines: dict[str, str],
-    measures: dict[str, tuple[str, str, str]],
-    tiebreak: str | None = None,
-) -> DataFrame:
-    """MATCH_RECOGNIZE subset.
+def _greedy_matches(step_flags, steps: list[Step], n: int):
+    """Yield (start, per-step index lists) matches in scan order with
+    AFTER MATCH SKIP PAST LAST ROW (greedy with backtracking)."""
 
-    pattern: variable sequence with greedy quantifiers, e.g.
-    ``"A B+ C"``. Every variable must appear in ``defines``.
+    def try_match(start: int):
+        def go(step_idx: int, pos: int, acc):
+            if step_idx == len(steps):
+                return acc if pos > start else None
+            _, lo, hi = steps[step_idx]
+            fl = step_flags[step_idx]
+            taken = []
+            p = pos
+            limit = n if hi is None else min(n, pos + hi)
+            while p < limit and fl[p]:
+                taken.append(p)
+                p += 1
+            while len(taken) >= lo:
+                res = go(step_idx + 1, pos + len(taken), acc + [list(taken)])
+                if res is not None:
+                    return res
+                if not taken:
+                    break
+                taken.pop()
+            return None
 
-    defines: var → Spark SQL boolean expression over the row's
-    columns; ``prev_<col>`` pseudo-columns give PREV() access.
+        return go(0, start, [])
 
-    measures: out_col → (var, fn, col) with fn ∈ first|last|count
-    (count ignores col). The output carries the partition keys, a
-    per-partition ``match_seq``, and the measures.
-    """
-    import pandas as pd
+    i = 0
+    while i < n:
+        m = try_match(i)
+        if m is None:
+            i += 1
+            continue
+        yield i, m
+        last_row = max((ix for lst in m for ix in lst), default=i)
+        i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
 
+
+def _match_extendable(m, steps: list[Step]) -> bool:
+    """Could a FUTURE row extend this completed match? True when the
+    last consumed step has remaining capacity or any later
+    (necessarily optional) step exists — the NFA-state test for
+    whether emission must wait (reference: NFA.java pending states)."""
+    last_consumed = max(
+        (k for k in range(len(steps)) if m[k]), default=None
+    )
+    if last_consumed is None:
+        return True
+    _, _, hi = steps[last_consumed]
+    if hi is None or len(m[last_consumed]) < hi:
+        return True
+    return last_consumed < len(steps) - 1
+
+
+def _attribute(m, steps: list[Step], var_flags) -> dict[str, list[int]]:
+    """Assign each consumed row to its pattern variable (first member
+    of the step's alternation whose DEFINE held on that row)."""
+    var_rows: dict[str, list[int]] = {}
+    for k, (variables, _, _) in enumerate(steps):
+        for ix in m[k]:
+            for v in variables:
+                if var_flags[v][ix]:
+                    var_rows.setdefault(v, []).append(ix)
+                    break
+    return var_rows
+
+
+def _measure_record(var_rows, meas_items, data):
+    rec = {}
+    for out_col, (var, fn, col) in meas_items:
+        idxs = var_rows.get(var, [])
+        if fn == "count":
+            rec[out_col] = len(idxs)
+        elif not idxs:
+            rec[out_col] = None
+        elif fn == "first":
+            rec[out_col] = data[col][idxs[0]]
+        elif fn == "last":
+            rec[out_col] = data[col][idxs[-1]]
+        else:
+            raise ValueError(f"unsupported measure fn: {fn}")
+    return rec
+
+
+def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
+             allow_prev: bool):
+    """Shared DEFINE evaluation: parse the pattern, evaluate every
+    DEFINE into a JVM-side boolean flag column, and project down to
+    the columns the matcher needs."""
     steps = _parse_pattern(pattern)
-    step_vars = [v for v, _, _ in steps]
+    step_vars = sorted({v for variables, _, _ in steps for v in variables})
     missing = [v for v in step_vars if v not in defines]
     if missing:
         raise ValueError(f"pattern vars without DEFINE: {missing}")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
-    w = Window.partitionBy(*partition_by).orderBy(*[F.col(c) for c in order_cols])
 
-    # PREV() support: materialize prev_<col> for any column referenced
-    # as prev_X in a DEFINE body
     prev_cols = sorted(
-        {
-            m
-            for body in defines.values()
-            for m in re.findall(r"prev_(\w+)", body)
-        }
+        {m for body in defines.values() for m in re.findall(r"prev_(\w+)", body)}
     )
     enriched = df
-    for c in prev_cols:
-        enriched = enriched.withColumn(f"prev_{c}", F.lag(c).over(w))
+    if prev_cols:
+        if not allow_prev:
+            raise ValueError(
+                "PREV() (prev_ columns) requires a batch frame — lag over "
+                "an unbounded stream is not expressible"
+            )
+        w = Window.partitionBy(*partition_by).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        for c in prev_cols:
+            enriched = enriched.withColumn(f"prev_{c}", F.lag(c).over(w))
 
-    # evaluate DEFINEs JVM-side into boolean flag columns
     flag_names = {}
     for var, body in defines.items():
         flag = f"__m_{var}"
         flag_names[var] = flag
         enriched = enriched.withColumn(flag, F.expr(body))
 
-    # measures need the referenced data columns + order + flags
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
     keep = list(
         dict.fromkeys(
@@ -120,72 +211,64 @@ def match_recognize(
         else:
             out_fields.append(StructField(out_col, slim.schema[col].dataType))
     out_schema = StructType(out_fields)
+    return steps, order_cols, flag_names, meas_cols, slim, out_schema
 
-    flag_list = [flag_names[v] for v in step_vars]
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    pattern: str,
+    defines: dict[str, str],
+    measures: dict[str, tuple[str, str, str]],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE subset (batch).
+
+    pattern: variable sequence with greedy quantifiers and alternation
+    groups, e.g. ``"A (B|E)+ C"``. Every variable must appear in
+    ``defines``.
+
+    defines: var → Spark SQL boolean expression over the row's
+    columns; ``prev_<col>`` pseudo-columns give PREV() access.
+
+    measures: out_col → (var, fn, col) with fn ∈ first|last|count
+    (count ignores col). The output carries the partition keys, a
+    per-partition ``match_seq``, and the measures.
+    """
+    import pandas as pd
+
+    steps, order_cols, flag_names, meas_cols, slim, out_schema = _prepare(
+        df, partition_by, order_by, pattern, defines, measures, tiebreak,
+        allow_prev=True,
+    )
     meas_items = list(measures.items())
 
     def match_one_key(pdf: "pd.DataFrame") -> list[dict]:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        flags = [pdf[f].fillna(False).to_numpy() for f in flag_list]
+        var_flags = {
+            v: pdf[f].fillna(False).to_numpy() for v, f in flag_names.items()
+        }
+        step_flags = []
+        for variables, _, _ in steps:
+            fl = var_flags[variables[0]]
+            for v in variables[1:]:
+                fl = fl | var_flags[v]
+            step_flags.append(fl)
         n = len(pdf)
-        # column arrays once per group — pdf.iloc row access per match
-        # per measure is the pandas slow path
         data = {c: pdf[c].to_numpy() for c in meas_cols}
         part_vals = {k: pdf[k].iloc[0] for k in partition_by} if n else {}
 
-        def try_match(start: int):
-            """Greedy with backtracking; returns per-step row index
-            lists or None."""
-
-            def go(step_idx: int, pos: int, acc):
-                if step_idx == len(steps):
-                    return acc if pos > start else None
-                _, lo, hi = steps[step_idx]
-                fl = flags[step_idx]
-                taken = []
-                p = pos
-                limit = n if hi is None else min(n, pos + hi)
-                while p < limit and fl[p]:
-                    taken.append(p)
-                    p += 1
-                while len(taken) >= lo:
-                    res = go(step_idx + 1, pos + len(taken), acc + [list(taken)])
-                    if res is not None:
-                        return res
-                    if not taken:
-                        break
-                    taken.pop()
-                return None
-
-            return go(0, start, [])
-
         rows = []
         seq = 0
-        i = 0
-        while i < n:
-            m = try_match(i)
-            if m is None:
-                i += 1
-                continue
+        for _start, m in _greedy_matches(step_flags, steps, n):
             seq += 1
-            var_rows = {step_vars[k]: m[k] for k in range(len(steps))}
             rec = dict(part_vals)
             rec["match_seq"] = seq
-            for out_col, (var, fn, col) in meas_items:
-                idxs = var_rows.get(var, [])
-                if fn == "count":
-                    rec[out_col] = len(idxs)
-                elif not idxs:
-                    rec[out_col] = None
-                elif fn == "first":
-                    rec[out_col] = data[col][idxs[0]]
-                elif fn == "last":
-                    rec[out_col] = data[col][idxs[-1]]
-                else:
-                    raise ValueError(f"unsupported measure fn: {fn}")
+            rec.update(
+                _measure_record(_attribute(m, steps, var_flags), meas_items, data)
+            )
             rows.append(rec)
-            last_row = max((ix for lst in m for ix in lst), default=i)
-            i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
         return rows
 
     cols = [f.name for f in out_schema.fields]
@@ -206,3 +289,135 @@ def match_recognize(
         .groupBy("__bucket")
         .applyInPandas(matcher, out_schema)
     )
+
+
+def stream_match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    pattern: str,
+    defines: dict[str, str],
+    measures: dict[str, tuple[str, str, str]],
+    tiebreak: str | None = None,
+    max_tail: int = 10_000,
+) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with cross-batch partial-match state
+    (the reference's NFA + SharedBuffer.java:54 on
+    ``applyInPandasWithState``).
+
+    Per key, state holds (match_seq, unconsumed tail rows). Each
+    micro-batch: tail + new rows are re-sorted by event time, the
+    greedy matcher runs, CLOSED matches emit (append mode), and the
+    rows after the last emitted match — including any still-extendable
+    held match — become the new tail. ``max_tail`` hard-caps state per
+    key (oldest rows dropped; the watermark analog of the reference's
+    state TTL).
+    """
+    import pandas as pd
+
+    steps, order_cols, flag_names, meas_cols, slim, out_schema = _prepare(
+        df, partition_by, order_by, pattern, defines, measures, tiebreak,
+        allow_prev=False,
+    )
+    meas_items = list(measures.items())
+    data_cols = [c for c in slim.columns if c not in partition_by]
+    # state field names are prefixed: a data column may itself be
+    # called "seq"/anything, and duplicate names in the state schema
+    # break the state encoder
+    state_schema = StructType(
+        [StructField("__seq", LongType())]
+        + [
+            StructField(f"__t_{c}", ArrayType(slim.schema[c].dataType))
+            for c in data_cols
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    # pandas concat against an (object-dtype) empty tail upcasts ints
+    # and bools to float — which the typed state encoder then silently
+    # NULLs out. Cast every value back to its Spark-declared python
+    # type before it enters state.
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType as _Long,
+        ShortType,
+    )
+
+    def _caster(dt):
+        import pandas as pd
+
+        if isinstance(dt, (ByteType, ShortType, IntegerType, _Long)):
+            return lambda x: None if pd.isna(x) else int(x)
+        if isinstance(dt, BooleanType):
+            return lambda x: None if pd.isna(x) else bool(x)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return lambda x: None if pd.isna(x) else float(x)
+        return lambda x: None if (x is None or x is pd.NaT) else x
+
+    casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            st = state.get
+            seq = st[0]
+            tail = pd.DataFrame(
+                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
+            )
+        else:
+            seq = 0
+            tail = pd.DataFrame({c: [] for c in data_cols})
+        frames = [p[data_cols] for p in pdfs if len(p)]
+        if not frames and not len(tail):
+            state.update((int(seq), *([] for _ in data_cols)))
+            return
+        allr = pd.concat([tail] + frames, ignore_index=True)
+        allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        var_flags = {
+            v: allr[f].fillna(False).to_numpy() for v, f in flag_names.items()
+        }
+        step_flags = []
+        for variables, _, _ in steps:
+            fl = var_flags[variables[0]]
+            for v in variables[1:]:
+                fl = fl | var_flags[v]
+            step_flags.append(fl)
+        n = len(allr)
+        data = {c: allr[c].to_numpy() for c in meas_cols}
+
+        rows = []
+        consumed_through = -1
+        for _start, m in _greedy_matches(step_flags, steps, n):
+            end = max((ix for lst in m for ix in lst), default=_start)
+            if end == n - 1 and _match_extendable(m, steps):
+                break  # held: a future row may extend it — keep in tail
+            seq += 1
+            rec = {k: key[i] for i, k in enumerate(partition_by)}
+            rec["match_seq"] = seq
+            rec.update(
+                _measure_record(_attribute(m, steps, var_flags), meas_items, data)
+            )
+            rows.append(rec)
+            consumed_through = end
+        new_tail = allr.iloc[consumed_through + 1 :]
+        if len(new_tail) > max_tail:
+            new_tail = new_tail.iloc[-max_tail:]
+        state.update(
+            (
+                int(seq),
+                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
+            )
+        )
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    out = slim.groupBy(*partition_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out

@@ -2075,6 +2075,44 @@ def q_window_session_dynamic(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "stream_match_funnel",
+    """
+    SELECT user_id, prev_id AS click_id, event_id AS purchase_id
+    FROM (SELECT user_id, event_id, event_type,
+                 lag(event_type) OVER w AS prev_et,
+                 lag(event_id) OVER w AS prev_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'purchase' AND prev_et = 'click'
+    """,
+)
+def q_stream_match_funnel(t: _T) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE (StreamExecMatch.scala:68 + NFA.java /
+    SharedBuffer.java:54): per-key partial-match state survives
+    micro-batch boundaries; the bounded replay matches the batch
+    funnel exactly."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table, stream_table
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    out = stream_match_recognize(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A B",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "click_id": ("A", "first", "event_id"),
+            "purchase_id": ("B", "last", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

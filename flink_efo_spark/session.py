@@ -149,8 +149,90 @@ class EfoSession:
         """Streaming scan of a created table, watermark applied."""
         return self._specs[name].scan(self.spark, streaming=True)
 
+    def create_table_like(
+        self,
+        name: str,
+        source: str,
+        path: str | None = None,
+        including_watermark: bool = True,
+        including_computed_columns: bool = True,
+        **option_overrides,
+    ):
+        """CREATE TABLE ... LIKE (SqlTableLike.java in the reference's
+        flink-sql-parser/ddl): clone an existing engine table's spec —
+        format, watermark, computed columns, connector options — into
+        a new table, with INCLUDING/EXCLUDING toggles and option
+        overrides (the LIKE clause's merge strategies)."""
+        src = self._specs.get(source)
+        if src is None:
+            raise ValueError(f"unknown source table: {source!r}")
+        merged = dict(src.options)
+        merged.update(option_overrides)
+        return self.create_table(
+            name,
+            path or src.path,
+            format=src.format,
+            watermark=src.watermark if including_watermark else None,
+            computed_columns=(
+                dict(src.computed_columns)
+                if including_computed_columns
+                else None
+            ),
+            **merged,
+        )
+
+    def alter_table(
+        self,
+        name: str,
+        rename_to: str | None = None,
+        set_options: dict | None = None,
+        add_computed_columns: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
+        set_watermark: tuple[str, str] | None = None,
+    ):
+        """ALTER TABLE (SqlAlterTable.java family: RENAME TO, SET
+        options, ADD/DROP columns, watermark changes): mutate the
+        engine spec and re-register the batch view so subsequent reads
+        see the new shape."""
+        spec = self._specs.get(name)
+        if spec is None:
+            raise ValueError(f"unknown table: {name!r}")
+        if set_options:
+            spec.options.update(set_options)
+        if add_computed_columns:
+            spec.computed_columns.update(add_computed_columns)
+        if drop_columns:
+            for c in drop_columns:
+                spec.computed_columns.pop(c, None)
+        if set_watermark is not None:
+            spec.watermark = set_watermark
+        if rename_to:
+            self.spark.catalog.dropTempView(name)
+            del self._specs[name]
+            spec.name = rename_to
+            self._specs[rename_to] = spec
+            name = rename_to
+        df = spec.scan(self.spark)
+        if drop_columns:
+            df = df.drop(*[c for c in drop_columns if c in df.columns])
+        df.createOrReplaceTempView(name)
+        return spec
+
     def show_tables(self):
         return self.spark.sql("SHOW TABLES")
+
+    def show_views(self):
+        """SHOW VIEWS (SqlShowViews.java)."""
+        return self.spark.sql("SHOW VIEWS")
+
+    def show_functions(self, pattern: str | None = None):
+        """SHOW FUNCTIONS (SqlShowFunctions.java): every SQL-callable
+        name — Spark builtins plus the engine's registered Flink
+        residue (SPLIT_INDEX, HASH_CODE, ...)."""
+        q = "SHOW FUNCTIONS"
+        if pattern is not None:
+            q += f" LIKE '{pattern}'"
+        return self.spark.sql(q)
 
     def describe_table(self, name: str):
         return self.spark.sql(f"DESCRIBE TABLE {name}")

@@ -399,6 +399,48 @@ def stream_top_n(
     return out
 
 
+def stream_sort_limit(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming GLOBAL sort-limit (StreamExecSortLimit.scala:50):
+    ``ORDER BY ... LIMIT n`` over the WHOLE stream, continuously
+    maintained — the keyless case stream_top_n cannot express.
+
+    Two levels, so the single global group never sees the raw stream:
+
+    1. a stateless ``mapInPandas`` prunes each input partition of each
+       micro-batch to its local top-n (the reference's local
+       SortLimit stage before the singleton exchange);
+    2. the pruned rows (≤ partitions × n per batch) merge into ONE
+       synthetic-key stateful top-n buffer (state = n rows total).
+
+    Output mode ``update`` (re-emits the buffer as it improves).
+    """
+    import pandas as pd
+
+    sort_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    sort_asc = [ascending] + ([True] if tiebreak else [])
+
+    def prune(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if len(pdf):
+                yield pdf.sort_values(
+                    sort_cols, ascending=sort_asc, kind="mergesort"
+                ).head(n)
+
+    pruned = df.mapInPandas(prune, df.schema)
+    keyed = pruned.withColumn("__g", F.lit(1))
+    out = stream_top_n(keyed, ["__g"], order_col, n, ascending, tiebreak).drop(
+        "__g"
+    )
+    out._efo_output_mode = "update"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming semi / anti joins (StreamingSemiAntiJoinOperator.java:36)
 # ---------------------------------------------------------------------------

@@ -171,3 +171,52 @@ def test_statement_set_multi_sink(env, tmp_path):
     ss.add_insert(p1, evens).add_insert(p2, big).execute()
     assert env.spark.read.parquet(p1).count() == 50
     assert env.spark.read.parquet(p2).count() == 10
+
+
+def test_create_table_like_and_alter(env, tmp_path):
+    """CREATE TABLE LIKE clones spec (schema/options/watermark/computed
+    columns); ALTER TABLE mutates options/columns and renames
+    (SqlTableLike.java / SqlAlterTable.java residue)."""
+    src = env.spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 2.0)], "id int, ts_str string, v double"
+    )
+    p1 = str(tmp_path / "base_tbl")
+    src.write.mode("overwrite").parquet(p1)
+    env.create_table(
+        "base_tbl", p1,
+        watermark=("ts", "5 minutes"),
+        computed_columns={"ts": "cast(ts_str as timestamp)", "v2": "v * 2"},
+    )
+    # LIKE: same spec over a second path
+    p2 = str(tmp_path / "like_tbl")
+    env.spark.createDataFrame(
+        [(9, "2024-02-01 00:00:00", 5.0)], "id int, ts_str string, v double"
+    ).write.mode("overwrite").parquet(p2)
+    spec = env.create_table_like("like_tbl", "base_tbl", path=p2)
+    assert spec.watermark == ("ts", "5 minutes")
+    [row] = env.sql("SELECT id, v2 FROM like_tbl").collect()
+    assert (row.id, row.v2) == (9, 10.0)
+    # EXCLUDING watermark
+    spec2 = env.create_table_like(
+        "like_nowm", "base_tbl", path=p2, including_watermark=False
+    )
+    assert spec2.watermark is None
+
+    # ALTER: add a computed column, then rename
+    env.alter_table("like_tbl", add_computed_columns={"v3": "v * 3"})
+    [row] = env.sql("SELECT v3 FROM like_tbl").collect()
+    assert row.v3 == 15.0
+    env.alter_table("like_tbl", rename_to="like_renamed")
+    assert env.sql("SELECT count(*) AS n FROM like_renamed").first().n == 1
+    # dropped computed column disappears from the view
+    env.alter_table("like_renamed", drop_columns=["v3"])
+    assert "v3" not in env.table("like_renamed").columns
+
+
+def test_show_functions_and_views(env):
+    fns = {r[0].lower() for r in env.show_functions().collect()}
+    # Spark builtin + engine-registered Flink residue both listed
+    assert "concat" in fns
+    assert "split_index" in fns and "hash_code" in fns
+    views = env.show_views()
+    assert "viewName" in views.columns or "namespace" in views.columns

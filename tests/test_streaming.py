@@ -450,6 +450,36 @@ def test_count_tumble_stream_matches_batch(spark, tmp_path):
     assert got_rows[0][2] == 3 and got_rows[1][2] == 3
 
 
+def test_stream_sort_limit_multibatch(spark, tmp_path):
+    """Keyless global sort-limit: the top-n buffer merges across
+    micro-batches; the final update equals the batch ORDER BY/LIMIT
+    (StreamExecSortLimit semantics)."""
+    src_dir = str(tmp_path / "ssl_src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 1.0)], "id int, v double"
+    ).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(4, 7.0), (5, 2.0), (6, 9.5)], "id int, v double"
+    ).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import run_stream_to_table, stream_sort_limit
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_sort_limit(src, "v", 3, ascending=False, tiebreak="id")
+    got = run_stream_to_table(out, update_keys=[])
+    assert sorted((r.id, r.v) for r in got.collect()) == [
+        (2, 9.0),
+        (4, 7.0),
+        (6, 9.5),
+    ]
+
+
 def test_stream_upsert_sink_multibatch(spark, tmp_path):
     """Updatable-sink demo (RetractableTopNFunction semantics): after
     a multi-batch replay through the keyed-upsert parquet sink, the

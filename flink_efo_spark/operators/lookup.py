@@ -72,6 +72,62 @@ def lookup_join_batched(
     return probe.mapInPandas(fn, out_schema)
 
 
+def lookup_join_async(
+    probe: DataFrame,
+    lookup_fn: Callable[[list], Mapping],
+    key_col: str,
+    value_fields: list[tuple[str, str]],
+    capacity: int = 10,
+    batch_size: int = 100,
+) -> DataFrame:
+    """ASYNC lookup join (AsyncLookupJoinRunner.java:52 +
+    AsyncWaitOperator ORDERED mode in the reference): up to
+    ``capacity`` lookup invocations in flight CONCURRENTLY per task,
+    so a slow external store overlaps rather than serializes — the
+    throughput gap the sync batched variant leaves on the table.
+
+    Per Arrow batch: distinct keys split into ``batch_size`` chunks,
+    chunks dispatched through a thread pool (``capacity`` workers),
+    results merged back positionally — row order is preserved, which
+    is exactly the reference's ORDERED output mode (the default).
+
+    ``lookup_fn(keys) -> {key: row_dict}`` must be thread-safe (the
+    reference imposes the same contract on its AsyncFunction).
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        probe.schema.fields
+        + [StructField(n, _parse_type(t)) for n, t in value_fields]
+    )
+    names = [n for n, _ in value_fields]
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=capacity) as pool:
+            for pdf in batches:
+                keys = list(pd.unique(pdf[key_col].dropna()))
+                chunks = [
+                    keys[i : i + batch_size]
+                    for i in range(0, len(keys), batch_size)
+                ]
+                found: dict = {}
+                for res in pool.map(lookup_fn, chunks):
+                    found.update(res)
+                for n in names:
+                    pdf = pdf.assign(
+                        **{
+                            n: pdf[key_col].map(
+                                lambda k: (found.get(k) or {}).get(n)
+                            )
+                        }
+                    )
+                yield pdf
+
+    return probe.mapInPandas(fn, out_schema)
+
+
 def _parse_type(ddl: str):
     from pyspark.sql.types import _parse_datatype_string
 

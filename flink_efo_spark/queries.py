@@ -2022,6 +2022,48 @@ def q_count_window_agg(t: _T) -> DataFrame:
 
 
 @_q(
+    "count_slide_agg",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s
+      FROM events)
+    SELECT user_id, CAST(rn / 2 AS INT) AS w_idx, CAST(c AS BIGINT) AS cnt,
+           round(s, 4) AS sum_value
+    FROM o WHERE rn % 2 = 0
+    """,
+)
+def q_count_slide_agg(t: _T) -> DataFrame:
+    """Streaming count-SLIDING window (DataStream ``countWindow(5, 2)``:
+    CountSlidingWindowAssigner + CountTrigger(2) + CountEvictor(5)):
+    every 2nd row fires the last ≤5 rows. Oracle = ROWS-frame window
+    + modulo filter."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_count_slide,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events")
+    out = stream_count_slide(
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"],
+        size=5,
+        slide=2,
+        value_col="value",
+        order_by=["ts", "event_id"],
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "w_idx", "cnt", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+@_q(
     "window_session_dynamic",
     """
     WITH e AS (

@@ -218,6 +218,62 @@ class EfoSession:
         df.createOrReplaceTempView(name)
         return spec
 
+    # -- partition DDL (SqlAddPartitions.java / SqlDropPartitions.java /
+    #    SqlShowPartitions.java residue) -------------------------------
+    def show_partitions(self, name: str):
+        """SHOW PARTITIONS for a file-backed engine table: Hive-style
+        ``k=v`` directories under the table path."""
+        import os
+
+        spec = self._specs.get(name)
+        if spec is None:
+            raise ValueError(f"unknown table: {name!r}")
+        parts = sorted(
+            d
+            for d in os.listdir(spec.path)
+            if "=" in d and os.path.isdir(os.path.join(spec.path, d))
+        )
+        return self.spark.createDataFrame(
+            [(p,) for p in parts], "partition string"
+        )
+
+    def add_partition(self, name: str, spec_kv: dict, data=None) -> None:
+        """ALTER TABLE ADD PARTITION: materialize the ``k=v`` directory
+        (optionally writing ``data`` into it) and refresh the view.
+        Partition columns come from directory names — Spark's
+        partition discovery picks them up on rescan."""
+        import os
+
+        spec = self._specs.get(name)
+        if spec is None:
+            raise ValueError(f"unknown table: {name!r}")
+        sub = os.path.join(
+            spec.path, *[f"{k}={v}" for k, v in spec_kv.items()]
+        )
+        if data is not None:
+            df = data.to_df() if hasattr(data, "to_df") else data
+            df.write.mode("overwrite").format(spec.format).save(sub)
+        else:
+            os.makedirs(sub, exist_ok=True)
+        spec.scan(self.spark).createOrReplaceTempView(name)
+
+    def drop_partition(self, name: str, spec_kv: dict) -> None:
+        """ALTER TABLE DROP PARTITION: remove the ``k=v`` directory
+        (destructive, like the reference's DROP PARTITION) and
+        refresh the view."""
+        import os
+        import shutil
+
+        spec = self._specs.get(name)
+        if spec is None:
+            raise ValueError(f"unknown table: {name!r}")
+        sub = os.path.join(
+            spec.path, *[f"{k}={v}" for k, v in spec_kv.items()]
+        )
+        if os.path.isdir(sub):
+            shutil.rmtree(sub)
+        spec.scan(self.spark).createOrReplaceTempView(name)
+
     def show_tables(self):
         return self.spark.sql("SHOW TABLES")
 

@@ -98,6 +98,29 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+def watermark_idleness_policy(spark: SparkSession, use_max: bool = True) -> None:
+    """Idle-source handling (WatermarksWithIdleness.java in the
+    reference): Flink marks a source idle after a timeout so it stops
+    holding back the min-aggregated watermark.
+
+    Spark's geometry differs: a SINGLE source has one global watermark
+    (max observed event time − delay), so idle *partitions* never
+    stall it — the reference's per-partition problem doesn't exist
+    here. The stall reappears across MULTIPLE watermarked inputs
+    (union / stream-stream join), where the query watermark is the
+    MIN of the inputs' by default: one idle input freezes event-time
+    progress exactly like a Flink source without idleness. The
+    idleness analog is the ``max`` multipleWatermarkPolicy — the
+    slowest input no longer gates the others (at the cost of
+    late-data risk on the idle input, the same trade
+    WatermarksWithIdleness makes).
+    """
+    spark.conf.set(
+        "spark.sql.streaming.multipleWatermarkPolicy",
+        "max" if use_max else "min",
+    )
+
+
 # ---------------------------------------------------------------------------
 # group windows (work on both batch and streaming frames)
 # ---------------------------------------------------------------------------
@@ -273,6 +296,106 @@ def stream_count_tumble(
                 yield out[[f.name for f in out_schema.fields]]
             pend = vals[n_complete * size :]
         state.update((int(w_base), list(pend)))
+
+    out = df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
+
+
+def count_slide_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    size: int,
+    slide: int,
+    value_col: str,
+) -> DataFrame:
+    """BATCH count-sliding window (CountSlidingWindowAssigner.java —
+    DataStream ``countWindow(size, slide)``: CountTrigger of ``slide``
+    + CountEvictor of ``size``): every ``slide``-th row fires a window
+    of the last ≤ ``size`` rows. Pure Catalyst: one ROWS-frame window
+    pass + a modulo filter. Output: keys + w_idx + cnt + sum_value."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    frame = w.rowsBetween(-(size - 1), Window.currentRow)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(frame))
+        .withColumn("sum_value", F.sum(value_col).over(frame))
+        .where(F.col("__rn") % slide == 0)
+        .withColumn("w_idx", (F.col("__rn") / slide).cast("int"))
+        .select(*keys, "w_idx", "cnt", "sum_value")
+    )
+
+
+def stream_count_slide(
+    df: DataFrame,
+    keys: list[str],
+    size: int,
+    slide: int,
+    value_col: str,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """STREAMING per-key count-sliding window
+    (CountSlidingWindowAssigner.java + CountTrigger.java:42 +
+    CountEvictor.java): fires every ``slide`` elements with the last
+    ≤ ``size`` elements. State per key is BOUNDED: total row count +
+    the last ``size - 1`` values (the evictor's retention)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+    )
+
+    key_fields = [StructField(k, df.schema[k].dataType) for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("w_idx", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("__total", LongType()),
+            StructField("__buf", ArrayType(DoubleType())),
+        ]
+    )
+    sort_cols = list(order_by) if order_by else None
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        total, buf = (state.get if state.exists else (0, []))
+        buf = list(buf)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            allr = pd.concat(frames, ignore_index=True)
+            if sort_cols:
+                allr = allr.sort_values(sort_cols, kind="mergesort")
+            base = total - len(buf)  # absolute 1-based row before A[0]+1
+            a = buf + [float(x) for x in allr[value_col]]
+            new_total = base + len(a)
+            first_fire = ((total // slide) + 1) * slide
+            recs = []
+            for t in range(first_fire, new_total + 1, slide):
+                start_abs = max(1, t - size + 1)
+                win = a[start_abs - base - 1 : t - base]
+                rec = {k: key[i] for i, k in enumerate(keys)}
+                rec["w_idx"] = int(t // slide)
+                rec["cnt"] = len(win)
+                rec["sum_value"] = float(sum(win))
+                recs.append(rec)
+            total = new_total
+            buf = a[-(size - 1) :] if size > 1 else []
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=[f.name for f in out_schema.fields]
+                )
+        state.update((int(total), list(buf)))
 
     out = df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"

@@ -34,3 +34,47 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["o_orderkey", "revenue", "orderdate_us"]
+
+
+def test_lookup_join_async_concurrent(spark):
+    """Async lookup join (AsyncLookupJoinRunner ORDERED mode): chunked
+    lookups run CONCURRENTLY (call intervals overlap) and results
+    merge back correctly with left-join NULLs."""
+    import time
+
+    probe = spark.range(0, 40).withColumnRenamed("id", "k").repartition(1)
+
+    def slow_lookup(keys):
+        t0 = time.monotonic()
+        time.sleep(0.15)
+        t1 = time.monotonic()
+        return {
+            k: {"v": f"dim_{k}", "call_start": t0, "call_end": t1}
+            for k in keys
+            if k % 2 == 0  # odd keys miss -> NULLs
+        }
+
+    from flink_efo_spark.operators.lookup import lookup_join_async
+
+    out = lookup_join_async(
+        probe,
+        slow_lookup,
+        "k",
+        [("v", "string"), ("call_start", "double"), ("call_end", "double")],
+        capacity=8,
+        batch_size=5,
+    ).collect()
+    got = {r.k: r.v for r in out}
+    assert got[2] == "dim_2" and got[1] is None
+    # 8 chunks of 5 keys; with capacity 8 their [start, end] intervals
+    # must overlap — serial execution would be strictly disjoint
+    intervals = sorted(
+        {(r.call_start, r.call_end) for r in out if r.call_start is not None}
+    )
+    assert len(intervals) == 8
+    overlaps = sum(
+        1
+        for (s1, e1), (s2, _) in zip(intervals, intervals[1:])
+        if s2 < e1
+    )
+    assert overlaps >= 4  # concurrent in-flight lookups, not serial

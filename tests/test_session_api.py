@@ -220,3 +220,44 @@ def test_show_functions_and_views(env):
     assert "split_index" in fns and "hash_code" in fns
     views = env.show_views()
     assert "viewName" in views.columns or "namespace" in views.columns
+
+
+def test_partition_ddl(env, tmp_path):
+    """ADD/DROP/SHOW PARTITIONS residue (SqlAddPartitions.java /
+    SqlDropPartitions.java): Hive-style k=v directories with
+    partition discovery on rescan."""
+    p = str(tmp_path / "part_tbl")
+    env.spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, pt string"
+    ).write.partitionBy("pt").parquet(p)
+    env.create_table("part_tbl", p)
+    parts = [r.partition for r in env.show_partitions("part_tbl").collect()]
+    assert parts == ["pt=a", "pt=b"]
+    assert env.sql("SELECT count(*) AS n FROM part_tbl").first().n == 3
+
+    env.add_partition(
+        "part_tbl", {"pt": "c"},
+        env.spark.createDataFrame([(9,)], "id int"),
+    )
+    assert env.sql(
+        "SELECT count(*) AS n FROM part_tbl WHERE pt = 'c'"
+    ).first().n == 1
+    env.drop_partition("part_tbl", {"pt": "a"})
+    assert env.sql("SELECT count(*) AS n FROM part_tbl").first().n == 2
+    parts = [r.partition for r in env.show_partitions("part_tbl").collect()]
+    assert parts == ["pt=b", "pt=c"]
+
+
+def test_watermark_idleness_policy(env):
+    from flink_efo_spark.streaming import watermark_idleness_policy
+
+    watermark_idleness_policy(env.spark, use_max=True)
+    assert (
+        env.spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        == "max"
+    )
+    watermark_idleness_policy(env.spark, use_max=False)
+    assert (
+        env.spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        == "min"
+    )

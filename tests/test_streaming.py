@@ -531,3 +531,50 @@ def test_stream_upsert_sink_multibatch(spark, tmp_path):
         for r in read_upsert_result(spark, out_dir, ["k"]).collect()
     }
     assert got2 == expected
+
+
+def test_count_slide_stream_matches_batch(spark, tmp_path):
+    """countWindow(size=4, slide=2): multi-batch replay fires the same
+    windows as the batch ROWS-frame bucketing, with the evictor buffer
+    carried across batches."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src_dir = str(tmp_path / "cs_src")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), float(m)) for m in range(3)],
+        "k int, ts timestamp, v double",
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), float(m)) for m in range(3, 7)],
+        "k int, ts timestamp, v double",
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import (
+        count_slide_agg,
+        run_stream_to_table,
+        stream_count_slide,
+    )
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    got = run_stream_to_table(
+        stream_count_slide(src, ["k"], size=4, slide=2, value_col="v",
+                           order_by=["ts"])
+    )
+    batch = count_slide_agg(
+        spark.read.option("recursiveFileLookup", "true").parquet(src_dir),
+        ["k"], ["ts"], size=4, slide=2, value_col="v",
+    )
+    got_rows = sorted((r.k, r.w_idx, r.cnt, r.sum_value) for r in got.collect())
+    batch_rows = sorted(
+        (r.k, r.w_idx, r.cnt, r.sum_value) for r in batch.collect()
+    )
+    assert got_rows == batch_rows
+    # 7 rows, slide 2 -> fires at rows 2,4,6; early window is partial
+    assert [(w, c) for _, w, c, _ in got_rows] == [(1, 2), (2, 4), (3, 4)]

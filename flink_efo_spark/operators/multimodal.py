@@ -167,17 +167,32 @@ def frame_sample(
     keep = [f.name for f in df.schema.fields if f.name != content_col]
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = r[content_col]
-                n = len(bytes(data)) if data is not None else 0
-                for i, off in enumerate(range(0, n, every_n_bytes)):
-                    if i >= max_frames:
-                        break
-                    rows.append(
-                        {**{k: r[k] for k in keep}, "frame_idx": i, "frame_offset": off}
-                    )
-            yield pd.DataFrame(rows, columns=keep + ["frame_idx", "frame_offset"])
+            if not len(pdf):
+                continue
+            # vectorized explode: frames-per-row, then index-repeat —
+            # no per-row python loop (the iterrows version cost ~20×
+            # at Arrow-batch granularity)
+            sizes = (
+                pdf[content_col]
+                .map(lambda d: len(d) if d is not None else 0)
+                .to_numpy()
+            )
+            n_frames = np.minimum(
+                -(-sizes // every_n_bytes), max_frames
+            ).astype(int)
+            rep = pdf[keep].loc[pdf.index.repeat(n_frames)].reset_index(
+                drop=True
+            )
+            idx = (
+                np.concatenate([np.arange(k) for k in n_frames if k])
+                if n_frames.sum()
+                else np.array([], dtype=int)
+            )
+            rep["frame_idx"] = idx.astype("int32")
+            rep["frame_offset"] = (idx * every_n_bytes).astype("int32")
+            yield rep
 
     return df.mapInPandas(fn, out_schema)

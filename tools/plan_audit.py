@@ -20,7 +20,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from flink_efo_spark.session import get_spark  # noqa: E402
 
 # queries where a nested-loop/cross shape is the intended plan
-INTENTIONAL_NLJ = {"cosine_topk"}
+# intentional broadcast nested-loop joins: the exact all-pairs
+# ground-truth scans (lsh_recall embeds cosine_topk as its truth side)
+INTENTIONAL_NLJ = {"cosine_topk", "lsh_recall"}
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}
 

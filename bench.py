@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "match_recognize_funnel",
     "stream_tumble",
     # round 3 additions: multi-join TPC-H shapes + stateful streaming
+    "tpch_q1_pricing",
     "tpch_q5_local_supplier",
     "tpch_q10_returns",
+    "tpch_q18_large_orders",
     "stream_asof_join",
     "count_window_agg",
 ]

@@ -1976,6 +1976,88 @@ def q_tpch_q10(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(t: _T) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical scan-heavy hash
+    aggregate (BatchExecHashAggregate.scala) — filter pushed to the
+    parquet scan, map-side partial aggregation, 6 aggregates in one
+    pass."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_tpch_q18(t: _T) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders via an IN (grouped
+    HAVING) subquery — Catalyst plans the subquery as a left-semi
+    aggregate join; the big lineitem join shuffles on orderkey only."""
+    li = t.lineitem
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    li2 = t.lineitem  # fresh scan for the detail join (self-join safe)
+    return (
+        t.orders.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li2, F.col("o_orderkey") == li2["l_orderkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 count windows (CountTumblingWindowAssigner.java, CountTrigger.java)
 # and dynamic-gap sessions (DynamicEventTimeSessionWindows.java:47)

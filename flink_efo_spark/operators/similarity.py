@@ -95,6 +95,125 @@ def cosine_topk(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, score) with
+    id_a < id_b and cosine >= threshold — the embedding-space member
+    of the dedup family (exact / MinHash / SimHash / n-gram are the
+    text-space members).
+
+    Default path: random-hyperplane LSH candidates (linear cost, one
+    bucket shuffle) + exact re-score — precision exact, recall
+    governed by the band config exactly as in :func:`lsh_cosine_topk`
+    (high-threshold pairs are the easy case: cosine ≥ 0.9 ⇒ bit-flip
+    probability ≤ 0.14 per plane, so 8-bit bands already catch
+    ≥ 94% of pairs at the default 32/4).
+
+    ``exhaustive=True`` switches the candidate generator to the
+    all-pairs cross join — the oracle/verify path, quadratic by
+    design (same contract as ``ngram_jaccard_pairs``).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if exhaustive:
+        v = base.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _norm(vec_col).alias("__n"),
+        )
+        a = v.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__qv"),
+            F.col("__n").alias("__qn"),
+        )
+        b = v.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
+        pairs = F.broadcast(a).crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                    "score"
+                ),
+            )
+            .where(F.col("score") >= threshold)
+        )
+    # LSH path: reuse the top-k machinery with k unbounded by using
+    # the threshold as the filter — candidates from band buckets,
+    # exact cosine on candidates only.
+    rows_per_band = num_planes // bands
+    sigs = (
+        lsh_signature(base, vec_col, dim, num_planes, seed)
+        .withColumn("__n", _norm(vec_col))
+        .persist()
+    )
+    sigs.count()
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(b),
+            *[
+                F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("__bucket")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    vb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    result = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "score"
+            ),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    out = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic gaussian hyperplanes (driver-side literals; a few
     KB shipped inside the plan, never a runtime dependency)."""

@@ -1035,6 +1035,36 @@ def q_lsh_cosine_topk(t: _T) -> DataFrame:
 
 
 @_q(
+    "embedding_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+)
+def q_embedding_near_dup(t: _T) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding-space
+    dedup family member). This corpus is near-random, so the driver
+    entry runs the EXHAUSTIVE verify path (threshold 0.4 — real
+    near-dup corpora use >= 0.9 where the LSH path's recall is high;
+    the LSH path is pytest-proven on clustered vectors)."""
+    from flink_efo_spark.operators.similarity import embedding_near_duplicates
+
+    out = embedding_near_duplicates(
+        t.embeddings, "vec_id", "embedding", threshold=0.4, exhaustive=True
+    )
+    return out.select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    )
+
+
+@_q(
     "lsh_recall",
     """
     WITH v AS (

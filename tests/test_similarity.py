@@ -37,3 +37,33 @@ def test_lsh_recall_on_identical_vectors(spark):
     out = lsh_cosine_topk(df, "vec_id", "embedding", dim=8, k=3)
     top = {r.vec_id: r.neighbor_id for r in out.collect() if r.rank == 1}
     assert top[0] == 100 and top[100] == 0
+
+
+def test_embedding_near_dup_lsh_matches_exhaustive(spark):
+    """On a clustered corpus (true near-dups, cosine >= ~0.95) the LSH
+    candidate path finds the same pairs as the exhaustive cross join."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(3):  # 3 near-identical members per cluster
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in base]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    from flink_efo_spark.operators.similarity import embedding_near_duplicates
+
+    lsh = embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.9, dim=64
+    )
+    exact = embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.9, dim=64, exhaustive=True
+    )
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exp = {(r.id_a, r.id_b) for r in exact.collect()}
+    # 10 clusters x 3 choose 2 = 30 within-cluster pairs
+    assert exp == got
+    assert len(exp) == 30

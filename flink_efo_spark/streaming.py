@@ -744,6 +744,7 @@ def stream_asof_join(
     build_value: str,
     watermark_delay: str | None = None,
     max_history: int | None = None,
+    build_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming row-time temporal (as-of) join: for each probe row,
     the latest build row with the same key and build_ts <= probe_ts.
@@ -770,7 +771,10 @@ def stream_asof_join(
     Probing is vectorized: one ``np.searchsorted`` over the sorted
     history per micro-batch, not a Python loop per probe row.
 
-    Output: probe columns + ``asof_ts`` + ``asof_value``.
+    Output: probe columns + ``asof_ts`` + ``asof_value`` (+ one
+    ``asof_<c>`` per extra column in ``build_cols`` — the WHOLE
+    matched build row rides along atomically, the reference's
+    whole-row emit).
     """
     import pandas as pd
     from pyspark.sql.types import ArrayType, StructField, TimestampType
@@ -778,6 +782,11 @@ def stream_asof_join(
     btt = build.schema[build_ts].dataType
     bvt = build.schema[build_value].dataType
     ts_is_timestamp = isinstance(btt, TimestampType)
+    extras = [
+        c
+        for c in (build_cols or [])
+        if c not in (build_value, build_ts, key)
+    ]
 
     probe_cols = [c for c in probe.columns]
     tagged_probe = probe.select(
@@ -785,6 +794,10 @@ def stream_asof_join(
         F.col(probe_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(bvt).alias("__bv"),
+        *[
+            F.lit(None).cast(build.schema[c].dataType).alias(f"__bx_{c}")
+            for c in extras
+        ],
         F.struct(*[F.col(c) for c in probe_cols]).alias("__p"),
     )
     tagged_build = build.select(
@@ -792,6 +805,7 @@ def stream_asof_join(
         F.col(build_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(build_value).alias("__bv"),
+        *[F.col(c).alias(f"__bx_{c}") for c in extras],
         F.lit(None).cast(tagged_probe.schema["__p"].dataType).alias("__p"),
     )
     unioned = tagged_probe.unionByName(tagged_build)
@@ -801,6 +815,10 @@ def stream_asof_join(
     out_schema = StructType(
         [StructField(f.name, f.dataType) for f in probe.schema.fields]
         + [StructField("asof_ts", btt), StructField("asof_value", bvt)]
+        + [
+            StructField(f"asof_{c}", build.schema[c].dataType)
+            for c in extras
+        ]
     )
     # state: parallel arrays of the build history (kept sorted by ts)
     state_schema = StructType(
@@ -808,15 +826,22 @@ def stream_asof_join(
             StructField("ts", ArrayType(btt)),
             StructField("v", ArrayType(bvt)),
         ]
+        + [
+            StructField(f"x_{c}", ArrayType(build.schema[c].dataType))
+            for c in extras
+        ]
     )
     out_cols = [f.name for f in out_schema.fields]
 
     def fn(k, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         hist_ts: list = []
         hist_v: list = []
+        hist_x: dict = {c: [] for c in extras}
         if state.exists:
             st = state.get
             hist_ts, hist_v = list(st[0]), list(st[1])
+            for i, c in enumerate(extras):
+                hist_x[c] = list(st[2 + i])
         probes = []
         for pdf in pdfs:
             if not len(pdf):
@@ -824,6 +849,8 @@ def stream_asof_join(
             b = pdf[pdf["__side"] == 0]
             hist_ts.extend(b["__ts"])
             hist_v.extend(b["__bv"])
+            for c in extras:
+                hist_x[c].extend(b[f"__bx_{c}"])
             probes.append(pdf[pdf["__side"] == 1])
         # (ts, value) sort: among equal-ts build rows the max value is
         # last, so the searchsorted probe deterministically picks it
@@ -838,6 +865,8 @@ def stream_asof_join(
         )
         hist_ts = [hist_ts[i] for i in order]
         hist_v = [hist_v[i] for i in order]
+        for c in extras:
+            hist_x[c] = [hist_x[c][i] for i in order]
 
         # --- state pruning (TemporalRowTimeJoinOperator.java:72's
         # cleanup-on-watermark-advance): versions at or below the
@@ -860,10 +889,17 @@ def stream_asof_join(
             if keep_from > 0:
                 hist_ts = hist_ts[keep_from:]
                 hist_v = hist_v[keep_from:]
+                for c in extras:
+                    hist_x[c] = hist_x[c][keep_from:]
         if max_history is not None and len(hist_ts) > max_history:
             hist_ts = hist_ts[-max_history:]
             hist_v = hist_v[-max_history:]
-        state.update((list(hist_ts), list(hist_v)))
+            for c in extras:
+                hist_x[c] = hist_x[c][-max_history:]
+        state.update(
+            (list(hist_ts), list(hist_v))
+            + tuple(list(hist_x[c]) for c in extras)
+        )
 
         if not probes:
             return
@@ -898,9 +934,15 @@ def stream_asof_join(
             )
             recs["asof_ts"] = picked_ts
             recs["asof_value"] = picked_v
+            for c in extras:
+                recs[f"asof_{c}"] = np.where(
+                    got, np.asarray(hist_x[c], dtype=object)[safe], None
+                )
         else:
             recs["asof_ts"] = pd.NaT if ts_is_timestamp else None
             recs["asof_value"] = None
+            for c in extras:
+                recs[f"asof_{c}"] = None
         yield recs[out_cols]
 
     out = unioned.groupBy("__k").applyInPandasWithState(

@@ -281,11 +281,11 @@ def test_stream_asof_join_cross_batch(spark, tmp_path):
     # batch 1: one build row; batch 2: one probe row after it
     spark.createDataFrame(
         [(1, base, 0, 10.0)], "k int, ts timestamp, side int, v double"
-    ).write.parquet(b_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(b_dir + "/f1.parquet")
     spark.createDataFrame(
         [(1, base + dt.timedelta(minutes=5), 1, 0.0)],
         "k int, ts timestamp, side int, v double",
-    ).write.parquet(b_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(b_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join
 
@@ -323,7 +323,7 @@ def test_stream_asof_join_state_bounded(spark, tmp_path):
             )
         spark.createDataFrame(
             rows, "k int, ts timestamp, side int, v double"
-        ).write.parquet(b_dir + f"/f{i}.parquet")
+        ).coalesce(1).write.parquet(b_dir + f"/f{i}.parquet")
 
     from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join
 
@@ -362,10 +362,10 @@ def test_run_stream_to_table_update_multibatch(spark, tmp_path):
     src_dir = str(tmp_path / "upd_src")
     spark.createDataFrame(
         [("a", 1.0), ("b", 2.0)], "k string, v double"
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [("a", 3.0)], "k string, v double"
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import run_stream_to_table
 
@@ -407,12 +407,12 @@ def test_count_tumble_stream_matches_batch(spark, tmp_path):
         [(1, base + dt.timedelta(minutes=m), float(m)) for m in (0, 1)]
         + [(2, base + dt.timedelta(minutes=m), 10.0 + m) for m in (0, 1)],
         "k int, ts timestamp, v double",
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [(1, base + dt.timedelta(minutes=m), float(m)) for m in (2, 3, 4)]
         + [(2, base + dt.timedelta(minutes=2), 12.0)],
         "k int, ts timestamp, v double",
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import (
         count_tumble_agg,
@@ -457,10 +457,10 @@ def test_stream_sort_limit_multibatch(spark, tmp_path):
     src_dir = str(tmp_path / "ssl_src")
     spark.createDataFrame(
         [(1, 5.0), (2, 9.0), (3, 1.0)], "id int, v double"
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [(4, 7.0), (5, 2.0), (6, 9.5)], "id int, v double"
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import run_stream_to_table, stream_sort_limit
 
@@ -493,12 +493,12 @@ def test_stream_upsert_sink_multibatch(spark, tmp_path):
     spark.createDataFrame(
         [("a", base, 1.0), ("a", base, 5.0), ("b", base, 7.0)],
         "k string, ts timestamp, score double",
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [("a", base + dt.timedelta(minutes=1), 9.0),
          ("b", base + dt.timedelta(minutes=1), 3.0)],
         "k string, ts timestamp, score double",
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import (
         compact_upsert,
@@ -544,11 +544,11 @@ def test_count_slide_stream_matches_batch(spark, tmp_path):
     spark.createDataFrame(
         [(1, base + dt.timedelta(minutes=m), float(m)) for m in range(3)],
         "k int, ts timestamp, v double",
-    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [(1, base + dt.timedelta(minutes=m), float(m)) for m in range(3, 7)],
         "k int, ts timestamp, v double",
-    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     from flink_efo_spark.streaming import (
         count_slide_agg,
@@ -578,3 +578,44 @@ def test_count_slide_stream_matches_batch(spark, tmp_path):
     assert got_rows == batch_rows
     # 7 rows, slide 2 -> fires at rows 2,4,6; early window is partial
     assert [(w, c) for _, w, c, _ in got_rows] == [(1, 2), (2, 4), (3, 4)]
+
+
+def test_stream_asof_join_multi_column(spark, tmp_path):
+    """stream_asof_join with build_cols: the WHOLE matched build row
+    is emitted atomically — a NULL in the latest build row surfaces as
+    NULL, never backfilled from an older version (whole-row emit,
+    mirroring the batch asof_join contract)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    src_dir = str(tmp_path / "asof_mc")
+    spark.createDataFrame(
+        [
+            (1, base, 0, 1.0, "old_w"),
+            (1, base + dt.timedelta(minutes=5), 0, 2.0, None),
+        ],
+        "k int, ts timestamp, side int, v double, w string",
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=6), 1, 0.0, None)],
+        "k int, ts timestamp, side int, v double, w string",
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f2.parquet")
+
+    from flink_efo_spark.streaming import run_stream_to_table, stream_asof_join
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    probe = src.where(F.col("side") == 1).select("k", "ts")
+    build = src.where(F.col("side") == 0).select("k", "ts", "v", "w")
+    out = stream_asof_join(
+        probe, build, "k", "ts", "ts", "v", build_cols=["w"]
+    )
+    [row] = run_stream_to_table(out).collect()
+    assert row.asof_value == 2.0
+    # latest build row's w is NULL — must NOT leak "old_w"
+    assert row.asof_w is None

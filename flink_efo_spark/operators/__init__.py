@@ -24,7 +24,11 @@ from flink_efo_spark.operators.dedup import (
     simhash_near_duplicates,
     simhash_signatures,
 )
-from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_efo_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from flink_efo_spark.operators.text import (
     doc_fingerprint,
     lang_id,
@@ -51,6 +55,7 @@ __all__ = [
     "simhash_near_duplicates",
     "simhash_signatures",
     "cosine_topk",
+    "ivf_cosine_topk",
     "lsh_cosine_topk",
     "doc_fingerprint",
     "lang_id",

@@ -68,17 +68,33 @@ def dedup_exact(
     The fingerprint is md5 of (optionally normalized) text — a
     shuffle on a 32-char key instead of the full document, which is
     what makes this viable at 100 TB.
+
+    Physical shape: ``min_by(struct(all cols), id)`` aggregation, NOT
+    ``row_number() OVER (PARTITION BY fingerprint)``. The window form
+    shuffles EVERY row to its fingerprint partition and sorts there;
+    the aggregate form does a map-side partial combine (Spark plans a
+    partial SortAggregate — struct buffers aren't hash-aggregable —
+    so each input partition is sorted locally, but only one candidate
+    survivor per fingerprint per partition reaches the shuffle). At
+    100 TB that is the difference between shuffling the corpus and
+    shuffling ~one row per distinct document.
     """
     content = F.col(text_col)
     if normalize:
         content = F.regexp_replace(F.lower(F.trim(content)), r"\s+", " ")
-    with_fp = df.withColumn("fingerprint", F.md5(content))
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    cols = df.columns
     return (
-        with_fp.withColumn("__rn", F.row_number().over(w))
-        .withColumn("group_size", F.count("*").over(Window.partitionBy("fingerprint")))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("fingerprint", F.md5(content))
+        .groupBy("fingerprint")
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count("*").alias("group_size"),
+        )
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in cols],
+            "fingerprint",
+            "group_size",
+        )
     )
 
 

@@ -214,6 +214,144 @@ def embedding_near_duplicates(
     return out
 
 
+def ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the ``n_cells`` rows
+    with the smallest ``md5(cast(id as string))`` — a seeded pseudo-
+    random sample that any engine can reproduce with the same ORDER
+    BY, which is what makes the IVF index oracle-checkable (FAISS
+    trains k-means; sampled centroids are the standard zero-training
+    degenerate quantizer and keep the contract exact).
+
+    Driver-side action, but only ``n_cells`` rows ever reach the
+    driver (the index metadata, not the data)."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(rows)]
+
+
+def _centroid_array(cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as ONE literal array<struct<cid,cv>> column — plan
+    constants shipped with the task (same pattern as the LSH
+    hyperplanes), so cell assignment is a narrow map: no join, no
+    shuffle, prunable at the scan."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _cell_scores(vec_col: str) -> Column:
+    """Per-row array of struct(score, -cid) vs every centroid; cosine
+    via the same sequential fold as :func:`_dot` so the oracle's
+    ``list_dot_product`` reproduces it bit-for-bit. The centroid norm
+    is folded in-plan from the literal floats (NOT precomputed on the
+    driver) so both engines derive it with the identical op sequence."""
+    return F.expr(
+        f"transform(__cents, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) "
+        f"/ (__n * sqrt(aggregate(c.cv, cast(0.0 as double), "
+        f"(acc, v) -> acc + v * v))) as s, "
+        f"-c.cid as ncid))"
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine: the second ANN
+    path next to :func:`lsh_cosine_topk`, trading the LSH bucket join
+    for a partition-pruned cell scan.
+
+    Index: every corpus vector is assigned to its nearest of
+    ``n_cells`` deterministic centroids (:func:`ivf_centroids`) — a
+    narrow map over literal centroids, no shuffle. Search: each query
+    probes its ``nprobe`` nearest cells and re-scores exactly ONLY
+    the vectors assigned there, so the scan cost per query is
+    ``nprobe/n_cells`` of the corpus instead of all of it. Recall < 1
+    when a true neighbor lives in an unprobed cell — precision is
+    exact (same approximate contract as LSH).
+
+    Scale (100 TB): materialize the assignment once and write the
+    corpus ``partitionBy("cell")`` — probing then becomes static
+    partition pruning at the parquet scan (only nprobe/n_cells of the
+    files are read); the broadcast side is |queries| × nprobe cell
+    rows. Ties in the argmax break toward the smaller cid
+    (struct(score, -cid) max — reproduced by the oracle's ORDER BY
+    score DESC, cid).
+
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    cents = ivf_centroids(corpus, corpus_id, vec_col, n_cells)
+    carr = _centroid_array(cents)
+
+    assigned = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _norm(vec_col).alias("__cn"),
+        )
+        .withColumn("__n", F.col("__cn"))
+        .withColumn("__cents", carr)
+        .withColumn("cell", -F.array_max(_cell_scores("__cv")).getField("ncid"))
+        .drop("__cents", "__n")
+    )
+    probes = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            _norm(vec_col).alias("__qn"),
+        )
+        .withColumn("__n", F.col("__qn"))
+        .withColumn("__cents", carr)
+        .withColumn("__scored", _cell_scores("__qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(reverse(array_sort(__scored)), 1, {nprobe}), "
+                    f"p -> -p.ncid)"
+                )
+            ),
+        )
+        .select("__qid", "__qv", "__qn", "cell")
+    )
+    pairs = F.broadcast(probes).join(assigned, "cell")
+    if exclude_self:
+        pairs = pairs.where(F.col("__qid") != F.col("neighbor_id"))
+    scored = pairs.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic gaussian hyperplanes (driver-side literals; a few
     KB shipped inside the plan, never a runtime dependency)."""

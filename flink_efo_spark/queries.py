@@ -1034,6 +1034,71 @@ def q_lsh_cosine_topk(t: _T) -> DataFrame:
     )
 
 
+_IVF_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings),
+    cents AS (
+      SELECT (row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cid,
+             e AS ce, n AS cn
+      FROM v
+      QUALIFY row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS cell, e, n FROM (
+        SELECT v.vec_id, c.cid, v.e, v.n,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, c.ce) / (v.n * c.cn) DESC,
+                          c.cid) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, c.ce) / (q.n * c.cn) DESC,
+                          c.cid) AS rn
+        FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN cents c)
+      WHERE rn <= 4),
+    scored AS (
+      SELECT p.vec_id, a.neighbor_id,
+             list_dot_product(q.e, a.e) / (q.n * a.n) AS score
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell AND a.neighbor_id != p.vec_id
+      JOIN v q ON q.vec_id = p.vec_id)
+    SELECT vec_id, neighbor_id, round(score, 6) AS score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT vec_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@_q("ivf_cosine_topk", _IVF_ORACLE)
+def q_ivf_cosine_topk(t: _T) -> DataFrame:
+    """IVF ANN (the second approximate path next to LSH) — EXACTLY
+    oracle-checked: centroids are a deterministic md5-ordered sample,
+    so DuckDB replays centroid selection, cell assignment, nprobe
+    probing, and exact re-scoring; the row sets must match
+    bit-for-bit."""
+    from flink_efo_spark.operators.similarity import ivf_cosine_topk
+
+    emb = t.embeddings
+    out = ivf_cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, "vec_id", "vec_id",
+        vec_col="embedding", k=5, n_cells=16, nprobe=4,
+    )
+    return out.select(
+        "vec_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @_q(
     "embedding_near_dup",
     """

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
 
 
@@ -67,3 +69,52 @@ def test_embedding_near_dup_lsh_matches_exhaustive(spark):
     # 10 clusters x 3 choose 2 = 30 within-cluster pairs
     assert exp == got
     assert len(exp) == 30
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """IVF with enough probes finds the exact top-k on a clustered
+    corpus: cluster members share a cell (their mutual cosine is far
+    above cross-cluster), so probing the query's own top cells covers
+    the true neighbors."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(8):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(6):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in base]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    from flink_efo_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    q = df.where(F.col("vec_id") % 6 == 0)  # one query per cluster
+    exact = cosine_topk(q, df, "vec_id", "vec_id", "embedding", k=3)
+    ivf = ivf_cosine_topk(
+        q, df, "vec_id", "vec_id", "embedding", k=3, n_cells=8, nprobe=2
+    )
+    truth = {(r.vec_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.vec_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9
+
+
+def test_ivf_cell_assignment_deterministic(spark):
+    """Centroid sampling and cell assignment are deterministic across
+    invocations (md5-ordered sample, no RNG state)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    from flink_efo_spark.operators.similarity import ivf_centroids
+
+    c1 = ivf_centroids(df, "vec_id", "embedding", 4)
+    c2 = ivf_centroids(df, "vec_id", "embedding", 4)
+    assert c1 == c2
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]

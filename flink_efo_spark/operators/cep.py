@@ -76,9 +76,15 @@ def _parse_pattern(pattern: str) -> list[Step]:
     return steps
 
 
-def _greedy_matches(step_flags, steps: list[Step], n: int):
+def _greedy_matches(step_flags, steps: list[Step], n: int, ts=None, within=None):
     """Yield (start, per-step index lists) matches in scan order with
-    AFTER MATCH SKIP PAST LAST ROW (greedy with backtracking)."""
+    AFTER MATCH SKIP PAST LAST ROW (greedy with backtracking).
+
+    ``ts``/``within``: the reference's ``Pattern.within()`` NFA
+    timeout (NFA.java windowTime) — a branch may only consume row
+    ``p`` while ``ts[p] - ts[start] <= within``, so backtracking
+    naturally finds the matches that fit the window instead of
+    rejecting whole matches after the fact."""
 
     def try_match(start: int):
         def go(step_idx: int, pos: int, acc):
@@ -89,7 +95,11 @@ def _greedy_matches(step_flags, steps: list[Step], n: int):
             taken = []
             p = pos
             limit = n if hi is None else min(n, pos + hi)
-            while p < limit and fl[p]:
+            while (
+                p < limit
+                and fl[p]
+                and (within is None or ts[p] - ts[start] <= within)
+            ):
                 taken.append(p)
                 p += 1
             while len(taken) >= lo:
@@ -112,6 +122,19 @@ def _greedy_matches(step_flags, steps: list[Step], n: int):
         yield i, m
         last_row = max((ix for lst in m for ix in lst), default=i)
         i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
+
+
+def _ts_and_window(series, within):
+    """(order-by values, scaled window). Datetime columns compare in
+    exact int64 nanoseconds (``within`` given in seconds); numeric
+    columns compare raw (``within`` in the column's own units) — no
+    float rounding at the window boundary either way."""
+    import numpy as np
+
+    arr = series.to_numpy()
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[ns]").astype("int64"), int(within * 1e9)
+    return arr, within
 
 
 def _match_extendable(m, steps: list[Step]) -> bool:
@@ -222,6 +245,7 @@ def match_recognize(
     defines: dict[str, str],
     measures: dict[str, tuple[str, str, str]],
     tiebreak: str | None = None,
+    within: float | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE subset (batch).
 
@@ -235,6 +259,10 @@ def match_recognize(
     measures: out_col → (var, fn, col) with fn ∈ first|last|count
     (count ignores col). The output carries the partition keys, a
     per-partition ``match_seq``, and the measures.
+
+    within: max seconds from a match's first to last row — the
+    reference's ``Pattern.within()`` (flink-cep NFA.java windowTime);
+    branches that would exceed the window are pruned during search.
     """
     import pandas as pd
 
@@ -258,10 +286,15 @@ def match_recognize(
         n = len(pdf)
         data = {c: pdf[c].to_numpy() for c in meas_cols}
         part_vals = {k: pdf[k].iloc[0] for k in partition_by} if n else {}
+        ts, win = (
+            _ts_and_window(pdf[order_by], within)
+            if within is not None
+            else (None, None)
+        )
 
         rows = []
         seq = 0
-        for _start, m in _greedy_matches(step_flags, steps, n):
+        for _start, m in _greedy_matches(step_flags, steps, n, ts, win):
             seq += 1
             rec = dict(part_vals)
             rec["match_seq"] = seq
@@ -300,6 +333,7 @@ def stream_match_recognize(
     measures: dict[str, tuple[str, str, str]],
     tiebreak: str | None = None,
     max_tail: int = 10_000,
+    within: float | None = None,
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE with cross-batch partial-match state
     (the reference's NFA + SharedBuffer.java:54 on
@@ -312,6 +346,15 @@ def stream_match_recognize(
     held match — become the new tail. ``max_tail`` hard-caps state per
     key (oldest rows dropped; the watermark analog of the reference's
     state TTL).
+
+    within: ``Pattern.within()`` in seconds — besides constraining
+    matches, it PRUNES tail state: a tail row older than
+    ``max_seen_ts - within`` cannot co-occur in a window with any
+    newer row, so it is dropped (the reference's NFA state cleanup on
+    watermark advance, NFA.java windowTime). Held partial matches are
+    never pruned — their rows are within the window of the newest row
+    by construction. This turns unbounded no-match state into bounded
+    state without ``max_tail`` heuristics.
     """
     import pandas as pd
 
@@ -389,10 +432,15 @@ def stream_match_recognize(
             step_flags.append(fl)
         n = len(allr)
         data = {c: allr[c].to_numpy() for c in meas_cols}
+        ts, win = (
+            _ts_and_window(allr[order_by], within)
+            if within is not None
+            else (None, None)
+        )
 
         rows = []
         consumed_through = -1
-        for _start, m in _greedy_matches(step_flags, steps, n):
+        for _start, m in _greedy_matches(step_flags, steps, n, ts, win):
             end = max((ix for lst in m for ix in lst), default=_start)
             if end == n - 1 and _match_extendable(m, steps):
                 break  # held: a future row may extend it — keep in tail
@@ -405,6 +453,11 @@ def stream_match_recognize(
             rows.append(rec)
             consumed_through = end
         new_tail = allr.iloc[consumed_through + 1 :]
+        if within is not None and len(new_tail):
+            # NFA window cleanup: rows that can no longer share a
+            # within-window with any future (>= max seen ts) row
+            tail_ts = ts[consumed_through + 1 :]
+            new_tail = new_tail[tail_ts >= ts[n - 1] - win]
         if len(new_tail) > max_tail:
             new_tail = new_tail.iloc[-max_tail:]
         state.update(

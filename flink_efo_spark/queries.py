@@ -1677,6 +1677,44 @@ def q_match_recognize_funnel(t: _T) -> DataFrame:
 
 
 @_q(
+    "funnel_within",
+    """
+    SELECT user_id, prev_id AS click_id, event_id AS purchase_id
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER w AS prev_et,
+                 lag(event_id) OVER w AS prev_id,
+                 lag(ts) OVER w AS prev_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'purchase' AND prev_et = 'click'
+      AND epoch_us(ts) - epoch_us(prev_ts) <= 120 * 1000000
+    """,
+)
+def q_funnel_within(t: _T) -> DataFrame:
+    """MATCH_RECOGNIZE with Pattern.within() (flink-cep NFA.java
+    windowTime): the click→purchase funnel only matches when the
+    purchase lands within 120 s of the click. For a length-2 adjacent
+    pattern the lag-based oracle plus an exact microsecond gap filter
+    reproduces the NFA window semantics."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    out = match_recognize(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A B",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "click_id": ("A", "first", "event_id"),
+            "purchase_id": ("B", "last", "event_id"),
+        },
+        tiebreak="event_id",
+        within=120.0,
+    )
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+@_q(
     "stream_interval_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS error_id,
@@ -1824,6 +1862,42 @@ def q_stream_group_agg(t: _T) -> DataFrame:
     )
     assert infer_output_mode(agg) == "update"
     return run_stream_to_table(agg)
+
+
+@_q(
+    "stream_upsert_changelog",
+    """
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_upsert_changelog(t: _T) -> DataFrame:
+    """Changelog/retraction round-trip THROUGH A REAL SINK: the
+    update-mode group aggregate (the reference's retract stream,
+    GroupAggFunction.java:43 emitting -U/+U) is driven through the
+    log-structured parquet upsert sink (stream_upsert_sink) over a
+    GENUINE multi-batch replay (the source is re-laid-out as 4 files,
+    maxFilesPerTrigger=1 → 4 triggers, each re-emitting updated
+    groups), then resolved last-writer-wins. The final table must
+    equal the batch GROUP BY — the end-to-end proof that a user gets
+    a correct continuously-updated sink, not just a correct in-memory
+    harness result."""
+    import tempfile
+
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = tempfile.mkdtemp(prefix="efo-chlog-src-") + "/data"
+    t.events.select("event_type", "value").repartition(4).write.parquet(src_dir)
+    schema = t.spark.read.parquet(src_dir).schema
+    src = (
+        t.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return run_stream_to_table(agg, update_keys=["event_type"])
 
 
 @_q(
@@ -2068,6 +2142,87 @@ def q_tpch_q10(t: _T) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+@_q(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_us(o.o_orderdate) AS o_orderdate_us
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(t: _T) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter
+    (c_mktsegment) → join fact chain → agg → top-N. The customer
+    filter is pushed to the scan and the filtered customer side is
+    the small one — AQE broadcast-joins it against orders; lineitem's
+    shipdate predicate prunes before the join."""
+    return (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(
+            t.lineitem.where(
+                F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")).alias(
+                "o_orderdate_us"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q6_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(t: _T) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate;
+    every predicate reaches the parquet scan (PushedFilters) and the
+    whole plan is one codegen stage with a partial/final agg pair —
+    the canonical 'no shuffle but one row' query."""
+    return t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
     )
 
 

@@ -155,11 +155,11 @@ def test_stream_match_cross_batch(spark, tmp_path):
     spark.createDataFrame(
         [("u1", 1, "click", 1.0), ("u1", 2, "view", 2.0)],
         "k string, seq int, et string, v double",
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     spark.createDataFrame(
         [("u1", 3, "purchase", 9.0), ("u2", 1, "click", 0.5)],
         "k string, seq int, et string, v double",
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     schema = spark.read.parquet(src_dir + "/f1.parquet").schema
     src = (
@@ -201,12 +201,12 @@ def test_stream_match_held_then_closed(spark, tmp_path):
     spark.createDataFrame(
         [("u1", 1, "click", 1.0), ("u1", 2, "view", 2.0)],
         "k string, seq int, et string, v double",
-    ).write.parquet(src_dir + "/f1.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
     # the error row closes the A B+ match without joining it
     spark.createDataFrame(
         [("u1", 3, "view", 3.0), ("u1", 4, "error", 0.0)],
         "k string, seq int, et string, v double",
-    ).write.parquet(src_dir + "/f2.parquet")
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
 
     schema = spark.read.parquet(src_dir + "/f1.parquet").schema
     src = (
@@ -232,3 +232,87 @@ def test_stream_match_held_then_closed(spark, tmp_path):
     # batch 1 alone would greedily emit (A, 1 view) — the hold rule
     # waits, batch 2 extends to 2 views and the error row closes it
     assert got == [("u1", 1, 2)]
+
+
+def test_within_batch_rejects_slow_funnel(spark):
+    """Pattern.within(): the A->B funnel only matches when B arrives
+    inside the window; backtracking finds the LATER in-window A
+    instead of rejecting outright."""
+    rows = [
+        ("u1", 0.0, "start"),   # A at t=0
+        ("u1", 100.0, "done"),  # B too late for t=0, matches nothing else
+        ("u2", 0.0, "start"),
+        ("u2", 5.0, "done"),    # inside the 10s window
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, et string")
+    out = match_recognize(
+        df, ["k"], "ts",
+        pattern="A B",
+        defines={"A": "et = 'start'", "B": "et = 'done'"},
+        measures={"a_ts": ("A", "first", "ts"), "b_ts": ("B", "last", "ts")},
+        within=10.0,
+    )
+    got = {(r.k, r.a_ts, r.b_ts) for r in out.collect()}
+    assert got == {("u2", 0.0, 5.0)}
+
+
+def test_within_batch_backtracks_to_fitting_match(spark):
+    """Greedy B+ would exceed the window; within-pruning makes the
+    branch stop consuming at the window edge, still yielding the
+    in-window prefix match."""
+    rows = [
+        ("u1", 0.0, "start"),
+        ("u1", 2.0, "view"),
+        ("u1", 4.0, "view"),
+        ("u1", 50.0, "view"),  # outside within=10 of t=0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, et string")
+    out = match_recognize(
+        df, ["k"], "ts",
+        pattern="A B+",
+        defines={"A": "et = 'start'", "B": "et = 'view'"},
+        measures={"n_views": ("B", "count", "ts")},
+        within=10.0,
+    )
+    got = [(r.k, r.n_views) for r in out.collect()]
+    assert got == [("u1", 2)]
+
+
+def test_within_stream_prunes_state(spark, tmp_path):
+    """Streaming within: (1) an in-window cross-batch funnel still
+    matches; (2) rows outside any possible window are pruned from
+    tail state (bounded NFA state, not max_tail heuristics)."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = str(tmp_path / "cep_within")
+    spark.createDataFrame(
+        [("u1", 0.0, "start"), ("u1", 3.0, "view"), ("u2", 0.0, "start")],
+        "k string, ts double, et string",
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        # u1 closes in-window; u2's done is way outside the window —
+        # its buffered 'start' must have been pruned, no match
+        [("u1", 5.0, "done"), ("u2", 100.0, "done")],
+        "k string, ts double, et string",
+    ).coalesce(1).coalesce(1).write.parquet(src_dir + "/f2.parquet")
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_match_recognize(
+        src,
+        ["k"], "ts",
+        pattern="A B* C",
+        defines={
+            "A": "et = 'start'", "B": "et = 'view'", "C": "et = 'done'",
+        },
+        measures={"a_ts": ("A", "first", "ts"), "c_ts": ("C", "last", "ts")},
+        within=10.0,
+    )
+    got = {(r.k, r.a_ts, r.c_ts) for r in run_stream_to_table(out).collect()}
+    assert got == {("u1", 0.0, 5.0)}

@@ -1,0 +1,115 @@
+"""Duplicate-group clustering: connected components over a pair list.
+
+A near-dup pipeline (MinHash/SimHash/embedding-cosine) emits *pairs*;
+to deduplicate a corpus you need *clusters* — the transitive closure
+of pairs — so one representative per cluster survives. The reference
+descopes general iterations (SURVEY §2.11; Flink's DataSet iterations
+live in flink-java/.../IterativeDataSet.java:42), but duplicate
+clustering is a bounded, data-driven special case every training-data
+pipeline needs, so it is first-class here.
+
+Algorithm: iterative min-label propagation (the "hash-to-min" /
+large-star flavor of map-reduce connected components, cf. Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixed point. Convergence takes O(log d) rounds on
+pathological chains and 1-2 rounds on real near-dup clusters (which
+are tiny and dense — dup groups, not social graphs).
+
+100 TB design notes:
+
+* State per round is ``(node, label)`` — two longs — NEVER document
+  bodies; edges are ``(src, dst)`` pairs from the LSH stage.
+* Each round is one shuffle on node id (the groupBy-min); the edge
+  relation is re-joined per round and should be persisted by the
+  caller if it was expensive to produce.
+* ``localCheckpoint`` truncates the lineage each round so the plan
+  does not grow with iteration count (the classic iterative-Spark
+  trap); on a cluster use ``spark.sparkContext.setCheckpointDir`` +
+  ``checkpoint(eager=True)`` for fault-tolerant truncation instead.
+* The convergence test is a single count() of changed labels — one
+  lightweight action per round, unavoidable for a data-dependent
+  fixed point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected graph given by
+    ``pairs`` → ``(node, cluster_id)`` where ``cluster_id`` is the
+    smallest node id reachable from ``node``.
+
+    Only nodes that appear in at least one pair are returned
+    (isolated nodes are their own singleton cluster by definition —
+    callers join survivors back against the corpus).
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    # undirected: keep each edge once, smaller id first
+    edges = (
+        pairs.select(
+            F.least(src, dst).alias("__src"), F.greatest(src, dst).alias("__dst")
+        )
+        .where(F.col("__src") != F.col("__dst"))
+        .distinct()
+        .persist()
+    )
+
+    labels = (
+        edges.select(F.col("__src").alias("node"))
+        .union(edges.select(F.col("__dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # propagate labels both directions across each edge
+        fwd = edges.join(labels, edges["__src"] == labels["node"]).select(
+            F.col("__dst").alias("node"), "cluster_id"
+        )
+        bwd = edges.join(labels, edges["__dst"] == labels["node"]).select(
+            F.col("__src").alias("node"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(fwd)
+            .unionByName(bwd)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels
+
+
+def dup_cluster_stats(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Per-cluster stats: ``(cluster_id, cluster_size, keep_id)``
+    where ``keep_id`` is the surviving representative (min id — same
+    rule as :func:`flink_efo_spark.operators.dedup.dedup_exact`)."""
+    cc = connected_components(pairs, src_col, dst_col)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("keep_id"),
+    )

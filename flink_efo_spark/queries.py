@@ -2513,6 +2513,418 @@ def q_stream_sort_limit(t: _T) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H round 3b: Q7/Q13/Q14/Q15/Q17 shapes (the reference's batch SQL
+# corpus exercises these in flink-table-planner-blink ITCases; tables
+# here lack partsupp/shipmode/phone so shapes are adapted, noted per
+# query)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q7_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(t: _T) -> DataFrame:
+    """TPC-H Q7 shape (nation-pair volume): 5-way join where the two
+    nation sides broadcast, the OR-of-pairs predicate prunes after the
+    dim joins, and the fact chain shuffles on its join keys only."""
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.supplier.join(t.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(t: _T) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with an extra non-equi conjunct, double aggregation. The
+    second groupBy keys on the first agg's output — tiny shuffle."""
+    return (
+        t.customer.join(
+            t.orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_q(
+    "tpch_q14_promo",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q_tpch_q14(t: _T) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate
+    over a fact ⋈ broadcast-dim join; shipdate range reaches the
+    parquet scan."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(t: _T) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue CTE + scalar max
+    subquery. Revenue is rounded to cents BEFORE the max-compare so
+    the float equality is exact across engines. Catalyst broadcasts
+    the one-row max."""
+    t.lineitem.createOrReplaceTempView("__efo_lineitem")
+    t.supplier.createOrReplaceTempView("__efo_supplier")
+    return t.spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM __efo_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM __efo_supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """
+    )
+
+
+@_q(
+    "tpch_q17_small_qty",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey,
+                 round(0.2 * avg(l_quantity), 6) AS qty_bar
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_bar
+    """,
+)
+def q_tpch_q17(t: _T) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): correlated avg
+    subquery decorrelated into a per-part aggregate self-join —
+    exactly what Catalyst/the Blink planner do. The avg threshold is
+    rounded (6 dp) on both sides so the float `<` never straddles
+    engine-specific summation noise."""
+    per_part = (
+        t.lineitem.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_bar"))
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline round 3b: duplicate clustering (transitive closure of
+# near-dup pairs), deterministic sampling, exact quantiles, embedding
+# norms, TimeEvictor window shape
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = """
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(a, b) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+    cc AS (
+      SELECT a AS node, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a)
+"""
+
+
+@_q(
+    "dup_clusters",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + ", "
+    + _PAIRS_SQL
+    + """
+    SELECT node, cluster_id FROM cc
+    """,
+)
+def q_dup_clusters(t: _T) -> DataFrame:
+    """Duplicate-group clustering: connected components (iterative
+    min-label propagation, operators/clustering.py) over the
+    MinHash-LSH near-dup pairs. The oracle computes the same
+    transitive closure with a recursive CTE over exact-Jaccard pairs
+    — so LSH recall AND the fixed-point are both hash-checked."""
+    from flink_efo_spark.operators.clustering import connected_components
+
+    pairs = minhash_near_duplicates(
+        t.documents, "doc_id", "text",
+        threshold=0.6, num_perm=12, bands=12, shingle_size=3,
+    )
+    return connected_components(pairs, "id_a", "id_b")
+
+
+@_q(
+    "dup_cluster_stats",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + ", "
+    + _PAIRS_SQL
+    + """
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           min(node) AS keep_id
+    FROM cc GROUP BY cluster_id
+    """,
+)
+def q_dup_cluster_stats(t: _T) -> DataFrame:
+    """Per-cluster dedup decision: size + surviving representative
+    (min id, the same keep rule as dedup_exact)."""
+    from flink_efo_spark.operators.clustering import dup_cluster_stats
+
+    pairs = minhash_near_duplicates(
+        t.documents, "doc_id", "text",
+        threshold=0.6, num_perm=12, bands=12, shingle_size=3,
+    )
+    return dup_cluster_stats(pairs, "id_a", "id_b")
+
+
+@_q(
+    "sample_hash_bucket",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def q_sample_hash_bucket(t: _T) -> DataFrame:
+    """Deterministic ~25% corpus sample: first hex digit of
+    md5(doc_id) < 4. Unlike rand()-based sampling this is stable
+    across runs/engines/retries — the property a reproducible
+    training-data pipeline needs — and it is a narrow, shuffle-free
+    map that scales embarrassingly."""
+    return t.documents.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(t: _T) -> DataFrame:
+    """Deterministic stratified sample: fixed-size per-stratum (lang)
+    draw ordered by a content-independent hash — reproducible
+    reservoir-style sampling. Physical shape: one shuffle on the
+    stratum key, WindowGroupLimit prunes to 20 per group map-side."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).cast("int").alias("rn")
+        )
+        .where(F.col("rn") <= 20)
+    )
+
+
+@_q(
+    "token_quantiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_quantiles(t: _T) -> DataFrame:
+    """Exact length quantiles per language (corpus length profile —
+    the stats a tokenizer-budget planner reads). Spark `percentile`
+    and DuckDB `quantile_cont` both use continuous interpolation, so
+    values hash-match exactly. At 100 TB swap `percentile` for
+    `percentile_approx` (t-digest sketch, map-side mergeable) — the
+    exact version shuffles every group's values to one reducer."""
+    return t.documents.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+             AS avg_norm,
+           count(*) AS n_vecs
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_norm_stats(t: _T) -> DataFrame:
+    """Per-label embedding L2-norm profile via built-in higher-order
+    functions (F.aggregate fold — JVM-side, no Python): the sanity
+    check an embedding pipeline runs before cosine math (detects
+    unnormalized / degenerate batches)."""
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return t.embeddings.groupBy("label").agg(
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+@_q(
+    "window_time_evictor",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS n_kept, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE minute(ts) >= 45
+    GROUP BY 1, 2
+    """,
+)
+def q_window_time_evictor(t: _T) -> DataFrame:
+    """TimeEvictor shape (flink-streaming-java/.../evictors/
+    TimeEvictor.java): 1h tumbling windows that aggregate only the
+    final 15 minutes of elements — eviction happens before the
+    aggregate fires. Batch-expressible as a pre-agg filter, which is
+    exactly how Spark should run it (predicate reaches the scan;
+    state never holds evicted rows)."""
+    return (
+        t.events.where(F.minute("ts") >= 45)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("__w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            _us("__w").alias("w_start_us"), "event_type", "n_kept", "sum_value"
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -1,0 +1,51 @@
+"""Connected-components duplicate clustering (operators/clustering.py).
+
+Reference frame: the pipeline stage after MinHash/SimHash pair
+generation — transitive closure so one doc per dup group survives.
+"""
+
+from __future__ import annotations
+
+from flink_efo_spark.operators.clustering import (
+    connected_components,
+    dup_cluster_stats,
+)
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    out = connected_components(df, "a", "b")
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_two_disjoint_clusters(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_to_min(spark):
+    # worst-case chain: label must propagate the full diameter
+    chain = [(i, i + 1) for i in range(1, 12)]
+    got = _cc(spark, chain)
+    assert set(got.values()) == {1}
+    assert len(got) == 12
+
+
+def test_edge_direction_irrelevant(spark):
+    # pairs arrive in arbitrary order/direction from the LSH stage
+    got = _cc(spark, [(5, 2), (2, 9), (9, 5), (7, 9)])
+    assert got == {2: 2, 5: 2, 9: 2, 7: 2}
+
+
+def test_self_pairs_ignored(spark):
+    got = _cc(spark, [(4, 4), (4, 6)])
+    assert got == {4: 4, 6: 4}
+
+
+def test_cluster_stats_keep_rule(spark):
+    df = spark.createDataFrame([(3, 1), (3, 7), (20, 21)], ["a", "b"])
+    stats = {
+        r["cluster_id"]: (r["cluster_size"], r["keep_id"])
+        for r in dup_cluster_stats(df, "a", "b").collect()
+    }
+    assert stats == {1: (3, 1), 20: (2, 20)}

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "tpch_q18_large_orders",
     "stream_asof_join",
     "count_window_agg",
+    # round 3b: iterative duplicate clustering + a 5-way join shape
+    "dup_clusters",
+    "tpch_q7_volume",
 ]
 
 
@@ -62,6 +65,11 @@ def main() -> None:
     # a bare table count warms almost nothing). Not counted in the
     # reported walls.
     QUERIES["join_inner_agg"](spark, sf_dir).collect()
+    # streaming machinery warmup (state store provider, streaming
+    # query planner, Python worker pool for applyInPandasWithState)
+    # at the smallest SF — otherwise the FIRST timed stream query
+    # absorbs one-time init and reads 2-3x its steady-state wall
+    QUERIES["stream_dedup_first"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -21,8 +21,10 @@ from flink_efo_spark.session import get_spark  # noqa: E402
 
 # queries where a nested-loop/cross shape is the intended plan
 # intentional broadcast nested-loop joins: the exact all-pairs
-# ground-truth scans (lsh_recall embeds cosine_topk as its truth side)
-INTENTIONAL_NLJ = {"cosine_topk", "lsh_recall"}
+# ground-truth scans (lsh_recall embeds cosine_topk as its truth side;
+# embedding_near_dup runs its exhaustive verify path on this
+# near-random corpus — the LSH path is the scale path, pytest-proven)
+INTENTIONAL_NLJ = {"cosine_topk", "lsh_recall", "embedding_near_dup"}
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}
 

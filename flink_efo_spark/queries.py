@@ -2513,6 +2513,103 @@ def q_stream_sort_limit(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "stream_semi_join",
+    """
+    SELECT a.event_id, a.user_id
+    FROM events a
+    WHERE a.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.event_type = 'error' AND b.user_id = a.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+    """,
+)
+def q_stream_semi_join(t: _T) -> DataFrame:
+    """STREAMING time-bounded EXISTS (StreamingSemiAntiJoinOperator in
+    the reference; here the built-in left-semi stream-stream interval
+    join). Semi emission is match-driven — no watermark wait — so the
+    bounded replay matches the batch EXISTS exactly."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_semi_join,
+        stream_table,
+    )
+
+    clicks = stream_table(
+        t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "click")
+    errors = stream_table(
+        t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes")
+    ).where(F.col("event_type") == "error")
+    out = stream_semi_join(
+        clicks.select("event_id", "user_id", "ts"), errors,
+        "user_id", "ts", "ts", "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    return run_stream_to_table(out).select("event_id", "user_id")
+
+
+@_q(
+    "stream_anti_join",
+    """
+    SELECT a.event_id, a.user_id
+    FROM events a
+    WHERE a.event_type = 'click' AND NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.event_type = 'error' AND b.user_id = a.user_id
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+    """,
+)
+def q_stream_anti_join(t: _T) -> DataFrame:
+    """STREAMING time-bounded NOT EXISTS — the hard streaming case:
+    anti rows only emit once the watermark closes their interval, and
+    the query watermark is the MIN over both (filtered) inputs, so a
+    bounded replay alone never closes the tail (the last click's
+    interval needs a watermark past every side's final event). The
+    reference solves this with a MAX_WATERMARK emitted when a bounded
+    source finishes (StreamSource / bounded-stream semantics); the
+    analog here is a sentinel batch (stream_table_split sentinel_rows)
+    carrying one far-future click AND error on non-joinable keys —
+    after it, the engine's final no-data flush batch evicts and emits
+    every real anti row, making the bounded replay match batch NOT
+    EXISTS exactly."""
+    import datetime
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_anti_join,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + datetime.timedelta(minutes=30)
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "click",
+             "ts": far, "value": 0.0},
+            {"event_id": -2, "user_id": -2, "event_type": "error",
+             "ts": far, "value": 0.0},
+        ],
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    errors = src.where(F.col("event_type") == "error").withWatermark(
+        "ts", "10 minutes"
+    )
+    out = stream_anti_join(
+        clicks, errors,
+        "user_id", "ts", "ts", "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    return (
+        run_stream_to_table(out)
+        .where(F.col("user_id") >= 0)
+        .select("event_id", "user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H round 3b: Q7/Q13/Q14/Q15/Q17 shapes (the reference's batch SQL
 # corpus exercises these in flink-table-planner-blink ITCases; tables
@@ -2783,6 +2880,37 @@ def q_dup_cluster_stats(t: _T) -> DataFrame:
         threshold=0.6, num_perm=12, bands=12, shingle_size=3,
     )
     return dup_cluster_stats(pairs, "id_a", "id_b")
+
+
+@_q(
+    "dedup_survivors",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + ", "
+    + _PAIRS_SQL
+    + """
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)
+    """,
+)
+def q_dedup_survivors(t: _T) -> DataFrame:
+    """The end-to-end near-dup dedup pipeline a training-data build
+    actually runs: MinHash-LSH pairs → connected components → keep the
+    min-id representative per cluster → anti-join the corpus against
+    the non-representatives. Each stage shuffles ids/labels only —
+    document bodies move zero times after shingling."""
+    from flink_efo_spark.operators.clustering import connected_components
+
+    docs = t.documents
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text",
+        threshold=0.6, num_perm=12, bands=12, shingle_size=3,
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 @_q(

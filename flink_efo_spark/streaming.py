@@ -92,6 +92,104 @@ def stream_table(
     return df
 
 
+def stream_table_split(
+    spark: SparkSession,
+    data_dir: str,
+    name: str,
+    n_batches: int,
+    order_col: str,
+    watermark: tuple[str, str] | None = None,
+    sentinel_rows: list[dict] | None = None,
+) -> DataFrame:
+    """Open a driver table as a DETERMINISTIC multi-micro-batch
+    stream: the table is re-written as ``n_batches`` files split in
+    ``order_col`` order (batch k holds the k-th time slice) and
+    replayed with ``maxFilesPerTrigger=1``.
+
+    This is the harness for operators whose semantics only show up
+    ACROSS batches — watermark-gated emission (outer/anti joins),
+    cross-batch keyed state — where a single-file availableNow replay
+    would collapse everything into one batch and the watermark would
+    never advance mid-run. The split is cached per (table, n, sf) in
+    the session's temp space; file order == event-time order, so the
+    watermark climbs monotonically batch to batch exactly like the
+    reference's bounded-out-of-orderness source.
+
+    ``sentinel_rows``: optional rows appended as ONE FINAL extra
+    batch — the reference's end-of-input MAX_WATERMARK emission
+    (StreamSource.java advances the watermark to +inf when a bounded
+    source finishes; Spark's availableNow replay has no such flush,
+    so watermark-gated emission — outer/anti joins, allowed-lateness
+    windows — stays one batch behind). A sentinel row with an event
+    time past the real maximum makes the last REAL watermark take
+    effect while the sentinel's own key never joins anything. Each
+    dict maps column name -> value; unlisted columns are NULL."""
+    import hashlib
+
+    ensure_session_confs(spark)
+    path = table_path(data_dir, name)
+    key = (
+        f"{os.path.abspath(path)}:{n_batches}:{order_col}"
+        f":{[sorted(r.items()) for r in (sentinel_rows or [])]}"
+    ).encode()
+    tag = hashlib.md5(key).hexdigest()[:12]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"efo-split-{name}-{n_batches}-{tag}"
+    )
+    marker = os.path.join(split_dir, "_EFO_DONE")
+    if not os.path.exists(marker):
+        batch = spark.read.parquet(path)
+        for c in _nanos_timestamp_cols(path):
+            if c in batch.columns and isinstance(
+                batch.schema[c].dataType, LongType
+            ):
+                batch = batch.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+        w = Window.orderBy(order_col)
+        split = (
+            batch.withColumn("__b", F.ntile(n_batches).over(w))
+            .repartition(1)
+            .sortWithinPartitions(order_col)
+            .persist()
+        )
+        # one sequential write per slice: the file source replays in
+        # modification-time order, so mtimes (and paths) must follow
+        # event time — a single parallel partitioned write would leave
+        # slice order up to task-finish timing
+        for k in range(1, n_batches + 1):
+            split.where(F.col("__b") == k).drop("__b").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(split_dir, f"b={k}"))
+        split.unpersist()
+        if sentinel_rows:
+            spark.createDataFrame(
+                [
+                    tuple(r.get(f.name) for f in batch.schema.fields)
+                    for r in sentinel_rows
+                ],
+                batch.schema,
+            ).repartition(1).write.mode("overwrite").parquet(
+                os.path.join(split_dir, f"b={n_batches + 1}")
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+        .schema
+    )
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(split_dir)
+    )
+    if watermark is not None:
+        df = df.withWatermark(*watermark)
+    return df
+
+
 def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     """WatermarkSpec equivalent (WatermarkAssignerOperator.java:41):
     bounded-out-of-orderness watermark on an event-time column."""

@@ -204,6 +204,68 @@ def test_stream_semi_anti_join(spark, ddb):
     assert len(got_semi | exp_anti_full) == n_clicks
 
 
+def test_stream_anti_join_sentinel_flushes_tail(spark, ddb):
+    """Without the MAX_WATERMARK sentinel the tail anti rows stay in
+    state forever (the query watermark is the MIN over both filtered
+    sides — it never passes the last click's interval). With a
+    far-future click+error sentinel batch, the bounded replay matches
+    batch NOT EXISTS exactly. Reference: bounded sources emit
+    Watermark.MAX_WATERMARK on finish (StreamSource semantics)."""
+    import datetime
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_anti_join,
+        stream_table_split,
+    )
+
+    max_ts = (
+        load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    far = max_ts + datetime.timedelta(minutes=30)
+    src = stream_table_split(
+        spark, SF_DIR, "events", 4, "ts",
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "click",
+             "ts": far, "value": 0.0},
+            {"event_id": -2, "user_id": -2, "event_type": "error",
+             "ts": far, "value": 0.0},
+        ],
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    errors = src.where(F.col("event_type") == "error").withWatermark(
+        "ts", "10 minutes"
+    )
+    anti = stream_anti_join(
+        clicks, errors,
+        "user_id", "ts", "ts", "INTERVAL 0 MINUTES", "INTERVAL 5 MINUTES",
+    )
+    got = {
+        r.event_id
+        for r in run_stream_to_table(anti)
+        .where(F.col("user_id") >= 0)
+        .collect()
+    }
+    exp = {
+        r[0]
+        for r in ddb.execute(
+            """
+            SELECT a.event_id FROM events a
+            WHERE a.event_type = 'click' AND NOT EXISTS (
+              SELECT 1 FROM events b
+              WHERE b.event_type = 'error' AND b.user_id = a.user_id
+                AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+            """
+        ).fetchall()
+    }
+    assert got == exp  # exact — including the tail rows
+
+
 def test_stream_temporal_sort(spark):
     from flink_efo_spark.streaming import stream_table, stream_temporal_sort
 

@@ -334,6 +334,7 @@ def stream_match_recognize(
     tiebreak: str | None = None,
     max_tail: int = 10_000,
     within: float | None = None,
+    flush_on_timeout: bool = False,
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE with cross-batch partial-match state
     (the reference's NFA + SharedBuffer.java:54 on
@@ -355,6 +356,17 @@ def stream_match_recognize(
     never pruned — their rows are within the window of the newest row
     by construction. This turns unbounded no-match state into bounded
     state without ``max_tail`` heuristics.
+
+    flush_on_timeout: end-of-input finalization (the reference emits
+    Watermark.MAX_WATERMARK when a bounded source finishes, which
+    closes every held NFA computation; a plain Spark bounded replay
+    never does). When True, each key arms an event-time timeout just
+    above the current watermark; once the watermark passes a key's
+    last data (e.g. driven by a far-future sentinel batch —
+    ``stream_table_split(sentinel_rows=...)``), the key times out and
+    its held still-extendable match is finalized and emitted, making
+    the bounded replay equal batch ``match_recognize``. REQUIRES the
+    input to carry ``withWatermark`` (event-time timeouts need one).
     """
     import pandas as pd
 
@@ -403,21 +415,10 @@ def stream_match_recognize(
 
     casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
 
-    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
-        if state.exists:
-            st = state.get
-            seq = st[0]
-            tail = pd.DataFrame(
-                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
-            )
-        else:
-            seq = 0
-            tail = pd.DataFrame({c: [] for c in data_cols})
-        frames = [p[data_cols] for p in pdfs if len(p)]
-        if not frames and not len(tail):
-            state.update((int(seq), *([] for _ in data_cols)))
-            return
-        allr = pd.concat([tail] + frames, ignore_index=True)
+    def _match_pass(key, allr, seq, finalize):
+        """One matcher run over (tail + batch) rows. ``finalize``
+        emits even a still-extendable match that ends at the data end
+        (end-of-input semantics); otherwise it is held in the tail."""
         allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
             drop=True
         )
@@ -442,7 +443,7 @@ def stream_match_recognize(
         consumed_through = -1
         for _start, m in _greedy_matches(step_flags, steps, n, ts, win):
             end = max((ix for lst in m for ix in lst), default=_start)
-            if end == n - 1 and _match_extendable(m, steps):
+            if not finalize and end == n - 1 and _match_extendable(m, steps):
                 break  # held: a future row may extend it — keep in tail
             seq += 1
             rec = {k: key[i] for i, k in enumerate(partition_by)}
@@ -460,17 +461,58 @@ def stream_match_recognize(
             new_tail = new_tail[tail_ts >= ts[n - 1] - win]
         if len(new_tail) > max_tail:
             new_tail = new_tail.iloc[-max_tail:]
+        return rows, seq, new_tail
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            st = state.get
+            seq = st[0]
+            tail = pd.DataFrame(
+                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
+            )
+        else:
+            seq = 0
+            tail = pd.DataFrame({c: [] for c in data_cols})
+
+        if flush_on_timeout and state.hasTimedOut:
+            # MAX_WATERMARK finalization: no more rows can arrive for
+            # this key below the watermark — emit the held match and
+            # drop the state
+            rows = []
+            if len(tail):
+                rows, _, _ = _match_pass(key, tail, seq, finalize=True)
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+            return
+
+        frames = [p[data_cols] for p in pdfs if len(p)]
+        if not frames and not len(tail):
+            state.update((int(seq), *([] for _ in data_cols)))
+            if flush_on_timeout:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            return
+        allr = pd.concat([tail] + frames, ignore_index=True)
+        rows, seq, new_tail = _match_pass(key, allr, seq, finalize=False)
         state.update(
             (
                 int(seq),
                 *([casters[c](v) for v in new_tail[c]] for c in data_cols),
             )
         )
+        if flush_on_timeout:
+            # fire as soon as the watermark moves past this batch —
+            # re-armed on every batch that brings the key data
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
     out = slim.groupBy(*partition_by).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        "EventTimeTimeout" if flush_on_timeout else "NoTimeout",
     )
     out._efo_output_mode = "append"
     return out

@@ -2610,6 +2610,69 @@ def q_stream_anti_join(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "stream_match_flush",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER w AS rn, lead(event_type) OVER w AS nxt
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT c.user_id, c.event_id AS start_id,
+           CAST(COALESCE((SELECT min(x.rn) FROM o x
+                          WHERE x.user_id = c.user_id AND x.rn > c.rn
+                            AND x.event_type <> 'purchase'),
+                         (SELECT max(y.rn) + 1 FROM o y
+                          WHERE y.user_id = c.user_id))
+                - c.rn - 1 AS BIGINT) AS n_purchases
+    FROM o c WHERE c.event_type = 'click' AND c.nxt = 'purchase'
+    """,
+)
+def q_stream_match_flush(t: _T) -> DataFrame:
+    """STREAMING CEP with a GREEDY trailing quantifier (``A B+``) and
+    end-of-input finalization: a purchase run at a key's data end is a
+    held, still-extendable match — the reference closes it when the
+    bounded source emits MAX_WATERMARK (NFA windowTime/stop semantics);
+    here an event-time timeout per key plus a far-future sentinel
+    batch finalizes every held match, so the bounded replay equals the
+    batch matcher. Oracle: gaps-and-islands SQL (click followed by its
+    maximal consecutive-purchase run)."""
+    import datetime
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        watermark=("ts", "10 minutes"),
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "__wm__",
+             "ts": max_ts + datetime.timedelta(minutes=30), "value": 0.0}
+        ],
+    )
+    out = stream_match_recognize(
+        src.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A B+",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "start_id": ("A", "first", "event_id"),
+            "n_purchases": ("B", "count", "event_id"),
+        },
+        tiebreak="event_id",
+        flush_on_timeout=True,
+    )
+    return (
+        run_stream_to_table(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "start_id", "n_purchases")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H round 3b: Q7/Q13/Q14/Q15/Q17 shapes (the reference's batch SQL
 # corpus exercises these in flink-table-planner-blink ITCases; tables

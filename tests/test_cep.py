@@ -316,3 +316,55 @@ def test_within_stream_prunes_state(spark, tmp_path):
     )
     got = {(r.k, r.a_ts, r.c_ts) for r in run_stream_to_table(out).collect()}
     assert got == {("u1", 0.0, 5.0)}
+
+
+def test_flush_on_timeout_finalizes_held_match(spark, tmp_path):
+    """A greedy trailing quantifier (A B+) held at end-of-input:
+    without flush the match never emits (Spark has no MAX_WATERMARK
+    on bounded replays); with flush_on_timeout + a far-future
+    sentinel batch it finalizes exactly like the batch matcher."""
+    from pyspark.sql import functions as F
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = str(tmp_path / "cep_flush")
+    spark.createDataFrame(
+        [("u1", 1.0, "click", 1), ("u1", 2.0, "purchase", 2),
+         ("u1", 3.0, "purchase", 3)],
+        "k string, ts double, et string, eid long",
+    ).coalesce(1).write.parquet(src_dir + "/b1.parquet")
+    # sentinel batch: far-future event time on a non-matching key
+    spark.createDataFrame(
+        [("__wm__", 10_000.0, "__wm__", -1)],
+        "k string, ts double, et string, eid long",
+    ).coalesce(1).write.parquet(src_dir + "/b2.parquet")
+
+    def run(flush):
+        schema = spark.read.parquet(src_dir + "/b1.parquet").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withColumn("ets", F.timestamp_seconds("ts"))
+            .withWatermark("ets", "1 second")
+            .drop("ts")
+        )
+        out = stream_match_recognize(
+            src, ["k"], "ets",
+            pattern="A B+",
+            defines={"A": "et = 'click'", "B": "et = 'purchase'"},
+            measures={
+                "start_id": ("A", "first", "eid"),
+                "n_b": ("B", "count", "eid"),
+            },
+            tiebreak="eid",
+            flush_on_timeout=flush,
+        )
+        return {
+            (r.k, r.start_id, r.n_b)
+            for r in run_stream_to_table(out).collect()
+        }
+
+    assert run(False) == set()  # held forever — the documented gap
+    assert run(True) == {("u1", 1, 2)}  # finalized at MAX_WATERMARK

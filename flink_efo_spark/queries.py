@@ -3116,6 +3116,520 @@ def q_window_time_evictor(t: _T) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H round 3c: the remaining query shapes (Q2/Q4/Q8/Q9/Q11/Q12/Q16/
+# Q19/Q20/Q21/Q22), completing the 22-query sweep the reference's batch
+# SQL planner covers (flink-table-planner-blink ITCases + the Blink
+# TPC-H e2e suite). The testdata schema has no partsupp and trims some
+# columns (no l_shipmode/l_commitdate/l_receiptdate, no c_phone), so
+# shapes that need them are adapted: partsupp is emulated as the
+# per-(part, supplier) aggregate of lineitem, "late" is
+# l_shipdate > o_orderdate, and Q22's country code is c_custkey % 7.
+# The OPERATOR shape (correlated min, EXISTS-semi, disjunctive join
+# pushdown, nested IN, double-negation decorrelation, anti + scalar
+# subquery) is preserved exactly.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q4_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(t: _T) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS
+    decorrelated to a left-semi join with a non-equi conjunct
+    (l_shipdate > o_orderdate), then a tiny group-by. The date range
+    prunes orders at the scan; the semi join never materializes
+    lineitem columns."""
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            t.lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q2_min_cost",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT ps.*, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type
+    FROM eu e JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size <= 15
+      AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eu e2
+                             WHERE e2.ps_partkey = e.ps_partkey)
+    """,
+)
+def q_tpch_q2(t: _T) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN
+    subquery is decorrelated to a window min over the part key — one
+    shuffle on ps_partkey instead of a rejoin of the whole subquery
+    (the reference planner rewrites it to a self-join aggregate;
+    BatchExecOverAggregate covers the window form). partsupp is
+    emulated as the per-(part,supplier) min unit price from lineitem —
+    min() over identically-computed IEEE divisions, so the equality
+    filter is exact across engines."""
+    ps = t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    eu = (
+        ps.join(
+            F.broadcast(t.supplier), F.col("s_suppkey") == F.col("ps_suppkey")
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("__min_cost", F.min("ps_supplycost").over(w)).where(
+        F.col("ps_supplycost") == F.col("__min_cost")
+    )
+    return best.join(
+        F.broadcast(t.part.where(F.col("p_size") <= 15)),
+        F.col("p_partkey") == F.col("ps_partkey"),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(t: _T) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 8-way join — fact chain
+    shuffles on its keys, all five dimension sides broadcast — then a
+    conditional-aggregate ratio per year. The p_type filter reaches
+    the part scan and prunes the fact join early."""
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n1_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_type IN ('PROMO', 'ECONOMY'))
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(t: _T) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation/year): fact chain
+    ⋈ three broadcast dims, arithmetic profit expression, two-key
+    rollup-free aggregate. supplycost is emulated as
+    0.6 × p_retailprice (no partsupp in the testdata); the join/agg
+    shape is unchanged."""
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_type").isin("PROMO", "ECONOMY"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@_q(
+    "tpch_q11_important_value",
+    """
+    WITH v AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(value, 2) AS value
+    FROM v
+    WHERE value > (SELECT sum(value) * 0.001 FROM v)
+    """,
+)
+def q_tpch_q11(t: _T) -> DataFrame:
+    """TPC-H Q11 shape (important stock value): aggregate + scalar
+    subquery over the SAME aggregate in the HAVING. Spark computes the
+    per-part value once, derives the global threshold from it, and
+    broadcasts the single-row threshold back — the fact is read once
+    (the reference planner reuses the agg via a Reused exchange)."""
+    v = (
+        t.lineitem.join(
+            F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(
+                t.nation.where(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    thresh = v.agg((F.sum("value") * 0.001).alias("__t"))
+    return (
+        v.join(F.broadcast(thresh))
+        .where(F.col("value") > F.col("__t"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@_q(
+    "tpch_q12_shipmode",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(t: _T) -> DataFrame:
+    """TPC-H Q12 shape (shipping priority split): fact-fact join with
+    a post-join non-equi conjunct, conditional counts by category.
+    l_linestatus stands in for the absent l_shipmode; "late" is
+    l_shipdate > o_orderdate. Integer counts — no fp drift."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(t: _T) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attrs): NOT IN
+    decorrelated to a broadcast anti join (complaint suppliers →
+    negative-balance suppliers here), negated + IN-list part filters
+    pushed to the broadcast side, COUNT DISTINCT aggregate."""
+    bad = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t.part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q19_disjunctive",
+    """
+    SELECT {money} AS revenue
+    FROM (
+      SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 5 AND 20
+             AND l.l_quantity BETWEEN 10 AND 30)
+         OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 40
+             AND l.l_quantity BETWEEN 20 AND 50))
+    """.format(money=_MONEY_SQL.format(x="x")),
+)
+def q_tpch_q19(t: _T) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): OR of
+    conjunctive brand/size/quantity clauses across the join. Catalyst
+    extracts the common join key and pushes the residual disjunction
+    post-join; the per-side implied filters (brand IN (...),
+    quantity/size ranges) are derived and pushed to both scans
+    (the reference planner does the same via RexSimplify)."""
+    c = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(c)
+        .agg(
+            _money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "tpch_q20_part_promotion",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50)
+    """,
+)
+def q_tpch_q20(t: _T) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN
+    subqueries — part filter IN-pushed into the lineitem aggregate
+    (broadcast semi), HAVING on the grouped sum, outer IN as a second
+    semi join. Both INs become left-semi joins; no subquery is
+    re-evaluated per row."""
+    promo = t.part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        t.lineitem.where(
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return t.supplier.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@_q(
+    "tpch_q21_waiting",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    stats AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM lo GROUP BY l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM lo
+    JOIN stats ON stats.l_orderkey = lo.l_orderkey
+    JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+    WHERE lo.late AND stats.n_supp > 1 AND stats.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(t: _T) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier) double-negation, decorrelated the way the reference
+    planner does — per-order supplier/late-supplier distinct counts
+    joined back, so each correlated subquery costs one aggregate
+    instead of a per-row probe. "late" adapts to
+    l_shipdate > o_orderdate (no l_commitdate/l_receiptdate)."""
+    lo = (
+        t.lineitem.join(
+            t.orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+        )
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.where("late")
+        .join(stats.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_q(
+    "tpch_q22_global_sales",
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT CAST(c.c_custkey % 7 AS INT) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE CAST(c.c_custkey % 7 AS INT) IN (1, 3, 5)
+        AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >=
+                              TIMESTAMP '2000-01-01 00:00:00'))
+    GROUP BY cntrycode
+    """,
+)
+def q_tpch_q22(t: _T) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery
+    broadcast as a 1-row threshold, NOT EXISTS as a left-anti join
+    against orders, group by a derived code (c_custkey % 7 stands in
+    for the absent phone prefix). The anti side is "orders since
+    2000" (every synthetic customer has SOME order, so the classic
+    no-orders predicate would be vacuously empty — lapsed customers
+    keep the anti join non-trivial)."""
+    avg_bal = t.customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    code = (F.col("c_custkey") % 7).cast("int")
+    return (
+        t.customer.where(code.isin(1, 3, 5))
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            t.orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""

@@ -3634,3 +3634,55 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The smoke-check query (driver's ``entry``): Q3-shaped
     customer ⋈ orders ⋈ lineitem filter + agg + top-n."""
     return QUERIES["join_inner_agg"](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.13b StreamExecGroupWindowTableAggregate — windowed flatAggregate
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_flat_agg",
+    """
+    SELECT w_start_us, user_id, event_id, round(value, 4) AS value FROM (
+      SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, user_id,
+             event_id, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 2
+    """,
+)
+def q_window_flat_agg(t: _T) -> DataFrame:
+    """Windowed table aggregate (StreamExecGroupWindowTableAggregate.scala
+    in /root/reference — flatAggregate per group window): for every
+    (1h tumble, user) group a Top2 emitter returns MULTIPLE rows.
+    Spark realization per SURVEY §2.13b: ``applyInPandas`` over
+    ``groupBy(window_start, key)`` — the group frame is the window
+    pane, the UDF is the reference's canonical Top2
+    TableAggregateFunction. Scale: shuffles once on (window, key);
+    panes are bounded by the window span, so group frames stay small
+    at any total volume. (A pure-Catalyst rank()<=2 plan is the
+    faster batch path — this entry exists to exercise the
+    flatAggregate surface itself.)"""
+    from flink_efo_spark.operators.aggregates import flat_aggregate
+
+    ev = t.events.select(
+        _us(F.date_trunc("hour", F.col("ts"))).alias("w_start_us"),
+        "user_id",
+        "event_id",
+        "value",
+    )
+
+    def top2(pdf):
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)
+
+    return flat_aggregate(
+        ev,
+        ["w_start_us", "user_id"],
+        top2,
+        "w_start_us bigint, user_id bigint, event_id bigint, value double",
+    ).select(
+        "w_start_us", "user_id", "event_id", F.round("value", 4).alias("value")
+    )

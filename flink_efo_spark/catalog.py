@@ -144,3 +144,28 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ensure_min_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Give a CPU-heavy per-row stage a parallelism floor.
+
+    Small single-row-group parquet files scan as ONE split no matter
+    what ``maxPartitionBytes`` says (splits land on row-group
+    boundaries), so an expression-heavy map stage (md5 shingling,
+    signature math) runs on one core while the rest of the cluster
+    idles. Repartitioning first trades one narrow shuffle of the
+    projected input for full-width map parallelism — measured 4x on
+    the sf0.1 MinHash pipeline.
+
+    At scale this is a NO-OP by construction: a 100 TB table scans as
+    thousands of splits, which is >= the default parallelism, so the
+    gate fails and no shuffle is added. Only narrow inputs (small
+    dims, single-file local runs, a filtered subquery that collapsed
+    to few partitions) are widened.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -62,28 +62,32 @@ def connected_components(
         )
         .where(F.col("__src") != F.col("__dst"))
         .distinct()
+    )
+    # materialize the BIDIRECTIONAL adjacency once so each round is a
+    # single join (not separate fwd/bwd joins): (node, nbr) with both
+    # orientations. Persisted — it is re-joined every round.
+    adj = (
+        edges.select(F.col("__src").alias("node"), F.col("__dst").alias("nbr"))
+        .union(
+            edges.select(F.col("__dst").alias("node"), F.col("__src").alias("nbr"))
+        )
         .persist()
     )
 
     labels = (
-        edges.select(F.col("__src").alias("node"))
-        .union(edges.select(F.col("__dst").alias("node")))
+        adj.select("node")
         .distinct()
         .select("node", F.col("node").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
-        # propagate labels both directions across each edge
-        fwd = edges.join(labels, edges["__src"] == labels["node"]).select(
-            F.col("__dst").alias("node"), "cluster_id"
-        )
-        bwd = edges.join(labels, edges["__dst"] == labels["node"]).select(
-            F.col("__src").alias("node"), "cluster_id"
+        # propagate labels across each (directed) adjacency edge
+        prop = adj.join(labels, "node").select(
+            F.col("nbr").alias("node"), "cluster_id"
         )
         new_labels = (
-            labels.unionByName(fwd)
-            .unionByName(bwd)
+            labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
@@ -98,7 +102,7 @@ def connected_components(
         if changed == 0:
             break
 
-    edges.unpersist()
+    adj.unpersist()
     return labels
 
 

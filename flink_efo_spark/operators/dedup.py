@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_efo_spark.catalog import ensure_min_parallelism
+
 # 2^31-1 (prime): minhash universe. Kept < 2^31 so a*h+b stays in i64.
 MERSENNE31 = 2147483647
 
@@ -83,8 +85,12 @@ def dedup_exact(
     if normalize:
         content = F.regexp_replace(F.lower(F.trim(content)), r"\s+", " ")
     cols = df.columns
+    # parallelism floor (no-op on wide scans): the normalize+md5 map
+    # and the partial sort-aggregate otherwise run on however few
+    # splits the file has
     return (
-        df.withColumn("fingerprint", F.md5(content))
+        ensure_min_parallelism(df)
+        .withColumn("fingerprint", F.md5(content))
         .groupBy("fingerprint")
         .agg(
             F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
@@ -202,18 +208,45 @@ def minhash_near_duplicates(
     oracle-checked runs).
     """
     rows_per_band = num_perm // bands
-    # persist + eager count: the shingle+signature pipeline feeds the
+    # persist + eager count: the hashed-shingle pipeline feeds the
     # bucket self-join (2 consumers) AND the verify join (2 more);
     # without persist Spark recomputes the md5+shingle map 4-5× (AQE
     # defeats ReusedExchange across the self-join), and without the
     # eager barrier the self-join's two concurrent stages race the
     # cache and duplicate the map work anyway (measured 12s → 7.6s at
-    # sf0.1). At scale this materializes (id, shingles) only — not the
-    # documents — spilling per executor rather than re-reading the
-    # corpus.
-    shingled = shingle_sets(df, id_col, text_col, shingle_size).persist()
-    shingled.count()  # eager barrier — see note above
-    sigs = minhash_signatures(shingled, num_perm)
+    # sf0.1).
+    #
+    # What gets cached is (id, int64 shingle-hash array) — NOT the
+    # string shingles and never the documents: 8 bytes/shingle to
+    # serialize instead of ~20-char strings (cache write was the
+    # hidden cost of the string form, ~2.5s at sf0.1), and the exact-
+    # Jaccard verify then runs integer set-ops instead of string
+    # compares. Jaccard over the 60-bit hashes equals Jaccard over
+    # the shingle sets unless md5-60bit collides inside one compared
+    # pair (P ~ n²/2^61 — at 1e9 distinct shingles per partition-pair
+    # still < 1e-3); the minhash signatures themselves are hash-based
+    # anyway, so this adds no new approximation class.
+    narrow = ensure_min_parallelism(df.select(id_col, text_col))
+    shingled = shingle_sets(narrow, id_col, text_col, shingle_size)
+    h = _hash64_expr("s")
+    hashed = shingled.select(
+        F.col(id_col), F.expr(f"transform(shingles, s -> {h})").alias("__h64")
+    ).persist()
+    hashed.count()  # eager barrier — see note above
+    # identical values to minhash_signatures(): hs = h64 % M, then the
+    # affine permutations
+    perms = ", ".join(
+        f"array_min(transform(__hs, h -> "
+        f"(({2 * j + 1} * h + {104729 * j + 12345}) % {MERSENNE31})))"
+        for j in range(num_perm)
+    )
+    sigs = (
+        hashed.withColumn(
+            "__hs", F.expr(f"transform(__h64, h -> h % {MERSENNE31})")
+        )
+        .withColumn("mh", F.expr(f"array({perms})"))
+        .drop("__hs")
+    )
 
     band_exprs = [
         F.concat_ws(
@@ -252,12 +285,13 @@ def minhash_near_duplicates(
         )
         .distinct()
     )
-    # verify: exact Jaccard on the shingle sets (candidates only)
-    sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    # verify: exact Jaccard on the hashed shingle sets (candidates
+    # only) — integer array set-ops, see the cache note above
+    sa = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("__h64").alias("sh_a")
     )
-    sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    sb = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("__h64").alias("sh_b")
     )
     verified = (
         cand.join(sa, "id_a")
@@ -277,7 +311,7 @@ def minhash_near_duplicates(
     # is GC'd (ContextCleaner), unlike catalog-cached plans.
     out = verified.localCheckpoint(eager=True)
     buckets_cached.unpersist()
-    shingled.unpersist()
+    hashed.unpersist()
     return out
 
 
@@ -291,7 +325,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exhaustive within-block n-gram Jaccard (the verify/oracle path;
     quadratic per block — ``block_by`` bounds the blowup)."""
-    shingled = df.select(
+    shingled = ensure_min_parallelism(
+        df.select(id_col, block_by, text_col)
+    ).select(
         F.col(id_col), F.col(block_by), _shingles_expr(text_col, shingle_size)
     ).where(F.size("shingles") > 0)
     a = shingled.alias("a")
@@ -328,7 +364,8 @@ def simhash_signatures(
 
     bit_b = sign of sum over shingles of (2*((h >> b) & 1) - 1).
     """
-    shingled = shingle_sets(df, id_col, text_col, shingle_size)
+    narrow = ensure_min_parallelism(df.select(id_col, text_col))
+    shingled = shingle_sets(narrow, id_col, text_col, shingle_size)
     h = _hash64_expr("s")
     # hash each shingle ONCE into an integer array; the 64 per-bit
     # majority sums then fold over integers, not re-run md5 64 times

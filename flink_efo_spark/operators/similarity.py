@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_efo_spark.catalog import ensure_min_parallelism
+
 
 def _dot(a: str, b: str) -> Column:
     """Sequential-order dot product of two array columns (double)."""
@@ -73,7 +75,9 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
     )
-    c = corpus.select(
+    # the broadcast-cross-join's map side runs per CORPUS partition —
+    # widen narrow scans so the dot-product math uses every core
+    c = ensure_min_parallelism(corpus.select(corpus_id, vec_col)).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(vec_col).alias("__cn"),
@@ -122,7 +126,7 @@ def embedding_near_duplicates(
     all-pairs cross join — the oracle/verify path, quadratic by
     design (same contract as ``ngram_jaccard_pairs``).
     """
-    base = df.select(F.col(id_col), F.col(vec_col))
+    base = ensure_min_parallelism(df.select(id_col, vec_col))
     if exhaustive:
         v = base.select(
             F.col(id_col),
@@ -305,7 +309,8 @@ def ivf_cosine_topk(
     carr = _centroid_array(cents)
 
     assigned = (
-        corpus.select(
+        ensure_min_parallelism(corpus.select(corpus_id, vec_col))
+        .select(
             F.col(corpus_id).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             _norm(vec_col).alias("__cn"),
@@ -418,7 +423,8 @@ def lsh_cosine_topk(
     # stages racing the cache (same pattern as minhash dedup)
     sigs = (
         lsh_signature(
-            df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, num_planes, seed
+            ensure_min_parallelism(df.select(id_col, vec_col)),
+            vec_col, dim, num_planes, seed,
         )
         .withColumn("__n", _norm(vec_col))
         .persist()

@@ -3686,3 +3686,83 @@ def q_window_flat_agg(t: _T) -> DataFrame:
     ).select(
         "w_start_us", "user_id", "event_id", F.round("value", 4).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 scalar surface, part 3: math + datetime functions
+# (FlinkSqlOperatorTable.java:166-255 — LOG/LOG2/BIN/HEX/SINH/COSH/
+#  TANH/E/PI plus the std math set; SqlDateTimeUtils.java — DATE_FORMAT
+#  / UNIX_TIMESTAMP / FROM_UNIXTIME / EXTRACT)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "math_time_fns",
+    """
+    SELECT event_id,
+           round(log(2, value + 1), 6)            AS log2v,
+           round(log2(value + 1), 6)              AS l2,
+           bin(event_id)                          AS b2,
+           hex(event_id)                          AS hx,
+           ascii(event_type)                      AS asc0,
+           chr(CAST(65 + event_id % 26 AS INT))   AS ch,
+           round((exp(value/100) - exp(-value/100)) / 2, 6) AS sh,
+           round((exp(value/100) + exp(-value/100)) / 2, 6) AS coshv,
+           round((exp(value/50) - 1) / (exp(value/50) + 1), 6) AS th,
+           round(degrees(value / 100), 6)         AS deg,
+           round(radians(value), 6)               AS rad,
+           round(atan2(value, value + 1), 6)      AS at2,
+           CAST(sign(value - 50) AS DOUBLE)       AS sgn,
+           round(sqrt(value), 6)                  AS sq,
+           round(pow(value, 2), 4)                AS p2,
+           factorial(CAST(event_id % 6 AS INT))   AS fact,
+           round(greatest(value, 50.0), 2)        AS gr,
+           round(least(value, 50.0), 2)           AS le,
+           levenshtein(event_type, 'click')       AS lev,
+           CAST(instr(event_type, 'c') AS BIGINT) AS ins,
+           translate(event_type, 'ck', 'xy')      AS tr,
+           strftime(ts, '%Y-%m-%d %H:%M')         AS dfmt,
+           CAST(floor(epoch(ts)) AS BIGINT)       AS unix_s,
+           extract(dow FROM ts)                   AS dow0,
+           extract(hour FROM ts)                  AS hr
+    FROM events WHERE event_id < 300
+    """,
+)
+def q_math_time_fns(t: _T) -> DataFrame:
+    """§2.10 math + datetime surface via built-in Catalyst expressions
+    (FlinkSqlOperatorTable.java math extensions; SqlDateTimeUtils.java
+    DATE_FORMAT/UNIX_TIMESTAMP/EXTRACT in /root/reference). Hyperbolic
+    fns are compared through their exp() identities because the oracle
+    engine lacks sinh/cosh/tanh — same doubles either way after
+    round(…, 6). Narrow map over a pushed-down filter: zero shuffles,
+    whole-stage codegen end to end."""
+    ev = t.events.where(F.col("event_id") < 300)
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.log(2.0, v + 1), 6).alias("log2v"),
+        F.round(F.log2(v + 1), 6).alias("l2"),
+        F.bin("event_id").alias("b2"),
+        F.hex("event_id").alias("hx"),
+        F.ascii("event_type").alias("asc0"),
+        F.chr(F.lit(65) + F.col("event_id") % 26).alias("ch"),
+        F.round(F.sinh(v / 100), 6).alias("sh"),
+        F.round(F.cosh(v / 100), 6).alias("coshv"),
+        F.round(F.tanh(v / 100), 6).alias("th"),
+        F.round(F.degrees(v / 100), 6).alias("deg"),
+        F.round(F.radians(v), 6).alias("rad"),
+        F.round(F.atan2(v, v + 1), 6).alias("at2"),
+        F.signum(v - 50).alias("sgn"),
+        F.round(F.sqrt(v), 6).alias("sq"),
+        F.round(F.pow(v, 2), 4).alias("p2"),
+        F.factorial((F.col("event_id") % 6).cast("int")).alias("fact"),
+        F.round(F.greatest(v, F.lit(50.0)), 2).alias("gr"),
+        F.round(F.least(v, F.lit(50.0)), 2).alias("le"),
+        F.levenshtein("event_type", F.lit("click")).alias("lev"),
+        F.instr("event_type", "c").cast("bigint").alias("ins"),
+        F.translate("event_type", "ck", "xy").alias("tr"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("dfmt"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow0"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )

@@ -3766,3 +3766,67 @@ def q_math_time_fns(t: _T) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("bigint").alias("dow0"),
         F.hour("ts").cast("bigint").alias("hr"),
     )
+
+
+@_q(
+    "url_map_fns",
+    """
+    SELECT doc_id,
+           source || '.example.com'                          AS host,
+           '/' || lang || '/' || CAST(doc_id AS VARCHAR)     AS path,
+           'q=' || lang || '&page=' || CAST(doc_id % 5 AS VARCHAR) AS query,
+           lang                                              AS q_param,
+           'https'                                           AS proto,
+           upper(substr(lang, 1, 1)) || substr(lang, 2)      AS lang_ic,
+           substr(source, 1, 1) || 'XX' || substr(source, 4) AS src_ov,
+           CAST(instr(source, 'rc') AS INT)                  AS pos_rc,
+           'lang=' || lang || ',n=' || CAST(n_chars AS VARCHAR) AS map_ser,
+           lang                                              AS m_lang,
+           CAST(n_chars AS VARCHAR)                          AS m_n
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_url_map_fns(t: _T) -> DataFrame:
+    """§2.10 PARSE_URL + STR_TO_MAP (FlinkSqlOperatorTable PARSE_URL /
+    STR_TO_MAP; runtime SqlFunctionUtils.parseUrl / strToMap in
+    /root/reference): the engine builds a URL and a kv-string from
+    document fields, then round-trips them through Spark's parse_url
+    and str_to_map built-ins. The oracle reconstructs each extracted
+    component directly from the same fields — so the built-ins'
+    HOST/PATH/QUERY/param extraction and map parsing are value-checked
+    without needing those functions in the oracle engine."""
+    d = t.documents.where(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"), F.lit(".example.com"),
+        F.lit("/"), F.col("lang"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("lang"),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"),
+    )
+    kv = F.concat(
+        F.lit("lang="), F.col("lang"),
+        F.lit(",n="), F.col("n_chars").cast("string"),
+    )
+    m = F.expr("str_to_map(__kv, ',', '=')")
+    return (
+        d.withColumn("__url", url)
+        .withColumn("__kv", kv)
+        .select(
+            "doc_id",
+            F.parse_url("__url", F.lit("HOST")).alias("host"),
+            F.parse_url("__url", F.lit("PATH")).alias("path"),
+            F.parse_url("__url", F.lit("QUERY")).alias("query"),
+            F.parse_url("__url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+            F.parse_url("__url", F.lit("PROTOCOL")).alias("proto"),
+            F.initcap("lang").alias("lang_ic"),
+            F.overlay("source", F.lit("XX"), F.lit(2), F.lit(2)).alias("src_ov"),
+            F.expr("position('rc' in source)").cast("int").alias("pos_rc"),
+            F.expr(
+                "concat_ws(',', transform(array_sort(map_entries("
+                "str_to_map(__kv, ',', '='))), e -> concat(e.key, '=', e.value)))"
+            ).alias("map_ser"),
+            m.getItem("lang").alias("m_lang"),
+            m.getItem("n").alias("m_n"),
+        )
+    )

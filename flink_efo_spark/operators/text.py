@@ -124,6 +124,109 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII patterns: common Java-regex / RE2 subset (no lookaround, no
+# backrefs) so Spark and the DuckDB oracle agree byte-for-byte.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pipeline text normalization: casefold, punctuation → space,
+    whitespace collapse, trim. Returns (id, norm_text, norm_hash) —
+    ``norm_hash`` is the md5 of the normalized body, the join/dedup
+    key for *normalized* exact dedup (catches case/punctuation
+    variants that raw-hash dedup misses).
+
+    Scale: narrow map over the scan, whole-stage codegen; downstream
+    dedup shuffles the 32-char hash only, never bodies."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col), norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction: replace emails / dashed phone numbers / IPv4
+    addresses with typed placeholder tokens and count what was found.
+
+    Returns (id, n_emails, n_phones, n_ips, n_residual, clean_hash):
+    ``n_residual`` re-scans the CLEAN text for any surviving match
+    (the self-check a redaction pass should always ship with) and
+    ``clean_hash`` is the md5 of the redacted body.
+
+    All regex built-ins (no UDF): the operator is a narrow
+    codegen-friendly map, zero shuffle, linear in corpus size."""
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+    def _count(src: Column, pat: str) -> Column:
+        # idx=0 (full match): Spark's regexp_extract_all defaults to
+        # group 1 and throws on group-less patterns under ANSI
+        return F.size(
+            F.regexp_extract_all(src, F.lit(pat), F.lit(0))
+        ).cast("bigint")
+
+    any_pii = f"({_EMAIL_RE})|({_PHONE_RE})|({_IP_RE})"
+    return df.select(
+        F.col(id_col),
+        _count(c, _EMAIL_RE).alias("n_emails"),
+        _count(c, _PHONE_RE).alias("n_phones"),
+        _count(c, _IP_RE).alias("n_ips"),
+        _count(clean, any_pii).alias("n_residual"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``shingle_size``-gram with an evaluation set — the standard
+    n-gram-collision check run before training on scraped data.
+
+    Returns (id, hit_ngrams) for contaminated docs only; shingles are
+    distinct per doc (see ``_shingles_expr``) so ``hit_ngrams`` is the
+    number of distinct colliding n-grams.
+
+    100 TB design: the eval side (benchmark suites, ~MBs) collapses to
+    a DISTINCT shingle set and is BROADCAST; the corpus side explodes
+    shingles and hash-joins locally — no corpus shuffle at all until
+    the final per-doc count (which shuffles (doc_id, 1) pairs only).
+    """
+    from flink_efo_spark.operators.dedup import _shingles_expr
+
+    ev = (
+        eval_df.select(_shingles_expr(text_col, shingle_size))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    co = corpus.select(
+        F.col(id_col), _shingles_expr(text_col, shingle_size)
+    ).select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    return (
+        co.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hit_ngrams"))
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
 ) -> DataFrame:

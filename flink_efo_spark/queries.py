@@ -41,8 +41,14 @@ from flink_efo_spark.operators.dedup import (
 from flink_efo_spark.operators.joins import asof_join, interval_join
 from flink_efo_spark.operators.similarity import cosine_topk, lsh_cosine_topk
 from flink_efo_spark.operators.text import (
+    _EMAIL_RE,
+    _IP_RE,
+    _PHONE_RE,
     doc_fingerprint,
     lang_id,
+    ngram_contamination,
+    normalize_text,
+    pii_scrub,
     quality_stats,
     token_stats,
 )
@@ -1275,6 +1281,114 @@ def q_quality_stats(t: _T) -> DataFrame:
 )
 def q_doc_fingerprint(t: _T) -> DataFrame:
     return doc_fingerprint(t.documents, "doc_id", "text", shingle_size=3)
+
+
+@_q(
+    "dedup_normalized",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT md5(norm_text) AS norm_hash, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM n GROUP BY norm_hash
+    """,
+)
+def q_dedup_normalized(t: _T) -> DataFrame:
+    """Normalized exact dedup: casefold + punctuation-strip +
+    whitespace-collapse, then group on the md5 of the normalized body
+    (operators/text.py normalize_text). Catches the case/punctuation
+    near-identicals raw-hash dedup (dedup_exact) misses; shuffles the
+    32-char hash only."""
+    n = normalize_text(t.documents, "doc_id", "text")
+    return n.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+_PII_SYNTH_SQL = """
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+      FROM documents
+"""
+
+
+@_q(
+    "pii_scrub",
+    f"""
+    WITH p AS ({_PII_SYNTH_SQL}),
+    c AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS clean
+      FROM p)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(clean,
+             '({_EMAIL_RE})|({_PHONE_RE})|({_IP_RE})')) AS BIGINT)
+             AS n_residual,
+           md5(clean) AS clean_hash
+    FROM c
+    """,
+)
+def q_pii_scrub(t: _T) -> DataFrame:
+    """PII redaction over the corpus (operators/text.py pii_scrub).
+    The synthetic corpus carries no real PII, so deterministic PII is
+    injected per doc (email + phone + IP derived from doc_id) before
+    scrubbing — the oracle injects the identical text, and
+    ``n_residual`` proves the redaction left nothing behind."""
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        d.cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+    seeded = t.documents.select(d, pii_text.alias("text"))
+    return pii_scrub(seeded, "doc_id", "text")
+
+
+@_q(
+    "ngram_contamination",
+    _SHINGLE_CTE
+    + """
+    , ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+             WHERE doc_id % 97 = 0)
+    , co AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+             WHERE doc_id % 97 != 0)
+    SELECT co.doc_id, CAST(count(*) AS BIGINT) AS hit_ngrams
+    FROM co JOIN ev USING (shingle)
+    GROUP BY co.doc_id
+    """,
+)
+def q_ngram_contamination(t: _T) -> DataFrame:
+    """Benchmark decontamination (operators/text.py
+    ngram_contamination): every 97th doc stands in for the eval set;
+    corpus docs sharing any word 3-gram with it are flagged with
+    their distinct-collision count. Eval shingles are broadcast — the
+    corpus is never shuffled until the final (doc_id, count) agg."""
+    docs = t.documents
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    co = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(co, ev, "doc_id", "text", shingle_size=3)
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,9 @@ from __future__ import annotations
 from flink_efo_spark.operators.text import (
     doc_fingerprint,
     lang_id,
+    ngram_contamination,
+    normalize_text,
+    pii_scrub,
     quality_stats,
     token_stats,
 )
@@ -40,6 +43,50 @@ def test_quality_stats_bounds(spark):
     for r in quality_stats(df, "doc_id", "text").collect():
         assert 0.0 <= r.quality_score <= 1.0
         assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_normalize_text_collapses_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO--WORLD"), (4, "")],
+        SCHEMA,
+    )
+    rows = {r.doc_id: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert rows[1].norm_text == "hello world"
+    assert rows[1].norm_hash == rows[2].norm_hash == rows[3].norm_hash
+    assert rows[4].norm_text == ""
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or b@y.org, call +1-555-0199"),
+            (2, "server at 192.168.0.1 and 10.0.0.255"),
+            (3, "nothing sensitive here"),
+        ],
+        SCHEMA,
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1].n_emails == 2 and rows[1].n_phones == 1
+    assert rows[2].n_ips == 2
+    assert rows[3].n_emails == rows[3].n_phones == rows[3].n_ips == 0
+    assert all(r.n_residual == 0 for r in rows.values())
+
+
+def test_ngram_contamination_flags_only_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "completely unrelated words entirely different"),
+        ],
+        SCHEMA,
+    )
+    eval_df = spark.createDataFrame([(100, "cat sat on the mat")], SCHEMA)
+    rows = {
+        r.doc_id: r.hit_ngrams
+        for r in ngram_contamination(corpus, eval_df, "doc_id", "text").collect()
+    }
+    # doc 1 shares 3-grams ("cat sat on", "sat on the", "on the mat"); doc 2 none
+    assert rows == {1: 3}
 
 
 def test_doc_fingerprint_equal_docs_share_min(spark):

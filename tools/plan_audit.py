@@ -24,7 +24,17 @@ from flink_efo_spark.session import get_spark  # noqa: E402
 # ground-truth scans (lsh_recall embeds cosine_topk as its truth side;
 # embedding_near_dup runs its exhaustive verify path on this
 # near-random corpus — the LSH path is the scale path, pytest-proven)
-INTENTIONAL_NLJ = {"cosine_topk", "lsh_recall", "embedding_near_dup"}
+INTENTIONAL_NLJ = {
+    "cosine_topk",
+    "lsh_recall",
+    "embedding_near_dup",
+    # scalar-subquery thresholds: join(broadcast(<1-row agg>)) — the
+    # single build row makes the BNLJ a constant-size broadcast, the
+    # correct plan at any scale (Catalyst plans uncorrelated scalar
+    # subqueries the same way)
+    "tpch_q11_important_value",
+    "tpch_q22_global_sales",
+}
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}
 

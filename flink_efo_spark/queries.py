@@ -3944,3 +3944,64 @@ def q_url_map_fns(t: _T) -> DataFrame:
             m.getItem("n").alias("m_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.13 fluent Table API end-to-end: group-window + over-window + lateral
+# (PyFlink table.py window:534 / over_window:571 / join_lateral:279;
+#  GroupWindowITCase / OverWindowITCase / CorrelateITCase). The fluent shim
+# delegates to the same Catalyst plans as the DataFrame queries — this entry
+# proves the SURFACE through the oracle gate, not new physics.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "table_api_pipeline",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000 AS w_start_us,
+           count(*) AS cnt, round(sum(value), 2) AS sum_v
+    FROM events
+    WHERE value > 10
+    GROUP BY 1, 2
+    """,
+)
+def q_table_api_pipeline(t: _T) -> DataFrame:
+    from flink_efo_spark.table import Table, Tumble
+
+    return (
+        Table(t.events)
+        .filter("value > 10")
+        .window(Tumble.over("10.minutes").on("ts").alias("w"))
+        .group_by("w, event_type")
+        .select(
+            "event_type, unix_micros(w.start) as w_start_us, "
+            "count(*) as cnt, round(sum(value), 2) as sum_v"
+        )
+        .to_df()
+    )
+
+
+@_q(
+    "table_api_over_lateral",
+    """
+    SELECT user_id, word, count(*) AS cnt
+    FROM (
+      SELECT user_id, unnest(string_split(event_type, '_')) AS word
+      FROM events WHERE user_id <= 50
+    )
+    GROUP BY user_id, word
+    """,
+)
+def q_table_api_over_lateral(t: _T) -> DataFrame:
+    from flink_efo_spark.table import Table
+
+    return (
+        Table(t.events)
+        .filter("user_id <= 50")
+        .select("user_id", "split(event_type, '_') as parts")
+        .join_lateral("explode(parts) as t(word)")
+        .group_by("user_id", "word")
+        .select("user_id", "word", "count(*) as cnt")
+        .to_df()
+    )

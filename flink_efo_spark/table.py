@@ -16,6 +16,8 @@ language here, same operator set per SURVEY §2.10).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,6 +119,47 @@ class Table:
         df = self._df.offset(offset) if offset else self._df
         return Table(df.limit(n))
 
+    # -- group windows (PyFlink table.window:534) ----------------------
+    def window(self, descriptor: "GroupWindowDescriptor") -> "GroupWindowedTable":
+        """Attach a Tumble/Slide/Session group-window descriptor
+        (PyFlink Table.window, flink-python/pyflink/table/table.py:534;
+        window descriptors in pyflink/table/window.py). Follow with
+        ``.group_by(...)`` including the window alias, then
+        ``.select(...)`` where ``<alias>.start`` / ``<alias>.end`` are
+        the window bounds."""
+        return GroupWindowedTable(self._df, descriptor)
+
+    # -- over windows (PyFlink table.over_window:571) ------------------
+    def over_window(self, descriptor: "Over") -> "OverWindowedTable":
+        """Attach an OVER-window descriptor; ``select`` exprs may use
+        ``agg(x) over <alias>`` which is rewritten to the full SQL
+        OVER clause. Mirrors PyFlink Table.over_window (table.py:571,
+        descriptor in pyflink/table/window.py Over)."""
+        return OverWindowedTable(self._df, descriptor)
+
+    # -- lateral joins (PyFlink table.join_lateral:279) ----------------
+    def join_lateral(self, udtf_expr: str, how: str = "inner") -> "Table":
+        """Correlate each row with a generator/table-function call
+        (PyFlink Table.join_lateral:279 / left_outer_join_lateral:304,
+        backed by StreamExecCorrelate.scala:46). ``udtf_expr`` is
+        ``"fn(args) as t(c1, c2, ...)"`` (alias optional for
+        single-column generators). Planned as Catalyst ``Generate`` —
+        a narrow per-row expansion, no shuffle, safe at any scale."""
+        fn_part, alias, cols = _parse_udtf(udtf_expr)
+        spark = self._df.sparkSession
+        view = f"__lateral_{abs(hash(udtf_expr)) % 10**8}"
+        self._df.createOrReplaceTempView(view)
+        outer = "OUTER " if how in ("left", "left_outer") else ""
+        as_cols = f" AS {', '.join(cols)}" if cols else ""
+        sql = (
+            f"SELECT * FROM {view} "
+            f"LATERAL VIEW {outer}{fn_part} {alias or 't'}{as_cols}"
+        )
+        return Table(spark.sql(sql))
+
+    def left_outer_join_lateral(self, udtf_expr: str) -> "Table":
+        return self.join_lateral(udtf_expr, how="left_outer")
+
 
 class GroupedTable:
     """Result of ``group_by`` — ``select`` evaluates aggregates
@@ -127,6 +170,21 @@ class GroupedTable:
         self._keys = keys
 
     def select(self, *aggs: str | Column) -> Table:
+        if _all_str(aggs) and _all_str(self._keys):
+            # SQL path: Spark itself classifies grouping keys vs
+            # aggregates, so keys listed in select are not duplicated
+            flat: list[str] = []
+            for e in aggs:
+                flat.extend(p.strip() for p in _split_top_level(e) if p.strip())
+            spark = self._df.sparkSession
+            view = f"__gb_{abs(hash((tuple(flat), tuple(self._keys)))) % 10**8}"
+            self._df.createOrReplaceTempView(view)
+            return Table(
+                spark.sql(
+                    f"SELECT {', '.join(flat)} FROM {view} "
+                    f"GROUP BY {', '.join(self._keys)}"
+                )
+            )
         aggs_ = [F.expr(a) if isinstance(a, str) else a for a in aggs]
         return Table(self._df.groupBy(*self._keys).agg(*aggs_))
 
@@ -147,3 +205,261 @@ def _sort_col(c: str | Column) -> Column:
     if low.endswith(" asc"):
         return F.expr(s[:-4]).asc()
     return F.expr(s)
+
+
+# ---------------------------------------------------------------------------
+# Group-window descriptors — PyFlink pyflink/table/window.py (Tumble:63,
+# Slide:89, Session:123) over Spark's window()/session_window() SQL fns.
+# Sizes accept PyFlink-style "10.minutes" or Spark interval "10 minutes".
+# ---------------------------------------------------------------------------
+
+
+def _interval(s: str) -> str:
+    """'10.minutes' → '10 minutes'; passthrough for Spark intervals."""
+    m = re.fullmatch(r"(\d+)\.(\w+)", s.strip())
+    return f"{m.group(1)} {m.group(2)}" if m else s.strip()
+
+
+class GroupWindowDescriptor:
+    def __init__(self, kind: str, size: str | None = None,
+                 slide: str | None = None, gap: str | None = None):
+        self.kind = kind
+        self.size = size
+        self.slide = slide
+        self.gap = gap
+        self.time_col: str | None = None
+        self.name: str = "w"
+
+    def on(self, time_col: str) -> "GroupWindowDescriptor":
+        self.time_col = time_col
+        return self
+
+    def alias(self, name: str) -> "GroupWindowDescriptor":
+        self.name = name
+        return self
+
+    def _sql_fn(self) -> tuple[str, str]:
+        """Returns (window fn call, output struct name in Spark SQL)."""
+        if self.kind == "tumble":
+            return f"window({self.time_col}, '{self.size}')", "window"
+        if self.kind == "slide":
+            return (
+                f"window({self.time_col}, '{self.size}', '{self.slide}')",
+                "window",
+            )
+        # session: gap may be a fixed interval or a dynamic-gap SQL expr
+        gap = (
+            f"'{self.gap}'"
+            if re.fullmatch(r"\d+ \w+", self.gap or "")
+            else self.gap
+        )
+        return f"session_window({self.time_col}, {gap})", "session_window"
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> GroupWindowDescriptor:
+        return GroupWindowDescriptor("tumble", size=_interval(size))
+
+
+class Slide:
+    @staticmethod
+    def over(size: str) -> "_SlideBuilder":
+        return _SlideBuilder(_interval(size))
+
+
+class _SlideBuilder:
+    def __init__(self, size: str):
+        self._size = size
+
+    def every(self, slide: str) -> GroupWindowDescriptor:
+        return GroupWindowDescriptor(
+            "slide", size=self._size, slide=_interval(slide)
+        )
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> GroupWindowDescriptor:
+        """Fixed gap ('30.minutes') or a dynamic-gap SQL expression over
+        the row (DynamicEventTimeSessionWindows.java:47 analog — Spark's
+        session_window accepts an expression gap natively)."""
+        g = _interval(gap)
+        return GroupWindowDescriptor("session", gap=g)
+
+
+class GroupWindowedTable:
+    def __init__(self, df: DataFrame, desc: GroupWindowDescriptor):
+        self._df = df
+        self._desc = desc
+
+    def group_by(self, *cols: str) -> "WindowGroupedTable":
+        keys: list[str] = []
+        for c in cols:
+            for part in (c.split(",") if isinstance(c, str) else [c]):
+                part = part.strip()
+                if part and part != self._desc.name:
+                    keys.append(part)
+        return WindowGroupedTable(self._df, self._desc, keys)
+
+
+class WindowGroupedTable:
+    """Grouped by (window, keys); ``select`` renders a single SQL
+    GROUP BY so Spark itself resolves aggregate vs grouping exprs —
+    no client-side expression classification."""
+
+    def __init__(self, df: DataFrame, desc: GroupWindowDescriptor, keys: list[str]):
+        self._df = df
+        self._desc = desc
+        self._keys = keys
+
+    def select(self, *exprs: str) -> Table:
+        flat: list[str] = []
+        for e in exprs:
+            flat.extend(p.strip() for p in _split_top_level(e) if p.strip())
+        fn, struct_name = self._desc._sql_fn()
+        pat = re.compile(rf"\b{re.escape(self._desc.name)}\.(start|end)\b")
+        sel = [pat.sub(rf"{struct_name}.\1", e) for e in flat]
+        spark = self._df.sparkSession
+        view = f"__gw_{abs(hash((tuple(sel), fn))) % 10**8}"
+        self._df.createOrReplaceTempView(view)
+        group = ", ".join([*self._keys, fn])
+        return Table(
+            spark.sql(f"SELECT {', '.join(sel)} FROM {view} GROUP BY {group}")
+        )
+
+
+# ---------------------------------------------------------------------------
+# OVER-window descriptor — PyFlink pyflink/table/window.py Over:154
+# ---------------------------------------------------------------------------
+
+_FRAME_WORDS = {
+    "unbounded_range": ("RANGE", "UNBOUNDED PRECEDING"),
+    "unbounded_row": ("ROWS", "UNBOUNDED PRECEDING"),
+    "current_range": ("RANGE", "CURRENT ROW"),
+    "current_row": ("ROWS", "CURRENT ROW"),
+}
+
+
+class Over:
+    """Builder: ``Over.partition_by("k").order_by("ts")
+    .preceding("unbounded_row").following("current_row").alias("ow")``.
+    ``preceding`` also accepts "5.rows" or an interval ("10.seconds" →
+    RANGE frame). Rendered as a plain SQL OVER clause, evaluated by
+    Spark's native window exec (no Python)."""
+
+    def __init__(self):
+        self._partition: str = ""
+        self._order: str = ""
+        self._mode: str | None = None
+        self._preceding: str = "UNBOUNDED PRECEDING"
+        self._following: str = "CURRENT ROW"
+        self.name = "ow"
+
+    @staticmethod
+    def partition_by(cols: str) -> "Over":
+        o = Over()
+        o._partition = cols
+        return o
+
+    @staticmethod
+    def order_by_only(cols: str) -> "Over":
+        return Over().order_by(cols)
+
+    def order_by(self, cols: str) -> "Over":
+        self._order = cols
+        return self
+
+    def _bound(self, spec: str, side: str) -> "Over":
+        s = spec.strip().lower()
+        if s in _FRAME_WORDS:
+            mode, bound = _FRAME_WORDS[s]
+        else:
+            m = re.fullmatch(r"(\d+)\.rows", s)
+            if m:
+                mode, bound = "ROWS", f"{m.group(1)} {side}"
+            else:
+                mode, bound = "RANGE", f"INTERVAL {_interval(s)} {side}"
+        self._mode = self._mode or mode
+        if side == "PRECEDING":
+            self._preceding = bound
+        else:
+            self._following = bound
+        return self
+
+    def preceding(self, spec: str) -> "Over":
+        return self._bound(spec, "PRECEDING")
+
+    def following(self, spec: str) -> "Over":
+        return self._bound(spec, "FOLLOWING")
+
+    def alias(self, name: str) -> "Over":
+        self.name = name
+        return self
+
+    def _sql(self) -> str:
+        parts = []
+        if self._partition:
+            parts.append(f"PARTITION BY {self._partition}")
+        if self._order:
+            parts.append(f"ORDER BY {self._order}")
+        mode = self._mode or "RANGE"
+        parts.append(
+            f"{mode} BETWEEN {self._preceding} AND {self._following}"
+        )
+        return f"OVER ({' '.join(parts)})"
+
+
+class OverWindowedTable:
+    def __init__(self, df: DataFrame, desc: Over):
+        self._df = df
+        self._desc = desc
+
+    def select(self, *exprs: str) -> Table:
+        flat: list[str] = []
+        for e in exprs:
+            flat.extend(p.strip() for p in _split_top_level(e) if p.strip())
+        pat = re.compile(rf"\bover\s+{re.escape(self._desc.name)}\b", re.I)
+        sel = [pat.sub(self._desc._sql(), e) for e in flat]
+        return Table(self._df.selectExpr(*sel))
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/quotes (so one PyFlink-style
+    'a, b, sum(c) over ow as d' string becomes select items)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_udtf(expr: str) -> tuple[str, str | None, list[str]]:
+    """Parse "fn(args) as t(c1, c2)" / "fn(args) as (c1)" / "fn(args)"
+    into (call, table alias, column names)."""
+    m = re.fullmatch(
+        r"(?is)\s*(.+?)\s+as\s+(?:(\w+)\s*)?\(\s*([\w\s,]+)\s*\)\s*", expr
+    )
+    if m:
+        cols = [c.strip() for c in m.group(3).split(",") if c.strip()]
+        return m.group(1), m.group(2), cols
+    return expr.strip(), None, []

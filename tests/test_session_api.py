@@ -261,3 +261,119 @@ def test_watermark_idleness_policy(env):
         env.spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
         == "min"
     )
+
+
+# -- group windows / over windows / lateral joins (round 4) ------------
+
+
+def test_table_api_tumble_window(env, spark):
+    from flink_efo_spark.table import Table, Tumble
+
+    ev = Table(env.table("events"))
+    got = (
+        ev.window(Tumble.over("5.minutes").on("ts").alias("w"))
+        .group_by("w, event_type")
+        .select(
+            "event_type, w.start as ws, count(*) as cnt, "
+            "round(sum(value), 2) as sv"
+        )
+        .to_df()
+    )
+    # compare against the direct DataFrame formulation
+    from pyspark.sql import functions as F
+
+    direct = (
+        env.table("events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .select("event_type", F.col("w.start").alias("ws"), "cnt", "sv")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_table_api_slide_and_session(env):
+    from flink_efo_spark.table import Session, Slide, Table
+
+    ev = Table(env.table("events"))
+    hop = (
+        ev.window(Slide.over("10.minutes").every("5.minutes").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start as ws, count(*) as cnt")
+        .to_df()
+    )
+    assert hop.count() > 0
+    sess = (
+        ev.filter("user_id = 1")
+        .window(Session.with_gap("30.minutes").on("ts").alias("s"))
+        .group_by("s")
+        .select("s.start as ss, s.end as se, count(*) as cnt")
+        .to_df()
+    )
+    rows = sess.collect()
+    assert rows and all(r.ss <= r.se for r in rows)
+
+
+def test_table_api_over_window(env):
+    from flink_efo_spark.table import Over, Table
+
+    ev = Table(env.table("events")).filter("user_id <= 3")
+    got = (
+        ev.over_window(
+            Over.partition_by("user_id").order_by("ts")
+            .preceding("unbounded_row").alias("ow")
+        )
+        .select(
+            "user_id, ts, sum(value) over ow as running, "
+            "count(*) over ow as n"
+        )
+        .to_df()
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    direct = ev.to_df().select(
+        "user_id", "ts",
+        F.sum("value").over(w).alias("running"),
+        F.count("*").over(w).alias("n"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_table_api_rows_preceding_frame(env):
+    from flink_efo_spark.table import Over, Table
+
+    ev = Table(env.table("events")).filter("user_id = 2")
+    got = (
+        ev.over_window(
+            Over.partition_by("user_id").order_by("ts")
+            .preceding("2.rows").following("current_row").alias("ow")
+        )
+        .select("ts, avg(value) over ow as ma3")
+        .to_df()
+    )
+    assert got.count() == ev.to_df().count()
+
+
+def test_table_api_join_lateral(env):
+    from flink_efo_spark.table import Table
+
+    docs = Table(env.table("documents")).select(
+        "doc_id", "split(text, ' ') as words"
+    )
+    inner = docs.join_lateral("explode(words) as t(word)").to_df()
+    assert "word" in inner.columns
+    n_inner = inner.count()
+    assert n_inner > 0
+    # left_outer keeps rows whose generator yields nothing
+    outer = (
+        Table(env.table("documents"))
+        .select("doc_id", "filter(split(text, ' '), x -> false) as words")
+        .left_outer_join_lateral("explode(words) as t(word)")
+        .to_df()
+    )
+    assert outer.count() == env.table("documents").count()
+    assert outer.filter("word is not null").count() == 0

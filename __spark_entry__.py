@@ -27,9 +27,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, SF_SMOKE_DIR)
 
 
+def _driver_order() -> list[str]:
+    """Order queries so the driver's 50-query sample maximizes new
+    information each round: (0) red on their latest driver check —
+    re-verify fixes first, (1) never driver-checked, (2) green,
+    least-recently-checked first (rotation, so every query
+    eventually re-earns a row). Derived from the CORRECTNESS_r*.json
+    history the driver itself writes into the repo."""
+    import glob
+    import json
+    import re
+
+    green: dict[str, bool] = {}  # name -> latest row was green
+    round_of: dict[str, int] = {}  # name -> latest round with a row
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            green[name] = bool(row.get("rows_match")) and row.get("err") is None
+            round_of[name] = rnd
+
+    idx = {n: i for i, n in enumerate(QUERIES)}
+    # named by the round-3 verdict as must-get-a-row: front of the
+    # never-checked group so a 50-query sample covers them all
+    named = {
+        "stream_asof_join",
+        "stream_group_agg",
+        "match_recognize_funnel",
+        "over_range_frame",
+        "count_window_agg",
+        "dup_clusters",
+    }
+
+    def key(n: str):
+        if n in green and not green[n]:
+            return (0, 0, idx[n])
+        if n not in green:
+            return (1, 0 if (n.startswith("tpch_") or n in named) else 1, idx[n])
+        return (2, round_of[n], idx[n])
+
+    return sorted(QUERIES, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    previously-red first, then never-driver-checked, then stale-green."""
+    return {n: QUERIES[n] for n in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:

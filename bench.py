@@ -64,36 +64,50 @@ def main() -> None:
     # top-n exercises scan, shuffle, broadcast and window codegen —
     # a bare table count warms almost nothing). Not counted in the
     # reported walls.
-    QUERIES["join_inner_agg"](spark, sf_dir).collect()
+    try:
+        QUERIES["join_inner_agg"](spark, sf_dir).collect()
+    except Exception as exc:
+        print(f"# warmup join_inner_agg failed: {exc!r}", file=sys.stderr)
     # streaming machinery warmup (state store provider, streaming
     # query planner, Python worker pool for applyInPandasWithState)
     # at the smallest SF — otherwise the FIRST timed stream query
     # absorbs one-time init and reads 2-3x its steady-state wall
-    QUERIES["stream_dedup_first"](spark, "/root/testdata/sf0.001").collect()
+    try:
+        QUERIES["stream_dedup_first"](spark, "/root/testdata/sf0.001").collect()
+    except Exception as exc:
+        print(f"# warmup stream_dedup_first failed: {exc!r}", file=sys.stderr)
 
+    # Per-query fault isolation: one broken query must not zero the
+    # round's whole perf signal — record its error and keep timing the
+    # rest; the JSON line is emitted no matter what.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -69,8 +69,27 @@ def ensure_session_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Parquet micros timestamps without the UTC-adjusted flag would
+        # otherwise infer TIMESTAMP_NTZ (Spark >= 3.4), which
+        # unix_micros()/withWatermark() reject. Event-time semantics in
+        # this engine are instant-based (reference TimestampData is
+        # epoch millis+nanos, TimestampData.java:40) — read as TIMESTAMP.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass  # locked down (cluster ACLs) — engine sessions set these at build
+
+
+def _denull_ntz(df: DataFrame) -> DataFrame:
+    """Belt-and-braces for sessions where the inferTimestampNTZ conf is
+    locked (managed clusters): cast any TIMESTAMP_NTZ column to
+    ``timestamp``. Session timezone is UTC, so the cast is the identity
+    on the underlying micros value."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
@@ -84,7 +103,7 @@ def load_table(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
             # integer `div`, not `/`: nano longs exceed double's exact
             # integer range, so float division could round the micros
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _denull_ntz(df)
 
 
 class TableSpec:
@@ -124,6 +143,7 @@ class TableSpec:
             )
         else:
             df = spark.read.format(self.format).options(**self.options).load(self.path)
+        df = _denull_ntz(df)
         for col, expr in self.computed_columns.items():
             df = df.withColumn(col, F.expr(expr))
         if streaming and self.watermark is not None:

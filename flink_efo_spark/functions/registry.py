@@ -70,7 +70,12 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "date_format(from_utc_timestamp(to_utc_timestamp("
         "cast(s as timestamp), tz_from), tz_to), 'yyyy-MM-dd HH:mm:ss')",
     ),
-    # JSON predicates (FlinkSqlOperatorTable:1007-1012)
+    # IS [NOT] JSON predicates (FlinkSqlOperatorTable.java:1007-1014:
+    # IS_JSON_VALUE/OBJECT/ARRAY/SCALAR + NOT twins). Spark has no
+    # postfix `x IS JSON` syntax; the function forms are the engine
+    # surface (`NOT IS_JSON_*` covers the NOT twins). Validity via
+    # try_parse_json (NULL on malformed); top-level kind via the first
+    # non-space character, which for ALREADY-VALID JSON is decisive.
     "IS_JSON_VALUE": (
         "(s STRING)",
         "BOOLEAN",
@@ -80,6 +85,17 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "(s STRING)",
         "BOOLEAN",
         "try_parse_json(s) is not null and startswith(ltrim(s), '{')",
+    ),
+    "IS_JSON_ARRAY": (
+        "(s STRING)",
+        "BOOLEAN",
+        "try_parse_json(s) is not null and startswith(ltrim(s), '[')",
+    ),
+    "IS_JSON_SCALAR": (
+        "(s STRING)",
+        "BOOLEAN",
+        "try_parse_json(s) is not null and not startswith(ltrim(s), '{') "
+        "and not startswith(ltrim(s), '[')",
     ),
 }
 

@@ -1,4 +1,4 @@
-"""Sources, sinks and formats (SURVEY §2.1).
+r"""Sources, sinks and formats (SURVEY §2.1).
 
 The reference's connector/format surface maps almost 1:1 onto Spark's
 built-in DataSource V2 names; this module is the engine's thin,
@@ -98,6 +98,80 @@ def blackhole_sink(df: DataFrame, **options):
         return df.writeStream.format("noop").options(**options).start()
     df.write.format("noop").mode("overwrite").save()
     return None
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC source (reference flink-connectors/flink-connector-jdbc,
+    JdbcDynamicTableFactory's scan side) as a thin ``format("jdbc")``
+    pass-through with the reference's option names mapped:
+
+    * ``table`` ↔ Flink ``table-name`` (→ Spark ``dbtable``);
+      ``query`` pushes a full SQL statement down to the database.
+    * ``partition_column``/``lower_bound``/``upper_bound``/
+      ``num_partitions`` ↔ Flink ``scan.partition.column`` /
+      ``scan.partition.lower-bound`` / ``scan.partition.upper-bound``
+      / ``scan.partition.num`` — WITHOUT these, the whole table reads
+      through ONE task; at scale always set them so Spark issues
+      range-predicate queries in parallel.
+
+    Catalyst pushes filters/projections into the generated SQL
+    (JDBCScan PushedFilters), same as the reference's
+    JdbcFilterPushdownPreparedStatementVisitor. Requires the database's
+    JDBC driver jar on the classpath — raises the driver's
+    ClassNotFound error otherwise (env-gated like kafka)."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table= or query= is required")
+    reader = spark.read.format("jdbc").option("url", url)
+    if table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        reader = reader.option("query", query)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column needs lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int | None = None,
+    **options,
+) -> None:
+    """JDBC sink (JdbcDynamicTableFactory's sink side; Flink
+    ``sink.buffer-flush.max-rows`` ↔ Spark ``batchsize``). Plain
+    INSERT semantics — upsert requires a database-specific MERGE via
+    foreachBatch, same caveat as the reference's dialect-specific
+    upsert statements."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if batch_size is not None:
+        writer = writer.option("batchsize", str(batch_size))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
 
 
 def kafka_source(

@@ -76,9 +76,18 @@ def _parse_pattern(pattern: str) -> list[Step]:
     return steps
 
 
-def _greedy_matches(step_flags, steps: list[Step], n: int, ts=None, within=None):
-    """Yield (start, per-step index lists) matches in scan order with
-    AFTER MATCH SKIP PAST LAST ROW (greedy with backtracking).
+def _greedy_matches(
+    step_flags, steps: list[Step], n: int, ts=None, within=None,
+    skip: str = "past_last_row",
+):
+    """Yield (start, per-step index lists) matches in scan order
+    (greedy with backtracking).
+
+    ``skip``: AFTER MATCH strategy (reference
+    flink-cep AfterMatchSkipStrategy.java / NFA.java) —
+    ``past_last_row`` (default: next search resumes after the match's
+    last consumed row) or ``to_next_row`` (resumes at start+1, so
+    matches may OVERLAP — the sliding-funnel counting mode).
 
     ``ts``/``within``: the reference's ``Pattern.within()`` NFA
     timeout (NFA.java windowTime) — a branch may only consume row
@@ -120,8 +129,11 @@ def _greedy_matches(step_flags, steps: list[Step], n: int, ts=None, within=None)
             i += 1
             continue
         yield i, m
-        last_row = max((ix for lst in m for ix in lst), default=i)
-        i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
+        if skip == "to_next_row":
+            i += 1  # AFTER MATCH SKIP TO NEXT ROW: overlapping matches
+        else:
+            last_row = max((ix for lst in m for ix in lst), default=i)
+            i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
 
 
 def _ts_and_window(series, within):
@@ -246,6 +258,7 @@ def match_recognize(
     measures: dict[str, tuple[str, str, str]],
     tiebreak: str | None = None,
     within: float | None = None,
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """MATCH_RECOGNIZE subset (batch).
 
@@ -263,7 +276,13 @@ def match_recognize(
     within: max seconds from a match's first to last row — the
     reference's ``Pattern.within()`` (flink-cep NFA.java windowTime);
     branches that would exceed the window are pruned during search.
+
+    after_match: AFTER MATCH SKIP strategy (reference flink-cep
+    AfterMatchSkipStrategy.java) — ``past_last_row`` (default) or
+    ``to_next_row`` (overlapping matches, the sliding-funnel count).
     """
+    if after_match not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unsupported after_match: {after_match!r}")
     import pandas as pd
 
     steps, order_cols, flag_names, meas_cols, slim, out_schema = _prepare(
@@ -294,7 +313,9 @@ def match_recognize(
 
         rows = []
         seq = 0
-        for _start, m in _greedy_matches(step_flags, steps, n, ts, win):
+        for _start, m in _greedy_matches(
+            step_flags, steps, n, ts, win, skip=after_match
+        ):
             seq += 1
             rec = dict(part_vals)
             rec["match_seq"] = seq

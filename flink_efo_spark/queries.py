@@ -1500,6 +1500,61 @@ def q_flink_sql_fns(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "json_predicates",
+    """
+    SELECT event_id,
+           json_valid(s) AS is_val,
+           json_valid(s) AND ltrim(s) LIKE '{%' AS is_obj,
+           json_valid(s) AND ltrim(s) LIKE '[%' AS is_arr,
+           json_valid(s) AND ltrim(s) NOT LIKE '{%'
+             AND ltrim(s) NOT LIKE '[%' AS is_scalar,
+           NOT json_valid(s) AS not_val
+    FROM (
+      SELECT event_id,
+             CASE CAST(event_id % 4 AS INT)
+               WHEN 0 THEN props
+               WHEN 1 THEN substr(props, 1, length(props) - 1)
+               WHEN 2 THEN concat('[', props, ',', props, ']')
+               ELSE '12.5'
+             END AS s
+      FROM events WHERE event_id < 2000 AND props IS NOT NULL
+    )
+    """,
+)
+def q_json_predicates(t: _T) -> DataFrame:
+    """IS [NOT] JSON predicates (FlinkSqlOperatorTable.java:1007-1014:
+    IS_JSON_VALUE/OBJECT/ARRAY/SCALAR and NOT twins) over a mix of
+    valid objects, truncated (malformed) strings, wrapped arrays and
+    bare scalars derived from events.props. try_parse_json validity +
+    first-non-space-char kind — all codegen-inlined SQL UDFs, no
+    Python on the data path."""
+    from flink_efo_spark.functions.registry import register_all
+
+    register_all(t.spark)
+    t.events.createOrReplaceTempView("__efo_events")
+    return t.spark.sql(
+        """
+        SELECT event_id,
+               IS_JSON_VALUE(s) AS is_val,
+               IS_JSON_OBJECT(s) AS is_obj,
+               IS_JSON_ARRAY(s) AS is_arr,
+               IS_JSON_SCALAR(s) AS is_scalar,
+               NOT IS_JSON_VALUE(s) AS not_val
+        FROM (
+          SELECT event_id,
+                 CASE CAST(event_id % 4 AS INT)
+                   WHEN 0 THEN props
+                   WHEN 1 THEN substr(props, 1, length(props) - 1)
+                   WHEN 2 THEN concat('[', props, ',', props, ']')
+                   ELSE '12.5'
+                 END AS s
+          FROM __efo_events WHERE event_id < 2000 AND props IS NOT NULL
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5/2.7/2.11 streaming: real micro-batch runs (availableNow) over the
 # bounded events stream — StreamExecGroupWindowAggregate /
@@ -1829,6 +1884,46 @@ def q_funnel_within(t: _T) -> DataFrame:
 
 
 @_q(
+    "cep_skip_to_next",
+    """
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS match_seq,
+           event_id AS first_id, nxt_id AS last_id
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 lead(event_type) OVER w AS nxt_type,
+                 lead(event_id) OVER w AS nxt_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'click' AND nxt_type = 'click'
+    """,
+)
+def q_cep_skip_to_next(t: _T) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (flink-cep
+    AfterMatchSkipStrategy.java, the most-used non-default mode):
+    consecutive click pairs per user with OVERLAPPING emission — a
+    click run of length k yields k-1 matches (past-last-row would
+    yield floor(k/2)). The lead-based oracle enumerates every adjacent
+    click pair, exactly the to_next_row match set."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    out = match_recognize(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="C C",
+        defines={"C": "event_type = 'click'"},
+        measures={
+            "first_id": ("C", "first", "event_id"),
+            "last_id": ("C", "last", "event_id"),
+        },
+        tiebreak="event_id",
+        after_match="to_next_row",
+    )
+    return out.select("user_id", "match_seq", "first_id", "last_id")
+
+
+@_q(
     "stream_interval_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS error_id,
@@ -2012,6 +2107,52 @@ def q_stream_upsert_changelog(t: _T) -> DataFrame:
         F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
     )
     return run_stream_to_table(agg, update_keys=["event_type"])
+
+
+@_q(
+    "stream_changelog",
+    """
+    SELECT event_type, cnt, sum_value FROM (
+      SELECT event_type, count(*) AS cnt,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY event_type
+    ) ORDER BY event_type
+    """,
+)
+def q_stream_changelog(t: _T) -> DataFrame:
+    """Explicit RowKind changelog surface (RowKind.java:27-58,
+    GroupAggFunction.java:43): an update-mode group aggregate is
+    replayed over a DETERMINISTIC 4-batch time-sliced stream, its
+    upsert log is derived into +I/-U/+U rows with before-images
+    (read_changelog), and the final table is reconstructed FROM THE
+    CHANGELOG ALONE via retract multiset semantics (apply_changelog).
+    Equality with the batch GROUP BY proves the whole retract
+    round-trip: emit → log → changelog → materialize."""
+    import os
+    import tempfile
+
+    from flink_efo_spark.streaming import (
+        apply_changelog,
+        read_changelog,
+        stream_table_split,
+        stream_upsert_sink,
+    )
+
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=4, order_col="ts"
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="efo-chlog-"), "data")
+    q = stream_upsert_sink(agg, ["event_type"], out_dir, mode="update")
+    q.awaitTermination()
+    changelog = read_changelog(t.spark, out_dir, ["event_type"])
+    return (
+        apply_changelog(changelog, ["event_type"])
+        .select("event_type", "cnt", "sum_value")
+        .orderBy("event_type")
+    )
 
 
 @_q(

@@ -48,6 +48,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     # type; read as long and let the catalog cast to micros (the same
     # truncation DuckDB applies when it reads nanos into TIMESTAMP).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet micros without the UTC-adjusted flag must read as
+    # TIMESTAMP, not TIMESTAMP_NTZ: unix_micros()/withWatermark()
+    # reject NTZ, and the engine's event-time model is instant-based
+    # (reference TimestampData.java:40 is epoch millis+nanos).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # shuffle.partitions is only the FLOOR under AQE: initialPartitionNum
     # sets the pre-coalesce fan-out, so the same code keeps full initial
     # parallelism at 100 TB while AQE coalesces small stages down.

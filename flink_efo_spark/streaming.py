@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
 from flink_efo_spark.catalog import (
+    _denull_ntz,
     _nanos_timestamp_cols,
     ensure_session_confs,
     table_path,
@@ -87,6 +88,7 @@ def stream_table(
     for c in _nanos_timestamp_cols(path):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    df = _denull_ntz(df)
     if watermark is not None:
         df = df.withWatermark(*watermark)
     return df
@@ -185,6 +187,7 @@ def stream_table_split(
         .option("recursiveFileLookup", "true")
         .parquet(split_dir)
     )
+    df = _denull_ntz(df)
     if watermark is not None:
         df = df.withWatermark(*watermark)
     return df
@@ -1182,6 +1185,77 @@ def read_upsert_result(
         log.withColumn("__maxb", F.max("__batch_id").over(w))
         .where(F.col("__batch_id") == F.col("__maxb"))
         .drop("__batch_id", "__maxb")
+    )
+
+
+def read_changelog(
+    spark: SparkSession, out_dir: str, keys: list[str]
+) -> DataFrame:
+    """Per-row changelog with explicit RowKind — the reference's
+    retract-stream surface (RowKind.java:27-58 ``+I``/``-U``/``+U``,
+    emitted by GroupAggFunction.java:43 on every group update) —
+    derived from a :func:`stream_upsert_sink` log.
+
+    Spark's update-mode operators re-emit changed key-groups but never
+    expose the before-image; the upsert log has every version of every
+    key stamped with its batch, so the changelog is a pure window
+    derivation: per key ordered by ``__batch_id``, the first version
+    is ``+I`` and each later version v emits ``-U`` (previous values)
+    then ``+U`` (v). Columns: the key/value columns plus ``row_kind``
+    and ``change_seq`` (batch id; within a batch ``-U`` sorts before
+    ``+U`` via ``kind_order``).
+
+    Scale: one shuffle on the key columns + a lag window — O(log) in
+    the changelog length, no driver collection, no per-trigger state
+    rewrite. Assumes one row per key per batch (the group-agg
+    contract); composite emissions (top-n) must include the rank in
+    ``keys``.
+    """
+    log = spark.read.parquet(out_dir)
+    value_cols = [c for c in log.columns if c not in set(keys) | {"__batch_id"}]
+    w = Window.partitionBy(*keys).orderBy("__batch_id")
+    versions = log.withColumn("__prev", F.lag(F.struct(*value_cols)).over(w))
+    after = versions.select(
+        *keys,
+        *value_cols,
+        F.when(F.col("__prev").isNull(), F.lit("+I"))
+        .otherwise(F.lit("+U"))
+        .alias("row_kind"),
+        F.col("__batch_id").alias("change_seq"),
+        F.when(F.col("__prev").isNull(), F.lit(0)).otherwise(F.lit(2)).alias(
+            "kind_order"
+        ),
+    )
+    before = versions.where(F.col("__prev").isNotNull()).select(
+        *keys,
+        "__prev.*",
+        F.lit("-U").alias("row_kind"),
+        F.col("__batch_id").alias("change_seq"),
+        F.lit(1).alias("kind_order"),
+    )
+    return after.unionByName(before)
+
+
+def apply_changelog(changelog: DataFrame, keys: list[str]) -> DataFrame:
+    """Materialize a changelog back into its final table — the sink
+    side of the retract contract (ChangelogMode.java:36: a sink
+    accepting +I/-U/+U reconstructs current state). Multiset
+    semantics: a row version survives iff its inserts (+I/+U) exceed
+    its retractions (-U/-D); no per-key ordering needed, so this is
+    one hash aggregate over the full row."""
+    value_cols = [
+        c
+        for c in changelog.columns
+        if c not in {"row_kind", "change_seq", "kind_order"}
+    ]
+    credit = F.when(
+        F.col("row_kind").isin("+I", "+U"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        changelog.groupBy(*value_cols)
+        .agg(F.sum(credit).alias("__net"))
+        .where(F.col("__net") > 0)
+        .drop("__net")
     )
 
 

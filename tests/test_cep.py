@@ -368,3 +368,47 @@ def test_flush_on_timeout_finalizes_held_match(spark, tmp_path):
 
     assert run(False) == set()  # held forever — the documented gap
     assert run(True) == {("u1", 1, 2)}  # finalized at MAX_WATERMARK
+
+
+def test_after_match_skip_to_next_row(spark):
+    """AFTER MATCH SKIP TO NEXT ROW (AfterMatchSkipStrategy.java):
+    overlapping emission — a run of k clicks gives k-1 pairs, vs
+    floor(k/2) under the default past-last-row."""
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "click", 1.0),
+            ("u1", 2, "click", 1.0),
+            ("u1", 3, "click", 1.0),
+            ("u1", 4, "click", 1.0),
+            ("u1", 5, "purchase", 1.0),
+            ("u2", 1, "click", 1.0),
+        ],
+    )
+
+    def pairs(mode):
+        out = match_recognize(
+            df,
+            ["k"], "seq",
+            pattern="C C",
+            defines={"C": "et = 'click'"},
+            measures={
+                "first_seq": ("C", "first", "seq"),
+                "last_seq": ("C", "last", "seq"),
+            },
+            after_match=mode,
+        )
+        return sorted((r.k, r.first_seq, r.last_seq) for r in out.collect())
+
+    assert pairs("to_next_row") == [("u1", 1, 2), ("u1", 2, 3), ("u1", 3, 4)]
+    assert pairs("past_last_row") == [("u1", 1, 2), ("u1", 3, 4)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        match_recognize(
+            df, ["k"], "seq", pattern="C",
+            defines={"C": "et = 'click'"},
+            measures={"s": ("C", "first", "seq")},
+            after_match="to_last",
+        )

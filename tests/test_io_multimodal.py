@@ -198,3 +198,39 @@ def test_stream_over_unbounded(spark, ddb):
     # ties on identical ts within a user may order differently between
     # engines; bound the tie-induced slack tightly
     assert mismatches <= len(exp_by_eid) * 0.02
+
+
+def test_jdbc_round_trip(spark, tmp_path):
+    """JDBC source/sink wrapper (reference flink-connector-jdbc analog)
+    against Spark's bundled embedded Derby: write, partitioned read
+    back, filter pushdown reaches the JDBC scan."""
+    from flink_efo_spark.io import jdbc_sink, jdbc_source
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    jdbc_sink(df, url, "T1", mode="overwrite", **drv)
+    back = jdbc_source(
+        spark,
+        url,
+        table="T1",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        **drv,
+    )
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == 9900
+    assert back.rdd.getNumPartitions() == 4
+    plan = (
+        back.where("id < 10")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "LessThan(id,10)" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jdbc_source(spark, url)

@@ -681,3 +681,42 @@ def test_stream_asof_join_multi_column(spark, tmp_path):
     assert row.asof_value == 2.0
     # latest build row's w is NULL — must NOT leak "old_w"
     assert row.asof_w is None
+
+
+def test_changelog_rowkind_round_trip(spark, tmp_path):
+    """RowKind changelog (RowKind.java:27-58): the upsert log of an
+    update-mode agg derives +I/-U/+U rows with before-images, and
+    apply_changelog reconstructs the final table from the changelog
+    alone (retract multiset semantics)."""
+    from flink_efo_spark.streaming import apply_changelog, read_changelog
+
+    # hand-built upsert log: key a updated twice, key b inserted once
+    log = spark.createDataFrame(
+        [
+            ("a", 1, 0), ("b", 10, 0),   # batch 0: inserts
+            ("a", 2, 1),                  # batch 1: a updated
+            ("a", 3, 2),                  # batch 2: a updated again
+        ],
+        "k string, v int, __batch_id int",
+    )
+    out = str(tmp_path / "log")
+    log.write.parquet(out)
+    ch = read_changelog(spark, out, ["k"]).collect()
+    kinds = sorted((r.k, r.row_kind, r.v, r.change_seq) for r in ch)
+    assert kinds == [
+        ("a", "+I", 1, 0), ("a", "+U", 2, 1), ("a", "+U", 3, 2),
+        ("a", "-U", 1, 1), ("a", "-U", 2, 2),
+        ("b", "+I", 10, 0),
+    ]
+    # -U sorts before +U within a change_seq
+    a_rows = sorted(
+        ((r.change_seq, r.kind_order, r.row_kind) for r in ch if r.k == "a")
+    )
+    assert [k for _, _, k in a_rows] == ["+I", "-U", "+U", "-U", "+U"]
+    final = {
+        (r.k, r.v)
+        for r in apply_changelog(
+            read_changelog(spark, out, ["k"]), ["k"]
+        ).collect()
+    }
+    assert final == {("a", 3), ("b", 10)}

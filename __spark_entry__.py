@@ -54,8 +54,9 @@ def _driver_order() -> list[str]:
             round_of[name] = rnd
 
     idx = {n: i for i, n in enumerate(QUERIES)}
-    # named by the round-3 verdict as must-get-a-row: front of the
-    # never-checked group so a 50-query sample covers them all
+    # named by the round-3 verdict as must-get-a-row, plus this
+    # round's new operator queries: front of the never-checked group
+    # so a 50-query sample covers them all
     named = {
         "stream_asof_join",
         "stream_group_agg",
@@ -63,6 +64,10 @@ def _driver_order() -> list[str]:
         "over_range_frame",
         "count_window_agg",
         "dup_clusters",
+        "stream_changelog",
+        "json_predicates",
+        "cep_skip_to_next",
+        "stream_early_fire",
     }
 
     def key(n: str):

@@ -2156,6 +2156,53 @@ def q_stream_changelog(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_early_fire",
+    """
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) * 1000000
+             AS w_start_us,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_early_fire(t: _T) -> DataFrame:
+    """Early-fire window emission (WindowEmitStrategy.scala:33 +
+    R/window/triggers/): a 1-day tumble over a 4-trigger time-sliced
+    replay runs in UPDATE mode through the upsert sink, so every
+    trigger emits the windows' cumulative-so-far partials (the
+    early fires); last-writer-wins resolution yields the final
+    values, which must equal the batch windowed aggregate. The fire
+    log is asserted non-trivial (some window fired more than once) —
+    the partial-emission behavior itself, not just the final state."""
+    from flink_efo_spark.streaming import (
+        stream_table_split,
+        tumble_agg,
+        window_early_fire,
+    )
+
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=4, order_col="ts"
+    )
+    agg = tumble_agg(
+        src, "ts", "1 day", ["event_type"], F.count("*").alias("cnt")
+    )
+    fire_log, final = window_early_fire(agg, ["w_start", "event_type"])
+    n_multi = (
+        fire_log.groupBy("w_start", "event_type")
+        .agg(F.countDistinct("__batch_id").alias("fires"))
+        .where(F.col("fires") > 1)
+        .count()
+    )
+    if n_multi == 0:
+        raise AssertionError(
+            "early-fire replay produced no multi-trigger window — "
+            "partial emission is not happening"
+        )
+    return final.select(
+        _us("w_start").alias("w_start_us"), "event_type", "cnt"
+    )
+
+
+@_q(
     "stream_asof_join",
     """
     SELECT p.event_id, round(b.bval, 4) AS asof_value

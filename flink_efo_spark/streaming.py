@@ -273,6 +273,47 @@ def session_agg(
     return _windowed_agg(df, F.session_window(ts_col, gap), keys, aggs)
 
 
+def window_early_fire(
+    agg_df: DataFrame,
+    window_keys: list[str],
+    out_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Early-fire window emission (reference
+    WindowEmitStrategy.scala:33 + R/window/triggers/: emit a window's
+    CURRENT partial value on every trigger before the watermark
+    closes it — so a 1 h tumble shows progress every trigger instead
+    of staying silent for an hour).
+
+    Spark wiring: the windowed aggregate runs in UPDATE output mode
+    (each micro-batch re-emits every window the batch touched, with
+    its cumulative-so-far value — exactly a per-trigger early fire)
+    through :func:`stream_upsert_sink`; the log keeps EVERY partial
+    stamped with its ``__batch_id`` and :func:`read_upsert_result`
+    resolves last-writer-wins to the windows' final values.
+
+    ``window_keys`` identify one window instance (e.g.
+    ``["w_start", "event_type"]``). Pass ``agg_df`` WITHOUT a
+    watermark when every partial must be kept: with one, update mode
+    also finalizes-and-drops closed windows (that is the
+    allowed-lateness analog, fine for production; the partial log is
+    the same either way).
+
+    Returns ``(fire_log, final)`` — the per-trigger emission log with
+    ``__batch_id``, and the resolved final table. Scale: the sink
+    appends O(updated windows) per trigger and the resolve is one
+    window function over the log; nothing rewrites per trigger.
+    """
+    spark = agg_df.sparkSession
+    out_dir = out_dir or os.path.join(
+        tempfile.mkdtemp(prefix="efo-earlyfire-"), "data"
+    )
+    q = stream_upsert_sink(agg_df, window_keys, out_dir, mode="update")
+    q.awaitTermination()
+    fire_log = spark.read.parquet(out_dir)
+    final = read_upsert_result(spark, out_dir, window_keys)
+    return fire_log, final
+
+
 # ---------------------------------------------------------------------------
 # count windows (CountTumblingWindowAssigner.java /
 # CountSlidingWindowAssigner.java; DataStream countWindow = CountTrigger

@@ -720,3 +720,50 @@ def test_changelog_rowkind_round_trip(spark, tmp_path):
         ).collect()
     }
     assert final == {("a", 3), ("b", 10)}
+
+
+def test_window_early_fire_partial_then_final(spark):
+    """Early-fire emit strategy (WindowEmitStrategy.scala:33): a
+    4-trigger replay emits growing partial values for the same window
+    before its final value, and the resolved finals equal the batch
+    windowed aggregate."""
+    from flink_efo_spark.streaming import (
+        stream_table_split,
+        tumble_agg,
+        window_early_fire,
+    )
+
+    src = stream_table_split(
+        spark, SF_DIR, "events", n_batches=4, order_col="ts"
+    )
+    agg = tumble_agg(
+        src, "ts", "1 day", ["event_type"], F.count("*").alias("cnt")
+    )
+    fire_log, final = window_early_fire(agg, ["w_start", "event_type"])
+
+    # at least one window fired in >1 trigger with strictly growing
+    # partials (time-sliced batches guarantee windows straddle them)
+    multi = (
+        fire_log.groupBy("w_start", "event_type")
+        .agg(
+            F.countDistinct("__batch_id").alias("fires"),
+            F.max("cnt").alias("max_cnt"),
+            F.min("cnt").alias("min_cnt"),
+        )
+        .where((F.col("fires") > 1) & (F.col("max_cnt") > F.col("min_cnt")))
+    )
+    assert multi.count() > 0
+
+    batch = tumble_agg(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"),
+        "ts", "1 day", ["event_type"], F.count("*").alias("cnt"),
+    )
+    got = {
+        (r.w_start, r.event_type): r.cnt
+        for r in final.select("w_start", "event_type", "cnt").collect()
+    }
+    exp = {
+        (r.w_start, r.event_type): r.cnt
+        for r in batch.collect()
+    }
+    assert got == exp

@@ -2,10 +2,11 @@
 
 Reference: StreamExecMatch.scala:68 + flink-libraries/flink-cep
 (NFA.java, SharedBuffer.java:54) in /root/reference. Scope per SURVEY
-§7 Phase 4, extended in round 3: **concatenation + alternation groups
-(``(A|B)``) + greedy quantifiers (?, *, +), AFTER MATCH SKIP PAST LAST
-ROW, FIRST/LAST/COUNT measures** — no nested groups or complex SKIP
-modes (the reference's own docs mark those as the rare tail).
+§7 Phase 4, extended rounds 3-4: **concatenation + alternation groups
+(``(A|B)``) + greedy (?, *, +) and reluctant (??, *?, +?) quantifiers,
+AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST|LAST <var>,
+FIRST/LAST/COUNT measures** — no nested pattern groups (the
+reference's own docs mark those as the rare tail).
 
 Spark realization:
 
@@ -48,37 +49,45 @@ from pyspark.sql.types import (
 
 _QUANTS = {"?": (0, 1), "*": (0, None), "+": (1, None), "": (1, 1)}
 
-Step = tuple[list[str], int, "int | None"]
+# (member variables, lo, hi, lazy) — lazy = non-greedy (reluctant)
+Step = tuple[list[str], int, "int | None", bool]
 
 
 def _parse_pattern(pattern: str) -> list[Step]:
-    """'A (B|E)+ C?' → [([A],1,1), ([B,E],1,None), ([C],0,1)].
+    """'A (B|E)+ C?' → [([A],1,1,False), ([B,E],1,None,False),
+    ([C],0,1,False)].
 
     Alternation groups map to the reference NFA's OR-states
     (NFA.java); a step matches a row when ANY member variable's
     DEFINE holds (attribution goes to the first member that does).
+    A trailing ``?`` on a quantifier (``??``, ``*?``, ``+?``) makes
+    it RELUCTANT (the reference's ``Quantifier.greedy`` flag off,
+    flink-cep Quantifier.java): the step consumes as FEW rows as
+    allow the rest of the pattern to match, instead of as many.
     """
     steps: list[Step] = []
     for tok in pattern.split():
         m = re.fullmatch(
-            r"\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\)([?*+]?)", tok
+            r"\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\)([?*+]?)(\??)", tok
         )
         if m:
             variables = m.group(1).split("|")
             lo, hi = _QUANTS[m.group(2)]
+            lazy = m.group(3) == "?" and m.group(2) != ""
         else:
-            m2 = re.fullmatch(r"([A-Za-z_]\w*)([?*+]?)", tok)
+            m2 = re.fullmatch(r"([A-Za-z_]\w*)([?*+]?)(\??)", tok)
             if not m2:
                 raise ValueError(f"unsupported pattern token: {tok!r}")
             variables = [m2.group(1)]
             lo, hi = _QUANTS[m2.group(2)]
-        steps.append((variables, lo, hi))
+            lazy = m2.group(3) == "?" and m2.group(2) != ""
+        steps.append((variables, lo, hi, lazy))
     return steps
 
 
 def _greedy_matches(
     step_flags, steps: list[Step], n: int, ts=None, within=None,
-    skip: str = "past_last_row",
+    skip: str = "past_last_row", skip_var=None, var_flags=None,
 ):
     """Yield (start, per-step index lists) matches in scan order
     (greedy with backtracking).
@@ -86,8 +95,15 @@ def _greedy_matches(
     ``skip``: AFTER MATCH strategy (reference
     flink-cep AfterMatchSkipStrategy.java / NFA.java) —
     ``past_last_row`` (default: next search resumes after the match's
-    last consumed row) or ``to_next_row`` (resumes at start+1, so
-    matches may OVERLAP — the sliding-funnel counting mode).
+    last consumed row), ``to_next_row`` (resumes at start+1, so
+    matches may OVERLAP — the sliding-funnel counting mode),
+    ``to_first:<var>`` / ``to_last:<var>`` (resume at the first/last
+    row the match ATTRIBUTED to ``<var>`` — attribution, not raw
+    DEFINE flags: a row whose DEFINE also holds for ``<var>`` but
+    that the match consumed as another variable does not count;
+    ``skip_var``/``var_flags`` must then be given). Like the
+    reference's SkipToFirstStrategy, a resume position at the match
+    start would loop forever and raises.
 
     ``ts``/``within``: the reference's ``Pattern.within()`` NFA
     timeout (NFA.java windowTime) — a branch may only consume row
@@ -99,9 +115,9 @@ def _greedy_matches(
         def go(step_idx: int, pos: int, acc):
             if step_idx == len(steps):
                 return acc if pos > start else None
-            _, lo, hi = steps[step_idx]
+            _, lo, hi, lazy = steps[step_idx]
             fl = step_flags[step_idx]
-            taken = []
+            run = 0
             p = pos
             limit = n if hi is None else min(n, pos + hi)
             while (
@@ -109,15 +125,19 @@ def _greedy_matches(
                 and fl[p]
                 and (within is None or ts[p] - ts[start] <= within)
             ):
-                taken.append(p)
+                run += 1
                 p += 1
-            while len(taken) >= lo:
-                res = go(step_idx + 1, pos + len(taken), acc + [list(taken)])
+            # greedy tries the longest take first and shrinks;
+            # reluctant (lazy) tries the shortest and grows
+            counts = range(run, lo - 1, -1) if not lazy else range(lo, run + 1)
+            for k in counts:
+                res = go(
+                    step_idx + 1,
+                    pos + k,
+                    acc + [list(range(pos, pos + k))],
+                )
                 if res is not None:
                     return res
-                if not taken:
-                    break
-                taken.pop()
             return None
 
         return go(0, start, [])
@@ -131,6 +151,29 @@ def _greedy_matches(
         yield i, m
         if skip == "to_next_row":
             i += 1  # AFTER MATCH SKIP TO NEXT ROW: overlapping matches
+        elif skip.startswith(("to_first:", "to_last:")):
+            var_rows = sorted(
+                _attribute(m, steps, var_flags).get(skip_var, [])
+            )
+            if not var_rows:
+                # variable unmatched (optional step): past last row
+                i = max((ix for lst in m for ix in lst), default=i) + 1
+            else:
+                nxt = (
+                    var_rows[0]
+                    if skip.startswith("to_first:")
+                    else var_rows[-1]
+                )
+                if nxt <= i:
+                    # resuming at/before the match start loops forever —
+                    # the reference throws here too
+                    # (AfterMatchSkipStrategy SKIP_TO_FIRST on the
+                    # pattern's first element)
+                    raise ValueError(
+                        f"AFTER MATCH {skip} would re-enter the match "
+                        "start — infinite loop"
+                    )
+                i = nxt
         else:
             last_row = max((ix for lst in m for ix in lst), default=i)
             i = last_row + 1  # AFTER MATCH SKIP PAST LAST ROW
@@ -159,7 +202,7 @@ def _match_extendable(m, steps: list[Step]) -> bool:
     )
     if last_consumed is None:
         return True
-    _, _, hi = steps[last_consumed]
+    _, _, hi, _ = steps[last_consumed]
     if hi is None or len(m[last_consumed]) < hi:
         return True
     return last_consumed < len(steps) - 1
@@ -169,7 +212,7 @@ def _attribute(m, steps: list[Step], var_flags) -> dict[str, list[int]]:
     """Assign each consumed row to its pattern variable (first member
     of the step's alternation whose DEFINE held on that row)."""
     var_rows: dict[str, list[int]] = {}
-    for k, (variables, _, _) in enumerate(steps):
+    for k, (variables, _, _, _) in enumerate(steps):
         for ix in m[k]:
             for v in variables:
                 if var_flags[v][ix]:
@@ -201,7 +244,7 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     DEFINE into a JVM-side boolean flag column, and project down to
     the columns the matcher needs."""
     steps = _parse_pattern(pattern)
-    step_vars = sorted({v for variables, _, _ in steps for v in variables})
+    step_vars = sorted({v for variables, *_ in steps for v in variables})
     missing = [v for v in step_vars if v not in defines]
     if missing:
         raise ValueError(f"pattern vars without DEFINE: {missing}")
@@ -278,10 +321,19 @@ def match_recognize(
     branches that would exceed the window are pruned during search.
 
     after_match: AFTER MATCH SKIP strategy (reference flink-cep
-    AfterMatchSkipStrategy.java) — ``past_last_row`` (default) or
-    ``to_next_row`` (overlapping matches, the sliding-funnel count).
+    AfterMatchSkipStrategy.java) — ``past_last_row`` (default),
+    ``to_next_row`` (overlapping matches, the sliding-funnel count),
+    or ``to_first:<var>`` / ``to_last:<var>`` (resume at that
+    variable's first/last matched row — SKIP TO FIRST/LAST <var>).
     """
-    if after_match not in ("past_last_row", "to_next_row"):
+    skip_var = None
+    if after_match.startswith(("to_first:", "to_last:")):
+        skip_var = after_match.split(":", 1)[1]
+        if skip_var not in defines:
+            raise ValueError(
+                f"after_match variable {skip_var!r} has no DEFINE"
+            )
+    elif after_match not in ("past_last_row", "to_next_row"):
         raise ValueError(f"unsupported after_match: {after_match!r}")
     import pandas as pd
 
@@ -297,7 +349,7 @@ def match_recognize(
             v: pdf[f].fillna(False).to_numpy() for v, f in flag_names.items()
         }
         step_flags = []
-        for variables, _, _ in steps:
+        for variables, *_ in steps:
             fl = var_flags[variables[0]]
             for v in variables[1:]:
                 fl = fl | var_flags[v]
@@ -314,7 +366,8 @@ def match_recognize(
         rows = []
         seq = 0
         for _start, m in _greedy_matches(
-            step_flags, steps, n, ts, win, skip=after_match
+            step_flags, steps, n, ts, win, skip=after_match,
+            skip_var=skip_var, var_flags=var_flags,
         ):
             seq += 1
             rec = dict(part_vals)
@@ -447,7 +500,7 @@ def stream_match_recognize(
             v: allr[f].fillna(False).to_numpy() for v, f in flag_names.items()
         }
         step_flags = []
-        for variables, _, _ in steps:
+        for variables, *_ in steps:
             fl = var_flags[variables[0]]
             for v in variables[1:]:
                 fl = fl | var_flags[v]

@@ -412,3 +412,72 @@ def test_after_match_skip_to_next_row(spark):
             measures={"s": ("C", "first", "seq")},
             after_match="to_last",
         )
+
+
+def test_reluctant_quantifier(spark):
+    """Non-greedy quantifiers (Quantifier.java greedy flag off):
+    ``B+?`` consumes as few rows as possible, greedy ``B+`` as many."""
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "a", 1.0),
+            ("u1", 2, "b", 1.0),
+            ("u1", 3, "b", 1.0),
+            ("u1", 4, "b", 1.0),
+        ],
+    )
+
+    def n_b(pattern):
+        out = match_recognize(
+            df, ["k"], "seq",
+            pattern=pattern,
+            defines={"A": "et = 'a'", "B": "et = 'b'"},
+            measures={"nb": ("B", "count", "seq")},
+        )
+        return [r.nb for r in out.collect()]
+
+    assert n_b("A B+") == [3]   # greedy: all three b rows
+    assert n_b("A B+?") == [1]  # reluctant: just one
+
+
+def test_after_match_skip_to_first_var(spark):
+    """AFTER MATCH SKIP TO FIRST <var>
+    (AfterMatchSkipStrategy.java SkipToFirstStrategy): the scan
+    resumes at the first row the match attributed to the variable, so
+    a second match can start inside the first one."""
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "a", 1.0),
+            ("u1", 2, "b", 1.0),
+            ("u1", 3, "b", 1.0),
+            ("u1", 4, "c", 1.0),
+        ],
+    )
+
+    def starts(mode):
+        out = match_recognize(
+            df, ["k"], "seq",
+            pattern="A B+ C",
+            defines={
+                "A": "et = 'a' or et = 'b'",
+                "B": "et = 'b'",
+                "C": "et = 'c'",
+            },
+            measures={"start_seq": ("A", "first", "seq")},
+            after_match=mode,
+        )
+        return sorted(r.start_seq for r in out.collect())
+
+    assert starts("past_last_row") == [1]
+    assert starts("to_first:B") == [1, 2]  # second match from first B
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        match_recognize(
+            df, ["k"], "seq", pattern="A",
+            defines={"A": "et = 'a'"},
+            measures={"s": ("A", "first", "seq")},
+            after_match="to_first:Z",
+        )

@@ -3,10 +3,11 @@
 Reference: StreamExecMatch.scala:68 + flink-libraries/flink-cep
 (NFA.java, SharedBuffer.java:54) in /root/reference. Scope per SURVEY
 §7 Phase 4, extended rounds 3-4: **concatenation + alternation groups
-(``(A|B)``) + greedy (?, *, +) and reluctant (??, *?, +?) quantifiers,
-AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST|LAST <var>,
-FIRST/LAST/COUNT measures** — no nested pattern groups (the
-reference's own docs mark those as the rare tail).
+(``(A|B)``) + nested quantified groups (``A (B C)+ D``,
+GroupPattern.java — batch) + greedy (?, *, +) and reluctant
+(??, *?, +?) quantifiers, AFTER MATCH SKIP PAST LAST ROW / TO NEXT
+ROW / TO FIRST|LAST <var>, FIRST/LAST/COUNT measures**. The streaming
+path holds flat-step state and rejects nested groups.
 
 Spark realization:
 
@@ -49,40 +50,237 @@ from pyspark.sql.types import (
 
 _QUANTS = {"?": (0, 1), "*": (0, None), "+": (1, None), "": (1, 1)}
 
-# (member variables, lo, hi, lazy) — lazy = non-greedy (reluctant)
+# flat step: (member variables, lo, hi, lazy) — lazy = non-greedy
 Step = tuple[list[str], int, "int | None", bool]
 
+# AST node (nested patterns):
+#   ("var", variables, lo, hi, lazy, leaf_id)  — leaf step
+#   ("group", children, lo, hi, lazy)          — quantified sub-sequence
+#                                                (GroupPattern.java)
 
-def _parse_pattern(pattern: str) -> list[Step]:
-    """'A (B|E)+ C?' → [([A],1,1,False), ([B,E],1,None,False),
-    ([C],0,1,False)].
 
-    Alternation groups map to the reference NFA's OR-states
-    (NFA.java); a step matches a row when ANY member variable's
-    DEFINE holds (attribution goes to the first member that does).
-    A trailing ``?`` on a quantifier (``??``, ``*?``, ``+?``) makes
-    it RELUCTANT (the reference's ``Quantifier.greedy`` flag off,
-    flink-cep Quantifier.java): the step consumes as FEW rows as
-    allow the rest of the pattern to match, instead of as many.
+def _parse_ast(pattern: str):
+    """Recursive-descent pattern parser → (ast, leaves).
+
+    Grammar: ``pattern := element+``; ``element := atom quant?``;
+    ``atom := VAR | VAR('|'VAR)+ | '(' pattern ')'``;
+    ``quant := [?*+] '?'?`` (trailing ``?`` = reluctant, the
+    reference's ``Quantifier.greedy`` flag off, Quantifier.java).
+
+    ``(A|B)`` stays ONE leaf with alternation members (the NFA's
+    OR-state); ``(B C)+`` is a nested GROUP — a quantified
+    sub-sequence, the reference's GroupPattern
+    (flink-cep/.../pattern/GroupPattern.java). ``leaves`` lists every
+    var leaf in pattern order (leaf_id indexes it).
     """
-    steps: list[Step] = []
-    for tok in pattern.split():
-        m = re.fullmatch(
-            r"\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\)([?*+]?)(\??)", tok
-        )
-        if m:
-            variables = m.group(1).split("|")
-            lo, hi = _QUANTS[m.group(2)]
-            lazy = m.group(3) == "?" and m.group(2) != ""
+    s = pattern
+    pos = 0
+    leaves: list[tuple] = []
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(s) and s[pos].isspace():
+            pos += 1
+
+    def parse_quant():
+        nonlocal pos
+        lo, hi, lazy = 1, 1, False
+        if pos < len(s) and s[pos] in "?*+":
+            lo, hi = _QUANTS[s[pos]]
+            pos += 1
+            if pos < len(s) and s[pos] == "?":
+                lazy = True
+                pos += 1
+        return lo, hi, lazy
+
+    def parse_element():
+        nonlocal pos
+        skip_ws()
+        if s[pos] == "(":
+            pos += 1
+            inner = parse_seq()
+            skip_ws()
+            if pos >= len(s) or s[pos] != ")":
+                raise ValueError(f"unbalanced '(' in pattern: {pattern!r}")
+            pos += 1
+            lo, hi, lazy = parse_quant()
+            if (
+                len(inner) == 1
+                and inner[0][0] == "var"
+                and inner[0][2:5] == (1, 1, False)
+            ):
+                # '(A|B)+' — an unquantified alternation leaf wrapped
+                # in parens: fold the group quantifier into the leaf
+                _, variables, _, _, _, leaf_id = inner[0]
+                node = ("var", variables, lo, hi, lazy, leaf_id)
+                leaves[leaf_id] = node
+                return node
+            return ("group", inner, lo, hi, lazy)
+        m = re.match(r"[A-Za-z_]\w*(?:\|[A-Za-z_]\w*)*", s[pos:])
+        if not m:
+            raise ValueError(
+                f"bad pattern at offset {pos}: {pattern!r}"
+            )
+        variables = m.group(0).split("|")
+        pos += m.end()
+        lo, hi, lazy = parse_quant()
+        leaf_id = len(leaves)
+        node = ("var", variables, lo, hi, lazy, leaf_id)
+        leaves.append(node)
+        return node
+
+    def parse_seq():
+        nodes = []
+        skip_ws()
+        while pos < len(s) and s[pos] != ")":
+            nodes.append(parse_element())
+            skip_ws()
+        return nodes
+
+    ast = parse_seq()
+    if pos != len(s):
+        raise ValueError(f"trailing ')' in pattern: {pattern!r}")
+    if not ast:
+        raise ValueError("empty pattern")
+    return ast, leaves
+
+
+def _has_groups(ast) -> bool:
+    return any(node[0] == "group" for node in ast)
+
+
+
+
+def _match_at(ast, start: int, n: int, leaf_flags, ts=None, within=None):
+    """Try one match of ``ast`` anchored at row ``start``.
+    Returns (end_pos, assign) with ``assign`` a list of
+    (leaf_id, [row indices]) in consumption order, or None.
+
+    Continuation-passing backtracker: sequences thread a ``cont``
+    called when the sequence is exhausted, so a quantified GROUP can
+    try more repetitions / stop in preference order (greedy: more
+    first; reluctant: stop first) and still hand control back to the
+    enclosing sequence — the NFA's branch exploration
+    (flink-cep NFA.java computeNextStates) without materialized
+    state sharing, which a sorted in-memory partition doesn't need.
+    An empty group repetition (no rows consumed) is rejected to keep
+    the search finite."""
+
+    def within_ok(p):
+        return within is None or ts[p] - ts[start] <= within
+
+    def match_nodes(nodes, k, pos, acc, cont):
+        if k == len(nodes):
+            return cont(pos, acc)
+        node = nodes[k]
+        if node[0] == "var":
+            _, _, lo, hi, lazy, leaf_id = node
+            fl = leaf_flags[leaf_id]
+            run = 0
+            p = pos
+            limit = n if hi is None else min(n, pos + hi)
+            while p < limit and fl[p] and within_ok(p):
+                run += 1
+                p += 1
+            counts = (
+                range(run, lo - 1, -1) if not lazy else range(lo, run + 1)
+            )
+            for c in counts:
+                res = match_nodes(
+                    nodes,
+                    k + 1,
+                    pos + c,
+                    acc + [(leaf_id, list(range(pos, pos + c)))],
+                    cont,
+                )
+                if res is not None:
+                    return res
+            return None
+        _, children, lo, hi, lazy = node
+
+        def rep(pos2, cnt, acc2):
+            def stop():
+                if cnt < lo:
+                    return None
+                return match_nodes(nodes, k + 1, pos2, acc2, cont)
+
+            def more():
+                if hi is not None and cnt >= hi:
+                    return None
+                return match_nodes(
+                    children,
+                    0,
+                    pos2,
+                    acc2,
+                    lambda p3, a3: rep(p3, cnt + 1, a3)
+                    if p3 > pos2
+                    else None,
+                )
+
+            first, second = (more, stop) if not lazy else (stop, more)
+            res = first()
+            return res if res is not None else second()
+
+        return rep(pos, 0, acc)
+
+    return match_nodes(
+        ast, 0, start, [], lambda p, a: (p, a) if p > start else None
+    )
+
+
+def _attribute_assign(assign, leaves, var_flags) -> dict[str, list[int]]:
+    """Assign each consumed row to its pattern variable (first member
+    of the leaf's alternation whose DEFINE held on that row)."""
+    var_rows: dict[str, list[int]] = {}
+    for leaf_id, idxs in assign:
+        variables = leaves[leaf_id][1]
+        for ix in idxs:
+            for v in variables:
+                if var_flags[v][ix]:
+                    var_rows.setdefault(v, []).append(ix)
+                    break
+    for v in var_rows:
+        var_rows[v].sort()
+    return var_rows
+
+
+def _ast_matches(
+    leaf_flags, ast, leaves, n: int, ts=None, within=None,
+    skip: str = "past_last_row", skip_var=None, var_flags=None,
+):
+    """Yield (start, assign) matches in scan order with the AFTER
+    MATCH strategies of :func:`_greedy_matches`, over the nested AST."""
+    i = 0
+    while i < n:
+        res = _match_at(ast, i, n, leaf_flags, ts, within)
+        if res is None:
+            i += 1
+            continue
+        _, assign = res
+        yield i, assign
+        consumed = [ix for _, lst in assign for ix in lst]
+        if skip == "to_next_row":
+            i += 1
+        elif skip.startswith(("to_first:", "to_last:")):
+            var_rows = _attribute_assign(assign, leaves, var_flags).get(
+                skip_var, []
+            )
+            if not var_rows:
+                i = (max(consumed) if consumed else i) + 1
+            else:
+                nxt = (
+                    var_rows[0]
+                    if skip.startswith("to_first:")
+                    else var_rows[-1]
+                )
+                if nxt <= i:
+                    raise ValueError(
+                        f"AFTER MATCH {skip} would re-enter the match "
+                        "start — infinite loop"
+                    )
+                i = nxt
         else:
-            m2 = re.fullmatch(r"([A-Za-z_]\w*)([?*+]?)(\??)", tok)
-            if not m2:
-                raise ValueError(f"unsupported pattern token: {tok!r}")
-            variables = [m2.group(1)]
-            lo, hi = _QUANTS[m2.group(2)]
-            lazy = m2.group(3) == "?" and m2.group(2) != ""
-        steps.append((variables, lo, hi, lazy))
-    return steps
+            i = (max(consumed) if consumed else i) + 1
 
 
 def _greedy_matches(
@@ -242,9 +440,11 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
              allow_prev: bool):
     """Shared DEFINE evaluation: parse the pattern, evaluate every
     DEFINE into a JVM-side boolean flag column, and project down to
-    the columns the matcher needs."""
-    steps = _parse_pattern(pattern)
-    step_vars = sorted({v for variables, *_ in steps for v in variables})
+    the columns the matcher needs. Returns the parsed (ast, leaves)
+    pair — callers needing the flat-step view (streaming) convert via
+    :func:`_flat_steps`."""
+    ast, leaves = _parse_ast(pattern)
+    step_vars = sorted({v for _, variables, *_ in leaves for v in variables})
     missing = [v for v in step_vars if v not in defines]
     if missing:
         raise ValueError(f"pattern vars without DEFINE: {missing}")
@@ -289,7 +489,18 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
         else:
             out_fields.append(StructField(out_col, slim.schema[col].dataType))
     out_schema = StructType(out_fields)
-    return steps, order_cols, flag_names, meas_cols, slim, out_schema
+    return (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema
+
+
+def _flat_steps(ast, leaves) -> list[Step]:
+    """Flat-step view for the streaming state machine; nested groups
+    are batch-only (the cross-batch tail holds flat-step state)."""
+    if _has_groups(ast):
+        raise ValueError(
+            "nested pattern groups are batch-only "
+            "(stream_match_recognize holds flat-step state)"
+        )
+    return [(v, lo, hi, lazy) for _, v, lo, hi, lazy, _ in leaves]
 
 
 def match_recognize(
@@ -337,9 +548,11 @@ def match_recognize(
         raise ValueError(f"unsupported after_match: {after_match!r}")
     import pandas as pd
 
-    steps, order_cols, flag_names, meas_cols, slim, out_schema = _prepare(
-        df, partition_by, order_by, pattern, defines, measures, tiebreak,
-        allow_prev=True,
+    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema = (
+        _prepare(
+            df, partition_by, order_by, pattern, defines, measures, tiebreak,
+            allow_prev=True,
+        )
     )
     meas_items = list(measures.items())
 
@@ -348,12 +561,12 @@ def match_recognize(
         var_flags = {
             v: pdf[f].fillna(False).to_numpy() for v, f in flag_names.items()
         }
-        step_flags = []
-        for variables, *_ in steps:
+        leaf_flags = []
+        for _, variables, *_ in leaves:
             fl = var_flags[variables[0]]
             for v in variables[1:]:
                 fl = fl | var_flags[v]
-            step_flags.append(fl)
+            leaf_flags.append(fl)
         n = len(pdf)
         data = {c: pdf[c].to_numpy() for c in meas_cols}
         part_vals = {k: pdf[k].iloc[0] for k in partition_by} if n else {}
@@ -365,15 +578,19 @@ def match_recognize(
 
         rows = []
         seq = 0
-        for _start, m in _greedy_matches(
-            step_flags, steps, n, ts, win, skip=after_match,
+        for _start, assign in _ast_matches(
+            leaf_flags, ast, leaves, n, ts, win, skip=after_match,
             skip_var=skip_var, var_flags=var_flags,
         ):
             seq += 1
             rec = dict(part_vals)
             rec["match_seq"] = seq
             rec.update(
-                _measure_record(_attribute(m, steps, var_flags), meas_items, data)
+                _measure_record(
+                    _attribute_assign(assign, leaves, var_flags),
+                    meas_items,
+                    data,
+                )
             )
             rows.append(rec)
         return rows
@@ -444,10 +661,13 @@ def stream_match_recognize(
     """
     import pandas as pd
 
-    steps, order_cols, flag_names, meas_cols, slim, out_schema = _prepare(
-        df, partition_by, order_by, pattern, defines, measures, tiebreak,
-        allow_prev=False,
+    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema = (
+        _prepare(
+            df, partition_by, order_by, pattern, defines, measures, tiebreak,
+            allow_prev=False,
+        )
     )
+    steps = _flat_steps(ast, leaves)
     meas_items = list(measures.items())
     data_cols = [c for c in slim.columns if c not in partition_by]
     # state field names are prefixed: a data column may itself be

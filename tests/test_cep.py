@@ -481,3 +481,51 @@ def test_after_match_skip_to_first_var(spark):
             measures={"s": ("A", "first", "seq")},
             after_match="to_first:Z",
         )
+
+
+def test_nested_pattern_group(spark):
+    """Nested quantified groups (GroupPattern.java): ``A (B C)+ D``
+    matches only complete (B C) repetitions."""
+    df = _events(
+        spark,
+        [
+            ("u1", 1, "a", 1.0),
+            ("u1", 2, "b", 1.0),
+            ("u1", 3, "c", 1.0),
+            ("u1", 4, "b", 1.0),
+            ("u1", 5, "c", 1.0),
+            ("u1", 6, "d", 1.0),
+            # u2: dangling b (no c) — group incomplete, no match
+            ("u2", 1, "a", 1.0),
+            ("u2", 2, "b", 1.0),
+            ("u2", 3, "d", 1.0),
+        ],
+    )
+    out = match_recognize(
+        df, ["k"], "seq",
+        pattern="A (B C)+ D",
+        defines={
+            "A": "et = 'a'", "B": "et = 'b'",
+            "C": "et = 'c'", "D": "et = 'd'",
+        },
+        measures={
+            "n_b": ("B", "count", "seq"),
+            "n_c": ("C", "count", "seq"),
+            "d_seq": ("D", "last", "seq"),
+        },
+    )
+    got = sorted((r.k, r.n_b, r.n_c, r.d_seq) for r in out.collect())
+    assert got == [("u1", 2, 2, 6)]
+
+    # streaming rejects nested groups (flat-step state machine)
+    import pytest
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_match_recognize(
+            df, ["k"], "seq",
+            pattern="A (B C)+",
+            defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
+            measures={"n_b": ("B", "count", "seq")},
+        )

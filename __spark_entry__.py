@@ -68,6 +68,7 @@ def _driver_order() -> list[str]:
         "json_predicates",
         "cep_skip_to_next",
         "stream_early_fire",
+        "cep_nested_pairs",
     }
 
     def key(n: str):

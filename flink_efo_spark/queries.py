@@ -1924,6 +1924,62 @@ def q_cep_skip_to_next(t: _T) -> DataFrame:
 
 
 @_q(
+    "cep_nested_pairs",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER w AS rn,
+             lead(event_type) OVER w AS nxt,
+             lead(event_id) OVER w AS nxt_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+      SELECT user_id, rn, event_id AS click_id, nxt_id AS purch_id
+      FROM ordered WHERE event_type = 'click' AND nxt = 'purchase'
+    ), islands AS (
+      SELECT *, rn - 2 * row_number()
+                  OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM pairs
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY min(rn)) AS BIGINT)
+             AS match_seq,
+           count(*) AS n_pairs,
+           arg_min(click_id, rn) AS first_click,
+           arg_max(purch_id, rn) AS last_purchase
+    FROM islands GROUP BY user_id, grp
+    """,
+)
+def q_cep_nested_pairs(t: _T) -> DataFrame:
+    """Nested quantified pattern group (flink-cep GroupPattern.java):
+    ``(A B)+`` — maximal runs of strictly adjacent click→purchase
+    pairs per user, consumed greedily. Pair starts can never overlap
+    (a pair's second row is a purchase, so it cannot begin the next
+    pair), which makes the matches exactly the gaps-and-islands of
+    adjacent pairs — the SQL oracle groups pair rows by
+    ``rn - 2*row_number()`` and aggregates per island."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    out = match_recognize(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="(A B)+",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "n_pairs": ("A", "count", "event_id"),
+            "first_click": ("A", "first", "event_id"),
+            "last_purchase": ("B", "last", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "match_seq", "n_pairs", "first_click", "last_purchase"
+    )
+
+
+@_q(
     "stream_interval_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS error_id,

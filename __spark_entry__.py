@@ -69,6 +69,7 @@ def _driver_order() -> list[str]:
         "cep_skip_to_next",
         "stream_early_fire",
         "cep_nested_pairs",
+        "repetition_stats",
     }
 
     def key(n: str):

@@ -97,6 +97,28 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "try_parse_json(s) is not null and not startswith(ltrim(s), '{') "
         "and not startswith(ltrim(s), '[')",
     ),
+    "IS_NOT_JSON_VALUE": (
+        "(s STRING)",
+        "BOOLEAN",
+        "try_parse_json(s) is null",
+    ),
+    "IS_NOT_JSON_OBJECT": (
+        "(s STRING)",
+        "BOOLEAN",
+        "not (try_parse_json(s) is not null and startswith(ltrim(s), '{'))",
+    ),
+    "IS_NOT_JSON_ARRAY": (
+        "(s STRING)",
+        "BOOLEAN",
+        "not (try_parse_json(s) is not null and startswith(ltrim(s), '['))",
+    ),
+    "IS_NOT_JSON_SCALAR": (
+        "(s STRING)",
+        "BOOLEAN",
+        "not (try_parse_json(s) is not null "
+        "and not startswith(ltrim(s), '{') "
+        "and not startswith(ltrim(s), '['))",
+    ),
 }
 
 # Flink names that exist in Spark SQL under the SAME name (sanity list,

@@ -63,6 +63,38 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Duplicate n-gram fraction per document — the standard
+    "repetitious text" training-data filter (high ratio = boilerplate
+    / degenerate generation). Returns (id, n_ngrams, n_distinct_ngrams,
+    rep_ratio) with ``rep_ratio = 1 - distinct/total`` (0 when the doc
+    has fewer than ``n`` tokens).
+
+    Pure Catalyst: tokenization + sequence/slice n-gram construction +
+    array_distinct, a narrow map over the scan — no shuffle, no
+    Python."""
+    toks = _tokens(text_col)
+    ngrams = (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"else cast(array() as array<string>) end"
+    )
+    total = F.expr(f"size({ngrams})").cast("bigint")
+    distinct = F.expr(f"size(array_distinct({ngrams}))").cast("bigint")
+    ratio = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - distinct / total, 4)
+    )
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        ratio.alias("rep_ratio"),
+    )
+
+
 def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality signals: punctuation / digit / stopword
     ratios + a composite score in [0, 1], rounded for cross-engine

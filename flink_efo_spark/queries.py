@@ -1210,6 +1210,36 @@ def q_token_stats(t: _T) -> DataFrame:
 
 
 @_q(
+    "repetition_stats",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN len({_TOKS_DD}) >= 3 THEN
+               list_transform(range(1, len({_TOKS_DD}) - 1),
+                 i -> array_to_string(({_TOKS_DD})[i:i+2], ' '))
+             ELSE [] END AS ngrams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ngrams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(ngrams)) AS BIGINT) AS n_distinct_ngrams,
+           CASE WHEN len(ngrams) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE)
+                           / len(ngrams), 4)
+           END AS rep_ratio
+    FROM g
+    """,
+)
+def q_repetition_stats(t: _T) -> DataFrame:
+    """Duplicate-3-gram repetition ratio per document — the
+    boilerplate / degenerate-text quality filter
+    (operators/text.py repetition_stats)."""
+    from flink_efo_spark.operators.text import repetition_stats
+
+    return repetition_stats(t.documents, "doc_id", "text", n=3)
+
+
+@_q(
     "lang_id",
     """
     WITH scores AS (

@@ -30,7 +30,11 @@ def test_flink_sql_names_work(env):
                CAST(FROM_BASE64('aGk=') AS STRING) AS unb64,
                CONVERT_TZ('2024-01-01 00:00:00', 'UTC', 'Asia/Tokyo') AS ctz,
                IS_JSON_VALUE('{"a": 1}') AS jv,
-               IS_JSON_OBJECT('[1]') AS jo
+               IS_JSON_OBJECT('[1]') AS jo,
+               IS_JSON_ARRAY('[1]') AS ja,
+               IS_JSON_SCALAR('3.5') AS js,
+               IS_NOT_JSON_VALUE('nope') AS njv,
+               IS_NOT_JSON_ARRAY('{"a": 1}') AS nja
         """
     ).first()
     assert row.si == "b" and row.si_oob is None
@@ -40,6 +44,7 @@ def test_flink_sql_names_work(env):
     assert row.b64 == "aGk=" and row.unb64 == "hi"
     assert row.ctz == "2024-01-01 09:00:00"
     assert row.jv and not row.jo
+    assert row.ja and row.js and row.njv and row.nja
 
 
 def test_split_index_literal_delimiter(env):

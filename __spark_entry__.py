@@ -70,12 +70,15 @@ def _driver_order() -> list[str]:
         "stream_early_fire",
         "cep_nested_pairs",
         "repetition_stats",
+        "python_udf_calc",
+        "partitioned_sink",
+        "ddl_catalog",
     }
 
     def key(n: str):
         if n in green and not green[n]:
             return (0, 0, idx[n])
-        if n not in green:
+        if n not in green or n in named:
             return (1, 0 if (n.startswith("tpch_") or n in named) else 1, idx[n])
         return (2, round_of[n], idx[n])
 

@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     # round 3b: iterative duplicate clustering + a 5-way join shape
     "dup_clusters",
     "tpch_q7_volume",
+    # round 4: nested CEP groups + repetition quality filter (the
+    # changelog / early-fire queries stay correctness-only: their
+    # wall is ~fixed multi-trigger replay harness cost, not data-path
+    # work, so timing them adds noise rather than signal)
+    "cep_nested_pairs",
+    "repetition_stats",
 ]
 
 

@@ -1585,6 +1585,105 @@ def q_json_predicates(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "python_udf_calc",
+    """
+    SELECT event_id,
+           CAST(floor(value * 2) AS BIGINT) + length(event_type) AS py_val
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_python_udf_calc(t: _T) -> DataFrame:
+    """Python calc path (StreamExecPythonCalc.scala /
+    PythonScalarFunctionOperator.java:43): an Arrow-batched pandas_udf
+    in the projection — the engine's vectorized Python escape hatch
+    (row-at-a-time udf() exists but is the documented slow path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: queries.py uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # signature inference — the explicit returnType carries the type
+    def _py_calc(et, v):
+        import numpy as np
+
+        return np.floor(v * 2).astype("int64") + et.str.len().astype("int64")
+
+    py_calc = pandas_udf(_py_calc, "bigint")
+
+    return (
+        t.events.where(F.col("event_id") < 1000)
+        .select(
+            "event_id", py_calc(F.col("event_type"), F.col("value")).alias("py_val")
+        )
+    )
+
+
+@_q(
+    "partitioned_sink",
+    """
+    SELECT event_type, count(*) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_partitioned_sink(t: _T) -> DataFrame:
+    """Batch sink round-trip (BatchExecSink / FileSystemTableSink:
+    partitioned directory write): events written hive-partitioned by
+    event_type, read back through the partition-discovering scan, and
+    re-aggregated — must equal the source aggregate. At scale the
+    partitioned layout is what makes downstream `WHERE event_type=`
+    scans partition-pruned."""
+    import tempfile
+
+    from flink_efo_spark.io import read_table, write_table
+
+    out = tempfile.mkdtemp(prefix="efo-psink-") + "/data"
+    write_table(
+        t.events.select("event_type", "value"),
+        out,
+        partition_by=["event_type"],
+        mode="overwrite",
+    )
+    back = read_table(t.spark, out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@_q(
+    "ddl_catalog",
+    """
+    SELECT * FROM (VALUES
+      ('event_id', 'bigint'), ('ts', 'timestamp'), ('user_id', 'bigint'),
+      ('event_type', 'string'), ('value', 'double'), ('props', 'string'),
+      ('value_x2', 'double')
+    ) t(col_name, data_type) ORDER BY col_name
+    """,
+)
+def q_ddl_catalog(t: _T) -> DataFrame:
+    """Catalog/DDL surface (SURVEY §2.14, SqlCreateTable.java:56 +
+    SqlTableLike.java): engine CREATE TABLE with a computed column and
+    a watermark spec, cloned via CREATE TABLE ... LIKE, then DESCRIBE
+    — the clone must carry the source's full schema including the
+    computed column."""
+    from flink_efo_spark.catalog import table_path
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    env.create_table(
+        "__efo_ddl_ev",
+        table_path(t.sf_dir, "events"),
+        watermark=("ts", "10 minutes"),
+        computed_columns={"value_x2": "value * 2"},
+    )
+    env.create_table_like("__efo_ddl_ev2", "__efo_ddl_ev")
+    return (
+        env.sql("DESCRIBE __efo_ddl_ev2")
+        .select("col_name", "data_type")
+        .orderBy("col_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5/2.7/2.11 streaming: real micro-batch runs (availableNow) over the
 # bounded events stream — StreamExecGroupWindowAggregate /

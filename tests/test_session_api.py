@@ -5,6 +5,7 @@ API, VALUES, UDF/UDTF registration (SURVEY §2.10/2.12/2.13).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_efo_spark.session import EfoSession
 from tests.conftest import SF_DIR
@@ -382,3 +383,55 @@ def test_table_api_join_lateral(env):
     )
     assert outer.count() == env.table("documents").count()
     assert outer.filter("word is not null").count() == 0
+
+
+def test_flink_type_mapping():
+    """LogicalType → Spark DataType mapping (SURVEY §1.6)."""
+    from pyspark.sql import types as T
+
+    from flink_efo_spark.types import flink_type_to_spark as f2s
+
+    assert f2s("BIGINT") == T.LongType()
+    assert f2s("DECIMAL(10,2)") == T.DecimalType(10, 2)
+    assert f2s("VARCHAR(5)") == T.StringType()
+    assert f2s("TIME") == T.IntegerType()  # millis-of-day convention
+    assert f2s("ARRAY<DOUBLE>") == T.ArrayType(T.DoubleType())
+    assert f2s("MULTISET<STRING>") == T.MapType(T.StringType(), T.IntegerType())
+    assert f2s("MAP<STRING, BIGINT>") == T.MapType(T.StringType(), T.LongType())
+    row = f2s("ROW<a INT, b STRING>")
+    assert [fl.name for fl in row.fields] == ["a", "b"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        f2s("GEOMETRY")
+
+
+def test_time_and_char_enforcement(spark):
+    """TIME millis-of-day + CHAR/VARCHAR length contracts."""
+    from flink_efo_spark.types import (
+        enforce_char,
+        enforce_varchar,
+        time_millis_to_string,
+        time_of_day_millis,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05.678", "ab"), ("2024-01-02 23:59:59.999", "abcdef")],
+        "ts string, s string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = df.select(
+        time_of_day_millis("ts").alias("tm"),
+        time_millis_to_string(time_of_day_millis("ts")).alias("tstr"),
+    ).collect()
+    assert out[0].tm == 3 * 3600000 + 4 * 60000 + 5678
+    assert out[0].tstr == "03:04:05.678"
+    assert out[1].tstr == "23:59:59.999"
+
+    padded = enforce_char(df, "s", 4).select("s").collect()
+    assert [r.s for r in padded] == ["ab  ", "abcd"]
+    trunc = enforce_varchar(df, "s", 3).select("s").collect()
+    assert [r.s for r in trunc] == ["ab", "abc"]
+    import pytest
+
+    with pytest.raises(Exception, match="overflow"):
+        enforce_varchar(df, "s", 3, error=True).collect()

@@ -15,8 +15,11 @@ Spark realization:
   JVM-side into one boolean column per pattern variable *before* the
   match step — predicates stay in codegen, the Python NFA only reads
   booleans. ``PREV(col)`` is supported by pre-materializing
-  ``prev_<col>`` columns (``lag`` over the same partition/order;
-  batch only — streaming lag is not expressible).
+  ``prev_<col>`` columns (batch: ``lag`` over the partition/order;
+  streaming: prev_-using DEFINEs are evaluated in the worker over the
+  sorted cross-batch buffer — embedded DuckDB on the pandas frame,
+  portable-SQL bodies only — with one carried context row so the row
+  after an emitted match still sees its true predecessor).
 * Batch: the match loop is a per-bucket ``applyInPandas`` over rows
   sorted by the order column — a backtracking greedy matcher, linear
   in rows for the supported quantifier set.
@@ -442,7 +445,16 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     DEFINE into a JVM-side boolean flag column, and project down to
     the columns the matcher needs. Returns the parsed (ast, leaves)
     pair — callers needing the flat-step view (streaming) convert via
-    :func:`_flat_steps`."""
+    :func:`_flat_steps`.
+
+    ``allow_prev``: True (batch — PREV via a lag window), False
+    (reject prev_ defines), or ``"defer"`` (streaming — prev_-using
+    defines are NOT evaluated JVM-side; they come back in the extra
+    ``deferred`` return value as {var: body} and the worker evaluates
+    them over the buffered rows, where the event-time-sorted previous
+    row actually exists). With deferral, ALL source columns stay in
+    ``slim`` (a deferred body may reference any of them).
+    """
     ast, leaves = _parse_ast(pattern)
     step_vars = sorted({v for _, variables, *_ in leaves for v in variables})
     missing = [v for v in step_vars if v not in defines]
@@ -454,29 +466,46 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     prev_cols = sorted(
         {m for body in defines.values() for m in re.findall(r"prev_(\w+)", body)}
     )
+    deferred: dict[str, str] = {}
     enriched = df
     if prev_cols:
-        if not allow_prev:
+        if allow_prev is True:
+            w = Window.partitionBy(*partition_by).orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+            for c in prev_cols:
+                enriched = enriched.withColumn(f"prev_{c}", F.lag(c).over(w))
+        elif allow_prev == "defer":
+            deferred = {
+                var: body
+                for var, body in defines.items()
+                if re.search(r"prev_\w+", body)
+            }
+        else:
             raise ValueError(
                 "PREV() (prev_ columns) requires a batch frame — lag over "
                 "an unbounded stream is not expressible"
             )
-        w = Window.partitionBy(*partition_by).orderBy(
-            *[F.col(c) for c in order_cols]
-        )
-        for c in prev_cols:
-            enriched = enriched.withColumn(f"prev_{c}", F.lag(c).over(w))
 
     flag_names = {}
     for var, body in defines.items():
         flag = f"__m_{var}"
         flag_names[var] = flag
-        enriched = enriched.withColumn(flag, F.expr(body))
+        if var not in deferred:
+            enriched = enriched.withColumn(flag, F.expr(body))
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
     keep = list(
         dict.fromkeys(
-            partition_by + order_cols + meas_cols + list(flag_names.values())
+            partition_by
+            + order_cols
+            + meas_cols
+            + (
+                [c for c in df.columns]  # deferred bodies may use any col
+                if deferred
+                else []
+            )
+            + [flag_names[v] for v in flag_names if v not in deferred]
         )
     )
     slim = enriched.select(*keep)
@@ -489,7 +518,15 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
         else:
             out_fields.append(StructField(out_col, slim.schema[col].dataType))
     out_schema = StructType(out_fields)
-    return (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema
+    return (
+        (ast, leaves),
+        order_cols,
+        flag_names,
+        meas_cols,
+        slim,
+        out_schema,
+        deferred,
+    )
 
 
 def _flat_steps(ast, leaves) -> list[Step]:
@@ -548,7 +585,7 @@ def match_recognize(
         raise ValueError(f"unsupported after_match: {after_match!r}")
     import pandas as pd
 
-    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema = (
+    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema, _ = (
         _prepare(
             df, partition_by, order_by, pattern, defines, measures, tiebreak,
             allow_prev=True,
@@ -658,17 +695,46 @@ def stream_match_recognize(
     its held still-extendable match is finalized and emitted, making
     the bounded replay equal batch ``match_recognize``. REQUIRES the
     input to carry ``withWatermark`` (event-time timeouts need one).
+
+    PREV() support: DEFINEs referencing ``prev_<col>`` are deferred to
+    the worker — the event-time-sorted previous row only exists in the
+    per-key buffer. Bodies are evaluated by an embedded DuckDB over
+    the pandas frame (keep them to portable SQL: comparisons,
+    arithmetic, AND/OR; requires duckdb importable on executors). One
+    CONTEXT row (the last consumed row, never matchable) rides in
+    state so the first row after an emitted match still evaluates
+    PREV against its true predecessor. Within-window pruning can drop
+    a context row older than the window — PREV is then NULL, exactly
+    as if the predecessor had expired from NFA state.
     """
     import pandas as pd
 
-    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema = (
-        _prepare(
-            df, partition_by, order_by, pattern, defines, measures, tiebreak,
-            allow_prev=False,
-        )
+    (
+        (ast, leaves),
+        order_cols,
+        flag_names,
+        meas_cols,
+        slim,
+        out_schema,
+        deferred,
+    ) = _prepare(
+        df, partition_by, order_by, pattern, defines, measures, tiebreak,
+        allow_prev="defer",
     )
     steps = _flat_steps(ast, leaves)
     meas_items = list(measures.items())
+    prev_needed = sorted(
+        {m for body in deferred.values() for m in re.findall(r"prev_(\w+)", body)}
+    )
+    if deferred:
+        # streaming PREV: the previous event-time row only exists in
+        # the worker's sorted (context + tail + batch) buffer, so
+        # prev_-using DEFINEs are evaluated there (embedded DuckDB on
+        # the pandas frame — requires duckdb on executors). A single
+        # CONTEXT row (the last consumed row, flags forced off) rides
+        # in state so the row after an emitted match still sees its
+        # true predecessor.
+        slim = slim.withColumn("__ctx", F.lit(False))
     data_cols = [c for c in slim.columns if c not in partition_by]
     # state field names are prefixed: a data column may itself be
     # called "seq"/anything, and duplicate names in the state schema
@@ -716,9 +782,34 @@ def stream_match_recognize(
         allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
             drop=True
         )
+        if deferred and len(allr):
+            for c in prev_needed:
+                allr[f"prev_{c}"] = allr[c].shift(1)
+            allr["__ri"] = range(len(allr))
+            import duckdb
+
+            sel = ", ".join(
+                f"({body}) AS __m_{var}" for var, body in deferred.items()
+            )
+            con = duckdb.connect()
+            try:
+                con.register("__t", allr)
+                fdf = con.execute(
+                    f"SELECT __ri, {sel} FROM __t ORDER BY __ri"
+                ).fetchdf()
+            finally:
+                con.close()
+            for var in deferred:
+                allr[f"__m_{var}"] = fdf[f"__m_{var}"].to_numpy()
+            allr = allr.drop(columns=["__ri"])
         var_flags = {
-            v: allr[f].fillna(False).to_numpy() for v, f in flag_names.items()
+            v: allr[f].fillna(False).astype(bool).to_numpy()
+            for v, f in flag_names.items()
         }
+        if deferred and "__ctx" in allr.columns:
+            # context rows exist only as PREV sources — never matchable
+            ctx_mask = allr["__ctx"].fillna(False).astype(bool).to_numpy()
+            var_flags = {v: fl & ~ctx_mask for v, fl in var_flags.items()}
         step_flags = []
         for variables, *_ in steps:
             fl = var_flags[variables[0]]
@@ -753,6 +844,12 @@ def stream_match_recognize(
             # within-window with any future (>= max seen ts) row
             tail_ts = ts[consumed_through + 1 :]
             new_tail = new_tail[tail_ts >= ts[n - 1] - win]
+        if deferred and consumed_through >= 0:
+            # carry the last consumed row as the PREV context for the
+            # next batch's first tail row
+            ctx = allr.iloc[[consumed_through]].copy()
+            ctx["__ctx"] = True
+            new_tail = pd.concat([ctx, new_tail], ignore_index=True)
         if len(new_tail) > max_tail:
             new_tail = new_tail.iloc[-max_tail:]
         return rows, seq, new_tail

@@ -529,3 +529,70 @@ def test_nested_pattern_group(spark):
             defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
             measures={"n_b": ("B", "count", "seq")},
         )
+
+
+def test_stream_prev_define_with_context_row(spark, tmp_path):
+    """Streaming PREV(): prev_-using DEFINEs evaluate in the worker
+    over the sorted buffer, and the carried CONTEXT row lets the row
+    right after an emitted match still see its true (consumed)
+    predecessor. Classic V-pattern D+ U+ (price falls then rises),
+    two consecutive matches, the second's first fall judged
+    against the first match's last rise."""
+    from pyspark.sql import functions as F
+    from flink_efo_spark.operators.cep import (
+        match_recognize,
+        stream_match_recognize,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    rows = [
+        ("u1", 1.0, 10.0), ("u1", 2.0, 8.0), ("u1", 3.0, 6.0),
+        ("u1", 4.0, 7.0), ("u1", 5.0, 9.0), ("u1", 6.0, 5.0),
+        ("u1", 7.0, 4.0), ("u1", 8.0, 8.0),
+    ]
+    src_dir = str(tmp_path / "cep_prev")
+    slices = [rows[0:3], rows[3:6], rows[6:8], [("zz", 1000.0, 0.0)]]
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(
+            sl, "k string, ts double, v double"
+        ).coalesce(1).write.parquet(src_dir + f"/f{i}.parquet")
+
+    schema = spark.read.parquet(src_dir + "/f0.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withColumn("ets", F.timestamp_seconds("ts"))
+        .withWatermark("ets", "1 second")
+        .drop("ts")
+    )
+    defines = {"D": "v < prev_v", "U": "v > prev_v"}
+    measures = {
+        "n_d": ("D", "count", "v"),
+        "n_u": ("U", "count", "v"),
+        "last_u": ("U", "last", "v"),
+    }
+    out = stream_match_recognize(
+        src, ["k"], "ets",
+        pattern="D+ U+",
+        defines=defines,
+        measures=measures,
+        flush_on_timeout=True,
+    )
+    got = sorted(
+        (r.k, r.n_d, r.n_u, r.last_u)
+        for r in run_stream_to_table(out).collect()
+    )
+    assert got == [("u1", 2, 1, 8.0), ("u1", 2, 2, 9.0)]
+
+    # batch equivalence: lag-based PREV over the full partition
+    batch = spark.createDataFrame(rows, "k string, ts double, v double")
+    bout = match_recognize(
+        batch, ["k"], "ts",
+        pattern="D+ U+",
+        defines=defines,
+        measures=measures,
+    )
+    bgot = sorted((r.k, r.n_d, r.n_u, r.last_u) for r in bout.collect())
+    assert bgot == got

@@ -73,6 +73,7 @@ def _driver_order() -> list[str]:
         "python_udf_calc",
         "partitioned_sink",
         "ddl_catalog",
+        "stream_prev_vpattern",
     }
 
     def key(n: str):

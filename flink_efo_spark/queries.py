@@ -3098,6 +3098,83 @@ def q_stream_anti_join(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_prev_vpattern",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE 'N' END AS cls,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, rn - row_number()
+                  OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+      FROM c
+    ), islands AS (
+      SELECT user_id, cls, min(rn) AS srn, max(rn) AS ern,
+             count(*) AS len
+      FROM runs GROUP BY user_id, cls, grp
+    ), paired AS (
+      SELECT i.user_id, i.srn, i.len AS n_down, j.len AS n_up
+      FROM islands i JOIN islands j
+        ON i.user_id = j.user_id AND j.srn = i.ern + 1
+       AND i.cls = 'D' AND j.cls = 'U'
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn)
+                AS BIGINT) AS match_seq,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(n_up AS BIGINT) AS n_up
+    FROM paired
+    """,
+)
+def q_stream_prev_vpattern(t: _T) -> DataFrame:
+    """STREAMING PREV(): the classic V-pattern ``D+ U+`` (value falls
+    then rises, DEFINEs referencing ``prev_value``) over a 4-trigger
+    replay with end-of-input flush. prev evaluation happens in the
+    stateful worker over the sorted cross-batch buffer with a carried
+    context row, so a fall judged against a PREVIOUSLY-CONSUMED rise
+    still matches. Greedy D+/U+ consume whole runs, so matches are
+    exactly adjacent (fall-run, rise-run) island pairs — the SQL
+    oracle pairs lag-classified islands."""
+    import datetime
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        watermark=("ts", "10 minutes"),
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "__wm__",
+             "ts": max_ts + datetime.timedelta(minutes=30), "value": 0.0}
+        ],
+    )
+    out = stream_match_recognize(
+        src.select("user_id", "event_id", "value", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="D+ U+",
+        defines={"D": "value < prev_value", "U": "value > prev_value"},
+        measures={
+            "n_down": ("D", "count", "event_id"),
+            "n_up": ("U", "count", "event_id"),
+        },
+        tiebreak="event_id",
+        flush_on_timeout=True,
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "match_seq", "n_down", "n_up"
+    )
+
+
+@_q(
     "stream_match_flush",
     """
     WITH o AS (

@@ -104,3 +104,58 @@ def test_top_n_matches_bruteforce(spark, rows, n):
             exp_ids.add((k, i, rank))
     got = {(r.k, r.rid, r.rn) for r in out}
     assert got == exp_ids
+
+
+# -- CEP matcher equivalence: AST path vs legacy flat-step path ----------
+# The batch matcher moved to _ast_matches (nested-group capable); on FLAT
+# patterns it must agree exactly with the streaming _greedy_matches state
+# machine. Pure python — no Spark job per example, so examples are cheap.
+
+cep_patterns = st.sampled_from(
+    ["A B", "A B+", "A B* C", "A (B|C)+ D?", "A+ B", "A B? C+", "A B+?"]
+)
+cep_rows = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pattern=cep_patterns, rows=cep_rows)
+def test_ast_matcher_equals_flat_matcher(pattern, rows):
+    import numpy as np
+
+    from flink_efo_spark.operators.cep import (
+        _ast_matches,
+        _flat_steps,
+        _greedy_matches,
+        _parse_ast,
+    )
+
+    ast, leaves = _parse_ast(pattern)
+    steps = _flat_steps(ast, leaves)
+    n = len(rows)
+    var_flags = {
+        v: np.array([r == v.lower() for r in rows], dtype=bool)
+        for v in "ABCD"
+    }
+    leaf_flags = []
+    for _, variables, *_ in leaves:
+        fl = var_flags[variables[0]]
+        for v in variables[1:]:
+            fl = fl | var_flags[v]
+        leaf_flags.append(fl)
+
+    flat = [
+        (start, [list(ix) for ix in m])
+        for start, m in _greedy_matches(leaf_flags, steps, n)
+    ]
+    astm = [
+        (start, assign)
+        for start, assign in _ast_matches(leaf_flags, ast, leaves, n)
+    ]
+    # same match starts, same consumed rows per leaf step, same order
+    assert [s for s, _ in flat] == [s for s, _ in astm]
+    for (_, m), (_, assign) in zip(flat, astm):
+        per_leaf = {lid: ix for lid, ix in assign}
+        for k in range(len(steps)):
+            assert m[k] == per_leaf.get(k, [])

@@ -74,6 +74,7 @@ def _driver_order() -> list[str]:
         "partitioned_sink",
         "ddl_catalog",
         "stream_prev_vpattern",
+        "stream_late_capture",
     }
 
     def key(n: str):

@@ -3098,6 +3098,45 @@ def q_stream_anti_join(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_late_capture",
+    """
+    WITH b AS (
+      SELECT *, ntile(4) OVER (ORDER BY reverse(CAST(event_id AS VARCHAR)))
+        AS bk FROM events
+    ), bm AS (
+      SELECT bk, max(ts) AS mx FROM b GROUP BY bk
+    ), pm AS (
+      SELECT bk, max(mx) OVER (ORDER BY bk
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_mx
+      FROM bm
+    )
+    SELECT b.event_type, count(*) AS n_late
+    FROM b JOIN pm USING (bk)
+    WHERE pm.prior_mx IS NOT NULL
+      AND epoch_us(b.ts) < epoch_us(pm.prior_mx) - 1800 * 1000000
+    GROUP BY b.event_type
+    """,
+)
+def q_stream_late_capture(t: _T) -> DataFrame:
+    """Late-data SIDE OUTPUT (WindowedStream.sideOutputLateData,
+    WindowedStream.java:117): the events stream is replayed in 4
+    batches split by REVERSED event-id digits — decorrelated from
+    event time, so every batch mixes old and new timestamps — the
+    engine tracks the watermark (max seen ts − 30 min) across
+    batches, and rows below it are TEED to the late sink instead of
+    silently dropped. The oracle replays the same batch assignment
+    (ntile over the reversed id) and watermark recurrence in SQL."""
+    from flink_efo_spark.streaming import capture_late_rows, stream_table_split
+
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4,
+        "reverse(cast(event_id as string))",
+    )
+    _, late = capture_late_rows(src, "ts", 1800.0)
+    return late.groupBy("event_type").agg(F.count("*").alias("n_late"))
+
+
+@_q(
     "stream_prev_vpattern",
     """
     WITH c AS (

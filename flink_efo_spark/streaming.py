@@ -148,11 +148,15 @@ def stream_table_split(
                 batch = batch.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
-        w = Window.orderBy(order_col)
+        # order_col may be any deterministic SQL expression (a plain
+        # column name is the common case); an expression DEcorrelated
+        # from event time builds an out-of-order replay (late-data
+        # harness)
+        w = Window.orderBy(F.expr(order_col))
         split = (
             batch.withColumn("__b", F.ntile(n_batches).over(w))
             .repartition(1)
-            .sortWithinPartitions(order_col)
+            .sortWithinPartitions(F.expr(order_col))
             .persist()
         )
         # one sequential write per slice: the file source replays in
@@ -793,6 +797,63 @@ def split_late(
     on_time = batch_df.where(F.col(ts_col) >= F.lit(watermark_ts))
     late = batch_df.where(F.col(ts_col) < F.lit(watermark_ts))
     return on_time, late
+
+
+def capture_late_rows(
+    src: DataFrame, ts_col: str, delay_seconds: float
+) -> tuple[DataFrame, DataFrame]:
+    """Late-data side output, end to end (the reference's
+    ``WindowedStream.sideOutputLateData``, WindowedStream.java:117 —
+    Spark has no side outputs and silently drops late rows, so the
+    engine tracks the watermark itself inside foreachBatch and TEES
+    late rows to their own sink instead of losing them).
+
+    Watermark semantics mirror Spark/Flink exactly: after each batch
+    the watermark becomes ``max event time seen so far −
+    delay_seconds``; a row in a later batch is LATE iff its event
+    time is strictly below the watermark in force when its batch is
+    processed. Returns ``(on_time, late)`` as batch frames after a
+    bounded availableNow replay.
+
+    Scale: the only driver-side work per trigger is one max() scalar
+    (the same aggregate Spark's own watermark tracker computes); rows
+    stream straight to the two parquet sinks, O(batch) appends.
+    """
+    import datetime
+
+    spark = src.sparkSession
+    base = tempfile.mkdtemp(prefix="efo-late-")
+    ok_dir = os.path.join(base, "ontime")
+    late_dir = os.path.join(base, "late")
+    state: dict = {"max_ts": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # harness-scalar only: one max() per trigger, never row data
+        bmax = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        if state["max_ts"] is None:
+            on_time, late = batch_df, batch_df.where(F.lit(False))
+        else:
+            wm = state["max_ts"] - datetime.timedelta(seconds=delay_seconds)
+            on_time, late = split_late(batch_df, ts_col, wm)
+        on_time.write.mode("append").parquet(ok_dir)
+        late.write.mode("append").parquet(late_dir)
+        if bmax is not None and (
+            state["max_ts"] is None or bmax > state["max_ts"]
+        ):
+            state["max_ts"] = bmax
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="efo-late-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = src.schema
+    return (
+        spark.read.schema(schema).parquet(ok_dir),
+        spark.read.schema(schema).parquet(late_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

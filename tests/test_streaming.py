@@ -767,3 +767,19 @@ def test_window_early_fire_partial_then_final(spark):
         for r in batch.collect()
     }
     assert got == exp
+
+
+def test_late_capture_partitions_all_rows(spark):
+    """Late side output (WindowedStream.sideOutputLateData): on-time
+    and late sinks together hold exactly the input — nothing silently
+    dropped — and every late row is below the watermark in force."""
+    from flink_efo_spark.streaming import capture_late_rows, stream_table_split
+
+    src = stream_table_split(
+        spark, SF_DIR, "events", 4, "reverse(cast(event_id as string))"
+    )
+    on_time, late = capture_late_rows(src, "ts", 1800.0)
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_on, n_late = on_time.count(), late.count()
+    assert n_on + n_late == total
+    assert n_late > 0  # the reversed-id split really is out of order

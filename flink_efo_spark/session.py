@@ -61,18 +61,40 @@ _DEFAULT_CONFS: dict[str, str] = {
 }
 
 
-def get_spark(app_name: str = "flink-efo-spark", **confs: str) -> SparkSession:
+def get_spark(
+    app_name: str = "flink-efo-spark",
+    hive: bool = False,
+    warehouse_dir: str | None = None,
+    **confs: str,
+) -> SparkSession:
     """Create (or get) a SparkSession with engine defaults applied.
 
     Local test runs honor ``SPARK_GRAFT_CPUS`` (default 32) for
     ``local[N]``; on a real cluster the master comes from the
     environment and this is a no-op.
+
+    ``hive=True`` enables the Hive catalog (the reference's
+    HiveCatalog, flink-connectors/flink-connector-hive): persistent
+    databases/tables through a metastore, `saveAsTable`/`spark.table`
+    round-trips surviving session restarts. Spark bundles the Hive
+    client jars; ``warehouse_dir`` points both the warehouse and the
+    embedded-Derby metastore at a writable location. Hive support
+    must be chosen at JVM startup — it cannot be toggled on an
+    existing session.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
         builder = builder.master(f"local[{cpus}]")
     merged = dict(_DEFAULT_CONFS)
+    if hive:
+        wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse")
+        merged["spark.sql.warehouse.dir"] = wh
+        merged["spark.sql.catalogImplementation"] = "hive"
+        merged["javax.jdo.option.ConnectionURL"] = (
+            f"jdbc:derby:;databaseName={wh}/metastore_db;create=true"
+        )
+        builder = builder.enableHiveSupport()
     merged.update(confs)
     for k, v in merged.items():
         builder = builder.config(k, v)

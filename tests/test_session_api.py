@@ -435,3 +435,39 @@ def test_time_and_char_enforcement(spark):
 
     with pytest.raises(Exception, match="overflow"):
         enforce_varchar(df, "s", 3, error=True).collect()
+
+
+def test_hive_catalog_round_trip(tmp_path):
+    """Hive catalog (reference flink-connector-hive HiveCatalog):
+    persistent saveAsTable through the bundled Hive metastore, read
+    back via spark.table + catalog listing. Hive support must be
+    chosen at JVM startup, so this runs in a subprocess instead of
+    the shared session fixture."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os
+os.environ["SPARK_GRAFT_CPUS"] = "2"
+from flink_efo_spark.session import get_spark
+spark = get_spark("hive-test", hive=True, warehouse_dir={str(tmp_path)!r})
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+spark.sql("CREATE DATABASE IF NOT EXISTS efo_db")
+spark.range(10).selectExpr("id", "id * 3 AS v").write.mode(
+    "overwrite"
+).saveAsTable("efo_db.t_hive")
+back = spark.table("efo_db.t_hive")
+assert back.count() == 10
+assert back.agg({{"v": "sum"}}).collect()[0][0] == 135
+assert any(t.name == "t_hive" for t in spark.catalog.listTables("efo_db"))
+print("HIVE_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert "HIVE_OK" in out.stdout, out.stderr[-2000:]

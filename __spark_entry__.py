@@ -75,6 +75,9 @@ def _driver_order() -> list[str]:
         "ddl_catalog",
         "stream_prev_vpattern",
         "stream_late_capture",
+        "dialect_tumble",
+        "dialect_hop",
+        "dialect_session",
     }
 
     def key(n: str):

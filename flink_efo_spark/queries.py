@@ -4494,3 +4494,128 @@ def q_table_api_over_lateral(t: _T) -> DataFrame:
         .select("user_id", "word", "count(*) as cnt")
         .to_df()
     )
+
+
+# ---------------------------------------------------------------------------
+# Flink SQL group-window dialect (FlinkSqlOperatorTable.java:1100-1180
+# TUMBLE/HOP/SESSION + _START/_END/_ROWTIME auxiliaries): the dialect
+# shim (dialect.py) rewrites the reference's SQL surface to Spark
+# window()/session_window() — these queries run the FLINK-SYNTAX text
+# end-to-end through EfoSession.execute_sql.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dialect_tumble",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000 AS w_start_us,
+           (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) + 300) * 1000000 - 1000
+             AS w_rowtime_us,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_dialect_tumble(t: _T) -> DataFrame:
+    """Flink-dialect TUMBLE group window run verbatim through the SQL
+    shim; TUMBLE_ROWTIME checks the end-1ms rowtime property
+    (TimeWindow.maxTimestamp())."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.createOrReplaceTempView("__efo_dialect_events")
+    df = env.execute_sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS w_start,
+               TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE) AS w_rowtime,
+               event_type, count(*) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM __efo_dialect_events
+        GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type
+        """
+    )
+    return df.select(
+        _us("w_start").alias("w_start_us"),
+        _us("w_rowtime").alias("w_rowtime_us"),
+        "event_type", "cnt", "sum_value",
+    )
+
+
+@_q(
+    "dialect_hop",
+    """
+    SELECT w_start * 1000000 AS w_start_us,
+           (w_start + 600) * 1000000 AS w_end_us,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300,
+                     CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)]) AS w_start,
+             value
+      FROM events)
+    GROUP BY w_start
+    """,
+)
+def q_dialect_hop(t: _T) -> DataFrame:
+    """Flink-dialect HOP: note the reference's (time, slide, size) arg
+    order — the shim swaps to Spark's (time, size, slide)."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.createOrReplaceTempView("__efo_dialect_events")
+    df = env.execute_sql(
+        """
+        SELECT HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS w_start,
+               HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS w_end,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM __efo_dialect_events
+        GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)
+        """
+    )
+    return df.select(
+        _us("w_start").alias("w_start_us"),
+        _us("w_end").alias("w_end_us"),
+        "cnt", "sum_value",
+    )
+
+
+@_q(
+    "dialect_session",
+    """
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def q_dialect_session(t: _T) -> DataFrame:
+    """Flink-dialect SESSION group window through the SQL shim."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.createOrReplaceTempView("__efo_dialect_events")
+    df = env.execute_sql(
+        """
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '30' MINUTE) AS s_start,
+               SESSION_END(ts, INTERVAL '30' MINUTE) AS s_end,
+               count(*) AS n_events
+        FROM __efo_dialect_events
+        GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        """
+    )
+    return df.select(
+        "user_id",
+        _us("s_start").alias("session_start_us"),
+        _us("s_end").alias("session_end_us"),
+        "n_events",
+    )

@@ -126,7 +126,14 @@ class EfoSession:
 
     # -- SQL (TableEnvironmentImpl.sqlQuery:626 / executeSql:646) ------
     def sql(self, query: str):
-        return self.spark.sql(query)
+        """Execute SQL. Accepts both Spark SQL and the reference's
+        group-window dialect (GROUP BY TUMBLE/HOP/SESSION +
+        *_START/_END/_ROWTIME auxiliaries, PROCTIME()) — the dialect
+        shim (dialect.py) rewrites those lexically to window()/
+        session_window() and is the identity on plain Spark SQL."""
+        from flink_efo_spark.dialect import translate
+
+        return self.spark.sql(translate(query))
 
     execute_sql = sql
 

@@ -1,0 +1,92 @@
+"""Flink SQL group-window dialect shim (dialect.py).
+
+Reference surface: FlinkSqlOperatorTable.java:1100-1180 (TUMBLE/HOP/
+SESSION group-window functions + _START/_END/_ROWTIME/_PROCTIME
+auxiliaries); semantics per WindowAggregateITCase.scala in
+/root/reference.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_efo_spark.dialect import translate, has_dialect_tokens
+
+
+def test_translate_tumble():
+    out = translate(
+        "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS s, count(*) "
+        "FROM e GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)"
+    )
+    assert out == (
+        "SELECT window.start AS s, count(*) "
+        "FROM e GROUP BY window(ts, '5 minutes')"
+    )
+
+
+def test_translate_hop_swaps_slide_size():
+    # Flink arg order is (time, slide, size); Spark is (time, size, slide)
+    out = translate("GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)")
+    assert out == "GROUP BY window(ts, '10 minutes', '5 minutes')"
+
+
+def test_translate_session_and_rowtime():
+    out = translate(
+        "SELECT SESSION_ROWTIME(ts, INTERVAL '30' MINUTE) "
+        "FROM e GROUP BY SESSION(ts, INTERVAL '30' MINUTE)"
+    )
+    assert "session_window.end - INTERVAL 1 MILLISECOND" in out
+    assert "GROUP BY session_window(ts, '30 minutes')" in out
+
+
+def test_translate_proctime():
+    assert translate("SELECT PROCTIME() AS p") == "SELECT current_timestamp() AS p"
+
+
+def test_identity_on_plain_sql():
+    sql = "SELECT a, count(*) FROM t WHERE b = 'TUMBLE(x)' GROUP BY a"
+    assert translate(sql) == sql  # string literal untouched
+    assert not has_dialect_tokens("SELECT 1")
+
+
+def test_nested_expression_args():
+    out = translate("GROUP BY TUMBLE(CAST(ts AS TIMESTAMP), INTERVAL '1' HOUR)")
+    assert out == "GROUP BY window(CAST(ts AS TIMESTAMP), '1 hours')"
+
+
+def test_quoted_identifier_not_rewritten():
+    sql = 'SELECT "TUMBLE" FROM t'
+    assert translate(sql) == sql
+
+
+def test_bad_interval_raises():
+    with pytest.raises(ValueError):
+        translate("GROUP BY TUMBLE(ts, INTERVAL '1-2' YEAR TO MONTH)")
+
+
+def test_end_to_end_tumble_matches_native_window(spark):
+    """Dialect SQL result == native DataFrame window() result."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.session import EfoSession
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    env = EfoSession(spark)
+    events = load_table(spark, SF_DIR, "events")
+    events.createOrReplaceTempView("__dlt_events")
+
+    got = env.execute_sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) AS w_start,
+               count(*) AS cnt
+        FROM __dlt_events
+        GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)
+        """
+    )
+    want = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -78,6 +78,8 @@ def _driver_order() -> list[str]:
         "dialect_tumble",
         "dialect_hop",
         "dialect_session",
+        "pack_shards",
+        "shard_manifest",
     }
 
     def key(n: str):

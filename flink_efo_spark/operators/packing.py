@@ -1,0 +1,105 @@
+"""Token-budget shard packing: assign documents to training shards.
+
+The standard last step of an LLM training-data pipeline: put the
+corpus in a deterministic pseudo-random order, then cut it into
+shards of a fixed token budget (each shard is one training file /
+sequence-packing unit). No reference-engine equivalent (the
+reference stops at SQL operators); this is part of the engine's
+first-class data-pipeline family alongside dedup/similarity/text.
+
+Scale design (100 TB): a naive ``sum(n) OVER (ORDER BY key)`` is a
+single-partition global sort — a non-starter. Instead the global
+prefix sum is computed hierarchically:
+
+1. bucket = leading hex byte(s) of the order key, so buckets
+   partition the global order into contiguous ranges;
+2. within-bucket cumulative sums — a window partitioned BY bucket
+   (shuffles once on bucket, sorts locally; ``n_buckets`` chosen so a
+   bucket's documents fit one task comfortably);
+3. bucket offsets — a window over the ``n_buckets``-row totals
+   aggregate (single partition over ≤64 Ki tiny rows: negligible);
+4. broadcast-join offsets back; global position = offset + local
+   cumsum.
+
+The same decomposition Spark itself uses for ``zipWithIndex``, but
+expressed declaratively so Catalyst fuses steps 1-2 with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_efo_spark.operators.text import _tokens
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment.
+
+    Returns (id, n_tokens, start_pos, shard_id): documents are laid
+    out in (md5(id), id) order — a stable corpus shuffle — and
+    ``shard_id = floor(start_pos / shard_tokens)`` where ``start_pos``
+    is the document's global token offset. A shard's token total is
+    bounded by ``shard_tokens`` + one document's overflow (documents
+    are not split).
+
+    ``n_buckets`` must be a power of 16 divisor of the hex keyspace:
+    it is realized as a hex-prefix of the md5 key (1 char = 16
+    buckets, 2 = 256, 3 = 4096). Raise for very large corpora so
+    per-bucket sorts stay small.
+    """
+    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(n_buckets)
+    if hex_chars is None:
+        raise ValueError("n_buckets must be one of 16, 256, 4096, 65536")
+
+    keyed = df.select(
+        F.col(id_col),
+        F.expr(f"size({_tokens(text_col)})").cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__okey"),
+    ).withColumn("__bucket", F.substring("__okey", 1, hex_chars))
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+
+    totals = keyed.groupBy("__bucket").agg(F.sum("n_tokens").alias("__tot"))
+    # single-partition window, but over <= n_buckets rows — bounded
+    # and tiny by construction, never the data itself
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__offset"),
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn("start_pos", F.col("__offset") + F.col("__cum_in") - F.col("n_tokens"))
+        .withColumn(
+            "shard_id", F.floor(F.col("start_pos") / F.lit(shard_tokens))
+        )
+        .select(id_col, "n_tokens", "start_pos", "shard_id")
+    )
+
+
+def shard_manifest(assignments: DataFrame) -> DataFrame:
+    """Per-shard manifest from ``pack_shards`` output: document count,
+    token total, and token span — what a downstream trainer reads to
+    plan file writes. Pure hash aggregate on shard_id (map-side
+    partial combine; scales)."""
+    return assignments.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("start_pos").alias("first_pos"),
+        F.max(F.col("start_pos") + F.col("n_tokens")).alias("end_pos"),
+    )

@@ -4619,3 +4619,61 @@ def q_dialect_session(t: _T) -> DataFrame:
         _us("s_end").alias("session_end_us"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: token-budget shard packing (operators/packing.py) —
+# deterministic corpus shuffle + fixed-token-budget shard assignment,
+# hierarchical (bucketed) prefix sum instead of a global sort.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pack_shards",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_pos,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0) AS BIGINT)
+             AS shard_id
+    FROM (SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS okey
+          FROM documents)
+    WINDOW w AS (ORDER BY okey, doc_id)
+    """.format(toks=_TOKS_DD),
+)
+def q_pack_shards(t: _T) -> DataFrame:
+    """Per-document shard assignment; the oracle's global ORDER BY
+    window is exactly what the operator decomposes into bucketed
+    prefix sums (packing.py module docstring)."""
+    from flink_efo_spark.operators.packing import pack_shards
+
+    return pack_shards(t.documents, "doc_id", "text", shard_tokens=2000)
+
+
+@_q(
+    "shard_manifest",
+    f"""
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(start_pos) AS first_pos,
+           max(start_pos + n_tokens) AS end_pos
+    FROM (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_pos,
+             CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0) AS BIGINT)
+               AS shard_id
+      FROM (SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS okey
+            FROM documents)
+      WINDOW w AS (ORDER BY okey, doc_id))
+    GROUP BY shard_id
+    """.format(toks=_TOKS_DD),
+)
+def q_shard_manifest(t: _T) -> DataFrame:
+    """Shard-level manifest (docs, token totals, span) a trainer would
+    consume; checks the budget bound end-to-end."""
+    from flink_efo_spark.operators.packing import pack_shards, shard_manifest
+
+    return shard_manifest(
+        pack_shards(t.documents, "doc_id", "text", shard_tokens=2000)
+    )

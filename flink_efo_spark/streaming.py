@@ -1247,21 +1247,32 @@ def stream_upsert_sink(
 
     Plain parquet has no transactional MERGE, so this uses the
     log-structured shape every lakehouse MERGE implements underneath:
-    each micro-batch APPENDS its updated key-groups stamped with
-    ``__batch_id`` (O(batch) per trigger — never rewrites the table),
-    and :func:`read_upsert_result` resolves last-writer-wins per key
-    at read time. Periodic :func:`compact_upsert` bounds read
-    amplification. On Delta/Iceberg the foreachBatch body would be a
-    single ``MERGE INTO`` — the operator contract is identical.
+    each micro-batch OVERWRITES its own epoch directory
+    ``out_dir/__batch_id=<epoch>`` (O(batch) per trigger — never
+    rewrites the table), and :func:`read_upsert_result` resolves
+    last-writer-wins per key at read time. Periodic
+    :func:`compact_upsert` bounds read amplification. On
+    Delta/Iceberg the foreachBatch body would be a single
+    ``MERGE INTO`` — the operator contract is identical.
+
+    **Exactly-once on failure/restart** (the reference's
+    TwoPhaseCommitSinkFunction.java / CheckpointCoordinator contract):
+    Spark's foreachBatch re-runs an epoch whose commit didn't make
+    the checkpoint; because the epoch id is deterministic and the
+    write targets the epoch's OWN directory with ``overwrite``, a
+    replayed epoch replaces its partial output instead of appending a
+    duplicate — the sink is idempotent per epoch, so
+    kill-and-restart converges to the same table (test:
+    tests/test_streaming.py restart test).
 
     Returns the started StreamingQuery (bounded via availableNow).
     """
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="efo-upsert-ckpt-")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={batch_id}")
+        )
 
     return (
         df.writeStream.foreachBatch(upsert)
@@ -1365,11 +1376,9 @@ def compact_upsert(spark: SparkSession, out_dir: str, keys: list[str]) -> None:
     """Rewrite the upsert log as a resolved snapshot (single batch id
     0) — the compaction that bounds read amplification on a
     long-running stream."""
-    snap = read_upsert_result(spark, out_dir, keys).withColumn(
-        "__batch_id", F.lit(0)
-    )
+    snap = read_upsert_result(spark, out_dir, keys)
     tmp = out_dir.rstrip("/") + ".compact"
-    snap.write.mode("overwrite").parquet(tmp)
+    snap.write.mode("overwrite").parquet(os.path.join(tmp, "__batch_id=0"))
     import shutil
 
     shutil.rmtree(out_dir)

@@ -6,6 +6,8 @@ equivalents — the bounded-stream ITCase pattern
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_efo_spark.sources import efo_event_stream, shard_of, shard_stats
@@ -783,3 +785,68 @@ def test_late_capture_partitions_all_rows(spark):
     n_on, n_late = on_time.count(), late.count()
     assert n_on + n_late == total
     assert n_late > 0  # the reversed-id split really is out of order
+
+
+def test_upsert_sink_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart exactly-once: a crash AFTER an epoch's sink
+    write but BEFORE its checkpoint commit replays that epoch on
+    restart; the epoch-directory overwrite makes the replay
+    idempotent, so the final table equals the batch answer with no
+    duplicates (reference TwoPhaseCommitSinkFunction.java contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import (
+        read_upsert_result,
+        stream_table_split,
+        stream_upsert_sink,
+    )
+
+    src = stream_table_split(spark, SF_DIR, "events", n_batches=4, order_col="ts")
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_v")
+    )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: crash after writing epoch 1's output (the dangerous
+    # window — sink write done, checkpoint commit not)
+    def crashing_upsert(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={batch_id}")
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected crash after sink write")
+
+    q1 = (
+        agg.writeStream.foreachBatch(crashing_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination()
+
+    # run 2: same checkpoint — epoch 1 replays (overwriting its
+    # partial directory), epochs 2..n continue
+    q2 = stream_upsert_sink(
+        agg, ["event_type"], out_dir, mode="update", checkpoint_dir=ckpt
+    )
+    q2.awaitTermination()
+
+    want = sorted(
+        (r.event_type, r.cnt, r.sum_v)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .collect()
+    )
+    got = sorted(
+        (r.event_type, r.cnt, r.sum_v)
+        for r in read_upsert_result(spark, out_dir, ["event_type"]).collect()
+    )
+    assert got == want

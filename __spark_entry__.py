@@ -80,6 +80,7 @@ def _driver_order() -> list[str]:
         "dialect_session",
         "pack_shards",
         "shard_manifest",
+        "sha_timestamp_fns",
     }
 
     def key(n: str):

@@ -119,6 +119,12 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "and not startswith(ltrim(s), '{') "
         "and not startswith(ltrim(s), '['))",
     ),
+    # Fixed-width SHA family (FlinkSqlOperatorTable SHA224/256/384/512,
+    # SqlFunctionUtils.sha*): Spark spells these sha2(x, bits)
+    "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),
+    "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
+    "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
+    "SHA512": ("(s STRING)", "STRING", "sha2(s, 512)"),
 }
 
 # Flink names that exist in Spark SQL under the SAME name (sanity list,

@@ -4677,3 +4677,58 @@ def q_shard_manifest(t: _T) -> DataFrame:
     return shard_manifest(
         pack_shards(t.documents, "doc_id", "text", shard_tokens=2000)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 residue: SHA family, FIRST_VALUE/LAST_VALUE, TIMESTAMPADD/DIFF
+# (FlinkSqlOperatorTable SHA224..SHA512, FIRST_VALUE/LAST_VALUE aggs,
+# Calcite TIMESTAMP_ADD/TIMESTAMP_DIFF)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sha_timestamp_fns",
+    """
+    SELECT event_id,
+           sha256(event_type) AS sha_256,
+           56 AS sha224_len, 96 AS sha384_len, 128 AS sha512_len,
+           epoch_us(ts + INTERVAL 90 MINUTE) AS ts_plus_us,
+           date_diff('minute', TIMESTAMP '2020-01-01 00:00:00',
+                     ts) AS mins_since,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v
+    FROM events
+    WHERE event_id < 2000
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_sha_timestamp_fns(t: _T) -> DataFrame:
+    """SHA224/256/384/512 SQL names (registry → sha2), TIMESTAMPADD /
+    TIMESTAMPDIFF, FIRST_VALUE/LAST_VALUE over a deterministic frame.
+    DuckDB lacks sha224/384/512, so those legs are checked by digest
+    LENGTH (the width IS the function identity here) while sha256
+    compares full digests cross-engine."""
+    from flink_efo_spark.functions.registry import register_all
+
+    register_all(t.spark)
+    t.events.createOrReplaceTempView("__efo_fn_events")
+    return t.spark.sql(
+        """
+        SELECT event_id,
+               SHA256(event_type) AS sha_256,
+               length(SHA224(event_type)) AS sha224_len,
+               length(SHA384(event_type)) AS sha384_len,
+               length(SHA512(event_type)) AS sha512_len,
+               unix_micros(cast(timestampadd(MINUTE, 90, ts)
+                           as timestamp_ltz)) AS ts_plus_us,
+               timestampdiff(MINUTE, TIMESTAMP '2020-01-01 00:00:00',
+                             ts) AS mins_since,
+               first_value(value) OVER w AS first_v,
+               last_value(value) OVER w AS last_v
+        FROM __efo_fn_events
+        WHERE event_id < 2000
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )

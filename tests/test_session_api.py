@@ -471,3 +471,20 @@ print("HIVE_OK")
         cwd="/root/repo",
     )
     assert "HIVE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_sha_family_sql_names(spark):
+    """SHA224/256/384/512 (FlinkSqlOperatorTable) — known digests for
+    'abc' (FIPS 180-2 test vectors) via the registered SQL names."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(spark)
+    row = env.sql(
+        "SELECT SHA224('abc') AS a, SHA256('abc') AS b, "
+        "length(SHA384('abc')) AS c, length(SHA512('abc')) AS d"
+    ).collect()[0]
+    assert row.a == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7"
+    assert row.b == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert (row.c, row.d) == (96, 128)

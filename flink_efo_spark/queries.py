@@ -834,6 +834,128 @@ def q_window_session(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "window_cumulate",
+    """
+    SELECT w0 * 1000000 AS w_start_us,
+           (w0 + k * 900) * 1000000 AS w_end_us,
+           event_type, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w0,
+             unnest(generate_series(
+               CAST(floor((epoch(ts) - floor(epoch(ts) / 3600) * 3600) / 900)
+                    AS BIGINT) + 1, 4)) AS k,
+             event_type, value
+      FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_window_cumulate(t: _T) -> DataFrame:
+    """CUMULATE windows (the reference's fourth windowing TVF,
+    SqlCumulateTableFunction / CumulativeWindowSpec): running
+    per-hour totals refreshed every 15 minutes. Runs the SLICED
+    two-phase plan (streaming.py cumulate_slices +
+    compose_cumulate_slices): tumble-slice partials, then a per-slice
+    expand + merge — input rows shuffle once into slices; only slice
+    partials fan out. The oracle expands per row (the direct
+    definition), proving the slice decomposition exact."""
+    from flink_efo_spark.streaming import (
+        compose_cumulate_slices,
+        cumulate_slices,
+    )
+
+    sl = cumulate_slices(
+        t.events,
+        "ts",
+        "15 minutes",
+        ["event_type"],
+        F.count("*").alias("pcnt"),
+        F.sum("value").alias("psum"),
+    )
+    out = compose_cumulate_slices(
+        sl,
+        "15 minutes",
+        "1 hour",
+        ["event_type"],
+        F.sum("pcnt").alias("cnt"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.unix_micros("w_start").alias("w_start_us"),
+        F.unix_micros("w_end").alias("w_end_us"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@_q(
+    "stream_cumulate",
+    """
+    WITH wm AS (SELECT epoch(max(ts)) - 600 AS w FROM events),
+    sl AS (
+      SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS s_start,
+             event_type, count(*) AS pcnt, sum(value) AS psum
+      FROM events GROUP BY 1, 2
+      HAVING (floor(epoch(any_value(ts)) / 900) * 900 + 900)
+               <= (SELECT w FROM wm))
+    SELECT CAST(floor(s_start / 3600) * 3600 AS BIGINT) * 1000000
+             AS w_start_us,
+           (CAST(floor(s_start / 3600) * 3600 AS BIGINT) + k * 900) * 1000000
+             AS w_end_us,
+           event_type, CAST(sum(pcnt) AS BIGINT) AS cnt,
+           round(sum(psum), 2) AS sum_value
+    FROM (
+      SELECT *, unnest(generate_series(
+        CAST(floor((s_start - floor(s_start / 3600) * 3600) / 900)
+             AS BIGINT) + 1, 4)) AS k
+      FROM sl)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_cumulate(t: _T) -> DataFrame:
+    """Streaming CUMULATE: phase 1 is a watermarked tumble-slice agg
+    (append mode — only slices the watermark finalized emit, the
+    reference's slice state); phase 2 is the STATELESS slice→window
+    expand+merge over the emitted slices. State is one partial row
+    per (slice, key) regardless of how many cumulate windows the
+    slice feeds — the reference cumulate's shared-slice-state design
+    re-expressed on Structured Streaming."""
+    from flink_efo_spark.streaming import (
+        compose_cumulate_slices,
+        cumulate_slices,
+        run_stream_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes"))
+    sl = cumulate_slices(
+        ev,
+        "ts",
+        "15 minutes",
+        ["event_type"],
+        F.count("*").alias("pcnt"),
+        F.sum("value").alias("psum"),
+    )
+    slices = run_stream_to_table(sl)
+    out = compose_cumulate_slices(
+        slices,
+        "15 minutes",
+        "1 hour",
+        ["event_type"],
+        F.sum("pcnt").alias("cnt"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+    return out.select(
+        F.unix_micros("w_start").alias("w_start_us"),
+        F.unix_micros("w_end").alias("w_end_us"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON props extraction (event props column)
 # ---------------------------------------------------------------------------

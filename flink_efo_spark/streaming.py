@@ -277,6 +277,135 @@ def session_agg(
     return _windowed_agg(df, F.session_window(ts_col, gap), keys, aggs)
 
 
+_DUR_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _duration_us(s: str) -> int:
+    """'5 minutes' → 300000000 (micros). Spark duration-string subset."""
+    parts = s.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be '<n> <unit>', got {s!r}")
+    n, unit = int(parts[0]), parts[1].lower().rstrip("s")
+    if unit not in _DUR_US:
+        raise ValueError(f"unknown duration unit in {s!r}")
+    return n * _DUR_US[unit]
+
+
+def _cumulate_expand(
+    df: DataFrame, ts_expr: str, step_us: int, max_us: int
+) -> DataFrame:
+    """Explode rows to (bucket start, window index) pairs: __w0_us is
+    ``ts`` floored to a max_size boundary, __k enumerates every
+    cumulate window (end = __w0_us + k*step) still containing ts."""
+    n = max_us // step_us
+    us = f"unix_micros(cast({ts_expr} as timestamp_ltz))"
+    w0 = f"(floor({us} / {max_us}) * {max_us})"
+    k_first = f"(floor(({us} - {w0}) / {step_us}) + 1)"
+    return df.select(
+        "*",
+        F.expr(f"cast({w0} as bigint)").alias("__w0_us"),
+        F.explode(
+            F.expr(f"sequence(cast({k_first} as bigint), {n}L)")
+        ).alias("__k"),
+    )
+
+
+def _cumulate_finish(
+    exploded: DataFrame, step_us: int, keys: list[str], aggs: tuple[Column, ...]
+) -> DataFrame:
+    out = exploded.groupBy(
+        "__w0_us",
+        (F.col("__w0_us") + F.col("__k") * F.lit(step_us)).alias("__we_us"),
+        *keys,
+    ).agg(*aggs)
+    agg_names = [c for c in out.columns if c not in ("__w0_us", "__we_us", *keys)]
+    return out.select(
+        F.timestamp_micros("__w0_us").alias("w_start"),
+        F.timestamp_micros("__we_us").alias("w_end"),
+        *keys,
+        *agg_names,
+    )
+
+
+def cumulate_agg(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    max_size: str,
+    keys: list[str],
+    *aggs: Column,
+) -> DataFrame:
+    """CUMULATE window aggregate — the reference's fourth windowing
+    TVF (SqlCumulateTableFunction in FlinkSqlOperatorTable.java;
+    CumulativeWindowSpec under flink-table planner's logical window
+    specs): expanding windows ``[w0, w0+step), [w0, w0+2·step), …,
+    [w0, w0+max_size)`` with ``w0`` = ``ts`` floored to a
+    ``max_size`` boundary — "running daily total, refreshed every
+    step".
+
+    Direct form: each row explodes to every cumulate window
+    containing it (fan-out ≤ max_size/step — the HOP Expand shape).
+    Works with ANY aggregate. For decomposable aggregates at scale
+    prefer :func:`cumulate_slices` + :func:`compose_cumulate_slices`,
+    which expand per *slice* instead of per row — the reference's
+    slice-shared state optimization.
+    """
+    step_us, max_us = _duration_us(step), _duration_us(max_size)
+    if max_us % step_us != 0:
+        raise ValueError("max_size must be a multiple of step")
+    return _cumulate_finish(
+        _cumulate_expand(df, ts_col, step_us, max_us), step_us, keys, aggs
+    )
+
+
+def cumulate_slices(
+    df: DataFrame, ts_col: str, step: str, keys: list[str], *partial_aggs: Column
+) -> DataFrame:
+    """Phase 1 of the sliced cumulate: TUMBLE(step) partial aggregates
+    — one row per (slice, keys), the reference's per-slice state.
+    Streaming-safe: on a watermarked stream this is a plain windowed
+    agg in append mode (only watermark-finalized slices emit)."""
+    return tumble_agg(df, ts_col, step, keys, *partial_aggs)
+
+
+def compose_cumulate_slices(
+    slices: DataFrame,
+    step: str,
+    max_size: str,
+    keys: list[str],
+    *merge_aggs: Column,
+) -> DataFrame:
+    """Phase 2 of the sliced cumulate: explode each slice-partial row
+    to the cumulate windows it contributes to (every window end
+    strictly after the slice start within the slice's max_size
+    bucket) and merge the partials. STATELESS — runs identically over
+    a batch slice table or the append-mode output of a streamed
+    phase 1.
+
+    ``merge_aggs`` combine the partial columns (sum of partial
+    counts, sum of partial sums, min of partial mins, …). The shuffle
+    moves one row per (slice × remaining windows) — at 100 TB that
+    volume is O(#slices · max/step), independent of input row count,
+    which is why this is the scale path over :func:`cumulate_agg`.
+    """
+    step_us, max_us = _duration_us(step), _duration_us(max_size)
+    if max_us % step_us != 0:
+        raise ValueError("max_size must be a multiple of step")
+    return _cumulate_finish(
+        _cumulate_expand(slices, "w_start", step_us, max_us),
+        step_us,
+        keys,
+        merge_aggs,
+    )
+
+
 def window_early_fire(
     agg_df: DataFrame,
     window_keys: list[str],

@@ -850,3 +850,62 @@ def test_upsert_sink_restart_exactly_once(spark, tmp_path):
         for r in read_upsert_result(spark, out_dir, ["event_type"]).collect()
     )
     assert got == want
+
+
+def test_cumulate_direct_equals_sliced(spark):
+    """The sliced two-phase cumulate (tumble partials → expand+merge)
+    must equal the direct per-row expansion for decomposable aggs —
+    the exactness claim of the reference's slice-shared state."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import (
+        compose_cumulate_slices,
+        cumulate_agg,
+        cumulate_slices,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    direct = cumulate_agg(
+        ev, "ts", "15 minutes", "1 hour", ["event_type"],
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    sl = cumulate_slices(
+        ev, "ts", "15 minutes", ["event_type"],
+        F.count("*").alias("pcnt"), F.sum("value").alias("psum"),
+    )
+    sliced = compose_cumulate_slices(
+        sl, "15 minutes", "1 hour", ["event_type"],
+        F.sum("pcnt").alias("cnt"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+    key = lambda r: (r.w_start, r.w_end, r.event_type)  # noqa: E731
+    got_d = sorted(map(tuple, direct.collect()))
+    got_s = sorted(map(tuple, sliced.collect()))
+    assert got_d == got_s
+    # every bucket must hold windows of strictly increasing width with
+    # monotonically non-decreasing counts (cumulate's defining shape)
+    import collections
+
+    by_bucket = collections.defaultdict(list)
+    for r in direct.collect():
+        by_bucket[(r.w_start, r.event_type)].append((r.w_end, r.cnt))
+    for rows in by_bucket.values():
+        rows.sort()
+        cnts = [c for _, c in rows]
+        assert cnts == sorted(cnts)
+
+
+def test_cumulate_window_bounds(spark):
+    """Cumulate windows share one start per max_size bucket and end on
+    step boundaries, never exceeding the bucket end."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import cumulate_agg
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = cumulate_agg(
+        ev, "ts", "15 minutes", "1 hour", [], F.count("*").alias("cnt")
+    ).collect()
+    for r in out:
+        span = (r.w_end - r.w_start).total_seconds()
+        assert r.w_start.minute == 0 and r.w_start.second == 0
+        assert span in (900.0, 1800.0, 2700.0, 3600.0)

@@ -48,12 +48,14 @@ _DIALECT_FNS = [
     "TUMBLE_ROWTIME", "TUMBLE_PROCTIME", "TUMBLE_START", "TUMBLE_END",
     "HOP_ROWTIME", "HOP_PROCTIME", "HOP_START", "HOP_END",
     "SESSION_ROWTIME", "SESSION_PROCTIME", "SESSION_START", "SESSION_END",
-    "TUMBLE", "HOP", "SESSION", "PROCTIME",
+    "TUMBLE", "HOP", "SESSION", "PROCTIME", "CUMULATE",
 ]
 
 _FN_RE = re.compile(
     r"\b(" + "|".join(_DIALECT_FNS) + r")\s*\(", re.IGNORECASE
 )
+
+_TABLE_RE = re.compile(r"\bTABLE\s*\(", re.IGNORECASE)
 
 _INTERVAL_RE = re.compile(
     r"^\s*INTERVAL\s+'([0-9]+)'\s+"
@@ -137,12 +139,127 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
+_INTERVAL_US_UNITS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_us(arg: str) -> int:
+    """``INTERVAL '5' MINUTE`` → 300000000 (epoch micros)."""
+    m = _INTERVAL_RE.match(arg)
+    if not m:
+        raise ValueError(
+            f"unsupported interval in window TVF call: {arg!r} "
+            "(expected INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY)"
+        )
+    return int(m.group(1)) * _INTERVAL_US_UNITS[m.group(2).lower()]
+
+
+_TVF_MARK = "(SELECT * EXCEPT"
+
+_DESCRIPTOR_RE = re.compile(r"^\s*DESCRIPTOR\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECASE)
+
+
+def _render_tvf(fn: str, args: list[str]) -> str:
+    """Windowing TVF form (the reference's FLIP-145 window
+    table-valued functions: SqlTumbleTableFunction /
+    SqlHopTableFunction / SqlCumulateTableFunction in
+    FlinkSqlOperatorTable.java; docs 'Windowing TVF'):
+
+        TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])
+        HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])
+        CUMULATE(TABLE t, DESCRIPTOR(ts), step, max_size [, offset])
+
+    Each returns the input relation plus ``window_start``,
+    ``window_end`` and ``window_time`` (= end - 1 ms, the window's
+    rowtime attribute). Rendered as a plain Spark subquery: epoch
+    micros floor arithmetic for the assignment, ``explode(sequence)``
+    for HOP/CUMULATE multi-window membership — all whole-stage
+    codegen expressions; the Expand fan-out (size/slide resp.
+    max/step) is exactly the reference's per-window duplication.
+    """
+    fn = fn.upper()
+    if len(args) < 3:
+        raise ValueError(f"{fn} TVF expects (TABLE t, DESCRIPTOR(ts), intervals…)")
+    src = re.sub(r"^\s*TABLE\s+", "", args[0], flags=re.IGNORECASE).strip()
+    dm = _DESCRIPTOR_RE.match(args[1])
+    if not dm:
+        raise ValueError(f"{fn} TVF second arg must be DESCRIPTOR(<col>): {args[1]!r}")
+    ts = dm.group(1)
+    ivals = [_interval_us(a) for a in args[2:]]
+    u = f"unix_micros(cast({ts} as timestamp_ltz))"
+
+    def win_cols(start: str, end: str, drop: str) -> str:
+        return (
+            f"(SELECT * EXCEPT({drop}), timestamp_micros({start}) AS window_start, "
+            f"timestamp_micros({end}) AS window_end, "
+            f"timestamp_micros({end}) - INTERVAL 1 MILLISECOND AS window_time "
+        )
+
+    if fn == "TUMBLE":
+        if len(ivals) not in (1, 2):
+            raise ValueError("TUMBLE TVF expects size [, offset]")
+        size, off = ivals[0], (ivals[1] if len(ivals) == 2 else 0)
+        ws = f"(cast(floor(({u} - {off}) / {size}) * {size} as bigint) + {off})"
+        return (
+            win_cols("__ws", f"__ws + {size}", "__ws")
+            + f"FROM (SELECT *, {ws} AS __ws FROM {src}))"
+        )
+    if fn == "HOP":
+        if len(ivals) not in (2, 3):
+            raise ValueError("HOP TVF expects slide, size [, offset]")
+        slide, size, off = ivals[0], ivals[1], (ivals[2] if len(ivals) == 3 else 0)
+        if size % slide != 0:
+            raise ValueError("HOP TVF size must be a multiple of slide")
+        n = size // slide
+        a = f"(cast(floor(({u} - {off}) / {slide}) * {slide} as bigint) + {off})"
+        return (
+            win_cols(
+                f"__a - __k * {slide}L",
+                f"__a - __k * {slide}L + {size}",
+                "__a, __k",
+            )
+            + f"FROM (SELECT *, {a} AS __a, "
+            f"explode(sequence(0L, {n - 1}L)) AS __k FROM {src}))"
+        )
+    if fn == "CUMULATE":
+        if len(ivals) not in (2, 3):
+            raise ValueError("CUMULATE TVF expects step, max_size [, offset]")
+        step, maxs, off = ivals[0], ivals[1], (ivals[2] if len(ivals) == 3 else 0)
+        if maxs % step != 0:
+            raise ValueError("CUMULATE TVF max_size must be a multiple of step")
+        n = maxs // step
+        w0 = f"(cast(floor(({u} - {off}) / {maxs}) * {maxs} as bigint) + {off})"
+        kf = f"(cast(floor(({u} - {w0}) / {step}) as bigint) + 1)"
+        return (
+            win_cols("__w0", f"__w0 + __k * {step}L", "__w0, __k")
+            + f"FROM (SELECT *, {w0} AS __w0, "
+            f"explode(sequence({kf}, {n}L)) AS __k FROM {src}))"
+        )
+    raise ValueError(
+        f"{fn} is not supported in windowing-TVF form (use the GROUP BY "
+        "group-window syntax for SESSION, or session_window() directly)"
+    )
+
+
 def _render(fn: str, args: list[str]) -> str:
     fn = fn.upper()
     if fn == "PROCTIME":
         if args and args != [""]:
             raise ValueError("PROCTIME() takes no arguments")
         return "current_timestamp()"
+
+    # windowing-TVF form: first argument is `TABLE <relation>`
+    if args and re.match(r"^\s*TABLE\b", args[0], re.IGNORECASE):
+        return _render_tvf(fn, args)
+    if fn == "CUMULATE":
+        raise ValueError(
+            "CUMULATE exists only in windowing-TVF form: "
+            "CUMULATE(TABLE t, DESCRIPTOR(ts), step, max_size)"
+        )
 
     base = fn.split("_")[0]  # TUMBLE | HOP | SESSION
     aux = fn[len(base) + 1:] if "_" in fn else ""  # START | END | ROWTIME | PROCTIME
@@ -199,6 +316,19 @@ def translate(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
+        # `FROM TABLE(TUMBLE(...))` — the TVF wrapper. If the inside
+        # translates to a rendered window subquery, drop the wrapper
+        # (Spark has no TABLE() syntax); any other TABLE( text —
+        # CREATE TABLE(...) column lists etc. — passes through.
+        tm = _TABLE_RE.match(sql, i) if (i == 0 or not sql[i - 1].isalnum()) else None
+        if tm:
+            open_idx = sql.index("(", tm.end() - 1)
+            close_idx = _find_close(sql, open_idx)
+            inner = translate(sql[open_idx + 1:close_idx]).strip()
+            if inner.startswith(_TVF_MARK):
+                out.append(inner)
+                i = close_idx + 1
+                continue
         m = _FN_RE.match(sql, i)
         if m:
             open_idx = sql.index("(", m.end() - 1)

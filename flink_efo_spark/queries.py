@@ -4743,6 +4743,83 @@ def q_dialect_session(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "dialect_tvf_tumble",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000 AS w_start_us,
+           (CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) + 600) * 1000000 - 1000
+             AS w_time_us,
+           event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_dialect_tvf_tumble(t: _T) -> DataFrame:
+    """Windowing-TVF syntax (FLIP-145; SqlTumbleTableFunction in
+    FlinkSqlOperatorTable.java) run verbatim through the shim:
+    ``FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))`` with the
+    TVF's window_start/window_end/window_time result columns."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.createOrReplaceTempView("__efo_dialect_events")
+    df = env.execute_sql(
+        """
+        SELECT window_start, window_time, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM TABLE(TUMBLE(TABLE __efo_dialect_events, DESCRIPTOR(ts),
+                          INTERVAL '10' MINUTE))
+        GROUP BY window_start, window_time, event_type
+        """
+    )
+    return df.select(
+        _us("window_start").alias("w_start_us"),
+        _us("window_time").alias("w_time_us"),
+        "event_type", "cnt", "sum_value",
+    )
+
+
+@_q(
+    "dialect_tvf_cumulate",
+    """
+    SELECT w0 * 1000000 AS w_start_us,
+           (w0 + k * 900) * 1000000 AS w_end_us,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w0,
+             unnest(generate_series(
+               CAST(floor((epoch(ts) - floor(epoch(ts) / 3600) * 3600) / 900)
+                    AS BIGINT) + 1, 4)) AS k,
+             value
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_dialect_tvf_cumulate(t: _T) -> DataFrame:
+    """CUMULATE windowing TVF (SqlCumulateTableFunction) in the
+    reference's SQL syntax through the shim — the TVF renders to an
+    explode(sequence)-based expand, the same plan family as the
+    native cumulate operator (streaming.py cumulate_agg)."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.createOrReplaceTempView("__efo_dialect_events")
+    df = env.execute_sql(
+        """
+        SELECT window_start, window_end,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM TABLE(CUMULATE(TABLE __efo_dialect_events, DESCRIPTOR(ts),
+                            INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """
+    )
+    return df.select(
+        _us("window_start").alias("w_start_us"),
+        _us("window_end").alias("w_end_us"),
+        "cnt", "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: token-budget shard packing (operators/packing.py) —
 # deterministic corpus shuffle + fixed-token-budget shard assignment,

@@ -90,3 +90,85 @@ def test_end_to_end_tumble_matches_native_window(spark):
         .select(F.col("w.start").alias("w_start"), "cnt")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# windowing TVFs (FLIP-145: SqlTumbleTableFunction / SqlHopTableFunction /
+# SqlCumulateTableFunction in FlinkSqlOperatorTable.java)
+# ---------------------------------------------------------------------------
+
+
+def test_tvf_tumble_renders_subquery():
+    out = translate(
+        "SELECT window_start, count(*) FROM "
+        "TABLE(TUMBLE(TABLE e, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) "
+        "GROUP BY window_start"
+    )
+    assert "TABLE(" not in out
+    assert "window_start" in out and "window_end" in out and "window_time" in out
+    assert "600000000" in out  # 10 min in micros
+
+
+def test_tvf_hop_membership(spark):
+    """Every row must land in size/slide HOP windows, each containing
+    the row's timestamp."""
+    from flink_efo_spark.session import EfoSession
+    from flink_efo_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    env = EfoSession(spark)
+    load_table(spark, SF_DIR, "events").limit(200).createOrReplaceTempView(
+        "__tvf_ev"
+    )
+    rows = env.execute_sql(
+        "SELECT event_id, ts, window_start, window_end FROM "
+        "TABLE(HOP(TABLE __tvf_ev, DESCRIPTOR(ts), "
+        "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))"
+    ).collect()
+    by_event = {}
+    for r in rows:
+        assert r.window_start <= r.ts < r.window_end
+        assert (r.window_end - r.window_start).total_seconds() == 600
+        by_event.setdefault(r.event_id, 0)
+        by_event[r.event_id] += 1
+    assert set(by_event.values()) == {2}  # size/slide = 2 windows per row
+
+
+def test_tvf_cumulate_requires_tvf_form():
+    with pytest.raises(ValueError, match="windowing-TVF form"):
+        translate("GROUP BY CUMULATE(ts, INTERVAL '5' MINUTE)")
+
+
+def test_tvf_session_rejected():
+    with pytest.raises(ValueError, match="not supported in windowing-TVF"):
+        translate(
+            "SELECT * FROM TABLE(SESSION(TABLE e, DESCRIPTOR(ts), "
+            "INTERVAL '5' MINUTE))"
+        )
+
+
+def test_tvf_tumble_offset(spark):
+    """Optional offset arg shifts window alignment (Flink TVF offset)."""
+    from flink_efo_spark.session import EfoSession
+    from flink_efo_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    env = EfoSession(spark)
+    load_table(spark, SF_DIR, "events").limit(50).createOrReplaceTempView(
+        "__tvf_ev2"
+    )
+    rows = env.execute_sql(
+        "SELECT ts, window_start FROM "
+        "TABLE(TUMBLE(TABLE __tvf_ev2, DESCRIPTOR(ts), "
+        "INTERVAL '10' MINUTE, INTERVAL '1' MINUTE))"
+    ).collect()
+    for r in rows:
+        assert r.window_start.minute % 10 == 1
+        assert r.window_start <= r.ts
+
+
+def test_create_table_passthrough():
+    """TABLE( in DDL column lists must NOT be touched by the TVF
+    unwrapper."""
+    sql = "CREATE TABLE(a INT, b STRING)"
+    assert translate(sql) == sql

@@ -305,3 +305,132 @@ def jdbc_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Elasticsearch / HBase connectors (reference:
+# flink-connectors/flink-connector-elasticsearch{6,7},
+# flink-connectors/flink-connector-hbase-{1.4,2.2}) — thin option-mapping
+# wrappers over the public Spark connector formats. Jar-gated like kafka:
+# the es-hadoop / hbase-spark connector jars ship on real clusters; locally
+# load() raises the connector's ClassNotFound error.
+# ---------------------------------------------------------------------------
+
+
+def es_options(
+    hosts: str,
+    index: str,
+    *,
+    username: str | None = None,
+    password: str | None = None,
+    id_field: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Map the reference's Elasticsearch connector options
+    (ElasticsearchConnectorOptions: ``hosts``, ``index``,
+    ``username``/``password``, ``document-id.key-delimiter`` /
+    key-extraction) to es-hadoop (``org.elasticsearch.spark.sql``)
+    options. ``id_field`` ↔ the reference's primary-key-driven
+    document id (UPSERT mode when set, APPEND otherwise — the same
+    semantic split as the reference sink)."""
+    opts = {"es.nodes": hosts, "es.resource": index}
+    if username is not None:
+        opts["es.net.http.auth.user"] = username
+    if password is not None:
+        opts["es.net.http.auth.pass"] = password
+    if id_field is not None:
+        opts["es.mapping.id"] = id_field
+        opts["es.write.operation"] = "upsert"
+    opts.update(extra)
+    return opts
+
+
+def es_source(spark: SparkSession, hosts: str, index: str, **opts) -> DataFrame:
+    """Elasticsearch scan (Elasticsearch{6,7}DynamicSource analog).
+    es-hadoop parallelizes one Spark partition per ES shard and pushes
+    filters down as ES query DSL — the same pushdown the reference
+    applies through its lookup/scan split."""
+    reader = spark.read.format("org.elasticsearch.spark.sql")
+    for k, v in es_options(hosts, index, **opts).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def es_sink(
+    df: DataFrame,
+    hosts: str,
+    index: str,
+    checkpoint_dir: str | None = None,
+    **opts,
+):
+    """Elasticsearch sink (Elasticsearch7DynamicSink analog). Batch
+    frames write directly; streaming frames write per micro-batch
+    (the reference's bulk-flush buffering maps to es-hadoop's
+    ``es.batch.size.*`` options passed via ``**opts``)."""
+    mapped = es_options(hosts, index, **opts)
+    if not df.isStreaming:
+        writer = df.write.format("org.elasticsearch.spark.sql")
+        for k, v in mapped.items():
+            writer = writer.option(k, v)
+        return writer.mode("append").save()
+    writer = df.writeStream.format("org.elasticsearch.spark.sql")
+    for k, v in mapped.items():
+        writer = writer.option(k, v)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def hbase_catalog(
+    table: str,
+    row_key_col: str,
+    columns: dict[str, tuple[str, str, str]],
+    namespace: str = "default",
+) -> str:
+    """Build the hbase-spark catalog JSON from the reference's HBase
+    schema model (HBaseTableSchema.java: a row key + column families
+    of qualified columns). ``columns`` maps dataframe column →
+    (family, qualifier, type)."""
+    import json
+
+    cols = {
+        row_key_col: {"cf": "rowkey", "col": "key", "type": "string"},
+    }
+    for name, (cf, qualifier, typ) in columns.items():
+        cols[name] = {"cf": cf, "col": qualifier, "type": typ}
+    return json.dumps(
+        {
+            "table": {"namespace": namespace, "name": table},
+            "rowkey": "key",
+            "columns": cols,
+        }
+    )
+
+
+def hbase_source(spark: SparkSession, catalog: str, **opts) -> DataFrame:
+    """HBase scan (HBaseDynamicTableSource analog) via the public
+    hbase-spark connector format. Row-key range predicates prune HBase
+    regions server-side — the reference's lookup-by-rowkey fast path
+    becomes a pushed filter here."""
+    reader = (
+        spark.read.format("org.apache.hadoop.hbase.spark")
+        .option("catalog", catalog)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def hbase_sink(df: DataFrame, catalog: str, **opts) -> None:
+    """HBase sink (HBaseDynamicTableSink analog): HBase puts are
+    idempotent per (rowkey, column, version), giving the same
+    effectively-exactly-once upsert semantics the reference documents
+    for its HBase sink."""
+    writer = (
+        df.write.format("org.apache.hadoop.hbase.spark")
+        .option("catalog", catalog)
+        .option("hbase.spark.use.hbasecontext", "false")
+    )
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -234,3 +234,49 @@ def test_jdbc_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         jdbc_source(spark, url)
+
+
+def test_es_option_mapping():
+    """Reference ES connector options must land on the es-hadoop
+    names; primary-key id extraction switches the sink to upsert."""
+    from flink_efo_spark.io import es_options
+
+    opts = es_options(
+        "es1:9200,es2:9200", "docs/_doc",
+        username="u", password="p", id_field="doc_id",
+        **{"es.batch.size.entries": "500"},
+    )
+    assert opts["es.nodes"] == "es1:9200,es2:9200"
+    assert opts["es.resource"] == "docs/_doc"
+    assert opts["es.net.http.auth.user"] == "u"
+    assert opts["es.mapping.id"] == "doc_id"
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.batch.size.entries"] == "500"
+    # append mode when no id field: no write.operation override
+    assert "es.write.operation" not in es_options("h", "i")
+
+
+def test_hbase_catalog_json():
+    from flink_efo_spark.io import hbase_catalog
+    import json
+
+    cat = json.loads(
+        hbase_catalog(
+            "users", "user_id",
+            {"name": ("cf1", "n", "string"), "age": ("cf1", "a", "int")},
+            namespace="prod",
+        )
+    )
+    assert cat["table"] == {"namespace": "prod", "name": "users"}
+    assert cat["columns"]["user_id"]["cf"] == "rowkey"
+    assert cat["columns"]["name"] == {"cf": "cf1", "col": "n", "type": "string"}
+
+
+def test_es_source_jar_gated(spark):
+    """Without the es-hadoop jar the source must fail with the
+    connector-missing error, not silently return wrong data."""
+    from flink_efo_spark.io import es_source
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)elasticsearch|ClassNotFound|Failed to find"):
+        es_source(spark, "localhost:9200", "idx").limit(1).collect()

@@ -164,10 +164,12 @@ _DESCRIPTOR_RE = re.compile(r"^\s*DESCRIPTOR\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECA
 
 
 def _render_tvf(fn: str, args: list[str]) -> str:
-    """Windowing TVF form (the reference's FLIP-145 window
-    table-valued functions: SqlTumbleTableFunction /
-    SqlHopTableFunction / SqlCumulateTableFunction in
-    FlinkSqlOperatorTable.java; docs 'Windowing TVF'):
+    """Windowing TVF form — FLIP-145 window table-valued
+    functions (public upstream Apache Flink >= 1.13:
+    SqlTumbleTableFunction / SqlHopTableFunction /
+    SqlCumulateTableFunction; the reference snapshot predates
+    FLIP-145 and only has the GROUP BY group-window form, so this is
+    forward-compat surface for users on newer Flink SQL):
 
         TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])
         HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])

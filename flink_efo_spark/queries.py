@@ -852,8 +852,8 @@ def q_window_session(t: _T) -> DataFrame:
     """,
 )
 def q_window_cumulate(t: _T) -> DataFrame:
-    """CUMULATE windows (the reference's fourth windowing TVF,
-    SqlCumulateTableFunction / CumulativeWindowSpec): running
+    """CUMULATE windows (FLIP-145 windowing TVF of public upstream
+    Flink >= 1.13 — the reference snapshot predates it): running
     per-hour totals refreshed every 15 minutes. Runs the SLICED
     two-phase plan (streaming.py cumulate_slices +
     compose_cumulate_slices): tumble-slice partials, then a per-slice
@@ -4802,8 +4802,8 @@ def q_dialect_session(t: _T) -> DataFrame:
     """,
 )
 def q_dialect_tvf_tumble(t: _T) -> DataFrame:
-    """Windowing-TVF syntax (FLIP-145; SqlTumbleTableFunction in
-    FlinkSqlOperatorTable.java) run verbatim through the shim:
+    """Windowing-TVF syntax (FLIP-145, public upstream Flink >= 1.13
+    — not in the reference snapshot) run verbatim through the shim:
     ``FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))`` with the
     TVF's window_start/window_end/window_time result columns."""
     from flink_efo_spark.session import EfoSession
@@ -4843,8 +4843,8 @@ def q_dialect_tvf_tumble(t: _T) -> DataFrame:
     """,
 )
 def q_dialect_tvf_cumulate(t: _T) -> DataFrame:
-    """CUMULATE windowing TVF (SqlCumulateTableFunction) in the
-    reference's SQL syntax through the shim — the TVF renders to an
+    """CUMULATE windowing TVF (FLIP-145 upstream syntax) through
+    the shim — the TVF renders to an
     explode(sequence)-based expand, the same plan family as the
     native cumulate operator (streaming.py cumulate_agg)."""
     from flink_efo_spark.session import EfoSession

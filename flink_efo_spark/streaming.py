@@ -342,10 +342,11 @@ def cumulate_agg(
     keys: list[str],
     *aggs: Column,
 ) -> DataFrame:
-    """CUMULATE window aggregate — the reference's fourth windowing
-    TVF (SqlCumulateTableFunction in FlinkSqlOperatorTable.java;
-    CumulativeWindowSpec under flink-table planner's logical window
-    specs): expanding windows ``[w0, w0+step), [w0, w0+2·step), …,
+    """CUMULATE window aggregate — the fourth windowing TVF of
+    public upstream Apache Flink (FLIP-145, Flink >= 1.13:
+    SqlCumulateTableFunction / CumulativeWindowSpec; the reference
+    snapshot predates it, so this is forward-compat surface):
+    expanding windows ``[w0, w0+step), [w0, w0+2·step), …,
     [w0, w0+max_size)`` with ``w0`` = ``ts`` floored to a
     ``max_size`` boundary — "running daily total, refreshed every
     step".

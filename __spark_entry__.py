@@ -81,6 +81,12 @@ def _driver_order() -> list[str]:
         "pack_shards",
         "shard_manifest",
         "sha_timestamp_fns",
+        "window_cumulate",
+        "stream_cumulate",
+        "dialect_tvf_tumble",
+        "dialect_tvf_cumulate",
+        "hll_distinct_rollup",
+        "efo_watermark_alignment",
     }
 
     def key(n: str):

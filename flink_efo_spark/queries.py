@@ -1905,6 +1905,37 @@ def q_efo_shard_stats(t: _T) -> DataFrame:
     return run_stream_to_table(stats, mode="complete")
 
 
+@_q(
+    "efo_watermark_alignment",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 4 AS INT) AS shard,
+             epoch_us(max(ts)) - 600000000 AS local_wm_us
+      FROM events GROUP BY 1)
+    SELECT shard, local_wm_us,
+           min(local_wm_us) OVER () AS global_wm_us,
+           local_wm_us - min(local_wm_us) OVER () AS lag_us
+    FROM s
+    """,
+)
+def q_efo_watermark_alignment(t: _T) -> DataFrame:
+    """Cross-shard watermark alignment — the fork's WatermarkTracker /
+    JobManagerWatermarkTracker (flink-connector-kinesis-v2/.../util/):
+    per-shard local watermarks aggregated to the global minimum, with
+    each shard's head-start lag — the pacing signal the EFO consumer
+    uses to keep fast shards from running away from slow ones."""
+    from flink_efo_spark.sources import efo_event_stream, shard_watermarks
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ev = efo_event_stream(t.spark, t.sf_dir, num_shards=4)
+    stats = ev.groupBy("shard").agg(
+        F.unix_micros(F.max("ts")).alias("max_ts_us")
+    )
+    batch_stats = run_stream_to_table(stats, mode="complete")
+    return shard_watermarks(batch_stats, 600_000_000)
+
+
 # ---------------------------------------------------------------------------
 # §2.3 lookup join / §2.4 table aggregate + MULTISET / §2.6 streaming OVER /
 # multimodal plumbing

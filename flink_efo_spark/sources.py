@@ -83,3 +83,31 @@ def shard_stats(stream: DataFrame) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.approx_count_distinct("user_id").alias("n_users"),
     )
+
+
+def shard_watermarks(stats: DataFrame, delay_us: int) -> DataFrame:
+    """Cross-shard watermark alignment — the reference fork's
+    WatermarkTracker / JobManagerWatermarkTracker
+    (flink-connectors/flink-connector-kinesis-v2/.../util/
+    WatermarkTracker.java, JobManagerWatermarkTracker.java): each
+    subtask reports its local (per-shard) watermark and the tracker
+    aggregates the GLOBAL watermark as the minimum, letting fast
+    shards see how far they run ahead (the emit-queue pacing signal).
+
+    Input: per-shard stats carrying ``max_ts_us`` (from
+    :func:`shard_stats` or equivalent). Output: shard, local_wm_us,
+    global_wm_us (min over shards), lag_us (head start of this shard
+    over the slowest). The global-min window runs over one row per
+    shard — thousands at most, so the unpartitioned window is fine at
+    any scale."""
+    from pyspark.sql import Window
+
+    local = (F.col("max_ts_us") - F.lit(delay_us)).alias("local_wm_us")
+    g = Window.partitionBy()
+    return (
+        stats.select("shard", local)
+        .withColumn("global_wm_us", F.min("local_wm_us").over(g))
+        .withColumn(
+            "lag_us", F.col("local_wm_us") - F.col("global_wm_us")
+        )
+    )

@@ -909,3 +909,41 @@ def test_cumulate_window_bounds(spark):
         span = (r.w_end - r.w_start).total_seconds()
         assert r.w_start.minute == 0 and r.w_start.second == 0
         assert span in (900.0, 1800.0, 2700.0, 3600.0)
+
+
+def test_shard_split_refinement(spark):
+    """Kinesis resharding model: doubling the shard count must REFINE
+    the assignment — every record of parent shard s lands in child s
+    or s+N (the md5-ring modulus property), so keyed state migration
+    on shard split stays local, exactly like a Kinesis shard split
+    (ShardConsumer/KinesisDataFetcher handle SHARD_END → children)."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.sources import shard_of
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id").distinct()
+    both = ev.select(
+        shard_of("user_id", 4).alias("s4"), shard_of("user_id", 8).alias("s8")
+    ).distinct().collect()
+    for r in both:
+        assert r.s8 % 4 == r.s4
+
+
+def test_shard_watermark_alignment(spark):
+    """Global watermark = min over per-shard locals; lag >= 0 and 0
+    for the slowest shard (WatermarkTracker.java invariants)."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.sources import shard_of, shard_watermarks
+
+    ev = load_table(spark, SF_DIR, "events")
+    stats = (
+        ev.select(shard_of("user_id", 4).alias("shard"), "ts")
+        .groupBy("shard")
+        .agg(F.unix_micros(F.max("ts")).alias("max_ts_us"))
+    )
+    rows = shard_watermarks(stats, 600_000_000).collect()
+    assert len(rows) == 4
+    g = min(r.local_wm_us for r in rows)
+    for r in rows:
+        assert r.global_wm_us == g
+        assert r.lag_us == r.local_wm_us - g >= 0
+    assert any(r.lag_us == 0 for r in rows)

@@ -87,6 +87,8 @@ def _driver_order() -> list[str]:
         "dialect_tvf_cumulate",
         "hll_distinct_rollup",
         "efo_watermark_alignment",
+        "bm25_scores",
+        "quantize_embeddings",
     }
 
     def key(n: str):

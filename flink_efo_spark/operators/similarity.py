@@ -492,3 +492,43 @@ def lsh_cosine_topk(
     out = result.localCheckpoint(eager=True)
     sigs.unpersist()
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization of float embeddings —
+    the storage-scale path for 100 TB embedding stores (int8 cuts the
+    vector bytes 4×, and dot products against int8 codes stay
+    SIMD-friendly; the same compression every large ANN deployment
+    applies before indexing).
+
+    scale = max|x| / (2^(bits-1) - 1); code_i = floor(x_i/scale + .5)
+    (round-half-up, engine-portable, exact on IEEE doubles). Returns
+    (id, scale, codes array<int>, cos_error) where ``cos_error`` is
+    1 - cosine(original, reconstructed) — the quality gate a pipeline
+    thresholds before swapping the full-precision column out.
+
+    All built-in higher-order functions — per-row map work, no
+    shuffle, no Python.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    e = f"transform({vec_col}, x -> cast(x as double))"
+    scale = f"(array_max(transform({e}, x -> abs(x))) / {qmax}.0)"
+    codes = f"transform({e}, x -> cast(floor(x / {scale} + 0.5) as int))"
+    recon = f"transform({codes}, v -> v * {scale})"
+    dot = (
+        f"aggregate(zip_with({e}, {recon}, (a, b) -> a * b), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> x * x), "
+        "cast(0.0 as double), (acc, y) -> acc + y))"
+    )
+    cos = f"({dot} / ({nrm.format(v=e)} * {nrm.format(v=recon)}))"
+    return df.select(
+        F.col(id_col),
+        F.round(F.expr(scale), 8).alias("scale"),
+        F.expr(codes).alias("codes"),
+        F.round(F.expr(f"1.0 - {cos}"), 8).alias("cos_error"),
+    )

@@ -280,3 +280,56 @@ def doc_fingerprint(
             F.expr("size(shingles)").cast("bigint").alias("fp_count"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a query term
+    set — the retrieval scorer a training-data pipeline runs for
+    query-based corpus selection and contamination triage.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Lucene variant,
+    always positive).
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle, so only query-term postings (doc_id, term, tf) move —
+    O(matching docs × |Q|) rows, never the corpus text. The corpus
+    constants (N, avgdl) are a 1-row aggregate broadcast into the
+    scoring join; document-frequency is an aggregate over the posting
+    table itself. Everything is built-in expressions (no Python).
+    """
+    toks = _tokens(text_col)
+    quoted = ", ".join("'" + t.replace("'", "\\'") + "'" for t in query_terms)
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("double").alias("__dl"),
+        F.expr(
+            f"filter({toks}, t -> array_contains(array({quoted}), t))"
+        ).alias("__qt"),
+    )
+    consts = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), "__dl", F.explode("__qt").alias("__term"))
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").cast("double").alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+    norm = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    contrib = idf * F.col("__tf") * (k1 + 1) / norm
+    return (
+        tf.join(dfreq, "__term")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )

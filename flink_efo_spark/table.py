@@ -39,6 +39,28 @@ class Table:
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
+    def to_pandas(self):
+        """PyFlink Table.to_pandas:699 — Arrow-batched driver
+        collection. Driver-memory bound; harness/exploration use."""
+        return self._df.toPandas()
+
+    def get_schema(self):
+        """PyFlink Table.get_schema:739 analog (Spark StructType)."""
+        return self._df.schema
+
+    def print_schema(self) -> None:
+        """PyFlink Table.print_schema:748."""
+        self._df.printSchema()
+
+    def execute_insert(self, path: str, overwrite: bool = False):
+        """PyFlink Table.execute_insert:754 — write to a registered
+        path/table (parquet directory here; the engine's filesystem
+        sink)."""
+        mode = "overwrite" if overwrite else "append"
+        self._df.write.mode(mode).parquet(path)
+
+    insert_into = execute_insert
+
     # -- projection / filter ------------------------------------------
     def select(self, *exprs: str | Column) -> "Table":
         return Table(self._df.selectExpr(*exprs) if _all_str(exprs)
@@ -55,11 +77,25 @@ class Table:
             df = df.withColumn(name, F.expr(e) if isinstance(e, str) else e)
         return Table(df)
 
+    def add_or_replace_columns(self, **named_exprs: str | Column) -> "Table":
+        """PyFlink Table.add_or_replace_columns:623 — same as
+        add_columns but an existing column of the same name is
+        replaced (withColumn already has exactly that semantics)."""
+        return self.add_columns(**named_exprs)
+
     def rename_columns(self, **renames: str) -> "Table":
         df = self._df
         for old, new in renames.items():
             df = df.withColumnRenamed(old, new)
         return Table(df)
+
+    def alias(self, *names: str) -> "Table":
+        """PyFlink Table.alias:85 — positional rename of ALL columns."""
+        if len(names) != len(self._df.columns):
+            raise ValueError(
+                f"alias() needs {len(self._df.columns)} names, got {len(names)}"
+            )
+        return Table(self._df.toDF(*names))
 
     def drop_columns(self, *cols: str) -> "Table":
         return Table(self._df.drop(*cols))
@@ -159,6 +195,56 @@ class Table:
 
     def left_outer_join_lateral(self, udtf_expr: str) -> "Table":
         return self.join_lateral(udtf_expr, how="left_outer")
+
+    # -- temporal table function (Java Table API parity) ---------------
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str | list[str]
+    ) -> "TemporalTableFunction":
+        """The reference's ``Table.createTemporalTableFunction``
+        (table-common functions/TemporalTableFunction.java,
+        TemporalTableFunctionImpl.java): capture this table as a
+        versioned relation keyed by ``primary_key`` and versioned by
+        ``time_attr``. Joining it (the reference plans
+        ``LATERAL TABLE(fn(o.ts))`` through
+        LogicalCorrelateToJoinFromTemporalTableFunctionRule into a
+        temporal join) is exposed here as
+        :meth:`TemporalTableFunction.join` — the engine's as-of join,
+        identical semantics without the correlate detour."""
+        return TemporalTableFunction(self._df, time_attr, primary_key)
+
+
+class TemporalTableFunction:
+    """Versioned-table handle returned by
+    :meth:`Table.create_temporal_table_function`; ``join(probe,
+    probe_time_attr)`` attaches each probe row's latest version
+    (build_ts <= probe_ts), per the reference's temporal table
+    function join semantics (left-open version intervals)."""
+
+    def __init__(
+        self, build: DataFrame, time_attr: str, primary_key: str | list[str]
+    ):
+        self._build = build
+        self._time_attr = time_attr
+        self._pk = (
+            [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        )
+
+    def join(
+        self, probe: "Table | DataFrame", probe_time_attr: str, **kwargs
+    ) -> "Table":
+        from flink_efo_spark.operators.joins import asof_join
+
+        pdf = probe.to_df() if isinstance(probe, Table) else probe
+        return Table(
+            asof_join(
+                pdf,
+                self._build,
+                self._pk,
+                probe_time_attr,
+                self._time_attr,
+                **kwargs,
+            )
+        )
 
 
 class GroupedTable:

@@ -488,3 +488,56 @@ def test_sha_family_sql_names(spark):
         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
     assert (row.c, row.d) == (96, 128)
+
+
+def test_table_surface_methods(spark):
+    """PyFlink Table surface completions: alias (positional rename),
+    add_or_replace_columns, get_schema/to_pandas exits."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.table import Table
+
+    t = Table(load_table(spark, SF_DIR, "region"))
+    r = t.alias("rk", "rn")
+    assert r.to_df().columns == ["rk", "rn"]
+    r2 = t.add_or_replace_columns(r_name="upper(r_name)")
+    assert r2.to_df().columns == t.to_df().columns
+    assert r2.to_df().selectExpr("max(r_name = upper(r_name))").collect()[0][0]
+    assert len(t.get_schema().fields) == 2
+    assert len(t.to_pandas()) == t.to_df().count()
+
+
+def test_temporal_table_function_join(spark, ddb):
+    """createTemporalTableFunction analog: joining the versioned
+    rates table attaches each order's latest rate version — checked
+    against a DuckDB ASOF JOIN on the same frames."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.table import Table
+    import pandas as pd
+
+    ev = load_table(spark, SF_DIR, "events")
+    # versions: per-user 'signup' events are the versioned build side
+    rates = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    probes = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    fn = Table(rates).create_temporal_table_function("ts", "user_id")
+    out = fn.join(Table(probes), "ts", tiebreak="rate").to_df()
+    got = {
+        (r.event_id): (None if r.rate is None else round(r.rate, 6))
+        for r in out.collect()
+    }
+    duck = ddb.execute(
+        """
+        SELECT p.event_id, r.value AS rate
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click') p
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY user_id, ts) r
+          ON p.user_id = r.user_id AND p.ts >= r.ts
+        """
+    ).fetchall()
+    want = {e: (None if v is None else round(v, 6)) for e, v in duck}
+    assert got == want

@@ -125,6 +125,16 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
     "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "SHA512": ("(s STRING)", "STRING", "sha2(s, 512)"),
+    # WEEK(date) — ISO week of year (SqlDateTimeUtils.weekOfYear)
+    "WEEK": ("(d DATE)", "INT", "weekofyear(d)"),
+    # LOCALTIME — TIME of day; the engine's TIME convention is
+    # millis-of-day (types.py), session timezone applies
+    "LOCALTIME": (
+        "()",
+        "INT",
+        "cast((unix_micros(cast(localtimestamp() as timestamp)) "
+        "% 86400000000) div 1000 as int)",
+    ),
 }
 
 # Flink names that exist in Spark SQL under the SAME name (sanity list,
@@ -137,6 +147,15 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
 # FROM_UNIXTIME, UNIX_TIMESTAMP, NOW, IF, GROUPING, GROUPING_ID, REGEXP,
 # CHAR_LENGTH, CHARACTER_LENGTH, UPPER, LOWER, ABS, MOD, CARDINALITY
 # (as SIZE), ELEMENT_AT.
+#
+# Not SQL-registrable, covered elsewhere or intentionally absent:
+# COLLECT (aggregate — operators/aggregates.collect_multiset; CREATE
+# FUNCTION RETURN is scalar-only); ELEMENT (generic over the element
+# type — spell it `element_at(arr, 1)` with a `size(arr) = 1` guard);
+# GROUP_ID() (Calcite legacy for duplicate grouping sets — Spark
+# deduplicates grouping sets, so it has no meaning here); PRINT
+# (side-effecting debug sink — use the print/console sink in io.py,
+# not an expression).
 
 
 def register_all(spark: SparkSession) -> None:

@@ -541,3 +541,18 @@ def test_temporal_table_function_join(spark, ddb):
     ).fetchall()
     want = {e: (None if v is None else round(v, 6)) for e, v in duck}
     assert got == want
+
+
+def test_week_and_localtime_fns(spark):
+    """WEEK / LOCALTIME residue registrations: ISO week values and a
+    millis-of-day LOCALTIME consistent with the engine TIME
+    convention (types.py)."""
+    from flink_efo_spark.functions.registry import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        "SELECT WEEK(DATE '1996-01-04') AS w1, WEEK(DATE '1996-12-31') AS w2, "
+        "LOCALTIME() AS lt"
+    ).collect()[0]
+    assert r.w1 == 1 and r.w2 == 1  # ISO: Dec 31 1996 is week 1 of 1997
+    assert 0 <= r.lt < 86_400_000

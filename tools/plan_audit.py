@@ -34,6 +34,9 @@ INTENTIONAL_NLJ = {
     # subqueries the same way)
     "tpch_q11_important_value",
     "tpch_q22_global_sales",
+    # corpus constants (N, avgdl) — a 1-row aggregate broadcast into
+    # the scoring join; same constant-size-build reasoning
+    "bm25_scores",
 }
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}

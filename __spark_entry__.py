@@ -89,6 +89,7 @@ def _driver_order() -> list[str]:
         "efo_watermark_alignment",
         "bm25_scores",
         "quantize_embeddings",
+        "cep_permute_triples",
     }
 
     def key(n: str):

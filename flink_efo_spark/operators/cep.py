@@ -4,7 +4,8 @@ Reference: StreamExecMatch.scala:68 + flink-libraries/flink-cep
 (NFA.java, SharedBuffer.java:54) in /root/reference. Scope per SURVEY
 §7 Phase 4, extended rounds 3-4: **concatenation + alternation groups
 (``(A|B)``) + nested quantified groups (``A (B C)+ D``,
-GroupPattern.java — batch) + greedy (?, *, +) and reluctant
+GroupPattern.java — batch) + SQL:2016 PERMUTE (batch; k! ordered
+alternation) + greedy (?, *, +) and reluctant
 (??, *?, +?) quantifiers, AFTER MATCH SKIP PAST LAST ROW / TO NEXT
 ROW / TO FIRST|LAST <var>, FIRST/LAST/COUNT measures**. The streaming
 path holds flat-step state and rejects nested groups.
@@ -99,6 +100,45 @@ def _parse_ast(pattern: str):
     def parse_element():
         nonlocal pos
         skip_ws()
+        pm = re.match(r"(?i)PERMUTE\s*\(", s[pos:])
+        if pm:
+            # SQL:2016 row-pattern PERMUTE (Calcite's
+            # SqlMatchRecognize PERMUTE; the reference parses it via
+            # Calcite): PERMUTE(P1, ..., Pk) matches the arguments in
+            # ANY order — expanded here to an ordered alternation
+            # over all k! argument orderings (lexicographic
+            # preference, the standard's tie rule). Each argument may
+            # itself be a quantified sequence.
+            import itertools
+
+            pos += pm.end()
+            args: list[list] = []
+            while True:
+                seq = parse_seq()
+                if not seq:
+                    raise ValueError(f"empty PERMUTE argument: {pattern!r}")
+                args.append(seq)
+                skip_ws()
+                if pos < len(s) and s[pos] == ",":
+                    pos += 1
+                    continue
+                break
+            if pos >= len(s) or s[pos] != ")":
+                raise ValueError(f"unbalanced PERMUTE( in pattern: {pattern!r}")
+            pos += 1
+            if len(args) > 5:
+                raise ValueError(
+                    "PERMUTE supports at most 5 arguments (k! expansion)"
+                )
+            alts = [
+                [node for arg in perm for node in arg]
+                for perm in itertools.permutations(args)
+            ]
+            lo, hi, lazy = parse_quant()
+            node = ("altseq", alts)
+            if (lo, hi, lazy) != (1, 1, False):
+                return ("group", [node], lo, hi, lazy)
+            return node
         if s[pos] == "(":
             pos += 1
             inner = parse_seq()
@@ -135,7 +175,7 @@ def _parse_ast(pattern: str):
     def parse_seq():
         nodes = []
         skip_ws()
-        while pos < len(s) and s[pos] != ")":
+        while pos < len(s) and s[pos] not in "),":
             nodes.append(parse_element())
             skip_ws()
         return nodes
@@ -149,7 +189,7 @@ def _parse_ast(pattern: str):
 
 
 def _has_groups(ast) -> bool:
-    return any(node[0] == "group" for node in ast)
+    return any(node[0] != "var" for node in ast)
 
 
 
@@ -195,6 +235,22 @@ def _match_at(ast, start: int, n: int, leaf_flags, ts=None, within=None):
                     pos + c,
                     acc + [(leaf_id, list(range(pos, pos + c)))],
                     cont,
+                )
+                if res is not None:
+                    return res
+            return None
+        if node[0] == "altseq":
+            # PERMUTE expansion: try each argument ordering in
+            # preference order; the first ordering that lets the REST
+            # of the enclosing sequence match wins.
+            _, alternatives = node
+            for alt in alternatives:
+                res = match_nodes(
+                    alt,
+                    0,
+                    pos,
+                    acc,
+                    lambda p2, a2: match_nodes(nodes, k + 1, p2, a2, cont),
                 )
                 if res is not None:
                     return res

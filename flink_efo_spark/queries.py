@@ -2263,6 +2263,51 @@ def q_cep_nested_pairs(t: _T) -> DataFrame:
 
 
 @_q(
+    "cep_permute_triples",
+    """
+    SELECT user_id, event_id AS p_id,
+           CASE WHEN t1 = 'signup' THEN id1 ELSE id2 END AS signup_id,
+           CASE WHEN t1 = 'error' THEN id1 ELSE id2 END AS error_id
+    FROM (SELECT user_id, event_id, event_type,
+                 lead(event_type) OVER w AS t1, lead(event_id) OVER w AS id1,
+                 lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'purchase'
+      AND ((t1 = 'signup' AND t2 = 'error')
+           OR (t1 = 'error' AND t2 = 'signup'))
+    """,
+)
+def q_cep_permute_triples(t: _T) -> DataFrame:
+    """SQL:2016 row-pattern PERMUTE (Calcite SqlMatchRecognize, the
+    reference's MATCH_RECOGNIZE parser path): ``P PERMUTE(S, E)`` —
+    a purchase followed by a signup and an error in EITHER order.
+    Expanded to an ordered alternation over the 2! orderings. The
+    purchase anchor makes candidate triples non-overlapping, so the
+    oracle is a plain two-step lead enumeration."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    out = match_recognize(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="P PERMUTE(S, E)",
+        defines={
+            "P": "event_type = 'purchase'",
+            "S": "event_type = 'signup'",
+            "E": "event_type = 'error'",
+        },
+        measures={
+            "p_id": ("P", "first", "event_id"),
+            "signup_id": ("S", "first", "event_id"),
+            "error_id": ("E", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "p_id", "signup_id", "error_id")
+
+
+@_q(
     "stream_interval_join",
     """
     SELECT a.event_id AS click_id, b.event_id AS error_id,

@@ -596,3 +596,66 @@ def test_stream_prev_define_with_context_row(spark, tmp_path):
     )
     bgot = sorted((r.k, r.n_d, r.n_u, r.last_u) for r in bout.collect())
     assert bgot == got
+
+
+def test_permute_matches_either_order(spark):
+    """PERMUTE(A, B) matches both orderings; expansion preference is
+    lexicographic (argument order first)."""
+    import pandas as pd
+    from flink_efo_spark.operators.cep import match_recognize
+
+    rows = [
+        # key 1: A then B            -> match
+        (1, 1, "a"), (1, 2, "b"),
+        # key 2: B then A            -> match
+        (2, 1, "b"), (2, 2, "a"),
+        # key 3: A A (no B)          -> no match
+        (3, 1, "a"), (3, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, et string")
+    out = match_recognize(
+        df, ["k"], "seq",
+        pattern="PERMUTE(A, B)",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={"a_seq": ("A", "first", "seq"), "b_seq": ("B", "first", "seq")},
+    ).toPandas().sort_values("k")
+    assert list(out.k) == [1, 2]
+    assert list(out.a_seq) == [1, 2]  # key2: A is the 2nd row
+    assert list(out.b_seq) == [2, 1]
+
+
+def test_permute_three_args_and_quantified(spark):
+    """3-argument PERMUTE (6 orderings) and a quantified PERMUTE
+    group."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    rows = [(1, i + 1, t) for i, t in enumerate(["c", "a", "b"])]
+    df = spark.createDataFrame(rows, "k long, seq long, et string")
+    out = match_recognize(
+        df, ["k"], "seq",
+        pattern="PERMUTE(A, B, C)",
+        defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
+        measures={"n": ("A", "count", "seq")},
+    ).toPandas()
+    assert len(out) == 1
+    # (A B)-permuted twice: a b b a == PERMUTE(A,B){2}
+    rows2 = [(1, i + 1, t) for i, t in enumerate(["a", "b", "b", "a"])]
+    df2 = spark.createDataFrame(rows2, "k long, seq long, et string")
+    out2 = match_recognize(
+        df2, ["k"], "seq",
+        pattern="PERMUTE(A, B)+",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={"n": ("A", "count", "seq")},
+    ).toPandas()
+    assert len(out2) == 1 and out2.n[0] == 2
+
+
+def test_permute_rejected_streaming(spark):
+    """Streaming flat-step state cannot hold alternation-of-sequences;
+    PERMUTE must be rejected there like nested groups."""
+    import pytest as _pytest
+    from flink_efo_spark.operators.cep import _parse_ast, _flat_steps
+
+    ast, leaves = _parse_ast("PERMUTE(A, B)")
+    with _pytest.raises(ValueError, match="batch-only"):
+        _flat_steps(ast, leaves)

@@ -90,6 +90,7 @@ def _driver_order() -> list[str]:
         "bm25_scores",
         "quantize_embeddings",
         "cep_permute_triples",
+        "debezium_decode",
     }
 
     def key(n: str):

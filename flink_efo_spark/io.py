@@ -21,6 +21,7 @@ spark-avro package (gated, like Kafka).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 BUILTIN_FORMATS = {"parquet", "csv", "json", "orc", "text"}
 PACKAGED_FORMATS = {"avro", "kafka"}  # need extra jars on the cluster
@@ -434,3 +435,132 @@ def hbase_sink(df: DataFrame, catalog: str, **opts) -> None:
     for k, v in opts.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# CDC JSON formats (reference flink-formats/flink-json:
+# debezium/DebeziumJsonDeserializationSchema.java — op r/c/u/d with
+# before/after images, optional schema+payload envelope;
+# canal/CanalJsonDeserializationSchema.java — data/old arrays with
+# INSERT/UPDATE/DELETE type). Decoded into the engine's explicit
+# row_kind changelog rows (+I/-U/+U/-D — RowKind.java:27-58), the same
+# surface read_changelog/apply_changelog speak.
+# ---------------------------------------------------------------------------
+
+
+def debezium_json_decode(
+    df: DataFrame,
+    value_col: str,
+    row_schema: str,
+    schema_include: bool = False,
+    ignore_parse_errors: bool = False,
+) -> DataFrame:
+    """Decode a Debezium JSON value column into changelog rows.
+
+    ``row_schema`` is the payload row's DDL ("id BIGINT, v DOUBLE").
+    Per the reference's op mapping: ``r``/``c`` → +I(after);
+    ``u`` → -U(before) then +U(after); ``d`` → -D(before). With
+    ``schema_include`` the envelope is ``{"schema":…,"payload":{…}}``
+    and only payload is read (the reference ignores schema too).
+
+    One ``from_json`` + two projections + a union — all narrow; a
+    100 TB CDC topic decodes embarrassingly parallel with no shuffle.
+    """
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    row_t = StructType.fromDDL(row_schema)
+    payload_t = StructType(
+        [
+            StructField("before", row_t),
+            StructField("after", row_t),
+            StructField("op", StringType()),
+        ]
+    )
+    schema = (
+        StructType([StructField("payload", payload_t)])
+        if schema_include
+        else payload_t
+    )
+    opts = {} if ignore_parse_errors else {"mode": "FAILFAST"}
+    parsed = df.withColumn("__dbz", F.from_json(F.col(value_col), schema, opts))
+    p = "__dbz.payload" if schema_include else "__dbz"
+    if ignore_parse_errors:
+        parsed = parsed.where(F.col(p).isNotNull())
+    op = F.col(f"{p}.op")
+    inserts = parsed.where(op.isin("r", "c")).select(
+        F.col(f"{p}.after.*"), F.lit("+I").alias("row_kind")
+    )
+    upd_before = parsed.where(op == "u").select(
+        F.col(f"{p}.before.*"), F.lit("-U").alias("row_kind")
+    )
+    upd_after = parsed.where(op == "u").select(
+        F.col(f"{p}.after.*"), F.lit("+U").alias("row_kind")
+    )
+    deletes = parsed.where(op == "d").select(
+        F.col(f"{p}.before.*"), F.lit("-D").alias("row_kind")
+    )
+    return (
+        inserts.unionByName(upd_before)
+        .unionByName(upd_after)
+        .unionByName(deletes)
+    )
+
+
+def canal_json_decode(
+    df: DataFrame,
+    value_col: str,
+    row_schema: str,
+    ignore_parse_errors: bool = False,
+) -> DataFrame:
+    """Decode a Canal JSON value column into changelog rows
+    (CanalJsonDeserializationSchema.java): ``{"data":[rows],
+    "old":[changed-fields], "type":"INSERT|UPDATE|DELETE"}``.
+
+    Canal's ``old[i]`` holds ONLY the changed fields of ``data[i]``
+    (unchanged fields are absent/null) — the before-image is
+    field-wise ``coalesce(old, data)``, the reference's own merge.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    row_t = StructType.fromDDL(row_schema)
+    schema = StructType(
+        [
+            StructField("data", ArrayType(row_t)),
+            StructField("old", ArrayType(row_t)),
+            StructField("type", StringType()),
+        ]
+    )
+    opts = {} if ignore_parse_errors else {"mode": "FAILFAST"}
+    parsed = df.withColumn("__c", F.from_json(F.col(value_col), schema, opts))
+    if ignore_parse_errors:
+        parsed = parsed.where(F.col("__c").isNotNull())
+    ex = parsed.select(
+        F.col("__c.type").alias("__type"),
+        F.posexplode("__c.data").alias("__pos", "__row"),
+        F.col("__c.old").alias("__old"),
+    ).withColumn("__before_raw", F.element_at("__old", F.col("__pos") + 1))
+    fields = row_t.fieldNames()
+    before = F.struct(
+        *[
+            F.coalesce(F.col(f"__before_raw.{f}"), F.col(f"__row.{f}")).alias(f)
+            for f in fields
+        ]
+    )
+    inserts = ex.where(F.col("__type") == "INSERT").select(
+        F.col("__row.*"), F.lit("+I").alias("row_kind")
+    )
+    upd_b = ex.where(F.col("__type") == "UPDATE").select(
+        before.alias("__b"), F.lit("-U").alias("row_kind")
+    ).select("__b.*", "row_kind")
+    upd_a = ex.where(F.col("__type") == "UPDATE").select(
+        F.col("__row.*"), F.lit("+U").alias("row_kind")
+    )
+    deletes = ex.where(F.col("__type") == "DELETE").select(
+        F.col("__row.*"), F.lit("-D").alias("row_kind")
+    )
+    return inserts.unionByName(upd_b).unionByName(upd_a).unionByName(deletes)

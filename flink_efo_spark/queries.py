@@ -2494,6 +2494,62 @@ def q_stream_upsert_changelog(t: _T) -> DataFrame:
 
 
 @_q(
+    "debezium_decode",
+    """
+    WITH o AS (
+      SELECT user_id, value, row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, '+I' AS row_kind, CAST(1 AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN rn = 1 THEN value END), 2) AS sum_v
+    FROM o GROUP BY user_id
+    UNION ALL
+    SELECT user_id, '-U', CAST(max(n) - 1 AS BIGINT),
+           round(sum(CASE WHEN rn < n THEN value END), 2)
+    FROM o GROUP BY user_id HAVING max(n) > 1
+    UNION ALL
+    SELECT user_id, '+U', CAST(max(n) - 1 AS BIGINT),
+           round(sum(CASE WHEN rn > 1 THEN value END), 2)
+    FROM o GROUP BY user_id HAVING max(n) > 1
+    """,
+)
+def q_debezium_decode(t: _T) -> DataFrame:
+    """Debezium CDC JSON format (flink-formats/flink-json
+    debezium/DebeziumJsonDeserializationSchema.java): a per-user
+    value-update CDC log is SERIALIZED to Debezium JSON (first event
+    = op 'c', later = op 'u' carrying the before-image) and decoded
+    back through ``io.debezium_json_decode`` into +I/-U/+U changelog
+    rows. The oracle computes the expected decoded aggregate straight
+    from the spec (first value = +I; all-but-last = -U befores;
+    all-but-first = +U afters), so the JSON round-trip and op mapping
+    are hash-checked end-to-end."""
+    from flink_efo_spark.io import debezium_json_decode
+
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    src = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr(f"lag(value) OVER ({w})").alias("__pv"),
+    )
+    msgs = src.select(
+        F.expr(
+            "to_json(named_struct("
+            "'before', CASE WHEN __pv IS NULL THEN NULL "
+            "ELSE named_struct('user_id', user_id, 'v', __pv) END, "
+            "'after', named_struct('user_id', user_id, 'v', value), "
+            "'op', CASE WHEN __pv IS NULL THEN 'c' ELSE 'u' END))"
+        ).alias("value")
+    )
+    decoded = debezium_json_decode(msgs, "value", "user_id BIGINT, v DOUBLE")
+    return decoded.groupBy("user_id", "row_kind").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+
+
+@_q(
     "stream_changelog",
     """
     SELECT event_type, cnt, sum_value FROM (

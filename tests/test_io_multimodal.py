@@ -280,3 +280,64 @@ def test_es_source_jar_gated(spark):
 
     with _pytest.raises(Exception, match="(?i)elasticsearch|ClassNotFound|Failed to find"):
         es_source(spark, "localhost:9200", "idx").limit(1).collect()
+
+
+def test_debezium_json_decode(spark):
+    """Debezium op mapping (DebeziumJsonDeserializationSchema.java):
+    r/c → +I(after), u → -U(before)+U(after), d → -D(before); the
+    schema+payload envelope variant reads payload only."""
+    from flink_efo_spark.io import debezium_json_decode
+
+    msgs = [
+        ('{"before":null,"after":{"id":1,"v":10.0},"op":"c"}',),
+        ('{"before":{"id":1,"v":10.0},"after":{"id":1,"v":11.5},"op":"u"}',),
+        ('{"before":{"id":1,"v":11.5},"after":null,"op":"d"}',),
+        ('{"before":null,"after":{"id":2,"v":7.0},"op":"r"}',),
+    ]
+    df = spark.createDataFrame(msgs, "value string")
+    out = sorted(
+        (r.id, r.v, r.row_kind)
+        for r in debezium_json_decode(df, "value", "id BIGINT, v DOUBLE").collect()
+    )
+    assert out == [
+        (1, 10.0, "+I"), (1, 10.0, "-U"), (1, 11.5, "+U"), (1, 11.5, "-D"),
+        (2, 7.0, "+I"),
+    ]
+    # envelope variant
+    env = spark.createDataFrame(
+        [('{"schema":{},"payload":' + msgs[0][0] + "}",)], "value string"
+    )
+    out2 = debezium_json_decode(
+        env, "value", "id BIGINT, v DOUBLE", schema_include=True
+    ).collect()
+    assert [(r.id, r.row_kind) for r in out2] == [(1, "+I")]
+    # ignore_parse_errors drops garbage instead of failing
+    bad = spark.createDataFrame([("not json",), (msgs[0][0],)], "value string")
+    out3 = debezium_json_decode(
+        bad, "value", "id BIGINT, v DOUBLE", ignore_parse_errors=True
+    ).collect()
+    assert len(out3) == 1
+
+
+def test_canal_json_decode(spark):
+    """Canal batch arrays + partial old images: before-image is
+    field-wise coalesce(old, data) (CanalJsonDeserializationSchema)."""
+    from flink_efo_spark.io import canal_json_decode
+
+    msgs = [
+        ('{"data":[{"id":1,"v":1.0},{"id":2,"v":2.0}],"old":null,'
+         '"type":"INSERT"}',),
+        # v changed for id=1; old carries ONLY v
+        ('{"data":[{"id":1,"v":5.0}],"old":[{"id":null,"v":1.0}],'
+         '"type":"UPDATE"}',),
+        ('{"data":[{"id":2,"v":2.0}],"old":null,"type":"DELETE"}',),
+    ]
+    df = spark.createDataFrame(msgs, "value string")
+    out = sorted(
+        (r.id, r.v, r.row_kind)
+        for r in canal_json_decode(df, "value", "id BIGINT, v DOUBLE").collect()
+    )
+    assert out == [
+        (1, 1.0, "+I"), (1, 1.0, "-U"), (1, 5.0, "+U"),
+        (2, 2.0, "+I"), (2, 2.0, "-D"),
+    ]

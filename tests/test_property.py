@@ -159,3 +159,108 @@ def test_ast_matcher_equals_flat_matcher(pattern, rows):
         per_leaf = {lid: ix for lid, ix in assign}
         for k in range(len(steps)):
             assert m[k] == per_leaf.get(k, [])
+
+
+ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # key
+        st.integers(min_value=0, max_value=7200),       # seconds offset
+        st.integers(min_value=-50, max_value=50),       # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ev_rows)
+def test_cumulate_sliced_equals_bruteforce(spark, rows):
+    """Sliced cumulate == brute-force per-row window enumeration for
+    arbitrary timestamps (step 15 min, max 1 h)."""
+    from flink_efo_spark.streaming import (
+        compose_cumulate_slices,
+        cumulate_slices,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (k, T0 + dt.timedelta(seconds=s), float(v))
+            for (k, s, v) in rows
+        ],
+        "k int, ts timestamp, v double",
+    )
+    sl = cumulate_slices(
+        df, "ts", "15 minutes", ["k"],
+        F.count("*").alias("pc"), F.sum("v").alias("ps"),
+    )
+    got = {
+        (r.w_start, r.w_end, r.k): (r.cnt, round(r.sv, 6))
+        for r in compose_cumulate_slices(
+            sl, "15 minutes", "1 hour", ["k"],
+            F.sum("pc").alias("cnt"), F.round(F.sum("ps"), 6).alias("sv"),
+        ).collect()
+    }
+
+    step, mx = 900, 3600
+    want: dict = {}
+    for (k, s, v) in rows:
+        w0 = (s // mx) * mx
+        k_first = (s - w0) // step + 1
+        for j in range(k_first, mx // step + 1):
+            key = (
+                T0 + dt.timedelta(seconds=w0),
+                T0 + dt.timedelta(seconds=w0 + j * step),
+                k,
+            )
+            c, sv = want.get(key, (0, 0.0))
+            want[key] = (c + 1, sv + v)
+    want = {k2: (c, round(sv, 6)) for k2, (c, sv) in want.items()}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_bm25_matches_bruteforce(spark, texts):
+    """BM25 scores == a direct python computation of the Okapi/Lucene
+    formula for arbitrary tiny corpora."""
+    import math
+
+    from flink_efo_spark.operators.text import bm25_scores
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    q = ["alpha", "gamma"]
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, "doc_id", "text", q).collect()}
+
+    n = len(docs)
+    dls = [len(ws) for ws in texts]
+    avgdl = sum(dls) / n
+    dfreq = {t: sum(1 for ws in texts if t in ws) for t in q}
+    want = {}
+    for i, ws in enumerate(texts):
+        s = 0.0
+        for t in q:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+        if s > 0:
+            want[i] = round(s, 6)
+    assert got == want

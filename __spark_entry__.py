@@ -97,7 +97,12 @@ def _driver_order() -> list[str]:
         if n in green and not green[n]:
             return (0, 0, idx[n])
         if n not in green or n in named:
-            return (1, 0 if (n.startswith("tpch_") or n in named) else 1, idx[n])
+            # named (this round's new operators + verdict-named) ahead
+            # of the TPC-H backlog: a 50-query sample covers the fixes,
+            # every new operator, and as much of TPC-H as fits;
+            # leftovers rotate in on later rounds
+            sub = 0 if n in named else (1 if n.startswith("tpch_") else 2)
+            return (1, sub, idx[n])
         return (2, round_of[n], idx[n])
 
     return sorted(QUERIES, key=key)

@@ -515,7 +515,12 @@ def quantize_embeddings(
     qmax = (1 << (bits - 1)) - 1
     e = f"transform({vec_col}, x -> cast(x as double))"
     scale = f"(array_max(transform({e}, x -> abs(x))) / {qmax}.0)"
-    codes = f"transform({e}, x -> cast(floor(x / {scale} + 0.5) as int))"
+    # all-zero vectors have scale 0: codes are all zero and the cosine
+    # is undefined (NULL) — guarded so ANSI division never fires
+    codes = (
+        f"case when {scale} = 0.0 then transform({e}, x -> 0) "
+        f"else transform({e}, x -> cast(floor(x / {scale} + 0.5) as int)) end"
+    )
     recon = f"transform({codes}, v -> v * {scale})"
     dot = (
         f"aggregate(zip_with({e}, {recon}, (a, b) -> a * b), "
@@ -530,5 +535,8 @@ def quantize_embeddings(
         F.col(id_col),
         F.round(F.expr(scale), 8).alias("scale"),
         F.expr(codes).alias("codes"),
-        F.round(F.expr(f"1.0 - {cos}"), 8).alias("cos_error"),
+        F.expr(
+            f"case when {scale} = 0.0 then cast(null as double) "
+            f"else round(1.0 - {cos}, 8) end"
+        ).alias("cos_error"),
     )

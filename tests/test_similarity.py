@@ -134,3 +134,17 @@ def test_quantize_embeddings_error_bound(spark):
     for r in rows[:50]:
         assert all(-127 <= c <= 127 for c in r.codes)
         assert r.cos_error < 1e-3
+
+
+def test_quantize_zero_vector_guard(spark):
+    """All-zero vectors must not trip ANSI division: zero codes,
+    NULL cosine error."""
+    from flink_efo_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, -4.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert rows[1].scale == 0.0 and rows[1].codes == [0, 0]
+    assert rows[1].cos_error is None
+    assert rows[2].cos_error is not None and rows[2].cos_error < 1e-3

@@ -91,6 +91,7 @@ def _driver_order() -> list[str]:
         "quantize_embeddings",
         "cep_permute_triples",
         "debezium_decode",
+        "ivf_index_topk",
     }
 
     def key(n: str):

@@ -540,3 +540,109 @@ def quantize_embeddings(
             f"else round(1.0 - {cos}, 8) end"
         ).alias("cos_error"),
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    out_dir: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: corpus vectors written
+    ``partitionBy("cell")`` with their norms, plus a centroid sidecar
+    (``centroids.json``). This is the 100 TB ANN layout — the
+    assignment map runs ONCE, and every subsequent query prunes to
+    ``nprobe``/``n_cells`` of the files at the parquet scan
+    (PartitionFilters), never re-touching the rest of the corpus.
+    FAISS's IndexIVF file layout re-expressed as a partitioned table.
+    """
+    import json
+    import os
+
+    cents = ivf_centroids(corpus, corpus_id, vec_col, n_cells)
+    carr = _centroid_array(cents)
+    assigned = (
+        ensure_min_parallelism(corpus.select(corpus_id, vec_col))
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(vec_col).alias("norm"),
+        )
+        .withColumn("__n", F.col("norm"))
+        .withColumn("__cents", carr)
+        .withColumn("cell", -F.array_max(_cell_scores("vec")).getField("ncid"))
+        .drop("__cents", "__n")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "data")
+    )
+    with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
+        json.dump(cents, fh)
+    return cents
+
+
+def ivf_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index with STATIC partition pruning: the
+    probed cell ids (|queries| × nprobe values — index metadata, not
+    data) become an ``IN`` predicate on the partition column, so the
+    scan reads only the probed cells' files. Results are identical to
+    :func:`ivf_cosine_topk` with the same parameters — same centroid
+    contract, same tie rule — which the tests assert row-for-row.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as fh:
+        cents = [(int(cid), [float(x) for x in v]) for cid, v in json.load(fh)]
+    carr = _centroid_array(cents)
+    probes = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            _norm(vec_col).alias("__qn"),
+        )
+        .withColumn("__n", F.col("__qn"))
+        .withColumn("__cents", carr)
+        .withColumn("__scored", _cell_scores("__qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(reverse(array_sort(__scored)), 1, {nprobe}), "
+                    f"p -> -p.ncid)"
+                )
+            ),
+        )
+        .select("__qid", "__qv", "__qn", "cell")
+    )
+    # the probed-cell set is metadata-sized; collecting it turns cell
+    # membership into a static partition-pruning predicate
+    cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+    idx = spark.read.parquet(os.path.join(index_dir, "data")).where(
+        F.col("cell").isin(cells)
+    )
+    pairs = F.broadcast(probes).join(idx, "cell")
+    if exclude_self:
+        pairs = pairs.where(F.col("__qid") != F.col("neighbor_id"))
+    scored = pairs.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        (_dot("__qv", "vec") / (F.col("__qn") * F.col("norm"))).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1228,6 +1228,35 @@ def q_ivf_cosine_topk(t: _T) -> DataFrame:
     )
 
 
+@_q("ivf_index_topk", _IVF_ORACLE)
+def q_ivf_index_topk(t: _T) -> DataFrame:
+    """Persisted IVF index (FAISS IndexIVF layout as a
+    partitionBy("cell") parquet table): build once, then query with
+    STATIC partition pruning — the probed cells become an IN
+    predicate on the partition column and only those files scan.
+    Same centroid/tie contract as ivf_cosine_topk, so the identical
+    oracle hash-checks the whole build-write-prune-query path."""
+    import tempfile
+
+    from flink_efo_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = t.embeddings
+    idx_dir = tempfile.mkdtemp(prefix="efo-ivf-index-")
+    ivf_build_index(emb, "vec_id", idx_dir, n_cells=16)
+    out = ivf_query_index(
+        t.spark, idx_dir, emb.where(F.col("vec_id") < 10), "vec_id",
+        k=5, nprobe=4,
+    )
+    return out.select(
+        "vec_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @_q(
     "embedding_near_dup",
     """

@@ -148,3 +148,36 @@ def test_quantize_zero_vector_guard(spark):
     assert rows[1].scale == 0.0 and rows[1].codes == [0, 0]
     assert rows[1].cos_error is None
     assert rows[2].cos_error is not None and rows[2].cos_error < 1e-3
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """Persisted IVF index: query results are row-identical to the
+    in-memory ivf_cosine_topk, and the index scan is statically
+    partition-pruned to the probed cells."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_query_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build_index(emb, "vec_id", idx_dir, n_cells=16)
+
+    got = ivf_query_index(
+        spark, idx_dir, q, "vec_id", k=5, nprobe=4
+    )
+    want = ivf_cosine_topk(
+        q, emb, "vec_id", "vec_id", k=5, n_cells=16, nprobe=4
+    )
+    g = sorted((r.vec_id, r.neighbor_id, round(r.score, 9), r.rank) for r in got.collect())
+    w = sorted((r.vec_id, r.neighbor_id, round(r.score, 9), r.rank) for r in want.collect())
+    assert g == w and len(g) > 0
+
+    # partition pruning must reach the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf_sections = plan.split("PartitionFilters")[1:]
+    assert any("cell" in s[:250] for s in pf_sections), plan

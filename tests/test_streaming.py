@@ -947,3 +947,88 @@ def test_shard_watermark_alignment(spark):
         assert r.global_wm_us == g
         assert r.lag_us == r.local_wm_us - g >= 0
     assert any(r.lag_us == 0 for r in rows)
+
+
+def test_stateful_topn_restart_recovers_state(spark, tmp_path):
+    """applyInPandasWithState checkpoint recovery (the reference's
+    keyed-state snapshot/restore, CheckpointCoordinator.java): crash
+    after batch 1 of a 4-batch replay, restart from the same
+    checkpoint — the per-key top-n state restores and the final
+    result equals the one-shot batch answer."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import stream_table_split, stream_top_n
+
+    src = stream_table_split(
+        spark, SF_DIR, "events", n_batches=4, order_col="ts"
+    )
+    tn = stream_top_n(
+        src.select("user_id", "event_id", "value"),
+        ["user_id"],
+        order_col="value",
+        n=3,
+        tiebreak="event_id",
+    )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing_sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={batch_id}")
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected crash after sink write")
+
+    q1 = (
+        tn.writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination()
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={batch_id}")
+        )
+
+    q2 = (
+        tn.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    # last-writer-wins per (user_id, event_id): the final emission of
+    # each key's top set is in the highest batch that touched it
+    log = spark.read.parquet(out_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("__batch_id").desc())
+    final = (
+        log.withColumn("__r", F.dense_rank().over(w))
+        .where(F.col("__r") == 1)
+        .drop("__r", "__batch_id")
+    )
+    got = sorted((r.user_id, r.event_id, r.value) for r in final.collect())
+
+    ev = load_table(spark, SF_DIR, "events")
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.value)
+        for r in ev.select("user_id", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= 3)
+        .drop("__rn")
+        .collect()
+    )
+    assert got == want

@@ -92,6 +92,7 @@ def _driver_order() -> list[str]:
         "cep_permute_triples",
         "debezium_decode",
         "ivf_index_topk",
+        "salted_distinct_users",
     }
 
     def key(n: str):

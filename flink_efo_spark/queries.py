@@ -4042,6 +4042,24 @@ def q_bm25_scores(t: _T) -> DataFrame:
 
 
 @_q(
+    "salted_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_distinct_users(t: _T) -> DataFrame:
+    """Hot-key-safe exact distinct (operators/skew.py
+    salted_count_distinct): the value space salts 16 ways so no
+    reducer ever holds a hot key's whole value set; disjoint slices
+    make the partial-distinct sum exact — proven by the plain
+    count(DISTINCT) oracle."""
+    from flink_efo_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(t.events, ["event_type"], "user_id", salt=16)
+
+
+@_q(
     "hll_distinct_rollup",
     """
     SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day_no,

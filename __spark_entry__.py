@@ -93,6 +93,8 @@ def _driver_order() -> list[str]:
         "debezium_decode",
         "ivf_index_topk",
         "salted_distinct_users",
+        "constraint_audit",
+        "incremental_agg",
     }
 
     def key(n: str):

@@ -4042,6 +4042,100 @@ def q_bm25_scores(t: _T) -> DataFrame:
 
 
 @_q(
+    "incremental_agg",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg(t: _T) -> DataFrame:
+    """Changelog-driven aggregate maintenance (reference
+    GroupAggFunction.java accumulate/retract — the continuous-query
+    model): the first half's aggregate plus the second half's +I
+    changelog delta must equal the full-table aggregate, computed
+    WITHOUT rescanning the first half. The oracle is the full
+    aggregate."""
+    from flink_efo_spark.streaming import incremental_agg_apply
+
+    ev = t.events
+    h1 = ev.where(F.col("event_id") % 2 == 0)
+    h2 = ev.where(F.col("event_id") % 2 == 1)
+    base = h1.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("value").alias("sum_v"),
+    )
+    log = h2.select("event_type", "value", F.lit("+I").alias("row_kind"))
+    out = incremental_agg_apply(
+        base, log, ["event_type"], sums={"sum_v": "value"}
+    )
+    return out.select(
+        "event_type", "cnt", F.round("sum_v", 2).alias("sum_v")
+    )
+
+
+@_q(
+    "constraint_audit",
+    """
+    SELECT 'not_null:l_orderkey' AS constraint,
+           CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS total,
+           count(*) FILTER (l_orderkey IS NULL) = 0 AS ok
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null:l_shipdate',
+           CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (l_shipdate IS NULL) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           coalesce(sum(n) FILTER (n > 1), 0) = 0
+    FROM (SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'range:l_quantity',
+           CAST(count(*) FILTER (l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 40)) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (l_quantity IS NOT NULL
+                 AND (l_quantity < 1 OR l_quantity > 40)) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk:l_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    """,
+)
+def q_constraint_audit(t: _T) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py): NOT
+    NULL, composite-key uniqueness, value range, and referential
+    integrity in one pass-per-kind over lineitem/orders — the
+    validation gate a 100 TB pipeline runs between stages. The
+    range:l_quantity check is deliberately tight (1..40 vs TPC-H's
+    1..50) so the audit demonstrably counts real violations."""
+    from flink_efo_spark.operators.quality import constraint_audit
+
+    return constraint_audit(
+        t.lineitem,
+        not_null=["l_orderkey", "l_shipdate"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_quantity": (1, 40)},
+        foreign_keys=[("l_orderkey", t.orders, "o_orderkey")],
+    )
+
+
+@_q(
     "salted_distinct_users",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_distinct

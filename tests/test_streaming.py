@@ -1032,3 +1032,55 @@ def test_stateful_topn_restart_recovers_state(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_incremental_agg_apply(spark):
+    """Changelog-driven aggregate maintenance: applying the second
+    half's +I delta to the first half's aggregate equals the full
+    aggregate; retracting it (-D) restores the original."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import incremental_agg_apply
+
+    ev = load_table(spark, SF_DIR, "events")
+    h1 = ev.where(F.col("event_id") % 2 == 0)
+    h2 = ev.where(F.col("event_id") % 2 == 1)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("value").alias("sum_v"),
+        )
+
+    a1 = agg(h1)
+    log_ins = h2.select(
+        "event_type", "value", F.lit("+I").alias("row_kind")
+    )
+    got = incremental_agg_apply(
+        a1, log_ins, ["event_type"], sums={"sum_v": "value"}
+    )
+    want = agg(ev)
+    g = sorted((r.event_type, r.cnt, round(r.sum_v, 6)) for r in got.collect())
+    w = sorted((r.event_type, r.cnt, round(r.sum_v, 6)) for r in want.collect())
+    assert g == w
+
+    # retract the same rows: back to the half-1 aggregate
+    log_del = h2.select("event_type", "value", F.lit("-D").alias("row_kind"))
+    back = incremental_agg_apply(
+        got, log_del, ["event_type"], sums={"sum_v": "value"}
+    )
+    b = sorted((r.event_type, r.cnt, round(r.sum_v, 6)) for r in back.collect())
+    a = sorted((r.event_type, r.cnt, round(r.sum_v, 6)) for r in a1.collect())
+    assert b == a
+
+    # a key fully retracted disappears
+    one = spark.createDataFrame([("x", 1.0)], "k string, v double")
+    base = one.groupBy("k").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("v").alias("sum_v")
+    )
+    gone = incremental_agg_apply(
+        base,
+        one.select(F.col("k"), F.col("v"), F.lit("-D").alias("row_kind")),
+        ["k"],
+        sums={"sum_v": "v"},
+    )
+    assert gone.count() == 0

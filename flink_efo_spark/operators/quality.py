@@ -11,8 +11,8 @@ shuffle-on-key or scan-only — so a 100 TB audit costs one pass.
 
 API shape: each check is declarative ``(name, kind, params)``;
 ``constraint_audit`` runs all of them in as few jobs as the kinds
-allow and returns one row per check: ``(constraint, violations,
-total, ok)``.
+allow and returns one row per check: ``(constraint_name,
+violations, total, ok)``.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def not_null_violations(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(cols)}, {stack}) as (col, violations)", "total"
     ).select(
-        F.concat(F.lit("not_null:"), F.col("col")).alias("constraint"),
+        F.concat(F.lit("not_null:"), F.col("col")).alias("constraint_name"),
         F.col("violations").cast("bigint").alias("violations"),
         F.col("total").cast("bigint").alias("total"),
         (F.col("violations") == 0).alias("ok"),
@@ -52,7 +52,7 @@ def unique_key_violations(df: DataFrame, keys: list[str]) -> DataFrame:
     total = df.count()
     name = "unique:" + ",".join(keys)
     return dup_rows.select(
-        F.lit(name).alias("constraint"),
+        F.lit(name).alias("constraint_name"),
         F.col("violations").cast("bigint").alias("violations"),
         F.lit(total).cast("bigint").alias("total"),
         (F.col("violations") == 0).alias("ok"),
@@ -80,7 +80,7 @@ def foreign_key_violations(
     spark = child.sparkSession
     return spark.createDataFrame(
         [(name, orphans, total, orphans == 0)],
-        "constraint string, violations bigint, total bigint, ok boolean",
+        "constraint_name string, violations bigint, total bigint, ok boolean",
     )
 
 
@@ -98,7 +98,7 @@ def range_violations(
         F.count_if(F.col(col).isNotNull() & cond).alias("violations"),
     )
     return row.select(
-        F.lit(f"range:{col}").alias("constraint"),
+        F.lit(f"range:{col}").alias("constraint_name"),
         F.col("violations").cast("bigint").alias("violations"),
         F.col("total").cast("bigint").alias("total"),
         (F.col("violations") == 0).alias("ok"),

@@ -4077,7 +4077,7 @@ def q_incremental_agg(t: _T) -> DataFrame:
 @_q(
     "constraint_audit",
     """
-    SELECT 'not_null:l_orderkey' AS constraint,
+    SELECT 'not_null:l_orderkey' AS constraint_name,
            CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS violations,
            CAST(count(*) AS BIGINT) AS total,
            count(*) FILTER (l_orderkey IS NULL) = 0 AS ok

@@ -25,7 +25,7 @@ def test_audit_counts_injected_violations(spark):
     df = spark.createDataFrame(rows, "id long, name string, v double")
     parent = spark.createDataFrame([(1,), (2,), (3,)], "id long")
 
-    nn = {r.constraint: r for r in not_null_violations(df, ["name", "v"]).collect()}
+    nn = {r.constraint_name: r for r in not_null_violations(df, ["name", "v"]).collect()}
     assert nn["not_null:name"].violations == 1 and not nn["not_null:name"].ok
     assert nn["not_null:v"].violations == 1
 
@@ -46,7 +46,7 @@ def test_audit_counts_injected_violations(spark):
         foreign_keys=[("id", parent, "id")],
     ).collect()
     assert len(audit) == 4
-    assert {r.constraint for r in audit} == {
+    assert {r.constraint_name for r in audit} == {
         "not_null:name", "unique:id,name", "range:v", "fk:id",
     }
 

@@ -84,9 +84,19 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    merged = dict(_DEFAULT_CONFS)
     if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    merged = dict(_DEFAULT_CONFS)
+        # local mode: the driver JVM IS the whole cluster (all N task
+        # slots share its heap), yet Spark's default driver memory is
+        # 1g — 32 concurrent tasks starve and OOM on join-heavy
+        # workloads long before the machine is full. Size the heap to
+        # the slot count; applies only at JVM start (getOrCreate on a
+        # live session ignores it), and only in local mode — on a real
+        # cluster the submitter owns driver/executor sizing.
+        merged.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+        )
     if hive:
         wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse")
         merged["spark.sql.warehouse.dir"] = wh

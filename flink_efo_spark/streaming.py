@@ -77,14 +77,19 @@ def stream_table(
     # readStream needs an explicit schema; derive it from the batch
     # reader (post-nanosAsLong, so nanos columns surface as long)
     batch_schema = spark.read.parquet(path).schema
-    # the file-stream source requires a directory basePath; stream the
-    # sf dir filtered down to this table's file
-    reader = spark.readStream.schema(batch_schema).option(
-        "pathGlobFilter", os.path.basename(path)
-    )
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isdir(path):
+        # a directory-shaped table (Spark-written part files): stream
+        # the directory itself
+        stream_path = path
+    else:
+        # the driver's single-file layout: the file source needs a
+        # directory, so stream the sf dir filtered to this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream_path = data_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(data_dir)
+    df = reader.parquet(stream_path)
     for c in _nanos_timestamp_cols(path):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -64,13 +64,19 @@ def connected_components(
         .distinct()
     )
     # materialize the BIDIRECTIONAL adjacency once so each round is a
-    # single join (not separate fwd/bwd joins): (node, nbr) with both
-    # orientations. Persisted — it is re-joined every round.
+    # single join (not separate fwd/bwd joins): both orientations via
+    # ONE explode (a union of two shuffled branches would double the
+    # partition count — measured 512 partitions of tiny tasks), then
+    # hash-partition on node and persist: the cached partitioning
+    # satisfies every round's join requirement, so only the (small)
+    # label side shuffles per round.
     adj = (
-        edges.select(F.col("__src").alias("node"), F.col("__dst").alias("nbr"))
-        .union(
-            edges.select(F.col("__dst").alias("node"), F.col("__src").alias("nbr"))
+        edges.selectExpr(
+            "explode(array(struct(__src AS node, __dst AS nbr), "
+            "struct(__dst AS node, __src AS nbr))) AS __e"
         )
+        .select("__e.node", "__e.nbr")
+        .repartition("node")
         .persist()
     )
 

@@ -95,6 +95,7 @@ def _driver_order() -> list[str]:
         "salted_distinct_users",
         "constraint_audit",
         "incremental_agg",
+        "canal_decode",
     }
 
     def key(n: str):

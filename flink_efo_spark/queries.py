@@ -2579,6 +2579,61 @@ def q_debezium_decode(t: _T) -> DataFrame:
 
 
 @_q(
+    "canal_decode",
+    """
+    WITH o AS (
+      SELECT user_id, value, row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, '+I' AS row_kind, CAST(1 AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN rn = 1 THEN value END), 2) AS sum_v
+    FROM o GROUP BY user_id
+    UNION ALL
+    SELECT user_id, '-U', CAST(max(n) - 1 AS BIGINT),
+           round(sum(CASE WHEN rn < n THEN value END), 2)
+    FROM o GROUP BY user_id HAVING max(n) > 1
+    UNION ALL
+    SELECT user_id, '+U', CAST(max(n) - 1 AS BIGINT),
+           round(sum(CASE WHEN rn > 1 THEN value END), 2)
+    FROM o GROUP BY user_id HAVING max(n) > 1
+    """,
+)
+def q_canal_decode(t: _T) -> DataFrame:
+    """Canal CDC JSON (flink-formats/flink-json
+    canal/CanalJsonDeserializationSchema.java): the same per-user CDC
+    log as debezium_decode, serialized in Canal's batch shape —
+    data/old arrays with the partial-old before-image (only the
+    changed field present; the decoder's coalesce(old, data) merge
+    restores it) — and decoded back to +I/-U/+U rows. Same direct-
+    from-spec oracle as the Debezium twin."""
+    from flink_efo_spark.io import canal_json_decode
+
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    src = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr(f"lag(value) OVER ({w})").alias("__pv"),
+    )
+    msgs = src.select(
+        F.expr(
+            "to_json(named_struct("
+            "'data', array(named_struct('user_id', user_id, 'v', value)), "
+            # Canal's old array holds ONLY changed fields: v, not the key
+            "'old', CASE WHEN __pv IS NULL THEN NULL ELSE "
+            "array(named_struct('user_id', cast(null as bigint), 'v', __pv)) END, "
+            "'type', CASE WHEN __pv IS NULL THEN 'INSERT' ELSE 'UPDATE' END))"
+        ).alias("value")
+    )
+    decoded = canal_json_decode(msgs, "value", "user_id BIGINT, v DOUBLE")
+    return decoded.groupBy("user_id", "row_kind").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+
+
+@_q(
     "stream_changelog",
     """
     SELECT event_type, cnt, sum_value FROM (

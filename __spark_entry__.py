@@ -96,6 +96,7 @@ def _driver_order() -> list[str]:
         "constraint_audit",
         "incremental_agg",
         "canal_decode",
+        "window_dedup",
     }
 
     def key(n: str):

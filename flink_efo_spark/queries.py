@@ -836,6 +836,45 @@ def q_window_session(t: _T) -> DataFrame:
 
 
 @_q(
+    "window_dedup",
+    """
+    SELECT w_start_us, user_id, event_id, round(value, 2) AS value
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000
+               AS w_start_us,
+             user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 300) AS BIGINT), user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_window_dedup(t: _T) -> DataFrame:
+    """Window deduplication (upstream Flink's
+    StreamExecWindowDeduplicate, the windowing-TVF family member next
+    to window join/rank; the snapshot has only the global
+    Deduplicate): keep the FIRST row per (tumble window, key). One
+    window function over the window-start expression — the same
+    WindowGroupLimit-able shape as top-n."""
+    ws = (F.floor(_us("ts") / F.lit(300_000_000)) * F.lit(300_000_000)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(ws, F.col("user_id")).orderBy("ts", "event_id")
+    return (
+        t.events.withColumn("__ws", ws)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__ws").alias("w_start_us"),
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@_q(
     "window_cumulate",
     """
     SELECT w0 * 1000000 AS w_start_us,

@@ -97,6 +97,7 @@ def _driver_order() -> list[str]:
         "incremental_agg",
         "canal_decode",
         "window_dedup",
+        "timer_sessions",
     }
 
     def key(n: str):

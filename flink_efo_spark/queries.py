@@ -2618,6 +2618,56 @@ def q_debezium_decode(t: _T) -> DataFrame:
 
 
 @_q(
+    "timer_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+    s AS (
+      SELECT user_id, sid,
+             CAST(floor(epoch_us(min(ts)) / 1000) * 1000 AS BIGINT)
+               AS session_start_us,
+             CAST(floor(epoch_us(max(ts)) / 1000) * 1000 AS BIGINT)
+               AS session_last_us,
+             count(*) AS n_events
+      FROM o GROUP BY user_id, sid),
+    wm AS (SELECT CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 600000
+             AS w FROM events),
+    m AS (SELECT user_id, max(session_last_us) AS mx FROM s GROUP BY user_id)
+    SELECT s.user_id, session_start_us, session_last_us, n_events
+    FROM s JOIN m USING (user_id), wm
+    WHERE session_last_us < mx
+       OR (session_last_us / 1000 + 1800000) <= wm.w
+    """,
+)
+def q_timer_sessions(t: _T) -> DataFrame:
+    """ProcessFunction + event-time timer (KeyedProcessFunction.java +
+    InternalTimerService — the reference's canonical timer example):
+    per-key session summaries emitted when the inactivity timer at
+    last_ts + gap fires, or inline when a later event exceeds the
+    gap. The oracle replays both emission rules: every non-final
+    session per key, plus the final one iff the end-of-replay
+    watermark passed its timer."""
+    from flink_efo_spark.streaming import (
+        process_timer_sessions,
+        run_stream_to_table,
+        stream_table,
+    )
+
+    ev = stream_table(t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes"))
+    out = process_timer_sessions(ev, "user_id", "ts", "30 minutes")
+    return run_stream_to_table(out, mode="append")
+
+
+@_q(
     "canal_decode",
     """
     WITH o AS (

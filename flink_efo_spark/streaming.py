@@ -1632,3 +1632,94 @@ def run_stream_to_table(
                 "pass update_keys= for a keyed-upsert resolution"
             )
     return spark.table(name)
+
+
+def process_timer_sessions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+) -> DataFrame:
+    """KeyedProcessFunction with an EVENT-TIME TIMER — the reference's
+    ProcessFunction + TimerService model
+    (flink-streaming-java/.../functions/KeyedProcessFunction.java +
+    InternalTimerService; the canonical docs example: emit a per-key
+    session summary when no event arrives for ``gap``).
+
+    Spark realization: ``applyInPandasWithState`` with
+    ``EventTimeTimeout`` — ``state.setTimeoutTimestamp(ms)`` IS the
+    single per-key event-time timer (fires when the watermark passes
+    it), which covers the reference's dominant one-timer-per-key
+    pattern. (Spark 4's ``transformWithStateInPandas`` offers the
+    richer multi-timer / multi-state / TTL surface 1:1 with the
+    reference's state API, but its worker needs protobuf, absent in
+    this environment — the semantics here are identical for a single
+    timer.)
+
+    A session closes EITHER when a later event of its key exceeds the
+    gap (emitted inline) or when the timer at ``last_ts + gap`` fires.
+    Output: ``(key, session_start_us, session_last_us, n_events)``,
+    append mode; timestamps are millisecond-truncated (timer
+    resolution). State: 3 longs + one pending timeout per key;
+    per-batch work is a vectorized numpy segment split.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructField
+
+    gap_ms = _duration_us(gap) // 1000
+    key_field = df.schema[key_col]
+    out_schema = StructType(
+        [
+            key_field,
+            *[
+                StructField(n, LongType())
+                for n in ("session_start_us", "session_last_us", "n_events")
+            ],
+        ]
+    )
+    cols = [key_col, "session_start_us", "session_last_us", "n_events"]
+    state_schema = "n long, start_ms long, last_ms long"
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            n, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start_ms * 1000, last_ms * 1000, n)], columns=cols
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        ms = (pdf[ts_col].astype("int64") // 10**6).to_numpy()
+        out = []
+        st = state.get if state.exists else None
+        if st is not None and ms[0] - st[2] > gap_ms:
+            out.append((key[0], st[1] * 1000, st[2] * 1000, st[0]))
+            st = None
+        bounds = np.flatnonzero(np.diff(ms) > gap_ms) + 1
+        segments = np.split(ms, bounds)
+        first = segments[0]
+        if st is None:
+            st = (len(first), int(first[0]), int(first[-1]))
+        else:
+            st = (st[0] + len(first), st[1], int(first[-1]))
+        for seg in segments[1:]:
+            out.append((key[0], st[1] * 1000, st[2] * 1000, st[0]))
+            st = (int(len(seg)), int(seg[0]), int(seg[-1]))
+        state.update((int(st[0]), int(st[1]), int(st[2])))
+        state.setTimeoutTimestamp(int(st[2]) + gap_ms)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        df.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

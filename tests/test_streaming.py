@@ -1084,3 +1084,67 @@ def test_incremental_agg_apply(spark):
         sums={"sum_v": "v"},
     )
     assert gone.count() == 0
+
+
+def test_timer_sessions_multibatch(spark):
+    """Event-time timers across micro-batches: a 4-batch ordered
+    replay must fire inactivity timers as the watermark climbs and
+    produce exactly the gap-session islands whose timer the final
+    watermark passed (plus every event-closed session)."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import (
+        process_timer_sessions,
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    src = stream_table_split(
+        spark, SF_DIR, "events", n_batches=4, order_col="ts",
+        watermark=("ts", "10 minutes"),
+    )
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            process_timer_sessions(src, "user_id", "ts", "30 minutes"),
+            mode="append",
+        ).collect()
+    }
+
+    b = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        b.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new",
+            (
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") > 1_800_000_000)
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            (F.floor(F.min(F.unix_micros("ts")) / 1000) * 1000)
+            .cast("long")
+            .alias("session_start_us"),
+            (F.floor(F.max(F.unix_micros("ts")) / 1000) * 1000)
+            .cast("long")
+            .alias("session_last_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    wm_ms = b.agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1000 - 600_000
+    mx = sess.groupBy("user_id").agg(F.max("session_last_us").alias("mx"))
+    want = {
+        tuple(r)
+        for r in sess.join(mx, "user_id")
+        .where(
+            (F.col("session_last_us") < F.col("mx"))
+            | ((F.col("session_last_us") / 1000 + 1_800_000) <= F.lit(wm_ms))
+        )
+        .select("user_id", "session_start_us", "session_last_us", "n_events")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -36,17 +36,72 @@ def lookup_join(
     return probe.join(F.broadcast(dim), on=on, how=how)
 
 
+class _LookupCache:
+    """Per-task LRU + TTL lookup cache — the reference's
+    JdbcLookupOptions (``lookup.cache.max-rows`` /
+    ``lookup.cache.ttl``, JdbcLookupFunction.java's guava cache):
+    repeated keys skip the external store until their entry expires
+    or is evicted. Negative results (key absent) are cached too,
+    matching the reference. Worker-local by design — at 1000
+    executors that is 1000 independent caches, each bounded by
+    ``max_rows``."""
+
+    def __init__(self, max_rows: int, ttl_s: float | None):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict" = OrderedDict()
+        self._max = max_rows
+        self._ttl = ttl_s
+        self.hits = 0
+        self.misses = 0
+
+    def split(self, keys: list) -> tuple[dict, list]:
+        """(cached {key: row}, keys needing a real lookup)."""
+        import time
+
+        now = time.monotonic()
+        cached, need = {}, []
+        for k in keys:
+            ent = self._d.get(k)
+            if ent is not None and (self._ttl is None or now - ent[1] <= self._ttl):
+                self._d.move_to_end(k)
+                cached[k] = ent[0]
+                self.hits += 1
+            else:
+                need.append(k)
+                self.misses += 1
+        return cached, need
+
+    def put(self, fetched: Mapping, asked: list) -> None:
+        import time
+
+        now = time.monotonic()
+        for k in asked:
+            self._d[k] = (fetched.get(k), now)
+            self._d.move_to_end(k)
+        while len(self._d) > self._max:
+            self._d.popitem(last=False)
+
+
 def lookup_join_batched(
     probe: DataFrame,
     lookup_fn: Callable[[list], Mapping],
     key_col: str,
     value_fields: list[tuple[str, str]],
+    cache_max_rows: int | None = None,
+    cache_ttl_s: float | None = None,
 ) -> DataFrame:
     """Batched point-lookup join: ``lookup_fn(keys) -> {key: row_dict}``
     is called once per Arrow batch with the batch's distinct keys.
 
     ``value_fields``: [(name, spark_type_ddl)] of the looked-up columns
     (left-join semantics — missing keys yield NULLs).
+
+    ``cache_max_rows`` enables the reference's lookup cache
+    (``lookup.cache.max-rows`` / ``lookup.cache.ttl``): keys seen
+    within the TTL are served from a per-task LRU instead of the
+    store — the knob that turns a hot-key lookup workload from
+    O(rows) external calls into O(distinct keys per TTL window).
     """
     import pandas as pd
 
@@ -60,9 +115,21 @@ def lookup_join_batched(
     names = [n for n, _ in value_fields]
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache = (
+            _LookupCache(cache_max_rows, cache_ttl_s)
+            if cache_max_rows is not None
+            else None
+        )
         for pdf in batches:
             keys = list(pd.unique(pdf[key_col].dropna()))
-            found = lookup_fn(keys) if keys else {}
+            if cache is None:
+                found = dict(lookup_fn(keys)) if keys else {}
+            else:
+                found, need = cache.split(keys)
+                if need:
+                    fetched = dict(lookup_fn(need))
+                    cache.put(fetched, need)
+                    found.update({k: fetched.get(k) for k in need})
             for n in names:
                 pdf = pdf.assign(
                     **{n: pdf[key_col].map(lambda k: (found.get(k) or {}).get(n))}

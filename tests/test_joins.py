@@ -95,3 +95,49 @@ def test_interval_join_bounds(spark):
     )
     got = sorted(r["rv"] for r in out.select(F.col("r.rv")).collect())
     assert got == ["r0", "r5"]  # inclusive bounds, r6 outside, rx key-mismatch
+
+
+def test_lookup_cache_cuts_external_calls(spark):
+    """JdbcLookupOptions cache semantics: within TTL, repeated keys
+    never reach the store; results stay identical to uncached; LRU
+    bounds the entry count."""
+    import pandas as pd
+
+    from flink_efo_spark.operators.lookup import (
+        _LookupCache,
+        lookup_join_batched,
+    )
+
+    fetched_keys = spark.sparkContext.accumulator(0)
+
+    def store(keys):
+        fetched_keys.add(len(keys))
+        return {k: {"name": f"n{k}"} for k in keys if k % 2 == 0}
+
+    # single partition so one task's cache sees every batch
+    probe = spark.createDataFrame(
+        [(i % 5,) for i in range(100)], "k long"
+    ).repartition(1)
+    out = lookup_join_batched(
+        probe, store, "k", [("name", "string")],
+        cache_max_rows=10, cache_ttl_s=60,
+    ).collect()
+    assert len(out) == 100
+    for r in out:
+        assert (r.name == f"n{r.k}") if r.k % 2 == 0 else (r.name is None)
+    assert fetched_keys.value == 5  # 5 distinct keys, each fetched once
+
+    # LRU eviction + TTL expiry unit behavior
+    c = _LookupCache(max_rows=2, ttl_s=None)
+    c.put({1: "a", 2: "b"}, [1, 2])
+    c.put({3: "c"}, [3])          # evicts key 1
+    cached, need = c.split([1, 2, 3])
+    assert set(need) == {1} and set(cached) == {2, 3}
+
+    import time as _time
+
+    c2 = _LookupCache(max_rows=10, ttl_s=0.01)
+    c2.put({7: "x"}, [7])
+    _time.sleep(0.05)
+    cached2, need2 = c2.split([7])
+    assert need2 == [7] and cached2 == {}

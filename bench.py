@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "window_cumulate",
     "bm25_scores",
     "hll_distinct_rollup",
+    # round 4c: event-time-timer sessions (the stateful-timer family)
+    "timer_sessions",
 ]
 
 

@@ -1148,3 +1148,49 @@ def test_timer_sessions_multibatch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark_ttl(spark, tmp_path):
+    """TTL'd dedup state (reference StateTtlConfig on
+    DeduplicateKeepFirstRowFunction ↔ dropDuplicatesWithinWatermark):
+    a duplicate arriving within the watermark horizon is dropped; one
+    arriving after the key's state expired is kept again."""
+    import os
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_dedup_keep_first,
+    )
+
+    # b0: k=1 first arrival. b1: duplicate inside the horizon ->
+    # dropped. b2: far-future rows advance the watermark past k=1's
+    # state expiry (evicted AFTER this batch). b3: k=1 again, state
+    # gone -> kept a second time.
+    rows = {
+        0: [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:01")],
+        1: [(1, "2024-01-01 00:00:05"), (3, "2024-01-01 00:00:06")],
+        # b2 advances the max event time; the watermark derived from
+        # it applies from b3 on, and state eviction runs at batch end
+        # — so k=1's state is gone only when b4 processes
+        2: [(4, "2024-01-01 00:10:01")],
+        3: [(6, "2024-01-01 00:10:02")],
+        4: [(1, "2024-01-01 00:10:30"), (5, "2024-01-01 00:10:31")],
+    }
+    src_dir = str(tmp_path / "src")
+    for b, rs in rows.items():
+        spark.createDataFrame(rs, "k long, ts_s string").selectExpr(
+            "k", "cast(ts_s as timestamp) as ts"
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"b={b}")
+        )
+    schema = "k long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    dd = stream_dedup_keep_first(stream, ["k"], watermark=("ts", "10 seconds"))
+    out = run_stream_to_table(dd, mode="append")
+    ks = sorted(r.k for r in out.collect())
+    # k=1 emitted twice (expired state), the others once each
+    assert ks == [1, 1, 2, 3, 4, 5, 6]

@@ -98,6 +98,7 @@ def _driver_order() -> list[str]:
         "canal_decode",
         "window_dedup",
         "timer_sessions",
+        "chunk_documents",
     }
 
     def key(n: str):

@@ -333,3 +333,60 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap —
+    the windowing step every training/RAG corpus build runs before
+    tokenization (context-length packing's upstream sibling;
+    operators/packing.py packs the chunks this emits).
+
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk is the remainder
+    (short chunks are kept — downstream filters decide). Output:
+    ``(id, chunk_id, n_chunk_tokens, chunk_text, tok_start)`` with
+    deterministic whitespace re-joining.
+
+    Pure Catalyst: one token split + explode(sequence) + array slice
+    per row — a narrow map whose fan-out is ceil(tokens/stride); no
+    UDF, no shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    n_chunks = (
+        f"greatest(cast(ceil((size(__t) - {overlap}) / {stride}.0) as int), 1)"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(toks).alias("__t"),
+        )
+        .where(F.size("__t") > 0)
+        .select(
+            F.col(id_col),
+            "__t",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.expr(
+                f"slice(__t, chunk_id * {stride} + 1, {chunk_tokens})"
+            ).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            (F.col("chunk_id") * F.lit(stride)).cast("bigint").alias("tok_start"),
+        )
+    )

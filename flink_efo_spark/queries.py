@@ -4115,6 +4115,42 @@ def q_embedding_norm_stats(t: _T) -> DataFrame:
 
 
 @_q(
+    "chunk_documents",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         t -> t <> '') AS ts
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(ts) - 8) / 24.0) AS INT), 1) - 1))
+               AS chunk_id,
+             ts
+      FROM tk WHERE len(ts) > 0)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text,
+           CAST(chunk_id * 24 AS BIGINT) AS tok_start
+    FROM c
+    """,
+)
+def q_chunk_documents(t: _T) -> DataFrame:
+    """Token-budget document chunking with overlap (32-token chunks,
+    8-token overlap) — the pre-tokenization windowing step of a
+    training/RAG corpus build; operators/packing.py packs what this
+    emits. Narrow map, explode fan-out = ceil(tokens/stride)."""
+    from flink_efo_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        t.documents, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+@_q(
     "quantize_embeddings",
     """
     WITH e AS (

@@ -141,3 +141,50 @@ def test_lookup_cache_cuts_external_calls(spark):
     _time.sleep(0.05)
     cached2, need2 = c2.split([7])
     assert need2 == [7] and cached2 == {}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key (the 100 TB co-located
+    join layout; the reference's static hash redistribution planned
+    once at write time) removes BOTH Exchanges from the join — the
+    physical plan must contain no shuffle."""
+    from flink_efo_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS __bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS __bkt_lineitem")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("__bkt_orders"))
+        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("__bkt_lineitem"))
+        joined = (
+            spark.table("__bkt_lineitem")
+            .join(
+                spark.table("__bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_part
+        # results still correct
+        want = {
+            (r.o_orderpriority, r["count"])
+            for r in lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).groupBy("o_orderpriority").count().collect()
+        }
+        got = {(r.o_orderpriority, r["count"]) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS __bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS __bkt_lineitem")

@@ -487,16 +487,20 @@ def debezium_json_decode(
     if ignore_parse_errors:
         parsed = parsed.where(F.col(p).isNotNull())
     op = F.col(f"{p}.op")
-    inserts = parsed.where(op.isin("r", "c")).select(
+    before_ok = F.col(f"{p}.before").isNotNull()
+    after_ok = F.col(f"{p}.after").isNotNull()
+    # null images produce no row (a "u" without a before-image — the
+    # upsert-style encoders — contributes only its after half)
+    inserts = parsed.where(op.isin("r", "c") & after_ok).select(
         F.col(f"{p}.after.*"), F.lit("+I").alias("row_kind")
     )
-    upd_before = parsed.where(op == "u").select(
+    upd_before = parsed.where((op == "u") & before_ok).select(
         F.col(f"{p}.before.*"), F.lit("-U").alias("row_kind")
     )
-    upd_after = parsed.where(op == "u").select(
+    upd_after = parsed.where((op == "u") & after_ok).select(
         F.col(f"{p}.after.*"), F.lit("+U").alias("row_kind")
     )
-    deletes = parsed.where(op == "d").select(
+    deletes = parsed.where((op == "d") & before_ok).select(
         F.col(f"{p}.before.*"), F.lit("-D").alias("row_kind")
     )
     return (
@@ -564,3 +568,46 @@ def canal_json_decode(
         F.col("__row.*"), F.lit("-D").alias("row_kind")
     )
     return inserts.unionByName(upd_b).unionByName(upd_a).unionByName(deletes)
+
+
+def debezium_json_encode(
+    changelog: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Serialize the engine's changelog rows back to Debezium JSON —
+    the sink side of the CDC format
+    (JsonRowDataSerializationSchema.java + the Debezium format's
+    serializer in the reference): +I/+U → op c/u with after (and the
+    upsert-style null before), -U is folded into its +U's before
+    image by the paired encoder below, -D → op d with before.
+
+    This row-wise encoder maps each changelog row independently:
+    +I → {"before":null,"after":row,"op":"c"}
+    +U → {"before":null,"after":row,"op":"u"}   (before unknown here)
+    -U → {"before":row,"after":null,"op":"u"}   (the retract half)
+    -D → {"before":row,"after":null,"op":"d"}
+    A round trip through :func:`debezium_json_decode` preserves the
+    multiset of (row, kind) up to the -U/+U pairing, which
+    :func:`apply_changelog`'s multiset credit is insensitive to.
+    Narrow map — one to_json per row.
+    """
+    value_cols = [
+        c
+        for c in changelog.columns
+        if c not in {"row_kind", "change_seq", "kind_order"}
+    ]
+    row_struct = "named_struct(" + ", ".join(
+        f"'{c}', {c}" for c in value_cols
+    ) + ")"
+    null_struct = f"if(false, {row_struct}, null)"
+    return changelog.select(
+        F.expr(
+            "to_json(named_struct("
+            f"'before', case when row_kind in ('-U', '-D') then {row_struct} "
+            f"else {null_struct} end, "
+            f"'after', case when row_kind in ('+I', '+U') then {row_struct} "
+            f"else {null_struct} end, "
+            "'op', case row_kind when '+I' then 'c' when '+U' then 'u' "
+            "when '-U' then 'u' else 'd' end))"
+        ).alias("value")
+    )

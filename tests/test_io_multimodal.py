@@ -341,3 +341,31 @@ def test_canal_json_decode(spark):
         (1, 1.0, "+I"), (1, 1.0, "-U"), (1, 5.0, "+U"),
         (2, 2.0, "+I"), (2, 2.0, "-D"),
     ]
+
+
+def test_debezium_encode_decode_round_trip(spark):
+    """Encoding changelog rows to Debezium JSON and decoding them back
+    preserves the (row, kind) multiset — apply_changelog over the
+    round trip reconstructs the same table."""
+    from flink_efo_spark.io import debezium_json_decode, debezium_json_encode
+    from flink_efo_spark.streaming import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, 10.0, "+I"),
+            (1, 10.0, "-U"),
+            (1, 12.5, "+U"),
+            (2, 7.0, "+I"),
+            (2, 7.0, "-D"),
+        ],
+        "id long, v double, row_kind string",
+    )
+    encoded = debezium_json_encode(log)
+    decoded = debezium_json_decode(encoded, "value", "id BIGINT, v DOUBLE")
+    got = sorted((r.id, r.v, r.row_kind) for r in decoded.collect())
+    want = sorted((r.id, r.v, r.row_kind) for r in log.collect())
+    assert got == want
+    final = {
+        (r.id, r.v) for r in apply_changelog(decoded, ["id"]).collect()
+    }
+    assert final == {(1, 12.5)}

@@ -104,11 +104,13 @@ def _driver_order() -> list[str]:
     def key(n: str):
         if n in green and not green[n]:
             return (0, 0, idx[n])
-        if n not in green or n in named:
-            # named (this round's new operators + verdict-named) ahead
-            # of the TPC-H backlog: a 50-query sample covers the fixes,
-            # every new operator, and as much of TPC-H as fits;
-            # leftovers rotate in on later rounds
+        if n not in green:
+            # never driver-checked: named (this round's new operators)
+            # first, then the TPC-H backlog, then the rest; queries
+            # that already earned a green row fall through to the
+            # rotation group so the sample spends its slots on new
+            # information (round-4 verdict: the old `or n in named`
+            # kept 40 greens ahead of the 47 never-checked)
             sub = 0 if n in named else (1 if n.startswith("tpch_") else 2)
             return (1, sub, idx[n])
         return (2, round_of[n], idx[n])

@@ -4169,7 +4169,8 @@ def q_chunk_documents(t: _T) -> DataFrame:
       SELECT vec_id, scale, codes, v,
              list_transform(codes, c -> c * scale) AS recon
       FROM q)
-    SELECT vec_id, round(scale, 8) AS scale, codes,
+    SELECT vec_id, round(scale, 8) AS scale,
+           array_to_string(codes, ' ') AS codes_str,
            round(1.0 - list_dot_product(v, recon)
                    / (sqrt(list_dot_product(v, v))
                       * sqrt(list_dot_product(recon, recon))), 8) AS cos_error
@@ -4181,10 +4182,20 @@ def q_quantize_embeddings(t: _T) -> DataFrame:
     a per-vector reconstruction-cosine error column — the compression
     step before ANN indexing at 100 TB (4× byte cut, SIMD-able int8
     dot products). Exact cross-engine: round-half-up codes and an
-    in-order fold for the dot products."""
+    in-order fold for the dot products. Codes emitted as a joined
+    string (chunk_documents precedent) — the driver's oracle harness
+    cannot canonicalize array-valued cells."""
     from flink_efo_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(t.embeddings, "vec_id", "embedding")
+    q = quantize_embeddings(t.embeddings, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "array_join(transform(codes, c -> cast(c as string)), ' ')"
+        ).alias("codes_str"),
+        "cos_error",
+    )
 
 
 @_q(

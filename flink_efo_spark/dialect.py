@@ -57,6 +57,15 @@ _FN_RE = re.compile(
 
 _TABLE_RE = re.compile(r"\bTABLE\s*\(", re.IGNORECASE)
 
+# Flink SQL's LOCALTIME is a NILADIC keyword (SELECT LOCALTIME, no
+# parens — Calcite SqlAbstractTimeFunction), but the engine registers
+# it as an ordinary zero-arg SQL UDF (functions/registry.py), which
+# Spark only resolves with parens. Rewrite the bare keyword to a
+# call; \b keeps LOCALTIMESTAMP untouched and the lookahead skips
+# already-parenthesized calls. (CURRENT_TIME / CURRENT_TIMESTAMP /
+# CURRENT_DATE are niladic natively in Spark — no shim.)
+_NILADIC_RE = re.compile(r"\b(LOCALTIME)\b(?!\s*\()", re.IGNORECASE)
+
 _INTERVAL_RE = re.compile(
     r"^\s*INTERVAL\s+'([0-9]+)'\s+"
     r"(SECOND|MINUTE|HOUR|DAY)S?\s*$",
@@ -339,6 +348,15 @@ def translate(sql: str) -> str:
             args = _split_args(inner)
             out.append(_render(m.group(1), args))
             i = close_idx + 1
+            continue
+        nm = (
+            _NILADIC_RE.match(sql, i)
+            if (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            else None
+        )
+        if nm:
+            out.append(nm.group(1) + "()")
+            i = nm.end()
             continue
         out.append(c)
         i += 1

@@ -128,7 +128,10 @@ _SQL_UDFS: dict[str, tuple[str, str, str]] = {
     # WEEK(date) — ISO week of year (SqlDateTimeUtils.weekOfYear)
     "WEEK": ("(d DATE)", "INT", "weekofyear(d)"),
     # LOCALTIME — TIME of day; the engine's TIME convention is
-    # millis-of-day (types.py), session timezone applies
+    # millis-of-day (types.py), session timezone applies. A niladic
+    # keyword in Flink SQL — dialect.py rewrites the bare keyword to
+    # this zero-arg call. (CURRENT_TIME needs no shim: Spark 4
+    # resolves it natively, niladic or parenthesized.)
     "LOCALTIME": (
         "()",
         "INT",

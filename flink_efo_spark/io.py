@@ -487,6 +487,21 @@ def debezium_json_decode(
     if ignore_parse_errors:
         parsed = parsed.where(F.col(p).isNotNull())
     op = F.col(f"{p}.op")
+    if not ignore_parse_errors:
+        # strict contract (DebeziumJsonDeserializationSchema.java
+        # throws IOException on an unrecognized op unless
+        # ignoreParseErrors): FAILFAST only covers malformed JSON, so
+        # a well-formed message with op outside r/c/u/d would silently
+        # vanish — wrap op so every branch filter trips raise_error
+        op = F.when(op.isin("r", "c", "u", "d"), op).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("debezium_json_decode: unknown op '"),
+                    F.coalesce(op, F.lit("null")),
+                    F.lit("' (set ignore_parse_errors=True to drop)"),
+                )
+            )
+        )
     before_ok = F.col(f"{p}.before").isNotNull()
     after_ok = F.col(f"{p}.after").isNotNull()
     # null images produce no row (a "u" without a before-image — the
@@ -543,28 +558,46 @@ def canal_json_decode(
     parsed = df.withColumn("__c", F.from_json(F.col(value_col), schema, opts))
     if ignore_parse_errors:
         parsed = parsed.where(F.col("__c").isNotNull())
+    typ = F.col("__c.type")
+    if not ignore_parse_errors:
+        # strict contract (CanalJsonDeserializationSchema.java throws
+        # on an unknown type unless ignoreParseErrors) — see the
+        # matching guard in debezium_json_decode
+        typ = F.when(typ.isin("INSERT", "UPDATE", "DELETE"), typ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("canal_json_decode: unknown type '"),
+                    F.coalesce(typ, F.lit("null")),
+                    F.lit("' (set ignore_parse_errors=True to drop)"),
+                )
+            )
+        )
+    # posexplode_OUTER so a message with a null/empty data array still
+    # yields one row — otherwise an unknown type with no data would
+    # dodge the strict check above; branches re-filter on a real row
     ex = parsed.select(
-        F.col("__c.type").alias("__type"),
-        F.posexplode("__c.data").alias("__pos", "__row"),
+        typ.alias("__type"),
+        F.posexplode_outer("__c.data").alias("__pos", "__row"),
         F.col("__c.old").alias("__old"),
     ).withColumn("__before_raw", F.element_at("__old", F.col("__pos") + 1))
     fields = row_t.fieldNames()
+    has_row = F.col("__row").isNotNull()
     before = F.struct(
         *[
             F.coalesce(F.col(f"__before_raw.{f}"), F.col(f"__row.{f}")).alias(f)
             for f in fields
         ]
     )
-    inserts = ex.where(F.col("__type") == "INSERT").select(
+    inserts = ex.where((F.col("__type") == "INSERT") & has_row).select(
         F.col("__row.*"), F.lit("+I").alias("row_kind")
     )
-    upd_b = ex.where(F.col("__type") == "UPDATE").select(
+    upd_b = ex.where((F.col("__type") == "UPDATE") & has_row).select(
         before.alias("__b"), F.lit("-U").alias("row_kind")
     ).select("__b.*", "row_kind")
-    upd_a = ex.where(F.col("__type") == "UPDATE").select(
+    upd_a = ex.where((F.col("__type") == "UPDATE") & has_row).select(
         F.col("__row.*"), F.lit("+U").alias("row_kind")
     )
-    deletes = ex.where(F.col("__type") == "DELETE").select(
+    deletes = ex.where((F.col("__type") == "DELETE") & has_row).select(
         F.col("__row.*"), F.lit("-D").alias("row_kind")
     )
     return inserts.unionByName(upd_b).unionByName(upd_a).unionByName(deletes)
@@ -577,19 +610,29 @@ def debezium_json_encode(
     """Serialize the engine's changelog rows back to Debezium JSON —
     the sink side of the CDC format
     (JsonRowDataSerializationSchema.java + the Debezium format's
-    serializer in the reference): +I/+U → op c/u with after (and the
-    upsert-style null before), -U is folded into its +U's before
-    image by the paired encoder below, -D → op d with before.
+    serializer in the reference).
 
-    This row-wise encoder maps each changelog row independently:
+    With ``key_cols`` (the standard mode), each -U/+U retract pair is
+    folded into ONE ``op:"u"`` message carrying BOTH images — what
+    real Debezium consumers (including the reference's strict
+    decoder, which fails on a null before for op "u") expect:
     +I → {"before":null,"after":row,"op":"c"}
-    +U → {"before":null,"after":row,"op":"u"}   (before unknown here)
-    -U → {"before":row,"after":null,"op":"u"}   (the retract half)
+    -U/+U pair → {"before":old,"after":new,"op":"u"}
+    unpaired +U → {"before":null,"after":row,"op":"u"} (upsert style)
     -D → {"before":row,"after":null,"op":"d"}
-    A round trip through :func:`debezium_json_decode` preserves the
-    multiset of (row, kind) up to the -U/+U pairing, which
-    :func:`apply_changelog`'s multiset credit is insensitive to.
-    Narrow map — one to_json per row.
+    Pairs match on key equality plus per-key arrival rank ordered by
+    ``change_seq`` when the column exists — exact for any log with a
+    change_seq, and for at most one update per key per frame without.
+
+    Without ``key_cols`` the encoder is ENGINE-INTERNAL, not
+    Debezium-consumer compatible: it maps each changelog row
+    independently, so a -U becomes op "u" with a null after and its
+    +U a second "u" with a null before. A round trip through this
+    repo's (lenient-on-null-images) :func:`debezium_json_decode`
+    still preserves the (row, kind) multiset.
+
+    Paired mode costs one shuffle over the update rows only (ranking
+    window + pair join on key+rank); inserts/deletes stay narrow.
     """
     value_cols = [
         c
@@ -600,14 +643,58 @@ def debezium_json_encode(
         f"'{c}', {c}" for c in value_cols
     ) + ")"
     null_struct = f"if(false, {row_struct}, null)"
-    return changelog.select(
-        F.expr(
-            "to_json(named_struct("
-            f"'before', case when row_kind in ('-U', '-D') then {row_struct} "
-            f"else {null_struct} end, "
-            f"'after', case when row_kind in ('+I', '+U') then {row_struct} "
-            f"else {null_struct} end, "
-            "'op', case row_kind when '+I' then 'c' when '+U' then 'u' "
-            "when '-U' then 'u' else 'd' end))"
+    if not key_cols:
+        return changelog.select(
+            F.expr(
+                "to_json(named_struct("
+                f"'before', case when row_kind in ('-U', '-D') then {row_struct} "
+                f"else {null_struct} end, "
+                f"'after', case when row_kind in ('+I', '+U') then {row_struct} "
+                f"else {null_struct} end, "
+                "'op', case row_kind when '+I' then 'c' when '+U' then 'u' "
+                "when '-U' then 'u' else 'd' end))"
+            ).alias("value")
+        )
+
+    from pyspark.sql import Window
+
+    order_cols = [c for c in ("change_seq", "kind_order") if c in changelog.columns]
+    w = Window.partitionBy(*key_cols, "row_kind").orderBy(
+        *(order_cols or [F.lit(1)])
+    )
+    ups = changelog.where(F.col("row_kind").isin("-U", "+U")).withColumn(
+        "__r", F.row_number().over(w)
+    )
+    minus = ups.where(F.col("row_kind") == "-U").select(
+        *key_cols, "__r", F.expr(row_struct).alias("__before")
+    )
+    plus = ups.where(F.col("row_kind") == "+U").select(
+        *key_cols, "__r", F.expr(row_struct).alias("__after")
+    )
+    cond = minus["__r"] == plus["__r"]
+    for k in key_cols:
+        cond = cond & minus[k].eqNullSafe(plus[k])
+    # explicit "before":null / "after":null (real Debezium emits the
+    # null images; to_json would otherwise omit the field)
+    u_msgs = minus.join(plus, cond, "full_outer").select(
+        F.to_json(
+            F.struct(
+                minus["__before"].alias("before"),
+                plus["__after"].alias("after"),
+                F.lit("u").alias("op"),
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("value")
     )
+    rest = changelog.where(F.col("row_kind").isin("+I", "-D")).select(
+        F.expr(
+            "to_json(named_struct("
+            f"'before', case when row_kind = '-D' then {row_struct} "
+            f"else {null_struct} end, "
+            f"'after', case when row_kind = '+I' then {row_struct} "
+            f"else {null_struct} end, "
+            "'op', if(row_kind = '+I', 'c', 'd')), "
+            "map('ignoreNullFields', 'false'))"
+        ).alias("value")
+    )
+    return rest.unionByName(u_msgs)

@@ -1540,21 +1540,43 @@ def incremental_agg_apply(
         for out, src in sums.items()
     ]
     delta = changelog.groupBy(*keys).agg(*delta_aggs)
-    joined = prev_agg.join(delta, keys, "full_outer")
-    out_cols = [
-        (
-            F.coalesce(F.col(count_col), F.lit(0))
-            + F.coalesce(F.col("__dc"), F.lit(0))
-        ).alias(count_col)
-    ] + [
-        (
-            F.coalesce(F.col(out), F.lit(0.0))
-            + F.coalesce(F.col(f"__d_{out}"), F.lit(0.0))
-        ).alias(out)
-        for out in sums
+    # null-safe key match: a USING join would never pair the NULL key
+    # group across the two sides (two output rows); eqNullSafe pairs
+    # it like any other group (round-4 ADVICE). Alias both sides —
+    # prev_agg commonly shares lineage with the changelog and the
+    # dataset-column condition would be flagged as an ambiguous
+    # self-join otherwise.
+    p, d = prev_agg.alias("__prev"), delta.alias("__delta")
+
+    def _pc(c: str):
+        return F.col(f"__prev.`{c}`")
+
+    def _dc(c: str):
+        return F.col(f"__delta.`{c}`")
+
+    cond = None
+    for k in keys:
+        c = _pc(k).eqNullSafe(_dc(k))
+        cond = c if cond is None else cond & c
+    joined = p.join(d, cond, "full_outer")
+    key_cols = [F.coalesce(_pc(k), _dc(k)).alias(k) for k in keys]
+
+    def _upd(prev_col: str, delta_col: str):
+        # zero literal cast to the PREV column's type, result cast
+        # back to it: a double 0.0 here silently promoted decimal /
+        # long aggregates to double on every apply (round-4 ADVICE)
+        t = prev_agg.schema[prev_col].dataType
+        zero = F.lit(0).cast(t)
+        return (
+            F.coalesce(_pc(prev_col), zero)
+            + F.coalesce(_dc(delta_col), zero)
+        ).cast(t).alias(prev_col)
+
+    out_cols = [_upd(count_col, "__dc")] + [
+        _upd(out, f"__d_{out}") for out in sums
     ]
     return (
-        joined.select(*keys, *out_cols)
+        joined.select(*key_cols, *out_cols)
         .where(F.col(count_col) > 0)
     )
 
@@ -1692,23 +1714,31 @@ def process_timer_sessions(
             return
         pdf = pd.concat(list(pdfs)).sort_values(ts_col)
         ms = (pdf[ts_col].astype("int64") // 10**6).to_numpy()
-        out = []
-        st = state.get if state.exists else None
-        if st is not None and ms[0] - st[2] > gap_ms:
-            out.append((key[0], st[1] * 1000, st[2] * 1000, st[0]))
-            st = None
         bounds = np.flatnonzero(np.diff(ms) > gap_ms) + 1
-        segments = np.split(ms, bounds)
-        first = segments[0]
-        if st is None:
-            st = (len(first), int(first[0]), int(first[-1]))
-        else:
-            st = (st[0] + len(first), st[1], int(first[-1]))
-        for seg in segments[1:]:
-            out.append((key[0], st[1] * 1000, st[2] * 1000, st[0]))
-            st = (int(len(seg)), int(seg[0]), int(seg[-1]))
-        state.update((int(st[0]), int(st[1]), int(st[2])))
-        state.setTimeoutTimestamp(int(st[2]) + gap_ms)
+        # interval merge of the batch's gap-segments with the stored
+        # session: late events within the watermark delay may sort
+        # BEFORE the stored session (or bridge into it), so the naive
+        # "append batch after state" merge would regress session_last
+        # and mis-split; sorting intervals by start and chaining on
+        # the max-so-far last handles every arrival order
+        ivals = [
+            (int(s[0]), int(s[-1]), int(len(s))) for s in np.split(ms, bounds)
+        ]
+        if state.exists:
+            n0, start0, last0 = state.get
+            ivals.append((int(start0), int(last0), int(n0)))
+            ivals.sort(key=lambda iv: iv[0])
+        merged = [ivals[0]]
+        for s, l, n in ivals[1:]:
+            ps, pl, pn = merged[-1]
+            if s - pl <= gap_ms:
+                merged[-1] = (ps, max(pl, l), pn + n)
+            else:
+                merged.append((s, l, n))
+        out = [(key[0], s * 1000, l * 1000, n) for s, l, n in merged[:-1]]
+        start, last, n = merged[-1]
+        state.update((n, start, last))
+        state.setTimeoutTimestamp(last + gap_ms)
         if out:
             yield pd.DataFrame(out, columns=cols)
 

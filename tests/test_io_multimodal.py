@@ -369,3 +369,88 @@ def test_debezium_encode_decode_round_trip(spark):
         (r.id, r.v) for r in apply_changelog(decoded, ["id"]).collect()
     }
     assert final == {(1, 12.5)}
+
+
+def test_debezium_encode_paired_update(spark):
+    """With key_cols, -U/+U pairs fold into ONE op:"u" message with
+    both images — standard Debezium, what the reference's strict
+    decoder expects (round-4 ADVICE); two updates of the same key
+    pair by change_seq rank."""
+    import json
+
+    from flink_efo_spark.io import debezium_json_decode, debezium_json_encode
+
+    log = spark.createDataFrame(
+        [
+            (1, 10.0, "+I", 0),
+            (1, 10.0, "-U", 1),
+            (1, 12.5, "+U", 1),
+            (1, 12.5, "-U", 2),
+            (1, 99.0, "+U", 2),
+            (2, 7.0, "+I", 0),
+            (2, 7.0, "-D", 1),
+            # upsert-style +U with no retract half: before stays null
+            (3, 5.0, "+U", 0),
+        ],
+        "id long, v double, row_kind string, change_seq int",
+    )
+    msgs = [json.loads(r.value) for r in debezium_json_encode(log, ["id"]).collect()]
+    u = sorted(
+        ((m["before"], m["after"]) for m in msgs if m["op"] == "u"),
+        key=repr,
+    )
+    assert u == [
+        (None, {"id": 3, "v": 5.0}),
+        ({"id": 1, "v": 10.0}, {"id": 1, "v": 12.5}),
+        ({"id": 1, "v": 12.5}, {"id": 1, "v": 99.0}),
+    ]
+    assert sorted(m["op"] for m in msgs) == ["c", "c", "d", "u", "u", "u"]
+    # round trip preserves the (row, kind) multiset
+    decoded = debezium_json_decode(
+        debezium_json_encode(log, ["id"]), "value", "id BIGINT, v DOUBLE"
+    )
+    got = sorted((r.id, r.v, r.row_kind) for r in decoded.collect())
+    want = sorted((r.id, r.v, r.row_kind) for r in log.drop("change_seq").collect())
+    assert got == want
+
+
+def test_cdc_decode_strict_unknown_op(spark):
+    """Strict mode (ignore_parse_errors=False) must FAIL on a
+    well-formed message whose op/type is outside the known set —
+    the reference decoders throw IOException there (round-4 ADVICE);
+    lenient mode drops the message."""
+    import pytest as _pytest
+
+    from flink_efo_spark.io import canal_json_decode, debezium_json_decode
+
+    dbz = spark.createDataFrame(
+        [('{"before":null,"after":{"id":1,"v":1.0},"op":"x"}',)],
+        "value string",
+    )
+    with _pytest.raises(Exception, match="unknown op 'x'"):
+        debezium_json_decode(dbz, "value", "id BIGINT, v DOUBLE").collect()
+    assert (
+        debezium_json_decode(
+            dbz, "value", "id BIGINT, v DOUBLE", ignore_parse_errors=True
+        ).count()
+        == 0
+    )
+
+    canal = spark.createDataFrame(
+        [
+            ('{"data":[{"id":1,"v":1.0}],"old":null,"type":"CREATE"}',),
+            # unknown type with NO data rows must still fail strict
+            ('{"data":null,"old":null,"type":"TRUNCATE"}',),
+        ],
+        "value string",
+    )
+    for i in range(2):
+        one = spark.createDataFrame([canal.collect()[i]], "value string")
+        with _pytest.raises(Exception, match="unknown type"):
+            canal_json_decode(one, "value", "id BIGINT, v DOUBLE").collect()
+    assert (
+        canal_json_decode(
+            canal, "value", "id BIGINT, v DOUBLE", ignore_parse_errors=True
+        ).count()
+        == 0
+    )

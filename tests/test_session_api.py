@@ -556,3 +556,12 @@ def test_week_and_localtime_fns(spark):
     ).collect()[0]
     assert r.w1 == 1 and r.w2 == 1  # ISO: Dec 31 1996 is week 1 of 1997
     assert 0 <= r.lt < 86_400_000
+    # bare niladic keyword, Flink SQL form (round-4 ADVICE): the
+    # dialect shim rewrites it to the registered zero-arg call
+    from flink_efo_spark.dialect import translate
+
+    assert translate("SELECT LOCALTIME, LOCALTIMESTAMP") == (
+        "SELECT LOCALTIME(), LOCALTIMESTAMP"
+    )
+    r2 = spark.sql(translate("SELECT LOCALTIME AS lt")).collect()[0]
+    assert 0 <= r2.lt < 86_400_000

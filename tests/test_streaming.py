@@ -1085,6 +1085,28 @@ def test_incremental_agg_apply(spark):
     )
     assert gone.count() == 0
 
+    # round-4 ADVICE: decimal sums keep their type across applies (no
+    # silent promotion to double), and the NULL key group pairs as ONE
+    # row through the full-outer join
+    dec = spark.createDataFrame(
+        [("x", "1.50"), (None, "2.25")], "k string, s string"
+    ).select("k", F.col("s").cast("decimal(10,2)").alias("v"))
+    base2 = dec.groupBy("k").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("v").cast("decimal(10,2)").alias("sum_v"),
+    )
+    log2 = spark.createDataFrame(
+        [("x", "0.25", "+I"), (None, "0.75", "+I")],
+        "k string, s string, row_kind string",
+    ).select("k", F.col("s").cast("decimal(10,2)").alias("v"), "row_kind")
+    nxt = incremental_agg_apply(base2, log2, ["k"], sums={"sum_v": "v"})
+    assert nxt.schema["sum_v"].dataType == base2.schema["sum_v"].dataType
+    got2 = {(r.k, r.cnt, str(r.sum_v)) for r in nxt.collect()}
+    assert got2 == {(None, 2, "3.00"), ("x", 2, "1.75")}
+    # a second apply keeps the schema fixed (no per-apply widening)
+    again = incremental_agg_apply(nxt, log2, ["k"], sums={"sum_v": "v"})
+    assert again.schema == nxt.schema
+
 
 def test_timer_sessions_multibatch(spark):
     """Event-time timers across micro-batches: a 4-batch ordered
@@ -1148,6 +1170,70 @@ def test_timer_sessions_multibatch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_timer_sessions_out_of_order(spark, tmp_path):
+    """Late events WITHIN the watermark delay arriving in a later
+    micro-batch must merge into the stored session correctly (round-4
+    ADVICE): a late event older than the stored session_last must not
+    regress it, one older than session_start must extend the start,
+    and a within-batch gap-split must chain against the stored
+    session's interval, not only the batch's own timestamps."""
+    from flink_efo_spark.streaming import (
+        process_timer_sessions,
+        run_stream_to_table,
+    )
+
+    # gap 5 min, watermark delay 10 min; seconds-scale event times
+    rows = {
+        # b0: u1 and u2 each open a session [1000s, 1060s]
+        0: [("u1", 1000), ("u1", 1060), ("u2", 1000), ("u2", 1060)],
+        # b1 (wm=460s): u1 gets late events 800s/990s (before the
+        # stored start!) plus 1100s -> all one session [800,1100].
+        # u2 gets [500s, 995s]: a within-batch gap-split whose SECOND
+        # segment bridges into the stored session -> emit (500,500,1)
+        # inline, state becomes [995,1060].
+        1: [
+            ("u1", 800),
+            ("u1", 990),
+            ("u1", 1100),
+            ("u2", 500),
+            ("u2", 995),
+        ],
+        # b2/b3: sentinel key advances the watermark past last+gap so
+        # the inactivity timers fire (timeout processes a batch later)
+        2: [("zz", 2500)],
+        3: [("zz", 2600)],
+    }
+    src_dir = str(tmp_path / "timer_ooo")
+    for i, batch in sorted(rows.items()):
+        spark.createDataFrame(
+            [(k, t) for k, t in batch], "user_id string, sec long"
+        ).select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        ).coalesce(1).write.parquet(f"{src_dir}/b{i}.parquet")
+    schema = spark.read.parquet(f"{src_dir}/b0.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    got = {
+        tuple(r)
+        for r in run_stream_to_table(
+            process_timer_sessions(src, "user_id", "ts", "5 minutes"),
+            mode="append",
+        ).collect()
+        if r.user_id != "zz"
+    }
+    us = lambda s: s * 1_000_000  # noqa: E731
+    assert got == {
+        ("u1", us(800), us(1100), 5),
+        ("u2", us(500), us(500), 1),
+        ("u2", us(995), us(1060), 3),
+    }
 
 
 def test_dedup_within_watermark_ttl(spark, tmp_path):

@@ -99,6 +99,9 @@ def _driver_order() -> list[str]:
         "window_dedup",
         "timer_sessions",
         "chunk_documents",
+        # round-5 new operators
+        "dialect_asof",
+        "stream_match_nested",
     }
 
     def key(n: str):

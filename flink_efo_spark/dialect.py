@@ -365,3 +365,168 @@ def translate(sql: str) -> str:
 
 def has_dialect_tokens(sql: str) -> bool:
     return bool(_FN_RE.search(sql))
+
+
+# ---------------------------------------------------------------------------
+# FOR SYSTEM_TIME AS OF — the reference's temporal-join SQL surface
+# (flink-sql-parser SqlSnapshot; planned by
+# StreamExecTemporalJoin.scala:51 / TemporalRowTimeJoinOperator.java).
+# Rewritten to a versioned-interval join Spark SQL can plan natively:
+# the build table gains [__vfrom, __vto) validity intervals via one
+# LEAD window over its version key, and the probe's time attribute is
+# range-tested against them. Catalyst plans this as an equi hash join
+# on the version keys with the interval test as an inline join
+# predicate — per probe row it scans that key's versions only, so the
+# cost at 100 TB is one shuffle of each side on the key (the window
+# reuses the build side's partitioning). The API path
+# (operators/joins.py asof_join, union-sort-backfill, one shuffle
+# total) remains the preferred scale path; this shim exists so a
+# migrating user's temporal-join SQL runs verbatim.
+# ---------------------------------------------------------------------------
+
+_SYSTEM_TIME_RE = re.compile(
+    r"\b(?P<jt>(?:LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN)\s+"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?P<ts>[A-Za-z_][\w.]*(?:\s*\(\s*\))?)\s+"
+    r"(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)\s+ON\b",
+    re.IGNORECASE,
+)
+
+# condition ends at the next clause keyword at paren depth 0
+_COND_END_RE = re.compile(
+    r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT|WINDOW"
+    r"|QUALIFY|JOIN|LEFT|RIGHT|FULL|INNER|CROSS)\b",
+    re.IGNORECASE,
+)
+
+_EQUI_RE = re.compile(
+    r"^\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*$"
+)
+
+
+def _cond_span(sql: str, start: int) -> int:
+    """End index of the ON condition starting at ``start``."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            m = _COND_END_RE.match(sql, i)
+            if m and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                return i
+        i += 1
+    return i
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a condition on top-level ANDs (paren- and quote-aware)."""
+    parts, depth, last, i = [], 0, 0, 0
+    up = cond.upper()
+    while i < len(cond):
+        c = cond[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(cond, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_"))
+            and (
+                i + 3 >= len(cond)
+                or not (cond[i + 3].isalnum() or cond[i + 3] == "_")
+            )
+        ):
+            parts.append(cond[last:i])
+            i += 3
+            last = i
+            continue
+        i += 1
+    parts.append(cond[last:])
+    return parts
+
+
+def rewrite_system_time(sql, rowtime_of) -> str:
+    """Rewrite every ``JOIN t FOR SYSTEM_TIME AS OF x [AS] a ON cond``
+    to a versioned-interval join.
+
+    ``rowtime_of(table_name)`` must return the versioned table's time
+    attribute — a column name, or ``(column, [tiebreak_cols])`` where
+    the tiebreaks order equal-rowtime versions (the highest tiebreak
+    wins; superseded ties get an empty validity interval). ``None``
+    means the table has no registered rowtime → error, matching the
+    reference's requirement that a temporal table declare a watermark.
+
+    ``AS OF PROCTIME()`` / a processing-time attribute selects the
+    CURRENT latest version per key (``__vto IS NULL``) — the
+    reference's proc-time temporal join collapsed to batch.
+    """
+    if "SYSTEM_TIME" not in sql.upper():
+        return sql
+    while True:
+        m = _SYSTEM_TIME_RE.search(sql)
+        if m is None:
+            break
+        tbl, alias, ts = m.group("tbl"), m.group("alias"), m.group("ts").strip()
+        jt = " ".join(m.group("jt").split())
+        cond_start = m.end()
+        cond_end = _cond_span(sql, cond_start)
+        cond = sql[cond_start:cond_end].strip()
+        rt = rowtime_of(tbl)
+        if rt is None:
+            raise ValueError(
+                f"FOR SYSTEM_TIME AS OF: table {tbl!r} has no registered "
+                "rowtime — create it with a WATERMARK spec "
+                "(EfoSession.create_table) or "
+                "create_temporary_view(..., watermark=...)"
+            )
+        tiebreaks: list[str] = []
+        if isinstance(rt, tuple):
+            rt, tiebreaks = rt[0], list(rt[1] or [])
+        keys = []
+        for part in _split_top_and(cond):
+            eq = _EQUI_RE.match(part)
+            if not eq:
+                continue
+            for side in (eq.group(1), eq.group(2)):
+                pre, dot, col = side.rpartition(".")
+                if dot and pre.lower() == alias.lower():
+                    keys.append(col)
+        if not keys:
+            raise ValueError(
+                "FOR SYSTEM_TIME AS OF: no equi-join key on the versioned "
+                f"side found in ON condition {cond!r} — the reference "
+                "requires a primary-key equality"
+            )
+        order = ", ".join([rt] + tiebreaks)
+        sub = (
+            f"(SELECT *, {rt} AS __vfrom, LEAD({rt}) OVER "
+            f"(PARTITION BY {', '.join(keys)} ORDER BY {order}) AS __vto "
+            f"FROM {tbl})"
+        )
+        if re.fullmatch(r"PROCTIME\s*\(\s*\)", ts, re.IGNORECASE):
+            pred = f"{alias}.__vto IS NULL"
+        else:
+            pred = (
+                f"{ts} >= {alias}.__vfrom "
+                f"AND ({alias}.__vto IS NULL OR {ts} < {alias}.__vto)"
+            )
+        sql = (
+            sql[: m.start()]
+            + f"{jt} {sub} {alias} ON ({cond}) AND {pred}"
+            + sql[cond_end:]
+        )
+    return sql

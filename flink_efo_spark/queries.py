@@ -5327,6 +5327,54 @@ def q_dialect_session(t: _T) -> DataFrame:
 
 
 @_q(
+    "dialect_asof",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           b.bval AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') p
+    JOIN LATERAL (
+      SELECT b.value AS bval
+      FROM events b
+      WHERE b.event_type = 'signup' AND b.user_id = p.user_id
+        AND b.ts <= p.ts
+      ORDER BY b.ts DESC, b.event_id DESC LIMIT 1
+    ) b ON true
+    """,
+)
+def q_dialect_asof(t: _T) -> DataFrame:
+    """The reference's temporal-join SQL — ``JOIN v FOR SYSTEM_TIME
+    AS OF p.ts`` (SqlSnapshot parser node, planned by
+    StreamExecTemporalJoin.scala:51 /
+    TemporalRowTimeJoinOperator.java:72) — run VERBATIM through the
+    dialect shim (dialect.py rewrite_system_time): each click joins
+    the latest signup version of its user at click time; clicks
+    before any signup drop (inner temporal join)."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    env.create_temporary_view(
+        "__efo_st_clicks", t.events.where(F.col("event_type") == "click")
+    )
+    env.create_temporary_view(
+        "__efo_st_signups",
+        t.events.where(F.col("event_type") == "signup"),
+        watermark=("ts", "10 seconds"),
+        version_tiebreak=["event_id"],
+    )
+    df = env.execute_sql(
+        """
+        SELECT p.event_id, p.user_id, p.ts, r.value AS signup_value
+        FROM __efo_st_clicks p
+        JOIN __efo_st_signups FOR SYSTEM_TIME AS OF p.ts AS r
+        ON p.user_id = r.user_id
+        """
+    )
+    return df.select(
+        "event_id", "user_id", _us("ts").alias("ts_us"), "signup_value"
+    )
+
+
+@_q(
     "dialect_tvf_tumble",
     """
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000 AS w_start_us,

@@ -128,6 +128,9 @@ class EfoSession:
         ensure_session_confs(self.spark)
         register_all(self.spark)
         self._specs: dict[str, object] = {}
+        # view name -> (rowtime col, [version tiebreak cols]) for
+        # FOR SYSTEM_TIME AS OF resolution on temp views
+        self._rowtimes: dict[str, tuple[str, list[str]]] = {}
 
     def register_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
         from flink_efo_spark.catalog import register_tables
@@ -138,12 +141,24 @@ class EfoSession:
     def sql(self, query: str):
         """Execute SQL. Accepts both Spark SQL and the reference's
         group-window dialect (GROUP BY TUMBLE/HOP/SESSION +
-        *_START/_END/_ROWTIME auxiliaries, PROCTIME()) — the dialect
-        shim (dialect.py) rewrites those lexically to window()/
-        session_window() and is the identity on plain Spark SQL."""
-        from flink_efo_spark.dialect import translate
+        *_START/_END/_ROWTIME auxiliaries, PROCTIME(), temporal joins
+        via FOR SYSTEM_TIME AS OF) — the dialect shim (dialect.py)
+        rewrites those lexically and is the identity on plain Spark
+        SQL. SYSTEM_TIME rewriting runs FIRST: it must see the
+        literal PROCTIME() token before translate() replaces it."""
+        from flink_efo_spark.dialect import rewrite_system_time, translate
 
+        query = rewrite_system_time(query, self._rowtime_of)
         return self.spark.sql(translate(query))
+
+    def _rowtime_of(self, name: str):
+        """Versioned-table rowtime for FOR SYSTEM_TIME AS OF: the
+        WATERMARK column of a create_table spec, or the watermark
+        registered on a temp view."""
+        spec = self._specs.get(name)
+        if spec is not None and getattr(spec, "watermark", None):
+            return spec.watermark[0]
+        return self._rowtimes.get(name)
 
     execute_sql = sql
 
@@ -164,9 +179,23 @@ class EfoSession:
 
         return Table(self.spark.createDataFrame(rows, schema))
 
-    def create_temporary_view(self, name: str, table) -> None:
+    def create_temporary_view(
+        self,
+        name: str,
+        table,
+        watermark: str | tuple[str, str] | None = None,
+        version_tiebreak: list[str] | None = None,
+    ) -> None:
+        """Register a temp view. ``watermark`` (column, or (column,
+        delay) like create_table) marks the view's event-time
+        attribute, making it usable as the versioned side of a
+        ``FOR SYSTEM_TIME AS OF`` join; ``version_tiebreak`` orders
+        equal-rowtime versions (highest wins)."""
         df = table.to_df() if hasattr(table, "to_df") else table
         df.createOrReplaceTempView(name)
+        if watermark is not None:
+            col = watermark[0] if isinstance(watermark, tuple) else watermark
+            self._rowtimes[name] = (col, list(version_tiebreak or []))
 
     # -- DDL / catalog statements (SURVEY §2.14) -----------------------
     def create_table(

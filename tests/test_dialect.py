@@ -172,3 +172,100 @@ def test_create_table_passthrough():
     unwrapper."""
     sql = "CREATE TABLE(a INT, b STRING)"
     assert translate(sql) == sql
+
+
+def test_rewrite_system_time_rowtime():
+    """FOR SYSTEM_TIME AS OF <rowtime> (SqlSnapshot;
+    StreamExecTemporalJoin.scala:51) becomes a versioned-interval
+    join: LEAD validity windows on the build side + a range test."""
+    from flink_efo_spark.dialect import rewrite_system_time
+
+    sql = (
+        "SELECT o.id, r.rate FROM orders o "
+        "JOIN rates FOR SYSTEM_TIME AS OF o.order_time AS r "
+        "ON o.currency = r.currency WHERE o.id > 0"
+    )
+    out = rewrite_system_time(sql, lambda t: "rate_time" if t == "rates" else None)
+    assert "SYSTEM_TIME" not in out.upper()
+    assert "LEAD(rate_time) OVER (PARTITION BY currency ORDER BY rate_time)" in out
+    assert "o.order_time >= r.__vfrom" in out
+    assert "(r.__vto IS NULL OR o.order_time < r.__vto)" in out
+    assert out.endswith("WHERE o.id > 0")
+    # identity on SQL without the token
+    plain = "SELECT * FROM t JOIN u ON t.k = u.k"
+    assert rewrite_system_time(plain, lambda t: None) == plain
+
+
+def test_rewrite_system_time_proctime_and_errors():
+    from flink_efo_spark.dialect import rewrite_system_time
+
+    sql = (
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF PROCTIME() r "
+        "ON o.cur = r.cur"
+    )
+    out = rewrite_system_time(sql, lambda t: ("rt", ["seq"]))
+    assert "r.__vto IS NULL" in out and "ORDER BY rt, seq" in out
+    with pytest.raises(ValueError, match="no registered rowtime"):
+        rewrite_system_time(sql, lambda t: None)
+    bad = (
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF o.ts r "
+        "ON o.x < r.y"
+    )
+    with pytest.raises(ValueError, match="no equi-join key"):
+        rewrite_system_time(bad, lambda t: "rt")
+
+
+def test_system_time_join_end_to_end(spark):
+    """The reference's temporal-join SQL runs verbatim through
+    EfoSession.sql and matches the exact as-of result, including the
+    equal-rowtime tie (highest tiebreak version wins) and the
+    inner-join drop of probe rows before any version."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(spark)
+    rates = spark.createDataFrame(
+        [
+            ("EUR", 1.10, 100, 1),
+            ("EUR", 1.20, 200, 2),
+            ("EUR", 1.25, 200, 3),  # tie at t=200: seq 3 supersedes
+            ("USD", 1.00, 150, 4),
+        ],
+        "currency string, rate double, rt long, seq long",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, "EUR", 50),   # before any EUR version -> dropped
+            (2, "EUR", 100),  # exactly at v1 -> 1.10
+            (3, "EUR", 199),  # still v1 -> 1.10
+            (4, "EUR", 200),  # tie point -> seq-3 version, 1.25
+            (5, "EUR", 999),  # latest -> 1.25
+            (6, "USD", 160),  # -> 1.00
+            (7, "JPY", 500),  # no versions at all -> dropped
+        ],
+        "id long, currency string, ot long",
+    )
+    env.create_temporary_view("__st_orders", orders)
+    env.create_temporary_view(
+        "__st_rates", rates, watermark="rt", version_tiebreak=["seq"]
+    )
+    got = sorted(
+        (r.id, r.rate)
+        for r in env.sql(
+            "SELECT o.id, r.rate FROM __st_orders o "
+            "JOIN __st_rates FOR SYSTEM_TIME AS OF o.ot AS r "
+            "ON o.currency = r.currency"
+        ).collect()
+    )
+    assert got == [(2, 1.10), (3, 1.10), (4, 1.25), (5, 1.25), (6, 1.00)]
+    # proc-time form: current latest version per key
+    got2 = sorted(
+        (r.id, r.rate)
+        for r in env.sql(
+            "SELECT o.id, r.rate FROM __st_orders o "
+            "JOIN __st_rates FOR SYSTEM_TIME AS OF PROCTIME() AS r "
+            "ON o.currency = r.currency"
+        ).collect()
+    )
+    assert got2 == [
+        (1, 1.25), (2, 1.25), (3, 1.25), (4, 1.25), (5, 1.25), (6, 1.00),
+    ]

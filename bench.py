@@ -50,6 +50,26 @@ BENCH_QUERIES = [
     # round 3b: iterative duplicate clustering + a 5-way join shape
     "dup_clusters",
     "tpch_q7_volume",
+    # round 5: the FULL TPC-H sweep — the relational core is the piece
+    # most exposed to plan regressions, so every shape gets a
+    # per-round timing row (r4 verdict item 5)
+    "tpch_q2_min_cost",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q6_forecast",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q11_important_value",
+    "tpch_q12_shipmode",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting",
+    "tpch_q22_global_sales",
     # round 4: nested CEP groups + repetition quality filter (the
     # changelog / early-fire queries stay correctness-only: their
     # wall is ~fixed multi-trigger replay harness cost, not data-path
@@ -93,23 +113,33 @@ def main() -> None:
     # Per-query fault isolation: one broken query must not zero the
     # round's whole perf signal — record its error and keep timing the
     # rest; the JSON line is emitted no matter what.
+    #
+    # Two runs per query, report the MIN: the documented ±25%
+    # machine-load variance is larger than most per-query deltas, and
+    # run 1 additionally pays ~1.5-2 s one-time codegen compile per
+    # unique plan. The min of two back-to-back runs is the
+    # reproducible codegen-warm wall (r4 verdict item 6).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
+        best, n = None, 0
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            for _ in range(max(1, runs)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     out = {
         "metric": "total_wall",

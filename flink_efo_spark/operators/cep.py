@@ -8,7 +8,9 @@ GroupPattern.java — batch) + SQL:2016 PERMUTE (batch; k! ordered
 alternation) + greedy (?, *, +) and reluctant
 (??, *?, +?) quantifiers, AFTER MATCH SKIP PAST LAST ROW / TO NEXT
 ROW / TO FIRST|LAST <var>, FIRST/LAST/COUNT measures**. The streaming
-path holds flat-step state and rejects nested groups.
+path (round 5) matches the batch pattern surface including nested
+groups — group-free patterns take a flat-step fast path; grouped
+patterns run the AST backtracker with a probe-based hold test.
 
 Spark realization:
 
@@ -449,6 +451,41 @@ def _ts_and_window(series, within):
     return arr, within
 
 
+def _min_completion_bound(leaves) -> int:
+    """Upper bound on the rows any minimal match completion can still
+    need from an intermediate matcher state. Every supported
+    quantifier has ``lo <= 1`` (?, *, +, or none), so a minimal
+    completion path visits each leaf at most once — bound =
+    ``len(leaves)``."""
+    return len(leaves)
+
+
+def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
+    """Could FUTURE rows extend a match (anchored at ``start``) that
+    ends at the buffer's last row? Probe: append hypothetical rows on
+    which EVERY leaf DEFINE holds, stamped with the earliest possible
+    future event time (the last buffered row's), and re-run the
+    preference-order matcher — if the winning match consumes any
+    hypothetical row, real future rows could change the emission, so
+    the match must be HELD. Exact under greedy/reluctant preference
+    (a reluctant tail that already satisfied ``lo`` stops before the
+    probe rows and closes immediately, like the reference NFA); the
+    probe depth covers any one-step continuation plus its minimal
+    completion (NFA.java pending-state test for the nested
+    GroupPattern case)."""
+    import numpy as np
+
+    k = _min_completion_bound(leaves) + 1
+    ext = [np.append(fl, [True] * k) for fl in leaf_flags]
+    ts_ext = (
+        np.append(ts, [ts[n - 1]] * k) if ts is not None else None
+    )
+    res = _match_at(ast, start, n + k, ext, ts_ext, within)
+    if res is None:
+        return False
+    return any(ix >= n for _, lst in res[1] for ix in lst)
+
+
 def _match_extendable(m, steps: list[Step]) -> bool:
     """Could a FUTURE row extend this completed match? True when the
     last consumed step has remaining capacity or any later
@@ -586,12 +623,12 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
 
 
 def _flat_steps(ast, leaves) -> list[Step]:
-    """Flat-step view for the streaming state machine; nested groups
-    are batch-only (the cross-batch tail holds flat-step state)."""
+    """Flat-step view for the streaming state machine's fast path
+    (patterns without nested groups)."""
     if _has_groups(ast):
         raise ValueError(
-            "nested pattern groups are batch-only "
-            "(stream_match_recognize holds flat-step state)"
+            "pattern has nested groups — no flat-step view "
+            "(streaming routes these through the AST matcher)"
         )
     return [(v, lo, hi, lazy) for _, v, lo, hi, lazy, _ in leaves]
 
@@ -726,11 +763,16 @@ def stream_match_recognize(
 
     Per key, state holds (match_seq, unconsumed tail rows). Each
     micro-batch: tail + new rows are re-sorted by event time, the
-    greedy matcher runs, CLOSED matches emit (append mode), and the
-    rows after the last emitted match — including any still-extendable
-    held match — become the new tail. ``max_tail`` hard-caps state per
-    key (oldest rows dropped; the watermark analog of the reference's
-    state TTL).
+    matcher runs (flat-step fast path for group-free patterns; the
+    batch AST backtracker for nested pattern groups — ``A (B C)+ D``,
+    GroupPattern.java / nested cases of MatchRecognizeITCase), CLOSED
+    matches emit (append mode), and the rows after the last emitted
+    match — including any still-extendable held match — become the
+    new tail. Whether a grouped match ending at the buffer's last row
+    is closed is decided by an all-true future-row probe
+    (:func:`_ast_extendable`) — exact under greedy/reluctant
+    preference. ``max_tail`` hard-caps state per key (oldest rows
+    dropped; the watermark analog of the reference's state TTL).
 
     within: ``Pattern.within()`` in seconds — besides constraining
     matches, it PRUNES tail state: a tail row older than
@@ -777,7 +819,12 @@ def stream_match_recognize(
         df, partition_by, order_by, pattern, defines, measures, tiebreak,
         allow_prev="defer",
     )
-    steps = _flat_steps(ast, leaves)
+    # flat-step fast path for group-free patterns; nested pattern
+    # groups (``A (B C)+ D`` — GroupPattern.java) run the same AST
+    # backtracker the batch path uses, with the probe-based hold test
+    # (_ast_extendable) deciding emission vs. cross-batch hold
+    has_groups = _has_groups(ast)
+    steps = None if has_groups else _flat_steps(ast, leaves)
     meas_items = list(measures.items())
     prev_needed = sorted(
         {m for body in deferred.values() for m in re.findall(r"prev_(\w+)", body)}
@@ -866,12 +913,6 @@ def stream_match_recognize(
             # context rows exist only as PREV sources — never matchable
             ctx_mask = allr["__ctx"].fillna(False).astype(bool).to_numpy()
             var_flags = {v: fl & ~ctx_mask for v, fl in var_flags.items()}
-        step_flags = []
-        for variables, *_ in steps:
-            fl = var_flags[variables[0]]
-            for v in variables[1:]:
-                fl = fl | var_flags[v]
-            step_flags.append(fl)
         n = len(allr)
         data = {c: allr[c].to_numpy() for c in meas_cols}
         ts, win = (
@@ -880,18 +921,50 @@ def stream_match_recognize(
             else (None, None)
         )
 
+        if has_groups:
+            leaf_flags = []
+            for _, variables, *_ in leaves:
+                fl = var_flags[variables[0]]
+                for v in variables[1:]:
+                    fl = fl | var_flags[v]
+                leaf_flags.append(fl)
+            matches = _ast_matches(leaf_flags, ast, leaves, n, ts, win)
+        else:
+            step_flags = []
+            for variables, *_ in steps:
+                fl = var_flags[variables[0]]
+                for v in variables[1:]:
+                    fl = fl | var_flags[v]
+                step_flags.append(fl)
+            matches = _greedy_matches(step_flags, steps, n, ts, win)
+
         rows = []
         consumed_through = -1
-        for _start, m in _greedy_matches(step_flags, steps, n, ts, win):
-            end = max((ix for lst in m for ix in lst), default=_start)
-            if not finalize and end == n - 1 and _match_extendable(m, steps):
-                break  # held: a future row may extend it — keep in tail
+        for _start, m in matches:
+            if has_groups:
+                end = max((ix for _, lst in m for ix in lst), default=_start)
+                held = (
+                    not finalize
+                    and end == n - 1
+                    and _ast_extendable(
+                        ast, leaves, _start, n, leaf_flags, ts, win
+                    )
+                )
+                var_rows = _attribute_assign(m, leaves, var_flags)
+            else:
+                end = max((ix for lst in m for ix in lst), default=_start)
+                held = (
+                    not finalize
+                    and end == n - 1
+                    and _match_extendable(m, steps)
+                )
+                var_rows = _attribute(m, steps, var_flags)
+            if held:
+                break  # held: future rows may extend it — keep in tail
             seq += 1
             rec = {k: key[i] for i, k in enumerate(partition_by)}
             rec["match_seq"] = seq
-            rec.update(
-                _measure_record(_attribute(m, steps, var_flags), meas_items, data)
-            )
+            rec.update(_measure_record(var_rows, meas_items, data))
             rows.append(rec)
             consumed_through = end
         new_tail = allr.iloc[consumed_through + 1 :]

@@ -3403,6 +3403,80 @@ def q_stream_match_funnel(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_match_nested",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER w AS rn,
+             lead(event_type) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+      SELECT user_id, rn FROM ordered
+      WHERE event_type = 'click' AND nxt = 'purchase'
+    ), islands AS (
+      SELECT user_id, rn,
+             rn - 2 * row_number()
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM pairs
+    ), chains AS (
+      SELECT user_id, min(rn) AS s, count(*) AS m
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT c.user_id,
+           CAST(row_number() OVER (PARTITION BY c.user_id ORDER BY c.s)
+                AS BIGINT) AS match_seq,
+           c.m AS n_pairs, a.event_id AS signup_id, d.event_id AS error_id
+    FROM chains c
+    JOIN ordered a ON a.user_id = c.user_id AND a.rn = c.s - 1
+                   AND a.event_type = 'signup'
+    JOIN ordered d ON d.user_id = c.user_id AND d.rn = c.s + 2 * c.m
+                   AND d.event_type = 'error'
+    """,
+)
+def q_stream_match_nested(t: _T) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with a NESTED quantified pattern
+    group — ``A (B C)+ D`` (flink-cep GroupPattern.java, the nested
+    cases of MatchRecognizeITCase; NFA.java + SharedBuffer.java:54
+    keep partial nested matches alive across input) — on a 4-batch
+    event-time replay, so partial GROUP state crosses micro-batch
+    boundaries. The oracle enumerates maximal adjacent click→purchase
+    chains (gaps-and-islands) anchored by an immediately-preceding
+    signup and an immediately-following error; greedy consumption
+    makes the maximal chain the unique match."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=4, order_col="ts"
+    )
+    out = stream_match_recognize(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A (B C)+ D",
+        defines={
+            "A": "event_type = 'signup'",
+            "B": "event_type = 'click'",
+            "C": "event_type = 'purchase'",
+            "D": "event_type = 'error'",
+        },
+        measures={
+            "n_pairs": ("B", "count", "event_id"),
+            "signup_id": ("A", "first", "event_id"),
+            "error_id": ("D", "last", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "match_seq", "n_pairs", "signup_id", "error_id"
+    )
+
+
+@_q(
     "stream_sort_limit",
     """
     SELECT event_id, user_id, round(value, 4) AS value

@@ -517,19 +517,6 @@ def test_nested_pattern_group(spark):
     got = sorted((r.k, r.n_b, r.n_c, r.d_seq) for r in out.collect())
     assert got == [("u1", 2, 2, 6)]
 
-    # streaming rejects nested groups (flat-step state machine)
-    import pytest
-
-    from flink_efo_spark.operators.cep import stream_match_recognize
-
-    with pytest.raises(ValueError, match="batch-only"):
-        stream_match_recognize(
-            df, ["k"], "seq",
-            pattern="A (B C)+",
-            defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
-            measures={"n_b": ("B", "count", "seq")},
-        )
-
 
 def test_stream_prev_define_with_context_row(spark, tmp_path):
     """Streaming PREV(): prev_-using DEFINEs evaluate in the worker
@@ -651,11 +638,131 @@ def test_permute_three_args_and_quantified(spark):
 
 
 def test_permute_rejected_streaming(spark):
-    """Streaming flat-step state cannot hold alternation-of-sequences;
-    PERMUTE must be rejected there like nested groups."""
+    """_flat_steps still refuses grouped/PERMUTE patterns — streaming
+    routes them through the AST matcher instead (round 5)."""
     import pytest as _pytest
     from flink_efo_spark.operators.cep import _parse_ast, _flat_steps
 
     ast, leaves = _parse_ast("PERMUTE(A, B)")
-    with _pytest.raises(ValueError, match="batch-only"):
+    with _pytest.raises(ValueError, match="no flat-step view"):
         _flat_steps(ast, leaves)
+
+
+def _stream_batches(spark, tmp_path, tag, batches):
+    """Write explicit per-batch parquet files and open a
+    maxFilesPerTrigger=1 replay over them."""
+    src_dir = str(tmp_path / tag)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k string, seq int, et string, v double"
+        ).coalesce(1).write.parquet(f"{src_dir}/b{i:03d}.parquet")
+    schema = spark.read.parquet(f"{src_dir}/b000.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+
+
+def test_stream_nested_group_every_boundary(spark, tmp_path):
+    """Streaming nested pattern groups (GroupPattern.java /
+    MatchRecognizeITCase nested cases): ``A (B C)+ D`` must produce
+    the batch result for EVERY possible micro-batch split point —
+    partial group state (including a mid-repetition split) survives
+    the boundary."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ets = [
+        "a", "b", "c", "b", "c", "d",   # match 1: 2 pairs
+        "x",                              # noise
+        "a", "b", "c", "d",             # match 2: 1 pair
+        "a", "b", "d",                   # dangling b -> no match
+    ]
+    rows = [("u1", i + 1, et, 1.0) for i, et in enumerate(ets)]
+    want = [("u1", 1, 2, 6), ("u1", 2, 1, 11)]  # (k, seq, n_pairs, d_seq)
+
+    for cut in range(1, len(rows)):
+        src = _stream_batches(
+            spark, tmp_path, f"nested_{cut}", [rows[:cut], rows[cut:]]
+        )
+        out = stream_match_recognize(
+            src, ["k"], "seq",
+            pattern="A (B C)+ D",
+            defines={
+                "A": "et = 'a'", "B": "et = 'b'",
+                "C": "et = 'c'", "D": "et = 'd'",
+            },
+            measures={
+                "n_pairs": ("B", "count", "seq"),
+                "d_seq": ("D", "last", "seq"),
+            },
+        )
+        got = sorted(
+            (r.k, r.match_seq, r.n_pairs, r.d_seq)
+            for r in run_stream_to_table(out).collect()
+        )
+        assert got == want, f"split at {cut}: {got}"
+
+
+def test_stream_nested_group_held_until_closed(spark, tmp_path):
+    """A grouped match still extendable at buffer end (``A (B C)+``,
+    trailing complete pair) must be HELD across the boundary — the
+    probe-based hold test — then emitted with the extra repetition
+    once a later row fails to extend it."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    batches = [
+        # ends on a complete pair: greedy could still extend -> hold
+        [("u1", 1, "a", 1.0), ("u1", 2, "b", 1.0), ("u1", 3, "c", 1.0)],
+        # second pair, still extendable -> hold again
+        [("u1", 4, "b", 1.0), ("u1", 5, "c", 1.0)],
+        # non-extending row closes the match with 2 repetitions
+        [("u1", 6, "x", 1.0)],
+    ]
+    src = _stream_batches(spark, tmp_path, "held_nested", batches)
+    out = stream_match_recognize(
+        src, ["k"], "seq",
+        pattern="A (B C)+",
+        defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
+        measures={
+            "n_pairs": ("B", "count", "seq"),
+            "last_c": ("C", "last", "seq"),
+        },
+    )
+    got = [
+        (r.k, r.n_pairs, r.last_c)
+        for r in run_stream_to_table(out).collect()
+    ]
+    assert got == [("u1", 2, 5)]
+
+
+def test_stream_permute_cross_batch(spark, tmp_path):
+    """Streaming PERMUTE (alternation-of-sequences AST) — a P·S·E /
+    P·E·S triple split across batches matches either order."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    batches = [
+        [("u1", 1, "p", 1.0), ("u1", 2, "e", 1.0)],
+        [("u1", 3, "s", 1.0), ("u2", 1, "p", 1.0)],
+        [("u2", 2, "s", 1.0), ("u2", 3, "e", 1.0)],
+    ]
+    src = _stream_batches(spark, tmp_path, "permute_stream", batches)
+    out = stream_match_recognize(
+        src, ["k"], "seq",
+        pattern="P PERMUTE(S, E)",
+        defines={"P": "et = 'p'", "S": "et = 's'", "E": "et = 'e'"},
+        measures={
+            "p_seq": ("P", "first", "seq"),
+            "s_seq": ("S", "first", "seq"),
+            "e_seq": ("E", "first", "seq"),
+        },
+    )
+    got = sorted(
+        (r.k, r.p_seq, r.s_seq, r.e_seq)
+        for r in run_stream_to_table(out).collect()
+    )
+    assert got == [("u1", 1, 3, 2), ("u2", 1, 2, 3)]

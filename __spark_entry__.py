@@ -102,6 +102,7 @@ def _driver_order() -> list[str]:
         # round-5 new operators
         "dialect_asof",
         "stream_match_nested",
+        "delta_trigger_window",
     }
 
     def key(n: str):

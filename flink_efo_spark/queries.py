@@ -3477,6 +3477,83 @@ def q_stream_match_nested(t: _T) -> DataFrame:
 
 
 @_q(
+    "delta_trigger_window",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, rn, value, value AS last_fire, FALSE AS fired
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.value,
+             CASE WHEN abs(o.value - w.last_fire) > 60.0 THEN o.value
+                  ELSE w.last_fire END,
+             abs(o.value - w.last_fire) > 60.0
+      FROM ordered o JOIN walk w
+        ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    ), seg AS (
+      SELECT user_id, rn, value, fired,
+             count(*) FILTER (WHERE fired) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg_id
+      FROM walk
+    ), agg AS (
+      SELECT user_id, seg_id, count(*) AS cnt,
+             round(sum(value), 4) AS sum_value,
+             round(min(value), 4) AS min_value,
+             round(max(value), 4) AS max_value,
+             bool_or(fired) AS has_fire,
+             max(CASE WHEN fired THEN value END) AS fire_value
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY seg_id)
+                AS BIGINT) AS fire_seq,
+           cnt, sum_value, min_value, max_value,
+           round(fire_value, 4) AS fire_value
+    FROM agg WHERE has_fire
+    """,
+)
+def q_delta_trigger_window(t: _T) -> DataFrame:
+    """Delta-triggered purging global window (§2.15 extension for the
+    reference's custom-trigger tail: DeltaTrigger.java:54 wrapped in
+    PurgingTrigger.java): per user, a row fires when its value moved
+    more than 60.0 from the LAST firing row's value; each fire emits
+    the aggregate of the rows since the previous fire and purges. The
+    DuckDB oracle replays the same per-element trigger scan as a
+    recursive CTE (last_fire is inherently sequential state)."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_delta_window,
+        stream_table_split,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    )
+    out = stream_delta_window(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ["user_id"],
+        "value",
+        threshold=60.0,
+        order_by=["ts", "event_id"],
+        purge=True,
+    )
+    return run_stream_to_table(out).select(
+        "user_id",
+        "fire_seq",
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("fire_value", 4).alias("fire_value"),
+    )
+
+
+@_q(
     "stream_sort_limit",
     """
     SELECT event_id, user_id, round(value, 4) AS value

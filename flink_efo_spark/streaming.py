@@ -685,6 +685,156 @@ def stream_count_slide(
     return out
 
 
+def stream_delta_window(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    threshold: float,
+    delta_col: str | None = None,
+    order_by: list[str] | None = None,
+    purge: bool = True,
+    delta_fn=None,
+    evict_threshold: float | None = None,
+    max_buffer: int = 100_000,
+) -> DataFrame:
+    """DataStream delta-triggered GLOBAL window — §2.15-style
+    extension covering the reference's custom-trigger tail
+    (triggers/DeltaTrigger.java:54 onElement,
+    triggers/PurgingTrigger.java FIRE→FIRE_AND_PURGE,
+    evictors/DeltaEvictor.java evictBefore):
+
+    * **DeltaTrigger**: per key, state remembers the element that
+      fired LAST; a new element fires when
+      ``delta(last_fired, element) > threshold``. The first element
+      initializes the state without firing (DeltaTrigger.java:56-59).
+    * **PurgingTrigger** (``purge=True``, the common pairing): a fire
+      empties the window buffer, so each emission covers the rows
+      since the previous fire (inclusive of the firing row).
+      ``purge=False`` keeps the raw trigger's semantics — the global
+      window keeps accumulating (state capped at ``max_buffer``
+      values, the TTL analog, oldest dropped).
+    * **DeltaEvictor** (``evict_threshold``): before aggregating, drop
+      buffered elements whose delta vs the LAST buffered element
+      exceeds the evict threshold (DeltaEvictor.java:84 checks
+      against the buffer's last value).
+
+    ``delta_fn(last, current) -> float`` defaults to ``abs(a - b)``
+    (the reference ships DeltaFunction as a user lambda; it runs here
+    inside the pandas worker, so any Python callable works).
+    Delta is measured on ``delta_col`` (default ``value_col``).
+
+    Output per fire (append mode — fires are final): keys +
+    ``fire_seq`` + ``cnt``/``sum_value``/``min_value``/``max_value``
+    over the (possibly evicted) buffer + ``fire_value`` (the
+    triggering element's delta value).
+
+    Scale: state per key = one last-fired scalar + the pending buffer
+    (bounded by fire frequency in purge mode, ``max_buffer`` always);
+    the per-element trigger scan is a tight per-key loop inside an
+    Arrow-batched worker — the same shape as the reference's
+    per-element onElement path, keyed-parallel across the cluster.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType as _Long,
+        StructField,
+    )
+
+    delta_col = delta_col or value_col
+    fn_delta = delta_fn or (lambda a, b: abs(a - b))
+    key_fields = [StructField(k, df.schema[k].dataType) for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("fire_seq", _Long()),
+            StructField("cnt", _Long()),
+            StructField("sum_value", DoubleType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+            StructField("fire_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("__seq", _Long()),
+            StructField("__last_fire", DoubleType()),
+            StructField("__buf_v", ArrayType(DoubleType())),
+            StructField("__buf_d", ArrayType(DoubleType())),
+        ]
+    )
+    sort_cols = list(order_by) if order_by else None
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            seq, last_fire, buf_v, buf_d = state.get
+            buf_v, buf_d = list(buf_v), list(buf_d)
+        else:
+            seq, last_fire, buf_v, buf_d = 0, None, [], []
+        frames = [p for p in pdfs if len(p)]
+        recs = []
+        if frames:
+            allr = pd.concat(frames, ignore_index=True)
+            if sort_cols:
+                allr = allr.sort_values(sort_cols, kind="mergesort")
+            vs = [float(x) for x in allr[value_col]]
+            ds = [float(x) for x in allr[delta_col]]
+            for v, d in zip(vs, ds):
+                buf_v.append(v)
+                buf_d.append(d)
+                if last_fire is None:
+                    last_fire = d  # first element: CONTINUE
+                    continue
+                if fn_delta(last_fire, d) > threshold:
+                    last_fire = d
+                    wv, wd = buf_v, buf_d
+                    if evict_threshold is not None:
+                        # DeltaEvictor: delta vs the buffer's LAST
+                        # element decides retention
+                        tail = wd[-1]
+                        keep = [
+                            i
+                            for i in range(len(wd))
+                            if fn_delta(wd[i], tail) <= evict_threshold
+                        ]
+                        wv = [wv[i] for i in keep]
+                        wd = [wd[i] for i in keep]
+                    seq += 1
+                    rec = {k: key[i] for i, k in enumerate(keys)}
+                    rec.update(
+                        fire_seq=int(seq),
+                        cnt=len(wv),
+                        sum_value=float(sum(wv)),
+                        min_value=float(min(wv)),
+                        max_value=float(max(wv)),
+                        fire_value=float(d),
+                    )
+                    recs.append(rec)
+                    if purge:
+                        buf_v, buf_d = [], []
+            if len(buf_v) > max_buffer:
+                buf_v = buf_v[-max_buffer:]
+                buf_d = buf_d[-max_buffer:]
+        state.update(
+            (
+                int(seq),
+                None if last_fire is None else float(last_fire),
+                list(buf_v),
+                list(buf_d),
+            )
+        )
+        if recs:
+            yield pd.DataFrame(recs, columns=out_cols)
+
+    out = df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming dedup
 # ---------------------------------------------------------------------------

@@ -1236,6 +1236,87 @@ def test_timer_sessions_out_of_order(spark, tmp_path):
     }
 
 
+def test_delta_trigger_window_modes(spark, tmp_path):
+    """DeltaTrigger/PurgingTrigger/DeltaEvictor semantics
+    (triggers/DeltaTrigger.java:54, PurgingTrigger.java,
+    evictors/DeltaEvictor.java) incl. cross-batch trigger state: the
+    last-fired element survives the micro-batch boundary."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_delta_window,
+    )
+
+    # k1 values: 0, 5, 12(fire Δ12), 14, 30(fire Δ18), 31
+    batches = [
+        [("k1", 1, 0.0), ("k1", 2, 5.0)],
+        [("k1", 3, 12.0), ("k1", 4, 14.0)],       # fire mid-stream
+        [("k1", 5, 30.0), ("k1", 6, 31.0)],       # fire uses state
+    ]
+    src_dir = str(tmp_path / "delta_trig")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k string, seq int, v double"
+        ).coalesce(1).write.parquet(f"{src_dir}/b{i}.parquet")
+    schema = spark.read.parquet(f"{src_dir}/b0.parquet").schema
+
+    def replay():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+
+    # purge mode: each fire covers rows since the previous fire
+    got = sorted(
+        (r.fire_seq, r.cnt, r.sum_value, r.fire_value)
+        for r in run_stream_to_table(
+            stream_delta_window(
+                replay(), ["k"], "v", threshold=10.0, order_by=["seq"]
+            )
+        ).collect()
+    )
+    assert got == [(1, 3, 17.0, 12.0), (2, 2, 44.0, 30.0)]
+
+    # non-purge: the global window keeps accumulating
+    got2 = sorted(
+        (r.fire_seq, r.cnt, r.sum_value)
+        for r in run_stream_to_table(
+            stream_delta_window(
+                replay(), ["k"], "v", threshold=10.0, order_by=["seq"],
+                purge=False,
+            )
+        ).collect()
+    )
+    assert got2 == [(1, 3, 17.0), (2, 5, 61.0)]
+
+    # DeltaEvictor: before aggregating, drop elements > 6.0 away from
+    # the buffer's LAST element (fire 1 buffer [0,5,12] -> keep
+    # [12]; fire 2 buffer [14,30] -> keep [30])
+    got3 = sorted(
+        (r.fire_seq, r.cnt, r.sum_value)
+        for r in run_stream_to_table(
+            stream_delta_window(
+                replay(), ["k"], "v", threshold=10.0, order_by=["seq"],
+                evict_threshold=6.0,
+            )
+        ).collect()
+    )
+    assert got3 == [(1, 1, 12.0), (2, 1, 30.0)]
+
+    # custom DeltaFunction (signed downward move only)
+    got4 = [
+        (r.fire_seq, r.fire_value)
+        for r in run_stream_to_table(
+            stream_delta_window(
+                replay(), ["k"], "v", threshold=3.0, order_by=["seq"],
+                delta_fn=lambda a, b: a - b,
+            )
+        ).collect()
+    ]
+    assert got4 == []  # values only rise: a-b never exceeds +3
+
+
 def test_dedup_within_watermark_ttl(spark, tmp_path):
     """TTL'd dedup state (reference StateTtlConfig on
     DeduplicateKeepFirstRowFunction ↔ dropDuplicatesWithinWatermark):

@@ -438,6 +438,202 @@ def hbase_sink(df: DataFrame, catalog: str, **opts) -> None:
 
 
 # ---------------------------------------------------------------------------
+# connector tail — thin option-mapped wrappers, ES/HBase pattern:
+# the reference's builder/config surface maps 1:1 onto the PUBLIC
+# Spark connector for each system; all jar-gated (the connector jar
+# is not in this environment — wrappers fail with the connector's
+# own class-not-found, never silently).
+# ---------------------------------------------------------------------------
+
+
+def cassandra_options(
+    host: str,
+    keyspace: str,
+    table: str,
+    *,
+    port: int = 9042,
+    username: str | None = None,
+    password: str | None = None,
+    consistency: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Map the reference's Cassandra connector surface
+    (flink-connector-cassandra CassandraSink.java builder: setHost
+    (default port 9042, CassandraSink.java:283-294),
+    setDefaultKeyspace:272, ClusterBuilder credentials,
+    MapperOptions consistency) to the public spark-cassandra-connector
+    (``org.apache.spark.sql.cassandra``) options."""
+    opts = {
+        "spark.cassandra.connection.host": host,
+        "spark.cassandra.connection.port": str(port),
+        "keyspace": keyspace,
+        "table": table,
+    }
+    if username is not None:
+        opts["spark.cassandra.auth.username"] = username
+    if password is not None:
+        opts["spark.cassandra.auth.password"] = password
+    if consistency is not None:
+        opts["spark.cassandra.output.consistency.level"] = consistency
+    opts.update(extra)
+    return opts
+
+
+def cassandra_source(
+    spark: SparkSession, host: str, keyspace: str, table: str, **opts
+) -> DataFrame:
+    """Cassandra scan (CassandraInputFormat / CassandraSink analog's
+    read side). The public connector partitions by token range and
+    pushes partition-key predicates down server-side."""
+    reader = spark.read.format("org.apache.spark.sql.cassandra")
+    for k, v in cassandra_options(host, keyspace, table, **opts).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def cassandra_sink(
+    df: DataFrame, host: str, keyspace: str, table: str, **opts
+) -> None:
+    """Cassandra sink (CassandraSink.java). Cassandra writes are
+    last-write-wins upserts per primary key — the same
+    effectively-exactly-once semantics the reference documents."""
+    writer = df.write.format("org.apache.spark.sql.cassandra")
+    for k, v in cassandra_options(host, keyspace, table, **opts).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
+
+
+def rmq_options(
+    host: str,
+    queue: str,
+    *,
+    port: int = 5672,
+    virtual_host: str = "/",
+    username: str | None = None,
+    password: str | None = None,
+    uri: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Map the reference's RabbitMQ connection surface
+    (flink-connector-rabbitmq RMQConnectionConfig.Builder:
+    setHost:320, setPort:312, setVirtualHost:330, setUserName:340,
+    setPassword:350, setUri:363) to the community Spark RabbitMQ
+    receiver's options; ``uri`` short-circuits the field form exactly
+    like the reference's ``setUri``."""
+    if uri is None:
+        auth = (
+            f"{username}:{password}@" if username is not None else ""
+        )
+        vh = virtual_host if virtual_host != "/" else "%2f"
+        uri = f"amqp://{auth}{host}:{port}/{vh}"
+    opts = {
+        "hosts": host,
+        "virtualHost": virtual_host,
+        "queueName": queue,
+        "amqp.uri": uri,
+    }
+    if username is not None:
+        opts["userName"] = username
+    if password is not None:
+        opts["password"] = password
+    opts.update(extra)
+    return opts
+
+
+def rmq_source(spark: SparkSession, host: str, queue: str, **opts) -> DataFrame:
+    """RabbitMQ stream (RMQSource.java analog) via the community
+    Spark receiver format — jar-gated; without the jar this raises
+    the connector's class-not-found. Production deployments commonly
+    bridge RMQ through Kafka instead (kafka_source above) — the
+    option mapping here is the migration surface either way."""
+    reader = spark.readStream.format("rabbitmq")
+    for k, v in rmq_options(host, queue, **opts).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def pubsub_options(
+    project: str,
+    subscription: str | None = None,
+    topic: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """Map the reference's GCP Pub/Sub surface
+    (flink-connector-gcp-pubsub PubSubSource.java
+    withProjectName:246 / withSubscriptionName:253, PubSubSink's
+    topic) to the public Google Pub/Sub Lite Spark connector's
+    fully-qualified resource paths. Exactly one of
+    ``subscription``/``topic`` (source reads a subscription, sink
+    writes a topic — the reference splits the same way)."""
+    if (subscription is None) == (topic is None):
+        raise ValueError("exactly one of subscription/topic required")
+    opts = dict(extra)
+    if subscription is not None:
+        opts["pubsublite.subscription"] = (
+            f"projects/{project}/locations/{opts.pop('location', '-')}"
+            f"/subscriptions/{subscription}"
+        )
+    else:
+        opts["pubsublite.topic"] = (
+            f"projects/{project}/locations/{opts.pop('location', '-')}"
+            f"/topics/{topic}"
+        )
+    return opts
+
+
+def pubsub_source(
+    spark: SparkSession, project: str, subscription: str, **opts
+) -> DataFrame:
+    """GCP Pub/Sub stream (PubSubSource.java analog) via the public
+    ``pubsublite`` Spark connector — jar-gated."""
+    reader = spark.readStream.format("pubsublite")
+    for k, v in pubsub_options(project, subscription=subscription, **opts).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def pubsub_sink(
+    df: DataFrame, project: str, topic: str, checkpoint_dir: str, **opts
+):
+    """GCP Pub/Sub sink (PubSubSink.java analog) — jar-gated."""
+    writer = df.writeStream.format("pubsublite").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    for k, v in pubsub_options(project, topic=topic, **opts).items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def nifi_options(
+    url: str,
+    port_name: str,
+    *,
+    request_batch_count: int = 1000,
+    **extra: str,
+) -> dict[str, str]:
+    """Map the reference's NiFi Site-to-Site surface
+    (flink-connector-nifi NiFiSource.java:52 SiteToSiteClientConfig —
+    target URL, output port name, request batch count) to the Apache
+    NiFi Spark receiver's option names."""
+    opts = {
+        "nifi.url": url,
+        "nifi.port.name": port_name,
+        "nifi.request.batch.count": str(request_batch_count),
+    }
+    opts.update(extra)
+    return opts
+
+
+def nifi_source(spark: SparkSession, url: str, port_name: str, **opts) -> DataFrame:
+    """NiFi Site-to-Site stream (NiFiSource.java analog) — jar-gated
+    via the Apache NiFi Spark receiver format."""
+    reader = spark.readStream.format("nifi")
+    for k, v in nifi_options(url, port_name, **opts).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
 # CDC JSON formats (reference flink-formats/flink-json:
 # debezium/DebeziumJsonDeserializationSchema.java — op r/c/u/d with
 # before/after images, optional schema+payload envelope;

@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "hll_distinct_rollup",
     # round 4c: event-time-timer sessions (the stateful-timer family)
     "timer_sessions",
+    # round 5: temporal-join SQL shim, delta-triggered window,
+    # streaming nested-group CEP — new plan families, each with a 10×
+    # experiment in SCALE.md
+    "dialect_asof",
+    "delta_trigger_window",
+    "stream_match_nested",
 ]
 
 

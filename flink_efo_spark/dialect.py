@@ -393,10 +393,12 @@ _SYSTEM_TIME_RE = re.compile(
     re.IGNORECASE,
 )
 
-# condition ends at the next clause keyword at paren depth 0
+# condition ends at the next clause keyword at paren depth 0; the
+# (?!\s*\() lookahead keeps LEFT(x, 2) / RIGHT(x, 2) function calls
+# inside the condition (they share a name with the join keywords)
 _COND_END_RE = re.compile(
     r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT|WINDOW"
-    r"|QUALIFY|JOIN|LEFT|RIGHT|FULL|INNER|CROSS)\b",
+    r"|QUALIFY|JOIN|LEFT|RIGHT|FULL|INNER|CROSS)\b(?!\s*\()",
     re.IGNORECASE,
 )
 

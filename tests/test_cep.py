@@ -739,6 +739,41 @@ def test_stream_nested_group_held_until_closed(spark, tmp_path):
     assert got == [("u1", 2, 5)]
 
 
+def test_stream_nested_group_within_window(spark, tmp_path):
+    """Pattern.within() (NFA.java windowTime) applies to streamed
+    nested groups: a grouped match whose span would exceed the window
+    never fires, and tail state prunes on window advance."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    batches = [
+        # u1 completes within the 100-unit window; u2's d is too late
+        [("u1", 0, "a", 1.0), ("u1", 10, "b", 1.0)],
+        [("u1", 20, "c", 1.0), ("u1", 30, "d", 1.0),
+         ("u2", 0, "a", 1.0), ("u2", 10, "b", 1.0)],
+        [("u2", 20, "c", 1.0), ("u2", 200, "d", 1.0)],
+    ]
+    src = _stream_batches(spark, tmp_path, "nested_within", batches)
+    out = stream_match_recognize(
+        src, ["k"], "seq",
+        pattern="A (B C)+ D",
+        defines={
+            "A": "et = 'a'", "B": "et = 'b'",
+            "C": "et = 'c'", "D": "et = 'd'",
+        },
+        measures={
+            "n_pairs": ("B", "count", "seq"),
+            "d_seq": ("D", "last", "seq"),
+        },
+        within=100,
+    )
+    got = sorted(
+        (r.k, r.n_pairs, r.d_seq)
+        for r in run_stream_to_table(out).collect()
+    )
+    assert got == [("u1", 1, 30)]
+
+
 def test_stream_permute_cross_batch(spark, tmp_path):
     """Streaming PERMUTE (alternation-of-sequences AST) — a P·S·E /
     P·E·S triple split across batches matches either order."""

@@ -213,6 +213,15 @@ def test_rewrite_system_time_proctime_and_errors():
     )
     with pytest.raises(ValueError, match="no equi-join key"):
         rewrite_system_time(bad, lambda t: "rt")
+    # LEFT(x, 2) inside the condition is a function call, not a join
+    # keyword — the condition span must include it
+    fn_cond = (
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r "
+        "ON o.cur = r.cur AND LEFT(o.cur, 2) = 'EU' WHERE o.id > 0"
+    )
+    out2 = rewrite_system_time(fn_cond, lambda t: "rt")
+    assert "LEFT(o.cur, 2) = 'EU'" in out2
+    assert out2.endswith("WHERE o.id > 0")
 
 
 def test_system_time_join_end_to_end(spark):

@@ -103,6 +103,7 @@ def _driver_order() -> list[str]:
         "dialect_asof",
         "stream_match_nested",
         "delta_trigger_window",
+        "sql_match_recognize",
     }
 
     def key(n: str):

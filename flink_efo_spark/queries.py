@@ -2197,6 +2197,54 @@ def q_match_recognize_funnel(t: _T) -> DataFrame:
 
 
 @_q(
+    "sql_match_recognize",
+    """
+    SELECT user_id, click_id, purchase_id
+    FROM (SELECT user_id, prev_id AS click_id, event_id AS purchase_id
+          FROM (SELECT user_id, event_id, event_type, ts,
+                       lag(event_type) OVER w AS prev_et,
+                       lag(event_id) OVER w AS prev_id,
+                       lag(ts) OVER w AS prev_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WHERE event_type = 'purchase' AND prev_et = 'click'
+            AND epoch_us(ts) - epoch_us(prev_ts)
+                  <= CAST(3600 AS BIGINT) * 1000000)
+    """,
+)
+def q_sql_match_recognize(t: _T) -> DataFrame:
+    """The reference's SQL:2016 MATCH_RECOGNIZE clause run VERBATIM
+    (Calcite SqlMatchRecognize → StreamExecMatch.scala:68; here
+    match_sql.py parses the clause and routes it through the engine
+    matcher): adjacent click→purchase funnel with WITHIN, the full
+    clause surface — PARTITION BY / ORDER BY / MEASURES / AFTER MATCH
+    / PATTERN / WITHIN / DEFINE — in one statement."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.select(
+        "user_id", "event_id", "event_type", "ts"
+    ).createOrReplaceTempView("__efo_mr_events")
+    return env.execute_sql(
+        """
+        SELECT user_id, click_id, purchase_id
+        FROM __efo_mr_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS click_id,
+                   LAST(B.event_id) AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )
+        """
+    )
+
+
+@_q(
     "funnel_within",
     """
     SELECT user_id, prev_id AS click_id, event_id AS purchase_id

@@ -149,6 +149,10 @@ class EfoSession:
         from flink_efo_spark.dialect import rewrite_system_time, translate
 
         query = rewrite_system_time(query, self._rowtime_of)
+        if "MATCH_RECOGNIZE" in query.upper():
+            from flink_efo_spark.match_sql import execute_match_recognize
+
+            return execute_match_recognize(self.spark, query, translate)
         return self.spark.sql(translate(query))
 
     def _rowtime_of(self, name: str):

@@ -1,0 +1,134 @@
+"""SQL MATCH_RECOGNIZE clause (match_sql.py) — the reference's
+Calcite SqlMatchRecognize surface (StreamExecMatch.scala:68) routed
+through the engine matcher."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _env(spark):
+    from flink_efo_spark.session import EfoSession
+
+    return EfoSession(spark)
+
+
+def _mk(spark, rows):
+    spark.createDataFrame(
+        rows, "k string, seq int, et string, v double"
+    ).createOrReplaceTempView("__mr_t")
+
+
+def test_sql_match_recognize_full_clause(spark):
+    """PARTITION/ORDER/MEASURES (FIRST/LAST/COUNT/bare/MATCH_NUMBER)
+    /AFTER MATCH/PATTERN with quantifier/DEFINE in one statement."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 2.0),
+            ("u1", 3, "b", 3.0),
+            ("u1", 4, "c", 9.0),
+            ("u1", 5, "a", 1.0),
+            ("u1", 6, "c", 2.0),
+            ("u2", 1, "a", 5.0),
+            ("u2", 2, "c", 6.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, m, a_seq, n_b, c_val
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES MATCH_NUMBER() AS m,
+                   FIRST(A.seq) AS a_seq,
+                   COUNT(B.seq) AS n_b,
+                   C.v AS c_val
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b',
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    got = sorted((r.k, r.m, r.a_seq, r.n_b, r.c_val) for r in out.collect())
+    assert got == [
+        ("u1", 1, 1, 2, 9.0),
+        ("u1", 2, 5, 0, 2.0),
+        ("u2", 1, 1, 0, 6.0),
+    ]
+
+
+def test_sql_match_recognize_skip_and_alias(spark):
+    """SKIP TO NEXT ROW (overlapping matches) and the clause alias
+    usable in the outer query."""
+    _mk(
+        spark,
+        [("u1", 1, "a", 1.0), ("u1", 2, "a", 1.0), ("u1", 3, "b", 1.0)],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT r.k, r.a_seq
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(A.seq) AS a_seq
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A+ B)
+          DEFINE A AS A.et = 'a', B AS B.et = 'b'
+        ) AS r
+        WHERE r.k = 'u1'
+        """
+    )
+    assert sorted(r.a_seq for r in out.collect()) == [1, 2]
+
+
+def test_sql_match_recognize_prev_define(spark):
+    """PREV(V.col) inside DEFINE maps to the engine's prev_ columns."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "x", 1.0),
+            ("u1", 2, "x", 5.0),   # up
+            ("u1", 3, "x", 2.0),   # down -> D
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, d_seq FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES LAST(D.seq) AS d_seq
+          PATTERN (D)
+          DEFINE D AS D.v < PREV(D.v)
+        )
+        """
+    )
+    assert [r.d_seq for r in out.collect()] == [3]
+
+
+def test_sql_match_recognize_errors(spark):
+    _mk(spark, [("u1", 1, "a", 1.0)])
+    env = _env(spark)
+    with pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
+        env.sql(
+            "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
+            "ORDER BY seq ALL ROWS PER MATCH PATTERN (A) DEFINE A AS A.et = 'a')"
+        )
+    with pytest.raises(ValueError, match="FIRST\\(\\)/LAST\\(\\)"):
+        env.sql(
+            "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
+            "ORDER BY seq MEASURES FIRST(A.seq) AS s PATTERN (A B) "
+            "DEFINE A AS A.et = 'a', B AS B.v > LAST(A.v))"
+        )
+    with pytest.raises(ValueError, match="PARTITION BY"):
+        env.sql(
+            "SELECT * FROM __mr_t MATCH_RECOGNIZE (ORDER BY seq "
+            "PATTERN (A) DEFINE A AS A.et = 'a')"
+        )
+    with pytest.raises(ValueError, match="unsupported MEASURES"):
+        env.sql(
+            "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
+            "ORDER BY seq MEASURES SUM(A.v) AS s PATTERN (A) "
+            "DEFINE A AS A.et = 'a')"
+        )

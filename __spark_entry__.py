@@ -104,6 +104,7 @@ def _driver_order() -> list[str]:
         "stream_match_nested",
         "delta_trigger_window",
         "sql_match_recognize",
+        "ddl_sql",
     }
 
     def key(n: str):

@@ -1,0 +1,215 @@
+"""Flink CREATE TABLE DDL (SQL text) → the engine's TableSpec catalog.
+
+The reference parses ``CREATE TABLE t (...) WITH ('connector'=...)``
+through its own SQL parser (flink-sql-parser SqlCreateTable.java:56,
+WatermarkSpec via SqlWatermark, computed columns via SqlTableColumn;
+options through the WITH clause into the connector factory). Spark's
+DDL has none of WATERMARK / computed columns / connector options, so
+``EfoSession.sql`` routes Flink-style CREATE TABLE statements here:
+the statement is parsed LEXICALLY and lands in
+:meth:`EfoSession.create_table` — the exact API a migrating user's
+DDL text should reach.
+
+Supported surface (the filesystem connector — the one this sandbox
+can actually scan; other connectors name their API wrappers in the
+error):
+
+* physical columns — recorded but NOT enforced (parquet/orc/csv with
+  a header are self-describing; the reference validates declared
+  schema against the format at scan time, this engine trusts the
+  file schema)
+* ``col AS expr`` computed columns
+* ``WATERMARK FOR ts AS ts - INTERVAL '5' SECOND`` (also the
+  zero-delay ``WATERMARK FOR ts AS ts``)
+* ``PRIMARY KEY (k [, ...]) NOT ENFORCED`` — recorded on the spec
+  (used as the version key/tiebreak hint for temporal joins)
+* ``PARTITIONED BY (col, ...)`` — recorded as an option
+* ``WITH ('connector'='filesystem', 'path'=..., 'format'=...)``
+* ``DROP TABLE [IF EXISTS] name``
+
+``CREATE TABLE ... LIKE`` stays on the API
+(:meth:`EfoSession.create_table_like`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from flink_efo_spark.dialect import _find_close, _skip_quoted
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*\(",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_WATERMARK_RE = re.compile(
+    r"^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WM_DELAY_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*-\s*INTERVAL\s*'(\d+)'\s*"
+    r"(SECOND|MINUTE|HOUR|DAY)S?$",
+    re.IGNORECASE,
+)
+_PK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)"
+    r"(?:\s+NOT\s+ENFORCED)?$",
+    re.IGNORECASE,
+)
+_COMPUTED_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s+AS\s+(.+?)(?:\s+COMMENT\s+'[^']*')?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_METADATA_RE = re.compile(r"\bMETADATA\b", re.IGNORECASE)
+_PARTITIONED_RE = re.compile(
+    r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", re.IGNORECASE
+)
+_WITH_RE = re.compile(r"\bWITH\s*\(", re.IGNORECASE)
+_OPT_RE = re.compile(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
+
+
+def is_flink_create_table(sql: str) -> bool:
+    """True for CREATE TABLE statements carrying Flink-only clauses
+    (WITH options, WATERMARK, computed columns live inside the column
+    list — the WITH clause is the reliable marker; plain Spark DDL
+    passes through untouched)."""
+    return bool(_CREATE_RE.match(sql)) and bool(_WITH_RE.search(sql))
+
+
+def is_drop_table(sql: str) -> bool:
+    return bool(_DROP_RE.match(sql))
+
+
+def _split_top(text: str) -> list[str]:
+    parts, depth, last, i = [], 0, 0, 0
+    while i < len(text):
+        c = text[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(text, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+        i += 1
+    parts.append(text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_watermark_delay(expr: str) -> tuple[str, str]:
+    """``ts - INTERVAL '5' SECOND`` → (``ts``, ``"5 seconds"``);
+    bare ``ts`` → zero delay."""
+    expr = expr.strip()
+    m = _WM_DELAY_RE.match(expr)
+    if m:
+        return m.group(1), f"{m.group(2)} {m.group(3).lower()}s"
+    if re.fullmatch(r"[A-Za-z_]\w*", expr):
+        return expr, "0 seconds"
+    raise ValueError(
+        f"unsupported WATERMARK expression: {expr!r} "
+        "(expected '<col> - INTERVAL '<n>' <unit>' or bare '<col>')"
+    )
+
+
+def execute_create_table(env, sql: str):
+    """Parse + register via ``env.create_table``; returns the spec."""
+    m = _CREATE_RE.match(sql)
+    name = m.group(1)
+    open_idx = sql.index("(", m.end() - 1)
+    close = _find_close(sql, open_idx)
+    col_block = sql[open_idx + 1 : close]
+    rest = sql[close + 1 :]
+
+    watermark = None
+    primary_key: list[str] = []
+    computed: dict[str, str] = {}
+    for item in _split_top(col_block):
+        wm = _WATERMARK_RE.match(item)
+        if wm:
+            col, expr = wm.group(1), wm.group(2).strip()
+            wcol, delay = parse_watermark_delay(expr)
+            if wcol != col:
+                raise ValueError(
+                    f"WATERMARK FOR {col} must reference {col}, got {expr!r}"
+                )
+            watermark = (col, delay)
+            continue
+        pk = _PK_RE.match(item)
+        if pk:
+            primary_key = [c.strip().strip("`") for c in pk.group(1).split(",")]
+            continue
+        if _METADATA_RE.search(item):
+            raise ValueError(
+                f"METADATA columns are connector-specific and not "
+                f"supported: {item!r}"
+            )
+        cm = _COMPUTED_RE.match(item)
+        # 'name AS expr' is computed ONLY when 'expr' is not a bare
+        # type keyword (a physical 'name TYPE' never contains AS)
+        if cm and re.search(r"\sAS\s", item, re.IGNORECASE):
+            computed[cm.group(1)] = cm.group(2).strip()
+            continue
+        # physical column: recorded implicitly by the file schema
+
+    part_m = _PARTITIONED_RE.search(rest)
+    partitioned = (
+        [c.strip().strip("`") for c in part_m.group(1).split(",")]
+        if part_m
+        else []
+    )
+    wm_with = _WITH_RE.search(rest)
+    if not wm_with:
+        raise ValueError("Flink CREATE TABLE needs a WITH (...) clause")
+    wopen = rest.index("(", wm_with.end() - 1)
+    wclose = _find_close(rest, wopen)
+    options = {
+        k.replace("''", "'"): v.replace("''", "'")
+        for k, v in _OPT_RE.findall(rest[wopen + 1 : wclose])
+    }
+
+    connector = options.pop("connector", None)
+    if connector != "filesystem":
+        raise ValueError(
+            f"connector {connector!r} has no SQL-DDL mapping here — "
+            "use the API wrappers (io.py kafka_source/jdbc_source/"
+            "es_source/cassandra_source/... or EfoSession.create_table)"
+        )
+    path = options.pop("path", None)
+    if path is None:
+        raise ValueError("filesystem connector requires a 'path' option")
+    fmt = options.pop("format", "parquet")
+    if partitioned:
+        options["partitioned_by"] = ",".join(partitioned)
+    if primary_key:
+        options["primary_key"] = ",".join(primary_key)
+    return env.create_table(
+        name,
+        path,
+        format=fmt,
+        watermark=watermark,
+        computed_columns=computed or None,
+        **options,
+    )
+
+
+def execute_drop_table(env, sql: str) -> None:
+    m = _DROP_RE.match(sql)
+    if_exists, name = bool(m.group(1)), m.group(2)
+    known = name in env._specs
+    if not known and not if_exists:
+        raise ValueError(f"table not found: {name!r}")
+    env._specs.pop(name, None)
+    env._rowtimes.pop(name, None)
+    try:
+        env.spark.catalog.dropTempView(name)
+    except Exception:
+        if not if_exists:
+            raise

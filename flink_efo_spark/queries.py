@@ -1842,6 +1842,51 @@ def q_partitioned_sink(t: _T) -> DataFrame:
 
 
 @_q(
+    "ddl_sql",
+    """
+    SELECT event_type, count(*) AS cnt,
+           round(sum(value * 2), 2) AS sum_x2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_ddl_sql(t: _T) -> DataFrame:
+    """The reference's CREATE TABLE DDL TEXT run verbatim
+    (SqlCreateTable.java:56 + SqlWatermark + computed columns +
+    PRIMARY KEY NOT ENFORCED + WITH options → ddl_sql.py): declare
+    events as a filesystem table with a watermark, a computed column
+    and a primary key, then aggregate through the registered table."""
+    from flink_efo_spark.catalog import table_path
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    env.sql(
+        f"""
+        CREATE TABLE __efo_ddl_sql_ev (
+          event_id BIGINT,
+          user_id BIGINT,
+          event_type STRING,
+          value DOUBLE,
+          ts TIMESTAMP(3),
+          value_x2 AS value * 2,
+          WATERMARK FOR ts AS ts - INTERVAL '10' SECOND,
+          PRIMARY KEY (event_id) NOT ENFORCED
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{table_path(t.sf_dir, "events")}',
+          'format' = 'parquet'
+        )
+        """
+    )
+    return env.sql(
+        """
+        SELECT event_type, count(*) AS cnt,
+               round(sum(value_x2), 2) AS sum_x2
+        FROM __efo_ddl_sql_ev GROUP BY event_type
+        """
+    )
+
+
+@_q(
     "ddl_catalog",
     """
     SELECT * FROM (VALUES

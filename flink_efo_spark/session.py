@@ -148,6 +148,22 @@ class EfoSession:
         literal PROCTIME() token before translate() replaces it."""
         from flink_efo_spark.dialect import rewrite_system_time, translate
 
+        from flink_efo_spark import ddl_sql
+
+        if ddl_sql.is_flink_create_table(query):
+            # Flink DDL (WITH-options CREATE TABLE incl. WATERMARK /
+            # computed columns / PRIMARY KEY) → the engine catalog;
+            # plain Spark DDL falls through to spark.sql untouched
+            ddl_sql.execute_create_table(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
+        if (
+            ddl_sql.is_drop_table(query.rstrip().rstrip(";"))
+            and query.rstrip().rstrip(";").split()[-1] in self._specs
+        ):
+            # drops of engine-spec tables clean the spec + temp view;
+            # everything else stays native Spark DDL
+            ddl_sql.execute_drop_table(self, query.rstrip().rstrip(";"))
+            return self.spark.sql("SELECT 'OK' AS result")
         query = rewrite_system_time(query, self._rowtime_of)
         if "MATCH_RECOGNIZE" in query.upper():
             from flink_efo_spark.match_sql import execute_match_recognize

@@ -1,0 +1,108 @@
+"""Flink CREATE TABLE DDL text (ddl_sql.py) — SqlCreateTable.java:56
+surface: WATERMARK, computed columns, PRIMARY KEY NOT ENFORCED,
+PARTITIONED BY, WITH options, DROP TABLE."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _env(spark):
+    from flink_efo_spark.session import EfoSession
+
+    return EfoSession(spark)
+
+
+def _write_events(spark, tmp_path):
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0), (3, "a", 4.0)],
+        "id long, et string, v double",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_create_table_ddl_roundtrip(spark, tmp_path):
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    r = env.sql(
+        f"""
+        CREATE TABLE __ddl_t1 (
+          id BIGINT,
+          et STRING,
+          v DOUBLE,
+          v2 AS v * 10,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) PARTITIONED BY (et) WITH (
+          'connector' = 'filesystem',
+          'path' = '{path}',
+          'format' = 'parquet'
+        )
+        """
+    ).collect()
+    assert r[0].result == "OK"
+    got = sorted(
+        (x.et, x.s) for x in env.sql(
+            "SELECT et, sum(v2) AS s FROM __ddl_t1 GROUP BY et"
+        ).collect()
+    )
+    assert got == [("a", 60.0), ("b", 30.0)]
+    spec = env._specs["__ddl_t1"]
+    assert spec.computed_columns == {"v2": "v * 10"}
+    assert spec.options["primary_key"] == "id"
+    assert spec.options["partitioned_by"] == "et"
+    # DROP removes spec + view; IF EXISTS is a no-op afterwards
+    env.sql("DROP TABLE __ddl_t1")
+    assert "__ddl_t1" not in env._specs
+
+
+def test_create_table_ddl_watermark_parse(spark, tmp_path):
+    from flink_efo_spark.ddl_sql import parse_watermark_delay
+
+    assert parse_watermark_delay("ts - INTERVAL '5' SECOND") == (
+        "ts", "5 seconds"
+    )
+    assert parse_watermark_delay("ts - INTERVAL '10' MINUTE") == (
+        "ts", "10 minutes"
+    )
+    assert parse_watermark_delay("ts") == ("ts", "0 seconds")
+    with pytest.raises(ValueError, match="WATERMARK"):
+        parse_watermark_delay("CAST(ts AS TIMESTAMP)")
+
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    env.sql(
+        f"""
+        CREATE TABLE __ddl_t2 (
+          id BIGINT, et STRING, v DOUBLE, ts TIMESTAMP(3),
+          WATERMARK FOR ts AS ts - INTERVAL '7' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}')
+        """
+    )
+    assert env._specs["__ddl_t2"].watermark == ("ts", "7 seconds")
+    # the watermark also registers the table for FOR SYSTEM_TIME AS OF
+    assert env._rowtime_of("__ddl_t2") == "ts"
+
+
+def test_create_table_ddl_errors(spark, tmp_path):
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    with pytest.raises(ValueError, match="no SQL-DDL mapping"):
+        env.sql(
+            "CREATE TABLE __ddl_bad (id BIGINT) WITH "
+            "('connector' = 'kafka', 'topic' = 't')"
+        )
+    with pytest.raises(ValueError, match="'path'"):
+        env.sql(
+            "CREATE TABLE __ddl_bad (id BIGINT) WITH "
+            "('connector' = 'filesystem')"
+        )
+    with pytest.raises(ValueError, match="METADATA"):
+        env.sql(
+            f"CREATE TABLE __ddl_bad (id BIGINT, "
+            f"ts TIMESTAMP(3) METADATA FROM 'timestamp') WITH "
+            f"('connector' = 'filesystem', 'path' = '{path}')"
+        )
+    # plain Spark DDL (no WITH clause) passes through untouched
+    env.sql("CREATE TABLE __ddl_spark_native (a INT) USING parquet")
+    spark.sql("DROP TABLE __ddl_spark_native")

@@ -105,6 +105,7 @@ def _driver_order() -> list[str]:
         "delta_trigger_window",
         "sql_match_recognize",
         "ddl_sql",
+        "hybrid_rrf_search",
     }
 
     def key(n: str):

@@ -4477,6 +4477,105 @@ def q_bm25_scores(t: _T) -> DataFrame:
 
 
 @_q(
+    "hybrid_rrf_search",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(text)), ' '),
+                         t -> t <> '') AS ts
+      FROM documents),
+    d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, ts FROM tk),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+    tf AS (
+      SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf,
+             any_value(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d)
+      WHERE t IN ('scan', 'merge', 'window')
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                       * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                   6) AS bm25
+      FROM tf JOIN dfreq USING (term), stats
+      GROUP BY doc_id),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm),
+    q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(ev, qv)
+                     / (sqrt(list_dot_product(ev, ev))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings), q),
+    csr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+      FROM cs),
+    u AS (
+      SELECT doc_id, r FROM bmr WHERE r <= 50
+      UNION ALL
+      SELECT doc_id, r FROM csr WHERE r <= 50)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           round(sum(1.0 / (60 + r)), 8) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf_search(t: _T) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    the lexical BM25 list and the embedding-cosine list (query =
+    vector 0) fused as Σ 1/(60+rank) over each list's top 50 — the
+    RAG / query-based corpus-selection composition the engine's
+    scorers exist for. Scores are rounded(6) BEFORE ranking so rank
+    boundaries are engine-stable; ties break on doc_id."""
+    from flink_efo_spark.operators.retrieval import rrf_fuse
+    from flink_efo_spark.operators.text import bm25_scores
+
+    bm = bm25_scores(t.documents, "doc_id", "text", ["scan", "merge", "window"])
+
+    emb = t.embeddings
+    e = "transform(embedding, x -> cast(x as double))"
+    qv = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.expr(e).alias("__qv"))
+    )
+    dot = (
+        "aggregate(zip_with(__ev, __qv, (a, b) -> a * b), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> x * x), "
+        "cast(0.0 as double), (acc, y) -> acc + y))"
+    )
+    cos = emb.select(
+        "vec_id", F.expr(e).alias("__ev")
+    ).crossJoin(qv).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                f"{dot} / ({nrm.format(v='__ev')} * {nrm.format(v='__qv')})"
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    fused = rrf_fuse(
+        [(bm, "doc_id", "bm25"), (cos, "vec_id", "cos_sim")],
+        k=60,
+        top=50,
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+@_q(
     "incremental_agg",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -181,3 +181,39 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     pf_sections = plan.split("PartitionFilters")[1:]
     assert any("cell" in s[:250] for s in pf_sections), plan
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF (Cormack et al.): 1/(k+rank) per list, ids in a single
+    list still score, `top` caps each list, ties break on id."""
+    import pytest as _pytest
+
+    from flink_efo_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (5, 0.8), (1, 0.7)], "id long, s double"
+    )
+    out = {
+        r.doc_id: (r.n_lists, r.rrf_score)
+        for r in rrf_fuse([(a, "id", "s"), (b, "id", "s")], k=10).collect()
+    }
+    # list a ranks: 1->1, 2->2 (tie 5.0 broken by id), 3->3, 4->4
+    # list b ranks: 2->1, 5->2, 1->3
+    assert out[1] == (2, round(1 / 11 + 1 / 13, 8))
+    assert out[2] == (2, round(1 / 12 + 1 / 11, 8))
+    assert out[3] == (1, round(1 / 13, 8))
+    assert out[5] == (1, round(1 / 12, 8))
+    # top=2 drops ranks > 2 from each list
+    capped = {
+        r.doc_id: r.n_lists
+        for r in rrf_fuse(
+            [(a, "id", "s"), (b, "id", "s")], k=10, top=2
+        ).collect()
+    }
+    # id 1's list-b rank (3) is cut: it survives via list a only
+    assert capped == {1: 1, 2: 2, 5: 1}
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -106,6 +106,7 @@ def _driver_order() -> list[str]:
         "sql_match_recognize",
         "ddl_sql",
         "hybrid_rrf_search",
+        "stream_match_overlap",
     }
 
     def key(n: str):

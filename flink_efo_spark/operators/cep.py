@@ -460,19 +460,20 @@ def _min_completion_bound(leaves) -> int:
     return len(leaves)
 
 
-def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
-    """Could FUTURE rows extend a match (anchored at ``start``) that
-    ends at the buffer's last row? Probe: append hypothetical rows on
-    which EVERY leaf DEFINE holds, stamped with the earliest possible
-    future event time (the last buffered row's), and re-run the
-    preference-order matcher — if the winning match consumes any
-    hypothetical row, real future rows could change the emission, so
-    the match must be HELD. Exact under greedy/reluctant preference
-    (a reluctant tail that already satisfied ``lo`` stops before the
-    probe rows and closes immediately, like the reference NFA); the
-    probe depth covers any one-step continuation plus its minimal
-    completion (NFA.java pending-state test for the nested
-    GroupPattern case)."""
+def _ast_probe(ast, leaves, start, n, leaf_flags, ts=None, within=None):
+    """Preference-order match at ``start`` over the buffer EXTENDED
+    with hypothetical rows on which every leaf DEFINE holds, stamped
+    with the earliest possible future event time (the last buffered
+    row's). Returns (probe_result_or_None, consumed_future: bool).
+
+    Because existing rows' flags are fixed, the probe answers both
+    streaming-emission questions exactly (NFA.java pending-state
+    test): a COMPLETED match is final iff the probe does not consume
+    a hypothetical row (the matcher's exploration over positions < n
+    is identical, so the winning match only changes if it reaches
+    the appended rows); a FAILED start stays dead forever iff even
+    the probe fails. The probe depth covers any one-step continuation
+    plus its minimal completion."""
     import numpy as np
 
     k = _min_completion_bound(leaves) + 1
@@ -482,8 +483,17 @@ def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
     )
     res = _match_at(ast, start, n + k, ext, ts_ext, within)
     if res is None:
-        return False
-    return any(ix >= n for _, lst in res[1] for ix in lst)
+        return None, False
+    return res, any(ix >= n for _, lst in res[1] for ix in lst)
+
+
+def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
+    """Could FUTURE rows extend a match anchored at ``start``? (See
+    :func:`_ast_probe` — this is its consumed-future bit.)"""
+    _, consumed_future = _ast_probe(
+        ast, leaves, start, n, leaf_flags, ts, within
+    )
+    return consumed_future
 
 
 def _match_extendable(m, steps: list[Step]) -> bool:
@@ -756,10 +766,28 @@ def stream_match_recognize(
     max_tail: int = 10_000,
     within: float | None = None,
     flush_on_timeout: bool = False,
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE with cross-batch partial-match state
     (the reference's NFA + SharedBuffer.java:54 on
     ``applyInPandasWithState``).
+
+    after_match: every batch strategy (AfterMatchSkipStrategy.java) —
+    ``past_last_row`` (default, the consuming fast path),
+    ``to_next_row`` (overlapping matches), ``to_first:<var>`` /
+    ``to_last:<var>``. The overlap-capable modes use a FRONTIER
+    emission rule: per start position, the all-true future-row probe
+    (:func:`_ast_probe`) classifies it as dead (failed, and no future
+    rows can complete it — flags of existing rows are fixed), final
+    (matched, probe can't change it → emit), or unresolved (held, or
+    failed-but-future-completable) — emission stops at the first
+    unresolved start so match order and numbering stay exactly the
+    batch semantics, and the tail keeps rows from that frontier on.
+    Dead prefixes advance the frontier, so no-match state drains;
+    with ``within``, far-future rows kill stale viable starts through
+    the probe's window check (the overlap modes skip the separate
+    tail prune — a held complete match may legally contain rows older
+    than the window of the newest row).
 
     Per key, state holds (match_seq, unconsumed tail rows). Each
     micro-batch: tail + new rows are re-sorted by event time, the
@@ -823,8 +851,18 @@ def stream_match_recognize(
     # groups (``A (B C)+ D`` — GroupPattern.java) run the same AST
     # backtracker the batch path uses, with the probe-based hold test
     # (_ast_extendable) deciding emission vs. cross-batch hold
+    skip_var = None
+    if after_match.startswith(("to_first:", "to_last:")):
+        skip_var = after_match.split(":", 1)[1]
+        if skip_var not in defines:
+            raise ValueError(f"after_match variable {skip_var!r} has no DEFINE")
+    elif after_match not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unsupported after_match: {after_match!r}")
+    # overlap-capable skip modes always take the AST/frontier path
+    # (the AST matcher handles flat patterns too)
     has_groups = _has_groups(ast)
-    steps = None if has_groups else _flat_steps(ast, leaves)
+    overlap = after_match != "past_last_row"
+    steps = None if (has_groups or overlap) else _flat_steps(ast, leaves)
     meas_items = list(measures.items())
     prev_needed = sorted(
         {m for body in deferred.values() for m in re.findall(r"prev_(\w+)", body)}
@@ -921,6 +959,80 @@ def stream_match_recognize(
             else (None, None)
         )
 
+        def emit(var_rows):
+            nonlocal seq
+            seq += 1
+            rec = {k: key[i] for i, k in enumerate(partition_by)}
+            rec["match_seq"] = seq
+            rec.update(_measure_record(var_rows, meas_items, data))
+            rows.append(rec)
+
+        rows: list[dict] = []
+        if overlap:
+            # FRONTIER emission (overlap-capable skip modes): walk
+            # start positions with the batch skip semantics; the probe
+            # classifies each start as dead / final / unresolved, and
+            # emission stops at the first unresolved start so match
+            # order and numbering equal the batch matcher's.
+            leaf_flags = []
+            for _, variables, *_ in leaves:
+                fl = var_flags[variables[0]]
+                for v in variables[1:]:
+                    fl = fl | var_flags[v]
+                leaf_flags.append(fl)
+            i = 0
+            frontier = None
+            while i < n:
+                cur = _match_at(ast, i, n, leaf_flags, ts, win)
+                if not finalize:
+                    probe, fut = _ast_probe(
+                        ast, leaves, i, n, leaf_flags, ts, win
+                    )
+                    if (cur is None and probe is not None) or (
+                        cur is not None and fut
+                    ):
+                        frontier = i  # unresolved: future rows matter
+                        break
+                if cur is None:
+                    i += 1
+                    continue
+                _, assign = cur
+                var_rows = _attribute_assign(assign, leaves, var_flags)
+                emit(var_rows)
+                consumed = [ix for _, lst in assign for ix in lst]
+                if after_match == "to_next_row":
+                    i += 1
+                else:  # to_first:/to_last:
+                    sv = var_rows.get(skip_var, [])
+                    if not sv:
+                        i = (max(consumed) if consumed else i) + 1
+                    else:
+                        nxt = (
+                            sv[0]
+                            if after_match.startswith("to_first:")
+                            else sv[-1]
+                        )
+                        if nxt <= i:
+                            raise ValueError(
+                                f"AFTER MATCH {after_match} would re-enter "
+                                "the match start — infinite loop"
+                            )
+                        i = nxt
+            if frontier is None:
+                frontier = i
+            new_tail = allr.iloc[frontier:]
+            # no within-based tail prune here: a held COMPLETE match
+            # may legally contain rows older than the newest row's
+            # window; stale viable starts die through the probe's own
+            # window check, which advances the frontier instead
+            if deferred and frontier > 0:
+                ctx = allr.iloc[[frontier - 1]].copy()
+                ctx["__ctx"] = True
+                new_tail = pd.concat([ctx, new_tail], ignore_index=True)
+            if len(new_tail) > max_tail:
+                new_tail = new_tail.iloc[-max_tail:]
+            return rows, seq, new_tail
+
         if has_groups:
             leaf_flags = []
             for _, variables, *_ in leaves:
@@ -938,7 +1050,6 @@ def stream_match_recognize(
                 step_flags.append(fl)
             matches = _greedy_matches(step_flags, steps, n, ts, win)
 
-        rows = []
         consumed_through = -1
         for _start, m in matches:
             if has_groups:
@@ -961,11 +1072,7 @@ def stream_match_recognize(
                 var_rows = _attribute(m, steps, var_flags)
             if held:
                 break  # held: future rows may extend it — keep in tail
-            seq += 1
-            rec = {k: key[i] for i, k in enumerate(partition_by)}
-            rec["match_seq"] = seq
-            rec.update(_measure_record(var_rows, meas_items, data))
-            rows.append(rec)
+            emit(var_rows)
             consumed_through = end
         new_tail = allr.iloc[consumed_through + 1 :]
         if within is not None and len(new_tail):

@@ -3647,6 +3647,70 @@ def q_delta_trigger_window(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_match_overlap",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), c AS (
+      SELECT user_id, event_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS grp
+      FROM o WHERE event_type = 'click'
+    ), runs AS (
+      SELECT user_id, grp, max(rn) AS end_rn FROM c GROUP BY user_id, grp
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, rn
+      FROM o WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           CAST(row_number() OVER (PARTITION BY c.user_id ORDER BY c.rn)
+                AS BIGINT) AS match_seq,
+           c.event_id AS first_click, p.purchase_id
+    FROM c
+    JOIN runs r ON r.user_id = c.user_id AND r.grp = c.grp
+    JOIN p ON p.user_id = c.user_id AND p.rn = r.end_rn + 1
+    """,
+)
+def q_stream_match_overlap(t: _T) -> DataFrame:
+    """STREAMING AFTER MATCH SKIP TO NEXT ROW — OVERLAPPING matches
+    (AfterMatchSkipStrategy.java SKIP_TO_NEXT_ROW; the sliding-funnel
+    counting mode) on a 3-batch replay: ``A+ B`` with A=click,
+    B=purchase emits one match per click of each click-run that ends
+    at a purchase. The frontier emission rule (operators/cep.py) must
+    reproduce the batch match set and numbering across micro-batch
+    boundaries; the oracle enumerates click-runs (gaps-and-islands)
+    joined to their terminating purchase."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    )
+    out = stream_match_recognize(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        pattern="A+ B",
+        defines={"A": "event_type = 'click'", "B": "event_type = 'purchase'"},
+        measures={
+            "first_click": ("A", "first", "event_id"),
+            "purchase_id": ("B", "last", "event_id"),
+        },
+        tiebreak="event_id",
+        after_match="to_next_row",
+    )
+    return run_stream_to_table(out).select(
+        "user_id", "match_seq", "first_click", "purchase_id"
+    )
+
+
+@_q(
     "stream_sort_limit",
     """
     SELECT event_id, user_id, round(value, 4) AS value

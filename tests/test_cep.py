@@ -774,6 +774,95 @@ def test_stream_nested_group_within_window(spark, tmp_path):
     assert got == [("u1", 1, 30)]
 
 
+def test_stream_after_match_to_next_row_every_boundary(spark, tmp_path):
+    """Streaming AFTER MATCH SKIP TO NEXT ROW (overlapping matches,
+    AfterMatchSkipStrategy.java) must equal the batch matcher for
+    EVERY micro-batch split point — the frontier emission rule holds
+    unresolved starts without reordering match numbers."""
+    from flink_efo_spark.operators.cep import (
+        match_recognize,
+        stream_match_recognize,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ets = ["a", "a", "b", "x", "a", "b", "a", "x"]
+    rows = [("u1", i + 1, et, 1.0) for i, et in enumerate(ets)]
+    batch_df = spark.createDataFrame(
+        rows, "k string, seq int, et string, v double"
+    )
+    kwargs = dict(
+        pattern="A+ B",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={
+            "a_first": ("A", "first", "seq"),
+            "b_seq": ("B", "last", "seq"),
+        },
+    )
+    want = sorted(
+        (r.k, r.match_seq, r.a_first, r.b_seq)
+        for r in match_recognize(
+            batch_df, ["k"], "seq", after_match="to_next_row", **kwargs
+        ).collect()
+    )
+    assert len(want) == 3  # starts 1,2 -> b@3; a@5 -> b@6; a@7 dangles
+    for cut in range(1, len(rows)):
+        src = _stream_batches(
+            spark, tmp_path, f"overlap_{cut}", [rows[:cut], rows[cut:]]
+        )
+        got = sorted(
+            (r.k, r.match_seq, r.a_first, r.b_seq)
+            for r in run_stream_to_table(
+                stream_match_recognize(
+                    src, ["k"], "seq", after_match="to_next_row", **kwargs
+                )
+            ).collect()
+        )
+        assert got == want, f"split at {cut}: {got}"
+
+
+def test_stream_after_match_to_first_var(spark, tmp_path):
+    """Streaming SKIP TO FIRST <var>: resume at the first B row of the
+    emitted match, across a batch boundary."""
+    from flink_efo_spark.operators.cep import (
+        match_recognize,
+        stream_match_recognize,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ets = ["a", "b", "b", "a", "b", "x"]
+    rows = [("u1", i + 1, et, 1.0) for i, et in enumerate(ets)]
+    batch_df = spark.createDataFrame(
+        rows, "k string, seq int, et string, v double"
+    )
+    kwargs = dict(
+        pattern="A B+",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "n_b": ("B", "count", "seq"),
+        },
+    )
+    want = sorted(
+        (r.match_seq, r.a_seq, r.n_b)
+        for r in match_recognize(
+            batch_df, ["k"], "seq", after_match="to_first:B", **kwargs
+        ).collect()
+    )
+    for cut in (2, 3, 4, 5):
+        src = _stream_batches(
+            spark, tmp_path, f"tofirst_{cut}", [rows[:cut], rows[cut:]]
+        )
+        got = sorted(
+            (r.match_seq, r.a_seq, r.n_b)
+            for r in run_stream_to_table(
+                stream_match_recognize(
+                    src, ["k"], "seq", after_match="to_first:B", **kwargs
+                )
+            ).collect()
+        )
+        assert got == want, f"split at {cut}: {got} != {want}"
+
+
 def test_stream_permute_cross_batch(spark, tmp_path):
     """Streaming PERMUTE (alternation-of-sequences AST) — a P·S·E /
     P·E·S triple split across batches matches either order."""

@@ -220,8 +220,11 @@ def execute_match_recognize(spark, sql: str, translate_fn):
     sec = _sections(sql[open_idx + 1 : close])
 
     if "ALL ROWS PER MATCH" in sec:
+        # exact reference parity: StreamExecMatch.scala:193 throws
+        # "All rows per match mode is not supported yet."
         raise ValueError(
-            "ALL ROWS PER MATCH is not supported (one row per match only)"
+            "ALL ROWS PER MATCH is not supported (one row per match only; "
+            "the reference rejects it too)"
         )
     if "PATTERN" not in sec or "DEFINE" not in sec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE")

@@ -496,6 +496,52 @@ def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
     return consumed_future
 
 
+def _frontier_scan(
+    ast, leaves, leaf_flags, n, ts, win,
+    after_match, skip_var, var_flags, finalize,
+):
+    """One streaming pass of the overlap-capable skip modes: walk
+    start positions with the batch skip semantics; classify each
+    start via :func:`_ast_probe` as dead / final / unresolved and
+    stop at the first unresolved one. Returns
+    ``([(assign, var_rows), ...], frontier)`` — emissions in match
+    order plus the buffer index the cross-batch tail starts at."""
+    out = []
+    i = 0
+    while i < n:
+        cur = _match_at(ast, i, n, leaf_flags, ts, win)
+        if not finalize:
+            probe, fut = _ast_probe(ast, leaves, i, n, leaf_flags, ts, win)
+            if (cur is None and probe is not None) or (
+                cur is not None and fut
+            ):
+                return out, i  # unresolved: future rows matter
+        if cur is None:
+            i += 1
+            continue
+        _, assign = cur
+        var_rows = _attribute_assign(assign, leaves, var_flags)
+        out.append((assign, var_rows))
+        consumed = [ix for _, lst in assign for ix in lst]
+        if after_match == "to_next_row":
+            i += 1
+        else:  # to_first:/to_last:
+            sv = var_rows.get(skip_var, [])
+            if not sv:
+                i = (max(consumed) if consumed else i) + 1
+            else:
+                nxt = (
+                    sv[0] if after_match.startswith("to_first:") else sv[-1]
+                )
+                if nxt <= i:
+                    raise ValueError(
+                        f"AFTER MATCH {after_match} would re-enter the "
+                        "match start — infinite loop"
+                    )
+                i = nxt
+    return out, i
+
+
 def _match_extendable(m, steps: list[Step]) -> bool:
     """Could a FUTURE row extend this completed match? True when the
     last consumed step has remaining capacity or any later
@@ -969,57 +1015,22 @@ def stream_match_recognize(
 
         rows: list[dict] = []
         if overlap:
-            # FRONTIER emission (overlap-capable skip modes): walk
-            # start positions with the batch skip semantics; the probe
-            # classifies each start as dead / final / unresolved, and
-            # emission stops at the first unresolved start so match
-            # order and numbering equal the batch matcher's.
+            # FRONTIER emission (overlap-capable skip modes) — see
+            # _frontier_scan: emission stops at the first unresolved
+            # start so match order and numbering equal the batch
+            # matcher's.
             leaf_flags = []
             for _, variables, *_ in leaves:
                 fl = var_flags[variables[0]]
                 for v in variables[1:]:
                     fl = fl | var_flags[v]
                 leaf_flags.append(fl)
-            i = 0
-            frontier = None
-            while i < n:
-                cur = _match_at(ast, i, n, leaf_flags, ts, win)
-                if not finalize:
-                    probe, fut = _ast_probe(
-                        ast, leaves, i, n, leaf_flags, ts, win
-                    )
-                    if (cur is None and probe is not None) or (
-                        cur is not None and fut
-                    ):
-                        frontier = i  # unresolved: future rows matter
-                        break
-                if cur is None:
-                    i += 1
-                    continue
-                _, assign = cur
-                var_rows = _attribute_assign(assign, leaves, var_flags)
+            emissions, frontier = _frontier_scan(
+                ast, leaves, leaf_flags, n, ts, win,
+                after_match, skip_var, var_flags, finalize,
+            )
+            for _assign, var_rows in emissions:
                 emit(var_rows)
-                consumed = [ix for _, lst in assign for ix in lst]
-                if after_match == "to_next_row":
-                    i += 1
-                else:  # to_first:/to_last:
-                    sv = var_rows.get(skip_var, [])
-                    if not sv:
-                        i = (max(consumed) if consumed else i) + 1
-                    else:
-                        nxt = (
-                            sv[0]
-                            if after_match.startswith("to_first:")
-                            else sv[-1]
-                        )
-                        if nxt <= i:
-                            raise ValueError(
-                                f"AFTER MATCH {after_match} would re-enter "
-                                "the match start — infinite loop"
-                            )
-                        i = nxt
-            if frontier is None:
-                frontier = i
             new_tail = allr.iloc[frontier:]
             # no within-based tail prune here: a held COMPLETE match
             # may legally contain rows older than the newest row's

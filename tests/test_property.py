@@ -264,3 +264,84 @@ def test_bm25_matches_bruteforce(spark, texts):
         if s > 0:
             want[i] = round(s, 6)
     assert got == want
+
+
+# Streaming frontier emission (overlap-capable AFTER MATCH modes) must
+# reproduce the batch matcher's match set for ANY sequence of buffer
+# splits. Pure python — drives the shipped _frontier_scan directly.
+
+frontier_patterns = st.sampled_from(
+    ["A+ B", "A B", "A B* C", "A (B C)+ D", "A B+?", "(A|B)+ C"]
+)
+frontier_rows = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "x"]), min_size=1, max_size=14
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pattern=frontier_patterns,
+    rows=frontier_rows,
+    cut_seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_frontier_scan_split_equals_batch(pattern, rows, cut_seed):
+    import numpy as np
+
+    from flink_efo_spark.operators.cep import (
+        _ast_matches,
+        _attribute_assign,
+        _frontier_scan,
+        _parse_ast,
+    )
+
+    ast, leaves = _parse_ast(pattern)
+    n_all = len(rows)
+    # two deterministic cut points derived from the seed
+    c1 = cut_seed % (n_all + 1)
+    c2 = c1 + (cut_seed // 7) % (n_all + 1 - c1)
+    batches = [rows[:c1], rows[c1:c2], rows[c2:]]
+
+    def flags(rs):
+        vf = {
+            v: np.array([r == v.lower() for r in rs], dtype=bool)
+            for v in "ABCD"
+        }
+        lf = []
+        for _, variables, *_ in leaves:
+            fl = vf[variables[0]]
+            for v in variables[1:]:
+                fl = fl | vf[v]
+            lf.append(fl)
+        return vf, lf
+
+    def sig(var_rows, base_rows):
+        # content signature: per-variable matched row letters+offsets
+        return tuple(
+            (v, tuple(base_rows[i] for i in ixs))
+            for v, ixs in sorted(var_rows.items())
+        )
+
+    # batch reference: full buffer, finalize (end of input flushes)
+    vf_all, lf_all = flags(rows)
+    want = []
+    for _start, assign in _ast_matches(
+        lf_all, ast, leaves, n_all, skip="to_next_row", var_flags=vf_all
+    ):
+        want.append(sig(_attribute_assign(assign, leaves, vf_all), rows))
+
+    # streaming: replay batches through the shipped frontier scan,
+    # carrying the tail; finalize on the last batch
+    got = []
+    tail: list[str] = []
+    for bi, batch in enumerate(batches):
+        buf = tail + list(batch)
+        vf, lf = flags(buf)
+        emissions, frontier = _frontier_scan(
+            ast, leaves, lf, len(buf), None, None,
+            "to_next_row", None, vf, finalize=(bi == len(batches) - 1),
+        )
+        for assign, var_rows in emissions:
+            got.append(sig(var_rows, buf))
+        tail = buf[frontier:]
+
+    assert got == want, (pattern, rows, batches, got, want)

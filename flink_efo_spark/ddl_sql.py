@@ -200,6 +200,73 @@ def execute_create_table(env, sql: str):
     )
 
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_STMT_SET_RE = re.compile(
+    r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b(.*)\bEND\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def is_insert_into(sql: str) -> bool:
+    return bool(_INSERT_RE.match(sql))
+
+
+def is_statement_set(sql: str) -> bool:
+    return bool(_STMT_SET_RE.match(sql))
+
+
+def execute_insert(env, sql: str) -> None:
+    """``INSERT INTO|OVERWRITE <spec-table> <query>`` — the statement
+    every Flink pipeline ends with (SqlInsert via
+    TableEnvironmentImpl.executeSql:646, routed to the connector
+    sink). For engine-spec tables the query result is written to the
+    spec's path in its format (PARTITIONED BY columns from the DDL
+    applied as partitionBy); OVERWRITE maps to mode=overwrite exactly
+    like the reference's INSERT OVERWRITE on filesystem tables. After
+    the write the batch temp view re-registers so subsequent reads
+    see the new files."""
+    m = _INSERT_RE.match(sql)
+    mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+    name, query = m.group(2), m.group(3).strip()
+    spec = env._specs.get(name)
+    if spec is None:
+        raise ValueError(
+            f"INSERT target {name!r} is not an engine table — register it "
+            "with CREATE TABLE ... WITH ('connector'='filesystem', ...)"
+        )
+    df = env.sql(query)
+    # computed columns are derived at scan time — never stored
+    df = df.drop(*[c for c in spec.computed_columns if c in df.columns])
+    writer = df.write.format(spec.format).mode(mode)
+    part = spec.options.get("partitioned_by")
+    if part:
+        writer = writer.partitionBy(*part.split(","))
+    writer.save(spec.path)
+    spec.scan(env.spark).createOrReplaceTempView(name)
+
+
+def execute_statement_set(env, sql: str) -> None:
+    """``EXECUTE STATEMENT SET BEGIN <insert>; <insert>; END`` — the
+    reference's multi-sink pipeline statement (StatementSet /
+    SqlExecute in the parser). Each inner INSERT runs through
+    :func:`execute_insert`; the reference optimizes the set into one
+    DAG with shared scans, which Spark approximates for free when the
+    inserts share cached/registered inputs."""
+    body = _STMT_SET_RE.match(sql).group(1)
+    stmts = [s.strip() for s in body.split(";") if s.strip()]
+    if not stmts:
+        raise ValueError("empty STATEMENT SET")
+    for stmt in stmts:
+        if not is_insert_into(stmt):
+            raise ValueError(
+                f"STATEMENT SET allows only INSERT statements: {stmt!r}"
+            )
+        execute_insert(env, stmt)
+
+
 def execute_drop_table(env, sql: str) -> None:
     m = _DROP_RE.match(sql)
     if_exists, name = bool(m.group(1)), m.group(2)

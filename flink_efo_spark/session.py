@@ -19,6 +19,7 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -164,6 +165,21 @@ class EfoSession:
             # everything else stays native Spark DDL
             ddl_sql.execute_drop_table(self, query.rstrip().rstrip(";"))
             return self.spark.sql("SELECT 'OK' AS result")
+        if ddl_sql.is_statement_set(query):
+            ddl_sql.execute_statement_set(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
+        if ddl_sql.is_insert_into(query) and (
+            re.match(
+                r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+([A-Za-z_][\w.]*)",
+                query,
+                re.IGNORECASE,
+            ).group(1)
+            in self._specs
+        ):
+            # INSERT into engine-spec tables writes the spec's files;
+            # inserts into real Spark tables stay native
+            ddl_sql.execute_insert(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
         query = rewrite_system_time(query, self._rowtime_of)
         if "MATCH_RECOGNIZE" in query.upper():
             from flink_efo_spark.match_sql import execute_match_recognize
@@ -235,7 +251,15 @@ class EfoSession:
 
         spec = TableSpec(name, path, format, watermark, computed_columns, options)
         self._specs[name] = spec
-        spec.scan(self.spark).createOrReplaceTempView(name)
+        try:
+            spec.scan(self.spark).createOrReplaceTempView(name)
+        except Exception:
+            # a SINK table's path may not exist yet (the reference
+            # registers such specs too — files appear on first INSERT,
+            # and execute_insert re-registers the view); anything else
+            # is a real error
+            if os.path.exists(path) or "://" in path:
+                raise
         return spec
 
     def stream(self, name: str):

@@ -84,6 +84,69 @@ def test_create_table_ddl_watermark_parse(spark, tmp_path):
     assert env._rowtime_of("__ddl_t2") == "ts"
 
 
+def test_insert_into_and_statement_set(spark, tmp_path):
+    """INSERT INTO / INSERT OVERWRITE on engine-spec tables write the
+    spec's files (SqlInsert via executeSql); EXECUTE STATEMENT SET
+    runs multiple inserts (the reference's multi-sink pipeline)."""
+    env = _env(spark)
+    src = _write_events(spark, tmp_path)
+    out_a = str(tmp_path / "out_a.parquet")
+    out_b = str(tmp_path / "out_b.parquet")
+    env.sql(
+        f"CREATE TABLE __ins_src (id BIGINT, et STRING, v DOUBLE) WITH "
+        f"('connector' = 'filesystem', 'path' = '{src}')"
+    )
+    env.sql(
+        f"CREATE TABLE __ins_a (et STRING, s DOUBLE) WITH "
+        f"('connector' = 'filesystem', 'path' = '{out_a}')"
+    )
+    env.sql(
+        f"CREATE TABLE __ins_b (id BIGINT, v DOUBLE) WITH "
+        f"('connector' = 'filesystem', 'path' = '{out_b}')"
+    )
+    env.sql(
+        "INSERT INTO __ins_a "
+        "SELECT et, sum(v) AS s FROM __ins_src GROUP BY et"
+    )
+    got = sorted((r.et, r.s) for r in env.sql("SELECT * FROM __ins_a").collect())
+    assert got == [("a", 6.0), ("b", 3.0)]
+    # append semantics: a second INSERT INTO doubles the rows
+    env.sql(
+        "INSERT INTO __ins_a "
+        "SELECT et, sum(v) AS s FROM __ins_src GROUP BY et"
+    )
+    assert env.sql("SELECT count(*) AS c FROM __ins_a").collect()[0].c == 4
+    # INSERT OVERWRITE resets
+    env.sql(
+        "INSERT OVERWRITE __ins_a "
+        "SELECT et, sum(v) AS s FROM __ins_src GROUP BY et"
+    )
+    assert env.sql("SELECT count(*) AS c FROM __ins_a").collect()[0].c == 2
+
+    env.sql(
+        """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT OVERWRITE __ins_a SELECT et, sum(v) AS s FROM __ins_src GROUP BY et;
+          INSERT INTO __ins_b SELECT id, v FROM __ins_src WHERE v > 2.5;
+        END
+        """
+    )
+    assert env.sql("SELECT count(*) AS c FROM __ins_a").collect()[0].c == 2
+    got_b = sorted(r.id for r in env.sql("SELECT * FROM __ins_b").collect())
+    assert got_b == [2, 3]
+
+    import pytest as _pytest
+
+    # inserts into unknown (non-spec) targets pass through to native
+    # Spark SQL and fail with ITS resolution error
+    with _pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        env.sql("INSERT INTO __nope SELECT 1")
+    with _pytest.raises(ValueError, match="only INSERT"):
+        env.sql(
+            "EXECUTE STATEMENT SET BEGIN SELECT 1; END"
+        )
+
+
 def test_create_table_ddl_errors(spark, tmp_path):
     env = _env(spark)
     path = _write_events(spark, tmp_path)

@@ -107,6 +107,17 @@ def _driver_order() -> list[str]:
         "ddl_sql",
         "hybrid_rrf_search",
         "stream_match_overlap",
+        # round-5 TPC-DS corpus: a structurally diverse slice gets
+        # priority rows now; the rest are never-checked and outrank
+        # green rotation, so they earn rows in the following rounds
+        "tpcds_q3",
+        "tpcds_q6",
+        "tpcds_q23",
+        "tpcds_q36",
+        "tpcds_q59",
+        "tpcds_q74",
+        "tpcds_q88",
+        "tpcds_q95",
     }
 
     def key(n: str):

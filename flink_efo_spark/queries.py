@@ -5969,3 +5969,9 @@ def q_sha_timestamp_fns(t: _T) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+# TPC-DS corpus (derived star schema): registers tpcds_* entries into
+# QUERIES/ORACLES on import. Import sits at module tail so the helpers
+# above (_q, _T, _money) exist when tpcds's decorators run.
+import flink_efo_spark.tpcds  # noqa: E402,F401  (registration side effect)

@@ -1,0 +1,1283 @@
+"""TPC-DS-shaped star schema + query corpus over the TPC-H base tables.
+
+The reference proves its relational planner on the full 103-query
+TPC-DS corpus (flink-end-to-end-tests/flink-tpcds-test/
+TpcdsTestProgram.java:49, schema/TpcdsSchemaProvider.java, answer
+comparison in utils/TpcdsResultComparator.java). The driver fixtures
+here are TPC-H-shaped, so this module derives the TPC-DS star schema
+— three sales-channel facts, their returns, and the conformed
+dimensions — deterministically from the TPC-H tables, then
+re-expresses a structurally representative slice of the TPC-DS
+corpus over it: star joins, correlated scalar subqueries, CTE
+self-joins, cross-channel UNION ALL, ROLLUP + windowed rank,
+semi/anti subqueries, and scalar-subquery grids.
+
+Derivation (identical on the Spark and DuckDB sides):
+
+* channel split — ``l_linenumber % 3``: 0 → store_sales,
+  1 → catalog_sales, 2 → web_sales; each fact is the
+  lineitem ⋈ orders projection with channel-prefixed columns;
+* returns — the channel's rows with ``l_returnflag = 'R'``;
+* date_dim — distinct order + ship dates with year/moy/qoy/dom;
+* item ← part, customer_dim ← customer, customer_address ←
+  nation ⋈ region, store/warehouse ← supplier ⋈ nation.
+
+Scale: the dimensions are tiny at any SF (dates ≈ few thousand rows,
+item/store bounded by the base dims) — AQE broadcasts every dim join,
+so each star query is one shuffle on its group-by key. The facts are
+narrow projections of the lineitem ⋈ orders join; at 100 TB you would
+materialize them once (partitioned by sold_date, bucketed by item_sk)
+instead of re-deriving per query — the queries below only depend on
+the fact *schema*, not on how the rows got there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_efo_spark.queries import _MONEY_SQL, _money, _q, _T
+
+_C = F.col
+
+
+def _round4(c):
+    """4-dp round with deterministic HALF_UP ties on the positive
+    domain (same rationale as ``_money``: Spark/DuckDB ``round()``
+    disagree on ties like .46865)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
+def _exact_avg(c, scale: int):
+    """Cross-engine bit-stable average of a fixed-point column: snap
+    each value to an exact integer at ``scale`` (cent) precision,
+    sum as BIGINT (exact, order-independent), divide by the exact
+    BIGINT count, then round to one unit. Every intermediate is
+    identical on Spark and DuckDB, so boundary values cannot flip —
+    unlike round(avg(x), k), where the engines' double sums differ in
+    the last ulp exactly where ties live."""
+    ints = F.round(c * scale, 0).cast("bigint")
+    return F.floor(F.sum(ints) / F.count(F.lit(1)) + F.lit(0.5)) / scale
+
+
+def _exact_avg_sql(x: str, scale: int) -> str:
+    return (
+        f"floor(sum(CAST(round(({x}) * {scale}, 0) AS BIGINT))"
+        f" / count(*) + 0.5) / {scale}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived star schema: DuckDB CTE text (oracle side)
+# ---------------------------------------------------------------------------
+
+def _fact_sql(prefix: str, channel: int, loc: str, order: str) -> str:
+    p = prefix
+    return f"""
+    SELECT CAST(o.o_orderdate AS DATE) AS {p}sold_date,
+           CAST(l.l_shipdate AS DATE)  AS {p}ship_date,
+           l.l_partkey  AS {p}item_sk,
+           o.o_custkey  AS {p}customer_sk,
+           l.l_suppkey  AS {p}{loc},
+           l.l_orderkey AS {p}{order},
+           l.l_quantity AS {p}quantity,
+           l.l_extendedprice AS {p}ext_list_price,
+           l.l_extendedprice * (1 - l.l_discount) AS {p}net_paid,
+           l.l_extendedprice * l.l_discount AS {p}ext_discount_amt,
+           l.l_extendedprice * l.l_tax AS {p}ext_ship_cost,
+           l.l_extendedprice * (1 - l.l_discount) - l.l_extendedprice * 0.8
+             AS {p}net_profit,
+           l.l_returnflag AS {p}return_flag
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_linenumber % 3 = {channel}
+    """
+
+
+def _returns_sql(prefix: str, channel: int, loc: str, order: str) -> str:
+    p = prefix
+    return f"""
+    SELECT CAST(l.l_shipdate AS DATE) AS {p}returned_date,
+           l.l_partkey  AS {p}item_sk,
+           o.o_custkey  AS {p}customer_sk,
+           l.l_suppkey  AS {p}{loc},
+           l.l_orderkey AS {p}{order},
+           l.l_quantity AS {p}return_quantity,
+           l.l_extendedprice * (1 - l.l_discount) AS {p}return_amt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_linenumber % 3 = {channel} AND l.l_returnflag = 'R'
+    """
+
+
+_CTE: dict[str, str] = {
+    "date_dim": """
+    SELECT d_date,
+           CAST(EXTRACT(YEAR FROM d_date) AS BIGINT) AS d_year,
+           CAST(EXTRACT(MONTH FROM d_date) AS BIGINT) AS d_moy,
+           CAST(EXTRACT(QUARTER FROM d_date) AS BIGINT) AS d_qoy,
+           CAST(EXTRACT(DAY FROM d_date) AS BIGINT) AS d_dom
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date FROM orders
+          UNION
+          SELECT DISTINCT CAST(l_shipdate AS DATE) AS d_date FROM lineitem) dates
+    """,
+    "item": """
+    SELECT p_partkey AS i_item_sk,
+           p_name AS i_item_desc,
+           p_brand AS i_brand,
+           p_type AS i_category,
+           p_brand AS i_class,
+           p_size AS i_size,
+           p_retailprice AS i_current_price,
+           CAST(p_partkey % 50 AS BIGINT) AS i_manufact_id
+    FROM part
+    """,
+    "customer_dim": """
+    SELECT c_custkey AS c_customer_sk,
+           c_name AS c_customer_id,
+           CAST(c_nationkey AS BIGINT) AS c_current_addr_sk,
+           c_mktsegment AS c_segment,
+           CASE WHEN c_acctbal > 5000 THEN 'Y' ELSE 'N' END AS c_preferred_flag
+    FROM customer
+    """,
+    "customer_address": """
+    SELECT CAST(n_nationkey AS BIGINT) AS ca_address_sk,
+           n_name AS ca_state,
+           r_name AS ca_country
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "store": """
+    SELECT s_suppkey AS s_store_sk,
+           s_name AS s_store_name,
+           n_name AS s_state,
+           CAST(s_nationkey % 10 AS BIGINT) AS s_market_id
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "store_sales": _fact_sql("ss_", 0, "store_sk", "ticket_number"),
+    "catalog_sales": _fact_sql("cs_", 1, "warehouse_sk", "order_number"),
+    "web_sales": _fact_sql("ws_", 2, "warehouse_sk", "order_number"),
+    "store_returns": _returns_sql("sr_", 0, "store_sk", "ticket_number"),
+    "web_returns": _returns_sql("wr_", 2, "warehouse_sk", "order_number"),
+}
+
+
+def _with(sql: str, *tables: str, extra: str | None = None) -> str:
+    """Assemble ``WITH <derived CTEs>[, extra] <sql>`` for the oracle."""
+    parts = [f"{t} AS ({_CTE[t]})" for t in tables]
+    if extra:
+        parts.append(extra)
+    return "WITH " + ",\n".join(parts) + "\n" + sql
+
+
+# ---------------------------------------------------------------------------
+# Derived star schema: DataFrame builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+class _DS:
+    """TPC-DS view layer over a ``_T`` base-table loader. Every
+    builder mirrors the matching ``_CTE`` SQL text exactly; the
+    oracle gate (tests/test_tpcds.py + the driver) holds the two in
+    lock-step."""
+
+    def __init__(self, t: _T):
+        self.t = t
+
+    def _fact(self, channel: int, p: str, loc: str, order: str) -> DataFrame:
+        l, o = self.t.lineitem, self.t.orders
+        net = _C("l_extendedprice") * (1 - _C("l_discount"))
+        return (
+            l.where(_C("l_linenumber") % 3 == channel)
+            .join(o, _C("l_orderkey") == _C("o_orderkey"))
+            .select(
+                _C("o_orderdate").cast("date").alias(p + "sold_date"),
+                _C("l_shipdate").cast("date").alias(p + "ship_date"),
+                _C("l_partkey").alias(p + "item_sk"),
+                _C("o_custkey").alias(p + "customer_sk"),
+                _C("l_suppkey").alias(p + loc),
+                _C("l_orderkey").alias(p + order),
+                _C("l_quantity").alias(p + "quantity"),
+                _C("l_extendedprice").alias(p + "ext_list_price"),
+                net.alias(p + "net_paid"),
+                (_C("l_extendedprice") * _C("l_discount")).alias(
+                    p + "ext_discount_amt"
+                ),
+                (_C("l_extendedprice") * _C("l_tax")).alias(p + "ext_ship_cost"),
+                (net - _C("l_extendedprice") * 0.8).alias(p + "net_profit"),
+                _C("l_returnflag").alias(p + "return_flag"),
+            )
+        )
+
+    def _returns(self, channel: int, p: str, loc: str, order: str) -> DataFrame:
+        l, o = self.t.lineitem, self.t.orders
+        return (
+            l.where((_C("l_linenumber") % 3 == channel) & (_C("l_returnflag") == "R"))
+            .join(o, _C("l_orderkey") == _C("o_orderkey"))
+            .select(
+                _C("l_shipdate").cast("date").alias(p + "returned_date"),
+                _C("l_partkey").alias(p + "item_sk"),
+                _C("o_custkey").alias(p + "customer_sk"),
+                _C("l_suppkey").alias(p + loc),
+                _C("l_orderkey").alias(p + order),
+                _C("l_quantity").alias(p + "return_quantity"),
+                (_C("l_extendedprice") * (1 - _C("l_discount"))).alias(
+                    p + "return_amt"
+                ),
+            )
+        )
+
+    @property
+    def store_sales(self) -> DataFrame:
+        return self._fact(0, "ss_", "store_sk", "ticket_number")
+
+    @property
+    def catalog_sales(self) -> DataFrame:
+        return self._fact(1, "cs_", "warehouse_sk", "order_number")
+
+    @property
+    def web_sales(self) -> DataFrame:
+        return self._fact(2, "ws_", "warehouse_sk", "order_number")
+
+    @property
+    def store_returns(self) -> DataFrame:
+        return self._returns(0, "sr_", "store_sk", "ticket_number")
+
+    @property
+    def web_returns(self) -> DataFrame:
+        return self._returns(2, "wr_", "warehouse_sk", "order_number")
+
+    @property
+    def date_dim(self) -> DataFrame:
+        dates = (
+            self.t.orders.select(_C("o_orderdate").cast("date").alias("d_date"))
+            .union(self.t.lineitem.select(_C("l_shipdate").cast("date").alias("d_date")))
+            .distinct()
+        )
+        return dates.select(
+            "d_date",
+            F.year("d_date").cast("bigint").alias("d_year"),
+            F.month("d_date").cast("bigint").alias("d_moy"),
+            F.quarter("d_date").cast("bigint").alias("d_qoy"),
+            F.dayofmonth("d_date").cast("bigint").alias("d_dom"),
+        )
+
+    @property
+    def item(self) -> DataFrame:
+        return self.t.part.select(
+            _C("p_partkey").alias("i_item_sk"),
+            _C("p_name").alias("i_item_desc"),
+            _C("p_brand").alias("i_brand"),
+            _C("p_type").alias("i_category"),
+            _C("p_brand").alias("i_class"),
+            _C("p_size").alias("i_size"),
+            _C("p_retailprice").alias("i_current_price"),
+            (_C("p_partkey") % 50).cast("bigint").alias("i_manufact_id"),
+        )
+
+    @property
+    def customer_dim(self) -> DataFrame:
+        return self.t.customer.select(
+            _C("c_custkey").alias("c_customer_sk"),
+            _C("c_name").alias("c_customer_id"),
+            _C("c_nationkey").cast("bigint").alias("c_current_addr_sk"),
+            _C("c_mktsegment").alias("c_segment"),
+            F.when(_C("c_acctbal") > 5000, "Y").otherwise("N").alias(
+                "c_preferred_flag"
+            ),
+        )
+
+    @property
+    def customer_address(self) -> DataFrame:
+        return (
+            self.t.nation.join(
+                self.t.region, _C("n_regionkey") == _C("r_regionkey")
+            ).select(
+                _C("n_nationkey").cast("bigint").alias("ca_address_sk"),
+                _C("n_name").alias("ca_state"),
+                _C("r_name").alias("ca_country"),
+            )
+        )
+
+    @property
+    def store(self) -> DataFrame:
+        return (
+            self.t.supplier.join(
+                self.t.nation, _C("s_nationkey") == _C("n_nationkey")
+            ).select(
+                _C("s_suppkey").alias("s_store_sk"),
+                _C("s_name").alias("s_store_name"),
+                _C("n_name").alias("s_state"),
+                (_C("s_nationkey") % 10).cast("bigint").alias("s_market_id"),
+            )
+        )
+
+
+def _ds_q(name: str, oracle: str):
+    """Register a TPC-DS query: the wrapped fn takes a ``_DS`` view
+    layer instead of the raw ``_T``."""
+
+    def deco(fn):
+        @_q(name, oracle)
+        def wrapped(t: _T) -> DataFrame:
+            return fn(_DS(t))
+
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@_ds_q(
+    "tpcds_q3",
+    _with(
+        f"""
+    SELECT d_year, i_brand,
+           {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS sum_agg
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE i_manufact_id < 10 AND d_moy = 11
+    GROUP BY d_year, i_brand
+    ORDER BY d_year, sum_agg DESC, i_brand
+    LIMIT 10
+    """,
+        "store_sales", "date_dim", "item",
+    ),
+)
+def q_tpcds_q3(ds: _DS) -> DataFrame:
+    """TPC-DS Q3 (tpcds-tool/query/query3.sql shape): the canonical
+    star join — fact vs two broadcastable dims, agg by year/brand,
+    deterministic top-n. AQE broadcasts date_dim and item, so the
+    only shuffle is the (d_year, i_brand) aggregation."""
+    return (
+        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .where((_C("i_manufact_id") < 10) & (_C("d_moy") == 11))
+        .groupBy("d_year", "i_brand")
+        .agg(_money(F.sum("ss_net_paid")).alias("sum_agg"))
+        .orderBy(_C("d_year"), _C("sum_agg").desc(), _C("i_brand"))
+        .limit(10)
+    )
+
+
+@_ds_q(
+    "tpcds_q6",
+    _with(
+        """
+    SELECT ca_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer_address
+    JOIN customer_dim ON ca_address_sk = c_current_addr_sk
+    JOIN store_sales ON c_customer_sk = ss_customer_sk
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE d_year = 1998
+      AND i_current_price > 1.005 *
+        (SELECT avg(j.i_current_price) FROM item j
+         WHERE j.i_category = item.i_category)
+    GROUP BY ca_state
+    HAVING count(*) >= 2
+    ORDER BY cnt, ca_state
+    """,
+        "customer_address", "customer_dim", "store_sales", "date_dim", "item",
+    ),
+)
+def q_tpcds_q6(ds: _DS) -> DataFrame:
+    """TPC-DS Q6: customers' states buying items priced ≥1.2× their
+    category average — the correlated scalar subquery decorrelates to
+    a per-category avg aggregate joined back to item (exactly what
+    Catalyst/DuckDB both plan); dims broadcast, one shuffle on
+    ca_state."""
+    item = ds.item
+    cat_avg = item.groupBy("i_category").agg(
+        F.avg("i_current_price").alias("__avg_price")
+    )
+    pricey = item.join(cat_avg, "i_category").where(
+        _C("i_current_price") > 1.005 * _C("__avg_price")
+    )
+    return (
+        ds.customer_address.join(
+            ds.customer_dim, _C("ca_address_sk") == _C("c_current_addr_sk")
+        )
+        .join(ds.store_sales, _C("c_customer_sk") == _C("ss_customer_sk"))
+        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(pricey, _C("ss_item_sk") == _C("i_item_sk"))
+        .where(_C("d_year") == 1998)
+        .groupBy("ca_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(_C("cnt") >= 2)
+    )
+
+
+@_ds_q(
+    "tpcds_q7",
+    _with(
+        f"""
+    SELECT i_item_desc,
+           {_exact_avg_sql('ss_quantity', 100)} AS agg1,
+           {_exact_avg_sql('ss_ext_list_price', 100)} AS agg2,
+           {_exact_avg_sql('ss_ext_discount_amt', 10000)} AS agg3,
+           {_exact_avg_sql('ss_net_paid', 10000)} AS agg4
+    FROM store_sales
+    JOIN customer_dim ON ss_customer_sk = c_customer_sk
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE c_segment = 'BUILDING' AND d_year = 1999
+    GROUP BY i_item_desc
+    ORDER BY i_item_desc
+    LIMIT 100
+    """,
+        "store_sales", "customer_dim", "date_dim", "item",
+    ),
+)
+def q_tpcds_q7(ds: _DS) -> DataFrame:
+    """TPC-DS Q7 shape (demographics → market segment): four avgs per
+    item for one buyer segment + year. Segment/date filters reach the
+    fact via broadcast dim joins before the item agg."""
+    return (
+        ds.store_sales.join(
+            ds.customer_dim, _C("ss_customer_sk") == _C("c_customer_sk")
+        )
+        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .where((_C("c_segment") == "BUILDING") & (_C("d_year") == 1999))
+        .groupBy("i_item_desc")
+        .agg(
+            _exact_avg(_C("ss_quantity"), 100).alias("agg1"),
+            _exact_avg(_C("ss_ext_list_price"), 100).alias("agg2"),
+            _exact_avg(_C("ss_ext_discount_amt"), 10000).alias("agg3"),
+            _exact_avg(_C("ss_net_paid"), 10000).alias("agg4"),
+        )
+        .orderBy("i_item_desc")
+        .limit(100)
+    )
+
+
+@_ds_q(
+    "tpcds_q15",
+    _with(
+        f"""
+    SELECT ca_state, {_MONEY_SQL.format(x='sum(cs_net_paid)')} AS sum_paid
+    FROM catalog_sales
+    JOIN customer_dim ON cs_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN date_dim ON cs_sold_date = d_date
+    WHERE (ca_country = 'EUROPE' OR cs_net_paid > 1500)
+      AND d_qoy = 1 AND d_year = 2000
+    GROUP BY ca_state
+    """,
+        "catalog_sales", "customer_dim", "customer_address", "date_dim",
+    ),
+)
+def q_tpcds_q15(ds: _DS) -> DataFrame:
+    """TPC-DS Q15: catalog revenue by buyer state for one quarter,
+    with a disjunctive geography-or-big-ticket filter that cannot be
+    pushed below the address join — the planner must keep it above
+    the (broadcast) dim joins."""
+    return (
+        ds.catalog_sales.join(
+            ds.customer_dim, _C("cs_customer_sk") == _C("c_customer_sk")
+        )
+        .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
+        .join(ds.date_dim, _C("cs_sold_date") == _C("d_date"))
+        .where(
+            ((_C("ca_country") == "EUROPE") | (_C("cs_net_paid") > 1500))
+            & (_C("d_qoy") == 1)
+            & (_C("d_year") == 2000)
+        )
+        .groupBy("ca_state")
+        .agg(_money(F.sum("cs_net_paid")).alias("sum_paid"))
+    )
+
+
+@_ds_q(
+    "tpcds_q19",
+    _with(
+        f"""
+    SELECT i_brand, {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS ext_price
+    FROM date_dim
+    JOIN store_sales ON d_date = ss_sold_date
+    JOIN item ON ss_item_sk = i_item_sk
+    JOIN customer_dim ON ss_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE i_manufact_id BETWEEN 10 AND 30
+      AND d_moy = 11 AND d_year = 1999
+      AND ca_state <> s_state
+    GROUP BY i_brand
+    ORDER BY ext_price DESC, i_brand
+    LIMIT 20
+    """,
+        "date_dim", "store_sales", "item", "customer_dim",
+        "customer_address", "store",
+    ),
+)
+def q_tpcds_q19(ds: _DS) -> DataFrame:
+    """TPC-DS Q19: brand revenue from customers shopping outside
+    their home state — a five-dim star with a cross-dimension
+    inequality (ca_state <> s_state) that only binds after both
+    address and store are joined."""
+    return (
+        ds.date_dim.join(ds.store_sales, _C("d_date") == _C("ss_sold_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .join(ds.customer_dim, _C("ss_customer_sk") == _C("c_customer_sk"))
+        .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .where(
+            _C("i_manufact_id").between(10, 30)
+            & (_C("d_moy") == 11)
+            & (_C("d_year") == 1999)
+            & (_C("ca_state") != _C("s_state"))
+        )
+        .groupBy("i_brand")
+        .agg(_money(F.sum("ss_net_paid")).alias("ext_price"))
+        .orderBy(_C("ext_price").desc(), _C("i_brand"))
+        .limit(20)
+    )
+
+
+@_ds_q(
+    "tpcds_q23",
+    _with(
+        f"""
+    SELECT {_MONEY_SQL.format(x='sum(cs_net_paid)')} AS total_sales
+    FROM catalog_sales
+    WHERE cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+      AND cs_customer_sk IN (
+        SELECT customer_sk FROM best_ss_customer
+        WHERE ssales > 0.5 * (SELECT max(ssales) FROM best_ss_customer))
+    """,
+        "store_sales", "catalog_sales", "date_dim",
+        extra="""
+    frequent_ss_items AS (
+      SELECT ss_item_sk AS item_sk
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1998, 1999)
+      GROUP BY ss_item_sk HAVING count(*) > 4),
+    best_ss_customer AS (
+      SELECT ss_customer_sk AS customer_sk, sum(ss_net_paid) AS ssales
+      FROM store_sales GROUP BY ss_customer_sk)
+    """,
+    ),
+)
+def q_tpcds_q23(ds: _DS) -> DataFrame:
+    """TPC-DS Q23 (lite): catalog revenue restricted to frequently
+    store-sold items and top-spending store customers. The scalar
+    max(ssales) is a 1-row broadcast aggregate (no collect); both IN
+    subqueries become left-semi joins."""
+    ss = ds.store_sales
+    frequent = (
+        ss.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .where(_C("d_year").isin(1998, 1999))
+        .groupBy("ss_item_sk")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(_C("__cnt") > 4)
+        .select(_C("ss_item_sk").alias("item_sk"))
+    )
+    best = ss.groupBy("ss_customer_sk").agg(F.sum("ss_net_paid").alias("ssales"))
+    max_sales = best.agg(F.max("ssales").alias("__max_ssales"))
+    top_customers = (
+        best.join(F.broadcast(max_sales))
+        .where(_C("ssales") > 0.5 * _C("__max_ssales"))
+        .select(_C("ss_customer_sk").alias("customer_sk"))
+    )
+    return (
+        ds.catalog_sales.join(
+            frequent, _C("cs_item_sk") == _C("item_sk"), "left_semi"
+        )
+        .join(top_customers, _C("cs_customer_sk") == _C("customer_sk"), "left_semi")
+        .agg(_money(F.sum("cs_net_paid")).alias("total_sales"))
+    )
+
+
+@_ds_q(
+    "tpcds_q25",
+    _with(
+        f"""
+    SELECT i_item_desc, s_store_name,
+           {_MONEY_SQL.format(x='sum(ss_net_profit)')} AS store_profit,
+           {_MONEY_SQL.format(x='sum(sr_return_amt)')} AS return_amt,
+           {_MONEY_SQL.format(x='sum(cs_net_profit)')} AS catalog_profit
+    FROM store_sales
+    JOIN store_returns
+      ON ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+     AND ss_ticket_number = sr_ticket_number
+    JOIN catalog_sales
+      ON sr_customer_sk = cs_customer_sk AND sr_item_sk = cs_item_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    JOIN date_dim d1 ON ss_sold_date = d1.d_date
+    JOIN date_dim d2 ON sr_returned_date = d2.d_date
+    JOIN date_dim d3 ON cs_sold_date = d3.d_date
+    WHERE d1.d_year BETWEEN 1996 AND 2000 AND d2.d_year BETWEEN 1996 AND 2000
+      AND d3.d_year BETWEEN 1996 AND 2000
+    GROUP BY i_item_desc, s_store_name
+    ORDER BY i_item_desc, s_store_name
+    LIMIT 100
+    """,
+        "store_sales", "store_returns", "catalog_sales", "item", "store",
+        "date_dim",
+    ),
+)
+def q_tpcds_q25(ds: _DS) -> DataFrame:
+    """TPC-DS Q25: buy-in-store → return → re-buy-by-catalog. Two
+    fact-fact joins on (customer, item[, ticket]) plus date_dim
+    joined three times under different aliases — the classic
+    multi-fact chain the TPC-DS star generator stresses."""
+    d1 = ds.date_dim.select(_C("d_date").alias("d1_date"), _C("d_year").alias("d1_year"))
+    d2 = ds.date_dim.select(_C("d_date").alias("d2_date"), _C("d_year").alias("d2_year"))
+    d3 = ds.date_dim.select(_C("d_date").alias("d3_date"), _C("d_year").alias("d3_year"))
+    return (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_customer_sk") == _C("sr_customer_sk"))
+            & (_C("ss_item_sk") == _C("sr_item_sk"))
+            & (_C("ss_ticket_number") == _C("sr_ticket_number")),
+        )
+        .join(
+            ds.catalog_sales,
+            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            & (_C("sr_item_sk") == _C("cs_item_sk")),
+        )
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .join(d1, _C("ss_sold_date") == _C("d1_date"))
+        .join(d2, _C("sr_returned_date") == _C("d2_date"))
+        .join(d3, _C("cs_sold_date") == _C("d3_date"))
+        .where(
+            _C("d1_year").between(1996, 2000)
+            & _C("d2_year").between(1996, 2000)
+            & _C("d3_year").between(1996, 2000)
+        )
+        .groupBy("i_item_desc", "s_store_name")
+        .agg(
+            _money(F.sum("ss_net_profit")).alias("store_profit"),
+            _money(F.sum("sr_return_amt")).alias("return_amt"),
+            _money(F.sum("cs_net_profit")).alias("catalog_profit"),
+        )
+        .orderBy("i_item_desc", "s_store_name")
+        .limit(100)
+    )
+
+
+@_ds_q(
+    "tpcds_q36",
+    _with(
+        """
+    SELECT round(profit / paid, 6) AS gross_margin,
+           i_category, i_class,
+           g_cat + g_class AS lochierarchy,
+           CAST(rank() OVER (
+             PARTITION BY g_cat + g_class,
+                          CASE WHEN g_class = 0 THEN i_category END
+             ORDER BY profit / paid,
+                      i_category NULLS FIRST, i_class NULLS FIRST)
+             AS BIGINT) AS rank_within
+    FROM (
+      SELECT CAST(GROUPING(i_category) AS BIGINT) AS g_cat,
+             CAST(GROUPING(i_class) AS BIGINT) AS g_class,
+             i_category, i_class,
+             sum(ss_net_profit) AS profit,
+             sum(ss_ext_list_price) AS paid
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN item ON ss_item_sk = i_item_sk
+      WHERE d_year = 2000
+      GROUP BY ROLLUP(i_category, i_class)) agg
+    """,
+        "store_sales", "date_dim", "item",
+    ),
+)
+def q_tpcds_q36(ds: _DS) -> DataFrame:
+    """TPC-DS Q36: gross margin over ROLLUP(category, class) with a
+    rank() window partitioned by hierarchy level — Expand (grouping
+    sets) feeding a window over the aggregated (tiny) result."""
+    agg = (
+        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .where(_C("d_year") == 2000)
+        .rollup("i_category", "i_class")
+        .agg(
+            F.grouping("i_category").cast("bigint").alias("g_cat"),
+            F.grouping("i_class").cast("bigint").alias("g_class"),
+            F.sum("ss_net_profit").alias("profit"),
+            F.sum("ss_ext_list_price").alias("paid"),
+        )
+    )
+    w = Window.partitionBy(
+        _C("g_cat") + _C("g_class"),
+        F.when(_C("g_class") == 0, _C("i_category")),
+    ).orderBy(
+        (_C("profit") / _C("paid")).asc(),
+        _C("i_category").asc_nulls_first(),
+        _C("i_class").asc_nulls_first(),
+    )
+    return agg.select(
+        F.round(_C("profit") / _C("paid"), 6).alias("gross_margin"),
+        "i_category",
+        "i_class",
+        (_C("g_cat") + _C("g_class")).alias("lochierarchy"),
+        F.rank().over(w).cast("bigint").alias("rank_within"),
+    )
+
+
+@_ds_q(
+    "tpcds_q56",
+    _with(
+        f"""
+    SELECT brand, {_MONEY_SQL.format(x='sum(total_sales)')} AS total_sales
+    FROM (SELECT * FROM sstot UNION ALL SELECT * FROM cstot
+          UNION ALL SELECT * FROM wstot) x
+    GROUP BY brand
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+        extra="""
+    sstot AS (
+      SELECT i_brand AS brand, sum(ss_net_paid) AS total_sales
+      FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE i_category = 'PROMO' AND d_year = 2000
+      GROUP BY i_brand),
+    cstot AS (
+      SELECT i_brand AS brand, sum(cs_net_paid) AS total_sales
+      FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+      JOIN date_dim ON cs_sold_date = d_date
+      WHERE i_category = 'PROMO' AND d_year = 2000
+      GROUP BY i_brand),
+    wstot AS (
+      SELECT i_brand AS brand, sum(ws_net_paid) AS total_sales
+      FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+      JOIN date_dim ON ws_sold_date = d_date
+      WHERE i_category = 'PROMO' AND d_year = 2000
+      GROUP BY i_brand)
+    """,
+    ),
+)
+def q_tpcds_q56(ds: _DS) -> DataFrame:
+    """TPC-DS Q56/Q33/Q60 family: per-brand revenue for one category
+    summed across all three channels — three independent star aggs
+    UNION ALL'd, then re-aggregated (partial aggs push below the
+    union)."""
+
+    def chan(fact: DataFrame, item_k: str, date_k: str, paid: str) -> DataFrame:
+        return (
+            fact.join(ds.item, _C(item_k) == _C("i_item_sk"))
+            .join(ds.date_dim, _C(date_k) == _C("d_date"))
+            .where((_C("i_category") == "PROMO") & (_C("d_year") == 2000))
+            .groupBy(_C("i_brand").alias("brand"))
+            .agg(F.sum(paid).alias("total_sales"))
+        )
+
+    unioned = (
+        chan(ds.store_sales, "ss_item_sk", "ss_sold_date", "ss_net_paid")
+        .unionAll(chan(ds.catalog_sales, "cs_item_sk", "cs_sold_date", "cs_net_paid"))
+        .unionAll(chan(ds.web_sales, "ws_item_sk", "ws_sold_date", "ws_net_paid"))
+    )
+    return unioned.groupBy("brand").agg(
+        _money(F.sum("total_sales")).alias("total_sales")
+    )
+
+
+@_ds_q(
+    "tpcds_q59",
+    _with(
+        """
+    SELECT y1.s_store_name, y1.d_moy,
+           round(y1.sales / y2.sales, 4) AS yoy
+    FROM mss y1
+    JOIN mss y2
+      ON y1.s_store_name = y2.s_store_name AND y1.d_moy = y2.d_moy
+     AND y1.d_year = y2.d_year + 1
+    WHERE y1.d_year = 1999
+    """,
+        "store_sales", "date_dim", "store",
+        extra="""
+    mss AS (
+      SELECT s_store_name, d_year, d_moy, sum(ss_net_paid) AS sales
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN store ON ss_store_sk = s_store_sk
+      GROUP BY s_store_name, d_year, d_moy)
+    """,
+    ),
+)
+def q_tpcds_q59(ds: _DS) -> DataFrame:
+    """TPC-DS Q59 shape: period-over-period store revenue — one
+    monthly-sales CTE self-joined on (store, month) across adjacent
+    years. Spark reuses the aggregated exchange for both sides."""
+    mss = (
+        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .groupBy("s_store_name", "d_year", "d_moy")
+        .agg(F.sum("ss_net_paid").alias("sales"))
+    )
+    y1 = mss.select(
+        _C("s_store_name"), _C("d_year"), _C("d_moy"), _C("sales").alias("__s1")
+    )
+    y2 = mss.select(
+        _C("s_store_name").alias("__name2"),
+        _C("d_year").alias("__year2"),
+        _C("d_moy").alias("__moy2"),
+        _C("sales").alias("__s2"),
+    )
+    return (
+        y1.join(
+            y2,
+            (_C("s_store_name") == _C("__name2"))
+            & (_C("d_moy") == _C("__moy2"))
+            & (_C("d_year") == _C("__year2") + 1),
+        )
+        .where(_C("d_year") == 1999)
+        .select(
+            "s_store_name",
+            "d_moy",
+            F.round(_C("__s1") / _C("__s2"), 4).alias("yoy"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q65",
+    _with(
+        f"""
+    SELECT s_store_name, i_item_desc,
+           {_MONEY_SQL.format(x='sa.revenue')} AS revenue
+    FROM sa
+    JOIN sb ON sa.ss_store_sk = sb.store_sk AND sa.revenue <= 0.5 * sb.ave
+    JOIN store ON sa.ss_store_sk = s_store_sk
+    JOIN item ON sa.ss_item_sk = i_item_sk
+    ORDER BY s_store_name, i_item_desc, revenue
+    LIMIT 100
+    """,
+        "store_sales", "store", "item",
+        extra="""
+    sa AS (
+      SELECT ss_store_sk, ss_item_sk, sum(ss_net_paid) AS revenue
+      FROM store_sales GROUP BY ss_store_sk, ss_item_sk),
+    sb AS (
+      SELECT ss_store_sk AS store_sk, avg(revenue) AS ave
+      FROM sa GROUP BY ss_store_sk)
+    """,
+    ),
+)
+def q_tpcds_q65(ds: _DS) -> DataFrame:
+    """TPC-DS Q65: items underperforming their store's average item
+    revenue — two-level reaggregation (store×item, then store) joined
+    back on the store key; the second level is tiny and broadcasts."""
+    sa = ds.store_sales.groupBy("ss_store_sk", "ss_item_sk").agg(
+        F.sum("ss_net_paid").alias("revenue")
+    )
+    sb = sa.groupBy(_C("ss_store_sk").alias("store_sk")).agg(
+        F.avg("revenue").alias("ave")
+    )
+    return (
+        sa.join(
+            F.broadcast(sb),
+            (_C("ss_store_sk") == _C("store_sk"))
+            & (_C("revenue") <= 0.5 * _C("ave")),
+        )
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .select("s_store_name", "i_item_desc", _money(_C("revenue")).alias("revenue"))
+        .orderBy("s_store_name", "i_item_desc", "revenue")
+        .limit(100)
+    )
+
+
+@_ds_q(
+    "tpcds_q73",
+    _with(
+        """
+    SELECT c_customer_id, cnt
+    FROM dj JOIN customer_dim ON customer_sk = c_customer_sk
+    WHERE cnt BETWEEN 2 AND 5
+    """,
+        "store_sales", "date_dim", "customer_dim",
+        extra="""
+    dj AS (
+      SELECT ss_customer_sk AS customer_sk, ss_ticket_number,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1998, 1999)
+      GROUP BY ss_customer_sk, ss_ticket_number)
+    """,
+    ),
+)
+def q_tpcds_q73(ds: _DS) -> DataFrame:
+    """TPC-DS Q73/Q68 shape: per-ticket line counts, customers whose
+    tickets fall in a size band. The HAVING-band agg keys on
+    (customer, ticket) so the shuffle is on the fact's natural
+    key; the customer join is a broadcast."""
+    dj = (
+        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .where(_C("d_year").isin(1998, 1999))
+        .groupBy(
+            _C("ss_customer_sk").alias("customer_sk"), _C("ss_ticket_number")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        dj.join(ds.customer_dim, _C("customer_sk") == _C("c_customer_sk"))
+        .where(_C("cnt").between(2, 5))
+        .select("c_customer_id", "cnt")
+    )
+
+
+@_ds_q(
+    "tpcds_q74",
+    _with(
+        """
+    SELECT ts1.customer_sk AS customer_sk
+    FROM year_total ts1
+    JOIN year_total ts2 ON ts1.customer_sk = ts2.customer_sk
+    JOIN year_total tw1 ON ts1.customer_sk = tw1.customer_sk
+    JOIN year_total tw2 ON ts1.customer_sk = tw2.customer_sk
+    WHERE ts1.sale_type = 's' AND ts2.sale_type = 's'
+      AND tw1.sale_type = 'w' AND tw2.sale_type = 'w'
+      AND ts1.yr = 1999 AND ts2.yr = 2000
+      AND tw1.yr = 1999 AND tw2.yr = 2000
+      AND ts1.year_total > 0 AND tw1.year_total > 0
+      AND tw2.year_total / tw1.year_total > ts2.year_total / ts1.year_total
+    """,
+        "store_sales", "web_sales", "date_dim",
+        extra="""
+    year_total AS (
+      SELECT ss_customer_sk AS customer_sk, d_year AS yr,
+             sum(ss_net_paid) AS year_total, 's' AS sale_type
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1999, 2000)
+      GROUP BY ss_customer_sk, d_year
+      UNION ALL
+      SELECT ws_customer_sk AS customer_sk, d_year AS yr,
+             sum(ws_net_paid) AS year_total, 'w' AS sale_type
+      FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year IN (1999, 2000)
+      GROUP BY ws_customer_sk, d_year)
+    """,
+    ),
+)
+def q_tpcds_q74(ds: _DS) -> DataFrame:
+    """TPC-DS Q74/Q11: customers whose web spend grew faster than
+    their store spend year-over-year — the 4-way self-join of a
+    union'd per-channel yearly CTE. All four probes share one
+    shuffle key (customer_sk), so AQE coalesces to co-partitioned
+    joins."""
+
+    def chan(fact, cust, date_k, paid, tag):
+        return (
+            fact.join(ds.date_dim, _C(date_k) == _C("d_date"))
+            .where(_C("d_year").isin(1999, 2000))
+            .groupBy(_C(cust).alias("customer_sk"), _C("d_year").alias("yr"))
+            .agg(F.sum(paid).alias("year_total"))
+            .withColumn("sale_type", F.lit(tag))
+        )
+
+    yt = chan(ds.store_sales, "ss_customer_sk", "ss_sold_date", "ss_net_paid", "s").unionAll(
+        chan(ds.web_sales, "ws_customer_sk", "ws_sold_date", "ws_net_paid", "w")
+    )
+
+    def pick(tag, yr, a, b):
+        return yt.where((_C("sale_type") == tag) & (_C("yr") == yr)).select(
+            _C("customer_sk").alias(a), _C("year_total").alias(b)
+        )
+
+    ts1 = pick("s", 1999, "customer_sk", "__s1")
+    ts2 = pick("s", 2000, "__c2", "__s2")
+    tw1 = pick("w", 1999, "__c3", "__w1")
+    tw2 = pick("w", 2000, "__c4", "__w2")
+    return (
+        ts1.join(ts2, _C("customer_sk") == _C("__c2"))
+        .join(tw1, _C("customer_sk") == _C("__c3"))
+        .join(tw2, _C("customer_sk") == _C("__c4"))
+        .where(
+            (_C("__s1") > 0)
+            & (_C("__w1") > 0)
+            & (_C("__w2") / _C("__w1") > _C("__s2") / _C("__s1"))
+        )
+        .select("customer_sk")
+    )
+
+
+@_ds_q(
+    "tpcds_q76",
+    _with(
+        f"""
+    SELECT channel, i_category, d_year,
+           CAST(count(*) AS BIGINT) AS sales_cnt,
+           {_MONEY_SQL.format(x='sum(ext)')} AS sales_amt
+    FROM (
+      SELECT 'store' AS channel, ss_item_sk AS item_sk,
+             ss_sold_date AS sold_date, ss_ext_list_price AS ext
+      FROM store_sales
+      UNION ALL
+      SELECT 'web' AS channel, ws_item_sk AS item_sk,
+             ws_sold_date AS sold_date, ws_ext_list_price AS ext
+      FROM web_sales
+      UNION ALL
+      SELECT 'catalog' AS channel, cs_item_sk AS item_sk,
+             cs_sold_date AS sold_date, cs_ext_list_price AS ext
+      FROM catalog_sales) ch
+    JOIN item ON item_sk = i_item_sk
+    JOIN date_dim ON sold_date = d_date
+    GROUP BY channel, i_category, d_year
+    """,
+        "store_sales", "web_sales", "catalog_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q76(ds: _DS) -> DataFrame:
+    """TPC-DS Q76 shape: all three channels tagged and UNION ALL'd
+    before a shared dim join + (channel, category, year) agg — the
+    dims join once against the unioned stream, not per channel."""
+
+    def chan(fact, tag, item_k, date_k, ext):
+        return fact.select(
+            F.lit(tag).alias("channel"),
+            _C(item_k).alias("item_sk"),
+            _C(date_k).alias("sold_date"),
+            _C(ext).alias("ext"),
+        )
+
+    unioned = (
+        chan(ds.store_sales, "store", "ss_item_sk", "ss_sold_date", "ss_ext_list_price")
+        .unionAll(chan(ds.web_sales, "web", "ws_item_sk", "ws_sold_date", "ws_ext_list_price"))
+        .unionAll(chan(ds.catalog_sales, "catalog", "cs_item_sk", "cs_sold_date", "cs_ext_list_price"))
+    )
+    return (
+        unioned.join(ds.item, _C("item_sk") == _C("i_item_sk"))
+        .join(ds.date_dim, _C("sold_date") == _C("d_date"))
+        .groupBy("channel", "i_category", "d_year")
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            _money(F.sum("ext")).alias("sales_amt"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q88",
+    _with(
+        """
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS h1 FROM store_sales
+       WHERE ss_quantity BETWEEN 1 AND 10) s1,
+      (SELECT CAST(count(*) AS BIGINT) AS h2 FROM store_sales
+       WHERE ss_quantity BETWEEN 11 AND 20) s2,
+      (SELECT CAST(count(*) AS BIGINT) AS h3 FROM store_sales
+       WHERE ss_quantity BETWEEN 21 AND 30) s3,
+      (SELECT CAST(count(*) AS BIGINT) AS h4 FROM store_sales
+       WHERE ss_quantity BETWEEN 31 AND 50) s4
+    """,
+        "store_sales",
+    ),
+)
+def q_tpcds_q88(ds: _DS) -> DataFrame:
+    """TPC-DS Q88 shape: a grid of bucket counts. The literal SQL is
+    N scans cross-joined; the Spark plan is deliberately better — one
+    conditional-aggregation pass over the fact (1 scan instead of 4,
+    the rewrite you would want at 100 TB). Same single-row result."""
+
+    def bucket(lo, hi, name):
+        return F.sum(
+            F.when(_C("ss_quantity").between(lo, hi), 1).otherwise(0)
+        ).cast("bigint").alias(name)
+
+    return ds.store_sales.agg(
+        bucket(1, 10, "h1"),
+        bucket(11, 20, "h2"),
+        bucket(21, 30, "h3"),
+        bucket(31, 50, "h4"),
+    )
+
+
+@_ds_q(
+    "tpcds_q93",
+    _with(
+        f"""
+    SELECT ss_customer_sk AS customer_sk,
+           {_MONEY_SQL.format(x='sum(act_sales)')} AS sumsales
+    FROM (
+      SELECT ss_customer_sk,
+             CASE WHEN sr_ticket_number IS NOT NULL
+                  THEN (ss_quantity - sr_return_quantity)
+                       * (ss_net_paid / ss_quantity)
+                  ELSE ss_net_paid END AS act_sales
+      FROM store_sales
+      LEFT JOIN store_returns
+        ON ss_item_sk = sr_item_sk
+       AND ss_ticket_number = sr_ticket_number
+       AND ss_customer_sk = sr_customer_sk) t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales, customer_sk
+    LIMIT 100
+    """,
+        "store_sales", "store_returns",
+    ),
+)
+def q_tpcds_q93(ds: _DS) -> DataFrame:
+    """TPC-DS Q93: net revenue per customer after netting out
+    returned quantity — fact LEFT JOIN its returns on the ticket
+    key, CASE on the null-extended side, reaggregate."""
+    act = F.when(
+        _C("sr_ticket_number").isNotNull(),
+        (_C("ss_quantity") - _C("sr_return_quantity"))
+        * (_C("ss_net_paid") / _C("ss_quantity")),
+    ).otherwise(_C("ss_net_paid"))
+    return (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_item_sk") == _C("sr_item_sk"))
+            & (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_customer_sk") == _C("sr_customer_sk")),
+            "left",
+        )
+        .select(_C("ss_customer_sk").alias("customer_sk"), act.alias("act_sales"))
+        .groupBy("customer_sk")
+        .agg(_money(F.sum("act_sales")).alias("sumsales"))
+        .orderBy("sumsales", "customer_sk")
+        .limit(100)
+    )
+
+
+@_ds_q(
+    "tpcds_q95",
+    _with(
+        f"""
+    SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
+           {_MONEY_SQL.format(x='sum(ws_ext_ship_cost)')} AS total_shipping_cost,
+           {_MONEY_SQL.format(x='sum(ws_net_profit)')} AS total_net_profit
+    FROM web_sales
+    JOIN date_dim ON ws_ship_date = d_date
+    WHERE d_year = 2000
+      AND ws_order_number IN (SELECT order_number FROM ws_wh)
+      AND ws_order_number NOT IN
+        (SELECT wr_order_number FROM web_returns)
+    """,
+        "web_sales", "web_returns", "date_dim",
+        extra="""
+    ws_wh AS (
+      SELECT DISTINCT ws1.ws_order_number AS order_number
+      FROM web_sales ws1 JOIN web_sales ws2
+        ON ws1.ws_order_number = ws2.ws_order_number
+      WHERE ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    """,
+    ),
+)
+def q_tpcds_q95(ds: _DS) -> DataFrame:
+    """TPC-DS Q95: web orders shipped from ≥2 warehouses with no
+    returns — fact self-join for the multi-warehouse set, then a
+    semi + anti join pair feeding one global aggregate."""
+    ws = ds.web_sales
+    ws2 = ws.select(
+        _C("ws_order_number").alias("__on2"),
+        _C("ws_warehouse_sk").alias("__wh2"),
+    )
+    multi_wh = (
+        ws.join(
+            ws2,
+            (_C("ws_order_number") == _C("__on2"))
+            & (_C("ws_warehouse_sk") != _C("__wh2")),
+        )
+        .select(_C("ws_order_number").alias("order_number"))
+        .distinct()
+    )
+    return (
+        ws.join(ds.date_dim, _C("ws_ship_date") == _C("d_date"))
+        .where(_C("d_year") == 2000)
+        .join(multi_wh, _C("ws_order_number") == _C("order_number"), "left_semi")
+        .join(
+            ds.web_returns.select("wr_order_number"),
+            _C("ws_order_number") == _C("wr_order_number"),
+            "left_anti",
+        )
+        .agg(
+            F.count_distinct(_C("ws_order_number")).cast("bigint").alias("order_count"),
+            _money(F.sum("ws_ext_ship_cost")).alias("total_shipping_cost"),
+            _money(F.sum("ws_net_profit")).alias("total_net_profit"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q1",
+    _with(
+        """
+    SELECT c_customer_id
+    FROM ctr ctr1
+    JOIN store ON ctr1.ctr_store_sk = s_store_sk
+    JOIN customer_dim ON ctr1.ctr_customer_sk = c_customer_sk
+    WHERE ctr1.ctr_total_return > 1.2 *
+      (SELECT avg(ctr_total_return) FROM ctr ctr2
+       WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+    ORDER BY c_customer_id
+    LIMIT 100
+    """,
+        "store_returns", "date_dim", "store", "customer_dim",
+        extra="""
+    ctr AS (
+      SELECT sr_customer_sk AS ctr_customer_sk,
+             sr_store_sk AS ctr_store_sk,
+             sum(sr_return_amt) AS ctr_total_return
+      FROM store_returns JOIN date_dim ON sr_returned_date = d_date
+      WHERE d_year = 2000
+      GROUP BY sr_customer_sk, sr_store_sk)
+    """,
+    ),
+)
+def q_tpcds_q1(ds: _DS) -> DataFrame:
+    """TPC-DS Q1: customers returning >1.2× their store's average —
+    a correlated avg over a CTE, decorrelated into a per-store avg
+    (10 rows → broadcast) joined back to the per-customer returns."""
+    ctr = (
+        ds.store_returns.join(ds.date_dim, _C("sr_returned_date") == _C("d_date"))
+        .where(_C("d_year") == 2000)
+        .groupBy(
+            _C("sr_customer_sk").alias("ctr_customer_sk"),
+            _C("sr_store_sk").alias("ctr_store_sk"),
+        )
+        .agg(F.sum("sr_return_amt").alias("ctr_total_return"))
+    )
+    store_avg = ctr.groupBy(_C("ctr_store_sk").alias("__avg_store_sk")).agg(
+        F.avg("ctr_total_return").alias("__store_avg")
+    )
+    return (
+        ctr.join(F.broadcast(store_avg), _C("ctr_store_sk") == _C("__avg_store_sk"))
+        .where(_C("ctr_total_return") > 1.2 * _C("__store_avg"))
+        .join(ds.store, _C("ctr_store_sk") == _C("s_store_sk"))
+        .join(ds.customer_dim, _C("ctr_customer_sk") == _C("c_customer_sk"))
+        .select("c_customer_id")
+        .orderBy("c_customer_id")
+        .limit(100)
+    )
+
+
+@_ds_q(
+    "tpcds_q42",
+    _with(
+        f"""
+    SELECT d_year, i_category,
+           {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS sum_sales
+    FROM date_dim
+    JOIN store_sales ON d_date = ss_sold_date
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE d_moy = 12
+    GROUP BY d_year, i_category
+    """,
+        "date_dim", "store_sales", "item",
+    ),
+)
+def q_tpcds_q42(ds: _DS) -> DataFrame:
+    """TPC-DS Q42/Q52: category revenue for one calendar month across
+    years — the minimal star probe (scan + two broadcast dims + one
+    agg shuffle) used to sanity-check plan shape."""
+    return (
+        ds.date_dim.join(ds.store_sales, _C("d_date") == _C("ss_sold_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .where(_C("d_moy") == 12)
+        .groupBy("d_year", "i_category")
+        .agg(_money(F.sum("ss_net_paid")).alias("sum_sales"))
+    )

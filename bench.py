@@ -89,6 +89,17 @@ BENCH_QUERIES = [
     "dialect_asof",
     "delta_trigger_window",
     "stream_match_nested",
+    # round 5b: TPC-DS slice over the derived star schema — one query
+    # per distinct plan family (star topn, correlated-subquery
+    # decorrelation, multi-fact chain, rollup+rank, CTE 4-way
+    # self-join, single-pass bucket grid, self-join + semi/anti)
+    "tpcds_q3",
+    "tpcds_q6",
+    "tpcds_q25",
+    "tpcds_q36",
+    "tpcds_q74",
+    "tpcds_q88",
+    "tpcds_q95",
 ]
 
 

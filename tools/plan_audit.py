@@ -37,6 +37,12 @@ INTENTIONAL_NLJ = {
     # corpus constants (N, avgdl) — a 1-row aggregate broadcast into
     # the scoring join; same constant-size-build reasoning
     "bm25_scores",
+    # the single query vector broadcast against the embedding table
+    # (crossJoin of a 1-row relation) — constant-size build
+    "hybrid_rrf_search",
+    # scalar max-spend threshold: join(broadcast(<1-row max agg>))
+    # gating the best-customer semi-join side — constant-size build
+    "tpcds_q23",
 }
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}

@@ -36,19 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_efo_spark.queries import _MONEY_SQL, _money, _q, _T
+from flink_efo_spark.queries import _q, _T
 
 _C = F.col
-
-
-def _round4(c):
-    """4-dp round with deterministic HALF_UP ties on the positive
-    domain (same rationale as ``_money``: Spark/DuckDB ``round()``
-    disagree on ties like .46865)."""
-    return F.floor(c * 10000 + F.lit(0.5)) / 10000
-
-
-_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
 
 
 def _exact_avg(c, scale: int):
@@ -67,6 +57,34 @@ def _exact_avg_sql(x: str, scale: int) -> str:
     return (
         f"floor(sum(CAST(round(({x}) * {scale}, 0) AS BIGINT))"
         f" / count(*) + 0.5) / {scale}"
+    )
+
+
+def _cents(c, scale: int = 10000):
+    """Exact BIGINT snap of a fixed-point double column (×scale).
+
+    The base money columns are exact 2-decimal values, so products
+    like net_paid are exact 4-decimal values: ×10000 rounds to the
+    SAME integer on both engines (no .5 ties possible off the fixed
+    grid), and BIGINT sums are exact and order-independent. This is
+    what makes every money aggregate below bit-stable — round(sum(x),
+    2) on raw double sums sits exactly ON the half-cent boundary
+    whenever the true sum ends in .xx5 (P≈1/100 per output value with
+    4-decimal addends), and the engines' different summation orders
+    then flip the rounded output intermittently."""
+    return F.round(c * scale, 0).cast("bigint")
+
+
+def _exact_money_sum(c, scale: int = 10000):
+    """sum(c) rounded to cents, bit-stable: exact integer sum, one
+    IEEE division + floor on identical operands."""
+    return F.floor(F.sum(_cents(c, scale)) / (scale // 100) + F.lit(0.5)) / 100
+
+
+def _ems_sql(x: str, scale: int = 10000) -> str:
+    return (
+        f"floor(sum(CAST(round(({x}) * {scale}, 0) AS BIGINT))"
+        f" / {scale // 100} + 0.5) / 100"
     )
 
 
@@ -338,7 +356,7 @@ def _ds_q(name: str, oracle: str):
     _with(
         f"""
     SELECT d_year, i_brand,
-           {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS sum_agg
+           {_ems_sql('ss_net_paid')} AS sum_agg
     FROM store_sales
     JOIN date_dim ON ss_sold_date = d_date
     JOIN item ON ss_item_sk = i_item_sk
@@ -360,7 +378,7 @@ def q_tpcds_q3(ds: _DS) -> DataFrame:
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .where((_C("i_manufact_id") < 10) & (_C("d_moy") == 11))
         .groupBy("d_year", "i_brand")
-        .agg(_money(F.sum("ss_net_paid")).alias("sum_agg"))
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("sum_agg"))
         .orderBy(_C("d_year"), _C("sum_agg").desc(), _C("i_brand"))
         .limit(10)
     )
@@ -462,7 +480,7 @@ def q_tpcds_q7(ds: _DS) -> DataFrame:
     "tpcds_q15",
     _with(
         f"""
-    SELECT ca_state, {_MONEY_SQL.format(x='sum(cs_net_paid)')} AS sum_paid
+    SELECT ca_state, {_ems_sql('cs_net_paid')} AS sum_paid
     FROM catalog_sales
     JOIN customer_dim ON cs_customer_sk = c_customer_sk
     JOIN customer_address ON c_current_addr_sk = ca_address_sk
@@ -491,7 +509,7 @@ def q_tpcds_q15(ds: _DS) -> DataFrame:
             & (_C("d_year") == 2000)
         )
         .groupBy("ca_state")
-        .agg(_money(F.sum("cs_net_paid")).alias("sum_paid"))
+        .agg(_exact_money_sum(_C("cs_net_paid")).alias("sum_paid"))
     )
 
 
@@ -499,7 +517,7 @@ def q_tpcds_q15(ds: _DS) -> DataFrame:
     "tpcds_q19",
     _with(
         f"""
-    SELECT i_brand, {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS ext_price
+    SELECT i_brand, {_ems_sql('ss_net_paid')} AS ext_price
     FROM date_dim
     JOIN store_sales ON d_date = ss_sold_date
     JOIN item ON ss_item_sk = i_item_sk
@@ -535,7 +553,7 @@ def q_tpcds_q19(ds: _DS) -> DataFrame:
             & (_C("ca_state") != _C("s_state"))
         )
         .groupBy("i_brand")
-        .agg(_money(F.sum("ss_net_paid")).alias("ext_price"))
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("ext_price"))
         .orderBy(_C("ext_price").desc(), _C("i_brand"))
         .limit(20)
     )
@@ -545,7 +563,7 @@ def q_tpcds_q19(ds: _DS) -> DataFrame:
     "tpcds_q23",
     _with(
         f"""
-    SELECT {_MONEY_SQL.format(x='sum(cs_net_paid)')} AS total_sales
+    SELECT {_ems_sql('cs_net_paid')} AS total_sales
     FROM catalog_sales
     WHERE cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
       AND cs_customer_sk IN (
@@ -591,7 +609,7 @@ def q_tpcds_q23(ds: _DS) -> DataFrame:
             frequent, _C("cs_item_sk") == _C("item_sk"), "left_semi"
         )
         .join(top_customers, _C("cs_customer_sk") == _C("customer_sk"), "left_semi")
-        .agg(_money(F.sum("cs_net_paid")).alias("total_sales"))
+        .agg(_exact_money_sum(_C("cs_net_paid")).alias("total_sales"))
     )
 
 
@@ -600,9 +618,9 @@ def q_tpcds_q23(ds: _DS) -> DataFrame:
     _with(
         f"""
     SELECT i_item_desc, s_store_name,
-           {_MONEY_SQL.format(x='sum(ss_net_profit)')} AS store_profit,
-           {_MONEY_SQL.format(x='sum(sr_return_amt)')} AS return_amt,
-           {_MONEY_SQL.format(x='sum(cs_net_profit)')} AS catalog_profit
+           {_ems_sql('ss_net_profit')} AS store_profit,
+           {_ems_sql('sr_return_amt')} AS return_amt,
+           {_ems_sql('cs_net_profit')} AS catalog_profit
     FROM store_sales
     JOIN store_returns
       ON ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
@@ -656,9 +674,9 @@ def q_tpcds_q25(ds: _DS) -> DataFrame:
         )
         .groupBy("i_item_desc", "s_store_name")
         .agg(
-            _money(F.sum("ss_net_profit")).alias("store_profit"),
-            _money(F.sum("sr_return_amt")).alias("return_amt"),
-            _money(F.sum("cs_net_profit")).alias("catalog_profit"),
+            _exact_money_sum(_C("ss_net_profit")).alias("store_profit"),
+            _exact_money_sum(_C("sr_return_amt")).alias("return_amt"),
+            _exact_money_sum(_C("cs_net_profit")).alias("catalog_profit"),
         )
         .orderBy("i_item_desc", "s_store_name")
         .limit(100)
@@ -682,8 +700,8 @@ def q_tpcds_q25(ds: _DS) -> DataFrame:
       SELECT CAST(GROUPING(i_category) AS BIGINT) AS g_cat,
              CAST(GROUPING(i_class) AS BIGINT) AS g_class,
              i_category, i_class,
-             sum(ss_net_profit) AS profit,
-             sum(ss_ext_list_price) AS paid
+             sum(CAST(round(ss_net_profit * 10000, 0) AS BIGINT)) AS profit,
+             sum(CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT)) AS paid
       FROM store_sales
       JOIN date_dim ON ss_sold_date = d_date
       JOIN item ON ss_item_sk = i_item_sk
@@ -705,8 +723,8 @@ def q_tpcds_q36(ds: _DS) -> DataFrame:
         .agg(
             F.grouping("i_category").cast("bigint").alias("g_cat"),
             F.grouping("i_class").cast("bigint").alias("g_class"),
-            F.sum("ss_net_profit").alias("profit"),
-            F.sum("ss_ext_list_price").alias("paid"),
+            F.sum(_cents(_C("ss_net_profit"))).alias("profit"),
+            F.sum(_cents(_C("ss_ext_list_price"))).alias("paid"),
         )
     )
     w = Window.partitionBy(
@@ -730,7 +748,7 @@ def q_tpcds_q36(ds: _DS) -> DataFrame:
     "tpcds_q56",
     _with(
         f"""
-    SELECT brand, {_MONEY_SQL.format(x='sum(total_sales)')} AS total_sales
+    SELECT brand, floor(sum(total_cents) / 100 + 0.5) / 100 AS total_sales
     FROM (SELECT * FROM sstot UNION ALL SELECT * FROM cstot
           UNION ALL SELECT * FROM wstot) x
     GROUP BY brand
@@ -738,19 +756,22 @@ def q_tpcds_q36(ds: _DS) -> DataFrame:
         "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
         extra="""
     sstot AS (
-      SELECT i_brand AS brand, sum(ss_net_paid) AS total_sales
+      SELECT i_brand AS brand,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS total_cents
       FROM store_sales JOIN item ON ss_item_sk = i_item_sk
       JOIN date_dim ON ss_sold_date = d_date
       WHERE i_category = 'PROMO' AND d_year = 2000
       GROUP BY i_brand),
     cstot AS (
-      SELECT i_brand AS brand, sum(cs_net_paid) AS total_sales
+      SELECT i_brand AS brand,
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT)) AS total_cents
       FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
       JOIN date_dim ON cs_sold_date = d_date
       WHERE i_category = 'PROMO' AND d_year = 2000
       GROUP BY i_brand),
     wstot AS (
-      SELECT i_brand AS brand, sum(ws_net_paid) AS total_sales
+      SELECT i_brand AS brand,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS total_cents
       FROM web_sales JOIN item ON ws_item_sk = i_item_sk
       JOIN date_dim ON ws_sold_date = d_date
       WHERE i_category = 'PROMO' AND d_year = 2000
@@ -770,7 +791,7 @@ def q_tpcds_q56(ds: _DS) -> DataFrame:
             .join(ds.date_dim, _C(date_k) == _C("d_date"))
             .where((_C("i_category") == "PROMO") & (_C("d_year") == 2000))
             .groupBy(_C("i_brand").alias("brand"))
-            .agg(F.sum(paid).alias("total_sales"))
+            .agg(F.sum(_cents(_C(paid))).alias("total_cents"))
         )
 
     unioned = (
@@ -779,7 +800,9 @@ def q_tpcds_q56(ds: _DS) -> DataFrame:
         .unionAll(chan(ds.web_sales, "ws_item_sk", "ws_sold_date", "ws_net_paid"))
     )
     return unioned.groupBy("brand").agg(
-        _money(F.sum("total_sales")).alias("total_sales")
+        (F.floor(F.sum("total_cents") / 100 + F.lit(0.5)) / 100).alias(
+            "total_sales"
+        )
     )
 
 
@@ -798,7 +821,8 @@ def q_tpcds_q56(ds: _DS) -> DataFrame:
         "store_sales", "date_dim", "store",
         extra="""
     mss AS (
-      SELECT s_store_name, d_year, d_moy, sum(ss_net_paid) AS sales
+      SELECT s_store_name, d_year, d_moy,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS sales
       FROM store_sales
       JOIN date_dim ON ss_sold_date = d_date
       JOIN store ON ss_store_sk = s_store_sk
@@ -814,7 +838,7 @@ def q_tpcds_q59(ds: _DS) -> DataFrame:
         ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
         .groupBy("s_store_name", "d_year", "d_moy")
-        .agg(F.sum("ss_net_paid").alias("sales"))
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("sales"))
     )
     y1 = mss.select(
         _C("s_store_name"), _C("d_year"), _C("d_moy"), _C("sales").alias("__s1")
@@ -846,7 +870,7 @@ def q_tpcds_q59(ds: _DS) -> DataFrame:
     _with(
         f"""
     SELECT s_store_name, i_item_desc,
-           {_MONEY_SQL.format(x='sa.revenue')} AS revenue
+           floor(sa.revenue / 100 + 0.5) / 100 AS revenue
     FROM sa
     JOIN sb ON sa.ss_store_sk = sb.store_sk AND sa.revenue <= 0.5 * sb.ave
     JOIN store ON sa.ss_store_sk = s_store_sk
@@ -857,7 +881,8 @@ def q_tpcds_q59(ds: _DS) -> DataFrame:
         "store_sales", "store", "item",
         extra="""
     sa AS (
-      SELECT ss_store_sk, ss_item_sk, sum(ss_net_paid) AS revenue
+      SELECT ss_store_sk, ss_item_sk,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS revenue
       FROM store_sales GROUP BY ss_store_sk, ss_item_sk),
     sb AS (
       SELECT ss_store_sk AS store_sk, avg(revenue) AS ave
@@ -870,7 +895,7 @@ def q_tpcds_q65(ds: _DS) -> DataFrame:
     revenue — two-level reaggregation (store×item, then store) joined
     back on the store key; the second level is tiny and broadcasts."""
     sa = ds.store_sales.groupBy("ss_store_sk", "ss_item_sk").agg(
-        F.sum("ss_net_paid").alias("revenue")
+        F.sum(_cents(_C("ss_net_paid"))).alias("revenue")
     )
     sb = sa.groupBy(_C("ss_store_sk").alias("store_sk")).agg(
         F.avg("revenue").alias("ave")
@@ -883,7 +908,11 @@ def q_tpcds_q65(ds: _DS) -> DataFrame:
         )
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .select("s_store_name", "i_item_desc", _money(_C("revenue")).alias("revenue"))
+        .select(
+            "s_store_name",
+            "i_item_desc",
+            (F.floor(_C("revenue") / 100 + F.lit(0.5)) / 100).alias("revenue"),
+        )
         .orderBy("s_store_name", "i_item_desc", "revenue")
         .limit(100)
     )
@@ -948,13 +977,15 @@ def q_tpcds_q73(ds: _DS) -> DataFrame:
         extra="""
     year_total AS (
       SELECT ss_customer_sk AS customer_sk, d_year AS yr,
-             sum(ss_net_paid) AS year_total, 's' AS sale_type
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS year_total,
+             's' AS sale_type
       FROM store_sales JOIN date_dim ON ss_sold_date = d_date
       WHERE d_year IN (1999, 2000)
       GROUP BY ss_customer_sk, d_year
       UNION ALL
       SELECT ws_customer_sk AS customer_sk, d_year AS yr,
-             sum(ws_net_paid) AS year_total, 'w' AS sale_type
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS year_total,
+             'w' AS sale_type
       FROM web_sales JOIN date_dim ON ws_sold_date = d_date
       WHERE d_year IN (1999, 2000)
       GROUP BY ws_customer_sk, d_year)
@@ -973,7 +1004,7 @@ def q_tpcds_q74(ds: _DS) -> DataFrame:
             fact.join(ds.date_dim, _C(date_k) == _C("d_date"))
             .where(_C("d_year").isin(1999, 2000))
             .groupBy(_C(cust).alias("customer_sk"), _C("d_year").alias("yr"))
-            .agg(F.sum(paid).alias("year_total"))
+            .agg(F.sum(_cents(_C(paid))).alias("year_total"))
             .withColumn("sale_type", F.lit(tag))
         )
 
@@ -1009,7 +1040,7 @@ def q_tpcds_q74(ds: _DS) -> DataFrame:
         f"""
     SELECT channel, i_category, d_year,
            CAST(count(*) AS BIGINT) AS sales_cnt,
-           {_MONEY_SQL.format(x='sum(ext)')} AS sales_amt
+           {_ems_sql('ext')} AS sales_amt
     FROM (
       SELECT 'store' AS channel, ss_item_sk AS item_sk,
              ss_sold_date AS sold_date, ss_ext_list_price AS ext
@@ -1053,7 +1084,7 @@ def q_tpcds_q76(ds: _DS) -> DataFrame:
         .groupBy("channel", "i_category", "d_year")
         .agg(
             F.count(F.lit(1)).alias("sales_cnt"),
-            _money(F.sum("ext")).alias("sales_amt"),
+            _exact_money_sum(_C("ext")).alias("sales_amt"),
         )
     )
 
@@ -1099,7 +1130,7 @@ def q_tpcds_q88(ds: _DS) -> DataFrame:
     _with(
         f"""
     SELECT ss_customer_sk AS customer_sk,
-           {_MONEY_SQL.format(x='sum(act_sales)')} AS sumsales
+           {_ems_sql('act_sales')} AS sumsales
     FROM (
       SELECT ss_customer_sk,
              CASE WHEN sr_ticket_number IS NOT NULL
@@ -1137,7 +1168,7 @@ def q_tpcds_q93(ds: _DS) -> DataFrame:
         )
         .select(_C("ss_customer_sk").alias("customer_sk"), act.alias("act_sales"))
         .groupBy("customer_sk")
-        .agg(_money(F.sum("act_sales")).alias("sumsales"))
+        .agg(_exact_money_sum(_C("act_sales")).alias("sumsales"))
         .orderBy("sumsales", "customer_sk")
         .limit(100)
     )
@@ -1148,8 +1179,8 @@ def q_tpcds_q93(ds: _DS) -> DataFrame:
     _with(
         f"""
     SELECT CAST(count(DISTINCT ws_order_number) AS BIGINT) AS order_count,
-           {_MONEY_SQL.format(x='sum(ws_ext_ship_cost)')} AS total_shipping_cost,
-           {_MONEY_SQL.format(x='sum(ws_net_profit)')} AS total_net_profit
+           {_ems_sql('ws_ext_ship_cost')} AS total_shipping_cost,
+           {_ems_sql('ws_net_profit')} AS total_net_profit
     FROM web_sales
     JOIN date_dim ON ws_ship_date = d_date
     WHERE d_year = 2000
@@ -1196,8 +1227,8 @@ def q_tpcds_q95(ds: _DS) -> DataFrame:
         )
         .agg(
             F.count_distinct(_C("ws_order_number")).cast("bigint").alias("order_count"),
-            _money(F.sum("ws_ext_ship_cost")).alias("total_shipping_cost"),
-            _money(F.sum("ws_net_profit")).alias("total_net_profit"),
+            _exact_money_sum(_C("ws_ext_ship_cost")).alias("total_shipping_cost"),
+            _exact_money_sum(_C("ws_net_profit")).alias("total_net_profit"),
         )
     )
 
@@ -1221,7 +1252,8 @@ def q_tpcds_q95(ds: _DS) -> DataFrame:
     ctr AS (
       SELECT sr_customer_sk AS ctr_customer_sk,
              sr_store_sk AS ctr_store_sk,
-             sum(sr_return_amt) AS ctr_total_return
+             sum(CAST(round(sr_return_amt * 10000, 0) AS BIGINT))
+               AS ctr_total_return
       FROM store_returns JOIN date_dim ON sr_returned_date = d_date
       WHERE d_year = 2000
       GROUP BY sr_customer_sk, sr_store_sk)
@@ -1239,7 +1271,7 @@ def q_tpcds_q1(ds: _DS) -> DataFrame:
             _C("sr_customer_sk").alias("ctr_customer_sk"),
             _C("sr_store_sk").alias("ctr_store_sk"),
         )
-        .agg(F.sum("sr_return_amt").alias("ctr_total_return"))
+        .agg(F.sum(_cents(_C("sr_return_amt"))).alias("ctr_total_return"))
     )
     store_avg = ctr.groupBy(_C("ctr_store_sk").alias("__avg_store_sk")).agg(
         F.avg("ctr_total_return").alias("__store_avg")
@@ -1260,7 +1292,7 @@ def q_tpcds_q1(ds: _DS) -> DataFrame:
     _with(
         f"""
     SELECT d_year, i_category,
-           {_MONEY_SQL.format(x='sum(ss_net_paid)')} AS sum_sales
+           {_ems_sql('ss_net_paid')} AS sum_sales
     FROM date_dim
     JOIN store_sales ON d_date = ss_sold_date
     JOIN item ON ss_item_sk = i_item_sk
@@ -1279,5 +1311,5 @@ def q_tpcds_q42(ds: _DS) -> DataFrame:
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .where(_C("d_moy") == 12)
         .groupBy("d_year", "i_category")
-        .agg(_money(F.sum("ss_net_paid")).alias("sum_sales"))
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("sum_sales"))
     )

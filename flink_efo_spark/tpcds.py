@@ -176,6 +176,7 @@ _CTE: dict[str, str] = {
     "catalog_sales": _fact_sql("cs_", 1, "warehouse_sk", "order_number"),
     "web_sales": _fact_sql("ws_", 2, "warehouse_sk", "order_number"),
     "store_returns": _returns_sql("sr_", 0, "store_sk", "ticket_number"),
+    "catalog_returns": _returns_sql("cr_", 1, "warehouse_sk", "order_number"),
     "web_returns": _returns_sql("wr_", 2, "warehouse_sk", "order_number"),
 }
 
@@ -260,6 +261,10 @@ class _DS:
     @property
     def store_returns(self) -> DataFrame:
         return self._returns(0, "sr_", "store_sk", "ticket_number")
+
+    @property
+    def catalog_returns(self) -> DataFrame:
+        return self._returns(1, "cr_", "warehouse_sk", "order_number")
 
     @property
     def web_returns(self) -> DataFrame:
@@ -1312,4 +1317,483 @@ def q_tpcds_q42(ds: _DS) -> DataFrame:
         .where(_C("d_moy") == 12)
         .groupBy("d_year", "i_category")
         .agg(_exact_money_sum(_C("ss_net_paid")).alias("sum_sales"))
+    )
+
+
+@_ds_q(
+    "tpcds_q14",
+    _with(
+        f"""
+    SELECT i_category, CAST(count(*) AS BIGINT) AS cnt,
+           {_ems_sql('ss_net_paid')} AS sales
+    FROM store_sales
+    JOIN item ON ss_item_sk = i_item_sk
+    JOIN date_dim ON ss_sold_date = d_date
+    WHERE d_year = 2000
+      AND ss_item_sk IN (SELECT item_sk FROM cross_items)
+    GROUP BY i_category
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+        extra="""
+    cross_items AS (
+      SELECT ss_item_sk AS item_sk FROM (
+        SELECT ss_item_sk FROM store_sales
+        INTERSECT
+        SELECT cs_item_sk FROM catalog_sales
+        INTERSECT
+        SELECT ws_item_sk FROM web_sales) ci)
+    """,
+    ),
+)
+def q_tpcds_q14(ds: _DS) -> DataFrame:
+    """TPC-DS Q14 (cross_items half): items sold through ALL three
+    channels via INTERSECT, gating a store-channel category rollup —
+    the set-op feeds a left-semi join (each INTERSECT is a
+    shuffle-dedup on item_sk only; the wide fact never moves)."""
+    cross_items = (
+        ds.store_sales.select(_C("ss_item_sk"))
+        .intersect(ds.catalog_sales.select(_C("cs_item_sk").alias("ss_item_sk")))
+        .intersect(ds.web_sales.select(_C("ws_item_sk").alias("ss_item_sk")))
+        .select(_C("ss_item_sk").alias("item_sk"))
+    )
+    return (
+        ds.store_sales.join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .where(_C("d_year") == 2000)
+        .join(cross_items, _C("ss_item_sk") == _C("item_sk"), "left_semi")
+        .groupBy("i_category")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _exact_money_sum(_C("ss_net_paid")).alias("sales"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q31",
+    _with(
+        """
+    SELECT ss1.state,
+           round(CAST(ss2.cents AS DOUBLE) / ss1.cents, 6) AS store_q1_q2,
+           round(CAST(ws2.cents AS DOUBLE) / ws1.cents, 6) AS web_q1_q2
+    FROM ss_q ss1
+    JOIN ss_q ss2 ON ss1.state = ss2.state
+    JOIN ws_q ws1 ON ss1.state = ws1.state
+    JOIN ws_q ws2 ON ss1.state = ws2.state
+    WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ws1.qoy = 1 AND ws2.qoy = 2
+      AND ss1.cents > 0 AND ws1.cents > 0
+      AND CAST(ws2.cents AS DOUBLE) / ws1.cents
+          > CAST(ss2.cents AS DOUBLE) / ss1.cents
+    """,
+        "store_sales", "web_sales", "customer_dim", "customer_address",
+        "date_dim",
+        extra="""
+    ss_q AS (
+      SELECT ca_state AS state, d_qoy AS qoy,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM store_sales
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 2000 GROUP BY ca_state, d_qoy),
+    ws_q AS (
+      SELECT ca_state AS state, d_qoy AS qoy,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM web_sales
+      JOIN customer_dim ON ws_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year = 2000 GROUP BY ca_state, d_qoy)
+    """,
+    ),
+)
+def q_tpcds_q31(ds: _DS) -> DataFrame:
+    """TPC-DS Q31 shape: states where web revenue grew faster than
+    store revenue quarter-over-quarter — two per-channel quarterly
+    CTEs probed twice each; exact-cent sums make the cross-channel
+    ratio comparison bit-stable."""
+
+    def qagg(fact, cust, date_k, paid):
+        return (
+            fact.join(ds.customer_dim, _C(cust) == _C("c_customer_sk"))
+            .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
+            .join(ds.date_dim, _C(date_k) == _C("d_date"))
+            .where(_C("d_year") == 2000)
+            .groupBy(_C("ca_state").alias("state"), _C("d_qoy").alias("qoy"))
+            .agg(F.sum(_cents(_C(paid))).alias("cents"))
+        )
+
+    ss_q = qagg(ds.store_sales, "ss_customer_sk", "ss_sold_date", "ss_net_paid")
+    ws_q = qagg(ds.web_sales, "ws_customer_sk", "ws_sold_date", "ws_net_paid")
+
+    def pick(df, qoy, st, c):
+        return df.where(_C("qoy") == qoy).select(
+            _C("state").alias(st), _C("cents").alias(c)
+        )
+
+    ss1 = pick(ss_q, 1, "state", "__ss1")
+    ss2 = pick(ss_q, 2, "__st2", "__ss2")
+    ws1 = pick(ws_q, 1, "__st3", "__ws1")
+    ws2 = pick(ws_q, 2, "__st4", "__ws2")
+    return (
+        ss1.join(ss2, _C("state") == _C("__st2"))
+        .join(ws1, _C("state") == _C("__st3"))
+        .join(ws2, _C("state") == _C("__st4"))
+        .where(
+            (_C("__ss1") > 0)
+            & (_C("__ws1") > 0)
+            & (_C("__ws2") / _C("__ws1") > _C("__ss2") / _C("__ss1"))
+        )
+        .select(
+            "state",
+            F.round(_C("__ss2") / _C("__ss1"), 6).alias("store_q1_q2"),
+            F.round(_C("__ws2") / _C("__ws1"), 6).alias("web_q1_q2"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q47",
+    _with(
+        """
+    SELECT i_brand, s_store_name, d_year, d_moy,
+           floor(sum_cents / 100 + 0.5) / 100 AS sum_sales,
+           floor(avg_monthly / 100 + 0.5) / 100 AS avg_monthly_sales,
+           floor(prev_cents / 100 + 0.5) / 100 AS psum,
+           floor(next_cents / 100 + 0.5) / 100 AS nsum
+    FROM (
+      SELECT i_brand, s_store_name, d_year, d_moy, sum_cents,
+             sum(sum_cents) OVER (PARTITION BY i_brand, s_store_name, d_year)
+               * 1.0 /
+             count(sum_cents) OVER (PARTITION BY i_brand, s_store_name, d_year)
+               AS avg_monthly,
+             lag(sum_cents) OVER (PARTITION BY i_brand, s_store_name
+                                  ORDER BY d_year, d_moy) AS prev_cents,
+             lead(sum_cents) OVER (PARTITION BY i_brand, s_store_name
+                                   ORDER BY d_year, d_moy) AS next_cents
+      FROM v1) v2
+    WHERE d_year = 1999
+      AND abs(sum_cents - avg_monthly) / avg_monthly > 0.1
+      AND prev_cents IS NOT NULL AND next_cents IS NOT NULL
+    """,
+        "store_sales", "date_dim", "item", "store",
+        extra="""
+    v1 AS (
+      SELECT i_brand, s_store_name, d_year, d_moy,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS sum_cents
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      GROUP BY i_brand, s_store_name, d_year, d_moy)
+    """,
+    ),
+)
+def q_tpcds_q47(ds: _DS) -> DataFrame:
+    """TPC-DS Q47: months deviating >10% from the brand-store yearly
+    average, with neighbor months via lag/lead — aggregation feeding
+    three window functions over two different partitionings. The
+    yearly average is sum/count of exact-cent BIGINTs so the
+    deviation predicate cannot flip between engines."""
+    v1 = (
+        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .groupBy("i_brand", "s_store_name", "d_year", "d_moy")
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("sum_cents"))
+    )
+    wy = Window.partitionBy("i_brand", "s_store_name", "d_year")
+    wm = Window.partitionBy("i_brand", "s_store_name").orderBy("d_year", "d_moy")
+    v2 = v1.select(
+        "i_brand", "s_store_name", "d_year", "d_moy", "sum_cents",
+        (F.sum("sum_cents").over(wy) * 1.0 / F.count("sum_cents").over(wy)).alias(
+            "avg_monthly"
+        ),
+        F.lag("sum_cents").over(wm).alias("prev_cents"),
+        F.lead("sum_cents").over(wm).alias("next_cents"),
+    )
+    return (
+        v2.where(
+            (_C("d_year") == 1999)
+            & (F.abs(_C("sum_cents") - _C("avg_monthly")) / _C("avg_monthly") > 0.1)
+            & _C("prev_cents").isNotNull()
+            & _C("next_cents").isNotNull()
+        )
+        .select(
+            "i_brand", "s_store_name", "d_year", "d_moy",
+            (F.floor(_C("sum_cents") / 100 + F.lit(0.5)) / 100).alias("sum_sales"),
+            (F.floor(_C("avg_monthly") / 100 + F.lit(0.5)) / 100).alias(
+                "avg_monthly_sales"
+            ),
+            (F.floor(_C("prev_cents") / 100 + F.lit(0.5)) / 100).alias("psum"),
+            (F.floor(_C("next_cents") / 100 + F.lit(0.5)) / 100).alias("nsum"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q51",
+    _with(
+        """
+    SELECT item_sk,
+           CAST(EXTRACT(YEAR FROM dt) * 10000 + EXTRACT(MONTH FROM dt) * 100
+                + EXTRACT(DAY FROM dt) AS BIGINT) AS dt_key,
+           floor(web_c / 100 + 0.5) / 100 AS web_cumulative,
+           floor(store_c / 100 + 0.5) / 100 AS store_cumulative
+    FROM (
+      SELECT item_sk, dt,
+             max(web_cume) OVER (PARTITION BY item_sk ORDER BY dt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_c,
+             max(store_cume) OVER (PARTITION BY item_sk ORDER BY dt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_c
+      FROM (
+        SELECT COALESCE(w.item_sk, s.item_sk) AS item_sk,
+               COALESCE(w.dt, s.dt) AS dt,
+               w.cume AS web_cume, s.cume AS store_cume
+        FROM web_v w FULL OUTER JOIN store_v s
+          ON w.item_sk = s.item_sk AND w.dt = s.dt) x) y
+    WHERE web_c > store_c
+    """,
+        "web_sales", "store_sales",
+        extra="""
+    web_d AS (
+      SELECT ws_item_sk AS item_sk, ws_sold_date AS dt,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM web_sales GROUP BY ws_item_sk, ws_sold_date),
+    web_v AS (
+      SELECT item_sk, dt,
+             sum(cents) OVER (PARTITION BY item_sk ORDER BY dt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM web_d),
+    store_d AS (
+      SELECT ss_item_sk AS item_sk, ss_sold_date AS dt,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM store_sales GROUP BY ss_item_sk, ss_sold_date),
+    store_v AS (
+      SELECT item_sk, dt,
+             sum(cents) OVER (PARTITION BY item_sk ORDER BY dt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+      FROM store_d)
+    """,
+    ),
+)
+def q_tpcds_q51(ds: _DS) -> DataFrame:
+    """TPC-DS Q51: days where an item's cumulative web revenue
+    overtakes its cumulative store revenue — per-channel running sums
+    FULL OUTER joined on (item, day), then running max to carry each
+    channel's last seen cumulative across the other channel's days.
+    All cumulative state is exact BIGINT cents, so the overtake
+    predicate is bit-stable."""
+
+    def daily_cume(fact, item_k, date_k, paid):
+        d = (
+            fact.groupBy(
+                _C(item_k).alias("item_sk"), _C(date_k).alias("dt")
+            ).agg(F.sum(_cents(_C(paid))).alias("cents"))
+        )
+        w = (
+            Window.partitionBy("item_sk")
+            .orderBy("dt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return d.select("item_sk", "dt", F.sum("cents").over(w).alias("cume"))
+
+    web_v = daily_cume(ds.web_sales, "ws_item_sk", "ws_sold_date", "ws_net_paid")
+    store_v = daily_cume(
+        ds.store_sales, "ss_item_sk", "ss_sold_date", "ss_net_paid"
+    ).select(
+        _C("item_sk").alias("__s_item"), _C("dt").alias("__s_dt"),
+        _C("cume").alias("__s_cume"),
+    )
+    x = (
+        web_v.join(
+            store_v,
+            (_C("item_sk") == _C("__s_item")) & (_C("dt") == _C("__s_dt")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(_C("item_sk"), _C("__s_item")).alias("item_sk"),
+            F.coalesce(_C("dt"), _C("__s_dt")).alias("dt"),
+            _C("cume").alias("web_cume"),
+            _C("__s_cume").alias("store_cume"),
+        )
+    )
+    w = (
+        Window.partitionBy("item_sk")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = x.select(
+        "item_sk", "dt",
+        F.max("web_cume").over(w).alias("web_c"),
+        F.max("store_cume").over(w).alias("store_c"),
+    )
+    return y.where(_C("web_c") > _C("store_c")).select(
+        "item_sk",
+        (
+            F.year("dt").cast("bigint") * 10000
+            + F.month("dt").cast("bigint") * 100
+            + F.dayofmonth("dt").cast("bigint")
+        ).alias("dt_key"),
+        (F.floor(_C("web_c") / 100 + F.lit(0.5)) / 100).alias("web_cumulative"),
+        (F.floor(_C("store_c") / 100 + F.lit(0.5)) / 100).alias("store_cumulative"),
+    )
+
+
+@_ds_q(
+    "tpcds_q75",
+    _with(
+        """
+    SELECT curr.i_brand,
+           prev.sales_cnt AS prev_cnt, curr.sales_cnt AS curr_cnt,
+           floor(prev.amt_cents / 100 + 0.5) / 100 AS prev_amt,
+           floor(curr.amt_cents / 100 + 0.5) / 100 AS curr_amt
+    FROM all_sales curr
+    JOIN all_sales prev
+      ON curr.i_brand = prev.i_brand AND curr.d_year = prev.d_year + 1
+    WHERE curr.d_year = 2000 AND curr.sales_cnt < prev.sales_cnt
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns", "item", "date_dim",
+        extra="""
+    sales_detail AS (
+      SELECT ss_sold_date AS sold_date, ss_item_sk AS item_sk,
+             CAST(round(ss_quantity
+               - COALESCE(sr_return_quantity, 0), 0) AS BIGINT) AS qty,
+             CAST(round((ss_net_paid - COALESCE(sr_return_amt, 0)) * 10000, 0)
+               AS BIGINT) AS cents
+      FROM store_sales LEFT JOIN store_returns
+        ON ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
+       AND ss_customer_sk = sr_customer_sk
+      UNION ALL
+      SELECT cs_sold_date, cs_item_sk,
+             CAST(round(cs_quantity
+               - COALESCE(cr_return_quantity, 0), 0) AS BIGINT),
+             CAST(round((cs_net_paid - COALESCE(cr_return_amt, 0)) * 10000, 0)
+               AS BIGINT)
+      FROM catalog_sales LEFT JOIN catalog_returns
+        ON cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+       AND cs_customer_sk = cr_customer_sk
+      UNION ALL
+      SELECT ws_sold_date, ws_item_sk,
+             CAST(round(ws_quantity
+               - COALESCE(wr_return_quantity, 0), 0) AS BIGINT),
+             CAST(round((ws_net_paid - COALESCE(wr_return_amt, 0)) * 10000, 0)
+               AS BIGINT)
+      FROM web_sales LEFT JOIN web_returns
+        ON ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+       AND ws_customer_sk = wr_customer_sk),
+    all_sales AS (
+      SELECT d_year, i_brand,
+             sum(qty) AS sales_cnt, sum(cents) AS amt_cents
+      FROM sales_detail
+      JOIN item ON item_sk = i_item_sk
+      JOIN date_dim ON sold_date = d_date
+      GROUP BY d_year, i_brand)
+    """,
+    ),
+)
+def q_tpcds_q75(ds: _DS) -> DataFrame:
+    """TPC-DS Q75: brands whose net-of-returns unit sales declined
+    year-over-year — three channel facts LEFT JOINed to their returns,
+    UNION ALL'd, aggregated, then self-joined on adjacent years. Net
+    quantities and amounts are exact BIGINTs end to end."""
+
+    def chan(fact, ret, keys, date_k, item_k, qty, paid, rqty, ramt):
+        joined = fact.join(ret, keys, "left")
+        return joined.select(
+            _C(date_k).alias("sold_date"),
+            _C(item_k).alias("item_sk"),
+            F.round(_C(qty) - F.coalesce(_C(rqty), F.lit(0)), 0)
+            .cast("bigint")
+            .alias("qty"),
+            F.round(
+                (_C(paid) - F.coalesce(_C(ramt), F.lit(0))) * 10000, 0
+            ).cast("bigint").alias("cents"),
+        )
+
+    sd = chan(
+        ds.store_sales, ds.store_returns,
+        (_C("ss_item_sk") == _C("sr_item_sk"))
+        & (_C("ss_ticket_number") == _C("sr_ticket_number"))
+        & (_C("ss_customer_sk") == _C("sr_customer_sk")),
+        "ss_sold_date", "ss_item_sk", "ss_quantity", "ss_net_paid",
+        "sr_return_quantity", "sr_return_amt",
+    ).unionAll(
+        chan(
+            ds.catalog_sales, ds.catalog_returns,
+            (_C("cs_item_sk") == _C("cr_item_sk"))
+            & (_C("cs_order_number") == _C("cr_order_number"))
+            & (_C("cs_customer_sk") == _C("cr_customer_sk")),
+            "cs_sold_date", "cs_item_sk", "cs_quantity", "cs_net_paid",
+            "cr_return_quantity", "cr_return_amt",
+        )
+    ).unionAll(
+        chan(
+            ds.web_sales, ds.web_returns,
+            (_C("ws_item_sk") == _C("wr_item_sk"))
+            & (_C("ws_order_number") == _C("wr_order_number"))
+            & (_C("ws_customer_sk") == _C("wr_customer_sk")),
+            "ws_sold_date", "ws_item_sk", "ws_quantity", "ws_net_paid",
+            "wr_return_quantity", "wr_return_amt",
+        )
+    )
+    all_sales = (
+        sd.join(ds.item, _C("item_sk") == _C("i_item_sk"))
+        .join(ds.date_dim, _C("sold_date") == _C("d_date"))
+        .groupBy("d_year", "i_brand")
+        .agg(F.sum("qty").alias("sales_cnt"), F.sum("cents").alias("amt_cents"))
+    )
+    prev = all_sales.select(
+        _C("i_brand").alias("__p_brand"), _C("d_year").alias("__p_year"),
+        _C("sales_cnt").alias("prev_cnt"), _C("amt_cents").alias("__p_cents"),
+    )
+    return (
+        all_sales.join(
+            prev,
+            (_C("i_brand") == _C("__p_brand"))
+            & (_C("d_year") == _C("__p_year") + 1),
+        )
+        .where((_C("d_year") == 2000) & (_C("sales_cnt") < _C("prev_cnt")))
+        .select(
+            "i_brand", "prev_cnt",
+            _C("sales_cnt").alias("curr_cnt"),
+            (F.floor(_C("__p_cents") / 100 + F.lit(0.5)) / 100).alias("prev_amt"),
+            (F.floor(_C("amt_cents") / 100 + F.lit(0.5)) / 100).alias("curr_amt"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q90",
+    _with(
+        """
+    SELECT round(CAST(small_cnt AS DOUBLE) / big_cnt, 6) AS qty_ratio,
+           small_cnt, big_cnt
+    FROM
+      (SELECT CAST(count(*) AS BIGINT) AS small_cnt FROM store_sales
+       WHERE ss_quantity BETWEEN 1 AND 15) a,
+      (SELECT CAST(count(*) AS BIGINT) AS big_cnt FROM store_sales
+       WHERE ss_quantity BETWEEN 36 AND 50) b
+    """,
+        "store_sales",
+    ),
+)
+def q_tpcds_q90(ds: _DS) -> DataFrame:
+    """TPC-DS Q90 shape: ratio of two bucket counts. Like q88, the
+    literal SQL is two scans cross-joined; the Spark plan is one
+    conditional-aggregation pass (the 100 TB rewrite). Counts are
+    exact, so the ratio is bit-stable."""
+    agg = ds.store_sales.agg(
+        F.sum(F.when(_C("ss_quantity").between(1, 15), 1).otherwise(0))
+        .cast("bigint")
+        .alias("small_cnt"),
+        F.sum(F.when(_C("ss_quantity").between(36, 50), 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_cnt"),
+    )
+    return agg.select(
+        F.round(_C("small_cnt") / _C("big_cnt"), 6).alias("qty_ratio"),
+        "small_cnt",
+        "big_cnt",
     )

@@ -90,7 +90,7 @@ def test_cte_and_dataframe_agree(spark, ddb):
     ds = _ds(spark)
     for name in ["date_dim", "item", "customer_dim", "customer_address",
                  "store", "store_sales", "store_returns"]:
-        sdf = getattr(ds, name if name != "customer_dim" else "customer_dim")
+        sdf = getattr(ds, name)
         cols = sorted(sdf.columns)
         srows = rows_of(sdf.select(*cols))
         drows = duck_rows(

@@ -118,6 +118,9 @@ def _driver_order() -> list[str]:
         "tpcds_q74",
         "tpcds_q88",
         "tpcds_q95",
+        # round-5b: the iterations upgrade (partial -> full per the
+        # r4 coverage table) earns its driver row immediately
+        "delta_iteration_bfs",
     }
 
     def key(n: str):

@@ -1,0 +1,109 @@
+"""Bounded delta iterations: the workset-driven iteration pattern.
+
+Mirrors the reference's DataSet delta iterations
+(flink-java/src/main/java/org/apache/flink/api/java/operators/
+DeltaIteration.java:46 — solution set + workset, the step function
+produces the next workset and solution updates; iteration terminates
+when the workset is empty or max iterations hit; bulk variant in
+IterativeDataSet.java:42). SURVEY §2.11 descopes *streaming*
+iterations; the bounded batch form is what training-data pipelines
+actually use (transitive closures, reachability, label propagation),
+so it is first-class here: a generic ``delta_iterate`` plus BFS
+shortest-distances built on it (clustering.py's connected components
+is the other instance of the pattern).
+
+100 TB design notes (same discipline as clustering.py):
+
+* Solution and workset carry only ``(key, value)`` longs — never
+  payload rows; the (big, static) edge relation is hash-partitioned
+  on the join key and persisted ONCE, so each round shuffles only the
+  frontier, which delta iterations keep shrinking.
+* ``localCheckpoint`` per round truncates lineage (the iterative-
+  Spark plan-growth trap); on a cluster use a checkpoint dir for
+  fault-tolerant truncation.
+* Convergence is one ``isEmpty``-style count() on the (small) delta
+  per round — the same single lightweight action the reference's
+  workset-empty test performs
+  (DeltaIteration terminates on empty workset).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_iterate(
+    solution: DataFrame,
+    workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame], tuple[DataFrame, DataFrame]],
+    max_rounds: int,
+) -> DataFrame:
+    """Run a workset-driven iteration: ``step(solution, workset) ->
+    (new_solution, new_workset)`` until the workset is empty or
+    ``max_rounds`` is reached. Returns the final solution set.
+
+    The caller's ``step`` owns the join/aggregate semantics; this
+    harness owns lineage truncation and the termination protocol —
+    the split DeltaIteration.java draws between the iteration
+    operator and the user's step function.
+    """
+    solution = solution.localCheckpoint(eager=True)
+    workset = workset.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if not workset.take(1):
+            break
+        solution, workset = step(solution, workset)
+        solution = solution.localCheckpoint(eager=True)
+        workset = workset.localCheckpoint(eager=True)
+    return solution
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    start: list[int],
+    max_depth: int,
+) -> DataFrame:
+    """Unit-weight shortest distances from ``start`` nodes over the
+    DIRECTED edge relation → ``(node, dist)`` with ``dist <=
+    max_depth``. The classic delta iteration: the workset is the
+    frontier (nodes whose distance improved last round), so each
+    round joins only the frontier against the partitioned adjacency.
+    """
+    adj = (
+        edges.select(
+            F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+        )
+        .distinct()
+        .repartition("__src")
+        .persist()
+    )
+    spark = edges.sparkSession
+    init = spark.createDataFrame(
+        [(int(n), 0) for n in start], "node BIGINT, dist BIGINT"
+    )
+
+    def step(sol: DataFrame, ws: DataFrame):
+        cand = (
+            adj.join(ws, F.col("__src") == F.col("node"))
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .where(F.col("dist") <= max_depth)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # delta = candidates not already settled (BFS: any settled
+        # node has a <= distance, so an anti join is the improvement
+        # test)
+        delta = cand.join(sol.select("node"), "node", "left_anti")
+        return sol.unionByName(delta), delta
+
+    result = delta_iterate(init, init, step, max_rounds=max_depth + 1)
+    adj.unpersist()
+    return result

@@ -5975,3 +5975,45 @@ def q_sha_timestamp_fns(t: _T) -> DataFrame:
 # QUERIES/ORACLES on import. Import sits at module tail so the helpers
 # above (_q, _T, _money) exist when tpcds's decorators run.
 import flink_efo_spark.tpcds  # noqa: E402,F401  (registration side effect)
+
+
+@_q(
+    "delta_iteration_bfs",
+    """
+    WITH RECURSIVE e1 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+    bfs AS (
+      SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      UNION
+      SELECT e.dst AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 4)
+    SELECT node, min(dist) AS dist FROM bfs GROUP BY node
+    """,
+)
+def q_delta_iteration_bfs(t: _T) -> DataFrame:
+    """§2.11 iterations, delta (workset) form (reference
+    flink-java/.../operators/DeltaIteration.java:46): unit-weight BFS
+    distances over the customer↔supplier purchase graph (nodes
+    2·custkey / 2·suppkey+1, start = supplier 1, depth ≤ 4). Each
+    round joins only the shrinking frontier against the partitioned
+    adjacency — the workset discipline that makes iterative closure
+    feasible at corpus scale. Oracle: DuckDB recursive CTE with
+    UNION-distinct level dedup."""
+    from flink_efo_spark.operators.iterate import bfs_distances
+
+    li, o = t.lineitem, t.orders
+    e1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_distances(edges, "src", "dst", start=[3], max_depth=4)

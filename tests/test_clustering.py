@@ -49,3 +49,46 @@ def test_cluster_stats_keep_rule(spark):
         for r in dup_cluster_stats(df, "a", "b").collect()
     }
     assert stats == {1: (3, 1), 20: (2, 20)}
+
+
+def test_delta_iterate_bfs_fixed_graph(spark):
+    """bfs_distances on a hand-built graph: a path 1-2-3-4-5 with a
+    shortcut 1-4 — distances must take the shortcut, depth cap must
+    truncate, and unreachable nodes must be absent."""
+    from flink_efo_spark.operators.iterate import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 10)],
+        "src BIGINT, dst BIGINT",
+    )
+    # undirected
+    edges = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    got = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, "src", "dst", [1], max_depth=2).collect()
+    }
+    assert got == {(1, 0), (2, 1), (4, 1), (3, 2), (5, 2)}  # 9,10 unreachable
+
+
+def test_delta_iterate_workset_empties(spark):
+    """delta_iterate stops when the step yields an empty workset
+    (before max_rounds) and returns the accumulated solution."""
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.iterate import delta_iterate
+
+    init = spark.createDataFrame([(0, 0)], "node BIGINT, dist BIGINT")
+    calls = []
+
+    def step(sol, ws):
+        calls.append(1)
+        nxt = ws.select(
+            (F.col("node") + 1).alias("node"), (F.col("dist") + 1).alias("dist")
+        ).where(F.col("node") <= 2)
+        return sol.unionByName(nxt), nxt
+
+    out = delta_iterate(init, init, step, max_rounds=50)
+    assert sorted((r.node, r.dist) for r in out.collect()) == [
+        (0, 0), (1, 1), (2, 2),
+    ]
+    assert len(calls) == 3  # rounds 1..2 produce, round 3 empties

@@ -1797,3 +1797,46 @@ def q_tpcds_q90(ds: _DS) -> DataFrame:
         "small_cnt",
         "big_cnt",
     )
+
+
+@_ds_q(
+    "tpcds_q87",
+    _with(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS store_only_customers
+    FROM (
+      SELECT DISTINCT ss_customer_sk AS customer_sk
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 2000
+      EXCEPT
+      SELECT DISTINCT cs_customer_sk AS customer_sk
+      FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year = 2000
+      EXCEPT
+      SELECT DISTINCT ws_customer_sk AS customer_sk
+      FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year = 2000) hot
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q87(ds: _DS) -> DataFrame:
+    """TPC-DS Q87: customers who bought in-store but through no other
+    channel that year — an EXCEPT (distinct) chain over per-channel
+    customer sets, counted. Each EXCEPT is a shuffle on the bare
+    customer key; the facts never move wide."""
+
+    def cust(fact, cust_k, date_k):
+        return (
+            fact.join(ds.date_dim, _C(date_k) == _C("d_date"))
+            .where(_C("d_year") == 2000)
+            .select(_C(cust_k).alias("customer_sk"))
+            .distinct()
+        )
+
+    hot = (
+        cust(ds.store_sales, "ss_customer_sk", "ss_sold_date")
+        .subtract(cust(ds.catalog_sales, "cs_customer_sk", "cs_sold_date"))
+        .subtract(cust(ds.web_sales, "ws_customer_sk", "ws_sold_date"))
+    )
+    return hot.agg(F.count(F.lit(1)).cast("bigint").alias("store_only_customers"))

@@ -345,3 +345,52 @@ def test_frontier_scan_split_equals_batch(pattern, rows, cut_seed):
         tail = buf[frontier:]
 
     assert got == want, (pattern, rows, batches, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Delta-iteration BFS vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists, depth=st.integers(1, 4))
+def test_bfs_distances_matches_reference(spark, edges, depth):
+    """bfs_distances (operators/iterate.py delta iteration) agrees
+    with a driver-side BFS on random small digraphs at every depth
+    cap."""
+    from collections import deque
+
+    from flink_efo_spark.operators.iterate import bfs_distances
+
+    start = edges[0][0]
+    # python reference: unit-weight BFS with depth cap
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expected = {start: 0}
+    dq = deque([start])
+    while dq:
+        n = dq.popleft()
+        if expected[n] >= depth:
+            continue
+        for m in sorted(adj.get(n, ())):
+            if m not in expected:
+                expected[m] = expected[n] + 1
+                dq.append(m)
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.node, r.dist)
+        for r in bfs_distances(df, "src", "dst", [start], depth).collect()
+    }
+    assert got == set(expected.items())

@@ -121,6 +121,7 @@ def _driver_order() -> list[str]:
         # round-5b: the iterations upgrade (partial -> full per the
         # r4 coverage table) earns its driver row immediately
         "delta_iteration_bfs",
+        "incremental_dedup",
     }
 
     def key(n: str):

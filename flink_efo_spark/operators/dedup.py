@@ -432,3 +432,46 @@ def simhash_near_duplicates(
     out = result.localCheckpoint(eager=True)
     sigs.unpersist()
     return out
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_sigs: DataFrame,
+    id_col: str,
+    fingerprint: Column,
+    sig_col: str = "fingerprint",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: deduplicate a NEW batch of documents
+    against an existing corpus using only the corpus's signature
+    store — old document bodies are never rescanned, which is the
+    whole point at 100 TB (the store is one 32-char key per distinct
+    historical document, bucketable by ``sig_col`` so the anti-join
+    is co-located with no shuffle of the store).
+
+    ``fingerprint`` is the signature expression (full normalized-text
+    md5, a normalized-prefix md5 for boilerplate-tolerant matching, a
+    SimHash band, …) — the caller picks the equivalence; this
+    operator owns the incremental protocol.
+
+    Returns ``(survivors, new_sigs)``: the batch rows that are first
+    of their signature within the batch AND unseen in the store
+    (keep-first via the same min_by map-side-combine shape as
+    :func:`dedup_exact`), and the signatures to append to the store
+    for the next increment.
+    """
+    cols = new_df.columns
+    batch = ensure_min_parallelism(new_df).withColumn(sig_col, fingerprint)
+    survivors = (
+        batch.groupBy(sig_col)
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count("*").alias("group_size"),
+        )
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in cols],
+            sig_col,
+            "group_size",
+        )
+    )
+    fresh = survivors.join(seen_sigs.select(sig_col), sig_col, "left_anti")
+    return fresh, fresh.select(sig_col)

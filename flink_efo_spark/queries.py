@@ -6017,3 +6017,50 @@ def q_delta_iteration_bfs(t: _T) -> DataFrame:
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return bfs_distances(edges, "src", "dst", start=[3], max_depth=4)
+
+
+@_q(
+    "incremental_dedup",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                 1, 80)) AS fingerprint
+      FROM documents),
+    seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+    surv AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS group_size
+      FROM f WHERE doc_id % 2 = 1)
+    SELECT doc_id, fingerprint, group_size
+    FROM surv s
+    WHERE rn = 1
+      AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.fingerprint = s.fingerprint)
+    """,
+)
+def q_incremental_dedup(t: _T) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.py
+    dedup_incremental): the even-doc_id half plays the existing
+    corpus — reduced to its SIGNATURE STORE only — and the odd half
+    is the new batch, deduped within itself (keep-first) and against
+    the store via a left-anti join on the 32-char key. Fingerprint =
+    md5 of the 80-char normalized prefix (boilerplate-tolerant
+    equivalence), which the synthetic corpus actually collides on.
+    The continuous-ingest shape every training-data pipeline runs:
+    old text is never rescanned."""
+    from flink_efo_spark.operators.dedup import dedup_incremental
+
+    docs = t.documents
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(F.substring(norm, 1, 80))
+    seen = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    fresh, _new_sigs = dedup_incremental(new_batch, seen, "doc_id", fp)
+    return fresh.select("doc_id", "fingerprint", "group_size")

@@ -80,3 +80,31 @@ def test_keep_first_last(spark):
     last = dedup_keep_last(df, ["k"], [F.col("seq")]).collect()
     assert {(r.k, r.v) for r in first} == {(1, "a"), (2, "x")}
     assert {(r.k, r.v) for r in last} == {(1, "c"), (2, "x")}
+
+
+def test_dedup_incremental_two_batches(spark):
+    """The incremental protocol end-to-end: batch 2 is deduped
+    against the store as appended by batch 1 — a duplicate of a
+    batch-1 survivor is dropped even though it never shared a batch
+    with it."""
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.dedup import dedup_incremental
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    fp = F.md5(F.lower(F.col("text")))
+    store = docs([]).select(fp.alias("fingerprint")).limit(0)
+
+    b1 = docs([(1, "Alpha"), (2, "alpha"), (3, "beta")])
+    s1, sig1 = dedup_incremental(b1, store, "doc_id", fp)
+    got1 = {(r.doc_id, r.group_size) for r in s1.collect()}
+    assert got1 == {(1, 2), (3, 1)}  # keep-first within batch
+
+    store = store.unionByName(sig1)
+    b2 = docs([(10, "ALPHA"), (11, "gamma"), (12, "Gamma")])
+    s2, sig2 = dedup_incremental(b2, store, "doc_id", fp)
+    got2 = {(r.doc_id, r.group_size) for r in s2.collect()}
+    assert got2 == {(11, 2)}  # 10 seen in store; 12 loses to 11
+    assert sig2.count() == 1

@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "tpcds_q74",
     "tpcds_q88",
     "tpcds_q95",
+    # round 5c: delta-iteration BFS (frontier-driven workset) and
+    # incremental dedup (signature-store anti-join) — new iterative /
+    # ingest plan families
+    "delta_iteration_bfs",
+    "incremental_dedup",
 ]
 
 

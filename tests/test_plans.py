@@ -1,0 +1,80 @@
+"""Plan-shape pins for the scale-critical queries.
+
+tools/plan_audit.py sweeps every query as a tool; these tests pin the
+HANDFUL of plan properties the 100 TB design depends on, so a
+regression (a lost broadcast, a surprise cartesian product, a
+Python-UDF slipping into a hot path) fails CI with a named assertion
+instead of surfacing as a slow round. Assertions are deliberately
+loose — presence/absence of node kinds, not full plan text — to stay
+stable across Spark versions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpcds_q3", "tpcds_q19", "tpcds_q42", "broadcast_dim_join", "tpch_q3_shipping"],
+)
+def test_star_queries_broadcast_their_dims(spark, name):
+    """Star joins must broadcast the dimension side — a star query
+    whose dims shuffle is the canonical 100 TB regression."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tpcds_q25", "tpcds_q93", "calc", "tpch_q1_pricing"]
+)
+def test_no_python_row_udf_in_relational_paths(spark, name):
+    """Relational queries stay JVM-side: no row-at-a-time Python eval
+    (BatchEvalPython) and no arrow fallback in the plan."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_scan_filters_push_down(spark):
+    """The calc query's shipdate/discount/quantity filters must reach
+    the parquet scan (PushedFilters non-empty)."""
+    plan = _plan(spark, "calc")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "calc: empty PushedFilters on the lineitem scan"
+
+
+def test_dedup_exact_uses_partial_aggregate(spark):
+    """dedup_exact must keep the min_by aggregate form (map-side
+    partial combine), not a row_number window over the full shuffle."""
+    plan = _plan(spark, "dedup_exact")
+    assert "min_by" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "RunningWindowFunction" not in plan
+
+
+def test_q88_is_single_pass(spark):
+    """tpcds_q88's Spark plan must stay the one-scan conditional
+    aggregate — if it ever regresses to the literal 4-scan cross-join
+    grid, the scan count shows it."""
+    import re
+
+    plan = _plan(spark, "tpcds_q88")
+    # formatted explain lists each scan in the tree AND the detail
+    # section — count the numbered detail nodes (one per real scan)
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans <= 2, f"q88: {scans} fact scans (single-pass regressed)"
+    assert "CartesianProduct" not in plan

@@ -1840,3 +1840,94 @@ def q_tpcds_q87(ds: _DS) -> DataFrame:
         .subtract(cust(ds.web_sales, "ws_customer_sk", "ws_sold_date"))
     )
     return hot.agg(F.count(F.lit(1)).cast("bigint").alias("store_only_customers"))
+
+
+def _q49_channel_sql(fact: str, ret: str, p: str, rp: str, order: str) -> str:
+    return f"""
+      SELECT '{fact}' AS channel, {p}item_sk AS item_sk,
+             round(CAST(sum(CAST(round(COALESCE({rp}return_amt, 0) * 10000, 0)
+                     AS BIGINT)) AS DOUBLE)
+                   / sum(CAST(round({p}net_paid * 10000, 0) AS BIGINT)),
+                   6) AS return_ratio
+      FROM {fact}_sales LEFT JOIN {fact}_returns
+        ON {p}item_sk = {rp}item_sk AND {p}{order} = {rp}{order}
+       AND {p}customer_sk = {rp}customer_sk
+      GROUP BY {p}item_sk
+      HAVING sum(CAST(round(COALESCE({rp}return_amt, 0) * 10000, 0)
+               AS BIGINT)) > 0
+    """
+
+
+@_ds_q(
+    "tpcds_q49",
+    _with(
+        f"""
+    SELECT channel, item_sk, return_ratio,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT channel, item_sk, return_ratio,
+             rank() OVER (PARTITION BY channel
+                          ORDER BY return_ratio DESC, item_sk) AS rnk
+      FROM (
+        {_q49_channel_sql('store', 'returns', 'ss_', 'sr_', 'ticket_number')}
+        UNION ALL
+        {_q49_channel_sql('catalog', 'returns', 'cs_', 'cr_', 'order_number')}
+        UNION ALL
+        {_q49_channel_sql('web', 'returns', 'ws_', 'wr_', 'order_number')}) r) t
+    WHERE rnk <= 10
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns",
+    ),
+)
+def q_tpcds_q49(ds: _DS) -> DataFrame:
+    """TPC-DS Q49: worst return ratios per channel — per-channel
+    item-level returns/sales ratio (exact-cent BIGINTs, so the ratio
+    and its rank order are bit-stable), ranked within each channel,
+    top 10 of the three channels UNION ALL'd."""
+
+    def chan(fact, ret, tag, p, rp, order):
+        joined = fact.join(
+            ret,
+            (_C(p + "item_sk") == _C(rp + "item_sk"))
+            & (_C(p + order) == _C(rp + order))
+            & (_C(p + "customer_sk") == _C(rp + "customer_sk")),
+            "left",
+        )
+        return (
+            joined.groupBy(_C(p + "item_sk").alias("item_sk"))
+            .agg(
+                F.sum(
+                    _cents(F.coalesce(_C(rp + "return_amt"), F.lit(0)))
+                ).alias("__ret"),
+                F.sum(_cents(_C(p + "net_paid"))).alias("__sales"),
+            )
+            .where(_C("__ret") > 0)
+            .select(
+                F.lit(tag).alias("channel"),
+                "item_sk",
+                F.round(_C("__ret") / _C("__sales"), 6).alias("return_ratio"),
+            )
+        )
+
+    unioned = (
+        chan(ds.store_sales, ds.store_returns, "store", "ss_", "sr_", "ticket_number")
+        .unionAll(
+            chan(ds.catalog_sales, ds.catalog_returns, "catalog", "cs_", "cr_",
+                 "order_number")
+        )
+        .unionAll(
+            chan(ds.web_sales, ds.web_returns, "web", "ws_", "wr_",
+                 "order_number")
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(
+        _C("return_ratio").desc(), _C("item_sk")
+    )
+    return (
+        unioned.select(
+            "channel", "item_sk", "return_ratio",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+        )
+        .where(_C("rnk") <= 10)
+    )

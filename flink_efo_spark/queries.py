@@ -6005,16 +6005,19 @@ def q_delta_iteration_bfs(t: _T) -> DataFrame:
     from flink_efo_spark.operators.iterate import bfs_distances
 
     li, o = t.lineitem, t.orders
-    e1 = (
+    # both directions from ONE scan via explode (clustering.py's
+    # adjacency trick); bfs_distances dedups, so no pre-distinct
+    edges = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
-        .distinct()
-    )
-    edges = e1.unionByName(
-        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .selectExpr(
+            "explode(array(struct(a AS src, b AS dst), "
+            "struct(b AS src, a AS dst))) AS e"
+        )
+        .select("e.src", "e.dst")
     )
     return bfs_distances(edges, "src", "dst", start=[3], max_depth=4)
 
@@ -6064,3 +6067,50 @@ def q_incremental_dedup(t: _T) -> DataFrame:
     new_batch = docs.where(F.col("doc_id") % 2 == 1)
     fresh, _new_sigs = dedup_incremental(new_batch, seen, "doc_id", fp)
     return fresh.select("doc_id", "fingerprint", "group_size")
+
+
+@_q(
+    "stream_incremental_dedup",
+    r"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id,
+                   md5(substr(regexp_replace(lower(trim(text)), '\s+',
+                       ' ', 'g'), 1, 80)) AS fp
+            FROM documents))
+    WHERE rn = 1
+    """,
+)
+def q_stream_incremental_dedup(t: _T) -> DataFrame:
+    """Store-backed continuous dedup (streaming.py
+    stream_incremental_dedup): the documents table replayed as 4
+    doc_id-ordered micro-batches, each deduped within itself and
+    against the PERSISTENT signature store appended by prior batches
+    (epoch-dir idempotent writes — exactly-once across restarts,
+    pytest-proven). First arrival per fingerprint == min doc_id, so
+    the exact oracle is the batch keep-first answer."""
+    import tempfile
+
+    from flink_efo_spark.streaming import (
+        stream_incremental_dedup,
+        stream_table_split,
+    )
+
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1, 80,
+        )
+    )
+    src = stream_table_split(
+        t.spark, t.sf_dir, "documents", n_batches=4, order_col="doc_id"
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="efo_incr_dedup_")
+    q = stream_incremental_dedup(
+        src, "doc_id", fp,
+        store_dir=f"{base}/store", out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return t.spark.read.parquet(f"{base}/out").select("doc_id")

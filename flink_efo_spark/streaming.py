@@ -1903,3 +1903,63 @@ def process_timer_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_incremental_dedup(
+    src: DataFrame,
+    id_col: str,
+    fingerprint: Column,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous-ingest corpus dedup backed by a PERSISTENT signature
+    store (the streaming form of
+    :func:`flink_efo_spark.operators.dedup.dedup_incremental`): each
+    micro-batch is deduped within itself and against every signature
+    ingested by PRIOR batches, then appends its own signatures. The
+    store outlives the query — a restarted (or brand-new) query keeps
+    deduping against everything already ingested, which keyed
+    streaming state (`dropDuplicates`) cannot do across checkpoints.
+
+    Exactly-once on crash-restart: batch N's survivors and signatures
+    both land in ``epoch=N``-addressed dirs with overwrite (the
+    epoch-dir idempotent-upsert pattern, io.py) and the store read
+    EXCLUDES the current epoch, so replaying a half-finished batch
+    recomputes the identical result instead of deduping the batch
+    against its own first attempt.
+
+    Scale: the store is one 32-char key per distinct document,
+    partitioned by epoch; the per-batch cost is the batch's shuffle
+    plus an anti-join against signatures only (bucketable at 100 TB).
+
+    Returns the started streaming query (availableNow trigger).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from flink_efo_spark.operators.dedup import dedup_incremental
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_dir).where(
+                F.col("epoch") != F.lit(int(batch_id))
+            )
+        except AnalysisException:  # first batch: store not created yet
+            store = spark.createDataFrame([], "fingerprint STRING")
+        fresh, sigs = dedup_incremental(
+            batch_df, store, id_col, fingerprint
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={int(batch_id)}")
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"epoch={int(batch_id)}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1361,3 +1361,95 @@ def test_dedup_within_watermark_ttl(spark, tmp_path):
     ks = sorted(r.k for r in out.collect())
     # k=1 emitted twice (expired state), the others once each
     assert ks == [1, 1, 2, 3, 4, 5, 6]
+
+
+def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
+    """Store-backed continuous dedup: 4 document batches (ordered by
+    doc_id), crash injected on batch 1, restart with the SAME store +
+    checkpoint — the union of emitted survivors equals the one-shot
+    batch keep-first answer: no duplicate re-emitted, none lost, even
+    though batch 1 had already appended its signatures before the
+    crash."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.streaming import (
+        stream_incremental_dedup,
+        stream_table_split,
+    )
+
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1, 80,
+        )
+    )
+    src = stream_table_split(
+        spark, SF_DIR, "documents", n_batches=4, order_col="doc_id"
+    ).select("doc_id", "text")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # monkey-patch a crash into the first run's sink via a wrapper src
+    crashed = {"done": False}
+    import flink_efo_spark.streaming as S
+
+    orig = S.stream_incremental_dedup
+
+    from flink_efo_spark.operators.dedup import dedup_incremental
+
+    def crashing(src, id_col, fingerprint, store_dir, out_dir, checkpoint_dir):
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        def handle(batch_df, batch_id):
+            s = batch_df.sparkSession
+            try:
+                st = s.read.parquet(store_dir).where(
+                    F.col("epoch") != F.lit(int(batch_id))
+                )
+            except AnalysisException:
+                st = s.createDataFrame([], "fingerprint STRING")
+            fresh, sigs = dedup_incremental(batch_df, st, id_col, fingerprint)
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"__batch_id={int(batch_id)}")
+            )
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"epoch={int(batch_id)}")
+            )
+            if batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected crash after store append")
+
+        return (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = crashing(src, "doc_id", fp, store, out, ckpt)
+    with pytest.raises(StreamingQueryException):
+        q1.awaitTermination()
+    assert crashed["done"]
+
+    q2 = orig(src, "doc_id", fp, store, out, ckpt)
+    q2.awaitTermination()
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+
+    # batch reference: global keep-first == min doc_id per fingerprint
+    # (batches are doc_id-ordered, so first arrival is the min id)
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = sorted(
+        r.doc_id
+        for r in docs.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    )
+    assert got == expected

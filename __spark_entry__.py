@@ -122,6 +122,7 @@ def _driver_order() -> list[str]:
         # r4 coverage table) earns its driver row immediately
         "delta_iteration_bfs",
         "incremental_dedup",
+        "stream_incremental_dedup",
     }
 
     def key(n: str):

@@ -1931,3 +1931,113 @@ def q_tpcds_q49(ds: _DS) -> DataFrame:
         )
         .where(_C("rnk") <= 10)
     )
+
+
+@_ds_q(
+    "tpcds_q64",
+    _with(
+        """
+    SELECT cs1.product_name, cs1.store_name, cs1.b_state, cs1.syear,
+           cs2.b_state AS b_state2,
+           cs1.cnt, cs1.s1, cs2.s1 AS s2, cs2.cnt AS cnt2
+    FROM cross_sales cs1
+    JOIN cross_sales cs2
+      ON cs1.item_sk = cs2.item_sk AND cs1.store_name = cs2.store_name
+     AND cs2.syear = cs1.syear + 1
+    WHERE cs1.syear = 1998 AND cs2.cnt <= cs1.cnt
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "date_dim", "store", "customer_dim", "customer_address", "item",
+        extra="""
+    cs_ui AS (
+      SELECT cs_item_sk AS ui_item_sk
+      FROM catalog_sales LEFT JOIN catalog_returns
+        ON cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+       AND cs_customer_sk = cr_customer_sk
+      GROUP BY cs_item_sk
+      HAVING sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT))
+             > 3 * sum(COALESCE(CAST(round(cr_return_amt * 10000, 0)
+                                     AS BIGINT), 0))),
+    cross_sales AS (
+      SELECT i_item_desc AS product_name, i_item_sk AS item_sk,
+             s_store_name AS store_name, ca_state AS b_state,
+             d_year AS syear, CAST(count(*) AS BIGINT) AS cnt,
+             floor(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                   / 100 + 0.5) / 100 AS s1
+      FROM store_sales
+      JOIN cs_ui ON ss_item_sk = ui_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      GROUP BY i_item_desc, i_item_sk, s_store_name, ca_state, d_year)
+    """,
+    ),
+)
+def q_tpcds_q64(ds: _DS) -> DataFrame:
+    """TPC-DS Q64 shape (the corpus's heaviest join tree): items with
+    healthy catalog margins (sale > 2× refund, exact-cent HAVING over
+    a fact-fact join), their store sales expanded through five
+    dimensions, aggregated per (item, store, buyer-state, year), then
+    the CTE self-joined on adjacent years where repeat volume did not
+    grow. Exercises Catalyst's join reordering across 8 relations +
+    aggregate reuse across the self-join."""
+    cs_ui = (
+        ds.catalog_sales.join(
+            ds.catalog_returns,
+            (_C("cs_item_sk") == _C("cr_item_sk"))
+            & (_C("cs_order_number") == _C("cr_order_number"))
+            & (_C("cs_customer_sk") == _C("cr_customer_sk")),
+            "left",
+        )
+        .groupBy(_C("cs_item_sk").alias("ui_item_sk"))
+        .agg(
+            F.sum(_cents(_C("cs_net_paid"))).alias("__sale"),
+            F.sum(
+                F.coalesce(_cents(_C("cr_return_amt")), F.lit(0))
+            ).alias("__refund"),
+        )
+        .where(_C("__sale") > 3 * _C("__refund"))
+        .select("ui_item_sk")
+    )
+    cross_sales = (
+        ds.store_sales.join(cs_ui, _C("ss_item_sk") == _C("ui_item_sk"))
+        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
+        .join(ds.customer_dim, _C("ss_customer_sk") == _C("c_customer_sk"))
+        .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+        .groupBy(
+            _C("i_item_desc").alias("product_name"),
+            _C("i_item_sk").alias("item_sk"),
+            _C("s_store_name").alias("store_name"),
+            _C("ca_state").alias("b_state"),
+            _C("d_year").alias("syear"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.floor(F.sum(_cents(_C("ss_net_paid"))) / 100 + F.lit(0.5)) / 100
+            ).alias("s1"),
+        )
+    )
+    cs2 = cross_sales.select(
+        _C("item_sk").alias("__i2"), _C("store_name").alias("__st2"),
+        _C("b_state").alias("__b2"), _C("syear").alias("__y2"),
+        _C("cnt").alias("cnt2"), _C("s1").alias("s2"),
+    )
+    return (
+        cross_sales.join(
+            cs2,
+            (_C("item_sk") == _C("__i2"))
+            & (_C("store_name") == _C("__st2"))
+            & (_C("__y2") == _C("syear") + 1),
+        )
+        .where((_C("syear") == 1998) & (_C("cnt2") <= _C("cnt")))
+        .select(
+            "product_name", "store_name", "b_state",
+            _C("__b2").alias("b_state2"), "syear",
+            "cnt", "s1", "s2", "cnt2",
+        )
+    )

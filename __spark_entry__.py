@@ -50,7 +50,19 @@ def _driver_order() -> list[str]:
         except Exception:
             continue
         for name, row in rows.items():
-            green[name] = bool(row.get("rows_match")) and row.get("err") is None
+            # green requires value-hash and schema agreement too: a
+            # rows-match/hash-mismatch row (e.g. an oracle dtype
+            # artifact) must sort into the re-verify-first group, not
+            # the green rotation (round-5 verdict: q12 would otherwise
+            # sit at position 163/181 and never re-earn its row).
+            # hash/schema keys are absent for rows-only (no-oracle)
+            # checks — treat absent as passing.
+            green[name] = (
+                bool(row.get("rows_match"))
+                and row.get("err") is None
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            )
             round_of[name] = rnd
 
     idx = {n: i for i, n in enumerate(QUERIES)}
@@ -123,6 +135,11 @@ def _driver_order() -> list[str]:
         "delta_iteration_bfs",
         "incremental_dedup",
         "stream_incremental_dedup",
+        # round-6 new operators (budget <= 13 so the 36-query backlog
+        # plus these all fit in the 50-row sample; q12's red re-verify
+        # takes slot 1)
+        "stream_over_rows_bounded",
+        "stream_over_range_bounded",
     }
 
     def key(n: str):

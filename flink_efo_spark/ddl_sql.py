@@ -85,7 +85,7 @@ def is_drop_table(sql: str) -> bool:
     return bool(_DROP_RE.match(sql))
 
 
-def _split_top(text: str) -> list[str]:
+def _split_top(text: str, sep: str = ",") -> list[str]:
     parts, depth, last, i = [], 0, 0, 0
     while i < len(text):
         c = text[i]
@@ -96,7 +96,7 @@ def _split_top(text: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif c == "," and depth == 0:
+        elif c == sep and depth == 0:
             parts.append(text[last:i])
             last = i + 1
         i += 1
@@ -256,7 +256,9 @@ def execute_statement_set(env, sql: str) -> None:
     DAG with shared scans, which Spark approximates for free when the
     inserts share cached/registered inputs."""
     body = _STMT_SET_RE.match(sql).group(1)
-    stmts = [s.strip() for s in body.split(";") if s.strip()]
+    # quote-aware split: a ';' inside a string literal (WHERE note =
+    # 'a;b') must not break an INSERT in two (round-5 ADVICE)
+    stmts = _split_top(body, sep=";")
     if not stmts:
         raise ValueError("empty STATEMENT SET")
     for stmt in stmts:

@@ -461,7 +461,7 @@ def _split_top_and(cond: str) -> list[str]:
     return parts
 
 
-def rewrite_system_time(sql, rowtime_of) -> str:
+def rewrite_system_time(sql, rowtime_of, primary_key_of=None) -> str:
     """Rewrite every ``JOIN t FOR SYSTEM_TIME AS OF x [AS] a ON cond``
     to a versioned-interval join.
 
@@ -471,6 +471,17 @@ def rewrite_system_time(sql, rowtime_of) -> str:
     wins; superseded ties get an empty validity interval). ``None``
     means the table has no registered rowtime → error, matching the
     reference's requirement that a temporal table declare a watermark.
+
+    ``primary_key_of(table_name)`` (optional) returns the versioned
+    table's declared PRIMARY KEY columns. When present, the LEAD
+    validity window partitions by the PK ONLY — extra non-key
+    equalities in the ON clause stay join predicates and do NOT
+    fragment the version chains (a key whose non-key attribute
+    changes across versions would otherwise leave stale rows with
+    ``__vto IS NULL``). This matches the reference's PK-based
+    temporal join (TemporalJoinRewriteWithUniqueKeyRule). Without a
+    declared PK the rewrite falls back to extracting every
+    equi-predicate on the versioned alias as the version key.
 
     ``AS OF PROCTIME()`` / a processing-time attribute selects the
     CURRENT latest version per key (``__vto IS NULL``) — the
@@ -498,15 +509,21 @@ def rewrite_system_time(sql, rowtime_of) -> str:
         tiebreaks: list[str] = []
         if isinstance(rt, tuple):
             rt, tiebreaks = rt[0], list(rt[1] or [])
-        keys = []
-        for part in _split_top_and(cond):
-            eq = _EQUI_RE.match(part)
-            if not eq:
-                continue
-            for side in (eq.group(1), eq.group(2)):
-                pre, dot, col = side.rpartition(".")
-                if dot and pre.lower() == alias.lower():
-                    keys.append(col)
+        pk = list(primary_key_of(tbl) or []) if primary_key_of else []
+        if pk:
+            # declared PRIMARY KEY wins: version chains partition by
+            # the PK alone; other ON equalities remain predicates
+            keys = pk
+        else:
+            keys = []
+            for part in _split_top_and(cond):
+                eq = _EQUI_RE.match(part)
+                if not eq:
+                    continue
+                for side in (eq.group(1), eq.group(2)):
+                    pre, dot, col = side.rpartition(".")
+                    if dot and pre.lower() == alias.lower():
+                        keys.append(col)
         if not keys:
             raise ValueError(
                 "FOR SYSTEM_TIME AS OF: no equi-join key on the versioned "

@@ -276,7 +276,22 @@ def execute_match_recognize(spark, sql: str, translate_fn):
     if match_num is not None:
         out = out.withColumnRenamed("match_seq", match_num)
 
-    view = f"__efo_mr_{abs(hash((src, pattern, tuple(sorted(defines.items()))))) % 10**9}"
+    # the view name must key on EVERY clause input: two clauses in one
+    # statement differing only in MEASURES / AFTER MATCH / ORDER BY /
+    # WITHIN would otherwise collide and both read the second's result
+    # (round-5 ADVICE)
+    _key = (
+        src,
+        pattern,
+        tuple(sorted(defines.items())),
+        tuple(sorted(measures.items())),
+        after,
+        order_by,
+        tiebreak,
+        within,
+        match_num,
+    )
+    view = f"__efo_mr_{abs(hash(_key)) % 10**9}"
     out.createOrReplaceTempView(view)
 
     # optional alias after the clause; keep it, default to the view name

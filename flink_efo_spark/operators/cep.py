@@ -1065,12 +1065,17 @@ def stream_match_recognize(
         for _start, m in matches:
             if has_groups:
                 end = max((ix for _, lst in m for ix in lst), default=_start)
-                held = (
-                    not finalize
-                    and end == n - 1
-                    and _ast_extendable(
-                        ast, leaves, _start, n, leaf_flags, ts, win
-                    )
+                # held is decided SOLELY by the probe: with
+                # overlapping DEFINE flags the greedy backtracker can
+                # return a match ending before n-1 while a longer one
+                # anchored at the same start is still completable by
+                # future rows — an `end == n-1` gate would emit the
+                # short match as final and diverge from batch
+                # semantics (round-5 ADVICE). The cheap gate survives
+                # only on the flat-step fast path below, where the
+                # greedy scan never backtracks past the buffer end.
+                held = not finalize and _ast_extendable(
+                    ast, leaves, _start, n, leaf_flags, ts, win
                 )
                 var_rows = _attribute_assign(m, leaves, var_flags)
             else:

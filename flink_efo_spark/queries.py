@@ -3647,6 +3647,98 @@ def q_delta_trigger_window(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_over_rows_bounded",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4)  AS frame_sum,
+           count(value) OVER w          AS frame_cnt,
+           round(min(value) OVER w, 4)  AS frame_min,
+           round(max(value) OVER w, 4)  AS frame_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_stream_over_rows_bounded(t: _T) -> DataFrame:
+    """Streaming OVER with a bounded ROWS frame
+    (RowTimeRowsBoundedPrecedingFunction.java:60, OverWindowITCase):
+    every event is emitted with sum/count/min/max over itself + the 5
+    previous rows of its user, with the ring-buffer state crossing
+    micro-batch boundaries. Keyed state is O(frame), not O(history)."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_over_bounded,
+        stream_table_split,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    )
+    out = stream_over_bounded(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "value",
+        rows_preceding=5,
+        tiebreak="event_id",
+    )
+    return run_stream_to_table(out).select(
+        "user_id",
+        "event_id",
+        F.round("frame_sum", 4).alias("frame_sum"),
+        "frame_cnt",
+        F.round("frame_min", 4).alias("frame_min"),
+        F.round("frame_max", 4).alias("frame_max"),
+    )
+
+
+@_q(
+    "stream_over_range_bounded",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 4)  AS frame_sum,
+           count(value) OVER w          AS frame_cnt,
+           round(min(value) OVER w, 4)  AS frame_min,
+           round(max(value) OVER w, 4)  AS frame_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_stream_over_range_bounded(t: _T) -> DataFrame:
+    """Streaming OVER with a bounded RANGE frame
+    (RowTimeRangeBoundedPrecedingFunction.java:60, OverWindowITCase):
+    each event aggregates every row of its user within the trailing
+    1-day interval [ts - 1d, ts], inclusive and peer-inclusive —
+    the reference's same-timestamp batching. State retains only the
+    trailing interval of the newest timestamp per key."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_over_bounded,
+        stream_table_split,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    )
+    out = stream_over_bounded(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        "value",
+        range_preceding="1 day",
+    )
+    return run_stream_to_table(out).select(
+        "user_id",
+        "event_id",
+        F.round("frame_sum", 4).alias("frame_sum"),
+        "frame_cnt",
+        F.round("frame_min", 4).alias("frame_min"),
+        F.round("frame_max", 4).alias("frame_max"),
+    )
+
+
+@_q(
     "stream_match_overlap",
     """
     WITH o AS (
@@ -5090,10 +5182,10 @@ def q_tpch_q11(t: _T) -> DataFrame:
     "tpch_q12_shipmode",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -5430,7 +5522,7 @@ def q_window_flat_agg(t: _T) -> DataFrame:
            CAST(sign(value - 50) AS DOUBLE)       AS sgn,
            round(sqrt(value), 6)                  AS sq,
            round(pow(value, 2), 4)                AS p2,
-           factorial(CAST(event_id % 6 AS INT))   AS fact,
+           CAST(factorial(CAST(event_id % 6 AS INT)) AS BIGINT) AS fact,
            round(greatest(value, 50.0), 2)        AS gr,
            round(least(value, 50.0), 2)           AS le,
            levenshtein(event_type, 'click')       AS lev,

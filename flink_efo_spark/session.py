@@ -132,6 +132,8 @@ class EfoSession:
         # view name -> (rowtime col, [version tiebreak cols]) for
         # FOR SYSTEM_TIME AS OF resolution on temp views
         self._rowtimes: dict[str, tuple[str, list[str]]] = {}
+        # view name -> PRIMARY KEY columns (versioned temporal joins)
+        self._pks: dict[str, list[str]] = {}
 
     def register_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
         from flink_efo_spark.catalog import register_tables
@@ -180,7 +182,7 @@ class EfoSession:
             # inserts into real Spark tables stay native
             ddl_sql.execute_insert(self, query)
             return self.spark.sql("SELECT 'OK' AS result")
-        query = rewrite_system_time(query, self._rowtime_of)
+        query = rewrite_system_time(query, self._rowtime_of, self._pk_of)
         if "MATCH_RECOGNIZE" in query.upper():
             from flink_efo_spark.match_sql import execute_match_recognize
 
@@ -195,6 +197,18 @@ class EfoSession:
         if spec is not None and getattr(spec, "watermark", None):
             return spec.watermark[0]
         return self._rowtimes.get(name)
+
+    def _pk_of(self, name: str) -> list[str]:
+        """Declared PRIMARY KEY of a versioned table, for PK-based
+        version chains in FOR SYSTEM_TIME AS OF (the reference's
+        TemporalJoinRewriteWithUniqueKeyRule consults the table's
+        unique key, not the ON clause)."""
+        spec = self._specs.get(name)
+        if spec is not None:
+            pk = getattr(spec, "options", {}).get("primary_key")
+            if pk:
+                return [c.strip() for c in pk.split(",") if c.strip()]
+        return self._pks.get(name, [])
 
     execute_sql = sql
 
@@ -221,17 +235,26 @@ class EfoSession:
         table,
         watermark: str | tuple[str, str] | None = None,
         version_tiebreak: list[str] | None = None,
+        primary_key: str | list[str] | None = None,
     ) -> None:
         """Register a temp view. ``watermark`` (column, or (column,
         delay) like create_table) marks the view's event-time
         attribute, making it usable as the versioned side of a
         ``FOR SYSTEM_TIME AS OF`` join; ``version_tiebreak`` orders
-        equal-rowtime versions (highest wins)."""
+        equal-rowtime versions (highest wins); ``primary_key``
+        declares the version key — temporal joins then partition
+        version chains by it instead of the ON-clause equalities."""
         df = table.to_df() if hasattr(table, "to_df") else table
         df.createOrReplaceTempView(name)
         if watermark is not None:
             col = watermark[0] if isinstance(watermark, tuple) else watermark
             self._rowtimes[name] = (col, list(version_tiebreak or []))
+        if primary_key:
+            self._pks[name] = (
+                [primary_key]
+                if isinstance(primary_key, str)
+                else list(primary_key)
+            )
 
     # -- DDL / catalog statements (SURVEY §2.14) -----------------------
     def create_table(

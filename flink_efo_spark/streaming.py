@@ -792,12 +792,14 @@ def stream_delta_window(
                     wv, wd = buf_v, buf_d
                     if evict_threshold is not None:
                         # DeltaEvictor: delta vs the buffer's LAST
-                        # element decides retention
+                        # element decides retention. The reference
+                        # (evictors/DeltaEvictor.java:76) EVICTS when
+                        # getDelta >= threshold, so keep is strict <.
                         tail = wd[-1]
                         keep = [
                             i
                             for i in range(len(wd))
-                            if fn_delta(wd[i], tail) <= evict_threshold
+                            if fn_delta(wd[i], tail) < evict_threshold
                         ]
                         wv = [wv[i] for i in keep]
                         wd = [wd[i] for i in keep]
@@ -1213,6 +1215,257 @@ def stream_over_unbounded(
 
     out = df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out
+
+
+def stream_over_bounded(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    rows_preceding: int | None = None,
+    range_preceding: str | None = None,
+    tiebreak: str | None = None,
+    flush_on_timeout: bool = False,
+) -> DataFrame:
+    """Streaming OVER with a BOUNDED preceding frame — the reference's
+    RowTimeRowsBoundedPrecedingFunction.java:60 (``ROWS N PRECEDING``)
+    and RowTimeRangeBoundedPrecedingFunction.java:60 (``RANGE
+    INTERVAL ... PRECEDING``), both in
+    flink-table-runtime-blink/.../over/ and exercised by
+    OverWindowITCase. Exactly one of:
+
+    * ``rows_preceding=N`` — each row's frame is itself + the N
+      previous rows of its key in (ts, tiebreak) order (SQL ``ROWS
+      BETWEEN N PRECEDING AND CURRENT ROW``).
+    * ``range_preceding='1 day'`` — the frame is every row of the key
+      with ``ts`` in ``[row.ts - interval, row.ts]``, INCLUSIVE both
+      ends and peer-inclusive at the current timestamp (SQL ``RANGE
+      BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``), matching the
+      reference's same-timestamp batching in
+      RowTimeRangeBoundedPrecedingFunction#onTimer.
+
+    WATERMARK HOLD (``flush_on_timeout=True``): the reference buffers
+    rows per timestamp and only fires the aggregate once the
+    watermark passes that timestamp — so every same-timestamp peer is
+    known before any of them emits. The analog here: rows carrying
+    the buffer's NEWEST timestamp are held in state until a later
+    micro-batch brings a strictly larger timestamp (merging any
+    cross-batch peers first), and an event-time timeout flushes the
+    final held rows at end-of-input (drive with an input that has
+    ``withWatermark`` + a far-future sentinel batch, the repo's
+    MAX_WATERMARK analog). With ``flush_on_timeout=False`` (default)
+    rows emit immediately — exact whenever micro-batch boundaries
+    never split a timestamp tie.
+
+    Keyed state carries only the retention horizon — the last N rows
+    (ROWS) or the trailing interval of the newest timestamp (RANGE),
+    plus the held newest-timestamp rows — O(frame) per key, NOT the
+    full history. Micro-batches must arrive in event-time order (the
+    reference drops sub-watermark rows; this harness's split replay
+    guarantees ordered batches). At 100 TB the shape holds: state is
+    bounded by the frame, each batch does one vectorized pass per key
+    (prefix sums + monotonic deque — O(rows)), and parallelism is the
+    key cardinality.
+
+    Output columns: input + ``frame_sum`` / ``frame_cnt`` /
+    ``frame_min`` / ``frame_max``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+    )
+
+    if (rows_preceding is None) == (range_preceding is None):
+        raise ValueError(
+            "exactly one of rows_preceding / range_preceding is required"
+        )
+    range_us = (
+        int(pd.Timedelta(range_preceding).total_seconds() * 1_000_000)
+        if range_preceding is not None
+        else None
+    )
+
+    data_cols = df.columns
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("frame_sum", DoubleType()),
+            StructField("frame_cnt", LongType()),
+            StructField("frame_min", DoubleType()),
+            StructField("frame_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("__pend", LongType())]
+        + [
+            StructField(f"__t_{c}", ArrayType(df.schema[c].dataType))
+            for c in data_cols
+        ]
+    )
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def _caster(dt):
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return lambda x: None if pd.isna(x) else int(x)
+        if isinstance(dt, BooleanType):
+            return lambda x: None if pd.isna(x) else bool(x)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return lambda x: None if pd.isna(x) else float(x)
+        return lambda x: None if (x is None or x is pd.NaT) else x
+
+    casters = {c: _caster(df.schema[c].dataType) for c in data_cols}
+
+    def _epoch_us(series) -> "pd.Series":
+        # unit-safe epoch-us: Arrow may hand ts as datetime64[ns] OR
+        # [us] depending on the source
+        import numpy as np
+
+        return (
+            pd.to_datetime(series)
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+
+    def _frames(allr: "pd.DataFrame") -> "pd.DataFrame":
+        """Append frame_sum/cnt/min/max over the SORTED rows."""
+        import numpy as np
+
+        n = len(allr)
+        v = allr[value_col].astype(float).to_numpy()
+        out = allr.copy()
+        if rows_preceding is not None:
+            w = rows_preceding + 1
+            s = pd.Series(v)
+            out["frame_sum"] = s.rolling(w, min_periods=1).sum().to_numpy()
+            out["frame_cnt"] = (
+                s.rolling(w, min_periods=1).count().astype("int64").to_numpy()
+            )
+            out["frame_min"] = s.rolling(w, min_periods=1).min().to_numpy()
+            out["frame_max"] = s.rolling(w, min_periods=1).max().to_numpy()
+            return out
+        ts_us = _epoch_us(allr[ts_col])
+        # frame [ts - range, ts], peer-inclusive: lo/hi are both
+        # non-decreasing over the sorted rows, so sum/cnt ride prefix
+        # sums (vectorized searchsorted) and min/max a monotonic
+        # deque — one O(n) pass.
+        lo = np.searchsorted(ts_us, ts_us - range_us, side="left")
+        hi = np.searchsorted(ts_us, ts_us, side="right")
+        psum = np.concatenate([[0.0], np.cumsum(v)])
+        out["frame_sum"] = psum[hi] - psum[lo]
+        out["frame_cnt"] = (hi - lo).astype("int64")
+        from collections import deque
+
+        mins = np.empty(n)
+        maxs = np.empty(n)
+        dq_mn: deque = deque()  # indices, values increasing
+        dq_mx: deque = deque()  # indices, values decreasing
+        filled = 0  # deques cover indices [lo[i], filled)
+        for i in range(n):
+            while filled < hi[i]:
+                x = v[filled]
+                while dq_mn and v[dq_mn[-1]] >= x:
+                    dq_mn.pop()
+                dq_mn.append(filled)
+                while dq_mx and v[dq_mx[-1]] <= x:
+                    dq_mx.pop()
+                dq_mx.append(filled)
+                filled += 1
+            while dq_mn and dq_mn[0] < lo[i]:
+                dq_mn.popleft()
+            while dq_mx and dq_mx[0] < lo[i]:
+                dq_mx.popleft()
+            mins[i] = v[dq_mn[0]]
+            maxs[i] = v[dq_mx[0]]
+        out["frame_min"] = mins
+        out["frame_max"] = maxs
+        return out
+
+    def _save(state, tail: "pd.DataFrame", n_pending: int) -> None:
+        state.update(
+            (
+                int(n_pending),
+                *([casters[c](x) for x in tail[c]] for c in data_cols),
+            )
+        )
+        if flush_on_timeout:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        if state.exists:
+            st = state.get
+            n_pending = int(st[0])
+            tail = pd.DataFrame(
+                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
+            )
+        else:
+            n_pending = 0
+            tail = pd.DataFrame({c: [] for c in data_cols})
+
+        if flush_on_timeout and state.hasTimedOut:
+            # watermark passed every buffered timestamp: emit the held
+            # rows (context rows in state supply their frames)
+            if n_pending:
+                allr = tail.sort_values(sort_cols, kind="mergesort")
+                out = _frames(allr.reset_index(drop=True))
+                yield out.iloc[len(out) - n_pending :]
+            state.remove()
+            return
+
+        frames_in = [p[data_cols] for p in pdfs if len(p)]
+        if not frames_in:
+            _save(state, tail, n_pending)
+            return
+        n_ctx = len(tail) - n_pending
+        allr = pd.concat([tail] + frames_in, ignore_index=True)
+        allr = allr.sort_values(sort_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        out = _frames(allr)
+        n = len(allr)
+        ts_us = _epoch_us(allr[ts_col])
+        max_ts = ts_us[-1]
+        hold = (
+            ts_us == max_ts
+            if flush_on_timeout
+            else np.zeros(n, dtype=bool)
+        )
+        # ordered-batch contract: context (already emitted) rows are
+        # strictly older than every pending/new row, so after the sort
+        # they are exactly the first n_ctx rows
+        emit = ~hold
+        emit[:n_ctx] = False
+        if emit.any():
+            yield out[emit]
+        if rows_preceding is not None:
+            kept_idx = np.flatnonzero(~hold)[-rows_preceding:] if rows_preceding else np.array([], dtype=int)
+            keep = np.zeros(n, dtype=bool)
+            keep[kept_idx] = True
+            keep |= hold
+        else:
+            keep = ts_us >= max_ts - range_us
+        tail_new = allr[keep]
+        _save(state, tail_new, int(hold.sum()))
+
+    out = df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        "EventTimeTimeout" if flush_on_timeout else "NoTimeout",
     )
     out._efo_output_mode = "append"
     return out

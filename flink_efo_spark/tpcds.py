@@ -1645,7 +1645,8 @@ def q_tpcds_q51(ds: _DS) -> DataFrame:
     _with(
         """
     SELECT curr.i_brand,
-           prev.sales_cnt AS prev_cnt, curr.sales_cnt AS curr_cnt,
+           CAST(prev.sales_cnt AS BIGINT) AS prev_cnt,
+           CAST(curr.sales_cnt AS BIGINT) AS curr_cnt,
            floor(prev.amt_cents / 100 + 0.5) / 100 AS prev_amt,
            floor(curr.amt_cents / 100 + 0.5) / 100 AS curr_amt
     FROM all_sales curr
@@ -1977,7 +1978,7 @@ def q_tpcds_q49(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q64(ds: _DS) -> DataFrame:
     """TPC-DS Q64 shape (the corpus's heaviest join tree): items with
-    healthy catalog margins (sale > 2× refund, exact-cent HAVING over
+    healthy catalog margins (sale > 3× refund, exact-cent HAVING over
     a fact-fact join), their store sales expanded through five
     dimensions, aggregated per (item, store, buyer-state, year), then
     the CTE self-joined on adjacent years where repeat volume did not

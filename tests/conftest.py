@@ -73,3 +73,70 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
+
+
+def _duck_kind(t: str) -> str:
+    """Pandas dtype *kind* a DuckDB column lands as under fetch_df —
+    the representation the driver hashes. HUGEINT (DuckDB's sum(int)
+    type) and DECIMAL fetch as float64: an oracle emitting either for
+    a Spark bigint/long column hashes differently despite equal
+    values (the round-5 tpch_q12 red)."""
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION", "LIST")):
+        return "O"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE", "REAL") or t.startswith(
+        "DECIMAL"
+    ):
+        return "f"
+    if t.startswith("TIMESTAMP") or t == "DATETIME":
+        return "M"
+    if t == "DATE":
+        return "D"
+    if t == "BOOLEAN":
+        return "b"
+    return "O"
+
+
+def _spark_kind(s: str) -> str:
+    """Pandas dtype kind a Spark column lands as under toPandas
+    (simpleString input). DecimalType arrives as object(Decimal) —
+    deliberately distinct from DuckDB DECIMAL's float64."""
+    if s.startswith(("array", "map", "struct")):
+        return "O"
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "M"
+    if s == "date":
+        return "D"
+    if s == "boolean":
+        return "b"
+    return "O"
+
+
+def assert_dtype_parity(con, sql: str, sdf) -> None:
+    """Driver-hash dtype gate: per column (matched by name), the
+    DuckDB oracle must land in pandas with the same dtype kind as the
+    Spark result, else equal values still hash differently in
+    CORRECTNESS (int64 643 vs float64 643.0). Schema-level — no data
+    fetched, and immune to null-driven int->float promotion (which
+    hits both sides equally)."""
+    dtypes = {
+        name: typ for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    for f in sdf.schema.fields:
+        if f.name not in dtypes:
+            continue  # column-name parity is asserted elsewhere
+        dk = _duck_kind(dtypes[f.name])
+        sk = _spark_kind(f.dataType.simpleString())
+        assert dk == sk, (
+            f"dtype-kind mismatch on {f.name!r}: oracle {dtypes[f.name]} "
+            f"(pandas kind {dk}) vs spark {f.dataType.simpleString()} "
+            f"(pandas kind {sk}) — equal values would hash differently; "
+            f"CAST the oracle column (e.g. HUGEINT sums -> CAST(... AS BIGINT))"
+        )

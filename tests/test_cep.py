@@ -890,3 +890,60 @@ def test_stream_permute_cross_batch(spark, tmp_path):
         for r in run_stream_to_table(out).collect()
     )
     assert got == [("u1", 1, 3, 2), ("u2", 1, 2, 3)]
+
+
+def test_stream_overlap_define_holds_short_match(spark, tmp_path):
+    """Overlapping DEFINE flags (D's predicate also satisfies B's):
+    the greedy backtracker can return a match ending BEFORE the
+    buffer end (one pair + D mid-buffer) while the pair chain runs to
+    the boundary. That short match must be HELD, not emitted — batch
+    semantics over the full stream prefers the longer match once
+    future rows arrive (round-5 ADVICE: the `end == n-1` gate emitted
+    it as final). held is decided solely by the _ast_extendable
+    probe."""
+    from flink_efo_spark.operators.cep import (
+        match_recognize,
+        stream_match_recognize,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    ets = ["a", "b", "c", "d", "c", "d", "x"]
+    rows = [("u1", i + 1, et, 1.0) for i, et in enumerate(ets)]
+    defines = {
+        "A": "et = 'a'",
+        "B": "et = 'b' OR et = 'd'",  # overlaps D
+        "C": "et = 'c'",
+        "D": "et = 'd'",
+    }
+    measures = {
+        "n_pairs": ("B", "count", "seq"),
+        "d_seq": ("D", "last", "seq"),
+    }
+    batch = match_recognize(
+        spark.createDataFrame(rows, "k string, seq int, et string, v double"),
+        ["k"], "seq",
+        pattern="A (B C)+ D",
+        defines=defines,
+        measures=measures,
+    )
+    want = sorted(
+        (r.k, r.n_pairs, r.d_seq) for r in batch.collect()
+    )
+    # full-stream greedy: pairs (b2,c3),(d4,c5) then D = d6
+    assert want == [("u1", 2, 6)]
+
+    for cut in range(1, len(rows)):
+        src = _stream_batches(
+            spark, tmp_path, f"ovl_{cut}", [rows[:cut], rows[cut:]]
+        )
+        out = stream_match_recognize(
+            src, ["k"], "seq",
+            pattern="A (B C)+ D",
+            defines=defines,
+            measures=measures,
+        )
+        got = sorted(
+            (r.k, r.n_pairs, r.d_seq)
+            for r in run_stream_to_table(out).collect()
+        )
+        assert got == want, f"split at {cut}: {got}"

@@ -169,3 +169,33 @@ def test_create_table_ddl_errors(spark, tmp_path):
     # plain Spark DDL (no WITH clause) passes through untouched
     env.sql("CREATE TABLE __ddl_spark_native (a INT) USING parquet")
     spark.sql("DROP TABLE __ddl_spark_native")
+
+
+def test_statement_set_semicolon_in_literal(spark, tmp_path):
+    """A ';' inside a string literal must not split an inner INSERT
+    in two (round-5 ADVICE: the raw split rejected the second half as
+    a non-INSERT fragment)."""
+    env = _env(spark)
+    src = _write_events(spark, tmp_path)
+    out = str(tmp_path / "out_semi.parquet")
+    env.sql(
+        f"CREATE TABLE __semi_src (id BIGINT, et STRING, v DOUBLE) WITH "
+        f"('connector' = 'filesystem', 'path' = '{src}')"
+    )
+    env.sql(
+        f"CREATE TABLE __semi_out (id BIGINT) WITH "
+        f"('connector' = 'filesystem', 'path' = '{out}')"
+    )
+    env.sql(
+        """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT OVERWRITE __semi_out
+            SELECT id FROM __semi_src WHERE et <> 'a;b';
+          INSERT INTO __semi_out SELECT id FROM __semi_src WHERE v > 99;
+        END
+        """
+    )
+    got = sorted(r.id for r in env.sql("SELECT * FROM __semi_out").collect())
+    # no et equals 'a;b', so the first INSERT keeps all three rows;
+    # the second adds none
+    assert got == [1, 2, 3]

@@ -278,3 +278,44 @@ def test_system_time_join_end_to_end(spark):
     assert got2 == [
         (1, 1.25), (2, 1.25), (3, 1.25), (4, 1.25), (5, 1.25), (6, 1.00),
     ]
+
+
+def test_system_time_join_pk_partitions_version_chain(spark):
+    """A declared PRIMARY KEY partitions the LEAD validity window by
+    the PK ALONE: an extra non-key equality in the ON clause (here
+    region) must stay a join predicate, NOT fragment the version
+    chain (round-5 ADVICE: equi-key extraction left the superseded
+    (EUR, EU) row with __vto IS NULL — a stale open version)."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(spark)
+    rates = spark.createDataFrame(
+        [
+            ("EUR", "EU", 1.10, 100),  # v1: region EU
+            ("EUR", "US", 1.20, 200),  # v2 changes the NON-KEY region
+        ],
+        "currency string, region string, rate double, rt long",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, "EUR", "EU", 300),  # as-of 300 -> v2; region EU != US -> drop
+            (2, "EUR", "US", 300),  # as-of 300 -> v2, region matches -> 1.20
+            (3, "EUR", "EU", 150),  # as-of 150 -> v1, region matches -> 1.10
+        ],
+        "id long, currency string, region string, ot long",
+    )
+    env.create_temporary_view("__pk_orders", orders)
+    env.create_temporary_view(
+        "__pk_rates", rates, watermark="rt", primary_key="currency"
+    )
+    got = sorted(
+        (r.id, r.rate)
+        for r in env.sql(
+            "SELECT o.id, r.rate FROM __pk_orders o "
+            "JOIN __pk_rates FOR SYSTEM_TIME AS OF o.ot AS r "
+            "ON o.currency = r.currency AND o.region = r.region"
+        ).collect()
+    )
+    # order 1 must NOT see the stale open v1: with the buggy
+    # per-equality partitioning it would get (1, 1.10)
+    assert got == [(2, 1.20), (3, 1.10)]

@@ -132,3 +132,39 @@ def test_sql_match_recognize_errors(spark):
             "ORDER BY seq MEASURES SUM(A.v) AS s PATTERN (A) "
             "DEFINE A AS A.et = 'a')"
         )
+
+
+def test_sql_two_clauses_differ_only_in_measures(spark):
+    """Two MATCH_RECOGNIZE clauses in ONE statement that differ only
+    in MEASURES must resolve to DIFFERENT temp views — the view name
+    keys on every clause input, not just (src, pattern, defines)
+    (round-5 ADVICE: the old hash collided and both aliases read the
+    second clause's result)."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 2.0),
+            ("u1", 3, "c", 9.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT m1.k, m1.a_seq, m2.c_val
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(A.seq) AS a_seq
+          PATTERN (A B C)
+          DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        ) AS m1
+        JOIN __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES C.v AS c_val
+          PATTERN (A B C)
+          DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        ) AS m2
+        ON m1.k = m2.k
+        """
+    )
+    got = [(r.k, r.a_seq, r.c_val) for r in out.collect()]
+    assert got == [("u1", 1, 9.0)]

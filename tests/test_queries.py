@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_DIR, duck_rows, rows_of
+from tests.conftest import SF_DIR, assert_dtype_parity, duck_rows, rows_of
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
@@ -24,6 +24,9 @@ def test_query_vs_oracle(name, spark, ddb):
     res = ddb.execute(_ORACLES[name])
     dcols = sorted(d[0] for d in res.description)
     assert scols == dcols, f"column mismatch: {scols} vs {dcols}"
+    # driver-hash dtype gate: equal values in different pandas dtypes
+    # (DuckDB HUGEINT/DECIMAL -> float64 vs Spark int64) hash-mismatch
+    assert_dtype_parity(ddb, _ORACLES[name], df)
     drows = duck_rows(ddb, f"SELECT {', '.join(dcols)} FROM ({_ORACLES[name]})")
     assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
     assert srows == drows

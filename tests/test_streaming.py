@@ -1304,6 +1304,20 @@ def test_delta_trigger_window_modes(spark, tmp_path):
     )
     assert got3 == [(1, 1, 12.0), (2, 1, 30.0)]
 
+    # boundary: the reference (evictors/DeltaEvictor.java:76) evicts
+    # when getDelta >= threshold — an element EXACTLY threshold away
+    # from the tail goes too (|5-12| = 7 with threshold 7.0)
+    got3b = sorted(
+        (r.fire_seq, r.cnt, r.sum_value)
+        for r in run_stream_to_table(
+            stream_delta_window(
+                replay(), ["k"], "v", threshold=10.0, order_by=["seq"],
+                evict_threshold=7.0,
+            )
+        ).collect()
+    )
+    assert got3b == [(1, 1, 12.0), (2, 1, 30.0)]
+
     # custom DeltaFunction (signed downward move only)
     got4 = [
         (r.fire_seq, r.fire_value)
@@ -1453,3 +1467,99 @@ def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+def test_stream_over_bounded_frames_cross_batch(spark, tmp_path):
+    """Bounded-preceding OVER state crosses micro-batch boundaries
+    (RowTimeRows/RangeBoundedPrecedingFunction): for EVERY split
+    point, frames spanning the boundary still see the pre-boundary
+    rows — ROWS keeps the last N, RANGE the trailing interval — and
+    the result equals the batch SQL window answer."""
+    import datetime as dt
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_over_bounded,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (k, seq, ts-minutes, v) — includes a ts TIE at minute 30
+        ("a", 1, 0, 1.0),
+        ("a", 2, 10, 5.0),
+        ("a", 3, 30, 2.0),
+        ("a", 4, 30, 7.0),   # peer of seq 3 (RANGE includes both ways)
+        ("a", 5, 55, 4.0),
+        ("a", 6, 120, 9.0),  # RANGE 30min: frame = itself only
+        ("b", 7, 5, 3.0),
+        ("b", 8, 20, 6.0),
+    ]
+    data = [
+        (k, s, t0 + dt.timedelta(minutes=m), v) for k, s, m, v in rows
+    ]
+    schema = "k string, seq int, ts timestamp, v double"
+
+    def batch_expect(frame_clause):
+        df = spark.createDataFrame(data, schema)
+        df.createOrReplaceTempView("__ovb")
+        return sorted(
+            tuple(r)
+            for r in spark.sql(
+                f"""
+            SELECT k, seq, sum(v) OVER w AS fs, count(v) OVER w AS fc,
+                   min(v) OVER w AS fmn, max(v) OVER w AS fmx
+            FROM __ovb WINDOW w AS ({frame_clause})
+            """
+            ).collect()
+        )
+
+    want_rows = batch_expect(
+        "PARTITION BY k ORDER BY ts, seq ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+    )
+    want_range = batch_expect(
+        "PARTITION BY k ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW"
+    )
+
+    # sentinel final batch: far-future row on a non-joined key — the
+    # MAX_WATERMARK analog that fires the end-of-input timeout flush
+    sentinel = [("zz", 99, t0 + dt.timedelta(days=9), 0.0)]
+    # splits: mid-frame (1), BETWEEN the ts-30 peers (3 — the
+    # watermark-hold case), right after them (4), key boundary (6)
+    for cut in (1, 3, 4, 6):
+        src_dir = str(tmp_path / f"ovb_{cut}")
+        for i, part in enumerate([data[:cut], data[cut:], sentinel]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}.parquet"
+            )
+        fschema = spark.read.parquet(f"{src_dir}/b0.parquet").schema
+
+        def replay():
+            return (
+                spark.readStream.schema(fschema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src_dir)
+                .withWatermark("ts", "0 seconds")
+            )
+
+        def run(out_df):
+            return sorted(
+                (r.k, r.seq, r.frame_sum, r.frame_cnt, r.frame_min, r.frame_max)
+                for r in run_stream_to_table(out_df).collect()
+                if r.k != "zz"
+            )
+
+        got_rows = run(
+            stream_over_bounded(
+                replay(), ["k"], "ts", "v",
+                rows_preceding=2, tiebreak="seq", flush_on_timeout=True,
+            )
+        )
+        assert got_rows == want_rows, f"ROWS split {cut}: {got_rows}"
+        got_range = run(
+            stream_over_bounded(
+                replay(), ["k"], "ts", "v", range_preceding="30 minutes",
+                flush_on_timeout=True,
+            )
+        )
+        assert got_range == want_range, f"RANGE split {cut}: {got_range}"

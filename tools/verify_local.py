@@ -94,6 +94,16 @@ def main() -> None:
             print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(dcols)}")
             n_fail += 1
             continue
+        try:
+            from tests.conftest import assert_dtype_parity
+
+            assert_dtype_parity(con, oracles[name], sdf)
+        except AssertionError as e:
+            # driver-hash dtype gate (round-5 q12 class): equal values
+            # in different pandas dtypes still hash-mismatch
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             n_fail += 1

@@ -140,6 +140,7 @@ def _driver_order() -> list[str]:
         # takes slot 1)
         "stream_over_rows_bounded",
         "stream_over_range_bounded",
+        "sql_match_first_last",
     }
 
     def key(n: str):

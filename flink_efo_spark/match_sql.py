@@ -174,11 +174,17 @@ def _parse_defines(text: str, variables: set[str]) -> dict[str, str]:
         if not m:
             raise ValueError(f"DEFINE item needs 'VAR AS cond': {item!r}")
         var, cond = m.group(1), m.group(2).strip()
-        if re.search(r"\b(FIRST|LAST)\s*\(", cond, re.IGNORECASE):
-            raise ValueError(
-                "FIRST()/LAST() aggregates inside DEFINE are not supported "
-                f"(condition: {cond!r})"
-            )
+        # FIRST(V.col)/LAST(V.col) navigation in DEFINE -> the
+        # engine's first_V_col/last_V_col pseudo-references, resolved
+        # against the in-progress binding by the batch matcher
+        # (MatchCodeGenerator.scala navigation, MatchRecognizeITCase)
+        cond = re.sub(
+            r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)"
+            r"\s*\)",
+            lambda mm: f"{mm.group(1).lower()}_{mm.group(2)}_{mm.group(3)}",
+            cond,
+            flags=re.IGNORECASE,
+        )
         # PREV(V.col [, 1]) -> prev_col (the engine's pseudo-column)
         cond = re.sub(
             r"\bPREV\s*\(\s*[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)\s*(?:,\s*1\s*)?\)",

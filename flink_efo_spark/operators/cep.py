@@ -196,10 +196,17 @@ def _has_groups(ast) -> bool:
 
 
 
-def _match_at(ast, start: int, n: int, leaf_flags, ts=None, within=None):
+def _match_at(ast, start: int, n: int, leaf_flags, ts=None, within=None,
+              nav=None):
     """Try one match of ``ast`` anchored at row ``start``.
     Returns (end_pos, assign) with ``assign`` a list of
     (leaf_id, [row indices]) in consumption order, or None.
+
+    ``nav``: optional DEFINE-time navigation context (FIRST/LAST of a
+    bound variable, MatchCodeGenerator.scala navigation calls) —
+    ``nav.check(variables, p, pos, acc)`` decides row ``p``'s
+    qualification against the in-progress binding ``acc`` (+ the
+    current leaf's tentative run ``pos..p``).
 
     Continuation-passing backtracker: sequences thread a ``cont``
     called when the sequence is exhausted, so a quantified GROUP can
@@ -219,12 +226,17 @@ def _match_at(ast, start: int, n: int, leaf_flags, ts=None, within=None):
             return cont(pos, acc)
         node = nodes[k]
         if node[0] == "var":
-            _, _, lo, hi, lazy, leaf_id = node
+            _, variables, lo, hi, lazy, leaf_id = node
             fl = leaf_flags[leaf_id]
             run = 0
             p = pos
             limit = n if hi is None else min(n, pos + hi)
-            while p < limit and fl[p] and within_ok(p):
+            while (
+                p < limit
+                and fl[p]
+                and within_ok(p)
+                and (nav is None or nav.check(variables, p, pos, acc))
+            ):
                 run += 1
                 p += 1
             counts = (
@@ -307,13 +319,13 @@ def _attribute_assign(assign, leaves, var_flags) -> dict[str, list[int]]:
 
 def _ast_matches(
     leaf_flags, ast, leaves, n: int, ts=None, within=None,
-    skip: str = "past_last_row", skip_var=None, var_flags=None,
+    skip: str = "past_last_row", skip_var=None, var_flags=None, nav=None,
 ):
     """Yield (start, assign) matches in scan order with the AFTER
     MATCH strategies of :func:`_greedy_matches`, over the nested AST."""
     i = 0
     while i < n:
-        res = _match_at(ast, i, n, leaf_flags, ts, within)
+        res = _match_at(ast, i, n, leaf_flags, ts, within, nav=nav)
         if res is None:
             i += 1
             continue
@@ -588,8 +600,79 @@ def _measure_record(var_rows, meas_items, data):
     return rec
 
 
+def _sql_to_py(body: str) -> str:
+    """Rewrite a (simple) SQL boolean expression to Python syntax for
+    the DEFINE-navigation evaluator: AND/OR/NOT, '=' / '<>', TRUE /
+    FALSE. Arithmetic and comparisons are shared syntax."""
+    s = re.sub(r"<>", "!=", body)
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    s = re.sub(r"\bAND\b", "and", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", "or", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", "not", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bTRUE\b", "True", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bFALSE\b", "False", s, flags=re.IGNORECASE)
+    return s
+
+
+def _nav_token_re(step_vars: list[str]) -> "re.Pattern":
+    # longest var first so 'AB' wins over 'A' in first_AB_v
+    alts = "|".join(
+        re.escape(v) for v in sorted(step_vars, key=len, reverse=True)
+    )
+    return re.compile(rf"\b(first|last)_({alts})_(\w+)\b")
+
+
+class _NavCtx:
+    """DEFINE-time FIRST/LAST navigation (the reference's
+    MatchCodeGenerator.scala navigation in DEFINE, exercised by
+    MatchRecognizeITCase): a pattern variable's condition may compare
+    the current row against the first/last row already bound to a
+    variable in the IN-PROGRESS match. Evaluated per candidate row in
+    the matcher (the binding is only known there) — the static,
+    navigation-free DEFINEs stay JVM-side booleans as before.
+
+    SQL running semantics: the current row is tentatively bound to
+    the variable under test, so LAST(X.col) inside X's own DEFINE is
+    the current row and FIRST(X.col) the start of its run; navigation
+    to a variable with no bound rows yet is NULL -> condition false.
+    """
+
+    def __init__(self, nav_bodies, leaves, pdf, leaf_var):
+        self._bodies = nav_bodies  # var -> (code, plain_cols, nav_refs)
+        self._leaf_var = leaf_var  # leaf_id -> single member var
+        self._data = {}
+        for _, (_, plain, refs) in nav_bodies.items():
+            for c in plain | {r[3] for r in refs}:
+                if c not in self._data:
+                    self._data[c] = pdf[c].to_numpy()
+
+    def check(self, variables, p, pos, acc) -> bool:
+        body = self._bodies.get(variables[0])
+        if body is None:
+            return True
+        code, plain, refs = body
+        data = self._data
+        env = {c: data[c][p] for c in plain}
+        for name, kind, nav_var, nav_col in refs:
+            rows = [
+                ix
+                for lid, lst in acc
+                if self._leaf_var[lid] == nav_var
+                for ix in lst
+            ]
+            if nav_var == variables[0]:
+                rows += list(range(pos, p + 1))  # tentative run + current
+            if not rows:
+                return False  # navigation over nothing is NULL
+            env[name] = data[nav_col][rows[0] if kind == "first" else rows[-1]]
+        try:
+            return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+        except TypeError:  # NULL operand in a comparison
+            return False
+
+
 def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
-             allow_prev: bool):
+             allow_prev: bool, allow_nav: bool = False):
     """Shared DEFINE evaluation: parse the pattern, evaluate every
     DEFINE into a JVM-side boolean flag column, and project down to
     the columns the matcher needs. Returns the parsed (ast, leaves)
@@ -611,6 +694,58 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
         raise ValueError(f"pattern vars without DEFINE: {missing}")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+
+    # DEFINE-time FIRST/LAST navigation: first_V_col / last_V_col
+    # pseudo-references (the SQL surface rewrites FIRST(V.col) to
+    # these). Such DEFINEs can't be evaluated row-wise JVM-side —
+    # they depend on the in-progress binding — so they become dynamic
+    # conditions checked inside the matcher (_NavCtx).
+    nav_re = _nav_token_re(step_vars) if step_vars else None
+    nav_bodies: dict[str, tuple] = {}
+    if nav_re is not None:
+        for var, body in defines.items():
+            refs = []
+            for m in nav_re.finditer(body):
+                kind, nav_var, nav_col = m.group(1), m.group(2), m.group(3)
+                if nav_col not in df.columns:
+                    raise ValueError(
+                        f"navigation {m.group(0)!r}: column {nav_col!r} "
+                        "not in the input"
+                    )
+                refs.append((m.group(0), kind, nav_var, nav_col))
+            if not refs:
+                continue
+            if not allow_nav:
+                raise ValueError(
+                    "FIRST()/LAST() navigation in DEFINE requires the "
+                    "batch matcher (match_recognize); the streaming path "
+                    f"does not support it (condition: {body!r})"
+                )
+            code = compile(_sql_to_py(body), "<nav-define>", "eval")
+            ref_names = {r[0] for r in refs}
+            plain = {
+                nm
+                for nm in code.co_names
+                if nm not in ref_names and nm in df.columns
+            }
+            unknown = [
+                nm
+                for nm in code.co_names
+                if nm not in ref_names and nm not in df.columns
+            ]
+            if unknown:
+                raise ValueError(
+                    f"navigation DEFINE references unknown names {unknown} "
+                    f"(condition: {body!r}) — only input columns, literals "
+                    "and FIRST/LAST references are supported"
+                )
+            nav_bodies[var] = (code, plain, refs)
+    for _, variables, *_ in leaves:
+        if len(variables) > 1 and any(v in nav_bodies for v in variables):
+            raise ValueError(
+                "FIRST()/LAST() navigation is not supported on "
+                f"alternation members: {variables}"
+            )
 
     prev_cols = sorted(
         {m for body in defines.values() for m in re.findall(r"prev_(\w+)", body)}
@@ -640,15 +775,23 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     for var, body in defines.items():
         flag = f"__m_{var}"
         flag_names[var] = flag
-        if var not in deferred:
+        if var in nav_bodies:
+            # whole condition rides the matcher-side dynamic check
+            enriched = enriched.withColumn(flag, F.lit(True))
+        elif var not in deferred:
             enriched = enriched.withColumn(flag, F.expr(body))
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    nav_cols = sorted(
+        {c for _, plain, refs in nav_bodies.values()
+         for c in plain | {r[3] for r in refs}}
+    )
     keep = list(
         dict.fromkeys(
             partition_by
             + order_cols
             + meas_cols
+            + nav_cols
             + (
                 [c for c in df.columns]  # deferred bodies may use any col
                 if deferred
@@ -675,6 +818,7 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
         slim,
         out_schema,
         deferred,
+        nav_bodies,
     )
 
 
@@ -734,13 +878,21 @@ def match_recognize(
         raise ValueError(f"unsupported after_match: {after_match!r}")
     import pandas as pd
 
-    (ast, leaves), order_cols, flag_names, meas_cols, slim, out_schema, _ = (
-        _prepare(
-            df, partition_by, order_by, pattern, defines, measures, tiebreak,
-            allow_prev=True,
-        )
+    (
+        (ast, leaves),
+        order_cols,
+        flag_names,
+        meas_cols,
+        slim,
+        out_schema,
+        _,
+        nav_bodies,
+    ) = _prepare(
+        df, partition_by, order_by, pattern, defines, measures, tiebreak,
+        allow_prev=True, allow_nav=True,
     )
     meas_items = list(measures.items())
+    leaf_var = {lid: variables[0] for _, variables, *_r, lid in leaves}
 
     def match_one_key(pdf: "pd.DataFrame") -> list[dict]:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
@@ -762,11 +914,14 @@ def match_recognize(
             else (None, None)
         )
 
+        nav = (
+            _NavCtx(nav_bodies, leaves, pdf, leaf_var) if nav_bodies else None
+        )
         rows = []
         seq = 0
         for _start, assign in _ast_matches(
             leaf_flags, ast, leaves, n, ts, win, skip=after_match,
-            skip_var=skip_var, var_flags=var_flags,
+            skip_var=skip_var, var_flags=var_flags, nav=nav,
         ):
             seq += 1
             rec = dict(part_vals)
@@ -889,6 +1044,7 @@ def stream_match_recognize(
         slim,
         out_schema,
         deferred,
+        _nav,
     ) = _prepare(
         df, partition_by, order_by, pattern, defines, measures, tiebreak,
         allow_prev="defer",

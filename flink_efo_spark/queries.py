@@ -2290,6 +2290,69 @@ def q_sql_match_recognize(t: _T) -> DataFrame:
 
 
 @_q(
+    "sql_match_first_last",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), a AS (
+      SELECT user_id, event_id AS a_id, rn AS a_rn, value AS a_v
+      FROM o WHERE event_type = 'signup'
+    ), stops AS (
+      SELECT a.user_id, a.a_id, a.a_rn,
+             min(CASE WHEN NOT (o.event_type = 'click' AND o.value > a.a_v)
+                      THEN o.rn END) AS stop_rn,
+             max(o.rn) AS max_rn
+      FROM a JOIN o ON o.user_id = a.user_id AND o.rn > a.a_rn
+      GROUP BY 1, 2, 3
+    ), res AS (
+      SELECT user_id, a_id, a_rn,
+             CAST(coalesce(stop_rn - a_rn - 1, max_rn - a_rn) AS BIGINT)
+               AS n_b,
+             a_rn + coalesce(stop_rn - a_rn - 1, max_rn - a_rn) AS last_rn
+      FROM stops
+    )
+    SELECT r.user_id, r.a_id, r.n_b, o.event_id AS last_b
+    FROM res r JOIN o ON o.user_id = r.user_id AND o.rn = r.last_rn
+    WHERE r.n_b >= 1
+    """,
+)
+def q_sql_match_first_last(t: _T) -> DataFrame:
+    """FIRST()/LAST() NAVIGATION INSIDE DEFINE (the reference's
+    MatchCodeGenerator.scala navigation calls, MatchRecognizeITCase
+    DEFINE-navigation cases): B's condition compares each candidate
+    row against FIRST(A.value) — a lookup into the in-progress match
+    binding, not a row-local predicate. Pattern ``A B+``: a signup
+    followed by a maximal run of clicks, each click's value above the
+    signup's. The oracle replays the run scan with window SQL (first
+    non-qualifying row ends the run)."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.events.select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).createOrReplaceTempView("__efo_mr_nav_events")
+    return env.execute_sql(
+        """
+        SELECT user_id, a_id, n_b, last_b
+        FROM __efo_mr_nav_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(A.event_id) AS a_id,
+                   COUNT(B.event_id) AS n_b,
+                   LAST(B.event_id) AS last_b
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.event_type = 'signup',
+                 B AS B.event_type = 'click' AND B.value > FIRST(A.value)
+        )
+        """
+    )
+
+
+@_q(
     "funnel_within",
     """
     SELECT user_id, prev_id AS click_id, event_id AS purchase_id

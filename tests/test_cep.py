@@ -947,3 +947,72 @@ def test_stream_overlap_define_holds_short_match(spark, tmp_path):
             for r in run_stream_to_table(out).collect()
         )
         assert got == want, f"split at {cut}: {got}"
+
+
+def test_define_navigation_first_last(spark):
+    """FIRST/LAST navigation inside DEFINE (MatchCodeGenerator.scala
+    navigation, MatchRecognizeITCase): conditions resolve against the
+    in-progress binding — including SQL running semantics where the
+    current row is tentatively bound to its own variable — and the
+    streaming path rejects navigation with a clear error."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    rows = [
+        ("u1", 1, "a", 10.0),
+        ("u1", 2, "b", 12.0),
+        ("u1", 3, "b", 15.0),
+        ("u1", 4, "c", 1.0),
+        ("u1", 5, "a", 5.0),
+        ("u1", 6, "c", 2.0),
+        ("u2", 1, "a", 3.0),
+        ("u2", 2, "b", 2.0),  # fails v > FIRST(A.v): blocks C -> no match
+        ("u2", 3, "c", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, et string, v double")
+    out = match_recognize(
+        df, ["k"], "seq",
+        pattern="A B* C",
+        defines={
+            "A": "et = 'a'",
+            "B": "et = 'b' AND v > first_A_v",
+            "C": "et = 'c'",
+        },
+        measures={
+            "a_seq": ("A", "first", "seq"),
+            "n_b": ("B", "count", "seq"),
+            "c_seq": ("C", "last", "seq"),
+        },
+    )
+    got = sorted((r.k, r.a_seq, r.n_b, r.c_seq) for r in out.collect())
+    assert got == [("u1", 1, 2, 4), ("u1", 5, 0, 6)]
+
+    # LAST self-navigation: running semantics make LAST(U.v) the
+    # current row, so the OR arm decides; navigation over an unbound
+    # variable is NULL -> false
+    rows2 = [("u1", i, "x", v) for i, v in enumerate([1.0, 3.0, 5.0], 1)]
+    df2 = spark.createDataFrame(rows2, "k string, seq int, et string, v double")
+    out2 = match_recognize(
+        df2, ["k"], "seq",
+        pattern="S U+",
+        defines={"S": "TRUE", "U": "v > last_S_v"},
+        measures={"s_seq": ("S", "first", "seq"), "n_u": ("U", "count", "seq")},
+    )
+    assert [(r.s_seq, r.n_u) for r in out2.collect()] == [(1, 2)]
+
+    # streaming rejects navigation DEFINEs loudly
+    import pytest as _pytest
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("'k' AS k", "CAST(value AS INT) AS seq",
+                    "'x' AS et", "CAST(value AS DOUBLE) AS v")
+    )
+    with _pytest.raises(ValueError, match="batch matcher"):
+        stream_match_recognize(
+            src, ["k"], "seq",
+            pattern="A B",
+            defines={"A": "TRUE", "B": "v > first_A_v"},
+            measures={"n": ("B", "count", "seq")},
+        )

@@ -115,12 +115,6 @@ def test_sql_match_recognize_errors(spark):
             "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
             "ORDER BY seq ALL ROWS PER MATCH PATTERN (A) DEFINE A AS A.et = 'a')"
         )
-    with pytest.raises(ValueError, match="FIRST\\(\\)/LAST\\(\\)"):
-        env.sql(
-            "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
-            "ORDER BY seq MEASURES FIRST(A.seq) AS s PATTERN (A B) "
-            "DEFINE A AS A.et = 'a', B AS B.v > LAST(A.v))"
-        )
     with pytest.raises(ValueError, match="PARTITION BY"):
         env.sql(
             "SELECT * FROM __mr_t MATCH_RECOGNIZE (ORDER BY seq "
@@ -168,3 +162,31 @@ def test_sql_two_clauses_differ_only_in_measures(spark):
     )
     got = [(r.k, r.a_seq, r.c_val) for r in out.collect()]
     assert got == [("u1", 1, 9.0)]
+
+
+def test_sql_first_last_in_define(spark):
+    """FIRST(V.col)/LAST(V.col) in the DEFINE clause parse to the
+    engine's navigation pseudo-references and match the hand-computed
+    binding-dependent result."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 12.0),
+            ("u1", 3, "b", 15.0),
+            ("u1", 4, "c", 1.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, n_b, last_b FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(B.seq) AS n_b, LAST(B.seq) AS last_b
+          PATTERN (A B+ C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b' AND B.v > FIRST(A.v),
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    assert [(r.k, r.n_b, r.last_b) for r in out.collect()] == [("u1", 2, 3)]

@@ -141,6 +141,16 @@ def _driver_order() -> list[str]:
         "stream_over_rows_bounded",
         "stream_over_range_bounded",
         "sql_match_first_last",
+        "ddl_view",
+        "tpcds_q2",
+        "tpcds_q4",
+        "tpcds_q10",
+        "tpcds_q11",
+        "tpcds_q16",
+        "tpcds_q27",
+        "tpcds_q35",
+        "tpcds_q67",
+        "tpcds_q97",
     }
 
     def key(n: str):

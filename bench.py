@@ -105,6 +105,46 @@ BENCH_QUERIES = [
     # ingest plan families
     "delta_iteration_bfs",
     "incremental_dedup",
+    # round 6: the heavy TPC-DS tail that landed after the r5 list
+    # froze (q49 per-channel return ratios, q64 the corpus's biggest
+    # join tree, q87 EXCEPT chain) + the full remaining TPC-DS corpus
+    # so every registered shape has a perf row
+    "tpcds_q1",
+    "tpcds_q7",
+    "tpcds_q14",
+    "tpcds_q15",
+    "tpcds_q19",
+    "tpcds_q23",
+    "tpcds_q31",
+    "tpcds_q42",
+    "tpcds_q47",
+    "tpcds_q49",
+    "tpcds_q51",
+    "tpcds_q56",
+    "tpcds_q59",
+    "tpcds_q64",
+    "tpcds_q65",
+    "tpcds_q73",
+    "tpcds_q75",
+    "tpcds_q76",
+    "tpcds_q87",
+    "tpcds_q90",
+    "tpcds_q93",
+    # round 6b: the new LTV/EXISTS-grid/rollup-grid/full-outer shapes
+    "tpcds_q2",
+    "tpcds_q4",
+    "tpcds_q10",
+    "tpcds_q11",
+    "tpcds_q16",
+    "tpcds_q27",
+    "tpcds_q35",
+    "tpcds_q67",
+    "tpcds_q97",
+    # round 6c: streaming bounded-preceding OVER (rolling-metric
+    # shape) + DEFINE-navigation MATCH_RECOGNIZE
+    "stream_over_rows_bounded",
+    "stream_over_range_bounded",
+    "sql_match_first_last",
 ]
 
 

@@ -282,3 +282,118 @@ def execute_drop_table(env, sql: str) -> None:
     except Exception:
         if not if_exists:
             raise
+
+
+# ---------------------------------------------------------------------------
+# CREATE VIEW / DROP VIEW / ALTER TABLE (SQL text)
+# ---------------------------------------------------------------------------
+# Reference parser surface: ddl/SqlCreateView.java (view name, optional
+# column alias list, AS query), ddl/SqlAlterTable.java (RENAME TO +
+# SET ('k'='v') options). Same lexical-DDL path as CREATE TABLE.
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*(\(([^)]*)\))?\s*AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+"
+    r"([A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SET_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def is_create_view(sql: str) -> bool:
+    return bool(_CREATE_VIEW_RE.match(sql))
+
+
+def is_drop_view(sql: str) -> bool:
+    return bool(_DROP_VIEW_RE.match(sql))
+
+
+def is_alter_table(sql: str) -> bool:
+    return bool(_ALTER_RENAME_RE.match(sql)) or bool(_ALTER_SET_RE.match(sql))
+
+
+def execute_create_view(env, sql: str) -> None:
+    """``CREATE [TEMPORARY] VIEW [IF NOT EXISTS] v [(c1, c2, ...)] AS
+    query`` (SqlCreateView.java). The query runs through ``env.sql``
+    so the dialect surface (group windows, temporal joins,
+    MATCH_RECOGNIZE) is available inside view bodies, exactly like
+    the reference's view expansion through its planner."""
+    m = _CREATE_VIEW_RE.match(sql)
+    if_not_exists, name = bool(m.group(1)), m.group(2)
+    col_list, query = m.group(4), m.group(5).strip().rstrip(";")
+    if name in env._views or name in env._specs:
+        if if_not_exists:
+            return
+        raise ValueError(f"view or table already exists: {name!r}")
+    df = env.sql(query)
+    if col_list and col_list.strip():
+        names = [c.strip().strip("`") for c in col_list.split(",")]
+        if len(names) != len(df.columns):
+            raise ValueError(
+                f"CREATE VIEW {name}: {len(names)} column aliases for "
+                f"{len(df.columns)} query columns"
+            )
+        df = df.toDF(*names)
+    df.createOrReplaceTempView(name)
+    env._views.add(name)
+
+
+def execute_drop_view(env, sql: str) -> None:
+    m = _DROP_VIEW_RE.match(sql)
+    if_exists, name = bool(m.group(1)), m.group(2)
+    if name not in env._views:
+        if if_exists:
+            return
+        raise ValueError(f"view not found: {name!r}")
+    env._views.discard(name)
+    env.spark.catalog.dropTempView(name)
+
+
+def execute_alter_table(env, sql: str) -> None:
+    """``ALTER TABLE a RENAME TO b`` / ``ALTER TABLE t SET
+    ('k'='v', ...)`` (SqlAlterTable.java). RENAME moves the spec and
+    re-registers the scan view under the new name; SET merges the
+    quoted options into the spec (the reference's connector-option
+    mutation) and refreshes the scan so option-sensitive reads see
+    the change."""
+    m = _ALTER_RENAME_RE.match(sql)
+    if m:
+        old, new = m.group(1), m.group(2)
+        spec = env._specs.get(old)
+        if spec is None:
+            raise ValueError(f"table not found: {old!r}")
+        if new in env._specs or new in env._views:
+            raise ValueError(f"target name already exists: {new!r}")
+        env._specs[new] = spec
+        del env._specs[old]
+        if old in env._rowtimes:
+            env._rowtimes[new] = env._rowtimes.pop(old)
+        if old in env._pks:
+            env._pks[new] = env._pks.pop(old)
+        try:
+            env.spark.catalog.dropTempView(old)
+        except Exception:
+            pass
+        spec.scan(env.spark).createOrReplaceTempView(new)
+        return
+    m = _ALTER_SET_RE.match(sql)
+    spec = env._specs.get(m.group(1))
+    if spec is None:
+        raise ValueError(f"table not found: {m.group(1)!r}")
+    opts = dict(_OPT_RE.findall(m.group(2)))
+    if not opts:
+        raise ValueError(f"ALTER TABLE SET: no ('k'='v') options in {sql!r}")
+    spec.options.update(opts)
+    spec.scan(env.spark).createOrReplaceTempView(m.group(1))

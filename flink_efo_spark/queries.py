@@ -1887,6 +1887,49 @@ def q_ddl_sql(t: _T) -> DataFrame:
 
 
 @_q(
+    "ddl_view",
+    """
+    SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sumv
+    FROM events GROUP BY event_type
+    """,
+)
+def q_ddl_view(t: _T) -> DataFrame:
+    """CREATE VIEW / ALTER TABLE as SQL TEXT (reference parser
+    ddl/SqlCreateView.java + ddl/SqlAlterTable.java → ddl_sql.py):
+    declare the events table via DDL, RENAME it, then define a view
+    with a column alias list over the renamed table and query through
+    the view — the full lexical-DDL round trip."""
+    from flink_efo_spark.catalog import table_path
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    env.sql(
+        f"""
+        CREATE TABLE __efo_vddl_ev (
+          event_id BIGINT, user_id BIGINT, event_type STRING,
+          value DOUBLE, ts TIMESTAMP(3)
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{table_path(t.sf_dir, "events")}',
+          'format' = 'parquet'
+        )
+        """
+    )
+    env.sql("ALTER TABLE __efo_vddl_ev RENAME TO __efo_vddl_events")
+    env.sql("DROP VIEW IF EXISTS __efo_vddl_v")
+    env.sql(
+        """
+        CREATE VIEW __efo_vddl_v (etype, n, sumv) AS
+        SELECT event_type, CAST(count(*) AS BIGINT),
+               round(sum(value), 2)
+        FROM __efo_vddl_events GROUP BY event_type
+        """
+    )
+    return env.sql("SELECT etype, n, sumv FROM __efo_vddl_v")
+
+
+@_q(
     "ddl_catalog",
     """
     SELECT * FROM (VALUES

@@ -134,6 +134,8 @@ class EfoSession:
         self._rowtimes: dict[str, tuple[str, list[str]]] = {}
         # view name -> PRIMARY KEY columns (versioned temporal joins)
         self._pks: dict[str, list[str]] = {}
+        # names created via CREATE VIEW SQL (SqlCreateView.java)
+        self._views: set[str] = set()
 
     def register_dir(self, data_dir: str, tables: list[str] | None = None) -> None:
         from flink_efo_spark.catalog import register_tables
@@ -169,6 +171,22 @@ class EfoSession:
             return self.spark.sql("SELECT 'OK' AS result")
         if ddl_sql.is_statement_set(query):
             ddl_sql.execute_statement_set(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
+        if ddl_sql.is_create_view(query):
+            # CREATE VIEW (SqlCreateView.java): body runs through this
+            # same sql() so dialect constructs work inside views
+            ddl_sql.execute_create_view(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
+        if (
+            ddl_sql.is_drop_view(query.rstrip().rstrip(";"))
+            and query.rstrip().rstrip(";").split()[-1] in self._views
+        ):
+            # drops of engine-created views; other DROP VIEW text
+            # stays native Spark DDL
+            ddl_sql.execute_drop_view(self, query.rstrip().rstrip(";"))
+            return self.spark.sql("SELECT 'OK' AS result")
+        if ddl_sql.is_alter_table(query.rstrip().rstrip(";")):
+            ddl_sql.execute_alter_table(self, query.rstrip().rstrip(";"))
             return self.spark.sql("SELECT 'OK' AS result")
         if ddl_sql.is_insert_into(query) and (
             re.match(

@@ -2042,3 +2042,1020 @@ def q_tpcds_q64(ds: _DS) -> DataFrame:
             "cnt", "s1", "s2", "cnt2",
         )
     )
+
+
+@_ds_q(
+    "tpcds_q2",
+    _with(
+        """
+    SELECT a.d_moy AS moy, a.s AS sum_y1, b.s AS sum_y2,
+           round(b.s / a.s, 4) AS ratio
+    FROM msums a JOIN msums b ON a.d_moy = b.d_moy
+    WHERE a.d_year = 1997 AND b.d_year = 1998
+    """,
+        "web_sales", "catalog_sales", "date_dim",
+        extra=f"""
+    wscs AS (
+      SELECT ws_sold_date AS sold_date, ws_net_paid AS net_paid
+      FROM web_sales
+      UNION ALL
+      SELECT cs_sold_date, cs_net_paid FROM catalog_sales
+    ), msums AS (
+      SELECT d_year, d_moy, {_ems_sql('net_paid')} AS s
+      FROM wscs JOIN date_dim ON sold_date = d_date
+      GROUP BY d_year, d_moy
+    )""",
+    ),
+)
+def q_tpcds_q2(ds: _DS) -> DataFrame:
+    """TPC-DS Q2 shape (query2.sql): web+catalog union rolled up to
+    calendar periods, then the period sums of one year self-joined
+    against the NEXT year's same period for the growth ratio. The
+    union + one agg shuffle on (year, moy); the self-join is over the
+    tiny 12-row-per-year aggregate — broadcast, no fact re-shuffle."""
+    wscs = ds.web_sales.select(
+        _C("ws_sold_date").alias("sold_date"), _C("ws_net_paid").alias("net_paid")
+    ).unionAll(
+        ds.catalog_sales.select(
+            _C("cs_sold_date").alias("sold_date"),
+            _C("cs_net_paid").alias("net_paid"),
+        )
+    )
+    msums = (
+        wscs.join(ds.date_dim, _C("sold_date") == _C("d_date"))
+        .groupBy("d_year", "d_moy")
+        .agg(_exact_money_sum(_C("net_paid")).alias("s"))
+    )
+    a = msums.where(_C("d_year") == 1997).select(
+        _C("d_moy").alias("moy"), _C("s").alias("sum_y1")
+    )
+    b = msums.where(_C("d_year") == 1998).select(
+        _C("d_moy").alias("__moy2"), _C("s").alias("sum_y2")
+    )
+    return (
+        a.join(F.broadcast(b), _C("moy") == _C("__moy2"))
+        .select(
+            "moy", "sum_y1", "sum_y2",
+            F.round(_C("sum_y2") / _C("sum_y1"), 4).alias("ratio"),
+        )
+    )
+
+
+_Q4_YT_SQL = """
+    year_total AS (
+      SELECT ss_customer_sk AS customer_sk, d_year,
+             's' AS channel,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1997, 1998)
+      GROUP BY ss_customer_sk, d_year
+      UNION ALL
+      SELECT cs_customer_sk, d_year, 'c',
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT))
+      FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year IN (1997, 1998)
+      GROUP BY cs_customer_sk, d_year
+      UNION ALL
+      SELECT ws_customer_sk, d_year, 'w',
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT))
+      FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year IN (1997, 1998)
+      GROUP BY ws_customer_sk, d_year
+    )
+"""
+
+
+def _q4_year_total(ds: _DS) -> DataFrame:
+    """Per-customer exact-cent yearly totals for the three channels
+    (TPC-DS q4/q11 year_total CTE)."""
+    def one(fact, p, tag):
+        return (
+            fact.join(
+                ds.date_dim, _C(p + "sold_date") == _C("d_date")
+            )
+            .where(_C("d_year").isin(1997, 1998))
+            .groupBy(_C(p + "customer_sk").alias("customer_sk"), _C("d_year"))
+            .agg(F.sum(_cents(_C(p + "net_paid"))).alias("total_cents"))
+            .withColumn("channel", F.lit(tag))
+            .select("customer_sk", "d_year", "channel", "total_cents")
+        )
+
+    return (
+        one(ds.store_sales, "ss_", "s")
+        .unionAll(one(ds.catalog_sales, "cs_", "c"))
+        .unionAll(one(ds.web_sales, "ws_", "w"))
+    )
+
+
+@_ds_q(
+    "tpcds_q4",
+    _with(
+        """
+    SELECT s1.customer_sk AS customer_sk
+    FROM year_total s1
+    JOIN year_total s2 ON s1.customer_sk = s2.customer_sk
+    JOIN year_total c1 ON s1.customer_sk = c1.customer_sk
+    JOIN year_total c2 ON s1.customer_sk = c2.customer_sk
+    JOIN year_total w1 ON s1.customer_sk = w1.customer_sk
+    JOIN year_total w2 ON s1.customer_sk = w2.customer_sk
+    WHERE s1.channel = 's' AND s1.d_year = 1997
+      AND s2.channel = 's' AND s2.d_year = 1998
+      AND c1.channel = 'c' AND c1.d_year = 1997
+      AND c2.channel = 'c' AND c2.d_year = 1998
+      AND w1.channel = 'w' AND w1.d_year = 1997
+      AND w2.channel = 'w' AND w2.d_year = 1998
+      AND s1.total_cents > 0 AND c1.total_cents > 0 AND w1.total_cents > 0
+      AND CAST(c2.total_cents AS DOUBLE) * CAST(s1.total_cents AS DOUBLE)
+        > CAST(s2.total_cents AS DOUBLE) * CAST(c1.total_cents AS DOUBLE)
+      AND CAST(c2.total_cents AS DOUBLE) * CAST(w1.total_cents AS DOUBLE)
+        > CAST(w2.total_cents AS DOUBLE) * CAST(c1.total_cents AS DOUBLE)
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+        extra=_Q4_YT_SQL,
+    ),
+)
+def q_tpcds_q4(ds: _DS) -> DataFrame:
+    """TPC-DS Q4 (query4.sql): customer lifetime value — the
+    year_total CTE self-joined SIX ways picks customers whose
+    catalog-channel growth from 1997 to 1998 beats both their store
+    and web growth. The oracle keeps the textbook 6-way self-join;
+    the Spark plan instead PIVOTS the six (channel, year) legs into
+    one conditional aggregation per customer — one shuffle on
+    customer_sk total instead of six self-join shuffles, the same
+    single-pass trade as q88 and the right plan at 100 TB. Growth
+    comparison is cross-multiplication in DOUBLE: the operands are
+    identical exact-cent integers on both engines, so the IEEE
+    products (and the comparison) are bit-identical — and immune to
+    the BIGINT overflow exact integer products would hit."""
+    yt = _q4_year_total(ds)
+
+    def leg(ch, yr):
+        return F.sum(
+            F.when(
+                (_C("channel") == ch) & (_C("d_year") == yr),
+                _C("total_cents"),
+            )
+        )
+
+    wide = yt.groupBy("customer_sk").agg(
+        leg("s", 1997).alias("__s1_t"),
+        leg("s", 1998).alias("__s2_t"),
+        leg("c", 1997).alias("__c1_t"),
+        leg("c", 1998).alias("__c2_t"),
+        leg("w", 1997).alias("__w1_t"),
+        leg("w", 1998).alias("__w2_t"),
+    )
+    present = [
+        _C(c).isNotNull()
+        for c in ("__s1_t", "__s2_t", "__c1_t", "__c2_t", "__w1_t", "__w2_t")
+    ]
+    cond = present[0]
+    for p in present[1:]:
+        cond = cond & p
+    return (
+        wide.where(cond)
+        .where(
+            (_C("__s1_t") > 0) & (_C("__c1_t") > 0) & (_C("__w1_t") > 0)
+            & (
+                _C("__c2_t").cast("double") * _C("__s1_t").cast("double")
+                > _C("__s2_t").cast("double") * _C("__c1_t").cast("double")
+            )
+            & (
+                _C("__c2_t").cast("double") * _C("__w1_t").cast("double")
+                > _C("__w2_t").cast("double") * _C("__c1_t").cast("double")
+            )
+        )
+        .select(_C("customer_sk"))
+    )
+
+
+@_ds_q(
+    "tpcds_q10",
+    _with(
+        """
+    SELECT c_segment, c_preferred_flag, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer_dim c
+    JOIN customer_address ON ca_address_sk = c_current_addr_sk
+    WHERE ca_country IN ('EUROPE', 'ASIA')
+      AND EXISTS (
+        SELECT 1 FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+        WHERE ss_customer_sk = c.c_customer_sk
+          AND d_year = 1997 AND d_qoy <= 2)
+      AND (EXISTS (
+             SELECT 1 FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+             WHERE cs_customer_sk = c.c_customer_sk
+               AND d_year = 1997 AND d_qoy <= 2)
+           OR EXISTS (
+             SELECT 1 FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+             WHERE ws_customer_sk = c.c_customer_sk
+               AND d_year = 1997 AND d_qoy <= 2))
+    GROUP BY c_segment, c_preferred_flag
+    """,
+        "customer_dim", "customer_address", "store_sales", "catalog_sales",
+        "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q10(ds: _DS) -> DataFrame:
+    """TPC-DS Q10 (query10.sql): the EXISTS grid — customers in
+    selected countries who bought in-store AND through (catalog OR
+    web) in the same half-year, counted by demographic cell. The OR
+    of two EXISTS becomes a semi-join against the UNION of the two
+    channels' customer keys (set semantics make union-then-semi
+    exactly OR-of-EXISTS); both semi-join builds are
+    already-distinct key sets, far smaller than the facts."""
+    dd = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_qoy") <= 2))
+    ss_keys = (
+        ds.store_sales.join(
+            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
+        ).select(_C("ss_customer_sk").alias("k"))
+    )
+    cw_keys = (
+        ds.catalog_sales.join(
+            F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
+        ).select(_C("cs_customer_sk").alias("k"))
+        .unionAll(
+            ds.web_sales.join(
+                F.broadcast(dd), _C("ws_sold_date") == _C("d_date")
+            ).select(_C("ws_customer_sk").alias("k"))
+        )
+    )
+    return (
+        ds.customer_dim.join(
+            F.broadcast(
+                ds.customer_address.where(
+                    _C("ca_country").isin("EUROPE", "ASIA")
+                )
+            ),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .join(ss_keys, _C("c_customer_sk") == _C("k"), "left_semi")
+        .join(cw_keys, _C("c_customer_sk") == _C("k"), "left_semi")
+        .groupBy("c_segment", "c_preferred_flag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_ds_q(
+    "tpcds_q11",
+    _with(
+        """
+    SELECT s1.customer_sk AS customer_sk, c_preferred_flag
+    FROM year_total s1
+    JOIN year_total s2 ON s1.customer_sk = s2.customer_sk
+    JOIN year_total w1 ON s1.customer_sk = w1.customer_sk
+    JOIN year_total w2 ON s1.customer_sk = w2.customer_sk
+    JOIN customer_dim ON c_customer_sk = s1.customer_sk
+    WHERE s1.channel = 's' AND s1.d_year = 1997
+      AND s2.channel = 's' AND s2.d_year = 1998
+      AND w1.channel = 'w' AND w1.d_year = 1997
+      AND w2.channel = 'w' AND w2.d_year = 1998
+      AND s1.total_cents > 0 AND w1.total_cents > 0
+      AND CAST(w2.total_cents AS DOUBLE) * CAST(s1.total_cents AS DOUBLE)
+        > CAST(s2.total_cents AS DOUBLE) * CAST(w1.total_cents AS DOUBLE)
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+        "customer_dim",
+        extra=_Q4_YT_SQL,
+    ),
+)
+def q_tpcds_q11(ds: _DS) -> DataFrame:
+    """TPC-DS Q11 (query11.sql): the two-channel variant of the LTV
+    window — customers whose web growth 1997→1998 beats their store
+    growth, carrying a customer attribute. Same single-pass pivot
+    plan as q4 (one shuffle on customer_sk, conditional sums), the
+    dim joined broadcast after the filter."""
+    yt = _q4_year_total(ds)
+
+    def leg(ch, yr):
+        return F.sum(
+            F.when(
+                (_C("channel") == ch) & (_C("d_year") == yr),
+                _C("total_cents"),
+            )
+        )
+
+    wide = (
+        yt.where(_C("channel").isin("s", "w"))
+        .groupBy("customer_sk")
+        .agg(
+            leg("s", 1997).alias("__s1_t"),
+            leg("s", 1998).alias("__s2_t"),
+            leg("w", 1997).alias("__w1_t"),
+            leg("w", 1998).alias("__w2_t"),
+        )
+    )
+    qual = wide.where(
+        _C("__s1_t").isNotNull() & _C("__s2_t").isNotNull()
+        & _C("__w1_t").isNotNull() & _C("__w2_t").isNotNull()
+        & (_C("__s1_t") > 0) & (_C("__w1_t") > 0)
+        & (
+            _C("__w2_t").cast("double") * _C("__s1_t").cast("double")
+            > _C("__s2_t").cast("double") * _C("__w1_t").cast("double")
+        )
+    )
+    return qual.join(
+        ds.customer_dim, _C("customer_sk") == _C("c_customer_sk")
+    ).select("customer_sk", "c_preferred_flag")
+
+
+@_ds_q(
+    "tpcds_q16",
+    _with(
+        f"""
+    SELECT CAST(count(DISTINCT cs1.cs_order_number) AS BIGINT)
+             AS order_count,
+           {_ems_sql('cs1.cs_ext_ship_cost')} AS total_shipping_cost,
+           {_ems_sql('cs1.cs_net_paid')} AS total_net_paid
+    FROM catalog_sales cs1
+    JOIN date_dim ON cs1.cs_ship_date = d_date
+    WHERE d_year = 1997 AND d_moy <= 3
+      AND EXISTS (
+        SELECT 1 FROM catalog_sales cs2
+        WHERE cs2.cs_order_number = cs1.cs_order_number
+          AND cs2.cs_warehouse_sk <> cs1.cs_warehouse_sk)
+      AND NOT EXISTS (
+        SELECT 1 FROM catalog_returns cr
+        WHERE cr.cr_order_number = cs1.cs_order_number)
+    """,
+        "catalog_sales", "catalog_returns", "date_dim",
+    ),
+)
+def q_tpcds_q16(ds: _DS) -> DataFrame:
+    """TPC-DS Q16 (query16.sql): catalog orders shipped in a quarter
+    from MORE than one warehouse with NO returns — correlated EXISTS
+    (same order, different warehouse) + NOT EXISTS (returns), then
+    count(DISTINCT order) with exact-cent sums. The multi-warehouse
+    EXISTS decorrelates to a per-order warehouse-count aggregate
+    semi-joined back (count > 1 <=> a different-warehouse row
+    exists); NOT EXISTS is a left-anti join on order_number. All
+    three shuffles ride the natural order_number key."""
+    cs = ds.catalog_sales
+    multi_wh = (
+        cs.groupBy("cs_order_number")
+        .agg(F.countDistinct("cs_warehouse_sk").alias("__nwh"))
+        .where(_C("__nwh") > 1)
+        .select(_C("cs_order_number").alias("__ok"))
+    )
+    dd = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_moy") <= 3))
+    return (
+        cs.join(F.broadcast(dd), _C("cs_ship_date") == _C("d_date"))
+        .join(multi_wh, _C("cs_order_number") == _C("__ok"), "left_semi")
+        .join(
+            ds.catalog_returns.select(
+                _C("cr_order_number").alias("__rk")
+            ),
+            _C("cs_order_number") == _C("__rk"),
+            "left_anti",
+        )
+        .agg(
+            F.countDistinct("cs_order_number").alias("order_count"),
+            _exact_money_sum(_C("cs_ext_ship_cost")).alias(
+                "total_shipping_cost"
+            ),
+            _exact_money_sum(_C("cs_net_paid")).alias("total_net_paid"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q27",
+    _with(
+        f"""
+    SELECT i_category, s_state,
+           CAST(grouping(s_state) AS BIGINT) AS g_state,
+           {_exact_avg_sql('ss_quantity', 100)} AS agg1,
+           {_ems_sql('ss_net_paid')} AS agg2
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN item ON ss_item_sk = i_item_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE d_year = 1997 AND i_manufact_id < 20
+    GROUP BY ROLLUP(i_category, s_state)
+    """,
+        "store_sales", "date_dim", "item", "store",
+    ),
+)
+def q_tpcds_q27(ds: _DS) -> DataFrame:
+    """TPC-DS Q27 (query27.sql): the rollup grid — store sales by
+    item category and store state with ROLLUP subtotals and a
+    GROUPING() marker column. Expand/rollup is one shuffle; all three
+    dims broadcast. Averages use the exact-integer avg so subtotal
+    rows (bigger sums) stay bit-stable."""
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(
+            F.broadcast(ds.item.where(_C("i_manufact_id") < 20)),
+            _C("ss_item_sk") == _C("i_item_sk"),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .rollup("i_category", "s_state")
+        .agg(
+            F.grouping("s_state").cast("bigint").alias("g_state"),
+            _exact_avg(_C("ss_quantity"), 100).alias("agg1"),
+            _exact_money_sum(_C("ss_net_paid")).alias("agg2"),
+        )
+        .select("i_category", "s_state", "g_state", "agg1", "agg2")
+    )
+
+
+@_ds_q(
+    "tpcds_q35",
+    _with(
+        """
+    SELECT ca_state, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n_store) AS BIGINT) AS sum_store,
+           CAST(max(n_store) AS BIGINT) AS max_store,
+           floor(sum(n_store) * 100 / count(*) + 0.5) / 100 AS avg_store
+    FROM (
+      SELECT c.c_customer_sk, ca_state,
+             (SELECT count(*) FROM store_sales
+              JOIN date_dim ON ss_sold_date = d_date
+              WHERE ss_customer_sk = c.c_customer_sk
+                AND d_year = 1997) AS n_store
+      FROM customer_dim c
+      JOIN customer_address ON ca_address_sk = c_current_addr_sk
+      WHERE EXISTS (
+          SELECT 1 FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+          WHERE ss_customer_sk = c.c_customer_sk AND d_year = 1997)
+        AND (EXISTS (
+               SELECT 1 FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+               WHERE ws_customer_sk = c.c_customer_sk AND d_year = 1997)
+             OR EXISTS (
+               SELECT 1 FROM catalog_sales
+               JOIN date_dim ON cs_sold_date = d_date
+               WHERE cs_customer_sk = c.c_customer_sk AND d_year = 1997))
+    )
+    GROUP BY ca_state
+    """,
+        "customer_dim", "customer_address", "store_sales", "web_sales",
+        "catalog_sales", "date_dim",
+    ),
+)
+def q_tpcds_q35(ds: _DS) -> DataFrame:
+    """TPC-DS Q35 (query35.sql): the EXISTS grid with per-customer
+    correlated statistics — qualifying customers (store AND (web OR
+    catalog) activity in the year) rolled up by state with
+    count/sum/max/avg of their store-purchase counts. The correlated
+    scalar count decorrelates to ONE per-customer aggregate joined
+    back (inner — qualification already guarantees presence); the
+    OR-of-EXISTS is a semi-join against the channel-key union. The
+    exact avg divides integer sums (floor pattern) so both engines
+    agree bit-for-bit."""
+    dd = ds.date_dim.where(_C("d_year") == 1997)
+    per_cust = (
+        ds.store_sales.join(
+            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
+        )
+        .groupBy(_C("ss_customer_sk").alias("__ck"))
+        .agg(F.count(F.lit(1)).alias("n_store"))
+    )
+    or_keys = (
+        ds.web_sales.join(
+            F.broadcast(dd), _C("ws_sold_date") == _C("d_date")
+        ).select(_C("ws_customer_sk").alias("k"))
+        .unionAll(
+            ds.catalog_sales.join(
+                F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
+            ).select(_C("cs_customer_sk").alias("k"))
+        )
+    )
+    return (
+        ds.customer_dim.join(
+            F.broadcast(ds.customer_address),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .join(or_keys, _C("c_customer_sk") == _C("k"), "left_semi")
+        .join(per_cust, _C("c_customer_sk") == _C("__ck"))  # = store EXISTS
+        .groupBy("ca_state")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_store").alias("sum_store"),
+            F.max("n_store").alias("max_store"),
+            (
+                F.floor(F.sum("n_store") * 100 / F.count(F.lit(1)) + F.lit(0.5))
+                / 100
+            ).alias("avg_store"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q67",
+    _with(
+        f"""
+    SELECT * FROM (
+      SELECT i_category, i_class, i_brand, s_store_name,
+             {_ems_sql('ss_net_paid')} AS sumsales,
+             rank() OVER (PARTITION BY i_category
+                          ORDER BY {_ems_sql('ss_net_paid')} DESC) AS rk
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      WHERE d_year = 1997
+      GROUP BY ROLLUP(i_category, i_class, i_brand, s_store_name)
+    ) WHERE rk <= 3
+    """,
+        "store_sales", "date_dim", "item", "store",
+    ),
+)
+def q_tpcds_q67(ds: _DS) -> DataFrame:
+    """TPC-DS Q67 (query67.sql): the big rollup + windowed-rank grid
+    — store sales rolled up over the full category/class/brand/store
+    hierarchy, then rank() within each i_category partition (NULL
+    partitions from the rollup rank among themselves, the original's
+    semantics) keeping the top 3 per partition. rank() over the
+    exact-cent sums ties identically on both engines. One
+    expand-shuffle for the rollup, one window shuffle on i_category."""
+    grid = (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .rollup("i_category", "i_class", "i_brand", "s_store_name")
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("sumsales"))
+    )
+    w = Window.partitionBy("i_category").orderBy(_C("sumsales").desc())
+    return (
+        grid.withColumn("rk", F.rank().over(w).cast("bigint"))
+        .where(_C("rk") <= 3)
+        .select("i_category", "i_class", "i_brand", "s_store_name",
+                "sumsales", "rk")
+    )
+
+
+@_ds_q(
+    "tpcds_q97",
+    _with(
+        """
+    SELECT CAST(sum(CASE WHEN s_ck IS NOT NULL AND c_ck IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(sum(CASE WHEN s_ck IS NULL AND c_ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(sum(CASE WHEN s_ck IS NOT NULL AND c_ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+    FROM (
+      SELECT ssci.customer_sk AS s_ck, csci.customer_sk AS c_ck
+      FROM (SELECT DISTINCT ss_customer_sk AS customer_sk,
+                            ss_item_sk AS item_sk
+            FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+            WHERE d_year = 1997) ssci
+      FULL OUTER JOIN
+           (SELECT DISTINCT cs_customer_sk AS customer_sk,
+                            cs_item_sk AS item_sk
+            FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+            WHERE d_year = 1997) csci
+      ON ssci.customer_sk = csci.customer_sk
+         AND ssci.item_sk = csci.item_sk
+    )
+    """,
+        "store_sales", "catalog_sales", "date_dim",
+    ),
+)
+def q_tpcds_q97(ds: _DS) -> DataFrame:
+    """TPC-DS Q97 (query97.sql): cross-channel (customer, item)
+    overlap — distinct pairs per channel FULL OUTER JOINed, counting
+    store-only / catalog-only / both. The distinct collapses the
+    facts BEFORE the join (two dedup shuffles + one co-partitioned
+    full-outer shuffle on the pair key); conditional counts in one
+    final single-row agg."""
+    dd = ds.date_dim.where(_C("d_year") == 1997)
+    ssci = (
+        ds.store_sales.join(
+            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
+        )
+        .select(
+            _C("ss_customer_sk").alias("s_ck"), _C("ss_item_sk").alias("s_ik")
+        )
+        .distinct()
+    )
+    csci = (
+        ds.catalog_sales.join(
+            F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
+        )
+        .select(
+            _C("cs_customer_sk").alias("c_ck"), _C("cs_item_sk").alias("c_ik")
+        )
+        .distinct()
+    )
+    both = ssci.join(
+        csci,
+        (_C("s_ck") == _C("c_ck")) & (_C("s_ik") == _C("c_ik")),
+        "full_outer",
+    )
+    return both.agg(
+        F.sum(
+            F.when(_C("s_ck").isNotNull() & _C("c_ck").isNull(), 1).otherwise(0)
+        ).alias("store_only"),
+        F.sum(
+            F.when(_C("s_ck").isNull() & _C("c_ck").isNotNull(), 1).otherwise(0)
+        ).alias("catalog_only"),
+        F.sum(
+            F.when(_C("s_ck").isNotNull() & _C("c_ck").isNotNull(), 1).otherwise(
+                0
+            )
+        ).alias("store_and_catalog"),
+    )
+
+
+@_ds_q(
+    "tpcds_q5",
+    _with(
+        f"""
+    SELECT channel,
+           CAST(grouping(channel) AS BIGINT) AS g,
+           {_ems_sql('sales')} AS sales,
+           {_ems_sql('ret')} AS returns_amt,
+           {_ems_sql('profit')} AS profit
+    FROM (
+      SELECT 'store' AS channel, ss_sold_date AS d,
+             ss_net_paid AS sales, CAST(NULL AS DOUBLE) AS ret,
+             ss_net_profit AS profit
+      FROM store_sales
+      UNION ALL
+      SELECT 'store', sr_returned_date, CAST(NULL AS DOUBLE),
+             sr_return_amt, CAST(NULL AS DOUBLE)
+      FROM store_returns
+      UNION ALL
+      SELECT 'catalog', cs_sold_date, cs_net_paid, CAST(NULL AS DOUBLE),
+             cs_net_profit
+      FROM catalog_sales
+      UNION ALL
+      SELECT 'catalog', cr_returned_date, CAST(NULL AS DOUBLE),
+             cr_return_amt, CAST(NULL AS DOUBLE)
+      FROM catalog_returns
+      UNION ALL
+      SELECT 'web', ws_sold_date, ws_net_paid, CAST(NULL AS DOUBLE),
+             ws_net_profit
+      FROM web_sales
+      UNION ALL
+      SELECT 'web', wr_returned_date, CAST(NULL AS DOUBLE),
+             wr_return_amt, CAST(NULL AS DOUBLE)
+      FROM web_returns
+    ) x JOIN date_dim ON d = d_date
+    WHERE d_year = 1997 AND d_moy <= 6
+    GROUP BY ROLLUP(channel)
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns", "date_dim",
+    ),
+)
+def q_tpcds_q5(ds: _DS) -> DataFrame:
+    """TPC-DS Q5 (query5.sql): the channel profit-and-loss report —
+    sales and returns of all three channels UNION ALLed into one
+    tagged relation, date-filtered, rolled up by channel with a
+    grand-total row. One union scan pass, dims broadcast, a single
+    Expand+agg shuffle; NULL slots keep each measure exact under the
+    cent-sum (sum skips NULLs identically on both engines)."""
+    def sales_leg(fact, p, tag):
+        return fact.select(
+            F.lit(tag).alias("channel"),
+            _C(p + "sold_date").alias("d"),
+            _C(p + "net_paid").alias("sales"),
+            F.lit(None).cast("double").alias("ret"),
+            _C(p + "net_profit").alias("profit"),
+        )
+
+    def ret_leg(fact, p, tag):
+        return fact.select(
+            F.lit(tag).alias("channel"),
+            _C(p + "returned_date").alias("d"),
+            F.lit(None).cast("double").alias("sales"),
+            _C(p + "return_amt").alias("ret"),
+            F.lit(None).cast("double").alias("profit"),
+        )
+
+    x = (
+        sales_leg(ds.store_sales, "ss_", "store")
+        .unionAll(ret_leg(ds.store_returns, "sr_", "store"))
+        .unionAll(sales_leg(ds.catalog_sales, "cs_", "catalog"))
+        .unionAll(ret_leg(ds.catalog_returns, "cr_", "catalog"))
+        .unionAll(sales_leg(ds.web_sales, "ws_", "web"))
+        .unionAll(ret_leg(ds.web_returns, "wr_", "web"))
+    )
+    dd = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_moy") <= 6))
+    return (
+        x.join(F.broadcast(dd), _C("d") == _C("d_date"))
+        .rollup("channel")
+        .agg(
+            F.grouping("channel").cast("bigint").alias("g"),
+            _exact_money_sum(_C("sales")).alias("sales"),
+            _exact_money_sum(_C("ret")).alias("returns_amt"),
+            _exact_money_sum(_C("profit")).alias("profit"),
+        )
+        .select("channel", "g", "sales", "returns_amt", "profit")
+    )
+
+
+@_ds_q(
+    "tpcds_q9",
+    _with(
+        f"""
+    SELECT
+      CASE WHEN (SELECT count(*) FROM store_sales
+                 WHERE ss_quantity BETWEEN 1 AND 10) > 50
+           THEN (SELECT {_ems_sql('ss_ext_list_price')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 1 AND 10)
+           ELSE (SELECT {_ems_sql('ss_net_paid')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 1 AND 10) END AS bucket1,
+      CASE WHEN (SELECT count(*) FROM store_sales
+                 WHERE ss_quantity BETWEEN 11 AND 20) > 50
+           THEN (SELECT {_ems_sql('ss_ext_list_price')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 11 AND 20)
+           ELSE (SELECT {_ems_sql('ss_net_paid')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 11 AND 20) END AS bucket2,
+      CASE WHEN (SELECT count(*) FROM store_sales
+                 WHERE ss_quantity BETWEEN 21 AND 30) > 50
+           THEN (SELECT {_ems_sql('ss_ext_list_price')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 21 AND 30)
+           ELSE (SELECT {_ems_sql('ss_net_paid')} FROM store_sales
+                 WHERE ss_quantity BETWEEN 21 AND 30) END AS bucket3
+    """,
+        "store_sales",
+    ),
+)
+def q_tpcds_q9(ds: _DS) -> DataFrame:
+    """TPC-DS Q9 (query9.sql): the scalar-subquery CASE grid — per
+    quantity bucket, pick one of two exact-cent sums depending on the
+    bucket's row count. The oracle spells out six scalar subqueries;
+    the Spark plan computes ALL bucket aggregates in ONE conditional
+    pass over store_sales (the q88 single-scan trade) and assembles
+    the CASEs from that single row."""
+    ss = ds.store_sales
+
+    def b(lo, hi):
+        return _C("ss_quantity").between(lo, hi)
+
+    aggs = []
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 30)], 1):
+        aggs += [
+            F.count(F.when(b(lo, hi), 1)).alias(f"__n{i}"),
+            (
+                F.floor(
+                    F.sum(F.when(b(lo, hi), _cents(_C("ss_ext_list_price"))))
+                    / 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias(f"__lp{i}"),
+            (
+                F.floor(
+                    F.sum(F.when(b(lo, hi), _cents(_C("ss_net_paid")))) / 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias(f"__np{i}"),
+        ]
+    one = ss.agg(*aggs)
+    return one.select(
+        *[
+            F.when(_C(f"__n{i}") > 50, _C(f"__lp{i}"))
+            .otherwise(_C(f"__np{i}"))
+            .alias(f"bucket{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+
+
+@_ds_q(
+    "tpcds_q13",
+    _with(
+        f"""
+    SELECT {_exact_avg_sql('ss_quantity', 100)} AS avg_qty,
+           {_ems_sql('ss_net_paid')} AS sum_paid,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM store_sales
+    JOIN customer_dim ON ss_customer_sk = c_customer_sk
+    JOIN date_dim ON ss_sold_date = d_date
+    WHERE d_year = 1997
+      AND ((c_segment = 'BUILDING' AND c_preferred_flag = 'Y'
+            AND ss_quantity BETWEEN 1 AND 20)
+        OR (c_segment = 'AUTOMOBILE' AND c_preferred_flag = 'N'
+            AND ss_quantity BETWEEN 21 AND 40)
+        OR (c_segment = 'MACHINERY' AND ss_quantity BETWEEN 41 AND 50))
+    """,
+        "store_sales", "customer_dim", "date_dim",
+    ),
+)
+def q_tpcds_q13(ds: _DS) -> DataFrame:
+    """TPC-DS Q13 (query13.sql): the disjunctive-predicate grid — a
+    three-arm OR over (segment, preference, quantity band) pairs
+    demographic attributes with fact measures. The OR stays ONE join
+    + filter (no union-of-three-scans): customer_dim broadcasts, the
+    predicate evaluates post-join in codegen, one global agg."""
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.customer_dim),
+            _C("ss_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .where(
+            (
+                (_C("c_segment") == "BUILDING")
+                & (_C("c_preferred_flag") == "Y")
+                & _C("ss_quantity").between(1, 20)
+            )
+            | (
+                (_C("c_segment") == "AUTOMOBILE")
+                & (_C("c_preferred_flag") == "N")
+                & _C("ss_quantity").between(21, 40)
+            )
+            | (
+                (_C("c_segment") == "MACHINERY")
+                & _C("ss_quantity").between(41, 50)
+            )
+        )
+        .agg(
+            _exact_avg(_C("ss_quantity"), 100).alias("avg_qty"),
+            _exact_money_sum(_C("ss_net_paid")).alias("sum_paid"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q28",
+    _with(
+        """
+    SELECT b1.cnt AS cnt1, b1.avg_lp AS avg1, b1.nd AS nd1,
+           b2.cnt AS cnt2, b2.avg_lp AS avg2, b2.nd AS nd2,
+           b3.cnt AS cnt3, b3.avg_lp AS avg3, b3.nd AS nd3
+    FROM
+      (SELECT CAST(count(*) AS BIGINT) AS cnt,
+              floor(sum(CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT))
+                    / count(*) / 100.0 + 0.5) / 100 AS avg_lp,
+              CAST(count(DISTINCT ss_ext_list_price) AS BIGINT) AS nd
+       FROM store_sales WHERE ss_quantity BETWEEN 1 AND 15) b1,
+      (SELECT CAST(count(*) AS BIGINT) AS cnt,
+              floor(sum(CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT))
+                    / count(*) / 100.0 + 0.5) / 100 AS avg_lp,
+              CAST(count(DISTINCT ss_ext_list_price) AS BIGINT) AS nd
+       FROM store_sales WHERE ss_quantity BETWEEN 16 AND 30) b2,
+      (SELECT CAST(count(*) AS BIGINT) AS cnt,
+              floor(sum(CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT))
+                    / count(*) / 100.0 + 0.5) / 100 AS avg_lp,
+              CAST(count(DISTINCT ss_ext_list_price) AS BIGINT) AS nd
+       FROM store_sales WHERE ss_quantity BETWEEN 31 AND 50) b3
+    """,
+        "store_sales",
+    ),
+)
+def q_tpcds_q28(ds: _DS) -> DataFrame:
+    """TPC-DS Q28 (query28.sql): the bucket-statistics grid —
+    count / exact average / count-distinct of list price for three
+    quantity bands, cross-joined into one row. The oracle's three
+    scans collapse to ONE pass with conditional aggregates (the
+    count(DISTINCT CASE ...) form rides Spark's expand-based distinct
+    aggregation — still a single scan of the fact)."""
+    ss = ds.store_sales
+    aggs = []
+    for i, (lo, hi) in enumerate([(1, 15), (16, 30), (31, 50)], 1):
+        inb = _C("ss_quantity").between(lo, hi)
+        cents = F.when(inb, _cents(_C("ss_ext_list_price")))
+        aggs += [
+            F.count(F.when(inb, 1)).alias(f"cnt{i}"),
+            (
+                F.floor(
+                    F.sum(cents) / F.count(F.when(inb, 1)) / 100.0 + F.lit(0.5)
+                )
+                / 100
+            ).alias(f"avg{i}"),
+            F.countDistinct(F.when(inb, _C("ss_ext_list_price"))).alias(
+                f"nd{i}"
+            ),
+        ]
+    return ss.agg(*aggs).select(
+        "cnt1", "avg1", "nd1", "cnt2", "avg2", "nd2", "cnt3", "avg3", "nd3"
+    )
+
+
+@_ds_q(
+    "tpcds_q78",
+    _with(
+        """
+    SELECT item_sk, q1, q2,
+           round(CAST(q2 AS DOUBLE) / CAST(q1 AS DOUBLE), 4) AS growth
+    FROM (
+      SELECT a.ss_item_sk AS item_sk,
+             CAST(sum(CASE WHEN d_year = 1997 THEN ss_q END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN d_year = 1998 THEN ss_q END) AS BIGINT) AS q2
+      FROM (
+        SELECT ss_item_sk, ss_sold_date,
+               CAST(ss_quantity AS BIGINT) AS ss_q
+        FROM store_sales
+        LEFT JOIN store_returns
+          ON ss_ticket_number = sr_ticket_number
+         AND ss_item_sk = sr_item_sk
+        WHERE sr_ticket_number IS NULL
+      ) a JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1997, 1998)
+      GROUP BY a.ss_item_sk
+    )
+    WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0
+    """,
+        "store_sales", "store_returns", "date_dim",
+    ),
+)
+def q_tpcds_q78(ds: _DS) -> DataFrame:
+    """TPC-DS Q78 (query78.sql shape): year-over-year item quantity
+    growth counting ONLY unreturned sales — the returns-exclusion is
+    a LEFT JOIN + null-check (planned as one co-partitioned join on
+    (ticket, item)), then a single conditional-sum pass replaces the
+    original's per-year CTE self-join. Output: items sold both years
+    with their growth ratio (exact integer quantities; the ratio is
+    one IEEE division of identical operands)."""
+    unret = (
+        ds.store_sales.join(
+            ds.store_returns.select(
+                _C("sr_ticket_number").alias("__rt"),
+                _C("sr_item_sk").alias("__ri"),
+            ),
+            (_C("ss_ticket_number") == _C("__rt"))
+            & (_C("ss_item_sk") == _C("__ri")),
+            "left_anti",
+        )
+    )
+    wide = (
+        unret.join(
+            F.broadcast(ds.date_dim.where(_C("d_year").isin(1997, 1998))),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .groupBy(_C("ss_item_sk").alias("item_sk"))
+        .agg(
+            F.sum(
+                F.when(_C("d_year") == 1997, _C("ss_quantity").cast("bigint"))
+            ).alias("q1"),
+            F.sum(
+                F.when(_C("d_year") == 1998, _C("ss_quantity").cast("bigint"))
+            ).alias("q2"),
+        )
+    )
+    return (
+        wide.where(
+            _C("q1").isNotNull() & _C("q2").isNotNull() & (_C("q1") > 0)
+        )
+        .select(
+            "item_sk", "q1", "q2",
+            F.round(_C("q2").cast("double") / _C("q1").cast("double"), 4).alias(
+                "growth"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q92",
+    _with(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           floor(sum(CAST(round(ws_ext_discount_amt * 10000, 0) AS BIGINT))
+                 / 100 + 0.5) / 100 AS excess_discount
+    FROM web_sales ws
+    JOIN date_dim ON ws_sold_date = d_date
+    WHERE d_year = 1997
+      AND CAST(round(ws_ext_discount_amt * 10000, 0) AS BIGINT) > 1.3 * (
+        SELECT sum(CAST(round(w2.ws_ext_discount_amt * 10000, 0) AS BIGINT))
+               * 1.0 / count(*)
+        FROM web_sales w2
+        JOIN date_dim d2 ON w2.ws_sold_date = d2.d_date
+        WHERE d2.d_year = 1997 AND w2.ws_item_sk = ws.ws_item_sk)
+    """,
+        "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q92(ds: _DS) -> DataFrame:
+    """TPC-DS Q92 (query92.sql): excess web discount — rows whose
+    discount exceeds 1.3x their ITEM's average discount for the year.
+    The correlated scalar average decorrelates to one per-item
+    aggregate joined back (both engines plan exactly this). The
+    threshold compares exact-cent integers through identical double
+    arithmetic (sum_cents/count * 1.3), so the boundary cannot flip
+    between engines."""
+    dd = ds.date_dim.where(_C("d_year") == 1997)
+    ws = ds.web_sales.join(
+        F.broadcast(dd), _C("ws_sold_date") == _C("d_date")
+    ).select(
+        "ws_item_sk",
+        _cents(_C("ws_ext_discount_amt")).alias("__dc"),
+    )
+    per_item = ws.groupBy(_C("ws_item_sk").alias("__ik")).agg(
+        (F.sum("__dc") * 1.0 / F.count(F.lit(1))).alias("__avg_dc")
+    )
+    return (
+        ws.join(per_item, _C("ws_item_sk") == _C("__ik"))
+        .where(_C("__dc") > 1.3 * _C("__avg_dc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.floor(F.sum("__dc") / 100 + F.lit(0.5)) / 100).alias(
+                "excess_discount"
+            ),
+        )
+    )

@@ -199,3 +199,51 @@ def test_statement_set_semicolon_in_literal(spark, tmp_path):
     # no et equals 'a;b', so the first INSERT keeps all three rows;
     # the second adds none
     assert got == [1, 2, 3]
+
+
+def test_create_view_and_alter_table(spark, tmp_path):
+    """CREATE VIEW (column alias list, IF NOT EXISTS, DROP VIEW) and
+    ALTER TABLE (RENAME TO with spec/rowtime/pk bookkeeping, SET
+    options) as SQL text — reference parser ddl/SqlCreateView.java +
+    ddl/SqlAlterTable.java."""
+    env = _env(spark)
+    src = _write_events(spark, tmp_path)
+    env.sql(
+        f"""
+        CREATE TABLE __vddl_t (
+          id BIGINT, et STRING, v DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'filesystem', 'path' = '{src}')
+        """
+    )
+    env.sql("ALTER TABLE __vddl_t RENAME TO __vddl_t2")
+    assert "__vddl_t" not in env._specs and "__vddl_t2" in env._specs
+    assert env._pk_of("__vddl_t2") == ["id"]
+    with pytest.raises(Exception):
+        env.sql("SELECT * FROM __vddl_t").collect()  # old name gone
+
+    env.sql(
+        "CREATE VIEW __vddl_v (etype, total) AS "
+        "SELECT et, sum(v) FROM __vddl_t2 GROUP BY et"
+    )
+    got = sorted(
+        (r.etype, r.total) for r in env.sql("SELECT * FROM __vddl_v").collect()
+    )
+    assert got == [("a", 6.0), ("b", 3.0)]
+    # duplicate create fails; IF NOT EXISTS is a no-op
+    with pytest.raises(ValueError, match="already exists"):
+        env.sql("CREATE VIEW __vddl_v AS SELECT 1")
+    env.sql("CREATE VIEW IF NOT EXISTS __vddl_v AS SELECT 1")
+    assert env.sql("SELECT count(*) AS c FROM __vddl_v").collect()[0].c == 2
+
+    # SET options merges into the spec
+    env.sql("ALTER TABLE __vddl_t2 SET ('custom.opt' = 'x')")
+    assert env._specs["__vddl_t2"].options.get("custom.opt") == "x"
+
+    env.sql("DROP VIEW __vddl_v")
+    with pytest.raises(Exception):
+        env.sql("SELECT * FROM __vddl_v").collect()
+    # no longer engine-tracked -> passes through to native Spark DDL,
+    # which raises ITS not-found error
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        env.sql("DROP VIEW __vddl_v")

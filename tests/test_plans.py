@@ -78,3 +78,34 @@ def test_q88_is_single_pass(spark):
     scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert scans <= 2, f"q88: {scans} fact scans (single-pass regressed)"
     assert "CartesianProduct" not in plan
+
+
+def test_q4_is_single_pivot_pass(spark):
+    """tpcds_q4's Spark plan must stay the pivoted conditional
+    aggregation — one shuffle on customer_sk — not the oracle's 6-way
+    self-join (which would show 6+ SortMergeJoin/ShuffledHashJoin
+    nodes on customer_sk)."""
+    plan = _plan(spark, "tpcds_q4")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "q4 regressed to self-joins"
+    )
+
+
+def test_q27_q67_broadcast_and_expand(spark):
+    """The rollup grids broadcast every dim and plan the rollup as a
+    single Expand + aggregate (no join shuffle)."""
+    for name in ("tpcds_q27", "tpcds_q67"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+        assert "Expand" in plan, f"{name}: rollup must plan as Expand"
+        assert "CartesianProduct" not in plan
+
+
+def test_q97_full_outer_copartitioned(spark):
+    """q97's FULL OUTER join of the two distinct pair-sets must ride
+    a co-partitioned shuffle join (FullOuter hash/sort-merge), never
+    a nested-loop."""
+    plan = _plan(spark, "tpcds_q97")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3059,3 +3059,476 @@ def q_tpcds_q92(ds: _DS) -> DataFrame:
             ),
         )
     )
+
+
+@_ds_q(
+    "tpcds_q34",
+    _with(
+        """
+    SELECT c_customer_id, ticket, cnt
+    FROM (
+      SELECT ss_customer_sk AS cust, ss_ticket_number AS ticket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+      GROUP BY ss_customer_sk, ss_ticket_number
+      HAVING count(*) BETWEEN 2 AND 3
+    ) b JOIN customer_dim ON c_customer_sk = cust
+    """,
+        "store_sales", "date_dim", "customer_dim",
+    ),
+)
+def q_tpcds_q34(ds: _DS) -> DataFrame:
+    """TPC-DS Q34 (query34.sql shape): basket analysis — tickets with
+    an item count inside a band, joined back to the customer. One
+    shuffle on (customer, ticket) for the HAVING aggregate; the
+    customer dim joins broadcast AFTER the aggregate (tickets-in-band
+    is far smaller than the fact)."""
+    baskets = (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .groupBy(
+            _C("ss_customer_sk").alias("cust"),
+            _C("ss_ticket_number").alias("ticket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(_C("cnt").between(2, 3))
+    )
+    return baskets.join(
+        F.broadcast(ds.customer_dim), _C("c_customer_sk") == _C("cust")
+    ).select("c_customer_id", "ticket", "cnt")
+
+
+@_ds_q(
+    "tpcds_q46",
+    _with(
+        f"""
+    SELECT cust, ticket, {_ems_sql('ss_net_paid')} AS amt
+    FROM (
+      SELECT ss_customer_sk AS cust, ss_ticket_number AS ticket,
+             ss_net_paid
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON ca_address_sk = c_current_addr_sk
+      WHERE d_year = 1997 AND ca_state <> s_state
+    ) GROUP BY cust, ticket
+    """,
+        "store_sales", "date_dim", "store", "customer_dim",
+        "customer_address",
+    ),
+)
+def q_tpcds_q46(ds: _DS) -> DataFrame:
+    """TPC-DS Q46 (query46.sql shape): out-of-state baskets — sales
+    where the customer's address state differs from the store's,
+    summed per ticket. Four broadcast dims feed one codegen'd filter;
+    the only shuffle is the (customer, ticket) aggregate."""
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("ss_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .where(_C("ca_state") != _C("s_state"))
+        .groupBy(
+            _C("ss_customer_sk").alias("cust"),
+            _C("ss_ticket_number").alias("ticket"),
+        )
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("amt"))
+    )
+
+
+@_ds_q(
+    "tpcds_q61",
+    _with(
+        """
+    SELECT promo_cents, total_cents,
+           round(CAST(promo_cents AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE) * 100, 4) AS promo_pct
+    FROM (
+      SELECT CAST(sum(CASE WHEN i_manufact_id < 5
+                      THEN CAST(round(ss_net_paid * 10000, 0) AS BIGINT)
+                      END) AS BIGINT) AS promo_cents,
+             CAST(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    """,
+        "store_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q61(ds: _DS) -> DataFrame:
+    """TPC-DS Q61 (query61.sql shape): promotional revenue share —
+    the original's two scalar-subquery scans (promo sales, all sales)
+    collapse to ONE conditional-aggregate pass; the percentage is one
+    IEEE division of identical exact-cent operands."""
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk")
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .agg(
+            F.sum(
+                F.when(_C("i_manufact_id") < 5, _cents(_C("ss_net_paid")))
+            ).alias("promo_cents"),
+            F.sum(_cents(_C("ss_net_paid"))).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(
+                _C("promo_cents").cast("double")
+                / _C("total_cents").cast("double")
+                * 100,
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q62",
+    _with(
+        """
+    SELECT cs_warehouse_sk AS warehouse_sk,
+           CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(sum(CASE WHEN lag > 30 AND lag <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN lag > 60 AND lag <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN lag > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_more
+    FROM (
+      SELECT cs_warehouse_sk,
+             date_diff('day', cs_sold_date, cs_ship_date) AS lag
+      FROM catalog_sales
+      JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    GROUP BY cs_warehouse_sk
+    """,
+        "catalog_sales", "date_dim",
+    ),
+)
+def q_tpcds_q62(ds: _DS) -> DataFrame:
+    """TPC-DS Q62 (query62.sql): shipping-latency bucket matrix —
+    days between order and ship bucketed into 30-day bands, counted
+    per warehouse. Pure date arithmetic in codegen (datediff is
+    integer-exact on both engines), one shuffle on warehouse_sk."""
+    lag = F.datediff(_C("cs_ship_date"), _C("cs_sold_date"))
+    return (
+        ds.catalog_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .select(_C("cs_warehouse_sk").alias("warehouse_sk"), lag.alias("lag"))
+        .groupBy("warehouse_sk")
+        .agg(
+            F.sum(F.when(_C("lag") <= 30, 1).otherwise(0)).alias("d30"),
+            F.sum(
+                F.when((_C("lag") > 30) & (_C("lag") <= 60), 1).otherwise(0)
+            ).alias("d60"),
+            F.sum(
+                F.when((_C("lag") > 60) & (_C("lag") <= 90), 1).otherwise(0)
+            ).alias("d90"),
+            F.sum(F.when(_C("lag") > 90, 1).otherwise(0)).alias("d_more"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q58",
+    _with(
+        """
+    SELECT item_sk,
+           floor(ss_c / 100.0 + 0.5) / 100 AS ss_rev,
+           floor(cs_c / 100.0 + 0.5) / 100 AS cs_rev,
+           floor(ws_c / 100.0 + 0.5) / 100 AS ws_rev
+    FROM (
+      SELECT item_sk,
+             CAST(sum(CASE WHEN ch = 's' THEN cents END) AS BIGINT) AS ss_c,
+             CAST(sum(CASE WHEN ch = 'c' THEN cents END) AS BIGINT) AS cs_c,
+             CAST(sum(CASE WHEN ch = 'w' THEN cents END) AS BIGINT) AS ws_c
+      FROM (
+        SELECT ss_item_sk AS item_sk, ss_sold_date AS d, 's' AS ch,
+               CAST(round(ss_net_paid * 10000, 0) AS BIGINT) AS cents
+        FROM store_sales
+        UNION ALL
+        SELECT cs_item_sk, cs_sold_date, 'c',
+               CAST(round(cs_net_paid * 10000, 0) AS BIGINT)
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_item_sk, ws_sold_date, 'w',
+               CAST(round(ws_net_paid * 10000, 0) AS BIGINT)
+        FROM web_sales
+      ) u JOIN date_dim ON d = d_date
+      WHERE d_year = 1997
+      GROUP BY item_sk
+    )
+    WHERE ss_c IS NOT NULL AND cs_c IS NOT NULL AND ws_c IS NOT NULL
+      AND CAST(ss_c AS DOUBLE)
+            BETWEEN 0.5 * (ss_c + cs_c + ws_c) / 3.0
+                AND 1.5 * (ss_c + cs_c + ws_c) / 3.0
+      AND CAST(cs_c AS DOUBLE)
+            BETWEEN 0.5 * (ss_c + cs_c + ws_c) / 3.0
+                AND 1.5 * (ss_c + cs_c + ws_c) / 3.0
+      AND CAST(ws_c AS DOUBLE)
+            BETWEEN 0.5 * (ss_c + cs_c + ws_c) / 3.0
+                AND 1.5 * (ss_c + cs_c + ws_c) / 3.0
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q58(ds: _DS) -> DataFrame:
+    """TPC-DS Q58 (query58.sql): items whose revenue is BALANCED
+    across all three channels (each within 50-150% of the three-way
+    average). The original's three CTE scans + 3-way join collapse to
+    one tagged union + one conditional-sum pass per item; the
+    tolerance band compares exact-cent integers through identical
+    double arithmetic. One shuffle on item_sk."""
+    def leg(fact, p, tag):
+        return fact.select(
+            _C(p + "item_sk").alias("item_sk"),
+            _C(p + "sold_date").alias("d"),
+            F.lit(tag).alias("ch"),
+            _cents(_C(p + "net_paid")).alias("cents"),
+        )
+
+    u = (
+        leg(ds.store_sales, "ss_", "s")
+        .unionAll(leg(ds.catalog_sales, "cs_", "c"))
+        .unionAll(leg(ds.web_sales, "ws_", "w"))
+    )
+    wide = (
+        u.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("d") == _C("d_date"),
+        )
+        .groupBy("item_sk")
+        .agg(
+            F.sum(F.when(_C("ch") == "s", _C("cents"))).alias("ss_c"),
+            F.sum(F.when(_C("ch") == "c", _C("cents"))).alias("cs_c"),
+            F.sum(F.when(_C("ch") == "w", _C("cents"))).alias("ws_c"),
+        )
+    )
+    avg3 = (_C("ss_c") + _C("cs_c") + _C("ws_c")) / 3.0
+
+    def inband(c):
+        return _C(c).cast("double").between(0.5 * avg3, 1.5 * avg3)
+
+    return (
+        wide.where(
+            _C("ss_c").isNotNull()
+            & _C("cs_c").isNotNull()
+            & _C("ws_c").isNotNull()
+            & inband("ss_c")
+            & inband("cs_c")
+            & inband("ws_c")
+        )
+        .select(
+            "item_sk",
+            (F.floor(_C("ss_c") / 100.0 + F.lit(0.5)) / 100).alias("ss_rev"),
+            (F.floor(_C("cs_c") / 100.0 + F.lit(0.5)) / 100).alias("cs_rev"),
+            (F.floor(_C("ws_c") / 100.0 + F.lit(0.5)) / 100).alias("ws_rev"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q66",
+    _with(
+        "SELECT warehouse_sk, "
+        + ", ".join(
+            f"floor(coalesce(m{m}, 0) / 100.0 + 0.5) / 100 AS m{m}_paid"
+            for m in range(1, 13)
+        )
+        + """
+    FROM (
+      SELECT ws_warehouse_sk AS warehouse_sk,
+    """
+        + ", ".join(
+            f"CAST(sum(CASE WHEN d_moy = {m} THEN "
+            f"CAST(round(ws_net_paid * 10000, 0) AS BIGINT) END) AS BIGINT)"
+            f" AS m{m}"
+            for m in range(1, 13)
+        )
+        + """
+      FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year = 1997
+      GROUP BY ws_warehouse_sk
+    )
+    """,
+        "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q66(ds: _DS) -> DataFrame:
+    """TPC-DS Q66 (query66.sql shape): the monthly pivot grid — web
+    revenue per warehouse unrolled into 12 month columns in one
+    conditional-aggregation pass (the original's 12 CASE sums),
+    exact cents throughout. One shuffle on warehouse_sk."""
+    aggs = [
+        F.sum(
+            F.when(_C("d_moy") == m, _cents(_C("ws_net_paid")))
+        ).alias(f"__m{m}")
+        for m in range(1, 13)
+    ]
+    wide = (
+        ds.web_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ws_sold_date") == _C("d_date"),
+        )
+        .groupBy(_C("ws_warehouse_sk").alias("warehouse_sk"))
+        .agg(*aggs)
+    )
+    return wide.select(
+        "warehouse_sk",
+        *[
+            (
+                F.floor(
+                    F.coalesce(_C(f"__m{m}"), F.lit(0)) / 100.0 + F.lit(0.5)
+                )
+                / 100
+            ).alias(f"m{m}_paid")
+            for m in range(1, 13)
+        ],
+    )
+
+
+@_ds_q(
+    "tpcds_q69",
+    _with(
+        """
+    SELECT c_segment, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer_dim c
+    WHERE EXISTS (
+        SELECT 1 FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+        WHERE ss_customer_sk = c.c_customer_sk AND d_year = 1997)
+      AND NOT EXISTS (
+        SELECT 1 FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+        WHERE ws_customer_sk = c.c_customer_sk AND d_year = 1997)
+      AND NOT EXISTS (
+        SELECT 1 FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+        WHERE cs_customer_sk = c.c_customer_sk AND d_year = 1997)
+    GROUP BY c_segment
+    """,
+        "customer_dim", "store_sales", "web_sales", "catalog_sales",
+        "date_dim",
+    ),
+)
+def q_tpcds_q69(ds: _DS) -> DataFrame:
+    """TPC-DS Q69 (query69.sql): store-ONLY shoppers — EXISTS(store)
+    AND NOT EXISTS(web) AND NOT EXISTS(catalog), counted per segment.
+    One semi-join + two anti-joins against per-channel distinct key
+    sets (the NOT-EXISTS complement of q10's grid)."""
+    dd = ds.date_dim.where(_C("d_year") == 1997)
+
+    def keys(fact, p):
+        return fact.join(
+            F.broadcast(dd), _C(p + "sold_date") == _C("d_date")
+        ).select(_C(p + "customer_sk").alias("k"))
+
+    return (
+        ds.customer_dim.join(
+            keys(ds.store_sales, "ss_"),
+            _C("c_customer_sk") == _C("k"),
+            "left_semi",
+        )
+        .join(
+            keys(ds.web_sales, "ws_"),
+            _C("c_customer_sk") == _C("k"),
+            "left_anti",
+        )
+        .join(
+            keys(ds.catalog_sales, "cs_"),
+            _C("c_customer_sk") == _C("k"),
+            "left_anti",
+        )
+        .groupBy("c_segment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_ds_q(
+    "tpcds_q89",
+    _with(
+        """
+    SELECT i_category, i_brand, d_moy,
+           floor(m_c / 100.0 + 0.5) / 100 AS month_paid,
+           round(avg_c / 10000.0, 4) AS avg_month_paid
+    FROM (
+      SELECT i_category, i_brand, d_moy,
+             m_c,
+             avg(CAST(m_c AS DOUBLE))
+               OVER (PARTITION BY i_category, i_brand) AS avg_c
+      FROM (
+        SELECT i_category, i_brand, d_moy,
+               CAST(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                    AS BIGINT) AS m_c
+        FROM store_sales
+        JOIN item ON ss_item_sk = i_item_sk
+        JOIN date_dim ON ss_sold_date = d_date
+        WHERE d_year = 1997 AND i_manufact_id < 15
+        GROUP BY i_category, i_brand, d_moy
+      )
+    )
+    WHERE avg_c > 0
+      AND abs(CAST(m_c AS DOUBLE) - avg_c) / avg_c > 0.3
+    """,
+        "store_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q89(ds: _DS) -> DataFrame:
+    """TPC-DS Q89 (query89.sql): monthly revenue vs the brand's
+    yearly average — months deviating more than 30% from their
+    (category, brand) mean. The window avg rides the monthly
+    aggregate (tiny relation), deviation arithmetic is identical
+    double ops over exact-cent sums. One agg shuffle + one window
+    shuffle on (category, brand)."""
+    monthly = (
+        ds.store_sales.join(
+            F.broadcast(ds.item.where(_C("i_manufact_id") < 15)),
+            _C("ss_item_sk") == _C("i_item_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .groupBy("i_category", "i_brand", "d_moy")
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("m_c"))
+    )
+    w = Window.partitionBy("i_category", "i_brand")
+    return (
+        monthly.withColumn("avg_c", F.avg(_C("m_c").cast("double")).over(w))
+        .where(
+            (_C("avg_c") > 0)
+            & (
+                F.abs(_C("m_c").cast("double") - _C("avg_c")) / _C("avg_c")
+                > 0.3
+            )
+        )
+        .select(
+            "i_category", "i_brand", "d_moy",
+            (F.floor(_C("m_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "month_paid"
+            ),
+            F.round(_C("avg_c") / 10000.0, 4).alias("avg_month_paid"),
+        )
+    )

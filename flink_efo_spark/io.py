@@ -82,6 +82,54 @@ def datagen(
     )
 
 
+def datagen_sequence(
+    spark: SparkSession,
+    start: int,
+    end: int,
+    col: str = "id",
+    n_files: int = 4,
+) -> DataFrame:
+    """`datagen` SEQUENCE mode ('fields.<f>.kind' = 'sequence' in the
+    reference's datagen connector — DataGeneratorSource with a
+    SequenceGenerator): a BOUNDED deterministic stream producing
+    ``start..end`` exactly once. Realized as a one-time range write
+    replayed as a file stream (``n_files`` micro-batches), because
+    Spark's rate sources are wall-clock-driven and therefore
+    nondeterministic. The write is cached per (start, end, n_files)
+    in the session temp space."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"{start}:{end}:{col}:{n_files}".encode()).hexdigest()[
+        :12
+    ]
+    out = os.path.join(tempfile.gettempdir(), f"efo-datagen-{tag}")
+    marker = os.path.join(out, "_EFO_DONE")
+    if not os.path.exists(marker):
+        n = end - start + 1
+        per = max(1, (n + n_files - 1) // n_files)
+        for k in range(n_files):
+            lo = start + k * per
+            hi = min(end + 1, lo + per)
+            if lo >= hi:
+                break
+            spark.range(lo, hi).withColumnRenamed("id", col).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(out, f"b={k}"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out).schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+
+
 def print_sink(df: DataFrame, **options):
     """`print` sink analog. Streaming frame → console writeStream
     (returns the started query); batch frame → show()."""

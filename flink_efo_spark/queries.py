@@ -1930,6 +1930,172 @@ def q_ddl_view(t: _T) -> DataFrame:
 
 
 @_q(
+    "datagen_sequence_agg",
+    """
+    SELECT id % 10 AS bucket, CAST(sum(id) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM range(1, 1001) t(id) GROUP BY 1
+    """,
+)
+def q_datagen_sequence_agg(t: _T) -> DataFrame:
+    """datagen SEQUENCE source (the reference's datagen connector
+    with 'fields.<f>.kind' = 'sequence' — DataGeneratorSource +
+    SequenceGenerator): a bounded deterministic 1..1000 stream,
+    grouped-aggregated across its micro-batches in update mode. The
+    oracle generates the same sequence with DuckDB's range()."""
+    from flink_efo_spark.io import datagen_sequence
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src = datagen_sequence(t.spark, 1, 1000)
+    agg = src.groupBy((F.col("id") % 10).alias("bucket")).agg(
+        F.sum("id").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return run_stream_to_table(agg, mode="update", update_keys=["bucket"])
+
+
+@_q(
+    "stream_temporal_sort",
+    """
+    WITH o AS (
+      SELECT event_id, ts,
+             ntile(3) OVER (ORDER BY ts) AS b
+      FROM events
+    )
+    SELECT CAST(b - 1 AS BIGINT) AS batch_id,
+           CAST(row_number() OVER (PARTITION BY b ORDER BY ts, event_id)
+                AS BIGINT) AS pos,
+           event_id
+    FROM o
+    """,
+)
+def q_stream_temporal_sort(t: _T) -> DataFrame:
+    """Streaming temporal (event-time) sort
+    (RowTimeSortOperator/StreamExecTemporalSort — streaming.py
+    stream_temporal_sort): each micro-batch reaches the sink in
+    (ts, event_id) order; the recorded (batch_id, in-batch position)
+    pairs must equal the oracle's ntile-slice + per-slice sort. This
+    is the bounded-stream sort contract the reference guarantees (it
+    sorts rows below each watermark advance; the batch here IS the
+    watermark span)."""
+    import tempfile
+
+    from flink_efo_spark.streaming import (
+        stream_table_split,
+        stream_temporal_sort,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    ).select("event_id", "ts")
+    out_dir = tempfile.mkdtemp(prefix="efo-tsort-q-")
+    from pyspark.sql import Window as _W
+
+    def sink(batch_df, batch_id):
+        # batch_df arrives sorted; stamp the order explicitly so the
+        # parquet round-trip cannot lose it
+        w = _W.orderBy("ts", "event_id")
+        (
+            batch_df.withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .select("batch_id", "pos", "event_id")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = stream_temporal_sort(ev, "ts", sink, extra_order=["event_id"])
+    q.awaitTermination()
+    return t.spark.read.parquet(out_dir)
+
+
+@_q(
+    "proctime_temporal_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_proctime_temporal_join(t: _T) -> DataFrame:
+    """Proc-time temporal join
+    (TemporalProcessTimeJoinOperator.java:40 — streaming.py
+    temporal_join_proctime): every micro-batch joins the CURRENT
+    dimension snapshot, re-read and broadcast per batch. With a
+    static dim the result equals the plain left join (the oracle);
+    the per-batch re-read is the proc-time semantics — the pytest
+    suite pins the changing-dim behavior."""
+    import tempfile
+
+    from flink_efo_spark.catalog import table_path
+    from flink_efo_spark.streaming import (
+        stream_table_split,
+        temporal_join_proctime,
+    )
+
+    ev = stream_table_split(
+        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+    ).select("event_id", "user_id")
+    cust_path = table_path(t.sf_dir, "customer")
+    out_dir = tempfile.mkdtemp(prefix="efo-tjoin-q-")
+
+    def dim_provider(spark):
+        return (
+            spark.read.parquet(cust_path)
+            .select(F.col("c_custkey").alias("user_id"), "c_name")
+        )
+
+    def sink(batch_df, batch_id):
+        batch_df.select("event_id", "user_id", "c_name").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = temporal_join_proctime(ev, dim_provider, on=["user_id"], sink=sink)
+    q.awaitTermination()
+    return t.spark.read.parquet(out_dir)
+
+
+@_q(
+    "async_lookup_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_async_lookup_join(t: _T) -> DataFrame:
+    """ASYNC lookup join (AsyncLookupJoinRunner.java:52 +
+    AsyncWaitOperator ORDERED mode — operators/lookup.py
+    lookup_join_async): up to `capacity` concurrent lookup chunks in
+    flight per task against an external-store stand-in (a broadcast
+    dict snapshot of customer). Results must equal the plain left
+    join — ORDERED mode preserves row identity."""
+    from flink_efo_spark.operators.lookup import lookup_join_async
+
+    dim = {
+        int(r["c_custkey"]): {
+            "c_name": r["c_name"],
+            "c_mktsegment": r["c_mktsegment"],
+        }
+        for r in t.customer.select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ).collect()
+    }
+
+    def lookup_fn(keys):
+        return {k: dim[k] for k in keys if k in dim}
+
+    probe = t.orders.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_custkey"
+    )
+    return lookup_join_async(
+        probe,
+        lookup_fn,
+        "o_custkey",
+        [("c_name", "string"), ("c_mktsegment", "string")],
+        capacity=4,
+        batch_size=64,
+    ).select("o_orderkey", "c_name", "c_mktsegment")
+
+
+@_q(
     "ddl_catalog",
     """
     SELECT * FROM (VALUES

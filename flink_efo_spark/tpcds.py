@@ -3532,3 +3532,380 @@ def q_tpcds_q89(ds: _DS) -> DataFrame:
             F.round(_C("avg_c") / 10000.0, 4).alias("avg_month_paid"),
         )
     )
+
+
+@_ds_q(
+    "tpcds_q43",
+    _with(
+        """
+    SELECT s_store_name,
+    """
+        + ", ".join(
+            f"floor(coalesce(sum(CASE WHEN dow = {d} THEN "
+            f"CAST(round(ss_net_paid * 10000, 0) AS BIGINT) END), 0)"
+            f" / 100.0 + 0.5) / 100 AS dow{d}_paid"
+            for d in range(7)
+        )
+        + """
+    FROM (
+      SELECT s_store_name, ss_net_paid,
+             date_diff('day', DATE '1995-01-01', ss_sold_date) % 7 AS dow
+      FROM store_sales
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    GROUP BY s_store_name
+    """,
+        "store_sales", "store", "date_dim",
+    ),
+)
+def q_tpcds_q43(ds: _DS) -> DataFrame:
+    """TPC-DS Q43 (query43.sql): the day-of-week revenue matrix per
+    store — 7 conditional exact-cent sums in one pass. Day-of-week is
+    days-since-a-known-Sunday mod 7 (identical integer arithmetic on
+    both engines; the engines' native dayofweek() disagree on
+    numbering, so neither is used)."""
+    dow = F.datediff(_C("ss_sold_date"), F.lit("1995-01-01").cast("date")) % 7
+    aggs = [
+        (
+            F.floor(
+                F.coalesce(
+                    F.sum(F.when(_C("dow") == d, _cents(_C("ss_net_paid")))),
+                    F.lit(0),
+                )
+                / 100.0
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias(f"dow{d}_paid")
+        for d in range(7)
+    ]
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk")
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .withColumn("dow", dow)
+        .groupBy("s_store_name")
+        .agg(*aggs)
+    )
+
+
+@_ds_q(
+    "tpcds_q44",
+    _with(
+        """
+    SELECT CAST(best_rk AS BIGINT) AS rk, 'best' AS side,
+           i_item_desc
+    FROM ranked JOIN item ON i_item_sk = item_sk
+    WHERE best_rk <= 10
+    UNION ALL
+    SELECT CAST(worst_rk AS BIGINT), 'worst', i_item_desc
+    FROM ranked JOIN item ON i_item_sk = item_sk
+    WHERE worst_rk <= 10
+    """,
+        "store_sales", "date_dim", "item",
+        extra="""
+    perf AS (
+      SELECT ss_item_sk AS item_sk,
+             CAST(sum(CAST(round(ss_net_profit * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS profit_c
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+      GROUP BY ss_item_sk
+    ), ranked AS (
+      SELECT item_sk,
+             rank() OVER (ORDER BY profit_c DESC, item_sk) AS best_rk,
+             rank() OVER (ORDER BY profit_c ASC, item_sk) AS worst_rk
+      FROM perf
+    )""",
+    ),
+)
+def q_tpcds_q44(ds: _DS) -> DataFrame:
+    """TPC-DS Q44 (query44.sql): best AND worst performing items —
+    one profit aggregate per item, TWO opposite-direction ranks over
+    it (deterministic: exact-cent profit + item tiebreak), top-10 of
+    each unioned with the item dim joined broadcast at the end (20
+    rows, not the fact)."""
+    perf = (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .groupBy(_C("ss_item_sk").alias("item_sk"))
+        .agg(F.sum(_cents(_C("ss_net_profit"))).alias("profit_c"))
+    )
+    ranked = perf.select(
+        "item_sk",
+        F.rank()
+        .over(Window.orderBy(_C("profit_c").desc(), _C("item_sk")))
+        .alias("best_rk"),
+        F.rank()
+        .over(Window.orderBy(_C("profit_c").asc(), _C("item_sk")))
+        .alias("worst_rk"),
+    )
+    item = F.broadcast(ds.item)
+    best = (
+        ranked.where(_C("best_rk") <= 10)
+        .join(item, _C("i_item_sk") == _C("item_sk"))
+        .select(
+            _C("best_rk").cast("bigint").alias("rk"),
+            F.lit("best").alias("side"),
+            "i_item_desc",
+        )
+    )
+    worst = (
+        ranked.where(_C("worst_rk") <= 10)
+        .join(item, _C("i_item_sk") == _C("item_sk"))
+        .select(
+            _C("worst_rk").cast("bigint").alias("rk"),
+            F.lit("worst").alias("side"),
+            "i_item_desc",
+        )
+    )
+    return best.unionAll(worst)
+
+
+@_ds_q(
+    "tpcds_q45",
+    _with(
+        f"""
+    SELECT ca_state, {_ems_sql('ws_net_paid')} AS amt
+    FROM web_sales
+    JOIN date_dim ON ws_sold_date = d_date
+    JOIN customer_dim ON ws_customer_sk = c_customer_sk
+    JOIN customer_address ON ca_address_sk = c_current_addr_sk
+    WHERE d_year = 1997
+      AND (ca_state IN ('FRANCE', 'GERMANY', 'CHINA')
+           OR ws_item_sk IN (SELECT i_item_sk FROM item
+                             WHERE i_manufact_id = 7))
+    GROUP BY ca_state
+    """,
+        "web_sales", "date_dim", "customer_dim", "customer_address", "item",
+    ),
+)
+def q_tpcds_q45(ds: _DS) -> DataFrame:
+    """TPC-DS Q45 (query45.sql): revenue by state where the row
+    qualifies EITHER by geography OR by an IN-subquery over items.
+    An OR mixing a local predicate with a semi-join cannot stay a
+    semi-join — the marker-join pattern: broadcast-join a 1-column
+    flag from the (tiny, filtered) item set, then one codegen'd OR
+    filter. No union-of-two-scans, no correlated EXISTS."""
+    special = (
+        ds.item.where(_C("i_manufact_id") == 7)
+        .select(_C("i_item_sk").alias("__sp_item"))
+        .withColumn("__special", F.lit(1))
+    )
+    return (
+        ds.web_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ws_sold_date") == _C("d_date"),
+        )
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("ws_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .join(
+            F.broadcast(special), _C("ws_item_sk") == _C("__sp_item"), "left"
+        )
+        .where(
+            _C("ca_state").isin("FRANCE", "GERMANY", "CHINA")
+            | _C("__special").isNotNull()
+        )
+        .groupBy("ca_state")
+        .agg(_exact_money_sum(_C("ws_net_paid")).alias("amt"))
+    )
+
+
+@_ds_q(
+    "tpcds_q50",
+    _with(
+        """
+    SELECT s_store_name,
+           CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(sum(CASE WHEN lag > 30 AND lag <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN lag > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_more
+    FROM (
+      SELECT s_store_name,
+             date_diff('day', ss_sold_date, sr_returned_date) AS lag
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    GROUP BY s_store_name
+    """,
+        "store_sales", "store_returns", "store", "date_dim",
+    ),
+)
+def q_tpcds_q50(ds: _DS) -> DataFrame:
+    """TPC-DS Q50 (query50.sql): sale→return latency buckets per
+    store — the sales-to-returns join rides the natural (ticket,
+    item) key (both sides co-partition on it), then exact datediff
+    bucketing in one agg pass."""
+    return (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_item_sk") == _C("sr_item_sk")),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .withColumn(
+            "lag", F.datediff(_C("sr_returned_date"), _C("ss_sold_date"))
+        )
+        .groupBy("s_store_name")
+        .agg(
+            F.sum(F.when(_C("lag") <= 30, 1).otherwise(0)).alias("d30"),
+            F.sum(
+                F.when((_C("lag") > 30) & (_C("lag") <= 60), 1).otherwise(0)
+            ).alias("d60"),
+            F.sum(F.when(_C("lag") > 60, 1).otherwise(0)).alias("d_more"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q54",
+    _with(
+        """
+    SELECT segment, CAST(count(*) AS BIGINT) AS num_customers
+    FROM (
+      SELECT c, CAST(floor(rev_c / 5000000.0) AS BIGINT) AS segment
+      FROM (
+        SELECT ss_customer_sk AS c,
+               CAST(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM store_sales
+        JOIN date_dim ON ss_sold_date = d_date
+        WHERE d_year = 1997 AND d_qoy >= 3
+          AND ss_customer_sk IN (
+            SELECT cs_customer_sk
+            FROM catalog_sales
+            JOIN item ON cs_item_sk = i_item_sk
+            JOIN date_dim d1 ON cs_sold_date = d1.d_date
+            WHERE i_manufact_id = 3 AND d1.d_year = 1997 AND d1.d_qoy <= 2
+            UNION
+            SELECT ws_customer_sk
+            FROM web_sales
+            JOIN item ON ws_item_sk = i_item_sk
+            JOIN date_dim d2 ON ws_sold_date = d2.d_date
+            WHERE i_manufact_id = 3 AND d2.d_year = 1997 AND d2.d_qoy <= 2)
+        GROUP BY ss_customer_sk
+      )
+    )
+    GROUP BY segment
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q54(ds: _DS) -> DataFrame:
+    """TPC-DS Q54 (query54.sql): the purchase-path cohort — customers
+    who bought a target manufacturer's items through catalog OR web
+    in H1, segmented by their H2 in-store revenue into $500 bands and
+    counted per band. Cohort = semi-join against the unioned key
+    sets; segmentation = integer floor of exact cents (band edges
+    cannot flip between engines)."""
+    dd1 = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_qoy") <= 2))
+    item3 = F.broadcast(ds.item.where(_C("i_manufact_id") == 3))
+    cohort = (
+        ds.catalog_sales.join(item3, _C("cs_item_sk") == _C("i_item_sk"))
+        .join(F.broadcast(dd1), _C("cs_sold_date") == _C("d_date"))
+        .select(_C("cs_customer_sk").alias("k"))
+        .unionAll(
+            ds.web_sales.join(item3, _C("ws_item_sk") == _C("i_item_sk"))
+            .join(F.broadcast(dd1), _C("ws_sold_date") == _C("d_date"))
+            .select(_C("ws_customer_sk").alias("k"))
+        )
+    )
+    dd2 = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_qoy") >= 3))
+    return (
+        ds.store_sales.join(
+            F.broadcast(dd2), _C("ss_sold_date") == _C("d_date")
+        )
+        .join(cohort, _C("ss_customer_sk") == _C("k"), "left_semi")
+        .groupBy(_C("ss_customer_sk").alias("c"))
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("rev_c"))
+        .select(
+            F.floor(_C("rev_c") / 5000000.0).cast("bigint").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+    )
+
+
+@_ds_q(
+    "tpcds_q98",
+    _with(
+        """
+    SELECT i_item_sk, i_class,
+           floor(rev_c / 100.0 + 0.5) / 100 AS itemrevenue,
+           round(CAST(rev_c AS DOUBLE) * 100
+                 / sum(CAST(rev_c AS DOUBLE)) OVER (PARTITION BY i_class),
+                 4) AS revenueratio
+    FROM (
+      SELECT i_item_sk, i_class,
+             CAST(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997 AND d_moy <= 2 AND i_manufact_id < 10
+      GROUP BY i_item_sk, i_class
+    )
+    """,
+        "store_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q98(ds: _DS) -> DataFrame:
+    """TPC-DS Q98 (query98.sql): item revenue share within its class
+    — per-item exact-cent revenue, then a class-partition window sum
+    for the ratio. The window rides the small aggregated relation;
+    the ratio is identical double arithmetic over exact integers on
+    both engines."""
+    rev = (
+        ds.store_sales.join(
+            F.broadcast(
+                ds.item.where(_C("i_manufact_id") < 10)
+            ),
+            _C("ss_item_sk") == _C("i_item_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds.date_dim.where(
+                    (_C("d_year") == 1997) & (_C("d_moy") <= 2)
+                )
+            ),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .groupBy("i_item_sk", "i_class")
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("rev_c"))
+    )
+    w = Window.partitionBy("i_class")
+    return rev.select(
+        "i_item_sk",
+        "i_class",
+        (F.floor(_C("rev_c") / 100.0 + F.lit(0.5)) / 100).alias("itemrevenue"),
+        F.round(
+            _C("rev_c").cast("double")
+            * 100
+            / F.sum(_C("rev_c").cast("double")).over(w),
+            4,
+        ).alias("revenueratio"),
+    )

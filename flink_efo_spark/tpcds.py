@@ -3909,3 +3909,1559 @@ def q_tpcds_q98(ds: _DS) -> DataFrame:
             4,
         ).alias("revenueratio"),
     )
+
+
+@_ds_q(
+    "tpcds_q17",
+    _with(
+        """
+    SELECT i_category,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(ss_q) * 100.0 / count(*) + 0.5) / 100 AS qty_avg,
+           round(sqrt((count(*) * sum(ss_q2) - sum(ss_q) * sum(ss_q))
+                      / (CAST(count(*) AS DOUBLE)
+                         * (count(*) - 1))), 4) AS qty_stdev
+    FROM (
+      SELECT i_category,
+             CAST(ss_quantity AS BIGINT) AS ss_q,
+             CAST(ss_quantity AS BIGINT) * CAST(ss_quantity AS BIGINT)
+               AS ss_q2
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN catalog_sales ON sr_customer_sk = cs_customer_sk
+                        AND sr_item_sk = cs_item_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    GROUP BY i_category
+    HAVING count(*) > 1
+    """,
+        "store_sales", "store_returns", "catalog_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q17(ds: _DS) -> DataFrame:
+    """TPC-DS Q17 (query17.sql): the three-fact chain — store sale →
+    its return → the customer's catalog re-purchase of the same item
+    — with quantity statistics per category. Stddev is computed from
+    exact integer sums via the closed formula
+    sqrt((n·Σx² − (Σx)²) / (n(n−1))) — native stddev() accumulates in
+    engine-specific order and drifts in the last ulp; identical
+    integer operands + identical double ops cannot. The fact-fact
+    joins ride natural keys ((ticket, item) then (customer, item));
+    dims broadcast."""
+    chained = (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_item_sk") == _C("sr_item_sk")),
+        )
+        .join(
+            ds.catalog_sales,
+            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            & (_C("sr_item_sk") == _C("cs_item_sk")),
+        )
+        .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .select(
+            "i_category",
+            _C("ss_quantity").cast("bigint").alias("ss_q"),
+            (
+                _C("ss_quantity").cast("bigint")
+                * _C("ss_quantity").cast("bigint")
+            ).alias("ss_q2"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sq = F.sum("ss_q")
+    sq2 = F.sum("ss_q2")
+    return (
+        chained.groupBy("i_category")
+        .agg(
+            n.alias("n"),
+            (F.floor(sq * 100.0 / n + F.lit(0.5)) / 100).alias("qty_avg"),
+            F.round(
+                F.sqrt(
+                    (n * sq2 - sq * sq)
+                    / (n.cast("double") * (n - F.lit(1)))
+                ),
+                4,
+            ).alias("qty_stdev"),
+        )
+        .where(_C("n") > 1)
+    )
+
+
+@_ds_q(
+    "tpcds_q30",
+    _with(
+        """
+    SELECT c, floor(amt_c / 100.0 + 0.5) / 100 AS return_amt
+    FROM (
+      SELECT c, st, amt_c,
+             avg(CAST(amt_c AS DOUBLE)) OVER (PARTITION BY st) AS st_avg
+      FROM (
+        SELECT wr_customer_sk AS c, ca_state AS st,
+               CAST(sum(CAST(round(wr_return_amt * 10000, 0) AS BIGINT))
+                    AS BIGINT) AS amt_c
+        FROM web_returns
+        JOIN customer_dim ON wr_customer_sk = c_customer_sk
+        JOIN customer_address ON ca_address_sk = c_current_addr_sk
+        JOIN date_dim ON wr_returned_date = d_date
+        WHERE d_year = 1997
+        GROUP BY wr_customer_sk, ca_state
+      )
+    )
+    WHERE CAST(amt_c AS DOUBLE) > 1.2 * st_avg
+    """,
+        "web_returns", "customer_dim", "customer_address", "date_dim",
+    ),
+)
+def q_tpcds_q30(ds: _DS) -> DataFrame:
+    """TPC-DS Q30 (query30.sql): heavy returners — customers whose
+    yearly web-return total exceeds 1.2x their state's average. The
+    original's correlated scalar average becomes a window avg over
+    the per-customer aggregate (tiny relation); the threshold is
+    identical double arithmetic over exact cents."""
+    per_cust = (
+        ds.web_returns.join(
+            F.broadcast(ds.customer_dim),
+            _C("wr_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("wr_returned_date") == _C("d_date"),
+        )
+        .groupBy(
+            _C("wr_customer_sk").alias("c"), _C("ca_state").alias("st")
+        )
+        .agg(F.sum(_cents(_C("wr_return_amt"))).alias("amt_c"))
+    )
+    w = Window.partitionBy("st")
+    return (
+        per_cust.withColumn(
+            "st_avg", F.avg(_C("amt_c").cast("double")).over(w)
+        )
+        .where(_C("amt_c").cast("double") > 1.2 * _C("st_avg"))
+        .select(
+            "c",
+            (F.floor(_C("amt_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "return_amt"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q38",
+    _with(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS hot_customers
+    FROM (
+      SELECT ss_customer_sk AS c, ss_sold_date AS d
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997
+      INTERSECT
+      SELECT cs_customer_sk, cs_sold_date
+      FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year = 1997
+      INTERSECT
+      SELECT ws_customer_sk, ws_sold_date
+      FROM web_sales JOIN date_dim ON ws_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+    ),
+)
+def q_tpcds_q38(ds: _DS) -> DataFrame:
+    """TPC-DS Q38 (query38.sql): tri-channel INTERSECT — (customer,
+    day) pairs that appear in ALL three channels, counted. Spark's
+    intersect plans as distinct + semi-joins on the pair key; the
+    distincts collapse the facts before any join."""
+    dd = ds.date_dim.where(_C("d_year") == 1997)
+
+    def pairs(fact, p):
+        return fact.join(
+            F.broadcast(dd), _C(p + "sold_date") == _C("d_date")
+        ).select(
+            _C(p + "customer_sk").alias("c"), _C(p + "sold_date").alias("d")
+        )
+
+    inter = (
+        pairs(ds.store_sales, "ss_")
+        .intersect(pairs(ds.catalog_sales, "cs_"))
+        .intersect(pairs(ds.web_sales, "ws_"))
+    )
+    return inter.agg(F.count(F.lit(1)).alias("hot_customers"))
+
+
+@_ds_q(
+    "tpcds_q40",
+    _with(
+        """
+    SELECT cs_warehouse_sk AS warehouse_sk,
+           floor(coalesce(sum(CASE WHEN before_pivot THEN net_c END), 0)
+                 / 100.0 + 0.5) / 100 AS sales_before,
+           floor(coalesce(sum(CASE WHEN NOT before_pivot THEN net_c END), 0)
+                 / 100.0 + 0.5) / 100 AS sales_after
+    FROM (
+      SELECT cs_warehouse_sk,
+             cs_sold_date < DATE '1997-07-01' AS before_pivot,
+             CAST(round(cs_net_paid * 10000, 0) AS BIGINT)
+               - coalesce(CAST(round(cr_return_amt * 10000, 0) AS BIGINT), 0)
+               AS net_c
+      FROM catalog_sales
+      LEFT JOIN catalog_returns
+        ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk
+      JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year = 1997
+    )
+    GROUP BY cs_warehouse_sk
+    """,
+        "catalog_sales", "catalog_returns", "date_dim",
+    ),
+)
+def q_tpcds_q40(ds: _DS) -> DataFrame:
+    """TPC-DS Q40 (query40.sql): warehouse net sales before/after a
+    pivot date, refunds netted via LEFT JOIN to returns on the
+    natural (order, item) key. Exact-cent netting (NULL-safe
+    coalesce) and one conditional-sum pass per warehouse."""
+    net = (
+        _cents(_C("cs_net_paid"))
+        - F.coalesce(_cents(_C("cr_return_amt")), F.lit(0))
+    )
+    return (
+        ds.catalog_sales.join(
+            ds.catalog_returns.select(
+                _C("cr_order_number"), _C("cr_item_sk"), _C("cr_return_amt")
+            ),
+            (_C("cs_order_number") == _C("cr_order_number"))
+            & (_C("cs_item_sk") == _C("cr_item_sk")),
+            "left",
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .select(
+            _C("cs_warehouse_sk").alias("warehouse_sk"),
+            (_C("cs_sold_date") < F.lit("1997-07-01").cast("date")).alias(
+                "before_pivot"
+            ),
+            net.alias("net_c"),
+        )
+        .groupBy("warehouse_sk")
+        .agg(
+            (
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.when(_C("before_pivot"), _C("net_c"))),
+                        F.lit(0),
+                    )
+                    / 100.0
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("sales_before"),
+            (
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.when(~_C("before_pivot"), _C("net_c"))),
+                        F.lit(0),
+                    )
+                    / 100.0
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("sales_after"),
+        )
+    )
+
+
+def _revenue_ratio_q(name, qnum, fact_name, prefix, cats, d_lo, d_hi):
+    """Shared builder for the Q12/Q20/Q98 revenue-share family: the
+    three reference queries (query12.sql, query20.sql, query98.sql)
+    are the same template instantiated per channel — per-item revenue
+    inside a category slice and date window, plus the item's share of
+    its class via a class-partition window sum."""
+    cats_sql = ", ".join(f"'{c}'" for c in cats)
+    oracle = _with(
+        f"""
+    SELECT i_item_sk, i_category, i_class,
+           floor(rev_c / 100.0 + 0.5) / 100 AS itemrevenue,
+           round(CAST(rev_c AS DOUBLE) * 100
+                 / sum(CAST(rev_c AS DOUBLE)) OVER (PARTITION BY i_class),
+                 4) AS revenueratio
+    FROM (
+      SELECT i_item_sk, i_category, i_class,
+             CAST(sum(CAST(round({prefix}net_paid * 10000, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM {fact_name}
+      JOIN item ON {prefix}item_sk = i_item_sk
+      JOIN date_dim ON {prefix}sold_date = d_date
+      WHERE i_category IN ({cats_sql})
+        AND d_date BETWEEN DATE '{d_lo}' AND DATE '{d_hi}'
+      GROUP BY i_item_sk, i_category, i_class
+    )
+    """,
+        fact_name, "item", "date_dim",
+    )
+
+    @_ds_q(name, oracle)
+    def q(ds: _DS) -> DataFrame:
+        rev = (
+            getattr(ds, fact_name)
+            .join(
+                F.broadcast(ds.item.where(_C("i_category").isin(*cats))),
+                _C(prefix + "item_sk") == _C("i_item_sk"),
+            )
+            .join(
+                F.broadcast(
+                    ds.date_dim.where(
+                        _C("d_date").between(d_lo, d_hi)
+                    )
+                ),
+                _C(prefix + "sold_date") == _C("d_date"),
+            )
+            .groupBy("i_item_sk", "i_category", "i_class")
+            .agg(F.sum(_cents(_C(prefix + "net_paid"))).alias("rev_c"))
+        )
+        w = Window.partitionBy("i_class")
+        return rev.select(
+            "i_item_sk",
+            "i_category",
+            "i_class",
+            (F.floor(_C("rev_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "itemrevenue"
+            ),
+            F.round(
+                _C("rev_c").cast("double")
+                * 100
+                / F.sum(_C("rev_c").cast("double")).over(w),
+                4,
+            ).alias("revenueratio"),
+        )
+
+    q.__doc__ = (
+        f"TPC-DS Q{qnum} (query{qnum}.sql): the {fact_name} channel "
+        "instance of the revenue-share template — item revenue in a "
+        "category slice and 30-day window, plus its share of the "
+        "class via a class-partition window sum over the aggregated "
+        "(tiny) relation. Dims broadcast; one shuffle on the item key."
+    )
+    return q
+
+
+q_tpcds_q12 = _revenue_ratio_q(
+    "tpcds_q12", 12, "web_sales", "ws_",
+    ("PROMO", "ECONOMY", "SMALL"), "1997-02-01", "1997-03-03",
+)
+q_tpcds_q20 = _revenue_ratio_q(
+    "tpcds_q20", 20, "catalog_sales", "cs_",
+    ("STANDARD", "MEDIUM", "LARGE"), "1998-05-01", "1998-05-31",
+)
+
+
+@_ds_q(
+    "tpcds_q21",
+    _with(
+        """
+    SELECT w_name, i_item_sk, inv_before, inv_after
+    FROM (
+      SELECT s_store_name AS w_name, i_item_sk,
+             CAST(coalesce(sum(CASE WHEN cs_sold_date < DATE '1997-07-01'
+                                    THEN q END), 0) AS BIGINT) AS inv_before,
+             CAST(coalesce(sum(CASE WHEN cs_sold_date >= DATE '1997-07-01'
+                                    THEN q END), 0) AS BIGINT) AS inv_after
+      FROM (
+        SELECT cs_warehouse_sk, cs_item_sk, cs_sold_date,
+               CAST(cs_quantity AS BIGINT) AS q
+        FROM catalog_sales
+        WHERE cs_sold_date BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+      )
+      JOIN store ON cs_warehouse_sk = s_store_sk
+      JOIN item ON cs_item_sk = i_item_sk
+      WHERE i_current_price BETWEEN 900 AND 920
+      GROUP BY s_store_name, i_item_sk
+    )
+    WHERE inv_before > 0
+      AND CAST(inv_after AS DOUBLE) / inv_before BETWEEN 2.0 / 3.0 AND 1.5
+    """,
+        "catalog_sales", "store", "item",
+    ),
+)
+def q_tpcds_q21(ds: _DS) -> DataFrame:
+    """TPC-DS Q21 (query21.sql): warehouse stock balance around a
+    pivot date — per (warehouse, item) quantity before/after, kept
+    when the after/before ratio stays within [2/3, 3/2]. The
+    reference's inventory fact maps to catalog_sales quantities (the
+    derived schema has no inventory snapshots); the warehouse
+    dimension is the supplier-derived store view. One conditional-sum
+    pass; the ratio filter rides the aggregated relation."""
+    q = (
+        ds.catalog_sales.where(
+            _C("cs_sold_date").between("1996-01-01", "1998-12-31")
+        )
+        .select("cs_warehouse_sk", "cs_item_sk", "cs_sold_date",
+                _C("cs_quantity").cast("bigint").alias("q"))
+        .join(
+            F.broadcast(ds.store),
+            _C("cs_warehouse_sk") == _C("s_store_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds.item.where(_C("i_current_price").between(900, 920))
+            ),
+            _C("cs_item_sk") == _C("i_item_sk"),
+        )
+        .groupBy(_C("s_store_name").alias("w_name"), _C("i_item_sk"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        _C("cs_sold_date") < F.lit("1997-07-01").cast("date"),
+                        _C("q"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("inv_before"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        _C("cs_sold_date") >= F.lit("1997-07-01").cast("date"),
+                        _C("q"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("inv_after"),
+        )
+    )
+    ratio = _C("inv_after").cast("double") / _C("inv_before")
+    return q.where(
+        (_C("inv_before") > 0) & ratio.between(2.0 / 3.0, 1.5)
+    ).select("w_name", "i_item_sk", "inv_before", "inv_after")
+
+
+@_ds_q(
+    "tpcds_q22",
+    _with(
+        """
+    SELECT i_item_desc, i_brand, i_class, i_category,
+           floor(sum(CAST(cs_quantity AS BIGINT)) * 100.0 / count(*) + 0.5)
+             / 100 AS qoh
+    FROM catalog_sales
+    JOIN date_dim ON cs_sold_date = d_date
+    JOIN item ON cs_item_sk = i_item_sk
+    WHERE d_year = 1998
+    GROUP BY ROLLUP (i_item_desc, i_brand, i_class, i_category)
+    """,
+        "catalog_sales", "date_dim", "item",
+    ),
+)
+def q_tpcds_q22(ds: _DS) -> DataFrame:
+    """TPC-DS Q22 (query22.sql): average quantity on hand over a
+    four-level item ROLLUP (desc -> brand -> class -> category). The
+    reference reads the inventory fact; the derived schema maps it to
+    catalog_sales quantities over a year. Spark's rollup plans one
+    Expand + single shuffle; the average is the exact-integer-sum
+    formulation so every grouping level is bit-stable."""
+    return (
+        ds.catalog_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1998)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.item), _C("cs_item_sk") == _C("i_item_sk"))
+        .rollup("i_item_desc", "i_brand", "i_class", "i_category")
+        .agg(
+            (
+                F.floor(
+                    F.sum(_C("cs_quantity").cast("bigint"))
+                    * 100.0
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("qoh")
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q26",
+    _with(
+        f"""
+    SELECT i_item_sk,
+           {_exact_avg_sql('cs_quantity', 100)} AS agg1,
+           {_exact_avg_sql('cs_ext_list_price', 10000)} AS agg2,
+           {_exact_avg_sql('cs_ext_discount_amt', 10000)} AS agg3,
+           {_exact_avg_sql('cs_net_paid', 10000)} AS agg4
+    FROM catalog_sales
+    JOIN customer_dim ON cs_customer_sk = c_customer_sk
+    JOIN date_dim ON cs_sold_date = d_date
+    JOIN item ON cs_item_sk = i_item_sk
+    WHERE c_segment = 'BUILDING' AND c_preferred_flag = 'Y'
+      AND d_year = 1998
+    GROUP BY i_item_sk
+    """,
+        "catalog_sales", "customer_dim", "date_dim", "item",
+    ),
+)
+def q_tpcds_q26(ds: _DS) -> DataFrame:
+    """TPC-DS Q26 (query26.sql): per-item averages of quantity,
+    list price, coupon (discount) amount, and sales price for a
+    demographic slice of catalog buyers. The reference's
+    customer_demographics filters map to the derived customer_dim
+    flags (segment + preferred). All four averages use the
+    exact-integer-sum formulation; dims broadcast, one shuffle on
+    the item key."""
+    return (
+        ds.catalog_sales.join(
+            F.broadcast(
+                ds.customer_dim.where(
+                    (_C("c_segment") == "BUILDING")
+                    & (_C("c_preferred_flag") == "Y")
+                )
+            ),
+            _C("cs_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1998)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.item), _C("cs_item_sk") == _C("i_item_sk"))
+        .groupBy("i_item_sk")
+        .agg(
+            _exact_avg(_C("cs_quantity"), 100).alias("agg1"),
+            _exact_avg(_C("cs_ext_list_price"), 10000).alias("agg2"),
+            _exact_avg(_C("cs_ext_discount_amt"), 10000).alias("agg3"),
+            _exact_avg(_C("cs_net_paid"), 10000).alias("agg4"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q32",
+    _with(
+        """
+    SELECT floor(coalesce(sum(disc_c), 0) / 100.0 + 0.5) / 100
+             AS excess_discount_amount
+    FROM (
+      SELECT cs_item_sk,
+             CAST(round(cs_ext_discount_amt * 10000, 0) AS BIGINT) AS disc_c
+      FROM catalog_sales
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN date_dim ON cs_sold_date = d_date
+      WHERE i_manufact_id = 7
+        AND d_date BETWEEN DATE '1998-01-27' AND DATE '1998-04-27'
+    ) f
+    JOIN (
+      SELECT cs_item_sk AS avg_item,
+             avg(CAST(round(cs_ext_discount_amt * 10000, 0) AS BIGINT))
+               AS avg_disc_c
+      FROM catalog_sales
+      JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_date BETWEEN DATE '1998-01-27' AND DATE '1998-04-27'
+      GROUP BY cs_item_sk
+    ) a ON f.cs_item_sk = a.avg_item
+    WHERE CAST(disc_c AS DOUBLE) > 1.3 * avg_disc_c
+    """,
+        "catalog_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q32(ds: _DS) -> DataFrame:
+    """TPC-DS Q32 (query32.sql): excess discount — the total of
+    catalog discounts that exceed 1.3x the item's own average
+    discount in the same 90-day window. The correlated scalar
+    subquery decorrelates to a per-item avg aggregate joined back
+    (exactly how both optimizers plan it). The threshold compare is
+    identical double arithmetic over exact cent integers; dims
+    broadcast, the fact-fact join rides the item key."""
+    dd = F.broadcast(
+        ds.date_dim.where(_C("d_date").between("1998-01-27", "1998-04-27"))
+    )
+    window_cs = ds.catalog_sales.join(
+        dd, _C("cs_sold_date") == _C("d_date")
+    ).select("cs_item_sk", _cents(_C("cs_ext_discount_amt")).alias("disc_c"))
+    per_item_avg = window_cs.groupBy(
+        _C("cs_item_sk").alias("avg_item")
+    ).agg(F.avg("disc_c").alias("avg_disc_c"))
+    filtered = (
+        window_cs.join(
+            F.broadcast(ds.item.where(_C("i_manufact_id") == 7)),
+            _C("cs_item_sk") == _C("i_item_sk"),
+        )
+        .join(per_item_avg, _C("cs_item_sk") == _C("avg_item"))
+        .where(_C("disc_c").cast("double") > 1.3 * _C("avg_disc_c"))
+    )
+    return filtered.agg(
+        (
+            F.floor(
+                F.coalesce(F.sum("disc_c"), F.lit(0)) / 100.0 + F.lit(0.5)
+            )
+            / 100
+        ).alias("excess_discount_amount")
+    )
+
+
+def _inventory_slice_q(name, qnum, fact_name, prefix, price_lo, price_hi,
+                       manufacts, d_lo, d_hi, qty_lo, qty_hi):
+    """Shared builder for the Q37/Q82 twins (query37.sql store
+    variant query82.sql): items in a price/manufacturer slice with
+    channel activity in a date window and an on-hand-quantity band.
+    The reference's inventory fact maps to the channel fact's
+    quantities (the derived schema keeps no stock snapshots)."""
+    m_sql = ", ".join(str(m) for m in manufacts)
+    oracle = _with(
+        f"""
+    SELECT i_item_sk, i_item_desc, i_current_price
+    FROM item
+    JOIN {fact_name} ON {prefix}item_sk = i_item_sk
+    JOIN date_dim ON {prefix}sold_date = d_date
+    WHERE i_current_price BETWEEN {price_lo} AND {price_hi}
+      AND i_manufact_id IN ({m_sql})
+      AND d_date BETWEEN DATE '{d_lo}' AND DATE '{d_hi}'
+      AND {prefix}quantity BETWEEN {qty_lo} AND {qty_hi}
+    GROUP BY i_item_sk, i_item_desc, i_current_price
+    """,
+        "item", fact_name, "date_dim",
+    )
+
+    @_ds_q(name, oracle)
+    def q(ds: _DS) -> DataFrame:
+        return (
+            getattr(ds, fact_name)
+            .where(_C(prefix + "quantity").between(qty_lo, qty_hi))
+            .join(
+                F.broadcast(
+                    ds.item.where(
+                        _C("i_current_price").between(price_lo, price_hi)
+                        & _C("i_manufact_id").isin(*manufacts)
+                    )
+                ),
+                _C(prefix + "item_sk") == _C("i_item_sk"),
+            )
+            .join(
+                F.broadcast(ds.date_dim.where(_C("d_date").between(d_lo, d_hi))),
+                _C(prefix + "sold_date") == _C("d_date"),
+            )
+            .groupBy("i_item_sk", "i_item_desc", "i_current_price")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .drop("_n")
+        )
+
+    q.__doc__ = (
+        f"TPC-DS Q{qnum} (query{qnum}.sql): items in a price and "
+        f"manufacturer slice that moved {qty_lo}-{qty_hi} units through "
+        f"the {fact_name} channel inside a date window — the item-level "
+        "distinct via groupBy so the fact join stays a semi-style "
+        "existence probe; all dims broadcast."
+    )
+    return q
+
+
+q_tpcds_q37 = _inventory_slice_q(
+    "tpcds_q37", 37, "catalog_sales", "cs_", 900, 912,
+    (7, 19, 23, 42), "1997-02-01", "1997-04-02", 10, 40,
+)
+q_tpcds_q82 = _inventory_slice_q(
+    "tpcds_q82", 82, "store_sales", "ss_", 905, 918,
+    (3, 11, 30, 44), "1998-05-01", "1998-06-30", 25, 50,
+)
+
+
+@_ds_q(
+    "tpcds_q39",
+    _with(
+        """
+    SELECT c1.w AS warehouse_sk, c1.moy AS moy1, c2.moy AS moy2,
+           round(c1.mean, 4) AS mean1, round(c1.cov, 4) AS cov1,
+           round(c2.mean, 4) AS mean2, round(c2.cov, 4) AS cov2
+    FROM (
+      SELECT w, moy, CAST(s AS DOUBLE) / n AS mean,
+             sqrt((n * s2 - s * s) / (CAST(n AS DOUBLE) * (n - 1)))
+               / (CAST(s AS DOUBLE) / n) AS cov
+      FROM (
+        SELECT cs_warehouse_sk AS w, d_moy AS moy,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cs_quantity AS BIGINT)) AS s,
+               sum(CAST(cs_quantity AS BIGINT)
+                   * CAST(cs_quantity AS BIGINT)) AS s2
+        FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+        WHERE d_year = 1997
+        GROUP BY cs_warehouse_sk, d_moy
+        HAVING count(*) > 1
+      )
+    ) c1
+    JOIN (
+      SELECT w, moy, CAST(s AS DOUBLE) / n AS mean,
+             sqrt((n * s2 - s * s) / (CAST(n AS DOUBLE) * (n - 1)))
+               / (CAST(s AS DOUBLE) / n) AS cov
+      FROM (
+        SELECT cs_warehouse_sk AS w, d_moy AS moy,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cs_quantity AS BIGINT)) AS s,
+               sum(CAST(cs_quantity AS BIGINT)
+                   * CAST(cs_quantity AS BIGINT)) AS s2
+        FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+        WHERE d_year = 1997
+        GROUP BY cs_warehouse_sk, d_moy
+        HAVING count(*) > 1
+      )
+    ) c2 ON c1.w = c2.w AND c1.moy = 1 AND c2.moy = 2
+    WHERE c1.cov > 0.3 AND c2.cov > 0.3
+    """,
+        "catalog_sales", "date_dim",
+    ),
+)
+def q_tpcds_q39(ds: _DS) -> DataFrame:
+    """TPC-DS Q39 (query39a.sql): warehouse demand volatility — the
+    coefficient of variation of monthly quantities per warehouse,
+    self-joined across consecutive months to find sustained
+    volatility. Stddev uses the closed exact-integer-sum formula (see
+    q17) so the cov threshold cannot flip between engines; the
+    month-1/month-2 self-join rides the tiny aggregated relation."""
+    base = (
+        ds.catalog_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .groupBy(_C("cs_warehouse_sk").alias("w"), _C("d_moy").alias("moy"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_C("cs_quantity").cast("bigint")).alias("s"),
+            F.sum(
+                _C("cs_quantity").cast("bigint")
+                * _C("cs_quantity").cast("bigint")
+            ).alias("s2"),
+        )
+        .where(_C("n") > 1)
+    )
+    mean = _C("s").cast("double") / _C("n")
+    cov = (
+        F.sqrt(
+            (_C("n") * _C("s2") - _C("s") * _C("s"))
+            / (_C("n").cast("double") * (_C("n") - F.lit(1)))
+        )
+        / mean
+    )
+    inv = base.select("w", "moy", mean.alias("mean"), cov.alias("cov")).where(
+        _C("cov") > 0.3
+    )
+    c1 = inv.where(_C("moy") == 1).alias("c1")
+    c2 = inv.where(_C("moy") == 2).alias("c2")
+    return c1.join(c2, _C("c1.w") == _C("c2.w")).select(
+        _C("c1.w").alias("warehouse_sk"),
+        _C("c1.moy").alias("moy1"),
+        _C("c2.moy").alias("moy2"),
+        F.round(_C("c1.mean"), 4).alias("mean1"),
+        F.round(_C("c1.cov"), 4).alias("cov1"),
+        F.round(_C("c2.mean"), 4).alias("mean2"),
+        F.round(_C("c2.cov"), 4).alias("cov2"),
+    )
+
+
+@_ds_q(
+    "tpcds_q41",
+    _with(
+        """
+    SELECT DISTINCT i_item_desc
+    FROM item i1
+    JOIN (
+      SELECT i_manufact_id AS m, CAST(count(*) AS BIGINT) AS item_cnt
+      FROM item
+      WHERE (i_category = 'PROMO' AND i_size BETWEEN 1 AND 10)
+         OR (i_category = 'STANDARD' AND i_size BETWEEN 20 AND 30)
+         OR (i_category = 'ECONOMY' AND i_size BETWEEN 35 AND 50)
+      GROUP BY i_manufact_id
+    ) g ON i1.i_manufact_id = g.m
+    WHERE i1.i_manufact_id BETWEEN 10 AND 30 AND g.item_cnt > 0
+    """,
+        "item",
+    ),
+)
+def q_tpcds_q41(ds: _DS) -> DataFrame:
+    """TPC-DS Q41 (query41.sql): product names whose manufacturer
+    also makes items matching an OR-grid of attribute combinations —
+    the correlated count(*) subquery decorrelates to a per-manufacturer
+    conditional count joined back (the grid over color/units/size maps
+    to the derived schema's category/size attributes)."""
+    grid = (
+        ((_C("i_category") == "PROMO") & _C("i_size").between(1, 10))
+        | ((_C("i_category") == "STANDARD") & _C("i_size").between(20, 30))
+        | ((_C("i_category") == "ECONOMY") & _C("i_size").between(35, 50))
+    )
+    per_man = (
+        ds.item.where(grid)
+        .groupBy(_C("i_manufact_id").alias("m"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("item_cnt"))
+    )
+    return (
+        ds.item.where(_C("i_manufact_id").between(10, 30))
+        .join(F.broadcast(per_man), _C("i_manufact_id") == _C("m"))
+        .where(_C("item_cnt") > 0)
+        .select("i_item_desc")
+        .distinct()
+    )
+
+
+@_ds_q(
+    "tpcds_q48",
+    _with(
+        """
+    SELECT CAST(sum(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS qty_total
+    FROM store_sales
+    JOIN customer_dim ON ss_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN date_dim ON ss_sold_date = d_date
+    WHERE d_year BETWEEN 1996 AND 1998
+      AND ((c_segment = 'AUTOMOBILE' AND ss_net_paid BETWEEN 0 AND 40000)
+        OR (c_segment = 'BUILDING' AND ss_net_paid BETWEEN 10000 AND 60000)
+        OR (c_segment = 'MACHINERY' AND ss_net_paid BETWEEN 20000 AND 100000))
+      AND ((ca_state IN ('NATION_0','NATION_1','NATION_2','NATION_3',
+                         'NATION_4')
+              AND ss_quantity BETWEEN 1 AND 25)
+        OR (ca_state IN ('NATION_5','NATION_8','NATION_9','NATION_12',
+                         'NATION_15')
+              AND ss_quantity BETWEEN 10 AND 40)
+        OR (ca_state IN ('NATION_11','NATION_18','NATION_20','NATION_22',
+                         'NATION_24')
+              AND ss_quantity BETWEEN 25 AND 50))
+    """,
+        "store_sales", "customer_dim", "customer_address", "date_dim",
+    ),
+)
+def q_tpcds_q48(ds: _DS) -> DataFrame:
+    """TPC-DS Q48 (query48.sql): total store quantity under an OR of
+    (demographic-slice x price-band) conjuncts AND an OR of
+    (state-list x quantity-band) conjuncts — the classic
+    multi-disjunct scan filter. Everything folds into one Catalyst
+    predicate on the fact scan; dims broadcast; single global agg."""
+    seg_band = (
+        ((_C("c_segment") == "AUTOMOBILE") & _C("ss_net_paid").between(0, 40000))
+        | ((_C("c_segment") == "BUILDING")
+           & _C("ss_net_paid").between(10000, 60000))
+        | ((_C("c_segment") == "MACHINERY")
+           & _C("ss_net_paid").between(20000, 100000))
+    )
+    geo_band = (
+        (_C("ca_state").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3",
+                             "NATION_4")
+         & _C("ss_quantity").between(1, 25))
+        | (_C("ca_state").isin("NATION_5", "NATION_8", "NATION_9",
+                               "NATION_12", "NATION_15")
+           & _C("ss_quantity").between(10, 40))
+        | (_C("ca_state").isin("NATION_11", "NATION_18", "NATION_20",
+                               "NATION_22", "NATION_24")
+           & _C("ss_quantity").between(25, 50))
+    )
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.customer_dim),
+            _C("ss_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year").between(1996, 1998))),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .where(seg_band & geo_band)
+        .agg(
+            F.sum(_C("ss_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty_total")
+        )
+    )
+
+
+def _brand_ext_price_q(name, qnum, m_lo, m_hi, year, moy, with_year):
+    """Shared builder for the Q52/Q55 twins: monthly brand revenue
+    star agg (query52.sql groups by year too; query55.sql doesn't)."""
+    year_col = "d_year, " if with_year else ""
+    oracle = _with(
+        f"""
+    SELECT {year_col}i_brand,
+           {_ems_sql('ss_ext_list_price')} AS ext_price
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE i_manufact_id BETWEEN {m_lo} AND {m_hi}
+      AND d_moy = {moy} AND d_year = {year}
+    GROUP BY {year_col}i_brand
+    """,
+        "store_sales", "date_dim", "item",
+    )
+
+    @_ds_q(name, oracle)
+    def q(ds: _DS) -> DataFrame:
+        keys = (["d_year"] if with_year else []) + ["i_brand"]
+        return (
+            ds.store_sales.join(
+                F.broadcast(
+                    ds.date_dim.where(
+                        (_C("d_moy") == moy) & (_C("d_year") == year)
+                    )
+                ),
+                _C("ss_sold_date") == _C("d_date"),
+            )
+            .join(
+                F.broadcast(
+                    ds.item.where(_C("i_manufact_id").between(m_lo, m_hi))
+                ),
+                _C("ss_item_sk") == _C("i_item_sk"),
+            )
+            .groupBy(*keys)
+            .agg(_exact_money_sum(_C("ss_ext_list_price")).alias("ext_price"))
+        )
+
+    q.__doc__ = (
+        f"TPC-DS Q{qnum} (query{qnum}.sql): one-month brand revenue "
+        "star agg for a manufacturer slice — both dims broadcast, one "
+        "shuffle on the brand key."
+    )
+    return q
+
+
+q_tpcds_q52 = _brand_ext_price_q("tpcds_q52", 52, 10, 19, 1997, 12, True)
+q_tpcds_q55 = _brand_ext_price_q("tpcds_q55", 55, 20, 29, 1996, 11, False)
+
+
+def _manufact_deviation_q(name, qnum, fact_name, prefix, period_col, year,
+                          grid_sql, grid_col):
+    """Shared builder for the Q53/Q63 twins: per-manufacturer
+    periodic sales vs the manufacturer's average over the year
+    (query53.sql quarterly, query63.sql monthly), keeping periods
+    deviating more than 10% from the mean."""
+    oracle = _with(
+        f"""
+    SELECT i_manufact_id, {period_col},
+           floor(sum_c / 100.0 + 0.5) / 100 AS sum_sales,
+           round(avg_c / 10000.0, 4) AS avg_periodic_sales
+    FROM (
+      SELECT i_manufact_id, {period_col}, sum_c,
+             sum(sum_c) OVER (PARTITION BY i_manufact_id)
+               / CAST(count(*) OVER (PARTITION BY i_manufact_id) AS DOUBLE)
+               AS avg_c
+      FROM (
+        SELECT i_manufact_id, {period_col},
+               sum(CAST(round({prefix}net_paid * 10000, 0) AS BIGINT))
+                 AS sum_c
+        FROM {fact_name}
+        JOIN date_dim ON {prefix}sold_date = d_date
+        JOIN item ON {prefix}item_sk = i_item_sk
+        WHERE d_year = {year} AND ({grid_sql})
+        GROUP BY i_manufact_id, {period_col}
+      )
+    )
+    WHERE avg_c > 0 AND abs(sum_c - avg_c) / avg_c > 0.1
+    """,
+        fact_name, "date_dim", "item",
+    )
+
+    @_ds_q(name, oracle)
+    def q(ds: _DS) -> DataFrame:
+        per_period = (
+            getattr(ds, fact_name)
+            .join(
+                F.broadcast(ds.date_dim.where(_C("d_year") == year)),
+                _C(prefix + "sold_date") == _C("d_date"),
+            )
+            .join(
+                F.broadcast(ds.item.where(grid_col())),
+                _C(prefix + "item_sk") == _C("i_item_sk"),
+            )
+            .groupBy("i_manufact_id", period_col)
+            .agg(F.sum(_cents(_C(prefix + "net_paid"))).alias("sum_c"))
+        )
+        w = Window.partitionBy("i_manufact_id")
+        avg_c = (
+            F.sum("sum_c").over(w)
+            / F.count(F.lit(1)).over(w).cast("double")
+        )
+        return (
+            per_period.withColumn("avg_c", avg_c)
+            .where(
+                (_C("avg_c") > 0)
+                & (F.abs(_C("sum_c") - _C("avg_c")) / _C("avg_c") > 0.1)
+            )
+            .select(
+                "i_manufact_id",
+                period_col,
+                (F.floor(_C("sum_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                    "sum_sales"
+                ),
+                F.round(_C("avg_c") / 10000.0, 4).alias(
+                    "avg_periodic_sales"
+                ),
+            )
+        )
+
+    q.__doc__ = (
+        f"TPC-DS Q{qnum} (query{qnum}.sql): per-manufacturer "
+        f"{period_col} sales vs the manufacturer's own average — a "
+        "window avg over the aggregated relation, keeping >10% "
+        "deviations. Exact-cent sums feed identical double window "
+        "arithmetic on both engines."
+    )
+    return q
+
+
+q_tpcds_q53 = _manufact_deviation_q(
+    "tpcds_q53", 53, "store_sales", "ss_", "d_qoy", 1997,
+    "(i_category IN ('PROMO', 'STANDARD') AND i_size BETWEEN 1 AND 25)"
+    " OR (i_category IN ('ECONOMY', 'SMALL') AND i_size BETWEEN 26 AND 50)",
+    lambda: ((F.col("i_category").isin("PROMO", "STANDARD")
+              & F.col("i_size").between(1, 25))
+             | (F.col("i_category").isin("ECONOMY", "SMALL")
+                & F.col("i_size").between(26, 50))),
+)
+q_tpcds_q63 = _manufact_deviation_q(
+    "tpcds_q63", 63, "web_sales", "ws_", "d_moy", 1998,
+    "(i_category IN ('LARGE', 'MEDIUM') AND i_size BETWEEN 1 AND 30)"
+    " OR (i_category IN ('PROMO', 'ECONOMY') AND i_size BETWEEN 10 AND 50)",
+    lambda: ((F.col("i_category").isin("LARGE", "MEDIUM")
+              & F.col("i_size").between(1, 30))
+             | (F.col("i_category").isin("PROMO", "ECONOMY")
+                & F.col("i_size").between(10, 50))),
+)
+
+
+@_ds_q(
+    "tpcds_q57",
+    _with(
+        """
+    SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+           floor(sum_cents / 100 + 0.5) / 100 AS sum_sales,
+           floor(avg_monthly / 100 + 0.5) / 100 AS avg_monthly_sales,
+           floor(prev_cents / 100 + 0.5) / 100 AS psum,
+           floor(next_cents / 100 + 0.5) / 100 AS nsum
+    FROM (
+      SELECT i_category, i_brand, s_store_name, d_year, d_moy, sum_cents,
+             sum(sum_cents) OVER
+               (PARTITION BY i_category, i_brand, s_store_name, d_year)
+               * 1.0 /
+             count(sum_cents) OVER
+               (PARTITION BY i_category, i_brand, s_store_name, d_year)
+               AS avg_monthly,
+             lag(sum_cents) OVER (PARTITION BY i_category, i_brand,
+                                  s_store_name
+                                  ORDER BY d_year, d_moy) AS prev_cents,
+             lead(sum_cents) OVER (PARTITION BY i_category, i_brand,
+                                   s_store_name
+                                   ORDER BY d_year, d_moy) AS next_cents
+      FROM v1) v2
+    WHERE d_year = 1997
+      AND abs(sum_cents - avg_monthly) / avg_monthly > 0.1
+      AND prev_cents IS NOT NULL AND next_cents IS NOT NULL
+    """,
+        "catalog_sales", "date_dim", "item", "store",
+        extra="""
+    v1 AS (
+      SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT)) AS sum_cents
+      FROM catalog_sales
+      JOIN date_dim ON cs_sold_date = d_date
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN store ON cs_warehouse_sk = s_store_sk
+      GROUP BY i_category, i_brand, s_store_name, d_year, d_moy)
+    """,
+    ),
+)
+def q_tpcds_q57(ds: _DS) -> DataFrame:
+    """TPC-DS Q57 (query57.sql): the catalog-channel twin of Q47 —
+    months deviating >10% from the category/brand/warehouse yearly
+    average with lag/lead neighbors (the reference's call_center maps
+    to the supplier-derived warehouse dim). Same two-window shape
+    over the aggregated relation; exact-cent sums keep the deviation
+    predicate bit-stable."""
+    v1 = (
+        ds.catalog_sales.join(ds.date_dim, _C("cs_sold_date") == _C("d_date"))
+        .join(ds.item, _C("cs_item_sk") == _C("i_item_sk"))
+        .join(ds.store, _C("cs_warehouse_sk") == _C("s_store_sk"))
+        .groupBy("i_category", "i_brand", "s_store_name", "d_year", "d_moy")
+        .agg(F.sum(_cents(_C("cs_net_paid"))).alias("sum_cents"))
+    )
+    wy = Window.partitionBy("i_category", "i_brand", "s_store_name", "d_year")
+    wm = Window.partitionBy("i_category", "i_brand", "s_store_name").orderBy(
+        "d_year", "d_moy"
+    )
+    v2 = v1.select(
+        "i_category", "i_brand", "s_store_name", "d_year", "d_moy",
+        "sum_cents",
+        (F.sum("sum_cents").over(wy) * 1.0
+         / F.count("sum_cents").over(wy)).alias("avg_monthly"),
+        F.lag("sum_cents").over(wm).alias("prev_cents"),
+        F.lead("sum_cents").over(wm).alias("next_cents"),
+    )
+    return (
+        v2.where(
+            (_C("d_year") == 1997)
+            & (F.abs(_C("sum_cents") - _C("avg_monthly")) / _C("avg_monthly")
+               > 0.1)
+            & _C("prev_cents").isNotNull()
+            & _C("next_cents").isNotNull()
+        )
+        .select(
+            "i_category", "i_brand", "s_store_name", "d_year", "d_moy",
+            (F.floor(_C("sum_cents") / 100 + F.lit(0.5)) / 100).alias(
+                "sum_sales"
+            ),
+            (F.floor(_C("avg_monthly") / 100 + F.lit(0.5)) / 100).alias(
+                "avg_monthly_sales"
+            ),
+            (F.floor(_C("prev_cents") / 100 + F.lit(0.5)) / 100).alias("psum"),
+            (F.floor(_C("next_cents") / 100 + F.lit(0.5)) / 100).alias("nsum"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q60",
+    _with(
+        """
+    SELECT item_sk, floor(sum(total_cents) / 100.0 + 0.5) / 100
+             AS total_sales
+    FROM (SELECT * FROM sst UNION ALL SELECT * FROM cst
+          UNION ALL SELECT * FROM wst)
+    GROUP BY item_sk
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+        "customer_dim", "customer_address",
+        extra="""
+    sst AS (
+      SELECT ss_item_sk AS item_sk,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_category = 'ECONOMY' AND d_year = 1997 AND d_moy = 9
+        AND ca_country = 'AMERICA'
+      GROUP BY ss_item_sk),
+    cst AS (
+      SELECT cs_item_sk AS item_sk,
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM catalog_sales
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN date_dim ON cs_sold_date = d_date
+      JOIN customer_dim ON cs_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_category = 'ECONOMY' AND d_year = 1997 AND d_moy = 9
+        AND ca_country = 'AMERICA'
+      GROUP BY cs_item_sk),
+    wst AS (
+      SELECT ws_item_sk AS item_sk,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM web_sales
+      JOIN item ON ws_item_sk = i_item_sk
+      JOIN date_dim ON ws_sold_date = d_date
+      JOIN customer_dim ON ws_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_category = 'ECONOMY' AND d_year = 1997 AND d_moy = 9
+        AND ca_country = 'AMERICA'
+      GROUP BY ws_item_sk)
+    """,
+    ),
+)
+def q_tpcds_q60(ds: _DS) -> DataFrame:
+    """TPC-DS Q60 (query60.sql): per-item revenue for one category
+    and month across all three channels for customers in one region
+    (the reference's gmt_offset filter maps to ca_country) — three
+    star aggs UNION ALL'd then re-aggregated, the Q33/Q56/Q60
+    family's item-level member."""
+
+    def chan(fact, p):
+        return (
+            fact.join(
+                F.broadcast(ds.item.where(_C("i_category") == "ECONOMY")),
+                _C(p + "item_sk") == _C("i_item_sk"),
+            )
+            .join(
+                F.broadcast(
+                    ds.date_dim.where(
+                        (_C("d_year") == 1997) & (_C("d_moy") == 9)
+                    )
+                ),
+                _C(p + "sold_date") == _C("d_date"),
+            )
+            .join(
+                F.broadcast(ds.customer_dim),
+                _C(p + "customer_sk") == _C("c_customer_sk"),
+            )
+            .join(
+                F.broadcast(
+                    ds.customer_address.where(_C("ca_country") == "AMERICA")
+                ),
+                _C("c_current_addr_sk") == _C("ca_address_sk"),
+            )
+            .groupBy(_C(p + "item_sk").alias("item_sk"))
+            .agg(F.sum(_cents(_C(p + "net_paid"))).alias("total_cents"))
+        )
+
+    unioned = (
+        chan(ds.store_sales, "ss_")
+        .unionByName(chan(ds.catalog_sales, "cs_"))
+        .unionByName(chan(ds.web_sales, "ws_"))
+    )
+    return unioned.groupBy("item_sk").agg(
+        (F.floor(F.sum("total_cents") / 100.0 + F.lit(0.5)) / 100).alias(
+            "total_sales"
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q68",
+    _with(
+        """
+    SELECT c_customer_id, ca_state AS current_state, bought_state,
+           ticket,
+           floor(price_c / 100.0 + 0.5) / 100 AS extended_price,
+           floor(ship_c / 100.0 + 0.5) / 100 AS extended_ship,
+           floor(list_c / 100.0 + 0.5) / 100 AS list_price
+    FROM (
+      SELECT ss_ticket_number AS ticket, ss_customer_sk AS cust,
+             s_state AS bought_state,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS price_c,
+             sum(CAST(round(ss_ext_ship_cost * 10000, 0) AS BIGINT))
+               AS ship_c,
+             sum(CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT))
+               AS list_c
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN store ON ss_store_sk = s_store_sk
+      WHERE d_dom BETWEEN 1 AND 2 AND d_year IN (1996, 1997, 1998)
+        AND s_market_id IN (1, 2, 3)
+      GROUP BY ss_ticket_number, ss_customer_sk, s_state
+    ) dn
+    JOIN customer_dim ON cust = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    WHERE ca_state <> bought_state
+    """,
+        "store_sales", "date_dim", "store", "customer_dim",
+        "customer_address",
+    ),
+)
+def q_tpcds_q68(ds: _DS) -> DataFrame:
+    """TPC-DS Q68 (query68.sql): per-ticket purchase totals on
+    month-start days in selected store markets, for customers whose
+    current state differs from where they bought (the reference's
+    city pair maps to states). Ticket-level agg first (natural key
+    shuffle), then the small customer/address dims join the
+    aggregated relation."""
+    dn = (
+        ds.store_sales.join(
+            F.broadcast(
+                ds.date_dim.where(
+                    _C("d_dom").between(1, 2)
+                    & _C("d_year").isin(1996, 1997, 1998)
+                )
+            ),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(
+            F.broadcast(ds.store.where(_C("s_market_id").isin(1, 2, 3))),
+            _C("ss_store_sk") == _C("s_store_sk"),
+        )
+        .groupBy(
+            _C("ss_ticket_number").alias("ticket"),
+            _C("ss_customer_sk").alias("cust"),
+            _C("s_state").alias("bought_state"),
+        )
+        .agg(
+            F.sum(_cents(_C("ss_net_paid"))).alias("price_c"),
+            F.sum(_cents(_C("ss_ext_ship_cost"))).alias("ship_c"),
+            F.sum(_cents(_C("ss_ext_list_price"))).alias("list_c"),
+        )
+    )
+    return (
+        dn.join(
+            F.broadcast(ds.customer_dim), _C("cust") == _C("c_customer_sk")
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .where(_C("ca_state") != _C("bought_state"))
+        .select(
+            "c_customer_id",
+            _C("ca_state").alias("current_state"),
+            "bought_state",
+            "ticket",
+            (F.floor(_C("price_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "extended_price"
+            ),
+            (F.floor(_C("ship_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "extended_ship"
+            ),
+            (F.floor(_C("list_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "list_price"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q70",
+    _with(
+        """
+    SELECT floor(profit_c / 100.0 + 0.5) / 100 AS total_sum,
+           st, store_name, lochierarchy, rank_within_parent
+    FROM (
+      SELECT sum(net_c) AS profit_c,
+             s_state AS st, s_store_name AS store_name,
+             grouping(s_state) + grouping(s_store_name) AS lochierarchy,
+             rank() OVER (
+               PARTITION BY grouping(s_state) + grouping(s_store_name),
+                 CASE WHEN grouping(s_store_name) = 0 THEN s_state END
+               ORDER BY sum(net_c) DESC) AS rank_within_parent
+      FROM (
+        SELECT CAST(round(ss_net_profit * 10000, 0) AS BIGINT) AS net_c,
+               s_state, s_store_name
+        FROM store_sales
+        JOIN date_dim ON ss_sold_date = d_date
+        JOIN store ON ss_store_sk = s_store_sk
+        WHERE d_year = 1997
+          AND s_state IN (
+            SELECT st FROM (
+              SELECT s_state AS st,
+                     rank() OVER (ORDER BY
+                       sum(CAST(round(ss_net_profit * 10000, 0) AS BIGINT))
+                       DESC) AS ranking
+              FROM store_sales
+              JOIN date_dim ON ss_sold_date = d_date
+              JOIN store ON ss_store_sk = s_store_sk
+              WHERE d_year = 1997
+              GROUP BY s_state)
+            WHERE ranking <= 5)
+      )
+      GROUP BY ROLLUP (s_state, s_store_name)
+    )
+    """,
+        "store_sales", "date_dim", "store",
+    ),
+)
+def q_tpcds_q70(ds: _DS) -> DataFrame:
+    """TPC-DS Q70 (query70.sql): profit rollup over the store
+    geography hierarchy, restricted to the five most profitable
+    states (windowed-rank semi-join), with rank-within-parent across
+    grouping levels via grouping()-keyed window partitions. Both the
+    semi-join input and the rollup ride one (state, store) shuffle;
+    exact-cent profit keeps ranks stable."""
+    joined = (
+        ds.store_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .select(
+            _cents(_C("ss_net_profit")).alias("net_c"),
+            "s_state",
+            "s_store_name",
+        )
+    )
+    top5 = (
+        joined.groupBy(_C("s_state").alias("st"))
+        .agg(F.sum("net_c").alias("p"))
+        .select(
+            "st", F.rank().over(Window.orderBy(_C("p").desc())).alias("rk")
+        )
+        .where(_C("rk") <= 5)
+        .select("st")
+    )
+    rolled = (
+        joined.join(
+            F.broadcast(top5), _C("s_state") == _C("st"), "left_semi"
+        )
+        .rollup("s_state", "s_store_name")
+        .agg(
+            F.sum("net_c").alias("profit_c"),
+            (F.grouping("s_state") + F.grouping("s_store_name")).alias(
+                "lochierarchy"
+            ),
+            F.grouping("s_store_name").alias("_g_store"),
+        )
+    )
+    wr = Window.partitionBy(
+        "lochierarchy",
+        F.when(_C("_g_store") == 0, _C("s_state")),
+    ).orderBy(_C("profit_c").desc())
+    return rolled.select(
+        (F.floor(_C("profit_c") / 100.0 + F.lit(0.5)) / 100).alias(
+            "total_sum"
+        ),
+        _C("s_state").alias("st"),
+        _C("s_store_name").alias("store_name"),
+        "lochierarchy",
+        F.rank().over(wr).alias("rank_within_parent"),
+    )
+
+
+@_ds_q(
+    "tpcds_q71",
+    _with(
+        """
+    SELECT i_brand, d_dom,
+           floor(sum(price_c) / 100.0 + 0.5) / 100 AS ext_price
+    FROM (
+      SELECT ws_item_sk AS item_sk, ws_sold_date AS sold_date,
+             CAST(round(ws_ext_list_price * 10000, 0) AS BIGINT) AS price_c
+      FROM web_sales
+      UNION ALL
+      SELECT cs_item_sk, cs_sold_date,
+             CAST(round(cs_ext_list_price * 10000, 0) AS BIGINT)
+      FROM catalog_sales
+      UNION ALL
+      SELECT ss_item_sk, ss_sold_date,
+             CAST(round(ss_ext_list_price * 10000, 0) AS BIGINT)
+      FROM store_sales
+    ) tmp
+    JOIN item ON item_sk = i_item_sk
+    JOIN date_dim ON sold_date = d_date
+    WHERE i_manufact_id BETWEEN 0 AND 9 AND d_moy = 11 AND d_year = 1997
+    GROUP BY i_brand, d_dom
+    """,
+        "web_sales", "catalog_sales", "store_sales", "item", "date_dim",
+    ),
+)
+def q_tpcds_q71(ds: _DS) -> DataFrame:
+    """TPC-DS Q71 (query71.sql): brand revenue by time-of-purchase
+    across all three channels UNION ALL'd before the dim joins (the
+    reference's hour/minute maps to day-of-month — the derived schema
+    has no time dim). The union is projection-only (no shuffle);
+    dims broadcast onto it; one shuffle on (brand, dom)."""
+
+    def chan(fact, p):
+        return fact.select(
+            _C(p + "item_sk").alias("item_sk"),
+            _C(p + "sold_date").alias("sold_date"),
+            _cents(_C(p + "ext_list_price")).alias("price_c"),
+        )
+
+    unioned = (
+        chan(ds.web_sales, "ws_")
+        .unionByName(chan(ds.catalog_sales, "cs_"))
+        .unionByName(chan(ds.store_sales, "ss_"))
+    )
+    return (
+        unioned.join(
+            F.broadcast(ds.item.where(_C("i_manufact_id").between(0, 9))),
+            _C("item_sk") == _C("i_item_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds.date_dim.where((_C("d_moy") == 11) & (_C("d_year") == 1997))
+            ),
+            _C("sold_date") == _C("d_date"),
+        )
+        .groupBy("i_brand", "d_dom")
+        .agg(
+            (F.floor(F.sum("price_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "ext_price"
+            )
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q72",
+    _with(
+        """
+    SELECT i_item_desc, s_store_name AS warehouse_name, wk,
+           CAST(sum(CASE WHEN returned THEN 0 ELSE 1 END) AS BIGINT)
+             AS not_returned,
+           CAST(sum(CASE WHEN returned THEN 1 ELSE 0 END) AS BIGINT)
+             AS returned,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM (
+      SELECT cs_item_sk, cs_warehouse_sk, cs_order_number,
+             EXTRACT(WEEK FROM cs_sold_date) AS wk, cs_quantity
+      FROM catalog_sales
+      WHERE EXTRACT(YEAR FROM cs_sold_date) = 1997
+        AND cs_ship_date > cs_sold_date + INTERVAL '5' DAY
+    ) c
+    JOIN (
+      SELECT DISTINCT ws_item_sk, EXTRACT(WEEK FROM ws_sold_date) AS wwk,
+             ws_quantity
+      FROM web_sales WHERE EXTRACT(YEAR FROM ws_sold_date) = 1997
+    ) w ON ws_item_sk = cs_item_sk AND wwk = wk
+       AND ws_quantity < cs_quantity
+    JOIN item ON cs_item_sk = i_item_sk
+    JOIN store ON cs_warehouse_sk = s_store_sk
+    LEFT JOIN (SELECT DISTINCT cr_item_sk, cr_order_number
+               FROM catalog_returns) r
+      ON cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number
+    CROSS JOIN LATERAL (SELECT cr_order_number IS NOT NULL AS returned) x
+    GROUP BY i_item_desc, s_store_name, wk
+    """,
+        "catalog_sales", "web_sales", "item", "store", "catalog_returns",
+    ),
+)
+def q_tpcds_q72(ds: _DS) -> DataFrame:
+    """TPC-DS Q72 (query72.sql): late-shipping catalog orders whose
+    same-week web demand undercut them — the reference's
+    inventory-shortfall week-aligned join maps to a catalog-web
+    fact-fact join on (item, week), plus ship>sold+5d lateness and a
+    LEFT JOIN to returns splitting the counts. The fact-fact join
+    rides the natural (item, week) key; dims broadcast."""
+    c = (
+        ds.catalog_sales.where(
+            (F.year("cs_sold_date") == 1997)
+            & (_C("cs_ship_date") > F.date_add(_C("cs_sold_date"), 5))
+        )
+        .select(
+            "cs_item_sk", "cs_warehouse_sk", "cs_order_number",
+            F.weekofyear("cs_sold_date").alias("wk"), "cs_quantity",
+        )
+    )
+    w = (
+        ds.web_sales.where(F.year("ws_sold_date") == 1997)
+        .select(
+            "ws_item_sk",
+            F.weekofyear("ws_sold_date").alias("wwk"),
+            "ws_quantity",
+        )
+        .distinct()
+    )
+    r = ds.catalog_returns.select("cr_item_sk", "cr_order_number").distinct()
+    return (
+        c.join(
+            w,
+            (_C("ws_item_sk") == _C("cs_item_sk"))
+            & (_C("wwk") == _C("wk"))
+            & (_C("ws_quantity") < _C("cs_quantity")),
+        )
+        .join(F.broadcast(ds.item), _C("cs_item_sk") == _C("i_item_sk"))
+        .join(F.broadcast(ds.store), _C("cs_warehouse_sk") == _C("s_store_sk"))
+        .join(
+            r,
+            (_C("cr_item_sk") == _C("cs_item_sk"))
+            & (_C("cr_order_number") == _C("cs_order_number")),
+            "left",
+        )
+        .withColumn("returned", _C("cr_order_number").isNotNull())
+        .groupBy(
+            "i_item_desc", _C("s_store_name").alias("warehouse_name"), "wk"
+        )
+        .agg(
+            F.sum(F.when(_C("returned"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("not_returned"),
+            F.sum(F.when(_C("returned"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returned"),
+            F.count(F.lit(1)).cast("bigint").alias("total_cnt"),
+        )
+    )

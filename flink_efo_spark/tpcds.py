@@ -5465,3 +5465,423 @@ def q_tpcds_q72(ds: _DS) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("total_cnt"),
         )
     )
+
+
+@_ds_q(
+    "tpcds_q29",
+    _with(
+        """
+    SELECT i_item_sk, s_store_name,
+           CAST(sum(ss_q) AS BIGINT) AS store_sales_quantity,
+           CAST(sum(sr_q) AS BIGINT) AS store_returns_quantity,
+           CAST(sum(cs_q) AS BIGINT) AS catalog_sales_quantity
+    FROM (
+      SELECT ss_item_sk AS isk, ss_store_sk,
+             CAST(ss_quantity AS BIGINT) AS ss_q,
+             CAST(sr_return_quantity AS BIGINT) AS sr_q,
+             CAST(cs_quantity AS BIGINT) AS cs_q
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN catalog_sales ON sr_customer_sk = cs_customer_sk
+                        AND sr_item_sk = cs_item_sk
+      JOIN date_dim d1 ON ss_sold_date = d1.d_date
+      JOIN date_dim d2 ON sr_returned_date = d2.d_date
+      JOIN date_dim d3 ON cs_sold_date = d3.d_date
+      WHERE d1.d_year = 1995
+        AND d2.d_year IN (1995, 1996)
+        AND d3.d_year IN (1995, 1996, 1997)
+    )
+    JOIN item ON isk = i_item_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    GROUP BY i_item_sk, s_store_name
+    """,
+        "store_sales", "store_returns", "catalog_sales", "date_dim",
+        "item", "store",
+    ),
+)
+def q_tpcds_q29(ds: _DS) -> DataFrame:
+    """TPC-DS Q29 (query29.sql): quantity flow through the
+    sale->return->catalog-repurchase chain with three date_dim roles
+    (1995 sale, return within 2 years, repurchase within 3 years).
+    Same natural-key fact-fact chain as q17; exact BIGINT quantity
+    sums; all three date roles broadcast."""
+    d = ds.date_dim
+    d1 = d.where(_C("d_year") == 1995).select(_C("d_date").alias("d1_date"))
+    d2 = d.where(_C("d_year").isin(1995, 1996)).select(
+        _C("d_date").alias("d2_date")
+    )
+    d3 = d.where(_C("d_year").isin(1995, 1996, 1997)).select(
+        _C("d_date").alias("d3_date")
+    )
+    return (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_item_sk") == _C("sr_item_sk")),
+        )
+        .join(
+            ds.catalog_sales,
+            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            & (_C("sr_item_sk") == _C("cs_item_sk")),
+        )
+        .join(F.broadcast(d1), _C("ss_sold_date") == _C("d1_date"))
+        .join(F.broadcast(d2), _C("sr_returned_date") == _C("d2_date"))
+        .join(F.broadcast(d3), _C("cs_sold_date") == _C("d3_date"))
+        .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .groupBy("i_item_sk", "s_store_name")
+        .agg(
+            F.sum(_C("ss_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("store_sales_quantity"),
+            F.sum(_C("sr_return_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("store_returns_quantity"),
+            F.sum(_C("cs_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("catalog_sales_quantity"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q33",
+    _with(
+        """
+    SELECT i_manufact_id,
+           floor(sum(total_cents) / 100.0 + 0.5) / 100 AS total_sales
+    FROM (SELECT * FROM sst UNION ALL SELECT * FROM cst
+          UNION ALL SELECT * FROM wst)
+    GROUP BY i_manufact_id
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+        "customer_dim", "customer_address",
+        extra="""
+    manufs AS (
+      SELECT DISTINCT i_manufact_id FROM item WHERE i_category = 'PROMO'),
+    sst AS (
+      SELECT i_manufact_id,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufs)
+        AND d_year = 1998 AND d_moy = 5 AND ca_country = 'ASIA'
+      GROUP BY i_manufact_id),
+    cst AS (
+      SELECT i_manufact_id,
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM catalog_sales
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN date_dim ON cs_sold_date = d_date
+      JOIN customer_dim ON cs_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufs)
+        AND d_year = 1998 AND d_moy = 5 AND ca_country = 'ASIA'
+      GROUP BY i_manufact_id),
+    wst AS (
+      SELECT i_manufact_id,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS total_cents
+      FROM web_sales
+      JOIN item ON ws_item_sk = i_item_sk
+      JOIN date_dim ON ws_sold_date = d_date
+      JOIN customer_dim ON ws_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE i_manufact_id IN (SELECT i_manufact_id FROM manufs)
+        AND d_year = 1998 AND d_moy = 5 AND ca_country = 'ASIA'
+      GROUP BY i_manufact_id)
+    """,
+    ),
+)
+def q_tpcds_q33(ds: _DS) -> DataFrame:
+    """TPC-DS Q33 (query33.sql): per-manufacturer revenue across all
+    three channels for manufacturers who make one category, customers
+    in one region — the manufacturer-level member of the Q33/Q56/Q60
+    family with its IN-subquery manufacturer restriction (a semi-join
+    against the tiny distinct manufacturer set)."""
+    manufs = (
+        ds.item.where(_C("i_category") == "PROMO")
+        .select("i_manufact_id")
+        .distinct()
+    )
+
+    def chan(fact, p):
+        return (
+            fact.join(
+                F.broadcast(
+                    ds.item.join(
+                        F.broadcast(manufs), "i_manufact_id", "left_semi"
+                    )
+                ),
+                _C(p + "item_sk") == _C("i_item_sk"),
+            )
+            .join(
+                F.broadcast(
+                    ds.date_dim.where(
+                        (_C("d_year") == 1998) & (_C("d_moy") == 5)
+                    )
+                ),
+                _C(p + "sold_date") == _C("d_date"),
+            )
+            .join(
+                F.broadcast(ds.customer_dim),
+                _C(p + "customer_sk") == _C("c_customer_sk"),
+            )
+            .join(
+                F.broadcast(
+                    ds.customer_address.where(_C("ca_country") == "ASIA")
+                ),
+                _C("c_current_addr_sk") == _C("ca_address_sk"),
+            )
+            .groupBy("i_manufact_id")
+            .agg(F.sum(_cents(_C(p + "net_paid"))).alias("total_cents"))
+        )
+
+    unioned = (
+        chan(ds.store_sales, "ss_")
+        .unionByName(chan(ds.catalog_sales, "cs_"))
+        .unionByName(chan(ds.web_sales, "ws_"))
+    )
+    return unioned.groupBy("i_manufact_id").agg(
+        (F.floor(F.sum("total_cents") / 100.0 + F.lit(0.5)) / 100).alias(
+            "total_sales"
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q81",
+    _with(
+        """
+    SELECT c_customer_id, st,
+           floor(amt_c / 100.0 + 0.5) / 100 AS return_amt
+    FROM (
+      SELECT c, st, amt_c,
+             avg(CAST(amt_c AS DOUBLE)) OVER (PARTITION BY st) AS st_avg
+      FROM (
+        SELECT cr_customer_sk AS c, ca_state AS st,
+               CAST(sum(CAST(round(cr_return_amt * 10000, 0) AS BIGINT))
+                    AS BIGINT) AS amt_c
+        FROM catalog_returns
+        JOIN customer_dim ON cr_customer_sk = c_customer_sk
+        JOIN customer_address ON ca_address_sk = c_current_addr_sk
+        JOIN date_dim ON cr_returned_date = d_date
+        WHERE d_year = 1998
+        GROUP BY cr_customer_sk, ca_state
+      )
+    ) x
+    JOIN customer_dim ON c = c_customer_sk
+    WHERE CAST(amt_c AS DOUBLE) > 1.2 * st_avg
+      AND st IN ('NATION_0', 'NATION_5', 'NATION_10', 'NATION_15',
+                 'NATION_20')
+    """,
+        "catalog_returns", "customer_dim", "customer_address", "date_dim",
+    ),
+)
+def q_tpcds_q81(ds: _DS) -> DataFrame:
+    """TPC-DS Q81 (query81.sql): the catalog twin of Q30 — heavy
+    catalog returners vs 1.2x their state average, with customer
+    detail output and a state slice. The correlated average
+    decorrelates to a window over the per-customer aggregate."""
+    per_cust = (
+        ds.catalog_returns.join(
+            F.broadcast(ds.customer_dim),
+            _C("cr_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("ca_address_sk") == _C("c_current_addr_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1998)),
+            _C("cr_returned_date") == _C("d_date"),
+        )
+        .groupBy(
+            _C("cr_customer_sk").alias("c"), _C("ca_state").alias("st")
+        )
+        .agg(F.sum(_cents(_C("cr_return_amt"))).alias("amt_c"))
+    )
+    w = Window.partitionBy("st")
+    heavy = (
+        per_cust.withColumn(
+            "st_avg", F.avg(_C("amt_c").cast("double")).over(w)
+        )
+        .where(
+            (_C("amt_c").cast("double") > 1.2 * _C("st_avg"))
+            & _C("st").isin(
+                "NATION_0", "NATION_5", "NATION_10", "NATION_15", "NATION_20"
+            )
+        )
+    )
+    return heavy.join(
+        F.broadcast(ds.customer_dim), _C("c") == _C("c_customer_sk")
+    ).select(
+        "c_customer_id",
+        "st",
+        (F.floor(_C("amt_c") / 100.0 + F.lit(0.5)) / 100).alias("return_amt"),
+    )
+
+
+@_ds_q(
+    "tpcds_q86",
+    _with(
+        """
+    SELECT floor(paid_c / 100.0 + 0.5) / 100 AS total_sum,
+           cat, cls, lochierarchy, rank_within_parent
+    FROM (
+      SELECT sum(net_c) AS paid_c,
+             i_category AS cat, i_class AS cls,
+             grouping(i_category) + grouping(i_class) AS lochierarchy,
+             rank() OVER (
+               PARTITION BY grouping(i_category) + grouping(i_class),
+                 CASE WHEN grouping(i_class) = 0 THEN i_category END
+               ORDER BY sum(net_c) DESC) AS rank_within_parent
+      FROM (
+        SELECT CAST(round(ws_net_paid * 10000, 0) AS BIGINT) AS net_c,
+               i_category, i_class
+        FROM web_sales
+        JOIN date_dim ON ws_sold_date = d_date
+        JOIN item ON ws_item_sk = i_item_sk
+        WHERE d_year = 1997
+      )
+      GROUP BY ROLLUP (i_category, i_class)
+    )
+    """,
+        "web_sales", "date_dim", "item",
+    ),
+)
+def q_tpcds_q86(ds: _DS) -> DataFrame:
+    """TPC-DS Q86 (query86.sql): web revenue rolled up the item
+    hierarchy (class -> category -> grand total) with
+    rank-within-parent via grouping()-keyed window partitions — the
+    item-side twin of Q70 without the semi-join."""
+    joined = (
+        ds.web_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("ws_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.item), _C("ws_item_sk") == _C("i_item_sk"))
+        .select(
+            _cents(_C("ws_net_paid")).alias("net_c"),
+            "i_category",
+            "i_class",
+        )
+    )
+    rolled = joined.rollup("i_category", "i_class").agg(
+        F.sum("net_c").alias("paid_c"),
+        (F.grouping("i_category") + F.grouping("i_class")).alias(
+            "lochierarchy"
+        ),
+        F.grouping("i_class").alias("_g_cls"),
+    )
+    wr = Window.partitionBy(
+        "lochierarchy", F.when(_C("_g_cls") == 0, _C("i_category"))
+    ).orderBy(_C("paid_c").desc())
+    return rolled.select(
+        (F.floor(_C("paid_c") / 100.0 + F.lit(0.5)) / 100).alias("total_sum"),
+        _C("i_category").alias("cat"),
+        _C("i_class").alias("cls"),
+        "lochierarchy",
+        F.rank().over(wr).alias("rank_within_parent"),
+    )
+
+
+@_ds_q(
+    "tpcds_q91",
+    _with(
+        """
+    SELECT s_store_name AS warehouse_name, s_state,
+           floor(sum(CAST(round(cr_return_amt * 10000, 0) AS BIGINT))
+                 / 100.0 + 0.5) / 100 AS returns_loss
+    FROM catalog_returns
+    JOIN store ON cr_warehouse_sk = s_store_sk
+    JOIN date_dim ON cr_returned_date = d_date
+    JOIN customer_dim ON cr_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    WHERE d_year = 1995
+      AND c_preferred_flag = 'Y'
+      AND c_segment IN ('FURNITURE', 'MACHINERY', 'AUTOMOBILE')
+      AND ca_country = 'EUROPE'
+    GROUP BY s_store_name, s_state
+    """,
+        "catalog_returns", "store", "date_dim", "customer_dim",
+        "customer_address",
+    ),
+)
+def q_tpcds_q91(ds: _DS) -> DataFrame:
+    """TPC-DS Q91 (query91.sql): yearly catalog return losses per
+    warehouse for a demographic slice (the reference's call_center +
+    demographics map to the warehouse dim + customer_dim flags).
+    Pure star agg: every dim broadcasts, one shuffle on the
+    warehouse key."""
+    return (
+        ds.catalog_returns.join(
+            F.broadcast(ds.store), _C("cr_warehouse_sk") == _C("s_store_sk")
+        )
+        .join(
+            F.broadcast(
+                ds.date_dim.where(_C("d_year") == 1995)
+            ),
+            _C("cr_returned_date") == _C("d_date"),
+        )
+        .join(
+            F.broadcast(
+                ds.customer_dim.where(
+                    (_C("c_preferred_flag") == "Y")
+                    & _C("c_segment").isin(
+                        "FURNITURE", "MACHINERY", "AUTOMOBILE"
+                    )
+                )
+            ),
+            _C("cr_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds.customer_address.where(_C("ca_country") == "EUROPE")
+            ),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .groupBy(_C("s_store_name").alias("warehouse_name"), _C("s_state"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(_cents(_C("cr_return_amt"))) / 100.0 + F.lit(0.5)
+                )
+                / 100
+            ).alias("returns_loss")
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q96",
+    _with(
+        """
+    SELECT CAST(count(*) AS BIGINT) AS cnt
+    FROM store_sales
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE date_diff('day', DATE '1995-01-01', ss_sold_date) % 7 = 1
+      AND ss_quantity BETWEEN 45 AND 50
+      AND s_market_id = 5
+    """,
+        "store_sales", "store",
+    ),
+)
+def q_tpcds_q96(ds: _DS) -> DataFrame:
+    """TPC-DS Q96 (query96.sql): a bare selective count — bulk
+    Monday purchases in one store market (the reference's
+    time-of-day/household filters map to day-of-week + quantity
+    band). Day-of-week is days-since-a-known-epoch mod 7, the same
+    engine-neutral arithmetic as Q43."""
+    dow = F.datediff(_C("ss_sold_date"), F.lit("1995-01-01").cast("date")) % 7
+    return (
+        ds.store_sales.join(
+            F.broadcast(ds.store.where(_C("s_market_id") == 5)),
+            _C("ss_store_sk") == _C("s_store_sk"),
+        )
+        .where((dow == 1) & _C("ss_quantity").between(45, 50))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

@@ -5885,3 +5885,581 @@ def q_tpcds_q96(ds: _DS) -> DataFrame:
         .where((dow == 1) & _C("ss_quantity").between(45, 50))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+@_ds_q(
+    "tpcds_q8",
+    _with(
+        """
+    SELECT s_store_name,
+           floor(sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT))
+                 / 100.0 + 0.5) / 100 AS net_paid
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date = d_date
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE d_qoy = 2 AND d_year = 1997
+      AND substr(s_state, 1, 8) IN (
+        SELECT substr(st, 1, 8) FROM (
+          SELECT st FROM (VALUES ('NATION_0'),('NATION_2'),('NATION_4'),
+            ('NATION_6'),('NATION_8'),('NATION_10'),('NATION_11'),
+            ('NATION_12'),('NATION_14'),('NATION_16'),('NATION_17'),
+            ('NATION_18'),('NATION_20'),('NATION_22'),('NATION_24')
+          ) t(st)
+          INTERSECT
+          SELECT ca_state FROM customer_dim
+          JOIN customer_address ON c_current_addr_sk = ca_address_sk
+          WHERE c_preferred_flag = 'Y'
+          GROUP BY ca_state HAVING count(*) > 3))
+    GROUP BY s_store_name
+    """,
+        "store_sales", "date_dim", "store", "customer_dim",
+        "customer_address",
+    ),
+)
+def q_tpcds_q8(ds: _DS) -> DataFrame:
+    """TPC-DS Q8 (query8.sql): quarterly store revenue limited to
+    stores whose state prefix appears in BOTH a literal state list
+    AND the states with enough preferred customers — the INTERSECT of
+    a VALUES relation with a HAVING-filtered aggregate, semi-joined
+    into the star on a computed prefix key (the reference's zip-prefix
+    maps to the state-name prefix)."""
+    literal = (
+        ds.t.nation.select(_C("n_name").alias("st"))
+        .where(
+            _C("st").isin(
+                "NATION_0", "NATION_2", "NATION_4", "NATION_6", "NATION_8",
+                "NATION_10", "NATION_11", "NATION_12", "NATION_14",
+                "NATION_16", "NATION_17", "NATION_18", "NATION_20",
+                "NATION_22", "NATION_24",
+            )
+        )
+        .distinct()
+    )
+    pref = (
+        ds.customer_dim.where(_C("c_preferred_flag") == "Y")
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .groupBy(_C("ca_state").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(_C("n") > 3)
+        .select("st")
+    )
+    v1 = literal.intersect(pref).select(
+        F.substring("st", 1, 8).alias("st8")
+    ).distinct()
+    return (
+        ds.store_sales.join(
+            F.broadcast(
+                ds.date_dim.where((_C("d_qoy") == 2) & (_C("d_year") == 1997))
+            ),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .join(
+            F.broadcast(v1),
+            F.substring("s_state", 1, 8) == _C("st8"),
+            "left_semi",
+        )
+        .groupBy("s_store_name")
+        .agg(_exact_money_sum(_C("ss_net_paid")).alias("net_paid"))
+    )
+
+
+@_ds_q(
+    "tpcds_q77",
+    _with(
+        """
+    SELECT channel, id,
+           floor(sum(sales_c) / 100.0 + 0.5) / 100 AS sales,
+           floor(sum(ret_c) / 100.0 + 0.5) / 100 AS returns,
+           floor(sum(prof_c) / 100.0 + 0.5) / 100 AS profit
+    FROM (
+      SELECT 'store channel' AS channel, ss.sk AS id, sales_c,
+             coalesce(ret_c, 0) AS ret_c,
+             prof_c - coalesce(ret_c, 0) AS prof_c
+      FROM ss LEFT JOIN sr ON ss.sk = sr.sk
+      UNION ALL
+      SELECT 'catalog channel', coalesce(cs.sk, cr.sk),
+             coalesce(sales_c, 0), coalesce(ret_c, 0),
+             coalesce(prof_c, 0) - coalesce(ret_c, 0)
+      FROM cs FULL OUTER JOIN cr ON cs.sk = cr.sk
+      UNION ALL
+      SELECT 'web channel', ws.sk, sales_c, coalesce(ret_c, 0),
+             prof_c - coalesce(ret_c, 0)
+      FROM ws LEFT JOIN wr ON ws.sk = wr.sk
+    )
+    GROUP BY ROLLUP (channel, id)
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns",
+        extra="""
+    ss AS (
+      SELECT ss_store_sk AS sk,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS sales_c,
+             sum(CAST(round(ss_net_profit * 10000, 0) AS BIGINT)) AS prof_c
+      FROM store_sales
+      WHERE ss_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY ss_store_sk),
+    sr AS (
+      SELECT sr_store_sk AS sk,
+             sum(CAST(round(sr_return_amt * 10000, 0) AS BIGINT)) AS ret_c
+      FROM store_returns
+      WHERE sr_returned_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY sr_store_sk),
+    cs AS (
+      SELECT cs_warehouse_sk AS sk,
+             sum(CAST(round(cs_net_paid * 10000, 0) AS BIGINT)) AS sales_c,
+             sum(CAST(round(cs_net_profit * 10000, 0) AS BIGINT)) AS prof_c
+      FROM catalog_sales
+      WHERE cs_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY cs_warehouse_sk),
+    cr AS (
+      SELECT cr_warehouse_sk AS sk,
+             sum(CAST(round(cr_return_amt * 10000, 0) AS BIGINT)) AS ret_c
+      FROM catalog_returns
+      WHERE cr_returned_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY cr_warehouse_sk),
+    ws AS (
+      SELECT ws_warehouse_sk AS sk,
+             sum(CAST(round(ws_net_paid * 10000, 0) AS BIGINT)) AS sales_c,
+             sum(CAST(round(ws_net_profit * 10000, 0) AS BIGINT)) AS prof_c
+      FROM web_sales
+      WHERE ws_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY ws_warehouse_sk),
+    wr AS (
+      SELECT wr_warehouse_sk AS sk,
+             sum(CAST(round(wr_return_amt * 10000, 0) AS BIGINT)) AS ret_c
+      FROM web_returns
+      WHERE wr_returned_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      GROUP BY wr_warehouse_sk)
+    """,
+    ),
+)
+def q_tpcds_q77(ds: _DS) -> DataFrame:
+    """TPC-DS Q77 (query77.sql): the cross-channel P&L — per-channel
+    sales/returns/profit in one month (store: LEFT JOIN returns;
+    catalog: FULL OUTER, returns can exist without sales at a
+    warehouse; web: LEFT JOIN), UNION ALL'd and rolled up over
+    (channel, location). Six tiny aggregates feed the rollup; the
+    only fact-scan shuffles are the six per-location aggs."""
+    lo, hi = "1995-03-01", "1995-03-31"
+
+    def sales_agg(fact, p, loc):
+        return (
+            fact.where(_C(p + "sold_date").between(lo, hi))
+            .groupBy(_C(p + loc).alias("sk"))
+            .agg(
+                F.sum(_cents(_C(p + "net_paid"))).alias("sales_c"),
+                F.sum(_cents(_C(p + "net_profit"))).alias("prof_c"),
+            )
+        )
+
+    def ret_agg(fact, p, loc):
+        return (
+            fact.where(_C(p + "returned_date").between(lo, hi))
+            .groupBy(_C(p + loc).alias("rk"))
+            .agg(F.sum(_cents(_C(p + "return_amt"))).alias("ret_c"))
+        )
+
+    ss = sales_agg(ds.store_sales, "ss_", "store_sk")
+    sr = ret_agg(ds.store_returns, "sr_", "store_sk")
+    cs = sales_agg(ds.catalog_sales, "cs_", "warehouse_sk")
+    cr = ret_agg(ds.catalog_returns, "cr_", "warehouse_sk")
+    ws = sales_agg(ds.web_sales, "ws_", "warehouse_sk")
+    wr = ret_agg(ds.web_returns, "wr_", "warehouse_sk")
+
+    store = ss.join(sr, _C("sk") == _C("rk"), "left").select(
+        F.lit("store channel").alias("channel"),
+        _C("sk").alias("id"),
+        _C("sales_c"),
+        F.coalesce(_C("ret_c"), F.lit(0)).alias("ret_c"),
+        (_C("prof_c") - F.coalesce(_C("ret_c"), F.lit(0))).alias("prof_c"),
+    )
+    catalog = cs.join(cr, _C("sk") == _C("rk"), "full_outer").select(
+        F.lit("catalog channel").alias("channel"),
+        F.coalesce(_C("sk"), _C("rk")).alias("id"),
+        F.coalesce(_C("sales_c"), F.lit(0)).alias("sales_c"),
+        F.coalesce(_C("ret_c"), F.lit(0)).alias("ret_c"),
+        (
+            F.coalesce(_C("prof_c"), F.lit(0))
+            - F.coalesce(_C("ret_c"), F.lit(0))
+        ).alias("prof_c"),
+    )
+    web = ws.join(wr, _C("sk") == _C("rk"), "left").select(
+        F.lit("web channel").alias("channel"),
+        _C("sk").alias("id"),
+        _C("sales_c"),
+        F.coalesce(_C("ret_c"), F.lit(0)).alias("ret_c"),
+        (_C("prof_c") - F.coalesce(_C("ret_c"), F.lit(0))).alias("prof_c"),
+    )
+    return (
+        store.unionByName(catalog)
+        .unionByName(web)
+        .rollup("channel", "id")
+        .agg(
+            (F.floor(F.sum("sales_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "sales"
+            ),
+            (F.floor(F.sum("ret_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "returns"
+            ),
+            (F.floor(F.sum("prof_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "profit"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q80",
+    _with(
+        """
+    SELECT channel, id,
+           floor(sum(sales_c) / 100.0 + 0.5) / 100 AS sales,
+           floor(sum(ret_c) / 100.0 + 0.5) / 100 AS returns,
+           floor(sum(prof_c) / 100.0 + 0.5) / 100 AS profit
+    FROM (
+      SELECT 'store channel' AS channel, s_store_name AS id,
+             CAST(round(ss_net_paid * 10000, 0) AS BIGINT) AS sales_c,
+             coalesce(CAST(round(sr_return_amt * 10000, 0) AS BIGINT), 0)
+               AS ret_c,
+             CAST(round(ss_net_profit * 10000, 0) AS BIGINT)
+               - coalesce(CAST(round(sr_return_amt * 10000, 0) AS BIGINT), 0)
+               AS prof_c
+      FROM store_sales
+      LEFT JOIN store_returns ON ss_item_sk = sr_item_sk
+                             AND ss_ticket_number = sr_ticket_number
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      WHERE ss_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+        AND i_current_price > 905
+      UNION ALL
+      SELECT 'catalog channel', st.s_store_name,
+             CAST(round(cs_net_paid * 10000, 0) AS BIGINT),
+             coalesce(CAST(round(cr_return_amt * 10000, 0) AS BIGINT), 0),
+             CAST(round(cs_net_profit * 10000, 0) AS BIGINT)
+               - coalesce(CAST(round(cr_return_amt * 10000, 0) AS BIGINT), 0)
+      FROM catalog_sales
+      LEFT JOIN catalog_returns ON cs_item_sk = cr_item_sk
+                               AND cs_order_number = cr_order_number
+      JOIN store st ON cs_warehouse_sk = st.s_store_sk
+      JOIN item ON cs_item_sk = i_item_sk
+      WHERE cs_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+        AND i_current_price > 905
+      UNION ALL
+      SELECT 'web channel', sw.s_store_name,
+             CAST(round(ws_net_paid * 10000, 0) AS BIGINT),
+             coalesce(CAST(round(wr_return_amt * 10000, 0) AS BIGINT), 0),
+             CAST(round(ws_net_profit * 10000, 0) AS BIGINT)
+               - coalesce(CAST(round(wr_return_amt * 10000, 0) AS BIGINT), 0)
+      FROM web_sales
+      LEFT JOIN web_returns ON ws_item_sk = wr_item_sk
+                           AND ws_order_number = wr_order_number
+      JOIN store sw ON ws_warehouse_sk = sw.s_store_sk
+      JOIN item ON ws_item_sk = i_item_sk
+      WHERE ws_sold_date BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+        AND i_current_price > 905
+    )
+    GROUP BY ROLLUP (channel, id)
+    """,
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns", "store", "item",
+    ),
+)
+def q_tpcds_q80(ds: _DS) -> DataFrame:
+    """TPC-DS Q80 (query80.sql): line-level cross-channel P&L — each
+    channel LEFT JOINs its returns on the natural line key, filters
+    to pricey items, and the union rolls up over (channel, location
+    name). Unlike Q77's pre-aggregated P&L, the returns netting here
+    happens per line before any aggregation."""
+    lo, hi = "1995-03-01", "1995-03-31"
+    pricey = ds.item.where(_C("i_current_price") > 905).select("i_item_sk")
+
+    def chan(label, fact, rets, p, rp, order_col, loc):
+        r = rets.select(
+            _C(rp + "item_sk").alias("r_item"),
+            _C(rp + order_col).alias("r_ord"),
+            _cents(_C(rp + "return_amt")).alias("ret_c0"),
+        )
+        return (
+            fact.where(_C(p + "sold_date").between(lo, hi))
+            .join(
+                r,
+                (_C(p + "item_sk") == _C("r_item"))
+                & (_C(p + order_col) == _C("r_ord")),
+                "left",
+            )
+            .join(F.broadcast(ds.store), _C(p + loc) == _C("s_store_sk"))
+            .join(
+                F.broadcast(pricey), _C(p + "item_sk") == _C("i_item_sk")
+            )
+            .select(
+                F.lit(label).alias("channel"),
+                _C("s_store_name").alias("id"),
+                _cents(_C(p + "net_paid")).alias("sales_c"),
+                F.coalesce(_C("ret_c0"), F.lit(0)).alias("ret_c"),
+                (
+                    _cents(_C(p + "net_profit"))
+                    - F.coalesce(_C("ret_c0"), F.lit(0))
+                ).alias("prof_c"),
+            )
+        )
+
+    unioned = (
+        chan("store channel", ds.store_sales, ds.store_returns, "ss_",
+             "sr_", "ticket_number", "store_sk")
+        .unionByName(
+            chan("catalog channel", ds.catalog_sales, ds.catalog_returns,
+                 "cs_", "cr_", "order_number", "warehouse_sk")
+        )
+        .unionByName(
+            chan("web channel", ds.web_sales, ds.web_returns, "ws_",
+                 "wr_", "order_number", "warehouse_sk")
+        )
+    )
+    return unioned.rollup("channel", "id").agg(
+        (F.floor(F.sum("sales_c") / 100.0 + F.lit(0.5)) / 100).alias("sales"),
+        (F.floor(F.sum("ret_c") / 100.0 + F.lit(0.5)) / 100).alias("returns"),
+        (F.floor(F.sum("prof_c") / 100.0 + F.lit(0.5)) / 100).alias("profit"),
+    )
+
+
+@_ds_q(
+    "tpcds_q83",
+    _with(
+        """
+    SELECT sr.item_sk AS item_sk,
+           sr_qty, cr_qty, wr_qty,
+           round(sr_qty * 100.0 / ((sr_qty + cr_qty + wr_qty) / 3.0), 4)
+             AS sr_dev,
+           round(cr_qty * 100.0 / ((sr_qty + cr_qty + wr_qty) / 3.0), 4)
+             AS cr_dev,
+           round(wr_qty * 100.0 / ((sr_qty + cr_qty + wr_qty) / 3.0), 4)
+             AS wr_dev
+    FROM sr JOIN cr ON sr.item_sk = cr.item_sk
+    JOIN wr ON sr.item_sk = wr.item_sk
+    """,
+        "store_returns", "catalog_returns", "web_returns", "date_dim",
+        extra="""
+    months AS (
+      SELECT DISTINCT d_moy, d_year FROM date_dim
+      WHERE d_date IN (DATE '1995-02-10', DATE '1995-06-20',
+                       DATE '1995-09-15')),
+    sr AS (
+      SELECT sr_item_sk AS item_sk,
+             CAST(sum(CAST(sr_return_quantity AS BIGINT)) AS BIGINT)
+               AS sr_qty
+      FROM store_returns
+      JOIN date_dim ON sr_returned_date = d_date
+      JOIN months USING (d_moy, d_year)
+      GROUP BY sr_item_sk),
+    cr AS (
+      SELECT cr_item_sk AS item_sk,
+             CAST(sum(CAST(cr_return_quantity AS BIGINT)) AS BIGINT)
+               AS cr_qty
+      FROM catalog_returns
+      JOIN date_dim ON cr_returned_date = d_date
+      JOIN months USING (d_moy, d_year)
+      GROUP BY cr_item_sk),
+    wr AS (
+      SELECT wr_item_sk AS item_sk,
+             CAST(sum(CAST(wr_return_quantity AS BIGINT)) AS BIGINT)
+               AS wr_qty
+      FROM web_returns
+      JOIN date_dim ON wr_returned_date = d_date
+      JOIN months USING (d_moy, d_year)
+      GROUP BY wr_item_sk)
+    """,
+    ),
+)
+def q_tpcds_q83(ds: _DS) -> DataFrame:
+    """TPC-DS Q83 (query83.sql): items returned through ALL three
+    channels in the calendar periods containing three chosen dates
+    (the reference's week_seq subquery maps to month periods), with
+    each channel's share of the three-channel average. Three tiny
+    per-item return aggs inner-joined on the item key."""
+    months = (
+        ds.date_dim.where(
+            _C("d_date").isin("1995-02-10", "1995-06-20", "1995-09-15")
+        )
+        .select("d_moy", "d_year")
+        .distinct()
+    )
+    dd = ds.date_dim.join(F.broadcast(months), ["d_moy", "d_year"]).select(
+        "d_date"
+    )
+
+    def chan(rets, p, out):
+        return (
+            rets.join(
+                F.broadcast(dd), _C(p + "returned_date") == _C("d_date")
+            )
+            .groupBy(_C(p + "item_sk").alias("item_sk"))
+            .agg(
+                F.sum(_C(p + "return_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    sr = chan(ds.store_returns, "sr_", "sr_qty")
+    cr = chan(ds.catalog_returns, "cr_", "cr_qty")
+    wr = chan(ds.web_returns, "wr_", "wr_qty")
+    joined = sr.join(cr, "item_sk").join(wr, "item_sk")
+    avg3 = (_C("sr_qty") + _C("cr_qty") + _C("wr_qty")) / 3.0
+    return joined.select(
+        "item_sk", "sr_qty", "cr_qty", "wr_qty",
+        F.round(_C("sr_qty") * 100.0 / avg3, 4).alias("sr_dev"),
+        F.round(_C("cr_qty") * 100.0 / avg3, 4).alias("cr_dev"),
+        F.round(_C("wr_qty") * 100.0 / avg3, 4).alias("wr_dev"),
+    )
+
+
+@_ds_q(
+    "tpcds_q94",
+    _with(
+        """
+    SELECT CAST(count(DISTINCT ord) AS BIGINT) AS order_count,
+           floor(coalesce(sum(ship_c), 0) / 100.0 + 0.5) / 100
+             AS total_shipping_cost,
+           floor(coalesce(sum(prof_c), 0) / 100.0 + 0.5) / 100
+             AS total_net_profit
+    FROM (
+      SELECT ws_order_number AS ord,
+             CAST(round(ws_ext_ship_cost * 10000, 0) AS BIGINT) AS ship_c,
+             CAST(round(ws_net_profit * 10000, 0) AS BIGINT) AS prof_c
+      FROM web_sales ws1
+      JOIN customer_dim ON ws_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE ws_ship_date BETWEEN DATE '1995-02-01' AND DATE '1995-04-02'
+        AND ca_country = 'AMERICA'
+        AND ws_order_number IN (
+          SELECT ws_order_number FROM web_sales
+          GROUP BY ws_order_number
+          HAVING count(DISTINCT ws_warehouse_sk) > 1)
+        AND NOT EXISTS (
+          SELECT 1 FROM web_returns
+          WHERE wr_order_number = ws1.ws_order_number)
+    )
+    """,
+        "web_sales", "web_returns", "customer_dim", "customer_address",
+    ),
+)
+def q_tpcds_q94(ds: _DS) -> DataFrame:
+    """TPC-DS Q94 (query94.sql): web orders shipped in a 60-day
+    window to one region, split across more than one warehouse
+    (EXISTS a different-warehouse line -> distinct-count semi-join)
+    and never returned (anti-join). count(DISTINCT order) plus
+    exact-cent cost sums."""
+    multi_wh = (
+        ds.web_sales.groupBy("ws_order_number")
+        .agg(F.countDistinct("ws_warehouse_sk").alias("nw"))
+        .where(_C("nw") > 1)
+        .select("ws_order_number")
+    )
+    base = (
+        ds.web_sales.where(
+            _C("ws_ship_date").between("1995-02-01", "1995-04-02")
+        )
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("ws_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(
+                ds.customer_address.where(_C("ca_country") == "AMERICA")
+            ),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .join(multi_wh, "ws_order_number", "left_semi")
+        .join(
+            ds.web_returns.select(
+                _C("wr_order_number").alias("ws_order_number")
+            ),
+            "ws_order_number",
+            "left_anti",
+        )
+    )
+    return base.select(
+        _C("ws_order_number").alias("ord"),
+        _cents(_C("ws_ext_ship_cost")).alias("ship_c"),
+        _cents(_C("ws_net_profit")).alias("prof_c"),
+    ).agg(
+        F.countDistinct("ord").cast("bigint").alias("order_count"),
+        (
+            F.floor(
+                F.coalesce(F.sum("ship_c"), F.lit(0)) / 100.0 + F.lit(0.5)
+            )
+            / 100
+        ).alias("total_shipping_cost"),
+        (
+            F.floor(
+                F.coalesce(F.sum("prof_c"), F.lit(0)) / 100.0 + F.lit(0.5)
+            )
+            / 100
+        ).alias("total_net_profit"),
+    )
+
+
+@_ds_q(
+    "tpcds_q99",
+    _with(
+        """
+    SELECT s_store_name AS warehouse_name, d_moy,
+           CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(sum(CASE WHEN lag > 30 AND lag <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN lag > 60 AND lag <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN lag > 90 AND lag <= 120 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d120,
+           CAST(sum(CASE WHEN lag > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d120plus
+    FROM (
+      SELECT ws_warehouse_sk, ws_sold_date,
+             date_diff('day', ws_sold_date, ws_ship_date) AS lag
+      FROM web_sales
+      WHERE EXTRACT(YEAR FROM ws_ship_date) = 1997
+    )
+    JOIN store ON ws_warehouse_sk = s_store_sk
+    JOIN date_dim ON ws_sold_date = d_date
+    GROUP BY s_store_name, d_moy
+    """,
+        "web_sales", "store", "date_dim",
+    ),
+)
+def q_tpcds_q99(ds: _DS) -> DataFrame:
+    """TPC-DS Q99 (query99.sql): the shipping-latency bucket matrix
+    per warehouse and order month for the web channel (Q62 covers
+    catalog) — five conditional counts in one pass over the
+    ship-year slice; the warehouse and date dims broadcast."""
+    lag = F.datediff(_C("ws_ship_date"), _C("ws_sold_date"))
+    return (
+        ds.web_sales.where(F.year("ws_ship_date") == 1997)
+        .select("ws_warehouse_sk", "ws_sold_date", lag.alias("lag"))
+        .join(F.broadcast(ds.store), _C("ws_warehouse_sk") == _C("s_store_sk"))
+        .join(F.broadcast(ds.date_dim), _C("ws_sold_date") == _C("d_date"))
+        .groupBy(_C("s_store_name").alias("warehouse_name"), _C("d_moy"))
+        .agg(
+            F.sum(F.when(_C("lag") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("d30"),
+            F.sum(F.when((_C("lag") > 30) & (_C("lag") <= 60), 1).otherwise(0))
+            .cast("bigint")
+            .alias("d60"),
+            F.sum(F.when((_C("lag") > 60) & (_C("lag") <= 90), 1).otherwise(0))
+            .cast("bigint")
+            .alias("d90"),
+            F.sum(
+                F.when((_C("lag") > 90) & (_C("lag") <= 120), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d120"),
+            F.sum(F.when(_C("lag") > 120, 1).otherwise(0))
+            .cast("bigint")
+            .alias("d120plus"),
+        )
+    )

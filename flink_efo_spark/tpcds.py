@@ -6463,3 +6463,341 @@ def q_tpcds_q99(ds: _DS) -> DataFrame:
             .alias("d120plus"),
         )
     )
+
+
+@_ds_q(
+    "tpcds_q18",
+    _with(
+        f"""
+    SELECT ca_country, ca_state,
+           {_exact_avg_sql('cs_quantity', 100)} AS agg1,
+           {_exact_avg_sql('cs_ext_list_price', 10000)} AS agg2,
+           {_exact_avg_sql('cs_ext_discount_amt', 10000)} AS agg3,
+           {_exact_avg_sql('cs_net_paid', 10000)} AS agg4
+    FROM catalog_sales
+    JOIN customer_dim ON cs_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN date_dim ON cs_sold_date = d_date
+    WHERE d_year = 1997
+      AND c_customer_sk % 12 IN (0, 1, 5, 7, 8, 11)
+      AND c_segment IN ('BUILDING', 'HOUSEHOLD')
+    GROUP BY ROLLUP (ca_country, ca_state)
+    """,
+        "catalog_sales", "customer_dim", "customer_address", "date_dim",
+    ),
+)
+def q_tpcds_q18(ds: _DS) -> DataFrame:
+    """TPC-DS Q18 (query18.sql): catalog purchase averages for a
+    demographic slice (the reference's birth-month list maps to a
+    customer-key residue class, its cd filters to segment), rolled up
+    the geography hierarchy. Four exact-integer-sum averages per
+    rollup level in one Expand pass."""
+    return (
+        ds.catalog_sales.join(
+            F.broadcast(
+                ds.customer_dim.where(
+                    (_C("c_customer_sk") % 12).isin(0, 1, 5, 7, 8, 11)
+                    & _C("c_segment").isin("BUILDING", "HOUSEHOLD")
+                )
+            ),
+            _C("cs_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .rollup("ca_country", "ca_state")
+        .agg(
+            _exact_avg(_C("cs_quantity"), 100).alias("agg1"),
+            _exact_avg(_C("cs_ext_list_price"), 10000).alias("agg2"),
+            _exact_avg(_C("cs_ext_discount_amt"), 10000).alias("agg3"),
+            _exact_avg(_C("cs_net_paid"), 10000).alias("agg4"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q24",
+    _with(
+        """
+    SELECT cust, store_name,
+           floor(paid_c / 100.0 + 0.5) / 100 AS paid
+    FROM (
+      SELECT cust, store_name, sum(netpaid_c) AS paid_c
+      FROM ssales
+      WHERE sz BETWEEN 1 AND 10
+      GROUP BY cust, store_name
+    )
+    WHERE CAST(paid_c AS DOUBLE) >
+      (SELECT 0.05 * avg(CAST(netpaid_c AS DOUBLE)) FROM ssales)
+    """,
+        "store_sales", "store_returns", "store", "item", "customer_dim",
+        "customer_address",
+        extra="""
+    ssales AS (
+      SELECT c_customer_id AS cust, s_store_name AS store_name,
+             i_size AS sz,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS netpaid_c
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE s_state = ca_state
+      GROUP BY c_customer_id, s_store_name, i_size)
+    """,
+    ),
+)
+def q_tpcds_q24(ds: _DS) -> DataFrame:
+    """TPC-DS Q24 (query24a.sql): returned store purchases by
+    customers who live in the store's state, grouped with item size
+    (the reference's color), then filtered to small sizes and kept
+    only when the customer-store total beats 5% of the corpus-wide
+    average — an uncorrelated scalar subquery broadcast as a 1-row
+    build (the same constant-size BNLJ shape as Q23)."""
+    ssales = (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_item_sk") == _C("sr_item_sk")),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("ss_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .where(_C("s_state") == _C("ca_state"))
+        .groupBy(
+            _C("c_customer_id").alias("cust"),
+            _C("s_store_name").alias("store_name"),
+            _C("i_size").alias("sz"),
+        )
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("netpaid_c"))
+    )
+    threshold = ssales.agg(
+        (0.05 * F.avg(_C("netpaid_c").cast("double"))).alias("thr")
+    )
+    return (
+        ssales.where(_C("sz").between(1, 10))
+        .groupBy("cust", "store_name")
+        .agg(F.sum("netpaid_c").alias("paid_c"))
+        .join(F.broadcast(threshold))
+        .where(_C("paid_c").cast("double") > _C("thr"))
+        .select(
+            "cust", "store_name",
+            (F.floor(_C("paid_c") / 100.0 + F.lit(0.5)) / 100).alias("paid"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q79",
+    _with(
+        """
+    SELECT c_customer_id, s_state, ticket,
+           floor(amt_c / 100.0 + 0.5) / 100 AS coupon_amt,
+           floor(prof_c / 100.0 + 0.5) / 100 AS profit
+    FROM (
+      SELECT ss_ticket_number AS ticket, ss_customer_sk AS cust,
+             s_state,
+             sum(CAST(round(ss_ext_discount_amt * 10000, 0) AS BIGINT))
+               AS amt_c,
+             sum(CAST(round(ss_net_profit * 10000, 0) AS BIGINT)) AS prof_c
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date = d_date
+      JOIN store ON ss_store_sk = s_store_sk
+      WHERE date_diff('day', DATE '1995-01-01', ss_sold_date) % 7 = 1
+        AND d_year IN (1996, 1997, 1998)
+        AND s_market_id BETWEEN 2 AND 7
+      GROUP BY ss_ticket_number, ss_customer_sk, s_state
+    )
+    JOIN customer_dim ON cust = c_customer_sk
+    WHERE c_preferred_flag = 'Y' OR c_segment = 'AUTOMOBILE'
+    """,
+        "store_sales", "date_dim", "store", "customer_dim",
+    ),
+)
+def q_tpcds_q79(ds: _DS) -> DataFrame:
+    """TPC-DS Q79 (query79.sql): per-ticket Monday coupon totals and
+    profit in mid-market stores for a household slice (the
+    reference's hd filters map to preferred/segment flags; Monday is
+    the engine-neutral epoch-mod-7 arithmetic from Q43). Ticket-level
+    natural-key agg, then the customer dim joins the aggregate."""
+    dow = F.datediff(_C("ss_sold_date"), F.lit("1995-01-01").cast("date")) % 7
+    tickets = (
+        ds.store_sales.join(
+            F.broadcast(
+                ds.date_dim.where(_C("d_year").isin(1996, 1997, 1998))
+            ),
+            _C("ss_sold_date") == _C("d_date"),
+        )
+        .join(
+            F.broadcast(ds.store.where(_C("s_market_id").between(2, 7))),
+            _C("ss_store_sk") == _C("s_store_sk"),
+        )
+        .where(dow == 1)
+        .groupBy(
+            _C("ss_ticket_number").alias("ticket"),
+            _C("ss_customer_sk").alias("cust"),
+            _C("s_state"),
+        )
+        .agg(
+            F.sum(_cents(_C("ss_ext_discount_amt"))).alias("amt_c"),
+            F.sum(_cents(_C("ss_net_profit"))).alias("prof_c"),
+        )
+    )
+    return (
+        tickets.join(
+            F.broadcast(
+                ds.customer_dim.where(
+                    (_C("c_preferred_flag") == "Y")
+                    | (_C("c_segment") == "AUTOMOBILE")
+                )
+            ),
+            _C("cust") == _C("c_customer_sk"),
+        )
+        .select(
+            "c_customer_id", "s_state", "ticket",
+            (F.floor(_C("amt_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "coupon_amt"
+            ),
+            (F.floor(_C("prof_c") / 100.0 + F.lit(0.5)) / 100).alias(
+                "profit"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q84",
+    _with(
+        """
+    SELECT DISTINCT c_customer_id AS customer_id, ca_state
+    FROM customer_dim
+    JOIN customer ON c_customer_sk = c_custkey
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    WHERE ca_country = 'EUROPE'
+      AND c_acctbal BETWEEN 1000 AND 6000
+      AND c_customer_sk IN (SELECT sr_customer_sk FROM store_returns)
+    """,
+        "customer_dim", "customer_address", "store_returns",
+    ),
+)
+def q_tpcds_q84(ds: _DS) -> DataFrame:
+    """TPC-DS Q84 (query84.sql): the customer lookup through the
+    demographics/income-band chain (mapped to the base customer's
+    account-balance band) restricted to customers with store returns
+    — a dimension-only join tree plus a fact semi-join."""
+    return (
+        ds.customer_dim.join(
+            ds.t.customer.select("c_custkey", "c_acctbal"),
+            _C("c_customer_sk") == _C("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                ds.customer_address.where(_C("ca_country") == "EUROPE")
+            ),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .where(_C("c_acctbal").between(1000, 6000))
+        .join(
+            ds.store_returns.select(
+                _C("sr_customer_sk").alias("c_customer_sk")
+            ),
+            "c_customer_sk",
+            "left_semi",
+        )
+        .select(_C("c_customer_id").alias("customer_id"), _C("ca_state"))
+        .distinct()
+    )
+
+
+@_ds_q(
+    "tpcds_q85",
+    _with(
+        f"""
+    SELECT c_segment,
+           {_exact_avg_sql('ws_quantity', 100)} AS avg_quantity,
+           {_exact_avg_sql('wr_return_amt', 10000)} AS avg_refund
+    FROM web_sales
+    JOIN web_returns ON ws_item_sk = wr_item_sk
+                    AND ws_order_number = wr_order_number
+    JOIN customer_dim ON wr_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN date_dim ON ws_sold_date = d_date
+    WHERE d_year = 1995
+      AND ((c_segment IN ('BUILDING', 'MACHINERY')
+              AND ws_net_paid BETWEEN 0 AND 40000)
+        OR (c_segment IN ('AUTOMOBILE', 'HOUSEHOLD')
+              AND ws_net_paid BETWEEN 20000 AND 80000)
+        OR (c_segment = 'FURNITURE'
+              AND ws_net_paid BETWEEN 40000 AND 120000))
+      AND ((ca_country = 'AMERICA' AND ws_quantity BETWEEN 1 AND 30)
+        OR (ca_country = 'EUROPE' AND ws_quantity BETWEEN 10 AND 40)
+        OR (ca_country IN ('ASIA', 'AFRICA', 'MIDDLE EAST')
+              AND ws_quantity BETWEEN 20 AND 50))
+    GROUP BY c_segment
+    """,
+        "web_sales", "web_returns", "customer_dim", "customer_address",
+        "date_dim",
+    ),
+)
+def q_tpcds_q85(ds: _DS) -> DataFrame:
+    """TPC-DS Q85 (query85.sql): web returns under paired OR-grids —
+    (demographic x price band) AND (geography x quantity band) — with
+    per-segment averages of quantity and refund (the reference's
+    reason dim and double-demographics map to the derived segment and
+    returning-customer flags). The sales-returns join rides the
+    natural (item, order) key; both grids fold into one Catalyst
+    predicate."""
+    seg_band = (
+        (_C("c_segment").isin("BUILDING", "MACHINERY")
+         & _C("ws_net_paid").between(0, 40000))
+        | (_C("c_segment").isin("AUTOMOBILE", "HOUSEHOLD")
+           & _C("ws_net_paid").between(20000, 80000))
+        | ((_C("c_segment") == "FURNITURE")
+           & _C("ws_net_paid").between(40000, 120000))
+    )
+    geo_band = (
+        ((_C("ca_country") == "AMERICA") & _C("ws_quantity").between(1, 30))
+        | ((_C("ca_country") == "EUROPE")
+           & _C("ws_quantity").between(10, 40))
+        | (_C("ca_country").isin("ASIA", "AFRICA", "MIDDLE EAST")
+           & _C("ws_quantity").between(20, 50))
+    )
+    return (
+        ds.web_sales.join(
+            ds.web_returns,
+            (_C("ws_item_sk") == _C("wr_item_sk"))
+            & (_C("ws_order_number") == _C("wr_order_number")),
+        )
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("wr_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1995)),
+            _C("ws_sold_date") == _C("d_date"),
+        )
+        .where(seg_band & geo_band)
+        .groupBy("c_segment")
+        .agg(
+            _exact_avg(_C("ws_quantity"), 100).alias("avg_quantity"),
+            _exact_avg(_C("wr_return_amt"), 10000).alias("avg_refund"),
+        )
+    )

@@ -43,6 +43,9 @@ INTENTIONAL_NLJ = {
     # scalar max-spend threshold: join(broadcast(<1-row max agg>))
     # gating the best-customer semi-join side — constant-size build
     "tpcds_q23",
+    # corpus-average 5% threshold: join(broadcast(<1-row avg agg>))
+    # over the grouped ssales relation — constant-size build
+    "tpcds_q24",
 }
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}

@@ -6801,3 +6801,377 @@ def q_tpcds_q85(ds: _DS) -> DataFrame:
             _exact_avg(_C("wr_return_amt"), 10000).alias("avg_refund"),
         )
     )
+
+
+@_ds_q(
+    "tpcds_q14b",
+    _with(
+        """
+    SELECT ty.brand, ty.cls,
+           floor(ty.cents / 100.0 + 0.5) / 100 AS this_year,
+           floor(ly.cents / 100.0 + 0.5) / 100 AS last_year
+    FROM week_sales ty
+    JOIN week_sales_ly ly ON ty.brand = ly.brand AND ty.cls = ly.cls
+    WHERE CAST(ty.cents AS DOUBLE)
+            > (SELECT avg_c FROM avg_sales)
+    """,
+        "store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+        extra="""
+    cross_bcc AS (
+      SELECT i_brand AS brand, i_class AS cls, i_category AS cat FROM (
+        SELECT i_brand, i_class, i_category
+        FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+        INTERSECT
+        SELECT i_brand, i_class, i_category
+        FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+        INTERSECT
+        SELECT i_brand, i_class, i_category
+        FROM web_sales JOIN item ON ws_item_sk = i_item_sk) x),
+    avg_sales AS (
+      SELECT avg(CAST(round(paid * 10000, 0) AS BIGINT)) AS avg_c FROM (
+        SELECT ss_net_paid AS paid FROM store_sales
+        UNION ALL SELECT cs_net_paid FROM catalog_sales
+        UNION ALL SELECT ws_net_paid FROM web_sales) u),
+    week_sales AS (
+      SELECT i_brand AS brand, i_class AS cls,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1997 AND d_moy = 12
+        AND EXISTS (SELECT 1 FROM cross_bcc
+                    WHERE brand = i_brand AND cls = i_class
+                      AND cat = i_category)
+      GROUP BY i_brand, i_class),
+    week_sales_ly AS (
+      SELECT i_brand AS brand, i_class AS cls,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS cents
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year = 1996 AND d_moy = 12
+        AND EXISTS (SELECT 1 FROM cross_bcc
+                    WHERE brand = i_brand AND cls = i_class
+                      AND cat = i_category)
+      GROUP BY i_brand, i_class)
+    """,
+    ),
+)
+def q_tpcds_q14b(ds: _DS) -> DataFrame:
+    """TPC-DS Q14b (query14b.sql): the week-over-week half of Q14 —
+    brand/class sales for the same December period this year vs last,
+    restricted to (brand, class, category) combos sold through ALL
+    three channels (INTERSECT at the hierarchy level, unlike Q14a's
+    item level), thresholded by the corpus-wide average sale (1-row
+    broadcast aggregate)."""
+
+    def bcc(fact, k):
+        return fact.join(ds.item, _C(k) == _C("i_item_sk")).select(
+            "i_brand", "i_class", "i_category"
+        )
+
+    cross_bcc = (
+        bcc(ds.store_sales, "ss_item_sk")
+        .intersect(bcc(ds.catalog_sales, "cs_item_sk"))
+        .intersect(bcc(ds.web_sales, "ws_item_sk"))
+    )
+    avg_sales = (
+        ds.store_sales.select(_cents(_C("ss_net_paid")).alias("c"))
+        .unionByName(ds.catalog_sales.select(_cents(_C("cs_net_paid")).alias("c")))
+        .unionByName(ds.web_sales.select(_cents(_C("ws_net_paid")).alias("c")))
+        .agg(F.avg("c").alias("avg_c"))
+    )
+
+    def week(year):
+        return (
+            ds.store_sales.join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
+            .join(
+                F.broadcast(
+                    ds.date_dim.where(
+                        (_C("d_year") == year) & (_C("d_moy") == 12)
+                    )
+                ),
+                _C("ss_sold_date") == _C("d_date"),
+            )
+            .join(
+                cross_bcc.withColumnRenamed("i_brand", "b")
+                .withColumnRenamed("i_class", "c")
+                .withColumnRenamed("i_category", "ct"),
+                (_C("i_brand") == _C("b"))
+                & (_C("i_class") == _C("c"))
+                & (_C("i_category") == _C("ct")),
+                "left_semi",
+            )
+            .groupBy(_C("i_brand").alias("brand"), _C("i_class").alias("cls"))
+            .agg(F.sum(_cents(_C("ss_net_paid"))).alias("cents"))
+        )
+
+    ty = week(1997).alias("ty")
+    ly = week(1996).alias("ly")
+    return (
+        ty.join(
+            ly,
+            (_C("ty.brand") == _C("ly.brand")) & (_C("ty.cls") == _C("ly.cls")),
+        )
+        .join(F.broadcast(avg_sales))
+        .where(_C("ty.cents").cast("double") > _C("avg_c"))
+        .select(
+            _C("ty.brand").alias("brand"),
+            _C("ty.cls").alias("cls"),
+            (F.floor(_C("ty.cents") / 100.0 + F.lit(0.5)) / 100).alias(
+                "this_year"
+            ),
+            (F.floor(_C("ly.cents") / 100.0 + F.lit(0.5)) / 100).alias(
+                "last_year"
+            ),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q23b",
+    _with(
+        f"""
+    SELECT cust, floor(sum(cents) / 100.0 + 0.5) / 100 AS sales
+    FROM (
+      SELECT c_customer_id AS cust,
+             CAST(round(cs_net_paid * 10000, 0) AS BIGINT) AS cents
+      FROM catalog_sales
+      JOIN customer_dim ON cs_customer_sk = c_customer_sk
+      WHERE cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_customer_sk IN (
+          SELECT customer_sk FROM best_ss_customer
+          WHERE ssales > 0.5 * (SELECT max(ssales) FROM best_ss_customer))
+      UNION ALL
+      SELECT c_customer_id,
+             CAST(round(ws_net_paid * 10000, 0) AS BIGINT)
+      FROM web_sales
+      JOIN customer_dim ON ws_customer_sk = c_customer_sk
+      WHERE ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_customer_sk IN (
+          SELECT customer_sk FROM best_ss_customer
+          WHERE ssales > 0.5 * (SELECT max(ssales) FROM best_ss_customer))
+    )
+    GROUP BY cust
+    """,
+        "store_sales", "catalog_sales", "web_sales", "date_dim",
+        "customer_dim",
+        extra="""
+    frequent_ss_items AS (
+      SELECT ss_item_sk AS item_sk
+      FROM store_sales JOIN date_dim ON ss_sold_date = d_date
+      WHERE d_year IN (1998, 1999)
+      GROUP BY ss_item_sk HAVING count(*) > 4),
+    best_ss_customer AS (
+      SELECT ss_customer_sk AS customer_sk, sum(ss_net_paid) AS ssales
+      FROM store_sales GROUP BY ss_customer_sk)
+    """,
+    ),
+)
+def q_tpcds_q23b(ds: _DS) -> DataFrame:
+    """TPC-DS Q23b (query23b.sql): the named-customer half of Q23 —
+    catalog and web spending of the best store customers on
+    frequently store-sold items, per customer. Same semi-join gates
+    as Q23a plus the 1-row max broadcast; the channel union happens
+    before the final customer agg."""
+    ss = ds.store_sales
+    frequent = (
+        ss.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .where(_C("d_year").isin(1998, 1999))
+        .groupBy("ss_item_sk")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(_C("__cnt") > 4)
+        .select(_C("ss_item_sk").alias("item_sk"))
+    )
+    best = ss.groupBy("ss_customer_sk").agg(
+        F.sum("ss_net_paid").alias("ssales")
+    )
+    max_sales = best.agg(F.max("ssales").alias("__max_ssales"))
+    top_customers = (
+        best.join(F.broadcast(max_sales))
+        .where(_C("ssales") > 0.5 * _C("__max_ssales"))
+        .select(_C("ss_customer_sk").alias("customer_sk"))
+    )
+
+    def chan(fact, p):
+        return (
+            fact.join(
+                frequent, _C(p + "item_sk") == _C("item_sk"), "left_semi"
+            )
+            .join(
+                top_customers,
+                _C(p + "customer_sk") == _C("customer_sk"),
+                "left_semi",
+            )
+            .join(
+                F.broadcast(ds.customer_dim),
+                _C(p + "customer_sk") == _C("c_customer_sk"),
+            )
+            .select(
+                _C("c_customer_id").alias("cust"),
+                _cents(_C(p + "net_paid")).alias("cents"),
+            )
+        )
+
+    return (
+        chan(ds.catalog_sales, "cs_")
+        .unionByName(chan(ds.web_sales, "ws_"))
+        .groupBy("cust")
+        .agg(
+            (F.floor(F.sum("cents") / 100.0 + F.lit(0.5)) / 100).alias(
+                "sales"
+            )
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q24b",
+    _with(
+        """
+    SELECT cust, store_name,
+           floor(paid_c / 100.0 + 0.5) / 100 AS paid
+    FROM (
+      SELECT cust, store_name, sum(netpaid_c) AS paid_c
+      FROM ssales
+      WHERE sz BETWEEN 40 AND 50
+      GROUP BY cust, store_name
+    )
+    WHERE CAST(paid_c AS DOUBLE) >
+      (SELECT 0.05 * avg(CAST(netpaid_c AS DOUBLE)) FROM ssales)
+    """,
+        "store_sales", "store_returns", "store", "item", "customer_dim",
+        "customer_address",
+        extra="""
+    ssales AS (
+      SELECT c_customer_id AS cust, s_store_name AS store_name,
+             i_size AS sz,
+             sum(CAST(round(ss_net_paid * 10000, 0) AS BIGINT)) AS netpaid_c
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN customer_dim ON ss_customer_sk = c_customer_sk
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE s_state = ca_state
+      GROUP BY c_customer_id, s_store_name, i_size)
+    """,
+    ),
+)
+def q_tpcds_q24b(ds: _DS) -> DataFrame:
+    """TPC-DS Q24b (query24b.sql): the sibling slice of Q24a — the
+    identical returned-purchase CTE filtered to the large size band
+    instead (the reference's two variants differ only in color).
+    Same 1-row scalar-average broadcast threshold."""
+    ssales = (
+        ds.store_sales.join(
+            ds.store_returns,
+            (_C("ss_ticket_number") == _C("sr_ticket_number"))
+            & (_C("ss_item_sk") == _C("sr_item_sk")),
+        )
+        .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
+        .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("ss_customer_sk") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .where(_C("s_state") == _C("ca_state"))
+        .groupBy(
+            _C("c_customer_id").alias("cust"),
+            _C("s_store_name").alias("store_name"),
+            _C("i_size").alias("sz"),
+        )
+        .agg(F.sum(_cents(_C("ss_net_paid"))).alias("netpaid_c"))
+    )
+    threshold = ssales.agg(
+        (0.05 * F.avg(_C("netpaid_c").cast("double"))).alias("thr")
+    )
+    return (
+        ssales.where(_C("sz").between(40, 50))
+        .groupBy("cust", "store_name")
+        .agg(F.sum("netpaid_c").alias("paid_c"))
+        .join(F.broadcast(threshold))
+        .where(_C("paid_c").cast("double") > _C("thr"))
+        .select(
+            "cust", "store_name",
+            (F.floor(_C("paid_c") / 100.0 + F.lit(0.5)) / 100).alias("paid"),
+        )
+    )
+
+
+@_ds_q(
+    "tpcds_q39b",
+    _with(
+        """
+    SELECT c1.w AS warehouse_sk, c1.moy AS moy1, c2.moy AS moy2,
+           round(c1.mean, 4) AS mean1, round(c1.cov, 4) AS cov1,
+           round(c2.mean, 4) AS mean2, round(c2.cov, 4) AS cov2
+    FROM inv c1
+    JOIN inv c2 ON c1.w = c2.w AND c1.moy = 1 AND c2.moy = 2
+    WHERE c1.cov > 0.4 AND c2.cov > 0.3
+    """,
+        "catalog_sales", "date_dim",
+        extra="""
+    base AS (
+      SELECT cs_warehouse_sk AS w, d_moy AS moy,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cs_quantity AS BIGINT)) AS s,
+             sum(CAST(cs_quantity AS BIGINT)
+                 * CAST(cs_quantity AS BIGINT)) AS s2
+      FROM catalog_sales JOIN date_dim ON cs_sold_date = d_date
+      WHERE d_year = 1997
+      GROUP BY cs_warehouse_sk, d_moy
+      HAVING count(*) > 1),
+    inv AS (
+      SELECT w, moy, CAST(s AS DOUBLE) / n AS mean,
+             sqrt((n * s2 - s * s) / (CAST(n AS DOUBLE) * (n - 1)))
+               / (CAST(s AS DOUBLE) / n) AS cov
+      FROM base)
+    """,
+    ),
+)
+def q_tpcds_q39b(ds: _DS) -> DataFrame:
+    """TPC-DS Q39b (query39b.sql): Q39a with the stricter first-month
+    volatility gate (the reference's variants differ only in the
+    added cov >= 1.5 filter on the first month)."""
+    base = (
+        ds.catalog_sales.join(
+            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
+            _C("cs_sold_date") == _C("d_date"),
+        )
+        .groupBy(_C("cs_warehouse_sk").alias("w"), _C("d_moy").alias("moy"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_C("cs_quantity").cast("bigint")).alias("s"),
+            F.sum(
+                _C("cs_quantity").cast("bigint")
+                * _C("cs_quantity").cast("bigint")
+            ).alias("s2"),
+        )
+        .where(_C("n") > 1)
+    )
+    mean = _C("s").cast("double") / _C("n")
+    cov = (
+        F.sqrt(
+            (_C("n") * _C("s2") - _C("s") * _C("s"))
+            / (_C("n").cast("double") * (_C("n") - F.lit(1)))
+        )
+        / mean
+    )
+    inv = base.select("w", "moy", mean.alias("mean"), cov.alias("cov"))
+    c1 = inv.where((_C("moy") == 1) & (_C("cov") > 0.4)).alias("c1")
+    c2 = inv.where((_C("moy") == 2) & (_C("cov") > 0.3)).alias("c2")
+    return c1.join(c2, _C("c1.w") == _C("c2.w")).select(
+        _C("c1.w").alias("warehouse_sk"),
+        _C("c1.moy").alias("moy1"),
+        _C("c2.moy").alias("moy2"),
+        F.round(_C("c1.mean"), 4).alias("mean1"),
+        F.round(_C("c1.cov"), 4).alias("cov1"),
+        F.round(_C("c2.mean"), 4).alias("mean2"),
+        F.round(_C("c2.cov"), 4).alias("cov2"),
+    )

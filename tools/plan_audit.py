@@ -46,6 +46,9 @@ INTENTIONAL_NLJ = {
     # corpus-average 5% threshold: join(broadcast(<1-row avg agg>))
     # over the grouped ssales relation — constant-size build
     "tpcds_q24",
+    "tpcds_q24b",
+    # corpus-average sale threshold: the same 1-row avg broadcast
+    "tpcds_q14b",
 }
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}

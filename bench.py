@@ -145,6 +145,23 @@ BENCH_QUERIES = [
     "stream_over_rows_bounded",
     "stream_over_range_bounded",
     "sql_match_first_last",
+    # round 6d: the corpus-completing batch — one row per NEW plan
+    # family (the q52/q55/q12/q20-style star variants share plans
+    # with already-benched families and would add noise, not signal)
+    "tpcds_q17",   # 3-fact natural-key chain + closed-form stddev
+    "tpcds_q22",   # 4-level item rollup (Expand) over a year slice
+    "tpcds_q38",   # tri-channel INTERSECT of (customer, day) pairs
+    "tpcds_q39",   # per-warehouse volatility cov + month self-join
+    "tpcds_q53",   # manufacturer deviation-vs-window-average family
+    "tpcds_q57",   # lag/lead + yearly-avg windows on catalog
+    "tpcds_q70",   # grouping()-ranked geography rollup + top-5 semi
+    "tpcds_q72",   # week-aligned catalog-web fact-fact join
+    "tpcds_q77",   # cross-channel P&L: 6 pre-aggs + rollup
+    "tpcds_q80",   # cross-channel P&L: line-level returns netting
+    "tpcds_q94",   # multi-warehouse semi + never-returned anti join
+    "tpcds_q14b",  # hierarchy-level INTERSECT + 1-row avg threshold
+    "tpcds_q23b",  # best-customer semi gates + channel union
+    "tpcds_q24",   # returned-purchase agg + 5%-of-average threshold
 ]
 
 

@@ -43,6 +43,7 @@ INTENTIONAL_NLJ = {
     # scalar max-spend threshold: join(broadcast(<1-row max agg>))
     # gating the best-customer semi-join side — constant-size build
     "tpcds_q23",
+    "tpcds_q23b",
     # corpus-average 5% threshold: join(broadcast(<1-row avg agg>))
     # over the grouped ssales relation — constant-size build
     "tpcds_q24",

@@ -646,3 +646,108 @@ def ivf_query_index(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over an embedding
+    column — the coarse-quantizer trainer :func:`ivf_centroids`'s
+    docstring defers to ("a production pipeline trains k-means").
+
+    Bit-stable by construction, the same discipline as the corpus's
+    exact-cent money sums: vectors quantize to BIGINT at ``scale``
+    via floor (tie-free, unlike half-up rounding on arbitrary
+    floats), distances are exact integer sums of squares (argmin
+    tie-breaks on cid), and centroid updates are floor(sum/count) on
+    exact integer sums — so every iteration is identical regardless
+    of engine, partitioning, or row order, and a DuckDB oracle can
+    replay the whole training loop.
+
+    Scale shape (the reason this is cluster-honest):
+
+    * init — first ``k`` rows by id (zero-training convention shared
+      with :func:`ivf_centroids`); k rows reach the driver.
+    * assignment — centroids ride into the plan as LITERAL arrays
+      (k·d ints, a few KB): a narrow codegen map computing k exact
+      integer distances per row. No join, no shuffle, no UDF.
+    * update — posexplode to (cid, pos) partial sums: ONE shuffle of
+      at most k·d·partitions combiner rows per iteration (map-side
+      combine does the heavy lifting); k·d result rows reach the
+      driver (bounded metadata, same class as the IVF cell collect).
+
+    Returns a k·d-row DataFrame (cid, pos, cent_val, size): the
+    trained centroids in long form plus each cluster's final
+    population.
+    """
+    spark = df.sparkSession
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("__id"), vq.alias("__vq")).persist()
+    first = base.orderBy("__id").limit(k).collect()
+    cents: list[list[int]] = [list(r["__vq"]) for r in first]
+    d = len(cents[0])
+    sizes: dict[int, int] = {}
+    assigned = None
+    for _ in range(n_iter):
+        dist_structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__vq"),
+                            F.array(*[F.lit(v).cast("long") for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(ci).cast("long").alias("cid"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        assigned = base.select(
+            "__id", "__vq", F.array_min(dist_structs)["cid"].alias("__cid")
+        )
+        upd = (
+            assigned.select(
+                "__cid", F.posexplode("__vq").alias("__pos", "__v")
+            )
+            .groupBy("__cid", "__pos")
+            .agg(
+                # floor(double-division of exact integer sums): both
+                # engines IEEE-divide the same ints, so the floor is
+                # identical (exact quotients are sub-2^53 here)
+                F.floor(F.sum("__v") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("__c"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        sizes = {}
+        for r in upd:
+            new_cents[int(r["__cid"])][int(r["__pos"])] = int(r["__c"])
+            sizes[int(r["__cid"])] = int(r["__n"])
+        cents = new_cents
+    base.unpersist()
+    rows = [
+        (ci, pos, float(v) / scale, int(sizes.get(ci, 0)))
+        for ci, c in enumerate(cents)
+        for pos, v in enumerate(c)
+    ]
+    out = spark.createDataFrame(
+        rows, "cid bigint, pos bigint, cent_val double, size bigint"
+    )
+    return out.select(
+        "cid", "pos", F.round("cent_val", 6).alias("cent_val"), "size"
+    )

@@ -6478,3 +6478,71 @@ def q_stream_incremental_dedup(t: _T) -> DataFrame:
     )
     q.awaitTermination()
     return t.spark.read.parquet(f"{base}/out").select("doc_id")
+
+
+@_q(
+    "kmeans_embeddings",
+    """
+    WITH emb AS (
+      SELECT vec_id AS id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings),
+    init_ids AS (
+      SELECT vec_id AS id,
+             CAST(rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    c0 AS (
+      SELECT cid, pos, v FROM emb JOIN init_ids USING (id)),
+    d1 AS (
+      SELECT e.id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+      FROM emb e JOIN c0 c USING (pos) GROUP BY e.id, c.cid),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    c1u AS (
+      SELECT a1.cid, e.pos,
+             CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS v
+      FROM emb e JOIN a1 ON e.id = a1.id GROUP BY a1.cid, e.pos),
+    c1 AS (
+      SELECT c0.cid, c0.pos, coalesce(c1u.v, c0.v) AS v
+      FROM c0 LEFT JOIN c1u ON c0.cid = c1u.cid AND c0.pos = c1u.pos),
+    d2 AS (
+      SELECT e.id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+      FROM emb e JOIN c1 c USING (pos) GROUP BY e.id, c.cid),
+    a2 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY dd, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    c2u AS (
+      SELECT a2.cid, e.pos,
+             CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS v
+      FROM emb e JOIN a2 ON e.id = a2.id GROUP BY a2.cid, e.pos),
+    c2 AS (
+      SELECT c1.cid, c1.pos, coalesce(c2u.v, c1.v) AS v
+      FROM c1 LEFT JOIN c2u ON c1.cid = c2u.cid AND c1.pos = c2u.pos),
+    sz AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS size FROM a2 GROUP BY cid)
+    SELECT c2.cid, c2.pos,
+           round(c2.v / 1000000.0, 6) AS cent_val,
+           coalesce(sz.size, 0) AS size
+    FROM c2 LEFT JOIN sz ON c2.cid = sz.cid
+    """,
+)
+def q_kmeans_embeddings(t: _T) -> DataFrame:
+    """Deterministic k-means training over the embeddings table
+    (k=4, 2 Lloyd iterations) — the DuckDB oracle replays the entire
+    training loop in SQL (quantize -> exact integer distances ->
+    argmin with cid tie-break -> floor(sum/count) centroid update,
+    twice), which is only possible because every step is exact
+    integer arithmetic. Completes the IVF story: ivf_centroids
+    samples, kmeans_train trains."""
+    from flink_efo_spark.operators.similarity import kmeans_train
+
+    return kmeans_train(
+        t.embeddings, "vec_id", "embedding", k=4, n_iter=2
+    )

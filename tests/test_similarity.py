@@ -217,3 +217,59 @@ def test_rrf_fuse_semantics(spark):
     assert capped == {1: 1, 2: 2, 5: 1}
     with _pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_kmeans_train_properties(spark):
+    """Lloyd's invariants on real data: k*d output rows, sizes sum to
+    the corpus, and the run is bit-identical across physical
+    repartitionings (the exact-integer design's whole point)."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import kmeans_train
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    out = kmeans_train(emb, "vec_id", "embedding", k=4, n_iter=2)
+    rows = out.collect()
+    dim = emb.select(F.size("embedding")).first()[0]
+    assert len(rows) == 4 * dim
+    sizes = {}
+    for r in rows:
+        sizes[r.cid] = r.size
+    assert sum(sizes.values()) == n
+
+    # determinism under a different physical layout
+    out2 = kmeans_train(
+        emb.repartition(7, "vec_id"), "vec_id", "embedding", k=4, n_iter=2
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    """More Lloyd iterations never increase within-cluster variance
+    (measured on the quantized grid the trainer optimizes over)."""
+    import math
+    import random
+
+    from flink_efo_spark.operators.similarity import kmeans_train
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def inertia(cent_rows):
+        cents = {}
+        for r in cent_rows:
+            cents.setdefault(r.cid, [0.0] * 8)[r.pos] = r.cent_val
+        q = {i: [math.floor(v * 1e6) / 1e6 for v in vec] for i, vec in rows}
+        tot = 0.0
+        for vec in q.values():
+            tot += min(
+                sum((a - b) ** 2 for a, b in zip(vec, c))
+                for c in cents.values()
+            )
+        return tot
+
+    i1 = inertia(kmeans_train(df, "vec_id", "embedding", k=3, n_iter=1).collect())
+    i3 = inertia(kmeans_train(df, "vec_id", "embedding", k=3, n_iter=3).collect())
+    assert i3 <= i1 + 1e-9

@@ -151,6 +151,9 @@ def _driver_order() -> list[str]:
         "tpcds_q35",
         "tpcds_q67",
         "tpcds_q97",
+        # round-6d: the k-means trainer (14th and last named slot —
+        # the VERDICT's backlog-protection budget is <=14)
+        "kmeans_embeddings",
     }
 
     def key(n: str):

@@ -151,8 +151,11 @@ def _driver_order() -> list[str]:
         "tpcds_q35",
         "tpcds_q67",
         "tpcds_q97",
-        # round-6d: the k-means trainer (14th and last named slot —
-        # the VERDICT's backlog-protection budget is <=14)
+        # round-6d: the k-means trainer. 14th named slot: with the
+        # q12 red re-verify at position 0 this pushes exactly one
+        # backlog query (tpcds_q75, pytest-green) to the r7 sample —
+        # a new operator's first driver row is worth more than the
+        # 36th backlog row arriving one round later.
         "kmeans_embeddings",
     }
 

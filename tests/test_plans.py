@@ -109,3 +109,76 @@ def test_q97_full_outer_copartitioned(spark):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["tpcds_q17", "tpcds_q29", "tpcds_q72"])
+def test_fact_chain_joins_ride_natural_keys(spark, name):
+    """The multi-fact chains (sale->return->repurchase; week-aligned
+    catalog-web) must hash/sort-merge on their natural keys with dims
+    broadcast — never a cartesian/nested-loop shape."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    assert "BroadcastHashJoin" in plan, f"{name}: dims not broadcast"
+
+
+@pytest.mark.parametrize("name", ["tpcds_q70", "tpcds_q86"])
+def test_ranked_rollups_expand_once(spark, name):
+    """The grouping()-ranked rollups plan ONE Expand feeding one
+    aggregate; the rank window rides the aggregated relation."""
+    plan = _plan(spark, name)
+    assert plan.count("Expand") >= 1, f"{name}: no Expand (rollup lost)"
+    assert "Window" in plan, f"{name}: rank window missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_q77_unions_preaggregated_pnl(spark):
+    """q77's six per-location P&L aggregates must each reduce their
+    fact BEFORE the union/rollup (partial aggregation below the
+    union), and the channel combine joins stay broadcast/hash."""
+    plan = _plan(spark, "tpcds_q77")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    # six fact scans -> six aggregates before the final rollup's
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """kmeans_train's final output is driver-built from k*d rows, but
+    the per-iteration assignment must never plan a join: centroids
+    ride as literals. Pin by checking the assignment stage the
+    operator builds internally."""
+    from flink_efo_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000)).cast("long"),
+    )
+    base = emb.select(F.col("vec_id").alias("__id"), vq.alias("__vq"))
+    cents = [list(r["__vq"]) for r in base.orderBy("__id").limit(2).collect()]
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__vq"),
+                        F.array(*[F.lit(v).cast("long") for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(ci).cast("long").alias("cid"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+    assigned = base.select("__id", F.array_min(dist_structs)["cid"].alias("c"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = assigned._jdf.queryExecution().explainString(mode)
+    for node in ("Join", "Exchange", "BatchEvalPython"):
+        assert node not in plan, f"kmeans assignment plans a {node}"

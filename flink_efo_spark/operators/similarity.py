@@ -281,6 +281,7 @@ def ivf_cosine_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     exclude_self: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine: the second ANN
     path next to :func:`lsh_cosine_topk`, trading the LSH bucket join
@@ -304,8 +305,11 @@ def ivf_cosine_topk(
     score DESC, cid).
 
     Returns (query_id, neighbor_id, score, rank).
+
+    ``centroids`` overrides the sampled coarse quantizer — pass
+    :func:`kmeans_centroids` output to search a trained index.
     """
-    cents = ivf_centroids(corpus, corpus_id, vec_col, n_cells)
+    cents = centroids or ivf_centroids(corpus, corpus_id, vec_col, n_cells)
     carr = _centroid_array(cents)
 
     assigned = (
@@ -548,6 +552,7 @@ def ivf_build_index(
     out_dir: str,
     vec_col: str = "embedding",
     n_cells: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: corpus vectors written
     ``partitionBy("cell")`` with their norms, plus a centroid sidecar
@@ -560,7 +565,7 @@ def ivf_build_index(
     import json
     import os
 
-    cents = ivf_centroids(corpus, corpus_id, vec_col, n_cells)
+    cents = centroids or ivf_centroids(corpus, corpus_id, vec_col, n_cells)
     carr = _centroid_array(cents)
     assigned = (
         ensure_min_parallelism(corpus.select(corpus_id, vec_col))
@@ -751,3 +756,24 @@ def kmeans_train(
     return out.select(
         "cid", "pos", F.round("cent_val", 6).alias("cent_val"), "size"
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Trained coarse quantizer in :func:`ivf_centroids`'s format:
+    run :func:`kmeans_train` and reshape its k*d rows into the
+    (cid, vector) list that ivf_build_index / ivf_cosine_topk /
+    ivf_query_index accept — the 'production pipeline trains k-means'
+    path the sampled quantizer's docstring defers to. Only k*d floats
+    reach the driver."""
+    rows = kmeans_train(df, id_col, vec_col, k=n_cells, n_iter=n_iter).collect()
+    dim = max(r.pos for r in rows) + 1
+    cents: dict[int, list[float]] = {}
+    for r in rows:
+        cents.setdefault(int(r.cid), [0.0] * dim)[int(r.pos)] = float(r.cent_val)
+    return [(cid, cents[cid]) for cid in sorted(cents)]

@@ -273,3 +273,44 @@ def test_kmeans_inertia_non_increasing(spark):
     i1 = inertia(kmeans_train(df, "vec_id", "embedding", k=3, n_iter=1).collect())
     i3 = inertia(kmeans_train(df, "vec_id", "embedding", k=3, n_iter=3).collect())
     assert i3 <= i1 + 1e-9
+
+
+def test_ivf_accepts_trained_centroids(spark, tmp_path):
+    """The kmeans-trained coarse quantizer drops into every IVF
+    entry point: ivf_cosine_topk(centroids=...) and a persisted
+    ivf_build_index/ivf_query_index round-trip agree row-for-row,
+    and results are valid descending top-k lists."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_query_index,
+        kmeans_centroids,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", n_cells=4, n_iter=2)
+    assert [c for c, _ in cents] == [0, 1, 2, 3]
+
+    queries = emb.orderBy("vec_id").limit(5)
+    direct = ivf_cosine_topk(
+        queries, emb, "vec_id", "vec_id", k=3, n_cells=4, nprobe=2,
+        centroids=cents,
+    ).collect()
+
+    idx_dir = str(tmp_path / "ivf_trained")
+    ivf_build_index(emb, "vec_id", idx_dir, n_cells=4, centroids=cents)
+    via_index = ivf_query_index(
+        spark, idx_dir, queries, "vec_id", k=3, nprobe=2
+    ).collect()
+
+    key = lambda r: (r.vec_id, r.rank)
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_index))
+    by_q = {}
+    for r in direct:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -6546,3 +6546,61 @@ def q_kmeans_embeddings(t: _T) -> DataFrame:
     return kmeans_train(
         t.embeddings, "vec_id", "embedding", k=4, n_iter=2
     )
+
+
+@_q(
+    "cms_heavy_hitters",
+    """
+    WITH tf AS (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS t
+        FROM documents) WHERE t <> ''),
+    hj AS (SELECT * FROM (VALUES (0, 3, 1), (1, 7, 5), (2, 11, 9),
+                                 (3, 13, 15)) t(j, a, b)),
+    h AS (
+      SELECT token,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+               % 1000000007 AS hv
+      FROM tf),
+    sk AS (
+      SELECT j, ((a * hv + b) % 1000000007) % 64 AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM h CROSS JOIN hj GROUP BY 1, 2),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM tf GROUP BY token HAVING count(*) >= 20),
+    probes AS (
+      SELECT e.token, e.exact_cnt, hj.j,
+             ((hj.a * (CAST(concat('0x', substr(md5(e.token), 1, 15))
+                            AS BIGINT) % 1000000007) + hj.b)
+              % 1000000007) % 64 AS w
+      FROM exact e CROSS JOIN hj)
+    SELECT p.token, p.exact_cnt,
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probes p LEFT JOIN sk ON p.j = sk.j AND p.w = sk.w
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def q_cms_heavy_hitters(t: _T) -> DataFrame:
+    """Count-min sketch heavy hitters over document tokens: build a
+    4x64 sketch in one bounded-shuffle pass, then read back the
+    frequent tokens' estimates next to their exact counts — the
+    one-sided guarantee (est >= exact, bounded overcount) is visible
+    in the output. The DuckDB oracle rebuilds the sketch
+    cell-for-cell (portable md5 hash + exact affine maps), proving
+    the summary itself is engine-independent, not just its answers."""
+    from flink_efo_spark.operators.sketches import cms_estimate, cms_sketch
+
+    tokens = t.documents.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = cms_sketch(tokens, "token", depth=4, width=64)
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .where(F.col("exact_cnt") >= 20)
+    )
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=4, width=64)
+    return exact.join(est, "token").select(
+        "token", "exact_cnt", F.col("est_cnt").cast("long").alias("est_cnt")
+    )

@@ -117,3 +117,35 @@ def test_bm25_matches_reference_formula(spark, ddb):
 
     for r in out[:10]:
         assert math.isfinite(r.bm25)
+
+
+def test_cms_guarantee_and_linearity(spark):
+    """Count-min invariants: estimates never undercount (one-sided
+    error), and the sketch is linear — sketch(A union B) equals the
+    cell-wise sum of sketch(A) and sketch(B), the property that makes
+    per-shard / per-window sketches roll up without raw data."""
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.sketches import cms_estimate, cms_sketch
+
+    rows = [(i, f"k{i % 17}") for i in range(400)] + [
+        (400 + i, "hot") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "i long, k string")
+    sk = cms_sketch(df, "k", depth=4, width=32)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_cnt for r in cms_estimate(sk, keys, "k", 4, 32).collect()}
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    for k, c in exact.items():
+        assert est[k] >= c, f"undercount for {k}"
+    assert est["hot"] >= 60
+
+    a, b = df.where("i < 230"), df.where("i >= 230")
+    ska = cms_sketch(a, "k", depth=4, width=32)
+    skb = cms_sketch(b, "k", depth=4, width=32)
+    merged = (
+        ska.unionByName(skb).groupBy("j", "w").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.j, r.w): r.cnt for r in sk.collect()}
+    got = {(r.j, r.w): r.cnt for r in merged.collect()}
+    assert whole == got

@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "tpcds_q14b",  # hierarchy-level INTERSECT + 1-row avg threshold
     "tpcds_q23b",  # best-customer semi gates + channel union
     "tpcds_q24",   # returned-purchase agg + 5%-of-average threshold
+    # round 6e: the two new operator families
+    "kmeans_embeddings",   # 2 Lloyd iterations, literal-centroid maps
+    "cms_heavy_hitters",   # one-pass bounded-shuffle sketch + lookup
 ]
 
 

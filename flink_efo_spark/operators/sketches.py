@@ -1,13 +1,17 @@
-"""Count-min sketch: fixed-size frequency summaries for heavy-hitter
-queries over unbounded key domains.
+"""Mergeable sketches: fixed-size summaries whose builds are one
+bounded-shuffle pass and whose merges are cell-wise — count-min
+(frequencies), equi-width histograms (quantiles), and Bloom filters
+(membership / join prefilters).
 
-A §2.15 beyond-reference extension in the same family as the corpus's
-HLL distinct rollups (queries.py q_hll_distinct_rollup): where HLL
-answers "how many distinct", count-min answers "how often does THIS
-key occur" in O(depth x width) memory with a one-sided error —
-estimates never undercount, and overcount by at most eps*N with
-probability 1-delta (Cormode & Muthukrishnan 2005; width = ceil(e/eps),
-depth = ceil(ln 1/delta)).
+A §2.15 beyond-reference extension family alongside the corpus's HLL
+distinct rollups (queries.py q_hll_distinct_rollup): where HLL answers
+"how many distinct", count-min answers "how often does THIS key occur"
+in O(depth x width) memory with a one-sided error — estimates never
+undercount, and overcount by at most eps*N with probability 1-delta
+(Cormode & Muthukrishnan 2005; width = ceil(e/eps), depth =
+ceil(ln 1/delta)); the histogram answers "what value sits at quantile
+q" with error bounded by one bin width; the Bloom filter answers "can
+this key possibly join" with no false negatives.
 
 Scale shape: the sketch build is ONE pass — depth (j, w) cells per
 row, aggregated with map-side combine, so the shuffle carries at most
@@ -104,3 +108,177 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch: deterministic mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_percentile is also one-pass and mergeable, but its
+# summary is opaque and engine-specific — two engines (or two Spark
+# versions) can answer differently on the same data. The equi-width
+# histogram trades adaptivity for portability: with a declared value
+# domain [lo, hi) and an integer value column, every step is exact
+# integer/IEEE arithmetic, so the sketch AND its quantile read-back
+# are bit-identical across engines, partitionings, and row orders —
+# a DuckDB oracle rebuilds both. Quantile error is bounded by one bin
+# width ((hi - lo) / bins), the classic fixed-histogram guarantee.
+#
+# Scale shape: the build is one pass with map-side combine; the
+# shuffle carries at most `bins` combiner rows per input partition and
+# the finished sketch is <= bins rows (KBs). Merging shards / windows
+# / days is cell-wise addition on bin — no raw data touched. The
+# quantile read-back runs entirely on the <= bins-row sketch (the
+# single-partition windows below see only sketch rows, never data).
+
+
+def hist_sketch(
+    df: DataFrame, value_col: str, lo: int, hi: int, bins: int
+) -> DataFrame:
+    """Build the histogram: (bin, cnt) with absent bins zero. The
+    value column must be integral (snap doubles to a fixed-point
+    BIGINT grid first — see queries.py _cents). Out-of-domain values
+    clamp into the edge bins, so totals are preserved.
+
+    bin = clamp(floor((v - lo) * bins / (hi - lo)), 0, bins - 1) with
+    the product exact in BIGINT and one IEEE division — floor is safe
+    because a true quotient just below an integer sits >= 1/(hi-lo)
+    away while the division error is ~quotient * 2^-53."""
+    v = F.col(value_col).cast("long")
+    raw = F.floor((v - F.lit(lo)) * F.lit(bins) / F.lit(hi - lo))
+    b = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
+    )
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    q_permille: list[int],
+    lo: int,
+    hi: int,
+    bins: int,
+) -> DataFrame:
+    """Quantile read-back: for each q (in permille), the first bin
+    whose cumulative count reaches ceil(q * N / 1000), with its value
+    bounds [est_lo, est_hi) — the true q-quantile lies within that one
+    bin. Runs on the <= bins-row sketch only: the unpartitioned
+    windows below are deliberate (sketch rows, not data rows), and the
+    quantile list is a literal array exploded onto the sketch — no
+    join, no BroadcastNestedLoopJoin."""
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in q_permille])
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_tot))
+        .select(F.explode(qarr).alias("q_permille"), "bin", "cum", "n")
+    )
+    rank = F.floor((F.col("q_permille") * F.col("n") + F.lit(999)) / F.lit(1000))
+    hit = (
+        cum.where(F.col("cum") >= rank)
+        .groupBy("q_permille")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = hi - lo
+    est_lo = (F.lit(lo) + F.floor(F.col("bin") * F.lit(width) / F.lit(bins))).cast(
+        "long"
+    )
+    est_hi = (
+        F.lit(lo) + F.floor((F.col("bin") + 1) * F.lit(width) / F.lit(bins))
+    ).cast("long")
+    return hit.select(
+        "q_permille",
+        "bin",
+        est_lo.alias("est_lo"),
+        est_hi.alias("est_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable membership sketch -> join prefilter
+# ---------------------------------------------------------------------------
+#
+# The runtime-filter idiom for the case AQE's broadcast threshold
+# can't save: dim is too big to broadcast (the join must shuffle) but
+# its KEY SET fits a KB-scale bit array. Build the dim keys' Bloom
+# bits once, broadcast them, and semi-join the fact's k probe
+# positions BEFORE the shuffle — fact rows that cannot possibly join
+# never enter the exchange. No false negatives (every joining row
+# survives the prefilter), and false positives are eliminated by the
+# real join that follows, so `prefilter + join == join` exactly; the
+# filter only changes how many fact bytes shuffle. Same portable
+# md5 + affine-map hashing as the count-min sketch, so the bit set is
+# engine-independent too.
+
+
+def bloom_bits(
+    dim: DataFrame, key_col: str, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Set bits of the dim key set: (j, pos) distinct rows, j < k,
+    pos < m — at most k*m rows regardless of dim size, built with one
+    map-side-combined distinct."""
+    assert 1 <= k <= len(A)
+    h = _h64(F.col(key_col).cast("string"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"),
+                    _cell(h, j, m).alias("pos"),
+                )
+                for j in range(k)
+            ]
+        )
+    ).alias("c")
+    return dim.select(cells).select("c.j", "c.pos").distinct()
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Keep fact rows whose key sets ALL k Bloom bits: k chained
+    broadcast LEFT SEMI joins against the tiny bit relation — each is
+    a BroadcastHashJoin probe, the fact never shuffles, and rows are
+    never duplicated (semi join, not inner)."""
+    out = fact
+    for j in range(k):
+        h = _h64(F.col(key_col).cast("string"))
+        pos_j = bits.where(F.col("j") == j).select("pos")
+        out = out.join(
+            F.broadcast(pos_j), _cell(h, j, m) == F.col("pos"), "left_semi"
+        )
+    return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 4096,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact join with a Bloom prefilter on the fact side. Result is
+    identical to fact.join(dim, ...) — the prefilter has no false
+    negatives and the join removes false positives — but at scale the
+    shuffled fact bytes drop by the dim key set's selectivity."""
+    # lazy localCheckpoint: the <= k*m-row bit relation materializes
+    # once at the first probe's broadcast and the remaining k-1 probes
+    # reuse it — the dim is scanned ONCE regardless of k (without it,
+    # each probe's broadcast re-derives the bits from a fresh scan)
+    bits = bloom_bits(dim, dim_key, m, k).localCheckpoint(eager=False)
+    pre = bloom_prefilter(fact, bits, fact_key, m, k)
+    return pre.join(dim, pre[fact_key] == dim[dim_key], how)

@@ -6604,3 +6604,100 @@ def q_cms_heavy_hitters(t: _T) -> DataFrame:
     return exact.join(est, "token").select(
         "token", "exact_cnt", F.col("est_cnt").cast("long").alias("est_cnt")
     )
+
+
+@_q(
+    "hist_quantiles",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem),
+    sk AS (
+      SELECT LEAST(219, GREATEST(0,
+               CAST(floor((c - 90000) * 220 / 10500000) AS BIGINT))) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT bin,
+             CAST(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM sk),
+    q AS (
+      SELECT unnest(CAST([100, 250, 500, 750, 900, 990] AS BIGINT[]))
+               AS q_permille),
+    hit AS (
+      SELECT q_permille, MIN(bin) AS bin
+      FROM cum CROSS JOIN q
+      WHERE cum >= CAST(floor((q_permille * n + 999) / 1000) AS BIGINT)
+      GROUP BY q_permille)
+    SELECT q_permille, bin,
+           CAST(90000 + floor(bin * 10500000 / 220) AS BIGINT) AS est_lo,
+           CAST(90000 + floor((bin + 1) * 10500000 / 220) AS BIGINT) AS est_hi
+    FROM hit
+    """,
+)
+def q_hist_quantiles(t: _T) -> DataFrame:
+    """Equi-width histogram quantile sketch over lineitem extended
+    price (cents grid, domain [90000, 10590000), 220 bins): one
+    bounded-shuffle pass builds the <= 220-row sketch, then the
+    read-back reports p10/p25/p50/p75/p90/p99 as [est_lo, est_hi)
+    bin bounds — error <= one bin width, fully deterministic (exact
+    integer bin math + portable IEEE division), so the DuckDB oracle
+    rebuilds sketch AND read-back bit-for-bit. The mergeable,
+    engine-portable counterpart to approx_percentile's opaque
+    summary (operators/sketches.py hist_sketch)."""
+    from flink_efo_spark.operators.sketches import hist_quantiles, hist_sketch
+
+    cents = t.lineitem.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c")
+    )
+    sk = hist_sketch(cents, "c", lo=90000, hi=10590000, bins=220)
+    return hist_quantiles(
+        sk, [100, 250, 500, 750, 900, 990], lo=90000, hi=10590000, bins=220
+    )
+
+
+@_q(
+    "bloom_prefilter_join",
+    """
+    SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+             AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def q_bloom_prefilter_join(t: _T) -> DataFrame:
+    """Bloom-prefiltered fact-dim join (runtime-filter idiom): the
+    selective customer slice's key set becomes a 4096-bit Bloom
+    filter whose set bits broadcast as three LEFT SEMI probes, so
+    orders rows that cannot join are dropped BEFORE the (merge-hinted,
+    modeling a non-broadcastable dim) shuffle join. No false
+    negatives + the real join removes false positives => the result
+    is EXACTLY the plain join, which is the oracle; only the shuffled
+    fact bytes change (operators/sketches.py bloom_prefilter_join).
+    Mirrors the reference's lookup-join motivation (SURVEY §2.3) at
+    the physical-plan level."""
+    from flink_efo_spark.operators.sketches import bloom_prefilter_join
+
+    dim = t.customer.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+    joined = bloom_prefilter_join(
+        t.orders, dim.hint("merge"), "o_custkey", "c_custkey", m=4096, k=3
+    )
+    return joined.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

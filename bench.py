@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     # round 6e: the two new operator families
     "kmeans_embeddings",   # 2 Lloyd iterations, literal-centroid maps
     "cms_heavy_hitters",   # one-pass bounded-shuffle sketch + lookup
+    # round 6f: the sketch-family completions
+    "hist_quantiles",      # one-pass histogram + on-sketch read-back
+    "bloom_prefilter_join",  # broadcast bit probes below fact shuffle
 ]
 
 

@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     # round 6f: the sketch-family completions
     "hist_quantiles",      # one-pass histogram + on-sketch read-back
     "bloom_prefilter_join",  # broadcast bit probes below fact shuffle
+    # round 6g: data-layout operators (write + pruned/co-located read)
+    "zorder_range_scan",   # Morton layout write + partition-pruned box scan
+    "bucketed_join",       # bucketed tables + exchange-free SMJ
 ]
 
 

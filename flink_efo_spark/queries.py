@@ -6701,3 +6701,110 @@ def q_bloom_prefilter_join(t: _T) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@_q(
+    "zorder_range_scan",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            BETWEEN 9500 AND 9800
+      AND CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            BETWEEN 5000000 AND 30000000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_zorder_range_scan(t: _T) -> DataFrame:
+    """Z-order clustered layout + pruned multi-dimensional range scan
+    (operators/layout.py): orders are clustered by the Morton
+    interleave of (order epoch-day, price-cents) grid cells and
+    written partitioned by z-cell; the (10-month x 100k-200k) query
+    box then reads ONLY the overlapping z-cells — partition pruning
+    the plan shows as PartitionFilters (test-pinned) — before the
+    exact predicate. Results are identical to a full scan, which is
+    the oracle. The relational generalization of the persisted IVF
+    index's partition-filter design."""
+    import tempfile
+
+    from flink_efo_spark.operators.layout import (
+        write_zorder_layout,
+        zorder_range_scan,
+    )
+
+    path = tempfile.mkdtemp(prefix="efo-zorder-") + "/orders"
+    src = t.orders.withColumn(
+        "o_day",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long"),
+    ).withColumn(
+        "o_price_cents",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+    )
+    specs = [("o_day", 9100, 11600), ("o_price_cents", 0, 50000000)]
+    write_zorder_layout(src, path, specs, bits=3)
+    hits = zorder_range_scan(
+        t.spark, path, specs,
+        box=[(9500, 9800), (5000000, 30000000)], bits=3,
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_price_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@_q(
+    "bucketed_join",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_e4
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join(t: _T) -> DataFrame:
+    """Bucketed co-located fact-fact join (operators/layout.py):
+    orders and lineitem are persisted bucketed+sorted on the order
+    key with the same bucket count, and the join consumes the bucket
+    partitioning directly — a sort-merge join with NO Exchange on
+    either side (plan-pinned by test_layout.py). The one-time write
+    shuffle amortizes over every subsequent join on the key — the
+    100 TB answer to repeated fact-fact joins. Results equal the
+    plain join, which is the oracle."""
+    import tempfile
+    import uuid
+
+    from flink_efo_spark.operators.layout import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="efo-bucket-")
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        f"efo_b_orders_{tag}", base + "/orders", "o_orderkey", 8,
+    )
+    write_bucketed(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+            ).cast("bigint").alias("rev_e4"),
+        ),
+        f"efo_b_lineitem_{tag}", base + "/lineitem", "o_orderkey", 8,
+    )
+    j = bucketed_join(
+        t.spark, f"efo_b_orders_{tag}", f"efo_b_lineitem_{tag}", "o_orderkey",
+        hint="merge",
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_e4").cast("long").alias("revenue_e4"),
+    )

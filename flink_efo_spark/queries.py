@@ -6704,6 +6704,81 @@ def q_bloom_prefilter_join(t: _T) -> DataFrame:
 
 
 @_q(
+    "stream_cms_hitters",
+    """
+    WITH wm AS (SELECT epoch(max(ts)) - 600 AS w FROM events),
+    fin AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE floor(epoch(ts) / 86400) * 86400 + 86400 <= (SELECT w FROM wm)),
+    hj AS (SELECT * FROM (VALUES (0, 3, 1), (1, 7, 5), (2, 11, 9),
+                                 (3, 13, 15)) t(j, a, b)),
+    h AS (
+      SELECT k, CAST(concat('0x', substr(md5(k), 1, 15)) AS BIGINT)
+                  % 1000000007 AS hv
+      FROM fin),
+    sk AS (
+      SELECT j, ((a * hv + b) % 1000000007) % 64 AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM h CROSS JOIN hj GROUP BY 1, 2),
+    probes AS (
+      SELECT unnest(CAST([0, 3, 7, 11, 14] AS BIGINT[])) AS user_id),
+    pp AS (
+      SELECT p.user_id, hj.j,
+             ((hj.a * (CAST(concat('0x',
+                 substr(md5(CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000007) + hj.b) % 1000000007) % 64 AS w
+      FROM probes p CROSS JOIN hj)
+    SELECT pp.user_id, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM pp LEFT JOIN sk ON pp.j = sk.j AND pp.w = sk.w
+    GROUP BY pp.user_id
+    """,
+)
+def q_stream_cms_hitters(t: _T) -> DataFrame:
+    """Streaming count-min: a 4x64 sketch PER day window built as a
+    windowed streaming aggregation over exploded sketch cells, then
+    the finalized windows' sketches merged cell-wise into one global
+    sketch probed for fixed users. By linearity the merged sketch
+    equals a batch sketch over the finalized-window events — exactly
+    what the oracle rebuilds (same watermark-finalization predicate
+    as stream_tumble). The mergeable-sketch rollup story, live on the
+    streaming engine (operators/sketches.py + streaming.tumble_agg)."""
+    from flink_efo_spark.operators.sketches import _cell, _h64, cms_estimate
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table,
+        tumble_agg,
+    )
+
+    ev = stream_table(
+        t.spark, t.sf_dir, "events", watermark=("ts", "10 minutes")
+    )
+    h = _h64(F.col("user_id").cast("string"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"),
+                    _cell(h, j, 64).alias("w"),
+                )
+                for j in range(4)
+            ]
+        )
+    ).alias("c")
+    ev2 = ev.select("ts", cells).select("ts", "c.j", "c.w")
+    agg = tumble_agg(ev2, "ts", "1 day", ["j", "w"], F.count("*").alias("cnt"))
+    wins = run_stream_to_table(agg)
+    merged = wins.groupBy("j", "w").agg(F.sum("cnt").alias("cnt"))
+    probes = t.spark.createDataFrame(
+        [(u,) for u in [0, 3, 7, 11, 14]], "user_id long"
+    ).select(F.col("user_id").cast("string").alias("uk"))
+    est = cms_estimate(merged, probes, "uk", depth=4, width=64)
+    return est.select(
+        F.col("uk").cast("long").alias("user_id"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+    )
+
+
+@_q(
     "zorder_range_scan",
     """
     SELECT o_orderpriority,

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     # round 6g: data-layout operators (write + pruned/co-located read)
     "zorder_range_scan",   # Morton layout write + partition-pruned box scan
     "bucketed_join",       # bucketed tables + exchange-free SMJ
+    # round 6h: product-quantization ANN (train + encode + ADC top-k)
+    "pq_adc_topk",
 ]
 
 

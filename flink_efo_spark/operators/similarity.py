@@ -777,3 +777,137 @@ def kmeans_centroids(
     for r in rows:
         cents.setdefault(int(r.cid), [0.0] * dim)[int(r.pos)] = float(r.cent_val)
     return [(cid, cents[cid]) for cid in sorted(cents)]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN with ADC scoring
+# ---------------------------------------------------------------------------
+#
+# Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each d-dim vector into n_sub contiguous
+# subvectors, train an independent k-codeword quantizer per subspace,
+# and store each vector as n_sub small codes. Query time is
+# Asymmetric Distance Computation (ADC): one k x n_sub lookup table
+# of exact query-to-codeword distances, then each corpus vector's
+# distance is a sum of n_sub table lookups — no float math per row.
+#
+# Scale shape: training reuses kmeans_train per subspace (bounded
+# shuffles, centroids as literals); encoding is a NARROW codegen map
+# (k*n_sub literal centroid distances per row, no join/shuffle/UDF);
+# the encoded corpus is n_sub longs per vector (vs d floats — the
+# memory compression that lets a 100 TB corpus's codes fit hot
+# storage); ADC scoring is a narrow map over codes with the LUT as
+# literal arrays, followed by the global top-k sort-limit. All
+# arithmetic is the exact-integer discipline of kmeans_train, so
+# training, codes, and ADC ranks are bit-identical across engines —
+# the corpus oracle replays all three in SQL.
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    scale: int = 1_000_000,
+) -> list[list[list[int]]]:
+    """Train the per-subspace codebooks: returns
+    codebooks[s][c] = the c-th codeword of subspace s as a list of
+    dim/n_sub quantized ints. Each subspace trains with
+    :func:`kmeans_train` on the sliced vector column (floor-quantize
+    commutes with slicing), so determinism and the bounded-shuffle
+    iteration shape carry over unchanged."""
+    assert dim % n_sub == 0
+    d_sub = dim // n_sub
+    books: list[list[list[int]]] = []
+    for s in range(n_sub):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("__sv")
+        )
+        rows = kmeans_train(
+            sliced, id_col, "__sv", k=k, n_iter=n_iter, scale=scale
+        ).collect()
+        cents: dict[int, list[int]] = {c: [0] * d_sub for c in range(k)}
+        for r in rows:
+            cents[int(r.cid)][int(r.pos)] = int(round(float(r.cent_val) * scale))
+        books.append([cents[c] for c in range(k)])
+    return books
+
+
+def _pq_sub_dist(vq_sub: Column, cent: list[int]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vq_sub,
+            F.array(*[F.lit(v).cast("long") for v in cent]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[int]]],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Encode each vector as one code per subspace (argmin of exact
+    integer subspace distances, ties to the lower code — the
+    kmeans_train assignment rule). Output: (id, code_0..code_{S-1}).
+    A narrow codegen map: the codebooks ride as literals."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    out = df.select(F.col(id_col), vq.alias("__vq"))
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col("__vq"), s * d_sub + 1, d_sub)
+        choices = F.array(
+            *[
+                F.struct(
+                    _pq_sub_dist(sub, cent).alias("d"),
+                    F.lit(c).cast("long").alias("cid"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        out = out.withColumn(f"code_{s}", F.array_min(choices)["cid"])
+    return out.drop("__vq")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    id_col: str,
+    codebooks: list[list[list[int]]],
+    query: list[float],
+    topk: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ADC top-k: the k x n_sub query-to-codeword table is computed
+    driver-side from the codebooks (pure arithmetic on a few hundred
+    ints — no data touched) and embedded as literal arrays; each
+    row's distance is n_sub array lookups + adds, then the global
+    sort-limit (ties to the lower id). Returns (id, adc_dist)."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    qq = [math.floor(v * scale) for v in query]
+    dist = F.lit(0).cast("long")
+    for s, book in enumerate(codebooks):
+        q_sub = qq[s * d_sub : (s + 1) * d_sub]
+        lut = [
+            sum((qv - cv) * (qv - cv) for qv, cv in zip(q_sub, cent))
+            for cent in book
+        ]
+        lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
+        dist = dist + F.element_at(lut_arr, F.col(f"code_{s}").cast("int") + 1)
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )

@@ -6883,3 +6883,90 @@ def q_bucketed_join(t: _T) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("rev_e4").cast("long").alias("revenue_e4"),
     )
+
+
+@_q(
+    "pq_adc_topk",
+    """
+    WITH emb AS (
+      SELECT vec_id AS id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings),
+    embs AS (SELECT id, pos, pos // 16 AS sub, v FROM emb),
+    init_ids AS (
+      SELECT vec_id AS id,
+             CAST(rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      FROM embeddings ORDER BY vec_id LIMIT 4),
+    c0 AS (
+      SELECT i.cid, e.sub, e.pos, e.v
+      FROM embs e JOIN init_ids i ON e.id = i.id),
+    d1 AS (
+      SELECT e.id, e.sub, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+      FROM embs e JOIN c0 c ON e.pos = c.pos
+      GROUP BY e.id, e.sub, c.cid),
+    a1 AS (
+      SELECT id, sub, cid FROM (
+        SELECT id, sub, cid,
+               row_number() OVER (PARTITION BY id, sub
+                                  ORDER BY dd, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    c1u AS (
+      SELECT a1.cid, e.sub, e.pos,
+             CAST(floor(sum(e.v) / count(*)) AS BIGINT) AS v
+      FROM embs e JOIN a1 ON e.id = a1.id AND e.sub = a1.sub
+      GROUP BY a1.cid, e.sub, e.pos),
+    c1 AS (
+      SELECT c0.cid, c0.sub, c0.pos, coalesce(c1u.v, c0.v) AS v
+      FROM c0 LEFT JOIN c1u ON c0.cid = c1u.cid AND c0.pos = c1u.pos),
+    d2 AS (
+      SELECT e.id, e.sub, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dd
+      FROM embs e JOIN c1 c ON e.pos = c.pos
+      GROUP BY e.id, e.sub, c.cid),
+    code AS (
+      SELECT id, sub, cid FROM (
+        SELECT id, sub, cid,
+               row_number() OVER (PARTITION BY id, sub
+                                  ORDER BY dd, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    q AS (
+      SELECT pos,
+             CAST(floor((((pos * 37) % 100 - 50) / 250.0) * 1000000)
+                  AS BIGINT) AS qv
+      FROM (SELECT unnest(range(64)) AS pos)),
+    lut AS (
+      SELECT c.cid, c.sub, sum((q.qv - c.v) * (q.qv - c.v)) AS dd
+      FROM c1 c JOIN q ON c.pos = q.pos
+      GROUP BY c.cid, c.sub),
+    adc AS (
+      SELECT code.id, CAST(sum(lut.dd) AS BIGINT) AS adc_dist
+      FROM code JOIN lut ON code.cid = lut.cid AND code.sub = lut.sub
+      GROUP BY code.id)
+    SELECT id AS vec_id, adc_dist FROM adc
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_pq_adc_topk(t: _T) -> DataFrame:
+    """Product quantization ANN (Jegou et al. 2011,
+    operators/similarity.py pq_train/pq_encode/pq_adc_topk): 4
+    subspaces x 16 dims, k=4 codewords each trained with the
+    exact-integer kmeans_train on the sliced embeddings; the corpus
+    compresses to 4 codes/vector; the formula-generated query vector
+    scores by ADC — a k x n_sub integer lookup table embedded as
+    literals, n_sub array lookups per row, global top-10 with id
+    tie-break. Every stage is exact integer arithmetic, so the DuckDB
+    oracle replays training, encoding, AND the ADC ranking."""
+    from flink_efo_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = t.embeddings
+    books = pq_train(
+        emb, "vec_id", "embedding", dim=64, n_sub=4, k=4, n_iter=1
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    query = [((p * 37) % 100 - 50) / 250.0 for p in range(64)]
+    return pq_adc_topk(codes, "vec_id", books, query, topk=10)

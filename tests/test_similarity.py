@@ -314,3 +314,81 @@ def test_ivf_accepts_trained_centroids(spark, tmp_path):
         rows.sort(key=lambda r: r.rank)
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_encode_and_adc_match_bruteforce(spark):
+    """PQ invariants vs a pure-python reference on tiny vectors:
+    codes are the per-subspace argmin (ties to lower code), ADC
+    distances are the exact LUT sums, and the top-k order matches."""
+    import math
+
+    from flink_efo_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    dim, n_sub, k, scale = 8, 2, 2, 1_000_000
+    vecs = [
+        (i, [((i * 7 + j * 13) % 50 - 25) / 30.0 for j in range(dim)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = pq_train(df, "vec_id", "embedding", dim, n_sub, k, n_iter=1)
+    assert len(books) == n_sub and all(len(b) == k for b in books)
+
+    # python reference: quantize, encode, ADC
+    def quant(v):
+        return [math.floor(x * scale) for x in v]
+
+    def enc(vq):
+        out = []
+        for s in range(n_sub):
+            sub = vq[s * 4 : (s + 1) * 4]
+            dists = [
+                (sum((a - b) * (a - b) for a, b in zip(sub, cent)), c)
+                for c, cent in enumerate(books[s])
+            ]
+            out.append(min(dists)[1])
+        return out
+
+    codes = {r.vec_id: (r.code_0, r.code_1)
+             for r in pq_encode(df, "vec_id", "embedding", books).collect()}
+    for i, v in vecs:
+        assert codes[i] == tuple(enc(quant(v))), i
+
+    query = vecs[3][1]
+    qq = quant(query)
+    luts = [
+        [
+            sum((a - b) * (a - b)
+                for a, b in zip(qq[s * 4 : (s + 1) * 4], cent))
+            for cent in books[s]
+        ]
+        for s in range(n_sub)
+    ]
+    want = sorted(
+        (sum(luts[s][c] for s, c in enumerate(enc(quant(v)))), i)
+        for i, v in vecs
+    )[:5]
+    enc_df = pq_encode(df, "vec_id", "embedding", books)
+    got = [
+        (r.adc_dist, r.vec_id)
+        for r in pq_adc_topk(enc_df, "vec_id", books, query, topk=5).collect()
+    ]
+    assert got == want
+
+
+def test_pq_train_repartition_invariant(spark):
+    """Training is bit-identical regardless of partitioning — the
+    exact-integer discipline inherited from kmeans_train."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import pq_train
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b1 = pq_train(emb, "vec_id", "embedding", 64, n_sub=4, k=4, n_iter=1)
+    b2 = pq_train(
+        emb.repartition(13), "vec_id", "embedding", 64, n_sub=4, k=4, n_iter=1
+    )
+    assert b1 == b2

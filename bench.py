@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "bucketed_join",       # bucketed tables + exchange-free SMJ
     # round 6h: product-quantization ANN (train + encode + ADC top-k)
     "pq_adc_topk",
+    # round 6h: bulk-iteration PageRank (3 rounds, co-purchase graph)
+    "pagerank_topn",
 ]
 
 

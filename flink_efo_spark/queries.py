@@ -6970,3 +6970,70 @@ def q_pq_adc_topk(t: _T) -> DataFrame:
     codes = pq_encode(emb, "vec_id", "embedding", books)
     query = [((p * 37) % 100 - 50) / 250.0 for p in range(64)]
     return pq_adc_topk(codes, "vec_id", books, query, topk=10)
+
+
+@_q(
+    "pagerank_topn",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM e0
+              UNION ALL SELECT s, c FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+             FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (
+      SELECT e.dst AS id,
+             sum(CAST(floor((p.r * 85) / (100 * o.od)) AS BIGINT)) AS sc
+      FROM edges e JOIN r0 p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst),
+    r1 AS (SELECT n.id, CAST(150000 + coalesce(c1.sc, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+    c2 AS (
+      SELECT e.dst AS id,
+             sum(CAST(floor((p.r * 85) / (100 * o.od)) AS BIGINT)) AS sc
+      FROM edges e JOIN r1 p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst),
+    r2 AS (SELECT n.id, CAST(150000 + coalesce(c2.sc, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+    c3 AS (
+      SELECT e.dst AS id,
+             sum(CAST(floor((p.r * 85) / (100 * o.od)) AS BIGINT)) AS sc
+      FROM edges e JOIN r2 p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst),
+    r3 AS (SELECT n.id, CAST(150000 + coalesce(c3.sc, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+    SELECT id AS node_id, r AS rank_e6 FROM r3
+    ORDER BY rank_e6 DESC, node_id LIMIT 20
+    """,
+)
+def q_pagerank_topn(t: _T) -> DataFrame:
+    """Bulk-iteration PageRank (operators/iterate.py pagerank — the
+    IterativeDataSet bulk form next to delta_iterate) over the
+    bidirectional customer<->supplier co-purchase graph (suppliers
+    offset by 1e6), 3 rounds at damping 0.85 in exact micro-rank
+    integers — the DuckDB oracle replays the recursion unrolled.
+    Top-20 hubs with node-id tie-break."""
+    from flink_efo_spark.operators.iterate import pagerank
+
+    orders, lineitem = t.orders, t.lineitem
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, "src", "dst", n_iter=3)
+    return (
+        ranks.select(F.col("id").alias("node_id"), F.col("r").alias("rank_e6"))
+        .orderBy(F.col("rank_e6").desc(), "node_id")
+        .limit(20)
+    )

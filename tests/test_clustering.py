@@ -92,3 +92,37 @@ def test_delta_iterate_workset_empties(spark):
         (0, 0), (1, 1), (2, 2),
     ]
     assert len(calls) == 3  # rounds 1..2 produce, round 3 empties
+
+
+def test_pagerank_matches_python_reference(spark):
+    """3-round exact-integer PageRank == a driver-side replay on a
+    small digraph (dangling node included: it contributes nothing,
+    receives base only if nothing points at it)."""
+    from flink_efo_spark.operators.iterate import pagerank
+
+    # node 4 has an out-edge but no in-edges: it must settle at base
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.id: r.r for r in pagerank(df, n_iter=3).collect()}
+
+    nodes = {n for e in raw for n in e}
+    outd = {}
+    for s, _ in raw:
+        outd[s] = outd.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 150_000 for n in nodes}
+        for s, d in raw:
+            nxt[d] += (r[s] * 85) // (100 * outd[s])
+        r = nxt
+    assert got == r
+
+
+def test_pagerank_repartition_invariant(spark):
+    from flink_efo_spark.operators.iterate import pagerank
+
+    raw = [((i * 7) % 23, (i * 11) % 23) for i in range(60)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=2).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(17), n_iter=2).collect()))
+    assert a == b

@@ -549,3 +549,78 @@ def rewrite_system_time(sql, rowtime_of, primary_key_of=None) -> str:
             + sql[cond_end:]
         )
     return sql
+
+
+# ---------------------------------------------------------------------------
+# LATERAL TABLE(tf(...)) — the reference's table-function correlate SQL
+# (Calcite COLLECTION_TABLE; planned by StreamExecCorrelate.scala /
+# BatchExecCorrelate.scala, exercised by CorrelateITCase; the fluent
+# twin is table.py join_lateral). Rewritten to Spark's LATERAL VIEW:
+#
+#   FROM t, LATERAL TABLE(explode(parts)) AS x(word)
+#     -> FROM t LATERAL VIEW explode(parts) x AS word
+#   ... LEFT JOIN LATERAL TABLE(f(c)) AS x(w) ON TRUE
+#     -> ... LATERAL VIEW OUTER f(c) x AS w
+#
+# The function inside must be a Spark generator (explode, posexplode,
+# inline, stack, json_tuple, or a registered UDTF) — the same
+# restriction the reference places on TableFunction registrations.
+# Correlate is a NARROW operator in both engines: each input row
+# expands in place, no shuffle.
+# ---------------------------------------------------------------------------
+
+_LATERAL_RE = re.compile(
+    r"(?P<jt>,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b)\s*"
+    r"LATERAL\s+TABLE\s*\(",
+    re.IGNORECASE,
+)
+
+_LATERAL_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?(?P<alias>[A-Za-z_]\w*)\s*(?:\((?P<cols>[^)]*)\))?",
+    re.IGNORECASE,
+)
+
+
+def rewrite_lateral_table(sql: str) -> str:
+    """Rewrite every ``LATERAL TABLE(f(...))`` correlate to Spark's
+    ``LATERAL VIEW``; identity when the token is absent. LEFT JOIN
+    forms require the reference's mandatory ``ON TRUE`` and become
+    ``LATERAL VIEW OUTER`` (unmatched rows kept with NULLs)."""
+    while True:
+        m = _LATERAL_RE.search(sql)
+        if m is None:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = _find_close(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx].strip()
+        am = _LATERAL_ALIAS_RE.match(sql, close_idx + 1)
+        if am is None or am.group("alias") is None:
+            raise ValueError(
+                "LATERAL TABLE requires an alias: "
+                f"...{sql[m.start():close_idx + 1]}"
+            )
+        alias = am.group("alias")
+        cols = am.group("cols")
+        end = am.end()
+        outer = ""
+        if m.group("jt") not in (",",) and m.group("jt").upper().startswith(
+            "LEFT"
+        ):
+            on_m = re.match(r"\s*ON\s+TRUE\b", sql[end:], re.IGNORECASE)
+            if on_m is None:
+                raise ValueError(
+                    "LEFT JOIN LATERAL TABLE requires ON TRUE (the "
+                    "reference rejects any other condition)"
+                )
+            end += on_m.end()
+            outer = "OUTER "
+        col_clause = (
+            f" AS {', '.join(c.strip() for c in cols.split(','))}"
+            if cols
+            else ""
+        )
+        sql = (
+            sql[: m.start()]
+            + f" LATERAL VIEW {outer}{inner} {alias}{col_clause}"
+            + sql[end:]
+        )

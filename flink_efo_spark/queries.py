@@ -6973,6 +6973,41 @@ def q_pq_adc_topk(t: _T) -> DataFrame:
 
 
 @_q(
+    "dialect_lateral",
+    """
+    WITH tf AS (
+      SELECT t AS word FROM (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS t
+        FROM documents) WHERE t <> '')
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM tf GROUP BY word HAVING count(*) >= 20
+    ORDER BY cnt DESC, word LIMIT 20
+    """,
+)
+def q_dialect_lateral(t: _T) -> DataFrame:
+    """Flink LATERAL TABLE correlate SQL run verbatim through the
+    dialect shim (dialect.rewrite_lateral_table -> Spark LATERAL
+    VIEW; reference: Calcite COLLECTION_TABLE planned by
+    Stream/BatchExecCorrelate, CorrelateITCase). Narrow expansion —
+    no shuffle until the count aggregation."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    t.documents.createOrReplaceTempView("__efo_lat_docs")
+    return env.execute_sql(
+        """
+        SELECT t.word, CAST(count(*) AS BIGINT) AS cnt
+        FROM __efo_lat_docs d,
+             LATERAL TABLE(explode(split(trim(lower(d.text)), ' ')))
+               AS t(word)
+        WHERE t.word <> ''
+        GROUP BY t.word HAVING count(*) >= 20
+        ORDER BY cnt DESC, word LIMIT 20
+        """
+    )
+
+
+@_q(
     "pagerank_topn",
     """
     WITH e0 AS (

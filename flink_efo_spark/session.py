@@ -151,7 +151,11 @@ class EfoSession:
         rewrites those lexically and is the identity on plain Spark
         SQL. SYSTEM_TIME rewriting runs FIRST: it must see the
         literal PROCTIME() token before translate() replaces it."""
-        from flink_efo_spark.dialect import rewrite_system_time, translate
+        from flink_efo_spark.dialect import (
+            rewrite_lateral_table,
+            rewrite_system_time,
+            translate,
+        )
 
         from flink_efo_spark import ddl_sql
 
@@ -201,6 +205,8 @@ class EfoSession:
             ddl_sql.execute_insert(self, query)
             return self.spark.sql("SELECT 'OK' AS result")
         query = rewrite_system_time(query, self._rowtime_of, self._pk_of)
+        # LATERAL TABLE(tf(...)) correlates -> LATERAL VIEW
+        query = rewrite_lateral_table(query)
         if "MATCH_RECOGNIZE" in query.upper():
             from flink_efo_spark.match_sql import execute_match_recognize
 

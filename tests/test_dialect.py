@@ -319,3 +319,46 @@ def test_system_time_join_pk_partitions_version_chain(spark):
     # order 1 must NOT see the stale open v1: with the buggy
     # per-equality partitioning it would get (1, 1.10)
     assert got == [(2, 1.20), (3, 1.10)]
+
+
+def test_lateral_table_rewrite_forms():
+    """LATERAL TABLE -> LATERAL VIEW: comma/CROSS JOIN inner forms,
+    LEFT JOIN ... ON TRUE -> OUTER, multi-column aliases, identity on
+    plain SQL, and the reference's mandatory-ON-TRUE rejection."""
+    import pytest
+
+    from flink_efo_spark.dialect import rewrite_lateral_table as rl
+
+    assert (
+        rl("SELECT w FROM t, LATERAL TABLE(explode(a)) AS x(w)")
+        == "SELECT w FROM t LATERAL VIEW explode(a) x AS w"
+    )
+    out = rl("SELECT 1 FROM t CROSS JOIN LATERAL TABLE(posexplode(a)) x(p, v)")
+    assert "LATERAL VIEW posexplode(a) x AS p, v" in out
+    out = rl("SELECT w FROM t LEFT JOIN LATERAL TABLE(explode(a)) AS x(w) ON TRUE")
+    assert "LATERAL VIEW OUTER explode(a) x AS w" in out
+    assert rl("SELECT * FROM t JOIN u ON t.k = u.k") == "SELECT * FROM t JOIN u ON t.k = u.k"
+    with pytest.raises(ValueError, match="ON TRUE"):
+        rl("SELECT w FROM t LEFT JOIN LATERAL TABLE(explode(a)) AS x(w) ON t.k = x.w")
+    with pytest.raises(ValueError, match="alias"):
+        rl("SELECT w FROM t, LATERAL TABLE(explode(a))")
+
+
+def test_lateral_table_left_join_keeps_empty_rows(spark):
+    """LEFT JOIN LATERAL TABLE ... ON TRUE preserves rows whose
+    table-function expansion is empty (OUTER semantics) — the
+    CorrelateITCase left-correlate contract."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(spark)
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "id int, arr array<string>"
+    ).createOrReplaceTempView("__efo_lat_t")
+    rows = sorted(
+        (r.id, r.w)
+        for r in env.sql(
+            "SELECT id, x.w FROM __efo_lat_t "
+            "LEFT JOIN LATERAL TABLE(explode(arr)) AS x(w) ON TRUE"
+        ).collect()
+    )
+    assert rows == [(1, "a"), (1, "b"), (2, None)]

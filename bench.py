@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",   # one-pass bounded-shuffle sketch + lookup
     # round 6f: the sketch-family completions
     "hist_quantiles",      # one-pass histogram + on-sketch read-back
+    "hist_group_quantiles",  # per-group sketches, partitioned read-back
     "bloom_prefilter_join",  # broadcast bit probes below fact shuffle
     # round 6g: data-layout operators (write + pruned/co-located read)
     "zorder_range_scan",   # Morton layout write + partition-pruned box scan

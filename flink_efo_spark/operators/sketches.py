@@ -202,6 +202,80 @@ def hist_quantiles(
     )
 
 
+def hist_sketch_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    bins: int,
+) -> DataFrame:
+    """Per-group histogram: (group..., bin, cnt) — one sketch per
+    group key in the same single pass (the groupBy key just widens
+    to include bin). Each group's sketch merges/reads back
+    independently; this is the per-day / per-shard rollup shape."""
+    v = F.col(value_col).cast("long")
+    raw = F.floor((v - F.lit(lo)) * F.lit(bins) / F.lit(hi - lo))
+    b = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
+    )
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles_by(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q_permille: list[int],
+    lo: int,
+    hi: int,
+    bins: int,
+) -> DataFrame:
+    """Per-group quantile read-back: :func:`hist_quantiles` with every
+    window PARTITIONED BY the group key — no single-partition stage
+    at any group count; each partition still holds <= bins rows."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in q_permille])
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_tot))
+        .select(
+            *group_cols, F.explode(qarr).alias("q_permille"), "bin", "cum", "n"
+        )
+    )
+    rank = F.floor((F.col("q_permille") * F.col("n") + F.lit(999)) / F.lit(1000))
+    hit = (
+        cum.where(F.col("cum") >= rank)
+        .groupBy(*group_cols, "q_permille")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = hi - lo
+    est_lo = (F.lit(lo) + F.floor(F.col("bin") * F.lit(width) / F.lit(bins))).cast(
+        "long"
+    )
+    est_hi = (
+        F.lit(lo) + F.floor((F.col("bin") + 1) * F.lit(width) / F.lit(bins))
+    ).cast("long")
+    return hit.select(
+        *group_cols,
+        "q_permille",
+        "bin",
+        est_lo.alias("est_lo"),
+        est_hi.alias("est_hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: broadcastable membership sketch -> join prefilter
 # ---------------------------------------------------------------------------

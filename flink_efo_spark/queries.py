@@ -6660,6 +6660,62 @@ def q_hist_quantiles(t: _T) -> DataFrame:
 
 
 @_q(
+    "hist_group_quantiles",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem),
+    sk AS (
+      SELECT l_returnflag,
+             LEAST(219, GREATEST(0,
+               CAST(floor((c - 90000) * 220 / 10500000) AS BIGINT))) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, bin,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM sk),
+    q AS (
+      SELECT unnest(CAST([250, 500, 900] AS BIGINT[])) AS q_permille),
+    hit AS (
+      SELECT l_returnflag, q_permille, MIN(bin) AS bin
+      FROM cum CROSS JOIN q
+      WHERE cum >= CAST(floor((q_permille * n + 999) / 1000) AS BIGINT)
+      GROUP BY l_returnflag, q_permille)
+    SELECT l_returnflag, q_permille, bin,
+           CAST(90000 + floor(bin * 10500000 / 220) AS BIGINT) AS est_lo,
+           CAST(90000 + floor((bin + 1) * 10500000 / 220) AS BIGINT) AS est_hi
+    FROM hit
+    """,
+)
+def q_hist_group_quantiles(t: _T) -> DataFrame:
+    """Per-group histogram quantiles (operators/sketches.py
+    hist_sketch_by/hist_quantiles_by): one pass builds a sketch PER
+    l_returnflag, and the read-back windows partition by the group —
+    no single-partition stage at any group count. p25/p50/p90 of
+    extended price per return flag, bit-stable vs the oracle."""
+    from flink_efo_spark.operators.sketches import (
+        hist_quantiles_by,
+        hist_sketch_by,
+    )
+
+    cents = t.lineitem.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    sk = hist_sketch_by(
+        cents, ["l_returnflag"], "c", lo=90000, hi=10590000, bins=220
+    )
+    return hist_quantiles_by(
+        sk, ["l_returnflag"], [250, 500, 900], lo=90000, hi=10590000, bins=220
+    )
+
+
+@_q(
     "bloom_prefilter_join",
     """
     SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)

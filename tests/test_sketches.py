@@ -144,3 +144,29 @@ def test_bloom_corpus_plan_prefilters_below_fact_shuffle(spark):
     assert all(exch < s for s in semis), (exch, semis)
     # bits come from the checkpointed RDD, not three fresh dim scans
     assert plan.count("FileScan parquet [c_custkey") == 1
+
+
+def test_hist_group_quantiles_per_group_correct(spark):
+    """Grouped read-back == independent per-group global read-back."""
+    from flink_efo_spark.operators.sketches import hist_sketch_by, hist_quantiles_by
+
+    rows = [("a", (i * 37) % 1000) for i in range(300)] + [
+        ("b", (i * 13) % 500) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = hist_sketch_by(df, ["g"], "v", 0, 1000, 40)
+    out = {
+        (r.g, r.q_permille): (r.bin, r.est_lo, r.est_hi)
+        for r in hist_quantiles_by(
+            sk, ["g"], [500, 900], 0, 1000, 40
+        ).collect()
+    }
+    for g in ("a", "b"):
+        gdf = df.where(F.col("g") == g)
+        gsk = hist_sketch(gdf, "v", 0, 1000, 40)
+        solo = {
+            r.q_permille: (r.bin, r.est_lo, r.est_hi)
+            for r in hist_quantiles(gsk, [500, 900], 0, 1000, 40).collect()
+        }
+        for q, want in solo.items():
+            assert out[(g, q)] == want, (g, q)

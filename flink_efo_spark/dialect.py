@@ -571,7 +571,7 @@ def rewrite_system_time(sql, rowtime_of, primary_key_of=None) -> str:
 
 _LATERAL_RE = re.compile(
     r"(?P<jt>,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b)\s*"
-    r"LATERAL\s+TABLE\s*\(",
+    r"(?:LATERAL\s+TABLE|(?P<unnest>UNNEST))\s*\(",
     re.IGNORECASE,
 )
 
@@ -582,9 +582,11 @@ _LATERAL_ALIAS_RE = re.compile(
 
 
 def rewrite_lateral_table(sql: str) -> str:
-    """Rewrite every ``LATERAL TABLE(f(...))`` correlate to Spark's
-    ``LATERAL VIEW``; identity when the token is absent. LEFT JOIN
-    forms require the reference's mandatory ``ON TRUE`` and become
+    """Rewrite every ``LATERAL TABLE(f(...))`` correlate and every
+    FROM-clause ``UNNEST(arr)`` (UnnestITCase surface — Spark SQL has
+    no UNNEST join; it becomes ``explode``) to Spark's ``LATERAL
+    VIEW``; identity when the tokens are absent. LEFT JOIN forms
+    require the reference's mandatory ``ON TRUE`` and become
     ``LATERAL VIEW OUTER`` (unmatched rows kept with NULLs)."""
     while True:
         m = _LATERAL_RE.search(sql)
@@ -593,6 +595,8 @@ def rewrite_lateral_table(sql: str) -> str:
         open_idx = sql.index("(", m.end() - 1)
         close_idx = _find_close(sql, open_idx)
         inner = sql[open_idx + 1 : close_idx].strip()
+        if m.group("unnest"):
+            inner = f"explode({inner})"
         am = _LATERAL_ALIAS_RE.match(sql, close_idx + 1)
         if am is None or am.group("alias") is None:
             raise ValueError(

@@ -362,3 +362,35 @@ def test_lateral_table_left_join_keeps_empty_rows(spark):
         ).collect()
     )
     assert rows == [(1, "a"), (1, "b"), (2, None)]
+
+
+def test_unnest_join_rewrite_and_execution(spark):
+    """FROM-clause UNNEST (UnnestITCase) rewrites to LATERAL VIEW
+    explode and runs end-to-end, OUTER form preserving empty arrays."""
+    from flink_efo_spark.dialect import rewrite_lateral_table as rl
+    from flink_efo_spark.session import EfoSession
+
+    assert (
+        rl("SELECT id, tag FROM t, UNNEST(tags) AS x(tag)")
+        == "SELECT id, tag FROM t LATERAL VIEW explode(tags) x AS tag"
+    )
+    env = EfoSession(spark)
+    spark.createDataFrame(
+        [(1, ["x", "y"]), (2, [])], "id int, tags array<string>"
+    ).createOrReplaceTempView("__efo_unnest_t")
+    rows = sorted(
+        (r.id, r.tag)
+        for r in env.sql(
+            "SELECT id, x.tag FROM __efo_unnest_t "
+            "CROSS JOIN UNNEST(tags) AS x(tag)"
+        ).collect()
+    )
+    assert rows == [(1, "x"), (1, "y")]
+    rows = sorted(
+        (r.id, r.tag)
+        for r in env.sql(
+            "SELECT id, x.tag FROM __efo_unnest_t "
+            "LEFT JOIN UNNEST(tags) AS x(tag) ON TRUE"
+        ).collect()
+    )
+    assert rows == [(1, "x"), (1, "y"), (2, None)]

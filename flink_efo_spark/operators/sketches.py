@@ -348,7 +348,19 @@ def bloom_prefilter_join(
     """Exact join with a Bloom prefilter on the fact side. Result is
     identical to fact.join(dim, ...) — the prefilter has no false
     negatives and the join removes false positives — but at scale the
-    shuffled fact bytes drop by the dim key set's selectivity."""
+    shuffled fact bytes drop by the dim key set's selectivity.
+
+    Only fact-preserving-on-match joins are legal: a fact-outer join
+    would need the rows the prefilter exists to drop."""
+    # inner/semi emit matches only; right-outer preserves the DIM side
+    # — dropped fact rows could never appear in any of them
+    if how not in ("inner", "right", "rightouter", "right_outer",
+                   "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prefilter_join: how={how!r} would need the fact rows "
+            "the prefilter drops; use a plain join for fact-outer/anti "
+            "semantics"
+        )
     # lazy localCheckpoint: the <= k*m-row bit relation materializes
     # once at the first probe's broadcast and the remaining k-1 probes
     # reuse it — the dim is scanned ONCE regardless of k (without it,

@@ -170,3 +170,15 @@ def test_hist_group_quantiles_per_group_correct(spark):
         }
         for q, want in solo.items():
             assert out[(g, q)] == want, (g, q)
+
+
+def test_bloom_join_rejects_fact_outer_hows(spark):
+    """A fact-outer/anti join needs exactly the rows the prefilter
+    drops — the operator must refuse instead of silently losing them."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, 1)], "k long, fid long")
+    dim = spark.createDataFrame([(1,)], "dk long")
+    for how in ("left", "full", "left_anti"):
+        with pytest.raises(ValueError, match="prefilter drops"):
+            bloom_prefilter_join(fact, dim, "k", "dk", how=how)

@@ -204,6 +204,12 @@ class EfoSession:
             # inserts into real Spark tables stay native
             ddl_sql.execute_insert(self, query)
             return self.spark.sql("SELECT 'OK' AS result")
+        # Flink's EXPLAIN PLAN FOR <stmt> (SqlRichExplain) -> Spark's
+        # EXPLAIN <stmt>; the inner statement still gets the dialect
+        # rewrites below
+        em = re.match(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", query, re.IGNORECASE)
+        if em:
+            query = "EXPLAIN " + query[em.end():]
         query = rewrite_system_time(query, self._rowtime_of, self._pk_of)
         # LATERAL TABLE(tf(...)) correlates -> LATERAL VIEW
         query = rewrite_lateral_table(query)

@@ -394,3 +394,19 @@ def test_unnest_join_rewrite_and_execution(spark):
         ).collect()
     )
     assert rows == [(1, "x"), (1, "y"), (2, None)]
+
+
+def test_explain_plan_for(spark):
+    """Flink's EXPLAIN PLAN FOR <stmt> (SqlRichExplain) runs as
+    Spark EXPLAIN, with dialect constructs inside the statement."""
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(spark)
+    spark.createDataFrame(
+        [(1, ["x"])], "id int, tags array<string>"
+    ).createOrReplaceTempView("__efo_expl_t")
+    out = env.sql(
+        "EXPLAIN PLAN FOR SELECT id, x.tag FROM __efo_expl_t "
+        "CROSS JOIN UNNEST(tags) AS x(tag)"
+    ).collect()
+    assert len(out) == 1 and "Generate" in out[0][0] or "explode" in out[0][0]

@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     # round 6h: bulk-iteration PageRank (3 rounds, co-purchase graph)
     "pagerank_topn",
+    # round 6i: the composed normalize->dedup->chunk->pack pipeline
+    "corpus_pipeline",
 ]
 
 

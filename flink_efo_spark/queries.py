@@ -7029,6 +7029,84 @@ def q_pq_adc_topk(t: _T) -> DataFrame:
 
 
 @_q(
+    "corpus_pipeline",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+      FROM documents),
+    kept AS (
+      SELECT doc_id, nt FROM (
+        SELECT doc_id, nt,
+               row_number() OVER (PARTITION BY md5(nt)
+                                  ORDER BY doc_id) AS rn
+        FROM n) WHERE rn = 1),
+    q AS (
+      SELECT doc_id, list_filter(string_split(nt, ' '), t -> t <> '') AS ts
+      FROM kept WHERE len(string_split(nt, ' ')) >= 10),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(ts) - 8) / 24.0) AS INT), 1) - 1))
+               AS chunk_id,
+             ts
+      FROM q WHERE len(ts) > 0),
+    ch AS (
+      SELECT doc_id * 100000 + chunk_id AS chunk_key,
+             CAST(len(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+               AS n_tokens
+      FROM c),
+    p AS (
+      SELECT chunk_key, n_tokens,
+             CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_pos,
+             CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0) AS BIGINT)
+               AS shard_id
+      FROM (SELECT chunk_key, n_tokens,
+                   md5(CAST(chunk_key AS VARCHAR)) AS okey
+            FROM ch)
+      WINDOW w AS (ORDER BY okey, chunk_key))
+    SELECT shard_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(start_pos) AS first_pos,
+           CAST(max(start_pos + n_tokens) AS BIGINT) AS end_pos
+    FROM p GROUP BY shard_id
+    """,
+)
+def q_corpus_pipeline(t: _T) -> DataFrame:
+    """The composed LLM-corpus build, end to end in ONE plan:
+    normalize -> normalized exact dedup keep-first -> quality gate
+    (>= 10 tokens) -> 32/8 token chunking -> 2000-token shard packing
+    -> shard manifest. Every stage is an existing corpus operator
+    (text.normalize_text, dedup.dedup_keep_first,
+    text.chunk_documents, packing.pack_shards/shard_manifest) and the
+    oracle replays the whole chain — demonstrating the stages compose
+    without materialization barriers: narrow maps + one hash-shuffle
+    (dedup) + explode + the bucketed prefix-sum pack."""
+    from flink_efo_spark.operators.dedup import dedup_keep_first
+    from flink_efo_spark.operators.packing import pack_shards, shard_manifest
+    from flink_efo_spark.operators.text import chunk_documents, normalize_text
+
+    norm = normalize_text(t.documents, "doc_id", "text")
+    kept = dedup_keep_first(norm, ["norm_hash"], [F.col("doc_id")])
+    quality = kept.where(F.size(F.split("norm_text", " ")) >= 10)
+    chunks = chunk_documents(
+        quality, "doc_id", "norm_text", chunk_tokens=32, overlap=8
+    )
+    ck = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 100000 + F.col("chunk_id")
+    )
+    pack = pack_shards(ck, "chunk_key", "chunk_text", shard_tokens=2000)
+    return shard_manifest(pack).select(
+        "shard_id",
+        F.col("n_docs").alias("n_chunks"),
+        "total_tokens",
+        "first_pos",
+        "end_pos",
+    )
+
+
+@_q(
     "dialect_lateral",
     """
     WITH tf AS (

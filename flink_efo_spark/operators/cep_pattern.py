@@ -1,0 +1,550 @@
+"""flink-cep Pattern API analog — the library surface that is NOT
+expressible in MATCH_RECOGNIZE.
+
+The reference ships a standalone CEP library
+(flink-libraries/flink-cep) whose fluent ``Pattern`` builder
+(pattern/Pattern.java:129 ``begin``, :262 ``next``, :273 ``notNext``,
+:291 ``followedBy``, :304 ``notFollowedBy``, :322 ``followedByAny``,
+:333 ``optional``, :352 ``oneOrMore``, :367 ``greedy``, :382/:400
+``times``, :420 ``timesOrMore``, :441 ``allowCombinations``, :480
+``consecutive``, :220 ``until``, :245 ``within``) compiles to an NFA
+(nfa/compiler/NFACompiler.java) with five consuming strategies
+(pattern/Quantifier.java ``ConsumingStrategy``: STRICT,
+SKIP_TILL_NEXT, SKIP_TILL_ANY, NOT_NEXT, NOT_FOLLOW). Negative
+patterns (``notNext`` / ``notFollowedBy``) and timed-out-partial-match
+output (PatternTimeoutFunction.java, fired when the ``within`` window
+expires — NFA.java ``advanceTime`` pruning) have NO MATCH_RECOGNIZE
+equivalent, so this module is a separate engine path rather than a
+rewrite onto :mod:`flink_efo_spark.operators.cep`.
+
+Spark-first shape: every stage condition (and ``until``) is a Spark
+SQL boolean expression evaluated JVM-side into a flag column —
+whole-stage-codegen, touching each row once — and only the boolean
+flags plus the measure columns reach the Python side. The per-key
+match enumeration runs inside ``applyInPandas`` over index arrays
+(Arrow-batched, no per-row Python UDF). At 100 TB the plan is one
+hash shuffle on the partition key; per-key state is the key's event
+buffer, the same bound the reference's keyed NFA holds in RocksDB.
+
+Semantics notes (each mirrors a documented reference rule):
+
+* ``notFollowedBy`` may not end a pattern (NFACompiler.java:151
+  throws MalformedPatternException) and NOT patterns accept no
+  quantifier (Quantifier.java:102 forbids optional; looping NOTs are
+  rejected by Pattern.java's quantifier guards).
+* A ban from ``notFollowedBy(B)`` applies to events STRICTLY between
+  the previous consumed event and the next consumed one; an event
+  matching both the ban and the following stage's condition is
+  consumed by the stage (the take edge is evaluated against the event
+  before the stop state prunes waiting branches).
+* ``followedBy`` = SKIP_TILL_NEXT: non-matching events are skipped
+  but a matching event cannot be skipped, so the FIRST match is the
+  only continuation. ``followedByAny`` = SKIP_TILL_ANY branches on
+  every later match.
+* Looping stages default to emitting every prefix length >= lo (the
+  documented a b+ -> {a b1}, {a b1 b2} behavior); ``greedy()``
+  suppresses a shorter prefix whenever the longer one still completes
+  the whole pattern.
+* Timeouts exist only under ``within``: a partial match is reported
+  timed-out when the window expires before completion (bounded input
+  ends with a MAX_WATERMARK flush, so end-of-input also expires every
+  open window — CEPOperator's final watermark handling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, BooleanType
+
+__all__ = ["CepPattern", "cep_pattern_select"]
+
+# consuming strategies (pattern/Quantifier.java ConsumingStrategy)
+_STRICT = "strict"            # next()
+_RELAXED = "skip_till_next"   # followedBy()
+_ANY = "skip_till_any"        # followedByAny()
+_NOT_NEXT = "not_next"        # notNext()
+_NOT_FOLLOW = "not_follow"    # notFollowedBy()
+
+
+@dataclass
+class _Stage:
+    name: str
+    strategy: str
+    conds: list[str] = field(default_factory=list)
+    lo: int = 1
+    hi: int | None = 1          # None = unbounded
+    inner: str = _RELAXED       # loop contiguity: strict|skip_till_next|skip_till_any
+    greedy: bool = False
+    optional: bool = False
+    until: str | None = None
+
+    @property
+    def is_not(self) -> bool:
+        return self.strategy in (_NOT_NEXT, _NOT_FOLLOW)
+
+
+class CepPattern:
+    """Fluent builder mirroring pattern/Pattern.java. Conditions are
+    Spark SQL boolean expressions over the input's columns (the
+    reference's SimpleCondition; IterativeConditions stay on the
+    MATCH_RECOGNIZE path, which has PREV/FIRST/LAST navigation)."""
+
+    def __init__(self, stages: list[_Stage], within_s: float | None = None,
+                 after_match: str = "no_skip"):
+        self._stages = stages
+        self._within = within_s
+        self._after_match = after_match
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def begin(name: str, after_match: str = "no_skip") -> "CepPattern":
+        """Pattern.java:129; ``after_match`` ∈ no_skip | skip_to_next |
+        skip_past_last_event | skip_to_first:<stage> | skip_to_last:<stage>
+        (aftermatch/AfterMatchSkipStrategy.java)."""
+        return CepPattern([_Stage(name, _RELAXED)], after_match=after_match)
+
+    def _append(self, name: str, strategy: str) -> "CepPattern":
+        if any(s.name == name for s in self._stages):
+            raise ValueError(f"duplicate pattern name {name!r} "
+                             "(NFACompiler checkPatternNameUniqueness)")
+        return CepPattern(self._stages + [_Stage(name, strategy)],
+                          self._within, self._after_match)
+
+    def next(self, name: str) -> "CepPattern":
+        return self._append(name, _STRICT)
+
+    def followed_by(self, name: str) -> "CepPattern":
+        return self._append(name, _RELAXED)
+
+    def followed_by_any(self, name: str) -> "CepPattern":
+        return self._append(name, _ANY)
+
+    def not_next(self, name: str) -> "CepPattern":
+        return self._append(name, _NOT_NEXT)
+
+    def not_followed_by(self, name: str) -> "CepPattern":
+        return self._append(name, _NOT_FOLLOW)
+
+    # -- stage modifiers (apply to the last stage) --------------------
+    def _mod(self, **kw) -> "CepPattern":
+        stages = [
+            _Stage(**{**vars(s)}) for s in self._stages
+        ]
+        last = stages[-1]
+        for k, v in kw.items():
+            setattr(last, k, v)
+        return CepPattern(stages, self._within, self._after_match)
+
+    def where(self, cond: str) -> "CepPattern":
+        return self._mod(conds=self._stages[-1].conds + [cond])
+
+    def or_(self, cond: str) -> "CepPattern":
+        """Pattern.java:178 — conditions OR together."""
+        return self.where(cond)
+
+    def _quantify(self, lo: int, hi: int | None) -> "CepPattern":
+        if self._stages[-1].is_not:
+            raise ValueError("NOT patterns accept no quantifier "
+                             "(Quantifier.java looping/times guards)")
+        return self._mod(lo=lo, hi=hi)
+
+    def one_or_more(self) -> "CepPattern":
+        return self._quantify(1, None)
+
+    def times(self, lo: int, hi: int | None = None) -> "CepPattern":
+        return self._quantify(lo, lo if hi is None else hi)
+
+    def times_or_more(self, lo: int) -> "CepPattern":
+        return self._quantify(lo, None)
+
+    def optional(self) -> "CepPattern":
+        if self._stages[-1].is_not:
+            raise ValueError("NOT pattern cannot be optional "
+                             "(Quantifier.java:102)")
+        return self._mod(optional=True)
+
+    def greedy(self) -> "CepPattern":
+        return self._mod(greedy=True)
+
+    def consecutive(self) -> "CepPattern":
+        return self._mod(inner=_STRICT)
+
+    def allow_combinations(self) -> "CepPattern":
+        return self._mod(inner=_ANY)
+
+    def until(self, cond: str) -> "CepPattern":
+        return self._mod(until=cond)
+
+    def within(self, seconds: float) -> "CepPattern":
+        return CepPattern(self._stages, float(seconds), self._after_match)
+
+    # -- validation (NFACompiler.compileFactory) ----------------------
+    def _validated(self) -> list[_Stage]:
+        stages = self._stages
+        if not stages:
+            raise ValueError("empty pattern")
+        if stages[-1].strategy == _NOT_FOLLOW:
+            raise ValueError("NotFollowedBy is not supported as a last "
+                             "part of a Pattern! (NFACompiler.java:151)")
+        if stages[0].is_not:
+            raise ValueError("a pattern begins with Pattern.begin, "
+                             "not a NOT stage")
+        for s in stages:
+            if not s.conds:
+                raise ValueError(f"stage {s.name!r} has no where() condition")
+            if s.lo < 0 or (s.hi is not None and s.hi < s.lo):
+                raise ValueError(f"stage {s.name!r}: bad times({s.lo},{s.hi})")
+        return stages
+
+
+def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
+    """Enumerate every match per the NFA semantics over one key's
+    index space. Returns (matches, timeouts): matches as
+    (start, consumed_tuple, {stage: [idx...]}), timeouts as
+    {stage: [idx...]} partials (deduped), reported only when ``win``
+    is set (no window => the reference never calls the timeout fn)."""
+    matches: list[tuple[int, tuple, dict]] = []
+    timeouts: dict[tuple, dict] = {}
+
+    ns = len(stages)
+
+    def record_timeout(acc):
+        if not want_timeouts or win is None:
+            return
+        if not any(acc.values()):
+            return  # nothing consumed yet — no partial match exists
+        key = tuple((s.name, tuple(acc[s.name])) for s in stages)
+        timeouts.setdefault(key, {k: list(v) for k, v in acc.items()})
+
+    def rec(si, prev_end, bans, acc, anchored, start) -> bool:
+        """Advance from stage ``si``; returns True iff >= 1 complete
+        match was recorded down this branch (drives greedy())."""
+        if si == ns:
+            consumed = tuple(ix for s in stages for ix in acc[s.name])
+            matches.append((start, consumed, {k: list(v) for k, v in acc.items()}))
+            return True
+        st = stages[si]
+
+        if st.strategy == _NOT_NEXT:
+            j = prev_end + 1
+            if j < n and flags[si][j]:
+                return False  # the very next event matches — branch dies
+            # no consumption; bans stay pending for the next consumer
+            return rec(si + 1, prev_end, bans, acc, anchored, start)
+
+        if st.strategy == _NOT_FOLLOW:
+            return rec(si + 1, prev_end, bans + [si], acc, anchored, start)
+
+        any_hit = False
+        # optional / lo==0: the skip branch consumes nothing
+        if st.optional or st.lo == 0:
+            if rec(si + 1, prev_end, bans, dict(acc), anchored, start):
+                any_hit = True
+
+        def banned(k) -> bool:
+            return any(flags[b][k] for b in bans)
+
+        def expired(j) -> bool:
+            return win is not None and start >= 0 and ts[j] - ts[start] > win
+
+        def entry_candidates() -> Iterable[int]:
+            """First element of this stage, honoring the entry
+            strategy, pending bans, the within window, and the start
+            anchor (NoSkip enumerates every start exactly once by
+            pinning the first consumed event)."""
+            if anchored:
+                # first consumption of the whole run must sit at `start`
+                j = start if st.strategy != _STRICT else prev_end + 1
+                if j == start and j < n and flags[si][j]:
+                    yield j
+                return
+            if st.strategy == _STRICT:
+                j = prev_end + 1
+                if j < n and not expired(j) and flags[si][j]:
+                    yield j  # the for-loop ban check is vacuous (gap empty)
+                return
+            j = prev_end + 1
+            while j < n:
+                if expired(j):
+                    record_timeout(acc)
+                    return
+                if flags[si][j]:
+                    yield j
+                    if st.strategy == _RELAXED:
+                        return  # SKIP_TILL_NEXT: can't skip a match
+                elif banned(j):
+                    return  # stop state: ban event arrived first
+                j += 1
+            # ran out of events with the stage still open
+            record_timeout(acc)
+
+        def loop_from(first_j) -> bool:
+            """Extend the loop beyond its first element, then hand off
+            to the next stage. Implements inner contiguity, until,
+            greedy, and the emit-every-prefix default."""
+            hit = False
+
+            def extend(elems) -> bool:
+                got = False
+                count = len(elems)
+                can_stop = count >= st.lo
+                # candidates for the next loop element
+                def next_elems():
+                    last = elems[-1]
+                    if st.inner == _STRICT:
+                        j = last + 1
+                        if j < n and expired(j):
+                            record_timeout({**acc, st.name: list(elems)})
+                        elif (j < n and flags[si][j]
+                              and not (untils[si] is not None and untils[si][j])):
+                            yield j
+                        return
+                    j = last + 1
+                    while j < n:
+                        if expired(j):
+                            record_timeout({**acc, st.name: list(elems)})
+                            return
+                        if untils[si] is not None and untils[si][j]:
+                            return  # until(): loop stops accepting
+                        if flags[si][j]:
+                            yield j
+                            if st.inner == _RELAXED:
+                                return
+                        j += 1
+
+                def stop() -> bool:
+                    acc2 = dict(acc)
+                    acc2[st.name] = list(elems)
+                    return rec(si + 1, elems[-1], [], acc2, False, start)
+
+                if st.hi is not None and count >= st.hi:
+                    return stop() if can_stop else False
+
+                extended = False
+                if st.greedy:
+                    for j in next_elems():
+                        if extend(elems + [j]):
+                            extended = True
+                            got = True
+                    if not extended and can_stop:
+                        got = stop() or got
+                else:
+                    if can_stop:
+                        got = stop() or got
+                    for j in next_elems():
+                        got = extend(elems + [j]) or got
+                return got
+
+            hit = extend([first_j]) or hit
+            return hit
+
+        for j in entry_candidates():
+            if expired(j):
+                record_timeout(acc)
+                break
+            if anchored and win is not None:
+                pass  # window anchors at the first consumed event: delta 0
+            # events skipped on the way to j must respect pending bans
+            if any(banned(k) for k in range(prev_end + 1, j)):
+                continue
+            if st.hi == 1 and st.lo <= 1:
+                acc_j = dict(acc)
+                acc_j[st.name] = [j]
+                if rec(si + 1, j, [], acc_j, False, start):
+                    any_hit = True
+            else:
+                if loop_from(j):
+                    any_hit = True
+        return any_hit
+
+    for start in range(n):
+        init = {s.name: [] for s in stages}
+        rec(0, start - 1, [], init, True, start)
+    return matches, timeouts
+
+
+def _prune_after_match(matches, after_match, stages):
+    """aftermatch/AfterMatchSkipStrategy.java pruning over the
+    start-ordered match list."""
+    matches.sort(key=lambda m: (m[0], m[1]))
+    # defensive dedupe: optional() combined with times(0, n) reaches
+    # the same assignment via two skip branches
+    uniq, seen = [], set()
+    for m in matches:
+        k = (m[0], tuple((name, tuple(rows)) for name, rows in sorted(m[2].items())))
+        if k not in seen:
+            seen.add(k)
+            uniq.append(m)
+    matches = uniq
+    if after_match == "no_skip":
+        return matches
+    if after_match == "skip_to_next":
+        out, seen = [], set()
+        for m in matches:
+            if m[0] not in seen:
+                seen.add(m[0])
+                out.append(m)
+        return out
+    if after_match == "skip_past_last_event":
+        out, threshold = [], -1
+        for m in matches:
+            if m[0] > threshold:
+                out.append(m)
+                threshold = max(threshold, max(m[1]))
+        return out
+    kind, _, stage_name = after_match.partition(":")
+    if kind in ("skip_to_first", "skip_to_last") and stage_name:
+        out, threshold = [], -1
+        for m in matches:
+            if m[0] <= threshold:
+                continue
+            out.append(m)
+            rows = m[2].get(stage_name) or []
+            if not rows:
+                continue
+            anchor = min(rows) if kind == "skip_to_first" else max(rows)
+            if anchor <= m[0]:
+                # reference throws on a strategy that would re-enter
+                # the match start (SKIP_TO_FIRST on the first element)
+                raise ValueError(
+                    f"AFTER MATCH {after_match} would re-enter the match start"
+                )
+            threshold = max(threshold, anchor - 1)
+        return out
+    raise ValueError(f"unknown after_match strategy {after_match!r}")
+
+
+def cep_pattern_select(
+    df: DataFrame,
+    pattern: CepPattern,
+    partition_by: list[str],
+    order_by: str,
+    measures: dict[str, tuple[str, str, str]],
+    tiebreak: str | None = None,
+    emit_timeouts: bool = False,
+) -> DataFrame:
+    """Run a CEP library pattern (CEP.java ``CEP.pattern`` +
+    PatternStream select/flatSelect) over a batch DataFrame.
+
+    measures: out_col -> (stage, fn, col), fn ∈ first|last|count.
+    Output: partition keys, ``match_seq`` (per-key emission order),
+    the measures, and — when ``emit_timeouts`` — a ``timed_out``
+    boolean marking partial matches whose ``within`` window expired
+    before completion (PatternTimeoutFunction.java; absent-stage
+    measures are NULL, counts 0). Timeout rows sort after full
+    matches in the per-key sequence."""
+    import pandas as pd
+
+    stages = pattern._validated()
+    win = pattern._within
+    after_match = pattern._after_match
+    if emit_timeouts and win is None:
+        raise ValueError("timeouts need within() — the reference only "
+                         "times out windowed patterns")
+
+    order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    enriched = df
+    flag_cols, until_cols = [], []
+    for i, s in enumerate(stages):
+        fc = f"__cep_f{i}"
+        flag_cols.append(fc)
+        cond = " OR ".join(f"({c})" for c in s.conds)
+        enriched = enriched.withColumn(fc, F.expr(cond))
+        uc = None
+        if s.until is not None:
+            uc = f"__cep_u{i}"
+            enriched = enriched.withColumn(uc, F.expr(s.until))
+        until_cols.append(uc)
+
+    meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    keep = list(dict.fromkeys(
+        partition_by + order_cols + meas_cols
+        + flag_cols + [c for c in until_cols if c]
+    ))
+    slim = enriched.select(*keep)
+
+    out_fields = [slim.schema[k] for k in partition_by]
+    out_fields.append(StructField("match_seq", LongType()))
+    for out_col, (stage, fn, col) in measures.items():
+        if stage not in {s.name for s in stages}:
+            raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
+        if fn == "count":
+            out_fields.append(StructField(out_col, LongType()))
+        else:
+            out_fields.append(StructField(out_col, slim.schema[col].dataType))
+    if emit_timeouts:
+        out_fields.append(StructField("timed_out", BooleanType()))
+    out_schema = StructType(out_fields)
+
+    stage_list = stages  # capture plain dataclasses (picklable)
+    meas_items = list(measures.items())
+
+    def match_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from flink_efo_spark.operators.cep import _ts_and_window
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        keyvals = {k: pdf[k].iloc[0] for k in partition_by}
+        ts, w = (_ts_and_window(pdf[order_by], win) if win is not None
+                 else (pdf[order_by].to_numpy(), None))
+        flags = [pdf[fc].to_numpy(dtype=bool) for fc in flag_cols]
+        untils = [pdf[uc].to_numpy(dtype=bool) if uc else None
+                  for uc in until_cols]
+        matches, touts = _enumerate_key(
+            n, ts, flags, untils, stage_list, w, emit_timeouts
+        )
+        matches = _prune_after_match(matches, after_match, stage_list)
+        if emit_timeouts:
+            # a partial that was ALSO completed by some match is not a
+            # timeout for that branch; distinct branches may still
+            # time out — the reference reports each pruned partial.
+            done = {tuple((s.name, tuple(m[2][s.name])) for s in stage_list)
+                    for m in matches}
+        rows = []
+        for seq, (_, _, assign) in enumerate(matches, start=1):
+            row = dict(keyvals)
+            row["match_seq"] = seq
+            for out_col, (stage, fn, col) in meas_items:
+                rows_of = assign.get(stage) or []
+                if fn == "count":
+                    row[out_col] = len(rows_of)
+                elif not rows_of:
+                    row[out_col] = None
+                else:
+                    ix = rows_of[0] if fn == "first" else rows_of[-1]
+                    row[out_col] = pdf[col].iloc[ix]
+            if emit_timeouts:
+                row["timed_out"] = False
+            rows.append(row)
+        if emit_timeouts:
+            seq = len(rows)
+            for key, assign in sorted(touts.items()):
+                if key in done:
+                    continue
+                seq += 1
+                row = dict(keyvals)
+                row["match_seq"] = seq
+                for out_col, (stage, fn, col) in meas_items:
+                    rows_of = assign.get(stage) or []
+                    if fn == "count":
+                        row[out_col] = len(rows_of)
+                    elif not rows_of:
+                        row[out_col] = None
+                    else:
+                        ix = rows_of[0] if fn == "first" else rows_of[-1]
+                        row[out_col] = pdf[col].iloc[ix]
+                row["timed_out"] = True
+                rows.append(row)
+        if not rows:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        return pd.DataFrame(rows)
+
+    return (
+        slim.repartition(*[F.col(c) for c in partition_by])
+        .groupBy(*partition_by)
+        .applyInPandas(match_key, schema=out_schema)
+    )

@@ -7206,3 +7206,246 @@ def q_pagerank_topn(t: _T) -> DataFrame:
         .orderBy(F.col("rank_e6").desc(), "node_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# flink-cep Pattern API (flink-libraries/flink-cep) — the library
+# surface MATCH_RECOGNIZE cannot express: negative patterns
+# (notNext/notFollowedBy, Pattern.java:273/:304), followedByAny
+# branching (:322), until() (:220), and timed-out-partial output
+# (PatternTimeoutFunction.java). operators/cep_pattern.py.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cep_pattern_notfollowed",
+    """
+    WITH a AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS a_us
+               FROM events WHERE event_type = 'view'),
+    c0 AS (
+      SELECT a.user_id, a.view_id, a.a_us,
+             e.event_id AS click_id, epoch_us(e.ts) AS c_us,
+             row_number() OVER (PARTITION BY a.user_id, a.view_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click'
+       AND epoch_us(e.ts) > a.a_us
+       AND epoch_us(e.ts) <= a.a_us + CAST(1800 AS BIGINT) * 1000000),
+    c AS (SELECT * FROM c0 WHERE rn = 1)
+    SELECT user_id, view_id, click_id FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) > c.a_us AND epoch_us(p.ts) < c.c_us)
+    """,
+)
+def q_cep_pattern_notfollowed(t: _T) -> DataFrame:
+    """``begin(view).notFollowedBy(purchase).followedBy(click)
+    .within(30min)`` — NOT_FOLLOW is a stop state (NFACompiler stop
+    transitions): a purchase arriving between the view and its first
+    subsequent click kills the branch. SKIP_TILL_NEXT on the click
+    means the FIRST click is the only continuation, which is what
+    makes the SQL oracle exact (first in-window click, then an
+    anti-check on intervening purchases)."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    pat = (
+        CepPattern.begin("a").where("event_type = 'view'")
+        .not_followed_by("nb").where("event_type = 'purchase'")
+        .followed_by("c").where("event_type = 'click'")
+        .within(1800)
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "view_id": ("a", "first", "event_id"),
+            "click_id": ("c", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "view_id", "click_id")
+
+
+@_q(
+    "cep_pattern_timeout",
+    """
+    WITH a AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS a_us
+               FROM events WHERE event_type = 'view'),
+    p0 AS (
+      SELECT a.user_id, a.view_id, e.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.user_id, a.view_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > a.a_us
+       AND epoch_us(e.ts) <= a.a_us + CAST(900 AS BIGINT) * 1000000)
+    SELECT user_id, view_id, purchase_id, FALSE AS timed_out
+    FROM p0 WHERE rn = 1
+    UNION ALL
+    SELECT a.user_id, a.view_id, CAST(NULL AS BIGINT), TRUE
+    FROM a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        AND epoch_us(e.ts) > a.a_us
+        AND epoch_us(e.ts) <= a.a_us + CAST(900 AS BIGINT) * 1000000)
+    """,
+)
+def q_cep_pattern_timeout(t: _T) -> DataFrame:
+    """``begin(view).followedBy(purchase).within(15min)`` with the
+    timed-out side output (PatternTimeoutFunction.java): every view
+    either matches its first in-window purchase or is reported as a
+    timed-out partial when the window expires (bounded input ends in
+    a MAX_WATERMARK flush, so end-of-input expires every open
+    window). One row per view, ``timed_out`` flagging which path."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    pat = (
+        CepPattern.begin("a").where("event_type = 'view'")
+        .followed_by("b").where("event_type = 'purchase'")
+        .within(900)
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "view_id": ("a", "first", "event_id"),
+            "purchase_id": ("b", "first", "event_id"),
+        },
+        tiebreak="event_id",
+        emit_timeouts=True,
+    )
+    return out.select("user_id", "view_id", "purchase_id", "timed_out")
+
+
+@_q(
+    "cep_pattern_consecutive",
+    """
+    WITH o AS (SELECT user_id, event_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    t3 AS (
+      SELECT o1.user_id, o1.event_id AS first_err, o3.rn AS rn3
+      FROM o o1
+      JOIN o o2 ON o2.user_id = o1.user_id AND o2.rn = o1.rn + 1
+      JOIN o o3 ON o3.user_id = o1.user_id AND o3.rn = o1.rn + 2
+      WHERE o1.event_type = 'error' AND o2.event_type = 'error'
+        AND o3.event_type = 'error'),
+    s0 AS (
+      SELECT t3.user_id, t3.first_err, s.event_id AS signup_id,
+             row_number() OVER (PARTITION BY t3.user_id, t3.first_err
+                                ORDER BY s.rn) AS rn
+      FROM t3 JOIN o s
+        ON s.user_id = t3.user_id AND s.event_type = 'signup'
+       AND s.rn > t3.rn3)
+    SELECT user_id, first_err, signup_id FROM s0 WHERE rn = 1
+    """,
+)
+def q_cep_pattern_consecutive(t: _T) -> DataFrame:
+    """``begin(error).times(3).consecutive().followedBy(signup)`` —
+    times() with STRICT inner contiguity (Pattern.java:382/:480):
+    three back-to-back errors in the per-user event order, then the
+    first signup after the run. NoSkip (the library default) emits
+    every anchor of an overlapping error run, exactly what the
+    rn-self-join oracle enumerates."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    pat = (
+        CepPattern.begin("e").where("event_type = 'error'")
+        .times(3).consecutive()
+        .followed_by("s").where("event_type = 'signup'")
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "first_err": ("e", "first", "event_id"),
+            "signup_id": ("s", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "first_err", "signup_id")
+
+
+@_q(
+    "cep_pattern_greedy_until",
+    """
+    WITH o AS (SELECT user_id, event_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    c AS (SELECT user_id, event_id, rn FROM o WHERE event_type = 'click'),
+    b AS (
+      SELECT c.user_id, c.event_id AS first_click, c.rn AS rn1,
+             (SELECT min(u.rn) FROM o u
+              WHERE u.user_id = c.user_id AND u.rn > c.rn
+                AND u.event_type IN ('error', 'purchase')) AS stop_rn
+      FROM c),
+    l AS (
+      SELECT b.user_id, b.first_click, max(c2.rn) AS last_rn,
+             CAST(count(*) AS BIGINT) AS n_clicks
+      FROM b JOIN c c2
+        ON c2.user_id = b.user_id AND c2.rn >= b.rn1
+       AND (b.stop_rn IS NULL OR c2.rn < b.stop_rn)
+      GROUP BY b.user_id, b.first_click),
+    p0 AS (
+      SELECT l.user_id, l.first_click, l.n_clicks,
+             p.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY l.user_id, l.first_click
+                                ORDER BY p.rn) AS rn
+      FROM l JOIN o p
+        ON p.user_id = l.user_id AND p.event_type = 'purchase'
+       AND p.rn > l.last_rn)
+    SELECT user_id, first_click, n_clicks, purchase_id
+    FROM p0 WHERE rn = 1
+    """,
+)
+def q_cep_pattern_greedy_until(t: _T) -> DataFrame:
+    """``begin(click).oneOrMore().greedy().until(error|purchase)
+    .followedBy(purchase)`` — greedy looping (Pattern.java:367) with
+    an until() boundary (:220): from each anchor click, consume every
+    click up to the first error-or-purchase, then take the first
+    purchase after the run. Because until() also covers the purchase
+    type, no loop gap can hide a purchase, so greedy never backtracks
+    and the islands-style SQL oracle is exact."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    pat = (
+        CepPattern.begin("c").where("event_type = 'click'")
+        .one_or_more().greedy()
+        .until("event_type IN ('error', 'purchase')")
+        .followed_by("p").where("event_type = 'purchase'")
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "first_click": ("c", "first", "event_id"),
+            "n_clicks": ("c", "count", "event_id"),
+            "purchase_id": ("p", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "first_click", "n_clicks", "purchase_id")

@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "pagerank_topn",
     # round 6i: the composed normalize->dedup->chunk->pack pipeline
     "corpus_pipeline",
+    # round 6j: flink-cep Pattern API (negative pattern + timeout path)
+    "cep_pattern_notfollowed",
+    "cep_pattern_timeout",
 ]
 
 

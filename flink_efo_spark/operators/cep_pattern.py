@@ -201,15 +201,16 @@ class CepPattern:
         return stages
 
 
-def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
-    """Enumerate every match per the NFA semantics over one key's
-    index space. Returns (matches, timeouts): matches as
-    (start, consumed_tuple, {stage: [idx...]}), timeouts as
-    {stage: [idx...]} partials (deduped), reported only when ``win``
-    is set (no window => the reference never calls the timeout fn)."""
-    matches: list[tuple[int, tuple, dict]] = []
-    timeouts: dict[tuple, dict] = {}
-
+def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
+               matches, timeouts):
+    """Enumerate every match anchored at ``start`` (the run's first
+    consumed event is exactly ``start``), appending to ``matches`` as
+    (start, consumed_tuple, {stage: [idx...]}) and timed-out partials
+    to ``timeouts`` keyed (start, assignment). Timeouts are reported
+    only when ``win`` is set (no window => the reference never calls
+    the timeout fn); a partial that ran out of buffered events counts
+    too — bounded input ends in a MAX_WATERMARK flush that expires
+    every open window."""
     ns = len(stages)
 
     def record_timeout(acc):
@@ -217,7 +218,7 @@ def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
             return
         if not any(acc.values()):
             return  # nothing consumed yet — no partial match exists
-        key = tuple((s.name, tuple(acc[s.name])) for s in stages)
+        key = (start, tuple((s.name, tuple(acc[s.name])) for s in stages))
         timeouts.setdefault(key, {k: list(v) for k, v in acc.items()})
 
     def rec(si, prev_end, bans, acc, anchored, start) -> bool:
@@ -361,10 +362,43 @@ def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
                     any_hit = True
         return any_hit
 
+    init = {s.name: [] for s in stages}
+    rec(0, start - 1, [], init, True, start)
+
+
+def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
+    """All matches + timed-out partials over one key's index space
+    (every anchor, NoSkip)."""
+    matches: list[tuple[int, tuple, dict]] = []
+    timeouts: dict[tuple, dict] = {}
     for start in range(n):
-        init = {s.name: [] for s in stages}
-        rec(0, start - 1, [], init, True, start)
+        _run_start(start, n, ts, flags, untils, stages, win,
+                   want_timeouts, matches, timeouts)
     return matches, timeouts
+
+
+def _assign_key(stages, assign) -> tuple:
+    return tuple((s.name, tuple(assign[s.name])) for s in stages)
+
+
+def _probe_arrays(n, ts, flags, untils, stages):
+    """Buffer extended with hypothetical all-matching future rows
+    (flags True, untils False, event time = the last real row's — the
+    earliest any future row can carry). If enumeration over the
+    extension produces a different match set for a start than the real
+    buffer does, future rows can still change that start's output:
+    open branches complete through the probe rows, greedy loops
+    extend into them, and a notNext holding beyond the buffer end gets
+    killed by them — each difference is exactly a reason to hold."""
+    import numpy as np
+
+    k = sum(max(s.lo, 1) for s in stages if not s.is_not) + 1
+    flags_ext = [np.append(f, [True] * k) for f in flags]
+    untils_ext = [
+        np.append(u, [False] * k) if u is not None else None for u in untils
+    ]
+    ts_ext = np.append(ts, [ts[n - 1]] * k) if n else ts
+    return n + k, ts_ext, flags_ext, untils_ext
 
 
 def _prune_after_match(matches, after_match, stages):
@@ -502,8 +536,7 @@ def cep_pattern_select(
             # a partial that was ALSO completed by some match is not a
             # timeout for that branch; distinct branches may still
             # time out — the reference reports each pruned partial.
-            done = {tuple((s.name, tuple(m[2][s.name])) for s in stage_list)
-                    for m in matches}
+            done = {(m[0], _assign_key(stage_list, m[2])) for m in matches}
         rows = []
         for seq, (_, _, assign) in enumerate(matches, start=1):
             row = dict(keyvals)
@@ -548,3 +581,267 @@ def cep_pattern_select(
         .groupBy(*partition_by)
         .applyInPandas(match_key, schema=out_schema)
     )
+
+
+def stream_cep_pattern_select(
+    df: DataFrame,
+    pattern: CepPattern,
+    partition_by: list[str],
+    order_by: str,
+    measures: dict[str, tuple[str, str, str]],
+    tiebreak: str | None = None,
+    emit_timeouts: bool = False,
+    flush_on_timeout: bool = False,
+    max_tail: int = 10_000,
+) -> DataFrame:
+    """STREAMING Pattern API — the CEP library's native habitat
+    (operator/CepOperator.java keeps per-key NFA state and fires
+    PatternTimeoutFunction when the within window expires on watermark
+    advance; here the state is the key's unresolved-suffix buffer on
+    ``applyInPandasWithState``).
+
+    Emission uses a per-start FRONTIER rule: anchors are resolved in
+    event-time order, and an anchor's output (its matches, then its
+    expired partials when ``emit_timeouts``) is emitted only once NO
+    future row can change it. The hold test compares the anchor's
+    match set against enumeration over a probe buffer extended with
+    all-matching future rows (:func:`_probe_arrays`): open branches,
+    extendable greedy loops, pending followedByAny alternatives, and
+    a notNext check hanging past the buffer end all surface as a
+    probe/base difference. Emission stops at the first held anchor;
+    rows from it onward are the new tail (anchors only consume rows
+    at/after themselves, so earlier rows are droppable). With
+    ``within``, held anchors expire as newer batches arrive — their
+    partials emit timed-out and the tail drains; ``max_tail`` is the
+    state-TTL backstop. ``flush_on_timeout`` is the MAX_WATERMARK
+    finalization (arm an event-time timer just past the watermark;
+    drive it with a far-future sentinel batch) — after the flush the
+    bounded replay equals :func:`cep_pattern_select` row-for-row.
+
+    after_match: ``no_skip`` and ``skip_to_next`` (both anchor-local).
+    The cross-anchor strategies (skip_past_last_event / to_first /
+    to_last) suppress matches based on PREVIOUSLY EMITTED ones and are
+    supported on the batch path only.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType as _Bool,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType as _Long,
+        ShortType,
+    )
+
+    stages = pattern._validated()
+    win = pattern._within
+    after_match = pattern._after_match
+    if after_match not in ("no_skip", "skip_to_next"):
+        raise ValueError(
+            f"streaming supports after_match no_skip|skip_to_next, "
+            f"got {after_match!r} (cross-anchor strategies are batch-only)"
+        )
+    if emit_timeouts and win is None:
+        raise ValueError("timeouts need within() — the reference only "
+                         "times out windowed patterns")
+
+    order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    enriched = df
+    flag_cols, until_cols = [], []
+    for i, s in enumerate(stages):
+        fc = f"__cep_f{i}"
+        flag_cols.append(fc)
+        enriched = enriched.withColumn(
+            fc, F.expr(" OR ".join(f"({c})" for c in s.conds))
+        )
+        uc = None
+        if s.until is not None:
+            uc = f"__cep_u{i}"
+            enriched = enriched.withColumn(uc, F.expr(s.until))
+        until_cols.append(uc)
+
+    meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    keep = list(dict.fromkeys(
+        partition_by + order_cols + meas_cols
+        + flag_cols + [c for c in until_cols if c]
+    ))
+    slim = enriched.select(*keep)
+
+    out_fields = [slim.schema[k] for k in partition_by]
+    out_fields.append(StructField("match_seq", LongType()))
+    for out_col, (stage, fn, col) in measures.items():
+        if stage not in {s.name for s in stages}:
+            raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
+        out_fields.append(
+            StructField(out_col, LongType())
+            if fn == "count"
+            else StructField(out_col, slim.schema[col].dataType)
+        )
+    if emit_timeouts:
+        out_fields.append(StructField("timed_out", BooleanType()))
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_schema.fields]
+
+    data_cols = [c for c in slim.columns if c not in partition_by]
+    state_schema = StructType(
+        [StructField("__seq", LongType())]
+        + [
+            StructField(f"__t_{c}", ArrayType(slim.schema[c].dataType))
+            for c in data_cols
+        ]
+    )
+
+    def _caster(dt):
+        if isinstance(dt, (ByteType, ShortType, IntegerType, _Long)):
+            return lambda x: None if pd.isna(x) else int(x)
+        if isinstance(dt, _Bool):
+            return lambda x: None if pd.isna(x) else bool(x)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return lambda x: None if pd.isna(x) else float(x)
+        return lambda x: None if (x is None or x is pd.NaT) else x
+
+    casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
+    stage_list = stages
+    meas_items = list(measures.items())
+
+    def _measure_row(keyvals, seq, assign, pdf, timed_out=None):
+        row = dict(keyvals)
+        row["match_seq"] = seq
+        for out_col, (stage, fn, col) in meas_items:
+            rows_of = assign.get(stage) or []
+            if fn == "count":
+                row[out_col] = len(rows_of)
+            elif not rows_of:
+                row[out_col] = None
+            else:
+                ix = rows_of[0] if fn == "first" else rows_of[-1]
+                row[out_col] = pdf[col].iloc[ix]
+        if timed_out is not None:
+            row["timed_out"] = timed_out
+        return row
+
+    def _pass(key, allr, seq, finalize):
+        from flink_efo_spark.operators.cep import _ts_and_window
+
+        allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(allr)
+        keyvals = {k: key[i] for i, k in enumerate(partition_by)}
+        ts, w = (
+            _ts_and_window(allr[order_by], win)
+            if win is not None
+            else (allr[order_by].to_numpy(), None)
+        )
+        flags = [
+            allr[fc].fillna(False).astype(bool).to_numpy() for fc in flag_cols
+        ]
+        untils = [
+            allr[uc].fillna(False).astype(bool).to_numpy() if uc else None
+            for uc in until_cols
+        ]
+        matches: list = []
+        touts: dict = {}
+        frontier = n
+        if finalize:
+            for s0 in range(n):
+                _run_start(s0, n, ts, flags, untils, stage_list, w,
+                           emit_timeouts, matches, touts)
+        else:
+            pn, pts, pflags, puntils = (
+                _probe_arrays(n, ts, flags, untils, stage_list) if n else
+                (0, ts, flags, untils)
+            )
+            for s0 in range(n):
+                base_m: list = []
+                _run_start(s0, n, ts, flags, untils, stage_list, w,
+                           emit_timeouts, base_m, touts)
+                probe_m: list = []
+                _run_start(s0, pn, pts, pflags, puntils, stage_list, w,
+                           False, probe_m, {})
+                if (
+                    {_assign_key(stage_list, m[2]) for m in probe_m}
+                    != {_assign_key(stage_list, m[2]) for m in base_m}
+                ):
+                    frontier = s0
+                    break
+                matches.extend(base_m)
+            else:
+                frontier = n
+        matches = _prune_after_match(matches, "no_skip", stage_list)
+        if after_match == "skip_to_next":
+            kept, seen = [], set()
+            for m in matches:
+                if m[0] not in seen:
+                    seen.add(m[0])
+                    kept.append(m)
+            matches = kept
+        rows = []
+        for _, _, assign in matches:
+            seq += 1
+            rows.append(_measure_row(
+                keyvals, seq, assign, allr,
+                False if emit_timeouts else None,
+            ))
+        if emit_timeouts:
+            done = {(m[0], _assign_key(stage_list, m[2])) for m in matches}
+            for tkey, assign in sorted(touts.items()):
+                if tkey in done or (not finalize and tkey[0] >= frontier):
+                    continue
+                seq += 1
+                rows.append(_measure_row(keyvals, seq, assign, allr, True))
+        new_tail = allr.iloc[frontier:]
+        if len(new_tail) > max_tail:
+            new_tail = new_tail.iloc[-max_tail:]
+        return rows, seq, new_tail
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            st = state.get
+            seq = st[0]
+            tail = pd.DataFrame(
+                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
+            )
+        else:
+            seq = 0
+            tail = pd.DataFrame({c: [] for c in data_cols})
+
+        if flush_on_timeout and state.hasTimedOut:
+            rows = []
+            if len(tail):
+                rows, _, _ = _pass(key, tail, seq, finalize=True)
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+            return
+
+        frames = [p[data_cols] for p in pdfs if len(p)]
+        if not frames and not len(tail):
+            state.update((int(seq), *([] for _ in data_cols)))
+            if flush_on_timeout:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            return
+        allr = pd.concat([tail] + frames, ignore_index=True)
+        rows, seq, new_tail = _pass(key, allr, seq, finalize=False)
+        state.update(
+            (
+                int(seq),
+                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
+            )
+        )
+        if flush_on_timeout:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    out = slim.groupBy(*partition_by).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        "EventTimeTimeout" if flush_on_timeout else "NoTimeout",
+    )
+    out._efo_output_mode = "append"
+    return out

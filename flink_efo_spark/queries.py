@@ -7449,3 +7449,82 @@ def q_cep_pattern_greedy_until(t: _T) -> DataFrame:
         tiebreak="event_id",
     )
     return out.select("user_id", "first_click", "n_clicks", "purchase_id")
+
+
+@_q(
+    "stream_cep_pattern",
+    """
+    WITH a AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS a_us
+               FROM events WHERE event_type = 'view'),
+    p0 AS (
+      SELECT a.user_id, a.view_id, e.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.user_id, a.view_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > a.a_us
+       AND epoch_us(e.ts) <= a.a_us + CAST(900 AS BIGINT) * 1000000)
+    SELECT user_id, view_id, purchase_id, FALSE AS timed_out
+    FROM p0 WHERE rn = 1
+    UNION ALL
+    SELECT a.user_id, a.view_id, CAST(NULL AS BIGINT), TRUE
+    FROM a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = a.user_id AND e.event_type = 'purchase'
+        AND epoch_us(e.ts) > a.a_us
+        AND epoch_us(e.ts) <= a.a_us + CAST(900 AS BIGINT) * 1000000)
+    """,
+)
+def q_stream_cep_pattern(t: _T) -> DataFrame:
+    """STREAMING Pattern API (operator/CepOperator.java keyed NFA
+    state + PatternTimeoutFunction on watermark-expired windows):
+    ``begin(view).followedBy(purchase).within(15min)`` over a 4-batch
+    event-time replay with emit_timeouts — matches and timed-out
+    partials emit per the frontier rule as anchors resolve across
+    micro-batches, and the far-future sentinel fires the
+    MAX_WATERMARK flush so the bounded replay equals the batch
+    operator (same oracle as ``cep_pattern_timeout``)."""
+    import datetime
+
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        stream_cep_pattern_select,
+    )
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        watermark=("ts", "10 minutes"),
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "__wm__",
+             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0}
+        ],
+    )
+    pat = (
+        CepPattern.begin("a").where("event_type = 'view'")
+        .followed_by("b").where("event_type = 'purchase'")
+        .within(900)
+    )
+    out = stream_cep_pattern_select(
+        src.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "view_id": ("a", "first", "event_id"),
+            "purchase_id": ("b", "first", "event_id"),
+        },
+        tiebreak="event_id",
+        emit_timeouts=True,
+        flush_on_timeout=True,
+    )
+    return (
+        run_stream_to_table(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "view_id", "purchase_id", "timed_out")
+    )

@@ -208,3 +208,131 @@ def test_or_condition(spark):
            .followed_by("e").where(f"event_type = '{E}'"))
     got = _run(spark, rows, pat, {"e": ("e", "first", "event_id")})
     assert got == [(1, 1, 2), (2, 1, 2)]
+
+
+# -- streaming (CepOperator.java keyed NFA state on micro-batches) ----
+
+
+def _stream_batch_parity(spark, tmp_path, rows, pat, measures, cuts, tag,
+                         emit_timeouts=False):
+    """Replay ``rows`` split at each cut (plus a far-future sentinel
+    batch firing the MAX_WATERMARK flush) and assert the streaming
+    output equals the batch operator row-for-row (match_seq excluded —
+    per-key emission order differs when timeouts interleave)."""
+    import datetime as dt
+
+    from flink_efo_spark.operators.cep_pattern import (
+        cep_pattern_select,
+        stream_cep_pattern_select,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, et, t0 + dt.timedelta(seconds=s)) for (u, i, et, s) in rows
+    ]
+    schema = "user_id int, event_id int, event_type string, ts timestamp"
+    bdf = spark.createDataFrame(data, schema)
+    out_cols = [c for c in ["user_id"] + list(measures)
+                + (["timed_out"] if emit_timeouts else [])]
+    want = sorted(
+        tuple(r[c] for c in out_cols)
+        for r in cep_pattern_select(
+            bdf, pat, ["user_id"], "ts", measures, tiebreak="event_id",
+            emit_timeouts=emit_timeouts,
+        ).collect()
+    )
+    sentinel = [(-1, -1, "__wm__", t0 + dt.timedelta(days=9))]
+    for cut in cuts:
+        src_dir = str(tmp_path / f"cep_{tag}_{cut}")
+        for i, part in enumerate([data[:cut], data[cut:], sentinel]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}.parquet"
+            )
+        fschema = spark.read.parquet(f"{src_dir}/b0.parquet").schema
+        src = (
+            spark.readStream.schema(fschema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = stream_cep_pattern_select(
+            src, pat, ["user_id"], "ts", measures, tiebreak="event_id",
+            emit_timeouts=emit_timeouts, flush_on_timeout=True,
+        )
+        got = sorted(
+            tuple(r[c] for c in out_cols)
+            for r in run_stream_to_table(out).collect()
+            if r.user_id >= 0
+        )
+        assert got == want, f"{tag} split {cut}: {got} != {want}"
+
+
+def test_stream_pattern_notfollowed_cross_batch(spark, tmp_path):
+    rows = [
+        (1, 1, V, 0), (1, 2, E, 100), (1, 3, C, 200),       # match
+        (2, 1, V, 0), (2, 2, P, 100), (2, 3, C, 200),       # ban kills
+        (3, 1, V, 0), (3, 2, C, 2500),                      # window expires
+        (4, 1, V, 0), (4, 2, C, 500), (4, 3, P, 600),       # match (ban after)
+    ]
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .not_followed_by("nb").where(f"event_type = '{P}'")
+           .followed_by("c").where(f"event_type = '{C}'")
+           .within(1800))
+    _stream_batch_parity(
+        spark, tmp_path, rows, pat,
+        {"view_id": ("a", "first", "event_id"),
+         "click_id": ("c", "first", "event_id")},
+        cuts=(1, 2, 5, 8), tag="nf",
+    )
+
+
+def test_stream_pattern_timeout_cross_batch(spark, tmp_path):
+    rows = [
+        (1, 1, V, 0), (1, 2, P, 100),         # match inside window
+        (2, 1, V, 0), (2, 2, P, 2000),        # first purchase too late
+        (3, 1, V, 0), (3, 2, E, 50),          # no purchase at all
+    ]
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .followed_by("b").where(f"event_type = '{P}'")
+           .within(900))
+    _stream_batch_parity(
+        spark, tmp_path, rows, pat,
+        {"view_id": ("a", "first", "event_id"),
+         "purchase_id": ("b", "first", "event_id")},
+        cuts=(1, 3, 4), tag="to", emit_timeouts=True,
+    )
+
+
+def test_stream_pattern_greedy_loop_held_across_batches(spark, tmp_path):
+    # the click run crosses every cut; greedy must hold the anchor
+    # open until the until() boundary arrives in a later batch
+    rows = [
+        (1, 1, C, 0), (1, 2, C, 10), (1, 3, C, 20),
+        (1, 4, E, 30), (1, 5, P, 40),
+        (2, 1, C, 0), (2, 2, P, 10), (2, 3, C, 20), (2, 4, P, 30),
+    ]
+    pat = (CepPattern.begin("c").where(f"event_type = '{C}'")
+           .one_or_more().greedy()
+           .until(f"event_type IN ('{E}', '{P}')")
+           .followed_by("p").where(f"event_type = '{P}'"))
+    _stream_batch_parity(
+        spark, tmp_path, rows, pat,
+        {"first_click": ("c", "first", "event_id"),
+         "n_clicks": ("c", "count", "event_id"),
+         "purchase_id": ("p", "first", "event_id")},
+        cuts=(1, 2, 4, 6, 7), tag="gl",
+    )
+
+
+def test_stream_pattern_rejects_cross_anchor_skip(spark):
+    from flink_efo_spark.operators.cep_pattern import stream_cep_pattern_select
+
+    with pytest.raises(ValueError, match="batch-only"):
+        stream_cep_pattern_select(
+            _df(spark, [(1, 1, V, 0.0)]),
+            CepPattern.begin("a", after_match="skip_past_last_event")
+            .where("true"),
+            ["user_id"], "ts", {"a": ("a", "first", "event_id")},
+        )

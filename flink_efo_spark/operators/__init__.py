@@ -7,7 +7,11 @@ dedup families, similarity search, text analysis).
 """
 
 from flink_efo_spark.operators.aggregates import collect_multiset, flat_aggregate
-from flink_efo_spark.operators.cep_pattern import CepPattern, cep_pattern_select
+from flink_efo_spark.operators.cep_pattern import (
+    CepPattern,
+    cep_pattern_select,
+    stream_cep_pattern_select,
+)
 from flink_efo_spark.operators.joins import asof_join, interval_join
 from flink_efo_spark.operators.lookup import lookup_join, lookup_join_batched
 from flink_efo_spark.operators.multimodal import (
@@ -40,6 +44,7 @@ from flink_efo_spark.operators.text import (
 __all__ = [
     "CepPattern",
     "cep_pattern_select",
+    "stream_cep_pattern_select",
     "asof_join",
     "interval_join",
     "top_n",

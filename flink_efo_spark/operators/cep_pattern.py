@@ -53,6 +53,7 @@ Semantics notes (each mirrors a documented reference rule):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Iterable
 
@@ -60,7 +61,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType, BooleanType
 
-__all__ = ["CepPattern", "cep_pattern_select"]
+__all__ = ["CepPattern", "cep_pattern_select", "stream_cep_pattern_select"]
 
 # consuming strategies (pattern/Quantifier.java ConsumingStrategy)
 _STRICT = "strict"            # next()
@@ -202,7 +203,7 @@ class CepPattern:
 
 
 def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
-               matches, timeouts):
+               matches, timeouts, dyns=None):
     """Enumerate every match anchored at ``start`` (the run's first
     consumed event is exactly ``start``), appending to ``matches`` as
     (start, consumed_tuple, {stage: [idx...]}) and timed-out partials
@@ -210,7 +211,9 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
     only when ``win`` is set (no window => the reference never calls
     the timeout fn); a partial that ran out of buffered events counts
     too — bounded input ends in a MAX_WATERMARK flush that expires
-    every open window."""
+    every open window. ``dyns``: per-stage iterative-condition
+    callables (or None) — the flag array answers the static part and
+    the callable the binding-dependent part (IterativeCondition)."""
     ns = len(stages)
 
     def record_timeout(acc):
@@ -252,6 +255,18 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
         def expired(j) -> bool:
             return win is not None and start >= 0 and ts[j] - ts[start] > win
 
+        dyn = dyns[si] if dyns is not None else None
+
+        def smatch(j, elems=()) -> bool:
+            """Full condition at ``j``: static flag AND (for iterative
+            conditions) the dynamic part against the current binding.
+            An event failing either is a NON-match — skippable under
+            the skip-till strategies, exactly the NFA's per-event
+            condition evaluation."""
+            if not flags[si][j]:
+                return False
+            return dyn is None or dyn(j, acc, elems, st.name)
+
         def entry_candidates() -> Iterable[int]:
             """First element of this stage, honoring the entry
             strategy, pending bans, the within window, and the start
@@ -260,12 +275,12 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
             if anchored:
                 # first consumption of the whole run must sit at `start`
                 j = start if st.strategy != _STRICT else prev_end + 1
-                if j == start and j < n and flags[si][j]:
+                if j == start and j < n and smatch(j):
                     yield j
                 return
             if st.strategy == _STRICT:
                 j = prev_end + 1
-                if j < n and not expired(j) and flags[si][j]:
+                if j < n and not expired(j) and smatch(j):
                     yield j  # the for-loop ban check is vacuous (gap empty)
                 return
             j = prev_end + 1
@@ -273,7 +288,7 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
                 if expired(j):
                     record_timeout(acc)
                     return
-                if flags[si][j]:
+                if smatch(j):
                     yield j
                     if st.strategy == _RELAXED:
                         return  # SKIP_TILL_NEXT: can't skip a match
@@ -300,7 +315,7 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
                         j = last + 1
                         if j < n and expired(j):
                             record_timeout({**acc, st.name: list(elems)})
-                        elif (j < n and flags[si][j]
+                        elif (j < n and smatch(j, elems)
                               and not (untils[si] is not None and untils[si][j])):
                             yield j
                         return
@@ -311,7 +326,7 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
                             return
                         if untils[si] is not None and untils[si][j]:
                             return  # until(): loop stops accepting
-                        if flags[si][j]:
+                        if smatch(j, elems):
                             yield j
                             if st.inner == _RELAXED:
                                 return
@@ -366,15 +381,137 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
     rec(0, start - 1, [], init, True, start)
 
 
-def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts):
+def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts,
+                   dyns=None):
     """All matches + timed-out partials over one key's index space
     (every anchor, NoSkip)."""
     matches: list[tuple[int, tuple, dict]] = []
     timeouts: dict[tuple, dict] = {}
     for start in range(n):
         _run_start(start, n, ts, flags, untils, stages, win,
-                   want_timeouts, matches, timeouts)
+                   want_timeouts, matches, timeouts, dyns)
     return matches, timeouts
+
+
+def _dyn_token_re(stage_names):
+    alts = "|".join(
+        re.escape(s) for s in sorted(stage_names, key=len, reverse=True)
+    )
+    return re.compile(
+        rf"\b(first|last)_({alts})_(\w+)\b|\bcount_({alts})\b"
+    )
+
+
+def _dynamic_specs(stages, df_columns):
+    """Iterative conditions (IterativeCondition.java — filter(event,
+    ctx) with ctx.getEventsForPattern): a stage condition may
+    reference the IN-PROGRESS binding via ``first_<stage>_<col>`` /
+    ``last_<stage>_<col>`` / ``count_<stage>`` pseudo-columns (the
+    same navigation surface the MATCH_RECOGNIZE DEFINE path exposes).
+    Such conditions cannot be row-wise JVM booleans — they are
+    compiled here and evaluated per candidate inside the matcher.
+    Self-references see the elements accepted SO FAR (exclusive of
+    the candidate); navigation over an empty binding is NULL, so
+    guard first elements with ``count_<self> = 0 OR ...``. Returns a
+    per-stage list of None (static) or (code, plain_cols, refs)."""
+    from flink_efo_spark.operators.cep import _sql_to_py
+
+    rx = _dyn_token_re([s.name for s in stages])
+    specs = []
+    for s in stages:
+        cond = " OR ".join(f"({c})" for c in s.conds)
+        refs = []
+        for m in rx.finditer(cond):
+            if m.group(4) is not None:
+                refs.append((m.group(0), "count", m.group(4), None))
+            else:
+                refs.append((m.group(0), m.group(1), m.group(2), m.group(3)))
+        if not refs:
+            specs.append(None)
+            continue
+        if s.is_not:
+            raise ValueError(
+                f"stage {s.name!r}: iterative conditions are not supported "
+                "on NOT stages (their ban/adjacency checks are vectorized)"
+            )
+        for tok, kind, _sv, scol in refs:
+            if scol is not None and scol not in df_columns:
+                raise ValueError(
+                    f"navigation {tok!r}: column {scol!r} not in the input"
+                )
+        code = compile(_sql_to_py(cond), "<cep-iterative>", "eval")
+        ref_names = {r[0] for r in refs}
+        plain = {
+            nm for nm in code.co_names
+            if nm not in ref_names and nm in df_columns
+        }
+        unknown = [
+            nm for nm in code.co_names
+            if nm not in ref_names and nm not in df_columns
+        ]
+        if unknown:
+            raise ValueError(
+                f"stage {s.name!r}: iterative condition references unknown "
+                f"names {unknown} — only input columns, literals and "
+                "first_/last_/count_ navigation are supported"
+            )
+        specs.append((code, plain, refs))
+    for s in stages:
+        if s.until is not None and rx.search(s.until):
+            raise ValueError(
+                f"stage {s.name!r}: until() must be a static condition"
+            )
+    return specs
+
+
+def _make_dyns(specs, pdf, n_real):
+    """Bind compiled iterative conditions to one key's column arrays.
+    Candidates at index >= n_real (the streaming hold probe's
+    hypothetical future rows) match unconditionally — the probe asks
+    whether ANY future row could continue the branch."""
+    if not any(spec is not None for spec in specs):
+        return None
+    data: dict = {}
+    for spec in specs:
+        if spec is None:
+            continue
+        _, plain, refs = spec
+        for c in plain | {r[3] for r in refs if r[3] is not None}:
+            if c not in data:
+                data[c] = pdf[c].to_numpy()
+    fns = []
+    for spec in specs:
+        if spec is None:
+            fns.append(None)
+            continue
+        code, plain, refs = spec
+
+        def make(code=code, plain=plain, refs=refs):
+            def d(j, acc, elems, self_name):
+                if j >= n_real:
+                    return True
+                env = {c: data[c][j] for c in plain}
+                for tok, kind, sv, scol in refs:
+                    rows = (
+                        list(elems) if sv == self_name
+                        else list(acc.get(sv) or [])
+                    )
+                    if kind == "count":
+                        env[tok] = len(rows)
+                    elif not rows:
+                        env[tok] = None  # NULL: comparisons raise -> False
+                    else:
+                        env[tok] = data[scol][
+                            rows[0] if kind == "first" else rows[-1]
+                        ]
+                try:
+                    return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+                except TypeError:  # NULL operand in a comparison
+                    return False
+            return d
+
+        fns.append(make())
+    return fns
 
 
 def _assign_key(stages, assign) -> tuple:
@@ -481,13 +618,17 @@ def cep_pattern_select(
                          "times out windowed patterns")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    specs = _dynamic_specs(stages, df.columns)
     enriched = df
     flag_cols, until_cols = [], []
     for i, s in enumerate(stages):
         fc = f"__cep_f{i}"
         flag_cols.append(fc)
         cond = " OR ".join(f"({c})" for c in s.conds)
-        enriched = enriched.withColumn(fc, F.expr(cond))
+        # iterative conditions evaluate in the matcher: static flag True
+        enriched = enriched.withColumn(
+            fc, F.lit(True) if specs[i] is not None else F.expr(cond)
+        )
         uc = None
         if s.until is not None:
             uc = f"__cep_u{i}"
@@ -495,8 +636,13 @@ def cep_pattern_select(
         until_cols.append(uc)
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    dyn_cols = sorted({
+        c
+        for spec in specs if spec is not None
+        for c in spec[1] | {r[3] for r in spec[2] if r[3] is not None}
+    })
     keep = list(dict.fromkeys(
-        partition_by + order_cols + meas_cols
+        partition_by + order_cols + meas_cols + dyn_cols
         + flag_cols + [c for c in until_cols if c]
     ))
     slim = enriched.select(*keep)
@@ -529,7 +675,8 @@ def cep_pattern_select(
         untils = [pdf[uc].to_numpy(dtype=bool) if uc else None
                   for uc in until_cols]
         matches, touts = _enumerate_key(
-            n, ts, flags, untils, stage_list, w, emit_timeouts
+            n, ts, flags, untils, stage_list, w, emit_timeouts,
+            _make_dyns(specs, pdf, n),
         )
         matches = _prune_after_match(matches, after_match, stage_list)
         if emit_timeouts:
@@ -648,13 +795,16 @@ def stream_cep_pattern_select(
                          "times out windowed patterns")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    specs = _dynamic_specs(stages, df.columns)
     enriched = df
     flag_cols, until_cols = [], []
     for i, s in enumerate(stages):
         fc = f"__cep_f{i}"
         flag_cols.append(fc)
         enriched = enriched.withColumn(
-            fc, F.expr(" OR ".join(f"({c})" for c in s.conds))
+            fc,
+            F.lit(True) if specs[i] is not None
+            else F.expr(" OR ".join(f"({c})" for c in s.conds)),
         )
         uc = None
         if s.until is not None:
@@ -663,8 +813,13 @@ def stream_cep_pattern_select(
         until_cols.append(uc)
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    dyn_cols = sorted({
+        c
+        for spec in specs if spec is not None
+        for c in spec[1] | {r[3] for r in spec[2] if r[3] is not None}
+    })
     keep = list(dict.fromkeys(
-        partition_by + order_cols + meas_cols
+        partition_by + order_cols + meas_cols + dyn_cols
         + flag_cols + [c for c in until_cols if c]
     ))
     slim = enriched.select(*keep)
@@ -745,10 +900,11 @@ def stream_cep_pattern_select(
         matches: list = []
         touts: dict = {}
         frontier = n
+        dyns = _make_dyns(specs, allr, n)
         if finalize:
             for s0 in range(n):
                 _run_start(s0, n, ts, flags, untils, stage_list, w,
-                           emit_timeouts, matches, touts)
+                           emit_timeouts, matches, touts, dyns)
         else:
             pn, pts, pflags, puntils = (
                 _probe_arrays(n, ts, flags, untils, stage_list) if n else
@@ -757,10 +913,10 @@ def stream_cep_pattern_select(
             for s0 in range(n):
                 base_m: list = []
                 _run_start(s0, n, ts, flags, untils, stage_list, w,
-                           emit_timeouts, base_m, touts)
+                           emit_timeouts, base_m, touts, dyns)
                 probe_m: list = []
                 _run_start(s0, pn, pts, pflags, puntils, stage_list, w,
-                           False, probe_m, {})
+                           False, probe_m, {}, dyns)
                 if (
                     {_assign_key(stage_list, m[2]) for m in probe_m}
                     != {_assign_key(stage_list, m[2]) for m in base_m}

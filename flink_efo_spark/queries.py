@@ -7528,3 +7528,54 @@ def q_stream_cep_pattern(t: _T) -> DataFrame:
         .where(F.col("user_id") >= 0)
         .select("user_id", "view_id", "purchase_id", "timed_out")
     )
+
+
+@_q(
+    "cep_pattern_iterative",
+    """
+    WITH a AS (SELECT user_id, event_id AS view_id, value AS a_value,
+                      epoch_us(ts) AS a_us
+               FROM events WHERE event_type = 'view'),
+    p0 AS (
+      SELECT a.user_id, a.view_id, e.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.user_id, a.view_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM a JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) > a.a_us
+       AND e.value > 2 * a.a_value)
+    SELECT user_id, view_id, purchase_id FROM p0 WHERE rn = 1
+    """,
+)
+def q_cep_pattern_iterative(t: _T) -> DataFrame:
+    """Iterative condition (IterativeCondition.java — ``filter(event,
+    ctx)`` navigating ``ctx.getEventsForPattern``): the purchase
+    stage's condition compares the candidate's value against the
+    BOUND view's (``last_a_value``), so it cannot be a row-wise
+    flag — the matcher evaluates it against the in-progress binding.
+    SKIP_TILL_NEXT then takes the FIRST purchase satisfying the
+    binding-dependent predicate, which the rn=1-over-filtered-join
+    oracle reproduces exactly (identical IEEE ``value > 2*a_value``
+    comparison both sides)."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    pat = (
+        CepPattern.begin("a").where("event_type = 'view'")
+        .followed_by("b")
+        .where("event_type = 'purchase' AND value > 2 * last_a_value")
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts", "value"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "view_id": ("a", "first", "event_id"),
+            "purchase_id": ("b", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select("user_id", "view_id", "purchase_id")

@@ -336,3 +336,157 @@ def test_stream_pattern_rejects_cross_anchor_skip(spark):
             .where("true"),
             ["user_id"], "ts", {"a": ("a", "first", "event_id")},
         )
+
+
+def test_allow_combinations_enumerates_subsets(spark):
+    # SKIP_TILL_ANY inner contiguity (Pattern.java:441): the loop may
+    # skip MATCHING events too, so every order-preserving click subset
+    # anchored at its first element feeds the next stage
+    rows = [(1, 1, C, 1.0), (1, 2, C, 2.0), (1, 3, C, 3.0), (1, 4, P, 4.0)]
+    pat = (CepPattern.begin("c").where(f"event_type = '{C}'")
+           .times(2).allow_combinations()
+           .followed_by("p").where(f"event_type = '{P}'"))
+    got = _run(spark, rows, pat,
+               {"c1": ("c", "first", "event_id"),
+                "c2": ("c", "last", "event_id")})
+    assert sorted((r[2], r[3]) for r in got) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_times_or_more_lower_bound(spark):
+    rows = [(1, 1, C, 1.0), (1, 2, C, 2.0), (1, 3, C, 3.0), (1, 4, P, 4.0)]
+    pat = (CepPattern.begin("c").where(f"event_type = '{C}'")
+           .times_or_more(2).consecutive().greedy()
+           .followed_by("p").where(f"event_type = '{P}'"))
+    got = _run(spark, rows, pat, {"n": ("c", "count", "event_id")})
+    # anchors 1 and 2 reach the >=2 bound; anchor 3 cannot
+    assert sorted(r[2] for r in got) == [2, 3]
+
+
+# -- iterative conditions (IterativeCondition.java ctx navigation) ----
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, ts double, value double"
+    )
+
+
+def test_iterative_condition_references_prior_stage(spark):
+    rows = [
+        (1, 1, V, 0.0, 10.0), (1, 2, P, 1.0, 5.0),   # too small — skipped
+        (1, 3, P, 2.0, 25.0),                        # first > 2x the view
+        (2, 1, V, 0.0, 10.0), (2, 2, P, 1.0, 15.0),  # never exceeds 2x
+    ]
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .followed_by("b")
+           .where(f"event_type = '{P}' AND value > 2 * last_a_value"))
+    out = cep_pattern_select(
+        _vdf(spark, rows), pat, ["user_id"], "ts",
+        {"view_id": ("a", "first", "event_id"),
+         "purchase_id": ("b", "first", "event_id")},
+        tiebreak="event_id",
+    )
+    got = sorted((r.user_id, r.view_id, r.purchase_id) for r in out.collect())
+    # SKIP_TILL_NEXT skips the non-matching small purchase and takes
+    # the first one satisfying the binding-dependent condition
+    assert got == [(1, 1, 3)]
+
+
+def test_iterative_self_loop_ascending_run(spark):
+    rows = [
+        (1, 1, C, 0.0, 1.0), (1, 2, C, 1.0, 3.0), (1, 3, C, 2.0, 2.0),
+        (1, 4, P, 3.0, 0.0),
+    ]
+    # strictly ascending consecutive click run; count_c = 0 admits the
+    # first element (navigation over an empty binding is NULL)
+    pat = (CepPattern.begin("c")
+           .where(f"event_type = '{C}' AND "
+                  "(count_c = 0 OR value > last_c_value)")
+           .one_or_more().consecutive().greedy()
+           .followed_by("p").where(f"event_type = '{P}'"))
+    out = cep_pattern_select(
+        _vdf(spark, rows), pat, ["user_id"], "ts",
+        {"c1": ("c", "first", "event_id"), "n": ("c", "count", "event_id")},
+        tiebreak="event_id",
+    )
+    got = sorted((r.c1, r.n) for r in out.collect())
+    # anchor 1: [1,3] ascends then 2 breaks it; anchors 2,3: runs of
+    # lengths 1 (3 not > 3's prior? 2: [3->2] not ascending) — anchor 2
+    # takes [2] alone (next value 2.0 < 3.0), anchor 3 takes [3]
+    assert got == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_iterative_rejected_on_not_stage_and_until(spark):
+    with pytest.raises(ValueError, match="NOT stages"):
+        cep_pattern_select(
+            _vdf(spark, [(1, 1, V, 0.0, 1.0)]),
+            (CepPattern.begin("a").where("true")
+             .not_followed_by("nb").where("value > last_a_value")
+             .followed_by("c").where("true")),
+            ["user_id"], "ts", {"a": ("a", "first", "event_id")},
+        )
+    with pytest.raises(ValueError, match="static"):
+        cep_pattern_select(
+            _vdf(spark, [(1, 1, V, 0.0, 1.0)]),
+            (CepPattern.begin("a").where("true").one_or_more()
+             .until("value > first_a_value")),
+            ["user_id"], "ts", {"a": ("a", "first", "event_id")},
+        )
+
+
+def test_stream_iterative_condition_cross_batch(spark, tmp_path):
+    import datetime as dt
+
+    from flink_efo_spark.operators.cep_pattern import (
+        cep_pattern_select,
+        stream_cep_pattern_select,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, V, 0, 10.0), (1, 2, P, 100, 5.0), (1, 3, P, 200, 25.0),
+        (2, 1, V, 0, 10.0), (2, 2, P, 100, 30.0),
+    ]
+    data = [(u, i, et, t0 + dt.timedelta(seconds=s), v)
+            for (u, i, et, s, v) in rows]
+    schema = ("user_id int, event_id int, event_type string, "
+              "ts timestamp, value double")
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .followed_by("b")
+           .where(f"event_type = '{P}' AND value > 2 * last_a_value")
+           .within(900))
+    measures = {"view_id": ("a", "first", "event_id"),
+                "purchase_id": ("b", "first", "event_id")}
+    want = sorted(
+        (r.user_id, r.view_id, r.purchase_id, r.timed_out)
+        for r in cep_pattern_select(
+            spark.createDataFrame(data, schema), pat, ["user_id"], "ts",
+            measures, tiebreak="event_id", emit_timeouts=True,
+        ).collect()
+    )
+    sentinel = [(-1, -1, "__wm__", t0 + dt.timedelta(days=9), 0.0)]
+    for cut in (2, 3):
+        src_dir = str(tmp_path / f"cep_iter_{cut}")
+        for i, part in enumerate([data[:cut], data[cut:], sentinel]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}.parquet"
+            )
+        src = (
+            spark.readStream
+            .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = stream_cep_pattern_select(
+            src, pat, ["user_id"], "ts", measures, tiebreak="event_id",
+            emit_timeouts=True, flush_on_timeout=True,
+        )
+        got = sorted(
+            (r.user_id, r.view_id, r.purchase_id, r.timed_out)
+            for r in run_stream_to_table(out).collect()
+            if r.user_id >= 0
+        )
+        assert got == want, f"iterative split {cut}: {got} != {want}"

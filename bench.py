@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     # round 6j: flink-cep Pattern API (negative pattern + timeout path)
     "cep_pattern_notfollowed",
     "cep_pattern_timeout",
+    # round 6k: iterative condition + the streaming frontier path
+    "cep_pattern_iterative",
+    "stream_cep_pattern",
 ]
 
 

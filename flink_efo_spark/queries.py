@@ -7579,3 +7579,73 @@ def q_cep_pattern_iterative(t: _T) -> DataFrame:
         tiebreak="event_id",
     )
     return out.select("user_id", "view_id", "purchase_id")
+
+
+@_q(
+    "stream_coprocess_rules",
+    """
+    WITH o AS (SELECT user_id, event_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    d AS (SELECT user_id, event_id, rn FROM o WHERE event_type = 'click'),
+    c AS (SELECT user_id, value, rn FROM o WHERE event_type = 'signup'),
+    j AS (
+      SELECT d.user_id, d.event_id, d.rn,
+             (SELECT max(c.rn) FROM c
+              WHERE c.user_id = d.user_id AND c.rn < d.rn) AS rule_rn
+      FROM d)
+    SELECT j.user_id, j.event_id, c.value AS rule_value,
+           CAST(row_number() OVER (PARTITION BY j.user_id, j.rule_rn
+                                   ORDER BY j.rn) AS BIGINT)
+             AS n_since_rule
+    FROM j LEFT JOIN c
+      ON c.user_id = j.user_id AND c.rn = j.rule_rn
+    """,
+)
+def q_stream_coprocess_rules(t: _T) -> DataFrame:
+    """Connected streams with shared keyed state
+    (co/KeyedCoProcessFunction.java via DataStream.connect): signup
+    events install a per-user rule value, click events emit stamped
+    with the rule in effect at their event time plus a count since
+    that rule was installed — a two-input keyed state machine with
+    watermark-gated event-time emission, run over a 4-batch replay so
+    rules cross micro-batch boundaries. Oracle: asof (max preceding
+    signup) + windowed count per (user, rule) segment."""
+    import datetime
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_keyed_coprocess,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        watermark=("ts", "10 minutes"),
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "__wm__",
+             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0}
+        ],
+    )
+    out = stream_keyed_coprocess(
+        src.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        src.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", "value"
+        ),
+        ["user_id"],
+        "ts",
+        "ts",
+        rule_cols=["value"],
+        data_cols=["event_id"],
+        tiebreak="event_id",
+        flush_on_timeout=True,
+    )
+    return (
+        run_stream_to_table(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "event_id", "rule_value", "n_since_rule")
+    )

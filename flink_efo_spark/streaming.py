@@ -2216,3 +2216,243 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_keyed_coprocess(
+    data: DataFrame,
+    control: DataFrame,
+    partition_by: list[str],
+    data_ts: str,
+    control_ts: str,
+    rule_cols: list[str],
+    data_cols: list[str],
+    tiebreak: str | None = None,
+    flush_on_timeout: bool = False,
+    max_buffer: int = 100_000,
+) -> DataFrame:
+    """Connected streams with SHARED KEYED STATE — the
+    KeyedCoProcessFunction analog (flink-streaming-java/.../co/
+    KeyedCoProcessFunction.java: processElement1/processElement2 over
+    one keyed state; wired by DataStream.connect, DataStream.java).
+    Spark has no two-input stateful operator, so both streams are
+    tagged and unioned (the same realization as stream_asof_join) and
+    grouped on the key into ``applyInPandasWithState``.
+
+    Semantics (the canonical dynamic-rules co-process): control rows
+    carry ``rule_cols`` updates; every data row emits with the rule
+    in effect at its event time plus ``n_since_rule`` — how many data
+    rows (itself included) arrived since that rule was installed. A
+    data row before any control row emits NULL rules (segment 0). At
+    one timestamp, control applies before data (deterministic tie
+    rule; the reference is arrival-ordered, which an event-time
+    program cannot be).
+
+    Event-time correctness across batches: rows are buffered in keyed
+    state and PROCESSED ONLY UP TO THE WATERMARK — a data row is
+    stamped exactly when no earlier control row can still arrive
+    (the reference buffers in state and drains on watermark in its
+    event-time co-process examples). The walk over the emitted prefix
+    is vectorized (segment ids by cumulative control count, rules
+    forward-filled per segment) — no per-row Python in the hot path.
+    ``flush_on_timeout`` is the MAX_WATERMARK end-of-input flush;
+    ``max_buffer`` hard-caps per-key state (oldest rows dropped).
+
+    Output: partition keys + ``data_cols`` + ``rule_<c>`` per rule
+    column + ``n_since_rule``. Requires a watermark on the unioned
+    event-time column (pass streams already carrying one, or rely on
+    the caller's withWatermark upstream).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        StructField,
+        TimestampType,
+    )
+
+    if not isinstance(data.schema[data_ts].dataType, TimestampType):
+        raise ValueError("stream_keyed_coprocess needs a timestamp "
+                         "event-time column (watermark-gated emission)")
+    d_cols = [c for c in data_cols if c not in partition_by]
+    tagged_ctrl = control.select(
+        *[F.col(k) for k in partition_by],
+        F.col(control_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rule_cols],
+        *[
+            F.lit(None).cast(data.schema[c].dataType).alias(f"__d_{c}")
+            for c in d_cols
+        ],
+        (F.lit(None).cast(data.schema[tiebreak].dataType)
+         if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    tagged_data = data.select(
+        *[F.col(k) for k in partition_by],
+        F.col(data_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(control.schema[c].dataType).alias(f"__r_{c}")
+            for c in rule_cols
+        ],
+        *[F.col(c).alias(f"__d_{c}") for c in d_cols],
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    unioned = tagged_ctrl.unionByName(tagged_data)
+
+    buf_cols = [c for c in unioned.columns if c not in partition_by]
+    out_schema = StructType(
+        [unioned.schema[k] for k in partition_by]
+        + [StructField(c, data.schema[c].dataType) for c in d_cols]
+        + [StructField(f"rule_{c}", control.schema[c].dataType)
+           for c in rule_cols]
+        + [StructField("n_since_rule", LongType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType(
+        [StructField(f"__b_{c}", ArrayType(unioned.schema[c].dataType))
+         for c in buf_cols]
+        + [StructField(f"__cur_{c}", control.schema[c].dataType)
+           for c in rule_cols]
+        + [StructField("__has_rule", BooleanType()),
+           StructField("__n_since", LongType()),
+           StructField("__side_pad", IntegerType())]
+    )
+
+    n_buf = len(buf_cols)
+
+    # pandas concat against an (object-dtype) empty tail upcasts ints
+    # and bools to float, which the typed state encoder then silently
+    # NULLs — cast values back to their Spark-declared python type
+    # before they enter state (same guard as the CEP/MATCH harnesses)
+    def _caster(dt):
+        from pyspark.sql.types import (
+            BooleanType as _B,
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType as _I,
+            LongType as _L,
+            ShortType,
+        )
+
+        if isinstance(dt, (ByteType, ShortType, _I, _L)):
+            return lambda x: None if pd.isna(x) else int(x)
+        if isinstance(dt, _B):
+            return lambda x: None if pd.isna(x) else bool(x)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return lambda x: None if pd.isna(x) else float(x)
+        return lambda x: None if (x is None or x is pd.NaT) else x
+
+    casters = {c: _caster(unioned.schema[c].dataType) for c in buf_cols}
+    rule_casters = {c: _caster(control.schema[c].dataType) for c in rule_cols}
+
+    def _emit(keyvals, em: "pd.DataFrame", cur_rule, has_rule, n_since):
+        """Vectorized stamp of the watermark-cleared prefix; returns
+        (rows, new cur_rule, has_rule, n_since)."""
+        import numpy as np
+
+        is_ctrl = (em["__side"] == 0).to_numpy()
+        seg = np.cumsum(is_ctrl)  # 0 = the continuing pre-batch segment
+        out = pd.DataFrame({k: v for k, v in keyvals.items()}, index=em.index)
+        for c in d_cols:
+            out[c] = em[f"__d_{c}"]
+        for c in rule_cols:
+            filled = em[f"__r_{c}"].ffill()
+            if has_rule and cur_rule[c] is not None:
+                filled = filled.fillna(cur_rule[c])
+            out[f"rule_{c}"] = filled
+        is_data = ~is_ctrl
+        # count of data rows within each segment, carrying segment 0 on
+        data_cum = np.cumsum(is_data)
+        seg_base = np.zeros(len(em), dtype="int64")
+        ctrl_pos = np.flatnonzero(is_ctrl)
+        for p in ctrl_pos:  # O(#control rows), not O(#rows)
+            seg_base[p:] = data_cum[p]
+        n_in_seg = data_cum - seg_base
+        n_in_seg[seg == 0] += n_since
+        out["n_since_rule"] = n_in_seg
+        rows = out[is_data]
+        # advance the carried rule/counter
+        if len(ctrl_pos):
+            last = ctrl_pos[-1]
+            cur_rule = {c: em[f"__r_{c}"].iloc[last] for c in rule_cols}
+            has_rule = True
+            n_since = int(data_cum[-1] - data_cum[last])
+        else:
+            n_since = int(n_since + data_cum[-1]) if len(em) else n_since
+        return rows, cur_rule, has_rule, n_since
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            st = state.get
+            tail = pd.DataFrame(
+                {c: list(st[i]) for i, c in enumerate(buf_cols)}
+            )
+            cur_rule = {c: st[n_buf + i] for i, c in enumerate(rule_cols)}
+            has_rule = bool(st[n_buf + len(rule_cols)])
+            n_since = int(st[n_buf + len(rule_cols) + 1] or 0)
+        else:
+            tail = pd.DataFrame({c: [] for c in buf_cols})
+            cur_rule = {c: None for c in rule_cols}
+            has_rule, n_since = False, 0
+        keyvals = {k: key[i] for i, k in enumerate(partition_by)}
+
+        def save(new_tail):
+            state.update((
+                *([casters[c](v) for v in new_tail[c]] for c in buf_cols),
+                *[rule_casters[c](cur_rule[c]) for c in rule_cols],
+                bool(has_rule), int(n_since), 0,
+            ))
+            if flush_on_timeout:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+        if flush_on_timeout and state.hasTimedOut:
+            rows = None
+            if len(tail):
+                buf = tail.sort_values(
+                    ["__ts", "__side", "__tb"], kind="mergesort"
+                ).reset_index(drop=True)
+                rows, cur_rule, has_rule, n_since = _emit(
+                    keyvals, buf, cur_rule, has_rule, n_since
+                )
+            state.remove()
+            if rows is not None and len(rows):
+                yield rows[out_cols]
+            return
+
+        frames = [p[buf_cols] for p in pdfs if len(p)]
+        if not frames and not len(tail):
+            save(tail)
+            return
+        buf = pd.concat([tail] + frames, ignore_index=True)
+        buf = buf.sort_values(
+            ["__ts", "__side", "__tb"], kind="mergesort"
+        ).reset_index(drop=True)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts_us = (
+            buf["__ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        cleared = ts_us <= wm_us
+        em, hold = buf[cleared], buf[~cleared]
+        rows = None
+        if len(em):
+            rows, cur_rule, has_rule, n_since = _emit(
+                keyvals, em.reset_index(drop=True), cur_rule, has_rule,
+                n_since,
+            )
+        if len(hold) > max_buffer:
+            hold = hold.iloc[-max_buffer:]
+        save(hold)
+        if rows is not None and len(rows):
+            yield rows[out_cols]
+
+    out = unioned.groupBy(*partition_by).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        "EventTimeTimeout" if flush_on_timeout else "NoTimeout",
+    )
+    out._efo_output_mode = "append"
+    return out

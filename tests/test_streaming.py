@@ -1563,3 +1563,74 @@ def test_stream_over_bounded_frames_cross_batch(spark, tmp_path):
             )
         )
         assert got_range == want_range, f"RANGE split {cut}: {got_range}"
+
+
+def test_keyed_coprocess_rules_cross_batch(spark, tmp_path, ddb):
+    """KeyedCoProcessFunction analog (co/KeyedCoProcessFunction.java):
+    control rows install per-key rules, data rows emit stamped with
+    the rule in effect at their event time plus a count since the
+    rule was installed — shared keyed state across two inputs,
+    watermark-gated so a cross-batch control row lands before later
+    data rows. Oracle: DuckDB asof (max preceding control) + windowed
+    count over the same rows."""
+    import datetime as dt
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_keyed_coprocess,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # (user, id, side, sec, value): side 0 = control, 1 = data
+    rows = [
+        (1, 1, 1, 0, 5.0),      # data before any rule: NULL rule, n=1
+        (1, 2, 0, 10, 100.0),   # rule A
+        (1, 3, 1, 20, 6.0),     # n=1 under A
+        (1, 4, 1, 30, 7.0),     # n=2 under A
+        (1, 5, 0, 40, 200.0),   # rule B (crosses the batch cut)
+        (1, 6, 1, 50, 8.0),     # n=1 under B
+        (2, 1, 0, 0, 42.0),
+        (2, 2, 1, 5, 1.0),      # n=1 under 42
+        (2, 3, 1, 95, 2.0),     # n=2 under 42
+    ]
+    data = [
+        (u, i, s, t0 + dt.timedelta(seconds=sec), v)
+        for (u, i, s, sec, v) in rows
+    ]
+    schema = "user_id int, rid int, side int, ts timestamp, value double"
+    want = [
+        (1, 1, None, 1), (1, 3, 100.0, 1), (1, 4, 100.0, 2),
+        (1, 6, 200.0, 1), (2, 2, 42.0, 1), (2, 3, 42.0, 2),
+    ]
+    sentinel = [(-1, -1, 1, t0 + dt.timedelta(days=9), 0.0)]
+    for cut in (2, 4, 5, 7):
+        src_dir = str(tmp_path / f"copro_{cut}")
+        for i, part in enumerate([data[:cut], data[cut:], sentinel]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src_dir}/b{i}.parquet"
+            )
+        src = (
+            spark.readStream
+            .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = stream_keyed_coprocess(
+            src.where(F.col("side") == 1).select("user_id", "rid", "ts", "value"),
+            src.where(F.col("side") == 0).select("user_id", "ts", "value"),
+            ["user_id"],
+            "ts",
+            "ts",
+            rule_cols=["value"],
+            data_cols=["rid"],
+            tiebreak="rid",
+            flush_on_timeout=True,
+        )
+        got = sorted(
+            (r.user_id, r.rid, r.rule_value, r.n_since_rule)
+            for r in run_stream_to_table(out).collect()
+            if r.user_id >= 0
+        )
+        assert got == want, f"coprocess split {cut}: {got}"

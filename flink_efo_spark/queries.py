@@ -7649,3 +7649,65 @@ def q_stream_coprocess_rules(t: _T) -> DataFrame:
         .where(F.col("user_id") >= 0)
         .select("user_id", "event_id", "rule_value", "n_since_rule")
     )
+
+
+@_q(
+    "stream_broadcast_rules",
+    """
+    WITH o AS (SELECT event_id, user_id, event_type, ts, value,
+                      row_number() OVER (ORDER BY ts, event_id) AS rn
+               FROM events),
+    d AS (SELECT event_id, user_id, rn FROM o WHERE event_type = 'click'),
+    c AS (SELECT value, rn FROM o WHERE event_type = 'error'),
+    j AS (SELECT d.event_id, d.user_id,
+                 (SELECT max(c.rn) FROM c WHERE c.rn < d.rn) AS rule_rn
+          FROM d)
+    SELECT j.user_id, j.event_id, c.value AS rule_value
+    FROM j LEFT JOIN c ON c.rn = j.rule_rn
+    """,
+)
+def q_stream_broadcast_rules(t: _T) -> DataFrame:
+    """Broadcast state pattern (co/BroadcastProcessFunction.java +
+    BroadcastState): error events install a GLOBAL rule value that
+    must reach every key — including users whose first click arrives
+    long after the rule — so control rows are replicated per bucket
+    (instance), never per key. Each click emits stamped with the
+    global rule in effect at its event time, across a 4-batch replay.
+    Oracle: global asof (latest error before the click in the total
+    event order)."""
+    import datetime
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_broadcast_process,
+        stream_table_split,
+    )
+
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    src = stream_table_split(
+        t.spark, t.sf_dir, "events", 4, "ts",
+        watermark=("ts", "10 minutes"),
+        sentinel_rows=[
+            {"event_id": -1, "user_id": -1, "event_type": "click",
+             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0}
+        ],
+    )
+    out = stream_broadcast_process(
+        src.where(
+            (F.col("event_type") == "click") | (F.col("user_id") < 0)
+        ).select("user_id", "event_id", "ts", "value"),
+        src.where(F.col("event_type") == "error").select("ts", "value"),
+        key_col="user_id",
+        data_ts="ts",
+        control_ts="ts",
+        rule_cols=["value"],
+        data_cols=["user_id", "event_id"],
+        n_buckets=8,
+        tiebreak="event_id",
+        flush_on_timeout=True,
+    )
+    return (
+        run_stream_to_table(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "event_id", "rule_value")
+    )

@@ -2456,3 +2456,60 @@ def stream_keyed_coprocess(
     )
     out._efo_output_mode = "append"
     return out
+
+
+def stream_broadcast_process(
+    data: DataFrame,
+    control: DataFrame,
+    key_col: str,
+    data_ts: str,
+    control_ts: str,
+    rule_cols: list[str],
+    data_cols: list[str],
+    n_buckets: int = 32,
+    tiebreak: str | None = None,
+    flush_on_timeout: bool = False,
+) -> DataFrame:
+    """Broadcast state pattern (flink-streaming-java/.../co/
+    BroadcastProcessFunction.java + BroadcastState: a small control
+    stream is replicated to EVERY parallel instance, and the keyed
+    main stream is evaluated against the instance-local rule state —
+    DataStream.broadcast(...) wiring, DataStream.java:365-511).
+
+    Spark-first realization: the parallel instance becomes an explicit
+    BUCKET — control rows are replicated ``n_buckets`` times (a
+    crossJoin with a literal bucket range: the broadcast cost is
+    rules × buckets, NEVER rules × keys or rules × rows), data rows
+    route to ``pmod(hash(key), n_buckets)``, and the shared-state
+    machinery is :func:`stream_keyed_coprocess` keyed on the bucket.
+    Every bucket sees every rule, so any data key — including keys
+    first seen long after a rule was installed — is stamped with the
+    rule in effect at its event time, exactly BroadcastState's
+    new-key behavior that a per-key control routing cannot give.
+
+    Output: ``__bucket`` + ``data_cols`` + ``rule_<c>`` per rule
+    column + ``n_since_rule`` (per-bucket counter — meaningful as an
+    instance-local statistic, the same scope Flink gives operator
+    state). ``key_col`` must be in ``data_cols`` to ride through.
+    """
+    ctrl_rep = control.crossJoin(
+        F.broadcast(
+            data.sparkSession.range(n_buckets).select(
+                F.col("id").cast("int").alias("__bucket")
+            )
+        )
+    )
+    data_b = data.withColumn(
+        "__bucket", F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    return stream_keyed_coprocess(
+        data_b,
+        ctrl_rep,
+        ["__bucket"],
+        data_ts,
+        control_ts,
+        rule_cols=rule_cols,
+        data_cols=data_cols,
+        tiebreak=tiebreak,
+        flush_on_timeout=flush_on_timeout,
+    )

@@ -1634,3 +1634,63 @@ def test_keyed_coprocess_rules_cross_batch(spark, tmp_path, ddb):
             if r.user_id >= 0
         )
         assert got == want, f"coprocess split {cut}: {got}"
+
+
+def test_broadcast_process_rule_reaches_new_key(spark, tmp_path):
+    """BroadcastProcessFunction/BroadcastState: a rule installed in
+    batch 0 must stamp a key whose FIRST row arrives batches later —
+    per-key control routing cannot do this; bucket-replicated
+    broadcast state can."""
+    import datetime as dt
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_broadcast_process,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # control: (side 0) global rules; data: (side 1) keyed rows —
+    # user 7 first appears two batches after rule A was installed
+    data = [
+        (0, 0, 10.0, t0),                                  # rule A
+        (1, 1, 1.0, t0 + dt.timedelta(seconds=5)),         # u1 under A
+        (0, 0, 20.0, t0 + dt.timedelta(seconds=10)),       # rule B
+        (7, 2, 1.0, t0 + dt.timedelta(seconds=15)),        # NEW key u7 under B
+        (1, 3, 1.0, t0 + dt.timedelta(seconds=20)),        # u1 under B
+    ]
+    schema = "user_id int, rid int, value double, ts timestamp"
+    rows = [(u, r, v, ts) for (u, r, v, ts) in data]
+    sentinel = [(99, -1, 0.0, t0 + dt.timedelta(days=9))]
+    src_dir = str(tmp_path / "bcast")
+    # one row per batch: the rule and its consumers never share a batch
+    parts = [[rows[0]], [rows[1]], [rows[2]], [rows[3]], [rows[4]], sentinel]
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream_broadcast_process(
+        src.where(F.col("user_id") > 0).select("user_id", "rid", "ts"),
+        src.where(F.col("user_id") == 0).select("ts", "value"),
+        key_col="user_id",
+        data_ts="ts",
+        control_ts="ts",
+        rule_cols=["value"],
+        data_cols=["user_id", "rid"],
+        n_buckets=4,
+        tiebreak="rid",
+        flush_on_timeout=True,
+    )
+    got = sorted(
+        (r.user_id, r.rid, r.rule_value)
+        for r in run_stream_to_table(out).collect()
+        if 0 < r.user_id < 99
+    )
+    assert got == [(1, 1, 10.0), (1, 3, 20.0), (7, 2, 20.0)]

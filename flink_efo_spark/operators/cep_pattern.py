@@ -49,6 +49,13 @@ Semantics notes (each mirrors a documented reference rule):
   timed-out when the window expires before completion (bounded input
   ends with a MAX_WATERMARK flush, so end-of-input also expires every
   open window — CEPOperator's final watermark handling).
+
+Scope note: GroupPattern (``Pattern.begin(Pattern)`` —
+pattern/GroupPattern.java, quantified SUB-SEQUENCES) is not exposed
+on this builder; nested quantified groups run on the
+MATCH_RECOGNIZE path, whose AST matcher handles ``A (B C)+ D``
+shapes with the same greedy/reluctant semantics
+(:mod:`flink_efo_spark.operators.cep`).
 """
 
 from __future__ import annotations
@@ -91,8 +98,12 @@ class _Stage:
 class CepPattern:
     """Fluent builder mirroring pattern/Pattern.java. Conditions are
     Spark SQL boolean expressions over the input's columns (the
-    reference's SimpleCondition; IterativeConditions stay on the
-    MATCH_RECOGNIZE path, which has PREV/FIRST/LAST navigation)."""
+    reference's SimpleCondition); they may also navigate the
+    in-progress binding via ``first_<stage>_<col>`` /
+    ``last_<stage>_<col>`` / ``count_<stage>`` pseudo-columns — the
+    IterativeCondition surface (IterativeCondition.java ``filter(
+    event, ctx)`` with ``ctx.getEventsForPattern``), evaluated
+    matcher-side per candidate (see :func:`_dynamic_specs`)."""
 
     def __init__(self, stages: list[_Stage], within_s: float | None = None,
                  after_match: str = "no_skip"):

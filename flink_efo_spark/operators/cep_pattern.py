@@ -734,10 +734,11 @@ def cep_pattern_select(
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         return pd.DataFrame(rows)
 
-    return (
-        slim.repartition(*[F.col(c) for c in partition_by])
-        .groupBy(*partition_by)
-        .applyInPandas(match_key, schema=out_schema)
+    # groupBy already clusters on the key (EnsureRequirements inserts
+    # the single hash exchange); an explicit repartition would add a
+    # second, redundant shuffle
+    return slim.groupBy(*partition_by).applyInPandas(
+        match_key, schema=out_schema
     )
 
 

@@ -33,10 +33,11 @@ Semantics notes (each mirrors a documented reference rule):
   quantifier (Quantifier.java:102 forbids optional; looping NOTs are
   rejected by Pattern.java's quantifier guards).
 * A ban from ``notFollowedBy(B)`` applies to events STRICTLY between
-  the previous consumed event and the next consumed one; an event
-  matching both the ban and the following stage's condition is
-  consumed by the stage (the take edge is evaluated against the event
-  before the stop state prunes waiting branches).
+  the previous consumed event and the next consumed one. An event
+  matching both the ban and the following stage's condition can be
+  CONSUMED by the stage (its take edge fires), but any branch that
+  skips past it dies — the stop state prunes waiting branches, so
+  under followedByAny no later alternative survives such an event.
 * ``followedBy`` = SKIP_TILL_NEXT: non-matching events are skipped
   but a matching event cannot be skipped, so the FIRST match is the
   only continuation. ``followedByAny`` = SKIP_TILL_ANY branches on

@@ -530,6 +530,31 @@ def _assign_key(stages, assign) -> tuple:
     return tuple((s.name, tuple(assign[s.name])) for s in stages)
 
 
+def _prefilter_expr(stages, specs, flag_cols, until_cols):
+    """JVM-side row prefilter: when every contiguity rule is RELAXED
+    (no next()/notNext()/consecutive()), an event matching NO stage
+    flag and no until() is invisible to the matcher — every skip-till
+    scan steps over it and no adjacency test can see it — so it is
+    dropped BEFORE the shuffle and the Arrow transfer (at scale the
+    predicate pushes into the parquet scan). Any strict-contiguity
+    stage disables the filter: adjacency depends on unmatched
+    neighbors. Iterative-condition stages have flag columns pinned
+    True, so their rows always survive. Returns a Column or None."""
+    if any(
+        s.strategy in (_STRICT, _NOT_NEXT)
+        or (s.hi != 1 and s.inner == _STRICT)
+        for s in stages
+    ):
+        return None
+    preds = [F.col(c) for c in flag_cols] + [
+        F.col(c) for c in until_cols if c
+    ]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
 def _probe_arrays(n, ts, flags, untils, stages):
     """Buffer extended with hypothetical all-matching future rows
     (flags True, untils False, event time = the last real row's — the
@@ -658,6 +683,9 @@ def cep_pattern_select(
         + flag_cols + [c for c in until_cols if c]
     ))
     slim = enriched.select(*keep)
+    pf = _prefilter_expr(stages, specs, flag_cols, until_cols)
+    if pf is not None:
+        slim = slim.where(pf)
 
     out_fields = [slim.schema[k] for k in partition_by]
     out_fields.append(StructField("match_seq", LongType()))
@@ -836,6 +864,13 @@ def stream_cep_pattern_select(
         + flag_cols + [c for c in until_cols if c]
     ))
     slim = enriched.select(*keep)
+    if win is None:
+        # with a window, expiry signals ride on EVERY newer row's
+        # timestamp (held anchors drain as rows arrive) — only the
+        # windowless stream can drop invisible rows
+        pf = _prefilter_expr(stages, specs, flag_cols, until_cols)
+        if pf is not None:
+            slim = slim.where(pf)
 
     out_fields = [slim.schema[k] for k in partition_by]
     out_fields.append(StructField("match_seq", LongType()))

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     # round 6k: iterative condition + the streaming frontier path
     "cep_pattern_iterative",
     "stream_cep_pattern",
+    # round 6k: connected-streams co-process (shared keyed state)
+    "stream_coprocess_rules",
 ]
 
 

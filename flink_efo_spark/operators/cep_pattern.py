@@ -51,12 +51,13 @@ Semantics notes (each mirrors a documented reference rule):
   ends with a MAX_WATERMARK flush, so end-of-input also expires every
   open window — CEPOperator's final watermark handling).
 
-Scope note: GroupPattern (``Pattern.begin(Pattern)`` —
-pattern/GroupPattern.java, quantified SUB-SEQUENCES) is not exposed
-on this builder; nested quantified groups run on the
-MATCH_RECOGNIZE path, whose AST matcher handles ``A (B C)+ D``
-shapes with the same greedy/reluctant semantics
-(:mod:`flink_efo_spark.operators.cep`).
+GroupPattern (``Pattern.begin(Pattern)`` — pattern/GroupPattern.java,
+quantified SUB-SEQUENCES) is supported via ``begin_group`` /
+``followed_by_group`` / ``next_group`` / ``followed_by_any_group``:
+an element of a quantified group is a full body match, entered
+through the group's consuming strategy on the body HEAD (exactly how
+NFACompiler inlines a group), and repetitions follow the group's
+inner contiguity / until / greedy rules.
 """
 
 from __future__ import annotations
@@ -90,10 +91,54 @@ class _Stage:
     greedy: bool = False
     optional: bool = False
     until: str | None = None
+    group: list | None = None   # GroupPattern body (sub-stages)
+    slot: int | None = None     # flag-column index (condition stages)
+    uslot: int | None = None    # until-column index
 
     @property
     def is_not(self) -> bool:
         return self.strategy in (_NOT_NEXT, _NOT_FOLLOW)
+
+
+def _flatten(stages) -> list["_Stage"]:
+    """Depth-first list of condition-bearing stages (group bodies
+    inlined; group shells excluded — they carry no condition)."""
+    out = []
+    for s in stages:
+        if s.group is not None:
+            out.extend(_flatten(s.group))
+        else:
+            out.append(s)
+    return out
+
+
+def _until_stages(stages) -> list["_Stage"]:
+    out = []
+    for s in stages:
+        if s.until is not None:
+            out.append(s)
+        if s.group is not None:
+            out.extend(_until_stages(s.group))
+    return out
+
+
+def _min_rows(stages) -> int:
+    """Rows a minimal completion can consume (probe padding bound)."""
+    return sum(
+        0 if s.is_not
+        else max(s.lo, 1) * (_min_rows(s.group) if s.group else 1)
+        for s in stages
+    )
+
+
+def _head(st: "_Stage") -> "_Stage":
+    """The stage whose condition gates an element's FIRST event —
+    NFACompiler applies the group's consuming strategy to the head of
+    the compiled body."""
+    s = st
+    while s.group is not None:
+        s = s.group[0]
+    return s
 
 
 class CepPattern:
@@ -142,6 +187,38 @@ class CepPattern:
     def not_followed_by(self, name: str) -> "CepPattern":
         return self._append(name, _NOT_FOLLOW)
 
+    # -- group patterns (GroupPattern.java:494-542: quantifiable
+    # sub-sequences; the group's consuming strategy gates its head) --
+    @staticmethod
+    def begin_group(sub: "CepPattern",
+                    after_match: str = "no_skip") -> "CepPattern":
+        return CepPattern(
+            [_Stage("__grp0", _RELAXED, group=list(sub._stages))],
+            sub._within, after_match,
+        )
+
+    def _append_group(self, sub: "CepPattern", strategy: str) -> "CepPattern":
+        names = {f.name for f in _flatten(self._stages)} | {
+            s.name for s in self._stages
+        }
+        for f in _flatten(sub._stages):
+            if f.name in names:
+                raise ValueError(f"duplicate pattern name {f.name!r} "
+                                 "(NFACompiler checkPatternNameUniqueness)")
+        g = _Stage(f"__grp{len(self._stages)}", strategy,
+                   group=list(sub._stages))
+        return CepPattern(self._stages + [g], self._within,
+                          self._after_match)
+
+    def followed_by_group(self, sub: "CepPattern") -> "CepPattern":
+        return self._append_group(sub, _RELAXED)
+
+    def next_group(self, sub: "CepPattern") -> "CepPattern":
+        return self._append_group(sub, _STRICT)
+
+    def followed_by_any_group(self, sub: "CepPattern") -> "CepPattern":
+        return self._append_group(sub, _ANY)
+
     # -- stage modifiers (apply to the last stage) --------------------
     def _mod(self, **kw) -> "CepPattern":
         stages = [
@@ -153,6 +230,9 @@ class CepPattern:
         return CepPattern(stages, self._within, self._after_match)
 
     def where(self, cond: str) -> "CepPattern":
+        if self._stages[-1].group is not None:
+            raise ValueError("conditions attach to a group's BODY stages, "
+                             "not the group itself (GroupPattern.java)")
         return self._mod(conds=self._stages[-1].conds + [cond])
 
     def or_(self, cond: str) -> "CepPattern":
@@ -198,19 +278,35 @@ class CepPattern:
     # -- validation (NFACompiler.compileFactory) ----------------------
     def _validated(self) -> list[_Stage]:
         stages = self._stages
-        if not stages:
-            raise ValueError("empty pattern")
-        if stages[-1].strategy == _NOT_FOLLOW:
-            raise ValueError("NotFollowedBy is not supported as a last "
-                             "part of a Pattern! (NFACompiler.java:151)")
-        if stages[0].is_not:
-            raise ValueError("a pattern begins with Pattern.begin, "
-                             "not a NOT stage")
-        for s in stages:
-            if not s.conds:
-                raise ValueError(f"stage {s.name!r} has no where() condition")
-            if s.lo < 0 or (s.hi is not None and s.hi < s.lo):
-                raise ValueError(f"stage {s.name!r}: bad times({s.lo},{s.hi})")
+
+        def check(seq_l, top):
+            if not seq_l:
+                raise ValueError("empty pattern/group body")
+            if seq_l[-1].strategy == _NOT_FOLLOW:
+                raise ValueError(
+                    "NotFollowedBy is not supported as a last part of a "
+                    "Pattern! (NFACompiler.java:151)"
+                )
+            if seq_l[0].is_not:
+                raise ValueError("a pattern/group begins with a consuming "
+                                 "stage, not a NOT stage")
+            for s in seq_l:
+                if s.group is not None:
+                    check(s.group, False)
+                elif not s.conds:
+                    raise ValueError(
+                        f"stage {s.name!r} has no where() condition"
+                    )
+                if s.lo < 0 or (s.hi is not None and s.hi < s.lo):
+                    raise ValueError(
+                        f"stage {s.name!r}: bad times({s.lo},{s.hi})"
+                    )
+
+        check(stages, True)
+        for slot, s in enumerate(_flatten(stages)):
+            s.slot = slot
+        for uslot, s in enumerate(_until_stages(stages)):
+            s.uslot = uslot
         return stages
 
 
@@ -223,139 +319,164 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
     only when ``win`` is set (no window => the reference never calls
     the timeout fn); a partial that ran out of buffered events counts
     too — bounded input ends in a MAX_WATERMARK flush that expires
-    every open window. ``dyns``: per-stage iterative-condition
-    callables (or None) — the flag array answers the static part and
-    the callable the binding-dependent part (IterativeCondition)."""
-    ns = len(stages)
+    every open window.
+
+    ``flags``/``dyns`` are indexed by stage SLOT and ``untils`` by
+    USLOT (see ``CepPattern._validated``); ``stages`` is the
+    structured top-level list — a group stage's element is matched by
+    recursing into its body with the entry position pinned, which is
+    what lets GroupPattern sub-sequences ride the same machinery
+    (continuation-passing ``do_stage``)."""
+    flat = _flatten(stages)
 
     def record_timeout(acc):
         if not want_timeouts or win is None:
             return
         if not any(acc.values()):
             return  # nothing consumed yet — no partial match exists
-        key = (start, tuple((s.name, tuple(acc[s.name])) for s in stages))
+        key = (start, tuple((s.name, tuple(acc[s.name])) for s in flat))
         timeouts.setdefault(key, {k: list(v) for k, v in acc.items()})
 
-    def rec(si, prev_end, bans, acc, anchored, start) -> bool:
-        """Advance from stage ``si``; returns True iff >= 1 complete
-        match was recorded down this branch (drives greedy())."""
-        if si == ns:
-            consumed = tuple(ix for s in stages for ix in acc[s.name])
-            matches.append((start, consumed, {k: list(v) for k, v in acc.items()}))
-            return True
-        st = stages[si]
+    def expired(j) -> bool:
+        return win is not None and ts[j] - ts[start] > win
 
-        if st.strategy == _NOT_NEXT:
-            j = prev_end + 1
-            if j < n and flags[si][j]:
-                return False  # the very next event matches — branch dies
-            # no consumption; bans stay pending for the next consumer
-            return rec(si + 1, prev_end, bans, acc, anchored, start)
+    def smatch(st, j, acc, elems=()) -> bool:
+        """Full condition at ``j``: static flag AND (for iterative
+        conditions) the dynamic part against the current binding."""
+        if not flags[st.slot][j]:
+            return False
+        dyn = dyns[st.slot] if dyns is not None else None
+        return dyn is None or dyn(j, acc, elems, st.name)
 
-        if st.strategy == _NOT_FOLLOW:
-            return rec(si + 1, prev_end, bans + [si], acc, anchored, start)
-
-        any_hit = False
-        # optional / lo==0: the skip branch consumes nothing
-        if st.optional or st.lo == 0:
-            if rec(si + 1, prev_end, bans, dict(acc), anchored, start):
-                any_hit = True
+    def entry_gen(st, strategy, prev_end, pin, bans, acc, on_timeout):
+        """Positions where an element of ``st`` may start, honoring
+        the consuming strategy, pending notFollowedBy bans (a ban
+        event kills every branch that skips past it — stop state),
+        the within window, and the anchor pin (NoSkip enumerates each
+        start exactly once by pinning the run's first consumption)."""
+        head = _head(st)
 
         def banned(k) -> bool:
             return any(flags[b][k] for b in bans)
 
-        def expired(j) -> bool:
-            return win is not None and start >= 0 and ts[j] - ts[start] > win
-
-        dyn = dyns[si] if dyns is not None else None
-
-        def smatch(j, elems=()) -> bool:
-            """Full condition at ``j``: static flag AND (for iterative
-            conditions) the dynamic part against the current binding.
-            An event failing either is a NON-match — skippable under
-            the skip-till strategies, exactly the NFA's per-event
-            condition evaluation."""
-            if not flags[si][j]:
-                return False
-            return dyn is None or dyn(j, acc, elems, st.name)
-
-        def entry_candidates() -> Iterable[int]:
-            """First element of this stage, honoring the entry
-            strategy, pending bans, the within window, and the start
-            anchor (NoSkip enumerates every start exactly once by
-            pinning the first consumed event)."""
-            if anchored:
-                # first consumption of the whole run must sit at `start`
-                j = start if st.strategy != _STRICT else prev_end + 1
-                if j == start and j < n and smatch(j):
-                    yield j
+        if pin is not None:
+            if strategy == _STRICT and pin != prev_end + 1:
                 return
-            if st.strategy == _STRICT:
-                j = prev_end + 1
-                if j < n and not expired(j) and smatch(j):
-                    yield j  # the for-loop ban check is vacuous (gap empty)
-                return
+            if pin < n and not expired(pin) and smatch(head, pin, acc):
+                yield pin
+            return
+        if strategy == _STRICT:
             j = prev_end + 1
-            while j < n:
-                if expired(j):
-                    record_timeout(acc)
-                    return
-                if smatch(j):
-                    yield j
-                    if st.strategy == _RELAXED:
-                        return  # SKIP_TILL_NEXT: can't skip a match
-                elif banned(j):
-                    return  # stop state: ban event arrived first
-                j += 1
-            # ran out of events with the stage still open
-            record_timeout(acc)
+            if j < n and not expired(j) and smatch(head, j, acc):
+                yield j  # the gap is empty — bans are vacuous
+            return
+        j = prev_end + 1
+        while j < n:
+            if expired(j):
+                on_timeout()
+                return
+            hit = smatch(head, j, acc)
+            if hit:
+                yield j
+                if strategy == _RELAXED:
+                    return  # SKIP_TILL_NEXT: can't skip a match
+            if banned(j):
+                return  # stop state kills branches skipping past j
+            j += 1
+        on_timeout()  # ran out of events with the stage still open
+
+    def do_stage(stages_l, si, prev_end, bans, acc, pin, cont) -> bool:
+        """Advance through ``stages_l`` from ``si``; ``cont(end, acc)``
+        fires at sequence end. Returns True iff >= 1 complete match
+        was recorded down this branch (drives greedy())."""
+        if si == len(stages_l):
+            return cont(prev_end, acc)
+        st = stages_l[si]
+
+        if st.strategy == _NOT_NEXT:
+            j = prev_end + 1
+            if j < n and flags[st.slot][j]:
+                return False  # the very next event matches — branch dies
+            # no consumption; bans stay pending for the next consumer
+            return do_stage(stages_l, si + 1, prev_end, bans, acc, pin, cont)
+
+        if st.strategy == _NOT_FOLLOW:
+            return do_stage(stages_l, si + 1, prev_end, bans + [st.slot],
+                            acc, pin, cont)
+
+        any_hit = False
+        # optional / lo==0: the skip branch consumes nothing (the pin
+        # — the run anchor — passes to the next consuming stage)
+        if st.optional or st.lo == 0:
+            if do_stage(stages_l, si + 1, prev_end, bans, dict(acc),
+                        pin, cont):
+                any_hit = True
+
+        is_loop = not (st.hi == 1 and st.lo <= 1)
+
+        def after_elem_seq(end, acc2) -> bool:
+            return do_stage(stages_l, si + 1, end, [], acc2, None, cont)
+
+        def one_element(j, acc_in, elems, elem_cont) -> bool:
+            """Consume ONE element of ``st`` whose first event is at
+            ``j``; ``elem_cont(end, acc)``. For a group the element
+            is a full body match (entry pinned at j)."""
+            if st.group is not None:
+                return do_stage(st.group, 0, j - 1, [], acc_in, j,
+                                elem_cont)
+            if not smatch(st, j, acc_in,
+                          tuple(e for e, _ in elems)):
+                return False
+            acc2 = dict(acc_in)
+            acc2[st.name] = acc_in.get(st.name, []) + [j]
+            return elem_cont(j, acc2)
 
         def loop_from(first_j) -> bool:
-            """Extend the loop beyond its first element, then hand off
-            to the next stage. Implements inner contiguity, until,
-            greedy, and the emit-every-prefix default."""
-            hit = False
+            """Quantified stage: elements per inner contiguity, until,
+            greedy preference, and the emit-every-prefix default."""
 
-            def extend(elems) -> bool:
-                got = False
+            def advance(end, acc_cur, elems) -> bool:
                 count = len(elems)
-                can_stop = count >= st.lo
-                # candidates for the next loop element
-                def next_elems():
-                    last = elems[-1]
-                    if st.inner == _STRICT:
-                        j = last + 1
-                        if j < n and expired(j):
-                            record_timeout({**acc, st.name: list(elems)})
-                        elif (j < n and smatch(j, elems)
-                              and not (untils[si] is not None and untils[si][j])):
-                            yield j
-                        return
-                    j = last + 1
-                    while j < n:
-                        if expired(j):
-                            record_timeout({**acc, st.name: list(elems)})
-                            return
-                        if untils[si] is not None and untils[si][j]:
-                            return  # until(): loop stops accepting
-                        if smatch(j, elems):
-                            yield j
-                            if st.inner == _RELAXED:
-                                return
-                        j += 1
+                can_stop = count >= max(st.lo, 1)
 
                 def stop() -> bool:
-                    acc2 = dict(acc)
-                    acc2[st.name] = list(elems)
-                    return rec(si + 1, elems[-1], [], acc2, False, start)
+                    return after_elem_seq(end, acc_cur)
 
                 if st.hi is not None and count >= st.hi:
                     return stop() if can_stop else False
 
-                extended = False
+                def gen_next():
+                    j = end + 1
+                    head = _head(st)
+                    while j < n:
+                        if expired(j):
+                            record_timeout(acc_cur)
+                            return
+                        if (st.uslot is not None
+                                and untils[st.uslot][j]):
+                            return  # until(): loop stops accepting
+                        hit = smatch(head, j, acc_cur,
+                                     tuple(e for e, _ in elems))
+                        if hit:
+                            yield j
+                            if st.inner != _ANY:
+                                return
+                        if st.inner == _STRICT:
+                            return
+                        j += 1
+                    record_timeout(acc_cur)  # open mid-loop at data end
+
+                def take(j) -> bool:
+                    return one_element(
+                        j, acc_cur, elems,
+                        lambda e2, a2: advance(e2, a2, elems + [(j, e2)]),
+                    )
+
+                got = False
                 if st.greedy:
-                    for j in next_elems():
-                        if extend(elems + [j]):
+                    extended = False
+                    for j in gen_next():
+                        if take(j):
                             extended = True
                             got = True
                     if not extended and can_stop:
@@ -363,34 +484,37 @@ def _run_start(start, n, ts, flags, untils, stages, win, want_timeouts,
                 else:
                     if can_stop:
                         got = stop() or got
-                    for j in next_elems():
-                        got = extend(elems + [j]) or got
+                    for j in gen_next():
+                        got = take(j) or got
                 return got
 
-            hit = extend([first_j]) or hit
-            return hit
+            return one_element(
+                first_j, acc, [],
+                lambda e, a: advance(e, a, [(first_j, e)]),
+            )
 
-        for j in entry_candidates():
-            if expired(j):
-                record_timeout(acc)
-                break
-            if anchored and win is not None:
-                pass  # window anchors at the first consumed event: delta 0
-            # events skipped on the way to j must respect pending bans
-            if any(banned(k) for k in range(prev_end + 1, j)):
-                continue
-            if st.hi == 1 and st.lo <= 1:
-                acc_j = dict(acc)
-                acc_j[st.name] = [j]
-                if rec(si + 1, j, [], acc_j, False, start):
+        def on_timeout():
+            record_timeout(acc)
+
+        for j in entry_gen(st, st.strategy, prev_end, pin, bans, acc,
+                           on_timeout):
+            if is_loop:
+                if loop_from(j):
                     any_hit = True
             else:
-                if loop_from(j):
+                if one_element(j, acc, [], after_elem_seq):
                     any_hit = True
         return any_hit
 
-    init = {s.name: [] for s in stages}
-    rec(0, start - 1, [], init, True, start)
+    def final_cont(prev_end, acc) -> bool:
+        consumed = tuple(ix for s in flat for ix in acc[s.name])
+        matches.append(
+            (start, consumed, {k: list(v) for k, v in acc.items()})
+        )
+        return True
+
+    init = {s.name: [] for s in flat}
+    do_stage(stages, 0, start - 1, [], init, start, final_cont)
 
 
 def _enumerate_key(n, ts, flags, untils, stages, win, want_timeouts,
@@ -428,9 +552,10 @@ def _dynamic_specs(stages, df_columns):
     per-stage list of None (static) or (code, plain_cols, refs)."""
     from flink_efo_spark.operators.cep import _sql_to_py
 
-    rx = _dyn_token_re([s.name for s in stages])
+    flat = _flatten(stages)
+    rx = _dyn_token_re([s.name for s in flat])
     specs = []
-    for s in stages:
+    for s in flat:
         cond = " OR ".join(f"({c})" for c in s.conds)
         refs = []
         for m in rx.finditer(cond):
@@ -468,8 +593,8 @@ def _dynamic_specs(stages, df_columns):
                 "first_/last_/count_ navigation are supported"
             )
         specs.append((code, plain, refs))
-    for s in stages:
-        if s.until is not None and rx.search(s.until):
+    for s in _until_stages(stages):
+        if rx.search(s.until):
             raise ValueError(
                 f"stage {s.name!r}: until() must be a static condition"
             )
@@ -540,11 +665,15 @@ def _prefilter_expr(stages, specs, flag_cols, until_cols):
     stage disables the filter: adjacency depends on unmatched
     neighbors. Iterative-condition stages have flag columns pinned
     True, so their rows always survive. Returns a Column or None."""
-    if any(
-        s.strategy in (_STRICT, _NOT_NEXT)
-        or (s.hi != 1 and s.inner == _STRICT)
-        for s in stages
-    ):
+    def strictish(seq_l) -> bool:
+        return any(
+            s.strategy in (_STRICT, _NOT_NEXT)
+            or (s.hi != 1 and s.inner == _STRICT)
+            or (s.group is not None and strictish(s.group))
+            for s in seq_l
+        )
+
+    if strictish(stages):
         return None
     preds = [F.col(c) for c in flag_cols] + [
         F.col(c) for c in until_cols if c
@@ -566,7 +695,7 @@ def _probe_arrays(n, ts, flags, untils, stages):
     killed by them — each difference is exactly a reason to hold."""
     import numpy as np
 
-    k = sum(max(s.lo, 1) for s in stages if not s.is_not) + 1
+    k = _min_rows(stages) + 1
     flags_ext = [np.append(f, [True] * k) for f in flags]
     untils_ext = [
         np.append(u, [False] * k) if u is not None else None for u in untils
@@ -655,22 +784,23 @@ def cep_pattern_select(
                          "times out windowed patterns")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    flat = _flatten(stages)
     specs = _dynamic_specs(stages, df.columns)
     enriched = df
-    flag_cols, until_cols = [], []
-    for i, s in enumerate(stages):
-        fc = f"__cep_f{i}"
+    flag_cols = []
+    for s in flat:  # one flag column per SLOT (group bodies inlined)
+        fc = f"__cep_f{s.slot}"
         flag_cols.append(fc)
         cond = " OR ".join(f"({c})" for c in s.conds)
         # iterative conditions evaluate in the matcher: static flag True
         enriched = enriched.withColumn(
-            fc, F.lit(True) if specs[i] is not None else F.expr(cond)
+            fc, F.lit(True) if specs[s.slot] is not None else F.expr(cond)
         )
-        uc = None
-        if s.until is not None:
-            uc = f"__cep_u{i}"
-            enriched = enriched.withColumn(uc, F.expr(s.until))
+    until_cols = []
+    for s in _until_stages(stages):
+        uc = f"__cep_u{s.uslot}"
         until_cols.append(uc)
+        enriched = enriched.withColumn(uc, F.expr(s.until))
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
     dyn_cols = sorted({
@@ -680,7 +810,7 @@ def cep_pattern_select(
     })
     keep = list(dict.fromkeys(
         partition_by + order_cols + meas_cols + dyn_cols
-        + flag_cols + [c for c in until_cols if c]
+        + flag_cols + until_cols
     ))
     slim = enriched.select(*keep)
     pf = _prefilter_expr(stages, specs, flag_cols, until_cols)
@@ -690,7 +820,7 @@ def cep_pattern_select(
     out_fields = [slim.schema[k] for k in partition_by]
     out_fields.append(StructField("match_seq", LongType()))
     for out_col, (stage, fn, col) in measures.items():
-        if stage not in {s.name for s in stages}:
+        if stage not in {s.name for s in flat}:
             raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
         if fn == "count":
             out_fields.append(StructField(out_col, LongType()))
@@ -701,6 +831,7 @@ def cep_pattern_select(
     out_schema = StructType(out_fields)
 
     stage_list = stages  # capture plain dataclasses (picklable)
+    flat_list = flat     # flat view: assign-dict keys / measure names
     meas_items = list(measures.items())
 
     def match_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -712,18 +843,17 @@ def cep_pattern_select(
         ts, w = (_ts_and_window(pdf[order_by], win) if win is not None
                  else (pdf[order_by].to_numpy(), None))
         flags = [pdf[fc].to_numpy(dtype=bool) for fc in flag_cols]
-        untils = [pdf[uc].to_numpy(dtype=bool) if uc else None
-                  for uc in until_cols]
+        untils = [pdf[uc].to_numpy(dtype=bool) for uc in until_cols]
         matches, touts = _enumerate_key(
             n, ts, flags, untils, stage_list, w, emit_timeouts,
             _make_dyns(specs, pdf, n),
         )
-        matches = _prune_after_match(matches, after_match, stage_list)
+        matches = _prune_after_match(matches, after_match, flat_list)
         if emit_timeouts:
             # a partial that was ALSO completed by some match is not a
             # timeout for that branch; distinct branches may still
             # time out — the reference reports each pruned partial.
-            done = {(m[0], _assign_key(stage_list, m[2])) for m in matches}
+            done = {(m[0], _assign_key(flat_list, m[2])) for m in matches}
         rows = []
         for seq, (_, _, assign) in enumerate(matches, start=1):
             row = dict(keyvals)
@@ -836,22 +966,23 @@ def stream_cep_pattern_select(
                          "times out windowed patterns")
 
     order_cols = [order_by] + ([tiebreak] if tiebreak else [])
+    flat = _flatten(stages)
     specs = _dynamic_specs(stages, df.columns)
     enriched = df
-    flag_cols, until_cols = [], []
-    for i, s in enumerate(stages):
-        fc = f"__cep_f{i}"
+    flag_cols = []
+    for s in flat:  # one flag column per SLOT (group bodies inlined)
+        fc = f"__cep_f{s.slot}"
         flag_cols.append(fc)
         enriched = enriched.withColumn(
             fc,
-            F.lit(True) if specs[i] is not None
+            F.lit(True) if specs[s.slot] is not None
             else F.expr(" OR ".join(f"({c})" for c in s.conds)),
         )
-        uc = None
-        if s.until is not None:
-            uc = f"__cep_u{i}"
-            enriched = enriched.withColumn(uc, F.expr(s.until))
+    until_cols = []
+    for s in _until_stages(stages):
+        uc = f"__cep_u{s.uslot}"
         until_cols.append(uc)
+        enriched = enriched.withColumn(uc, F.expr(s.until))
 
     meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
     dyn_cols = sorted({
@@ -861,7 +992,7 @@ def stream_cep_pattern_select(
     })
     keep = list(dict.fromkeys(
         partition_by + order_cols + meas_cols + dyn_cols
-        + flag_cols + [c for c in until_cols if c]
+        + flag_cols + until_cols
     ))
     slim = enriched.select(*keep)
     if win is None:
@@ -875,7 +1006,7 @@ def stream_cep_pattern_select(
     out_fields = [slim.schema[k] for k in partition_by]
     out_fields.append(StructField("match_seq", LongType()))
     for out_col, (stage, fn, col) in measures.items():
-        if stage not in {s.name for s in stages}:
+        if stage not in {s.name for s in flat}:
             raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
         out_fields.append(
             StructField(out_col, LongType())
@@ -907,6 +1038,7 @@ def stream_cep_pattern_select(
 
     casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
     stage_list = stages
+    flat_list = flat
     meas_items = list(measures.items())
 
     def _measure_row(keyvals, seq, assign, pdf, timed_out=None):
@@ -942,7 +1074,7 @@ def stream_cep_pattern_select(
             allr[fc].fillna(False).astype(bool).to_numpy() for fc in flag_cols
         ]
         untils = [
-            allr[uc].fillna(False).astype(bool).to_numpy() if uc else None
+            allr[uc].fillna(False).astype(bool).to_numpy()
             for uc in until_cols
         ]
         matches: list = []
@@ -966,15 +1098,15 @@ def stream_cep_pattern_select(
                 _run_start(s0, pn, pts, pflags, puntils, stage_list, w,
                            False, probe_m, {}, dyns)
                 if (
-                    {_assign_key(stage_list, m[2]) for m in probe_m}
-                    != {_assign_key(stage_list, m[2]) for m in base_m}
+                    {_assign_key(flat_list, m[2]) for m in probe_m}
+                    != {_assign_key(flat_list, m[2]) for m in base_m}
                 ):
                     frontier = s0
                     break
                 matches.extend(base_m)
             else:
                 frontier = n
-        matches = _prune_after_match(matches, "no_skip", stage_list)
+        matches = _prune_after_match(matches, "no_skip", flat_list)
         if after_match == "skip_to_next":
             kept, seen = [], set()
             for m in matches:
@@ -990,7 +1122,7 @@ def stream_cep_pattern_select(
                 False if emit_timeouts else None,
             ))
         if emit_timeouts:
-            done = {(m[0], _assign_key(stage_list, m[2])) for m in matches}
+            done = {(m[0], _assign_key(flat_list, m[2])) for m in matches}
             for tkey, assign in sorted(touts.items()):
                 if tkey in done or (not finalize and tkey[0] >= frontier):
                     continue

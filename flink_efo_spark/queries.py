@@ -7711,3 +7711,87 @@ def q_stream_broadcast_rules(t: _T) -> DataFrame:
         .where(F.col("user_id") >= 0)
         .select("user_id", "event_id", "rule_value")
     )
+
+
+@_q(
+    "cep_pattern_group",
+    """
+    WITH o AS (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    s AS (SELECT user_id, event_id AS signup_id, rn FROM o
+          WHERE event_type = 'signup'),
+    w1 AS (SELECT s.*,
+                  (SELECT min(x.rn) FROM o x
+                   WHERE x.user_id = s.user_id AND x.rn > s.rn
+                     AND x.event_type = 'click') AS rb1
+           FROM s),
+    w2 AS (SELECT w1.*,
+                  (SELECT min(x.rn) FROM o x
+                   WHERE x.user_id = w1.user_id AND x.rn > w1.rb1
+                     AND x.event_type = 'purchase') AS rc1
+           FROM w1 WHERE rb1 IS NOT NULL),
+    w3 AS (SELECT w2.*,
+                  (SELECT min(x.rn) FROM o x
+                   WHERE x.user_id = w2.user_id AND x.rn > w2.rc1
+                     AND x.event_type = 'click') AS rb2
+           FROM w2 WHERE rc1 IS NOT NULL),
+    w4 AS (SELECT w3.*,
+                  (SELECT min(x.rn) FROM o x
+                   WHERE x.user_id = w3.user_id AND x.rn > w3.rb2
+                     AND x.event_type = 'purchase') AS rc2
+           FROM w3 WHERE rb2 IS NOT NULL),
+    w5 AS (SELECT w4.*,
+                  (SELECT min(x.rn) FROM o x
+                   WHERE x.user_id = w4.user_id AND x.rn > w4.rc2
+                     AND x.event_type = 'error') AS rd
+           FROM w4 WHERE rc2 IS NOT NULL)
+    SELECT w5.user_id, w5.signup_id,
+           ob.event_id AS first_click, oc.event_id AS last_purchase,
+           od.event_id AS error_id
+    FROM w5
+    JOIN o ob ON ob.user_id = w5.user_id AND ob.rn = w5.rb1
+    JOIN o oc ON oc.user_id = w5.user_id AND oc.rn = w5.rc2
+    JOIN o od ON od.user_id = w5.user_id AND od.rn = w5.rd
+    WHERE w5.rd IS NOT NULL
+    """,
+)
+def q_cep_pattern_group(t: _T) -> DataFrame:
+    """GroupPattern (pattern/GroupPattern.java — ``Pattern.begin(
+    Pattern)`` quantified SUB-SEQUENCES, compiled inline by
+    NFACompiler with the group's consuming strategy on the body
+    head): ``signup followedBy (click followedBy purchase).times(2)
+    followedBy error``. Every step is a SKIP_TILL_NEXT first-match,
+    so the whole chain is deterministic per signup anchor and the
+    chained min-rn subquery oracle reproduces it exactly."""
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        cep_pattern_select,
+    )
+
+    body = (
+        CepPattern.begin("b").where("event_type = 'click'")
+        .followed_by("c").where("event_type = 'purchase'")
+    )
+    pat = (
+        CepPattern.begin("a").where("event_type = 'signup'")
+        .followed_by_group(body).times(2)
+        .followed_by("d").where("event_type = 'error'")
+    )
+    out = cep_pattern_select(
+        t.events.select("user_id", "event_id", "event_type", "ts"),
+        pat,
+        ["user_id"],
+        "ts",
+        {
+            "signup_id": ("a", "first", "event_id"),
+            "first_click": ("b", "first", "event_id"),
+            "last_purchase": ("c", "last", "event_id"),
+            "error_id": ("d", "first", "event_id"),
+        },
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "signup_id", "first_click", "last_purchase", "error_id"
+    )

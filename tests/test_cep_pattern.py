@@ -490,3 +490,88 @@ def test_stream_iterative_condition_cross_batch(spark, tmp_path):
             if r.user_id >= 0
         )
         assert got == want, f"iterative split {cut}: {got} != {want}"
+
+
+# -- GroupPattern: quantified sub-sequences (GroupPattern.java) -------
+
+
+def test_group_times_two_pairs_then_error(spark):
+    rows = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, V, 2.0), (1, 4, P, 3.0),
+            (1, 5, C, 4.0), (1, 6, P, 5.0), (1, 7, E, 6.0)]
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .followed_by("c").where(f"event_type = '{P}'"))
+    pat = (CepPattern.begin("a").where(f"event_type = '{S}'")
+           .followed_by_group(body).times(2)
+           .followed_by("d").where(f"event_type = '{E}'"))
+    got = _run(spark, rows, pat,
+               {"n_pairs": ("b", "count", "event_id"),
+                "b1": ("b", "first", "event_id"),
+                "c2": ("c", "last", "event_id"),
+                "d": ("d", "first", "event_id")})
+    assert got == [(1, 1, 2, 2, 6, 7)]
+
+
+def test_group_one_or_more_emits_prefixes_and_greedy_suppresses(spark):
+    rows = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, P, 2.0),
+            (1, 4, C, 3.0), (1, 5, P, 4.0), (1, 6, E, 5.0)]
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .followed_by("c").where(f"event_type = '{P}'"))
+
+    def build(greedy):
+        p = (CepPattern.begin("a").where(f"event_type = '{S}'")
+             .followed_by_group(body).one_or_more())
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("d").where(f"event_type = '{E}'")
+
+    meas = {"n_pairs": ("b", "count", "event_id")}
+    # default: both the 1-pair prefix and the 2-pair run complete
+    assert sorted(r[2] for r in _run(spark, rows, build(False), meas)) == [1, 2]
+    # greedy: only the maximal run
+    assert [r[2] for r in _run(spark, rows, build(True), meas)] == [2]
+
+
+def test_group_strict_entry(spark):
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .followed_by("c").where(f"event_type = '{P}'"))
+    pat = (CepPattern.begin("a").where(f"event_type = '{S}'")
+           .next_group(body))
+    adjacent = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, P, 2.0)]
+    gapped = [(1, 1, S, 0.0), (1, 2, E, 1.0), (1, 3, C, 2.0), (1, 4, P, 3.0)]
+    meas = {"c": ("c", "first", "event_id")}
+    assert _run(spark, adjacent, pat, meas) == [(1, 1, 3)]
+    assert _run(spark, gapped, pat, meas) == []
+
+
+def test_group_body_failure_kills_relaxed_entry(spark):
+    # SKIP_TILL_NEXT on the group: can't skip an event matching the
+    # HEAD — if the body then fails, the branch dies (stop state)
+    rows = [(1, 1, S, 0.0), (1, 2, C, 1.0),           # head matches, no P
+            (1, 3, C, 2.0)]                            # later head — unreachable
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .next("c").where(f"event_type = '{P}'"))  # strict body: fails
+    pat = (CepPattern.begin("a").where(f"event_type = '{S}'")
+           .followed_by_group(body))
+    assert _run(spark, rows, pat, {"c": ("c", "first", "event_id")}) == []
+
+
+def test_group_within_window_applies_across_elements(spark):
+    rows = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, P, 2.0),
+            (1, 4, C, 50.0), (1, 5, P, 51.0), (1, 6, E, 52.0)]
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .followed_by("c").where(f"event_type = '{P}'"))
+    pat = (CepPattern.begin("a").where(f"event_type = '{S}'")
+           .followed_by_group(body).one_or_more().greedy()
+           .followed_by("d").where(f"event_type = '{E}'")
+           .within(10))
+    # the second pair and the error sit outside the 10s window
+    assert _run(spark, rows, pat,
+                {"n": ("b", "count", "event_id")}) == []
+
+
+def test_group_validation(spark):
+    body = CepPattern.begin("b").where("true")
+    with pytest.raises(ValueError, match="group's BODY"):
+        CepPattern.begin("a").where("true").followed_by_group(body).where("x")
+    with pytest.raises(ValueError, match="duplicate"):
+        CepPattern.begin("b").where("true").followed_by_group(body)

@@ -199,3 +199,124 @@ def test_loop_quantifiers_match_brute_force(
         n, ts, fa, fu if use_until else None, fb, lo, hi, inner, greedy, win
     )
     assert got == want
+
+
+def _brute_group(n, ts, fb, fc, fd, lo, hi, inner, greedy, win):
+    """Declarative GroupPattern semantics: (b followedBy c){lo,hi}
+    followedBy d, anchored at the first b. An element is (j_b, j_c)
+    with j_c the FIRST c after j_b (relaxed body; a body failure on a
+    head-matching entry kills the branch unless inner is
+    skip_till_any, which may skip matching heads)."""
+    complete = set()
+    for i in range(n):
+        if not fb[i]:
+            continue
+
+        def in_win(k):
+            return win is None or ts[k] - ts[i] <= win
+
+        def body(j_b):
+            for k in range(j_b + 1, n):
+                if not in_win(k):
+                    return None
+                if fc[k]:
+                    return k
+            return None
+
+        seqs = []
+
+        def gen(elems, prev_end):
+            if len(elems) >= lo:
+                seqs.append(tuple(elems))
+            if hi is not None and len(elems) >= hi:
+                return
+            # next element entry per inner contiguity
+            cands = []
+            for k in range(prev_end + 1, n):
+                if not in_win(k):
+                    break
+                if inner == "strict" and k != prev_end + 1:
+                    break
+                if fb[k]:
+                    cands.append(k)
+                    if inner != "skip_till_any":
+                        break
+                elif inner == "strict":
+                    break
+            for j_b in cands:
+                j_c = body(j_b)
+                if j_c is not None:
+                    gen(elems + [(j_b, j_c)], j_c)
+                # relaxed/strict: a head-matching entry whose body
+                # fails stops the loop (can't be skipped) — cands had
+                # only one entry anyway
+
+        e0 = body(i)
+        if e0 is None:
+            continue
+        gen([(i, e0)], e0)
+        for E in seqs:
+            last = E[-1][1]
+            ds = [k for k in range(last + 1, n) if fd[k]][:1]
+            for d in ds:
+                if in_win(d):
+                    complete.add((i, E, d))
+    if greedy:
+        complete = {
+            (i, E, d)
+            for (i, E, d) in complete
+            if not any(
+                i2 == i and len(E2) > len(E) and E2[: len(E)] == E
+                for (i2, E2, _d2) in complete
+            )
+        }
+    return complete
+
+
+@given(
+    b=BOOLS,
+    picks_c=st.lists(st.integers(0, 20), max_size=6),
+    picks_d=st.lists(st.integers(0, 20), max_size=4),
+    lo=st.integers(1, 2),
+    extra=st.integers(0, 1),
+    unbounded=st.booleans(),
+    inner=st.sampled_from(["strict", "skip_till_next", "skip_till_any"]),
+    greedy=st.booleans(),
+    win=st.sampled_from([None, 3, 6]),
+)
+@settings(max_examples=250, deadline=None)
+def test_group_pattern_matches_brute_force(
+    b, picks_c, picks_d, lo, extra, unbounded, inner, greedy, win
+):
+    n = len(b)
+    fb = np.array(b, dtype=bool)
+    fc = _mk(n, picks_c)
+    fd = _mk(n, picks_d)
+    ts = np.arange(n, dtype="int64")
+    hi = None if unbounded else lo + extra
+
+    body = (CepPattern.begin("b").where("x")
+            .followed_by("c").where("x"))
+    pat = CepPattern.begin_group(body)
+    pat = pat.times_or_more(lo) if hi is None else pat.times(lo, hi)
+    if inner == "strict":
+        pat = pat.consecutive()
+    elif inner == "skip_till_any":
+        pat = pat.allow_combinations()
+    if greedy:
+        pat = pat.greedy()
+    pat = pat.followed_by("d").where("x")
+    if win is not None:
+        pat = pat.within(win)
+
+    stages = pat._validated()
+    flags = [fb, fc, fd]  # slot order: b, c, d
+    matches, _ = _enumerate_key(n, ts, flags, [], stages, win, False)
+    got = {
+        (m[2]["b"][0],
+         tuple(zip(m[2]["b"], m[2]["c"])),
+         m[2]["d"][0])
+        for m in matches
+    }
+    want = _brute_group(n, ts, fb, fc, fd, lo, hi, inner, greedy, win)
+    assert got == want

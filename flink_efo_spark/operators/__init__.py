@@ -22,6 +22,7 @@ from flink_efo_spark.operators.multimodal import (
 from flink_efo_spark.operators.topn import top_n
 from flink_efo_spark.operators.dedup import (
     dedup_exact,
+    dedup_incremental_near,
     dedup_keep_first,
     dedup_keep_last,
     minhash_near_duplicates,
@@ -56,6 +57,7 @@ __all__ = [
     "frame_sample",
     "media_metadata",
     "dedup_exact",
+    "dedup_incremental_near",
     "dedup_keep_first",
     "dedup_keep_last",
     "minhash_near_duplicates",

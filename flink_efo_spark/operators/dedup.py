@@ -475,3 +475,94 @@ def dedup_incremental(
     )
     fresh = survivors.join(seen_sigs.select(sig_col), sig_col, "left_anti")
     return fresh, fresh.select(sig_col)
+
+
+def band_keys(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    num_perm: int,
+    sig_col: str = "mh",
+) -> DataFrame:
+    """Explode minhash signatures into LSH band keys
+    ``(id, band_idx, band_hash)``. With one row per band the key IS
+    the signature component; wider bands hash the slice (portable
+    md5-prefix hash, engine-replayable)."""
+    rpb = num_perm // bands
+    if bands * rpb != num_perm:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    if rpb == 1:
+        expr = (
+            f"transform({sig_col}, (v, i) -> "
+            "struct(i AS band_idx, v AS band_hash))"
+        )
+    else:
+        h = _hash64_expr(f"array_join(slice({sig_col}, b * {rpb} + 1, {rpb}), '_')")
+        expr = (
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"struct(b AS band_idx, {h} AS band_hash))"
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("__bk")
+    ).select(id_col, "__bk.band_idx", "__bk.band_hash")
+
+
+def dedup_incremental_near(
+    new_df: DataFrame,
+    band_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    bands: int = 3,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-duplicate dedup: deduplicate a NEW batch
+    against the corpus using only an LSH **band-key store** — the
+    near-dup completion of :func:`dedup_incremental` (which is exact).
+    At 100 TB this is the shape that matters: historical documents are
+    never rescanned and never stored; the store holds DISTINCT
+    ``(band_idx, band_hash)`` keys — ``bands`` longs per distinct
+    near-dup equivalence witness, bucketable on the key pair so the
+    probe co-locates with no store shuffle.
+
+    Decision rule (order-deterministic, engine-replayable): a batch
+    document is a duplicate iff it shares ANY band key with the store
+    or with an earlier-``id_col`` document of the same batch —
+    standard banded-MinHash dedup where LSH collision IS the
+    equivalence. Band geometry sets the effective threshold
+    (P(dup) = 1-(1-j^r)^b for Jaccard j with r rows per band): the
+    default 3 bands x 4 rows targets j ~ 0.75; a verify join would
+    need document bodies, which an incremental store by design does
+    not keep.
+
+    Returns ``(survivors, new_bands)``: batch rows that are no-dup,
+    and the batch's distinct band keys to append to the store.
+    Documents with no shingles (shorter than the shingle window)
+    carry no keys and always survive.
+    """
+    sh = shingle_sets(
+        ensure_min_parallelism(new_df.select(id_col, text_col)),
+        id_col, text_col, shingle_size,
+    )
+    sigs = minhash_signatures(sh, num_perm)
+    keys = band_keys(sigs, id_col, bands, num_perm).persist()
+    keys.count()  # eager: feeds three joins below
+    on = ["band_idx", "band_hash"]
+    dropped_store = (
+        keys.join(band_store.select(*on), on, "left_semi")
+        .select(id_col).distinct()
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    dropped_batch = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = dropped_store.union(dropped_batch).distinct()
+    survivors = new_df.join(dropped, id_col, "left_anti")
+    return survivors, keys.select(*on).distinct()

@@ -7795,3 +7795,73 @@ def q_cep_pattern_group(t: _T) -> DataFrame:
     return out.select(
         "user_id", "signup_id", "first_click", "last_purchase", "error_id"
     )
+
+
+_INC_NEAR_SIGS = ", ".join(
+    f"list_min(list_transform(hs, h -> "
+    f"(({2 * j + 1} * h + {104729 * j + 12345}) % 2147483647))) AS s{j}"
+    for j in range(12)
+)
+# band key b = the joined 4-slice of the signature; string equality of
+# the slices == equality of the engine's md5-prefix band hashes
+# (modulo a ~2^-60 md5-collision class, same one minhash_pairs accepts)
+_INC_NEAR_BANDS = ", ".join(
+    "array_to_string(["
+    + ", ".join(f"s{4 * b + r}" for r in range(4))
+    + f"], '_') AS b{b}"
+    for b in range(3)
+)
+_INC_NEAR_EQ = " OR ".join(f"e.b{b} = d.b{b}" for b in range(3))
+
+
+@_q(
+    "incremental_near_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, doc_id % 2 AS epoch,
+                      string_split(trim(lower(text)), ' ') AS t
+               FROM documents),
+    sh AS (SELECT doc_id, n_chars, epoch,
+                  list_distinct(CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]
+                    ELSE [] END) AS shingles
+           FROM t),
+    hs AS (SELECT doc_id, n_chars, epoch,
+                  list_transform(shingles, s ->
+                    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                      % 2147483647) AS hs
+           FROM sh WHERE len(shingles) > 0),
+    sig0 AS (SELECT doc_id, n_chars, epoch, {_INC_NEAR_SIGS} FROM hs),
+    sig AS (SELECT doc_id, n_chars, epoch, {_INC_NEAR_BANDS} FROM sig0),
+    dup AS (SELECT d.doc_id FROM sig d
+            WHERE d.epoch = 1 AND EXISTS (
+              SELECT 1 FROM sig e
+              WHERE (e.epoch = 0
+                     OR (e.epoch = 1 AND e.doc_id < d.doc_id))
+                AND ({_INC_NEAR_EQ})))
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def q_incremental_near_dedup(t: _T) -> DataFrame:
+    """Incremental NEAR-duplicate dedup against an LSH band-key store
+    (dedup.py dedup_incremental_near): even-id documents build the
+    store (their distinct band keys — historical bodies never kept or
+    rescanned), odd-id documents then dedup against the store plus
+    earlier docs of their own batch. Banded-MinHash collision (3
+    bands x 4 rows, effective Jaccard threshold ~0.75) IS the
+    equivalence; the oracle replays the exact integer signature
+    pipeline (portable md5-prefix hash, affine permutations mod
+    2^31-1) and the same order-deterministic decision rule."""
+    from flink_efo_spark.operators.dedup import dedup_incremental_near
+
+    docs = t.documents
+    epoch0 = docs.where(F.col("doc_id") % 2 == 0)
+    epoch1 = docs.where(F.col("doc_id") % 2 == 1)
+    empty_store = t.spark.createDataFrame(
+        [], "band_idx int, band_hash bigint"
+    )
+    _, store = dedup_incremental_near(epoch0, empty_store, "doc_id", "text")
+    survivors, _ = dedup_incremental_near(epoch1, store, "doc_id", "text")
+    return survivors.select("doc_id", "n_chars")

@@ -108,3 +108,32 @@ def test_dedup_incremental_two_batches(spark):
     got2 = {(r.doc_id, r.group_size) for r in s2.collect()}
     assert got2 == {(11, 2)}  # 10 seen in store; 12 loses to 11
     assert sig2.count() == 1
+
+
+def test_incremental_near_dedup_band_store(spark):
+    """dedup_incremental_near: near-dup of a stored doc is dropped
+    via the band store alone (no bodies), a within-batch later
+    near-dup is dropped by the earlier one, unrelated and too-short
+    docs survive, and the returned keys extend the store."""
+    from flink_efo_spark.operators.dedup import dedup_incremental_near
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about spark engines and rivers flowing"
+    epoch0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    empty = spark.createDataFrame([], "band_idx int, band_hash bigint")
+    surv0, store = dedup_incremental_near(epoch0, empty, "doc_id", "text")
+    assert [r.doc_id for r in surv0.collect()] == [0]
+    assert store.count() == 3  # one key per band
+
+    epoch1 = spark.createDataFrame(
+        [(1, near),          # near-dup of stored doc 0 -> dropped
+         (3, other),         # unrelated -> survives
+         (5, other + " x"),  # near-dup of 3 (earlier in batch) -> dropped
+         (7, "ab")],         # too short for shingles -> survives
+        "doc_id long, text string",
+    )
+    surv1, keys1 = dedup_incremental_near(epoch1, store, "doc_id", "text")
+    assert sorted(r.doc_id for r in surv1.collect()) == [3, 7]
+    # keys of ALL batch docs (incl. dropped) feed the next increment
+    assert keys1.count() >= 3

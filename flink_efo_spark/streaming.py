@@ -2218,6 +2218,64 @@ def stream_incremental_dedup(
     )
 
 
+def stream_incremental_near_dedup(
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_perm: int = 12,
+    bands: int = 3,
+    shingle_size: int = 3,
+):
+    """Continuous-ingest NEAR-duplicate dedup backed by a persistent
+    LSH band-key store (the streaming form of
+    :func:`flink_efo_spark.operators.dedup.dedup_incremental_near`,
+    completing the dedup matrix: exact/near x batch/incremental/
+    streaming). Identical epoch-dir idempotent-upsert protocol to
+    :func:`stream_incremental_dedup`: batch N's survivors and band
+    keys land in epoch-addressed dirs with overwrite and the store
+    read EXCLUDES the current epoch, so a crash-replayed batch
+    recomputes the identical result. The store holds distinct
+    (band_idx, band_hash) pairs only — bodies are never kept, so the
+    per-batch cost is the batch's own signature map plus key joins.
+
+    Returns the started streaming query (availableNow trigger).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from flink_efo_spark.operators.dedup import dedup_incremental_near
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_dir).where(
+                F.col("epoch") != F.lit(int(batch_id))
+            )
+        except AnalysisException:  # first batch: store not created yet
+            store = spark.createDataFrame(
+                [], "band_idx INT, band_hash BIGINT"
+            )
+        fresh, keys = dedup_incremental_near(
+            batch_df, store, id_col, text_col,
+            num_perm=num_perm, bands=bands, shingle_size=shingle_size,
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={int(batch_id)}")
+        )
+        keys.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"epoch={int(batch_id)}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_keyed_coprocess(
     data: DataFrame,
     control: DataFrame,

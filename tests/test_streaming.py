@@ -1694,3 +1694,68 @@ def test_broadcast_process_rule_reaches_new_key(spark, tmp_path):
         if 0 < r.user_id < 99
     )
     assert got == [(1, 1, 10.0), (1, 3, 20.0), (7, 2, 20.0)]
+
+
+def test_stream_incremental_near_dedup_replay_idempotent(spark, tmp_path):
+    """Store-backed NEAR-dup ingest: a 3-batch replay emits the same
+    survivors as applying dedup_incremental_near sequentially per
+    batch; wiping the checkpoint and replaying over the SAME store is
+    byte-idempotent (epoch-excluding reads + epoch-dir overwrite)."""
+    import shutil
+
+    from flink_efo_spark.operators.dedup import dedup_incremental_near
+    from flink_efo_spark.streaming import (
+        stream_incremental_near_dedup,
+        stream_table_split,
+    )
+
+    src = stream_table_split(
+        spark, SF_DIR, "documents", n_batches=3, order_col="doc_id"
+    ).select("doc_id", "text")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_incremental_near_dedup(
+        src, "doc_id", "text", store, out, ckpt
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # expected: sequential batch-mode application over the same splits
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    k = (len(docs) + 2) // 3
+    st = spark.createDataFrame([], "band_idx int, band_hash bigint")
+    want = []
+    for b in range(3):
+        part = spark.createDataFrame(
+            docs[b * k:(b + 1) * k], "doc_id long, text string"
+        )
+        if part.count() == 0:
+            continue
+        fresh, keys = dedup_incremental_near(part, st, "doc_id", "text")
+        want += [r.doc_id for r in fresh.collect()]
+        st = st.union(keys).distinct()
+    assert got == sorted(want)
+
+    # crash-replay idempotence: recomputing the LAST batch against
+    # the store EXCLUDING its own epoch (exactly what a replayed
+    # foreachBatch invocation reads — only the latest uncommitted
+    # batch is ever replayed, even though its keys were already
+    # appended before the crash) reproduces its output byte-for-byte
+    del shutil
+    part2 = spark.createDataFrame(
+        docs[2 * k:], "doc_id long, text string"
+    )
+    st_replay = spark.read.parquet(store).where(F.col("epoch") != 2)
+    fresh2, _ = dedup_incremental_near(part2, st_replay, "doc_id", "text")
+    replayed = sorted(r.doc_id for r in fresh2.collect())
+    emitted2 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/__batch_id=2").collect()
+    )
+    assert replayed == emitted2

@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "stream_cep_pattern",
     # round 6k: connected-streams co-process (shared keyed state)
     "stream_coprocess_rules",
+    # round 6k: GroupPattern + incremental near-dup store
+    "cep_pattern_group",
+    "incremental_near_dedup",
 ]
 
 

@@ -651,6 +651,31 @@ def _make_dyns(specs, pdf, n_real):
     return fns
 
 
+def _measure_value(fn, rows_of, col_series):
+    """Measure over a stage's matched rows (PatternSelectFunction
+    receives the full per-stage event list — Map<String, List<T>>):
+    first|last positional, count, and the numeric folds sum|min|max|
+    avg. Absent stage: NULL (count -> 0)."""
+    if fn == "count":
+        return len(rows_of)
+    if not rows_of:
+        return None
+    if fn == "first":
+        return col_series.iloc[rows_of[0]]
+    if fn == "last":
+        return col_series.iloc[rows_of[-1]]
+    vals = [col_series.iloc[ix] for ix in rows_of]
+    if fn == "sum":
+        return sum(vals)
+    if fn == "min":
+        return min(vals)
+    if fn == "max":
+        return max(vals)
+    if fn == "avg":
+        return sum(vals) / len(vals)
+    raise ValueError(f"unknown measure fn {fn!r}")
+
+
 def _assign_key(stages, assign) -> tuple:
     return tuple((s.name, tuple(assign[s.name])) for s in stages)
 
@@ -824,6 +849,10 @@ def cep_pattern_select(
             raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
         if fn == "count":
             out_fields.append(StructField(out_col, LongType()))
+        elif fn == "avg":
+            from pyspark.sql.types import DoubleType
+
+            out_fields.append(StructField(out_col, DoubleType()))
         else:
             out_fields.append(StructField(out_col, slim.schema[col].dataType))
     if emit_timeouts:
@@ -860,13 +889,7 @@ def cep_pattern_select(
             row["match_seq"] = seq
             for out_col, (stage, fn, col) in meas_items:
                 rows_of = assign.get(stage) or []
-                if fn == "count":
-                    row[out_col] = len(rows_of)
-                elif not rows_of:
-                    row[out_col] = None
-                else:
-                    ix = rows_of[0] if fn == "first" else rows_of[-1]
-                    row[out_col] = pdf[col].iloc[ix]
+                row[out_col] = _measure_value(fn, rows_of, pdf[col])
             if emit_timeouts:
                 row["timed_out"] = False
             rows.append(row)
@@ -880,13 +903,7 @@ def cep_pattern_select(
                 row["match_seq"] = seq
                 for out_col, (stage, fn, col) in meas_items:
                     rows_of = assign.get(stage) or []
-                    if fn == "count":
-                        row[out_col] = len(rows_of)
-                    elif not rows_of:
-                        row[out_col] = None
-                    else:
-                        ix = rows_of[0] if fn == "first" else rows_of[-1]
-                        row[out_col] = pdf[col].iloc[ix]
+                    row[out_col] = _measure_value(fn, rows_of, pdf[col])
                 row["timed_out"] = True
                 rows.append(row)
         if not rows:
@@ -1008,11 +1025,14 @@ def stream_cep_pattern_select(
     for out_col, (stage, fn, col) in measures.items():
         if stage not in {s.name for s in flat}:
             raise ValueError(f"measure {out_col!r}: unknown stage {stage!r}")
-        out_fields.append(
-            StructField(out_col, LongType())
-            if fn == "count"
-            else StructField(out_col, slim.schema[col].dataType)
-        )
+        if fn == "count":
+            out_fields.append(StructField(out_col, LongType()))
+        elif fn == "avg":
+            from pyspark.sql.types import DoubleType
+
+            out_fields.append(StructField(out_col, DoubleType()))
+        else:
+            out_fields.append(StructField(out_col, slim.schema[col].dataType))
     if emit_timeouts:
         out_fields.append(StructField("timed_out", BooleanType()))
     out_schema = StructType(out_fields)
@@ -1046,13 +1066,7 @@ def stream_cep_pattern_select(
         row["match_seq"] = seq
         for out_col, (stage, fn, col) in meas_items:
             rows_of = assign.get(stage) or []
-            if fn == "count":
-                row[out_col] = len(rows_of)
-            elif not rows_of:
-                row[out_col] = None
-            else:
-                ix = rows_of[0] if fn == "first" else rows_of[-1]
-                row[out_col] = pdf[col].iloc[ix]
+            row[out_col] = _measure_value(fn, rows_of, pdf[col])
         if timed_out is not None:
             row["timed_out"] = timed_out
         return row

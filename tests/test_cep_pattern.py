@@ -575,3 +575,29 @@ def test_group_validation(spark):
         CepPattern.begin("a").where("true").followed_by_group(body).where("x")
     with pytest.raises(ValueError, match="duplicate"):
         CepPattern.begin("b").where("true").followed_by_group(body)
+
+
+def test_aggregate_measures_over_loop_rows(spark):
+    rows = [(1, 1, C, 1.0, 2.0), (1, 2, C, 2.0, 4.0), (1, 3, C, 3.0, 6.0),
+            (1, 4, P, 4.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string, ts double, "
+              "value double"
+    )
+    pat = (CepPattern.begin("c").where(f"event_type = '{C}'")
+           .one_or_more().consecutive().greedy()
+           .followed_by("p").where(f"event_type = '{P}'"))
+    out = cep_pattern_select(
+        df, pat, ["user_id"], "ts",
+        {"n": ("c", "count", "event_id"),
+         "v_sum": ("c", "sum", "value"),
+         "v_min": ("c", "min", "value"),
+         "v_max": ("c", "max", "value"),
+         "v_avg": ("c", "avg", "value")},
+        tiebreak="event_id",
+    )
+    got = sorted((r.n, r.v_sum, r.v_min, r.v_max, r.v_avg)
+                 for r in out.collect())
+    assert got == [(1, 6.0, 6.0, 6.0, 6.0),
+                   (2, 10.0, 4.0, 6.0, 5.0),
+                   (3, 12.0, 2.0, 6.0, 4.0)]

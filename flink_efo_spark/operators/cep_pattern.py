@@ -910,11 +910,18 @@ def cep_pattern_select(
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         return pd.DataFrame(rows)
 
-    # groupBy already clusters on the key (EnsureRequirements inserts
-    # the single hash exchange); an explicit repartition would add a
-    # second, redundant shuffle
-    return slim.groupBy(*partition_by).applyInPandas(
-        match_key, schema=out_schema
+    # the explicit keyed repartition is LOAD-BEARING, not redundant:
+    # with a bare groupBy, AQE coalesces the (small-bytes) exchange to
+    # ~1 partition and SERIALIZES the CPU-heavy Arrow/Python matcher
+    # stage (measured +3 s at sf0.1); pinning the width keeps the
+    # matcher keyed-parallel. At 100 TB the shuffle is large enough
+    # that AQE would keep the width anyway — the pin just also covers
+    # the small end, same rationale as catalog.ensure_min_parallelism.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        slim.repartition(width, *[F.col(c) for c in partition_by])
+        .groupBy(*partition_by)
+        .applyInPandas(match_key, schema=out_schema)
     )
 
 

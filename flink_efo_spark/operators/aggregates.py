@@ -31,8 +31,18 @@ def flat_aggregate(
     """Table aggregate: ``fn(pdf) -> pdf`` runs once per key group and
     may return multiple rows (e.g. a custom top-2 emitter — the
     reference's canonical flatAggregate example). Keys are included in
-    the group frame; the output schema is the contract."""
-    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+    the group frame; the output schema is the contract.
+
+    The explicit keyed repartition pins the Python stage's width —
+    AQE coalesces a small exchange to ~1 partition and would serialize
+    the per-group Python work (same fix as the CEP matcher); at scale
+    the shuffle is wide enough that the pin is a no-op."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(width, *[F.col(k) for k in keys])
+        .groupBy(*keys)
+        .applyInPandas(fn, output_schema)
+    )
 
 
 def collect_multiset(col: str) -> Column:

@@ -601,3 +601,29 @@ def test_aggregate_measures_over_loop_rows(spark):
     assert got == [(1, 6.0, 6.0, 6.0, 6.0),
                    (2, 10.0, 4.0, 6.0, 5.0),
                    (3, 12.0, 2.0, 6.0, 4.0)]
+
+
+def test_group_optional_and_until(spark):
+    body = (CepPattern.begin("b").where(f"event_type = '{C}'")
+            .followed_by("c").where(f"event_type = '{P}'"))
+    # optional group: matches both with and without the pair
+    pat = (CepPattern.begin("a").where(f"event_type = '{S}'")
+           .followed_by_group(body).optional()
+           .followed_by("d").where(f"event_type = '{E}'"))
+    rows = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, P, 2.0), (1, 4, E, 3.0)]
+    got = _run(spark, rows, pat, {"n": ("b", "count", "event_id"),
+                                  "d": ("d", "first", "event_id")})
+    assert sorted((r[2], r[3]) for r in got) == [(0, 4), (1, 4)]
+    # until on a group loop: the error boundary stops repetition
+    pat2 = (CepPattern.begin("a").where(f"event_type = '{S}'")
+            .followed_by_group(body).one_or_more().greedy()
+            .until(f"event_type = '{E}'")
+            .followed_by("d").where(f"event_type = '{E}'"))
+    rows2 = [(1, 1, S, 0.0), (1, 2, C, 1.0), (1, 3, P, 2.0),
+             (1, 4, E, 3.0), (1, 5, C, 4.0), (1, 6, P, 5.0),
+             (1, 7, E, 6.0)]
+    got2 = _run(spark, rows2, pat2, {"n": ("b", "count", "event_id"),
+                                     "d": ("d", "first", "event_id")})
+    # the loop stops at error 4 (until), d takes it; the post-error
+    # pair never joins the first signup's chain
+    assert sorted((r[2], r[3]) for r in got2) == [(1, 4)]

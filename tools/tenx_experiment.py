@@ -33,24 +33,35 @@ EVENT_OFF = 1_000_000_000
 
 
 def build_corpus(spark) -> None:
-    out = os.path.join(TENX_DIR, "events.parquet")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return
-    ev = load_table(spark, SF_DIR, "events")
-    parts = [
-        ev.withColumn("user_id", F.col("user_id") + F.lit(i * USER_OFF))
-        .withColumn("event_id", F.col("event_id") + F.lit(i * EVENT_OFF))
-        for i in range(COPIES)
-    ]
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    allp.repartition(32).write.mode("overwrite").parquet(out)
-    # the other tables are read by some queries' setup; symlink 1x
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "documents embeddings"
-    ).split():
+    def replicate(name, id_shifts, salt_col=None):
+        out = os.path.join(TENX_DIR, f"{name}.parquet")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return
+        base = load_table(spark, SF_DIR, name)
+        parts = []
+        for i in range(COPIES):
+            p = base
+            for col, off in id_shifts.items():
+                p = p.withColumn(col, F.col(col) + F.lit(i * off))
+            if salt_col is not None and i > 0:
+                # replica text must not near-collide with replica 0's:
+                # a per-replica token prefix changes every shingle
+                p = p.withColumn(
+                    salt_col, F.concat(F.lit(f"r{i}x "), F.col(salt_col))
+                )
+            parts.append(p)
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        allp.repartition(32).write.mode("overwrite").parquet(out)
+
+    replicate("events", {"user_id": USER_OFF, "event_id": EVENT_OFF})
+    # text/ANN corpora replicate too (disjoint ids; salted text so the
+    # dedup families see 10x distinct documents, not 10 exact copies)
+    replicate("documents", {"doc_id": 10_000_000}, salt_col="text")
+    replicate("embeddings", {"vec_id": 10_000_000})
+    # the relational tables are read by some queries' setup; symlink 1x
+    for t in "region nation customer supplier part orders lineitem".split():
         src = os.path.join(SF_DIR, f"{t}.parquet")
         dst = os.path.join(TENX_DIR, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):

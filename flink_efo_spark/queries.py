@@ -7865,3 +7865,29 @@ def q_incremental_near_dedup(t: _T) -> DataFrame:
     _, store = dedup_incremental_near(epoch0, empty_store, "doc_id", "text")
     survivors, _ = dedup_incremental_near(epoch1, store, "doc_id", "text")
     return survivors.select("doc_id", "n_chars")
+
+
+@_q(
+    "mixture_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT)
+          < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384
+                      WHEN 'fr' THEN 6553 ELSE 3276 END
+    """,
+)
+def q_mixture_sample(t: _T) -> DataFrame:
+    """Deterministic source-mixture sampling (operators/sampling.py):
+    per-language keep rates (50% en, 25% de, 10% fr, 5% rest) drawn by
+    a stable id hash — the reproducible data-mixing primitive of a
+    training corpus pipeline. Narrow map, no shuffle, predicate fused
+    into the scan; identical draw in any engine."""
+    from flink_efo_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        t.documents, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "lang", "n_chars")

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from flink_efo_spark.operators.text import (
     doc_fingerprint,
     lang_id,
@@ -149,3 +152,24 @@ def test_cms_guarantee_and_linearity(spark):
     whole = {(r.j, r.w): r.cnt for r in sk.collect()}
     got = {(r.j, r.w): r.cnt for r in merged.collect()}
     assert whole == got
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from flink_efo_spark.operators.sampling import mixture_sample
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = mixture_sample(df, "doc_id", "lang", {"en": 0.5}, default_rate=0.1)
+    rows = out.groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in rows}
+    # 10k per lang: en ~5000, de ~1000 (hash-uniform within ~5%)
+    assert abs(got["en"] - 5000) < 250 and abs(got["de"] - 1000) < 150
+    # deterministic: the same rows on a re-draw
+    again = mixture_sample(df, "doc_id", "lang", {"en": 0.5}, default_rate=0.1)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    with pytest.raises(ValueError, match="out of"):
+        mixture_sample(df, "doc_id", "lang", {"en": 1.5})

@@ -45,3 +45,39 @@ def mixture_sample(
     for g, r in rates.items():
         cut = F.when(F.col(group_col) == g, int(r * 65536)).otherwise(cut)
     return df.where(_hash16(id_col) < cut)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Budgeted mixture: per group, draw documents in the stable hash
+    order until the group's TOKEN budget is reached (training mixes
+    are specified in tokens, not document counts). A document that
+    crosses the boundary is included — every group reaches at least
+    its budget when it has the tokens. Groups without a budget are
+    dropped. One shuffle per the group window (cumulative sum), then
+    a filter; the hash order makes the draw reproducible and
+    engine-replayable."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(None).cast("long")
+    for g, b in budgets.items():
+        budget = F.when(F.col(group_col) == g, int(b)).otherwise(budget)
+    return (
+        df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .withColumn("__budget", budget)
+        .where(
+            F.col("__budget").isNotNull()
+            & (F.col("__cum") - F.col(token_col) < F.col("__budget"))
+        )
+        .drop("__cum", "__budget")
+    )

@@ -7891,3 +7891,35 @@ def q_mixture_sample(t: _T) -> DataFrame:
         {"en": 0.5, "de": 0.25, "fr": 0.1},
         default_rate=0.05,
     ).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "token_budget_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+             CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000
+                       WHEN 'zh' THEN 5000 END AS budget
+      FROM documents)
+    WHERE budget IS NOT NULL AND cum - n_chars < budget
+    """,
+)
+def q_token_budget_sample(t: _T) -> DataFrame:
+    """Budgeted mixture sampling (operators/sampling.py
+    token_budget_sample): per-language TOKEN budgets (char proxy)
+    drawn in stable hash order — training mixes are specified in
+    tokens, and the draw must replay identically across runs and
+    engines. One keyed window cumsum + filter; groups without a
+    budget drop."""
+    from flink_efo_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        t.documents, "doc_id", "lang", "n_chars",
+        {"en": 20000, "de": 8000, "zh": 5000},
+    ).select("doc_id", "lang", "n_chars")

@@ -173,3 +173,25 @@ def test_mixture_sample_rates_and_determinism(spark):
     )
     with pytest.raises(ValueError, match="out of"):
         mixture_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_token_budget_sample_reaches_budget(spark):
+    from flink_efo_spark.operators.sampling import token_budget_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 7 + 1).cast("long").alias("toks"),
+    )
+    out = token_budget_sample(df, "doc_id", "lang", "toks",
+                              {"en": 100, "de": 40})
+    sums = {r.lang: r.total for r in
+            out.groupBy("lang").agg(F.sum("toks").alias("total")).collect()}
+    # reaches the budget; crossing doc included, so < budget + max(toks)
+    assert 100 <= sums["en"] < 107 and 40 <= sums["de"] < 47
+    # deterministic re-draw
+    again = token_budget_sample(df, "doc_id", "lang", "toks",
+                                {"en": 100, "de": 40})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

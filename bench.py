@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     # round 6k: GroupPattern + incremental near-dup store
     "cep_pattern_group",
     "incremental_near_dedup",
+    # round 6k: deterministic mixture samplers
+    "mixture_sample",
+    "token_budget_sample",
 ]
 
 

@@ -7923,3 +7923,60 @@ def q_token_budget_sample(t: _T) -> DataFrame:
         t.documents, "doc_id", "lang", "n_chars",
         {"en": 20000, "de": 8000, "zh": 5000},
     ).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "dedup_keep_best",
+    _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + ", "
+    + _PAIRS_SQL
+    + """
+    , best AS (
+      SELECT cluster_id, node AS keep_id FROM (
+        SELECT c.cluster_id, c.node,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM cc c JOIN documents d ON d.doc_id = c.node)
+      WHERE rn = 1)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT c.node FROM cc c JOIN best b ON b.cluster_id = c.cluster_id
+      WHERE c.node != b.keep_id)
+    """,
+)
+def q_dedup_keep_best(t: _T) -> DataFrame:
+    """Canonical selection per near-dup cluster: instead of the min-id
+    survivor (dedup_survivors), keep the LONGEST document per cluster
+    (n_chars, doc_id-min tiebreak) — the keep-best heuristic real
+    corpus builds use (a longer page usually subsumes its
+    boilerplate-trimmed duplicates). Pipeline: MinHash-LSH pairs →
+    connected components → per-cluster arg-max → anti-join; bodies
+    shuffle zero times after shingling."""
+    from flink_efo_spark.operators.clustering import connected_components
+    from flink_efo_spark.operators.dedup import minhash_near_duplicates
+
+    docs = t.documents
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text",
+        threshold=0.6, num_perm=12, bands=12, shingle_size=3,
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    best = (
+        cc.join(docs.select("doc_id", "n_chars"),
+                cc.node == F.col("doc_id"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "node", F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).alias("keep_id")
+        )
+    )
+    losers = (
+        cc.join(F.broadcast(best), "cluster_id")
+        .where(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -7980,3 +7980,45 @@ def q_dedup_keep_best(t: _T) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@_q(
+    "stream_token_budget",
+    """
+    WITH o AS (SELECT doc_id, lang, n_chars,
+                      ntile(3) OVER (ORDER BY doc_id) AS b,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    w AS (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY b, h, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                 CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000
+                           WHEN 'zh' THEN 5000 END AS budget
+          FROM o)
+    SELECT doc_id, lang, n_chars FROM w
+    WHERE budget IS NOT NULL AND cum - n_chars < budget
+    """,
+)
+def q_stream_token_budget(t: _T) -> DataFrame:
+    """STREAMING quota admission (stream_token_budget_sample): per-
+    language token budgets enforced across a 3-batch replay with ONE
+    long of state per group (a quota ledger, not a buffer). Arrival
+    order decides, id-hash order inside each batch — the oracle
+    reproduces the batching with ntile(3) over the split order and a
+    (batch, hash) window cumsum."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_table_split,
+        stream_token_budget_sample,
+    )
+
+    src = stream_table_split(
+        t.spark, t.sf_dir, "documents", 3, "doc_id"
+    ).select("doc_id", "lang", "n_chars")
+    out = stream_token_budget_sample(
+        src, "doc_id", "lang", "n_chars",
+        {"en": 20000, "de": 8000, "zh": 5000},
+    )
+    return run_stream_to_table(out).select("doc_id", "lang", "n_chars")

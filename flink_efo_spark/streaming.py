@@ -2571,3 +2571,60 @@ def stream_broadcast_process(
         tiebreak=tiebreak,
         flush_on_timeout=flush_on_timeout,
     )
+
+
+def stream_token_budget_sample(
+    src: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Stateful streaming QUOTA admission: per group, admit documents
+    until the group's token budget is exhausted — the streaming form
+    of :func:`flink_efo_spark.operators.sampling.token_budget_sample`.
+    Arrival order decides (a stream cannot see future documents), with
+    the stable id-hash order breaking ties INSIDE each micro-batch, so
+    a replayed batch admits the identical set. The crossing document
+    is admitted (every group reaches its budget); groups without a
+    budget drop at the filter, before state. State per group is ONE
+    long (tokens consumed) — a quota ledger, not a buffer.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([src.schema[c] for c in src.columns])
+    state_schema = StructType([StructField("__used", LongType())])
+    cols = list(src.columns)
+    bmap = {g: int(b) for g, b in budgets.items()}
+
+    filtered = src.where(F.col(group_col).isin(*bmap.keys()))
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        used = int(state.get[0]) if state.exists else 0
+        budget = bmap[key[0]]
+        # Arrow may deliver one group as several chunks — the hash
+        # order must apply to the WHOLE micro-batch, so concat first
+        frames = [p for p in pdfs if len(p)]
+        if frames and used < budget:
+            pdf = pd.concat(frames, ignore_index=True)
+            pdf["__h"] = pdf[id_col].astype(str).map(
+                lambda v: hashlib.md5(v.encode()).hexdigest()
+            )
+            pdf = pdf.sort_values(["__h", id_col], kind="mergesort")
+            cum = used + pdf[token_col].astype("int64").cumsum()
+            keep = (cum - pdf[token_col].astype("int64")) < budget
+            out = pdf[keep]
+            if keep.any():
+                used = int(cum[keep].max())
+            if len(out):
+                yield out[cols]
+        state.update((used,))
+
+    out = filtered.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    out._efo_output_mode = "append"
+    return out

@@ -1759,3 +1759,61 @@ def test_stream_incremental_near_dedup_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/__batch_id=2").collect()
     )
     assert replayed == emitted2
+
+
+def test_stream_token_budget_ledger_across_batches(spark, tmp_path):
+    """Quota admission: the per-group ledger resumes across batches —
+    a group that exhausts its budget in batch 0 admits nothing later,
+    a group that crosses mid-batch admits the crossing doc only, and
+    totals land in [budget, budget + max_tokens)."""
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_token_budget_sample,
+    )
+
+    rows = [
+        # (doc_id, lang, toks): en budget 10 -> fills in batch 0
+        (1, "en", 6), (2, "en", 6),        # batch 0: both admitted (cross)
+        (3, "en", 6),                      # batch 1: rejected (ledger 12)
+        # de budget 10 -> crosses in batch 1
+        (11, "de", 4),                     # batch 0
+        (12, "de", 4), (13, "de", 9),      # batch 1: one of them crosses
+        # fr: no budget -> dropped entirely
+        (21, "fr", 1),
+    ]
+    schema = "doc_id long, lang string, toks long"
+    src_dir = str(tmp_path / "quota")
+    batches = [rows[:2] + [rows[3]] + [rows[6]], [rows[2]] + rows[4:6]]
+    for i, part in enumerate(batches):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_token_budget_sample(
+        src, "doc_id", "lang", "toks", {"en": 10, "de": 10}
+    )
+    got = sorted(
+        (r.lang, r.doc_id) for r in run_stream_to_table(out).collect()
+    )
+    en = [d for (g, d) in got if g == "en"]
+    de = [d for (g, d) in got if g == "de"]
+    assert en == [1, 2]          # crossing doc admitted, later doc not
+    # de: batch-0 doc always; batch-1 admission follows the hash
+    # order — replay the rule to compute the expected set
+    import hashlib
+
+    toks = {11: 4, 12: 4, 13: 9}
+    b1 = sorted([12, 13], key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    used, want_de = 4, [11]
+    for d in b1:
+        if used < 10:
+            want_de.append(d)
+            used += toks[d]
+    assert sorted(de) == sorted(want_de)
+    assert all(g != "fr" for g, _ in got)

@@ -19,6 +19,10 @@ from flink_efo_spark.operators.multimodal import (
     frame_sample,
     media_metadata,
 )
+from flink_efo_spark.operators.sampling import (
+    mixture_sample,
+    token_budget_sample,
+)
 from flink_efo_spark.operators.topn import top_n
 from flink_efo_spark.operators.dedup import (
     dedup_exact,
@@ -58,6 +62,8 @@ __all__ = [
     "media_metadata",
     "dedup_exact",
     "dedup_incremental_near",
+    "mixture_sample",
+    "token_budget_sample",
     "dedup_keep_first",
     "dedup_keep_last",
     "minhash_near_duplicates",

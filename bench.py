@@ -250,7 +250,17 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    out = {
+    # The driver captures only the LAST 2000 chars of stdout, so the
+    # full per-query dict (127 queries ≈ 4.4 kB in round 6) cannot ride
+    # the stdout line — it overflowed and left round 6 with
+    # `parsed: null` (r6 verdict defect #1). Emission contract since
+    # round 7: the COMPLETE per-query timings go to a repo file
+    # (BENCH_DETAIL_r<N>.json, round inferred from existing BENCH_r*
+    # artifacts, overridable via $SPARK_GRAFT_ROUND), and stdout gets
+    # ONE compact summary line — metric/value/unit/sf/n_queries +
+    # the 5 slowest queries + error count — bounded well under 1.5 kB.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail = {
         "metric": "total_wall",
         "value": round(total, 3),
         "unit": "sec",
@@ -258,8 +268,49 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob as _glob
+        import re as _re
+
+        seen = [0]
+        for p in _glob.glob(os.path.join(repo_dir, "BENCH*_r*.json")):
+            m = _re.search(r"_r(\d+)\.json$", p)
+            if m:
+                seen.append(int(m.group(1)))
+        rnd = str(max(seen) + 1)
+    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: summary line still flows
+        print(f"# detail write failed: {exc!r}", file=sys.stderr)
+        detail_path = None
+
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    n_slow = 5
+    while True:
+        slowest = dict(ranked[:n_slow])
+        out = {
+            "metric": "total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": detail["sf"],
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "slowest": slowest,
+            # compat: parsers reading "queries" see the top-5 subset;
+            # the complete dict lives in the detail file
+            "queries": slowest,
+            "detail": os.path.basename(detail_path) if detail_path else None,
+        }
+        line = json.dumps(out)
+        if len(line) < 1500 or n_slow == 0:
+            break
+        n_slow -= 1
+    print(line)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,10 @@ _NOT_FOLLOW = "not_follow"    # notFollowedBy()
 class _Stage:
     name: str
     strategy: str
-    conds: list[str] = field(default_factory=list)
+    # [(op, sql_bool)] left-folded by _cond_expr: the first op is
+    # ignored, "AND" entries come from where() (RichAndCondition),
+    # "OR" entries from or_() (RichOrCondition) — Pattern.java:174,190
+    conds: list[tuple[str, str]] = field(default_factory=list)
     lo: int = 1
     hi: int | None = 1          # None = unbounded
     inner: str = _RELAXED       # loop contiguity: strict|skip_till_next|skip_till_any
@@ -98,6 +101,19 @@ class _Stage:
     @property
     def is_not(self) -> bool:
         return self.strategy in (_NOT_NEXT, _NOT_FOLLOW)
+
+
+def _cond_expr(conds: list[tuple[str, str]]) -> str:
+    """Fold a stage's condition chain into one SQL boolean, exactly
+    the reference's left fold (Pattern.java where():174 wraps the
+    current condition in RichAndCondition, or():190 in
+    RichOrCondition): ``where(a).where(b).or_(c)`` ⇒
+    ``((a) AND (b)) OR (c)`` and a later ``where(d)`` ANDs over the
+    whole accumulated expression."""
+    expr = f"({conds[0][1]})"
+    for op, c in conds[1:]:
+        expr = f"({expr} {op} ({c}))"
+    return expr
 
 
 def _flatten(stages) -> list["_Stage"]:
@@ -229,15 +245,22 @@ class CepPattern:
             setattr(last, k, v)
         return CepPattern(stages, self._within, self._after_match)
 
-    def where(self, cond: str) -> "CepPattern":
+    def _cond(self, op: str, cond: str) -> "CepPattern":
         if self._stages[-1].group is not None:
             raise ValueError("conditions attach to a group's BODY stages, "
                              "not the group itself (GroupPattern.java)")
-        return self._mod(conds=self._stages[-1].conds + [cond])
+        return self._mod(conds=self._stages[-1].conds + [(op, cond)])
+
+    def where(self, cond: str) -> "CepPattern":
+        """Pattern.java:174 — chained where() calls AND together
+        (RichAndCondition over the accumulated condition)."""
+        return self._cond("AND", cond)
 
     def or_(self, cond: str) -> "CepPattern":
-        """Pattern.java:178 — conditions OR together."""
-        return self.where(cond)
+        """Pattern.java:190 — or_() ORs against the accumulated
+        condition (RichOrCondition), so ``where(a).where(b).or_(c)``
+        is ``(a AND b) OR c``."""
+        return self._cond("OR", cond)
 
     def _quantify(self, lo: int, hi: int | None) -> "CepPattern":
         if self._stages[-1].is_not:
@@ -556,7 +579,7 @@ def _dynamic_specs(stages, df_columns):
     rx = _dyn_token_re([s.name for s in flat])
     specs = []
     for s in flat:
-        cond = " OR ".join(f"({c})" for c in s.conds)
+        cond = _cond_expr(s.conds)
         refs = []
         for m in rx.finditer(cond):
             if m.group(4) is not None:
@@ -816,7 +839,7 @@ def cep_pattern_select(
     for s in flat:  # one flag column per SLOT (group bodies inlined)
         fc = f"__cep_f{s.slot}"
         flag_cols.append(fc)
-        cond = " OR ".join(f"({c})" for c in s.conds)
+        cond = _cond_expr(s.conds)
         # iterative conditions evaluate in the matcher: static flag True
         enriched = enriched.withColumn(
             fc, F.lit(True) if specs[s.slot] is not None else F.expr(cond)
@@ -1000,7 +1023,7 @@ def stream_cep_pattern_select(
         enriched = enriched.withColumn(
             fc,
             F.lit(True) if specs[s.slot] is not None
-            else F.expr(" OR ".join(f"({c})" for c in s.conds)),
+            else F.expr(_cond_expr(s.conds)),
         )
     until_cols = []
     for s in _until_stages(stages):

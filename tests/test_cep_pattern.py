@@ -210,6 +210,40 @@ def test_or_condition(spark):
     assert got == [(1, 1, 2), (2, 1, 2)]
 
 
+def test_chained_where_is_and(spark):
+    """Pattern.java:174 — where().where() wraps in RichAndCondition:
+    both conditions must hold. A view with event_id 1 fails the
+    second conjunct; only user 2's view (event_id 2) starts a match."""
+    rows = [(1, 1, V, 0.0), (1, 3, E, 1.0), (2, 2, V, 0.0), (2, 4, E, 1.0)]
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .where("event_id >= 2")
+           .followed_by("e").where(f"event_type = '{E}'"))
+    got = _run(spark, rows, pat, {"e": ("e", "first", "event_id")})
+    assert got == [(2, 1, 4)]
+
+
+def test_where_and_or_left_fold(spark):
+    """where(a).where(b).or_(c) ⇒ (a AND b) OR c (the reference's
+    left fold); a subsequent where(d) ANDs over the whole OR."""
+    rows = [
+        (1, 1, V, 0.0),   # view but id<2: fails (a AND b), not signup: dead
+        (2, 2, V, 0.0),   # view, id>=2: (a AND b) holds
+        (3, 1, S, 0.0),   # signup: c holds even with id<2
+        (4, 2, E, 0.0),   # neither: dead
+    ]
+    pat = CepPattern.begin("a").where(f"event_type = '{V}'") \
+        .where("event_id >= 2").or_(f"event_type = '{S}'")
+    got = _run(spark, rows, pat, {"a": ("a", "first", "event_id")})
+    assert got == [(2, 1, 2), (3, 1, 1)]
+
+    # trailing where() ANDs over the accumulated OR: keep only id = 1
+    pat2 = CepPattern.begin("a").where(f"event_type = '{V}'") \
+        .where("event_id >= 2").or_(f"event_type = '{S}'") \
+        .where("event_id = 1")
+    got2 = _run(spark, rows, pat2, {"a": ("a", "first", "event_id")})
+    assert got2 == [(3, 1, 1)]
+
+
 # -- streaming (CepOperator.java keyed NFA state on micro-batches) ----
 
 

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     # round 6k: deterministic mixture samplers
     "mixture_sample",
     "token_budget_sample",
+    # round 7: Gelly label propagation (bulk-iteration community
+    # detection — a distinct plan family from pagerank's contrib sum)
+    "label_propagation",
 ]
 
 

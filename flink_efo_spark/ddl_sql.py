@@ -27,8 +27,10 @@ error):
 * ``WITH ('connector'='filesystem', 'path'=..., 'format'=...)``
 * ``DROP TABLE [IF EXISTS] name``
 
-``CREATE TABLE ... LIKE`` stays on the API
-(:meth:`EfoSession.create_table_like`).
+* ``CREATE TABLE new [(extra cols...)] [WITH (...)] LIKE src
+  [(INCLUDING/EXCLUDING/OVERWRITING ...)]`` — the SqlTableLike.java
+  surface, merged per the reference's MergeTableLikeUtil strategies
+  onto :meth:`EfoSession.create_table_like`'s spec-clone path.
 """
 
 from __future__ import annotations
@@ -119,15 +121,9 @@ def parse_watermark_delay(expr: str) -> tuple[str, str]:
     )
 
 
-def execute_create_table(env, sql: str):
-    """Parse + register via ``env.create_table``; returns the spec."""
-    m = _CREATE_RE.match(sql)
-    name = m.group(1)
-    open_idx = sql.index("(", m.end() - 1)
-    close = _find_close(sql, open_idx)
-    col_block = sql[open_idx + 1 : close]
-    rest = sql[close + 1 :]
-
+def _parse_col_block(col_block: str):
+    """The shared column-list parse: (watermark, primary_key, computed).
+    Physical columns are recorded implicitly by the file schema."""
     watermark = None
     primary_key: list[str] = []
     computed: dict[str, str] = {}
@@ -157,7 +153,19 @@ def execute_create_table(env, sql: str):
         if cm and re.search(r"\sAS\s", item, re.IGNORECASE):
             computed[cm.group(1)] = cm.group(2).strip()
             continue
-        # physical column: recorded implicitly by the file schema
+    return watermark, primary_key, computed
+
+
+def execute_create_table(env, sql: str):
+    """Parse + register via ``env.create_table``; returns the spec."""
+    m = _CREATE_RE.match(sql)
+    name = m.group(1)
+    open_idx = sql.index("(", m.end() - 1)
+    close = _find_close(sql, open_idx)
+    col_block = sql[open_idx + 1 : close]
+    rest = sql[close + 1 :]
+
+    watermark, primary_key, computed = _parse_col_block(col_block)
 
     part_m = _PARTITIONED_RE.search(rest)
     partitioned = (
@@ -397,3 +405,246 @@ def execute_alter_table(env, sql: str) -> None:
         raise ValueError(f"ALTER TABLE SET: no ('k'='v') options in {sql!r}")
     spec.options.update(opts)
     spec.scan(env.spark).createOrReplaceTempView(m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE ... LIKE (SQL text)
+# ---------------------------------------------------------------------------
+# Reference parser surface: ddl/SqlTableLike.java (LIKE clause with
+# per-feature merging strategies; defaults INCLUDING ALL OVERWRITING
+# OPTIONS) merged by MergeTableLikeUtil. The engine realizes the merge
+# onto EfoSession.create_table_like's spec-clone path.
+
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_LIKE_FEATURES = (
+    "CONSTRAINTS", "GENERATED", "METADATA", "OPTIONS",
+    "PARTITIONS", "WATERMARKS",
+)
+_LIKE_OPT_RE = re.compile(
+    r"\b(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|CONSTRAINTS|GENERATED|METADATA|OPTIONS|PARTITIONS|WATERMARKS)\b",
+    re.IGNORECASE,
+)
+
+
+def _find_top_level_like(sql: str) -> int:
+    """Index of the LIKE keyword at paren-depth 0 (outside quotes), or
+    -1. A LIKE inside the column block or an option string never
+    matches — only the table-level clause does."""
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            i = _skip_quoted(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and sql[i : i + 4].upper() == "LIKE"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (i + 4 >= n or not (sql[i + 4].isalnum() or sql[i + 4] == "_"))
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def create_table_like_source(sql: str) -> str | None:
+    """The LIKE source table name when ``sql`` is a CREATE TABLE ...
+    LIKE statement, else None. The session routes the statement here
+    only when the source is an ENGINE spec table — plain Spark
+    ``CREATE TABLE ... LIKE`` over catalog tables passes through."""
+    s = sql.rstrip().rstrip(";")
+    if not _CREATE_HEAD_RE.match(s):
+        return None
+    pos = _find_top_level_like(s)
+    if pos < 0:
+        return None
+    m = re.match(r"^([A-Za-z_][\w.]*)", s[pos + 4 :].strip())
+    return m.group(1) if m else None
+
+
+def execute_create_table_like(env, sql: str):
+    """Parse + merge + register via ``env.create_table``; returns the
+    spec. Strategies (SqlTableLike.MergingStrategy ×
+    FeatureOption): INCLUDING inherits and makes a same-feature
+    redefinition an error, EXCLUDING drops the inherited feature,
+    OVERWRITING (GENERATED / METADATA / OPTIONS / WATERMARKS only)
+    lets the new statement win per item. Default is the reference's
+    ``INCLUDING ALL OVERWRITING OPTIONS``."""
+    s = sql.rstrip().rstrip(";")
+    hm = _CREATE_HEAD_RE.match(s)
+    name = hm.group(1)
+    pos = _find_top_level_like(s)
+    head, tail = s[hm.end() : pos], s[pos + 4 :].strip()
+
+    tm = re.match(r"^([A-Za-z_][\w.]*)\s*(\(.*\))?\s*$", tail, re.DOTALL)
+    if not tm:
+        raise ValueError(f"malformed LIKE clause: {tail!r}")
+    source, like_block = tm.group(1), tm.group(2)
+
+    src = env._specs.get(source)
+    if src is None:
+        raise ValueError(f"LIKE source is not an engine table: {source!r}")
+
+    # merging strategies: the reference's defaults, then ALL, then
+    # per-feature overrides in statement order
+    strat = {f: "INCLUDING" for f in _LIKE_FEATURES}
+    strat["OPTIONS"] = "OVERWRITING"
+    if like_block:
+        body = like_block.strip()[1:-1]
+        consumed = 0
+        for m in _LIKE_OPT_RE.finditer(body):
+            mode, feat = m.group(1).upper(), m.group(2).upper()
+            consumed += 1
+            if feat == "ALL":
+                if mode == "OVERWRITING":
+                    raise ValueError(
+                        "OVERWRITING ALL is not a valid LIKE option "
+                        "(SqlTableLike grammar)"
+                    )
+                strat = {f: mode for f in _LIKE_FEATURES}
+            else:
+                if mode == "OVERWRITING" and feat in (
+                    "CONSTRAINTS", "PARTITIONS"
+                ):
+                    raise ValueError(
+                        f"OVERWRITING {feat} is not allowed "
+                        "(SqlTableLike.java merging-strategy table)"
+                    )
+                strat[feat] = mode
+        if consumed == 0 and body.strip():
+            raise ValueError(f"unrecognized LIKE options: {body!r}")
+
+    # new statement's own clauses (all optional with LIKE)
+    new_watermark, new_pk, new_computed = None, [], {}
+    rest = head
+    if head.lstrip().startswith("("):
+        open_idx = head.index("(")
+        close = _find_close(head, open_idx)
+        new_watermark, new_pk, new_computed = _parse_col_block(
+            head[open_idx + 1 : close]
+        )
+        rest = head[close + 1 :]
+    part_m = _PARTITIONED_RE.search(rest)
+    new_part = (
+        [c.strip().strip("`") for c in part_m.group(1).split(",")]
+        if part_m
+        else []
+    )
+    new_options: dict[str, str] = {}
+    wm_with = _WITH_RE.search(rest)
+    if wm_with:
+        wopen = rest.index("(", wm_with.end() - 1)
+        wclose = _find_close(rest, wopen)
+        new_options = {
+            k.replace("''", "'"): v.replace("''", "'")
+            for k, v in _OPT_RE.findall(rest[wopen + 1 : wclose])
+        }
+
+    # ---- merge (MergeTableLikeUtil semantics) ----
+    # WATERMARKS
+    if strat["WATERMARKS"] == "EXCLUDING":
+        watermark = new_watermark
+    elif new_watermark is None:
+        watermark = src.watermark
+    elif src.watermark is None or strat["WATERMARKS"] == "OVERWRITING":
+        watermark = new_watermark
+    else:
+        raise ValueError(
+            "there already exists a watermark spec for the base table — "
+            "use OVERWRITING WATERMARKS or EXCLUDING WATERMARKS"
+        )
+    # GENERATED (computed columns)
+    computed = (
+        dict(src.computed_columns) if strat["GENERATED"] != "EXCLUDING" else {}
+    )
+    for c, e in new_computed.items():
+        if c in computed and strat["GENERATED"] == "INCLUDING":
+            raise ValueError(
+                f"computed column {c!r} already exists in the base table — "
+                "use OVERWRITING GENERATED or EXCLUDING GENERATED"
+            )
+        computed[c] = e
+    # CONSTRAINTS (primary key)
+    src_pk = src.options.get("primary_key")
+    if strat["CONSTRAINTS"] == "EXCLUDING":
+        primary_key = new_pk
+    elif new_pk and src_pk:
+        raise ValueError(
+            "the base table already has a primary key — use "
+            "EXCLUDING CONSTRAINTS to redefine it"
+        )
+    else:
+        primary_key = new_pk or (
+            [c.strip() for c in src_pk.split(",")] if src_pk else []
+        )
+    # PARTITIONS
+    src_part = src.options.get("partitioned_by")
+    if strat["PARTITIONS"] == "EXCLUDING":
+        partitioned = new_part
+    elif new_part and src_part:
+        raise ValueError(
+            "the base table already has partitions defined — use "
+            "EXCLUDING PARTITIONS to redefine them"
+        )
+    else:
+        partitioned = new_part or (src_part.split(",") if src_part else [])
+    # OPTIONS (connector options incl. path/format)
+    inherited = {"path": src.path, "format": src.format}
+    inherited.update(
+        {
+            k: v
+            for k, v in src.options.items()
+            if k not in ("primary_key", "partitioned_by")
+        }
+    )
+    if strat["OPTIONS"] == "EXCLUDING":
+        merged = {}
+    else:
+        merged = dict(inherited)
+    for k, v in new_options.items():
+        if (
+            strat["OPTIONS"] == "INCLUDING"
+            and k in inherited
+            and inherited[k] != v
+        ):
+            raise ValueError(
+                f"option {k!r} already exists on the base table with a "
+                f"different value ({inherited[k]!r} vs {v!r}) — use "
+                "OVERWRITING OPTIONS"
+            )
+        merged[k] = v
+
+    connector = merged.pop("connector", None)
+    if connector is not None and connector != "filesystem":
+        raise ValueError(
+            f"connector {connector!r} has no SQL-DDL mapping here — "
+            "use the API wrappers (io.py) or EfoSession.create_table"
+        )
+    path = merged.pop("path", None)
+    if path is None:
+        raise ValueError(
+            "the merged table has no 'path' option (EXCLUDING OPTIONS "
+            "requires the new WITH clause to provide one)"
+        )
+    fmt = merged.pop("format", "parquet")
+    if partitioned:
+        merged["partitioned_by"] = ",".join(partitioned)
+    if primary_key:
+        merged["primary_key"] = ",".join(primary_key)
+    return env.create_table(
+        name,
+        path,
+        format=fmt,
+        watermark=watermark,
+        computed_columns=computed or None,
+        **merged,
+    )

@@ -12,8 +12,19 @@ from flink_efo_spark.operators.cep_pattern import (
     cep_pattern_select,
     stream_cep_pattern_select,
 )
+from flink_efo_spark.operators.iterate import (
+    bfs_distances,
+    delta_iterate,
+    label_propagation,
+    pagerank,
+)
 from flink_efo_spark.operators.joins import asof_join, interval_join
-from flink_efo_spark.operators.lookup import lookup_join, lookup_join_batched
+from flink_efo_spark.operators.lookup import (
+    dim_snapshot_client,
+    lookup_join,
+    lookup_join_async,
+    lookup_join_batched,
+)
 from flink_efo_spark.operators.multimodal import (
     decode_image,
     frame_sample,
@@ -56,7 +67,13 @@ __all__ = [
     "collect_multiset",
     "flat_aggregate",
     "lookup_join",
+    "lookup_join_async",
     "lookup_join_batched",
+    "dim_snapshot_client",
+    "delta_iterate",
+    "bfs_distances",
+    "pagerank",
+    "label_propagation",
     "decode_image",
     "frame_sample",
     "media_metadata",

@@ -204,3 +204,65 @@ def pagerank(
     nodes.unpersist()
     adj.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Community detection by label propagation — the Gelly library
+    algorithm (flink-libraries/flink-gelly/.../library/
+    LabelPropagation.java): labels start as the vertex id; each round
+    every vertex adopts the label MOST FREQUENT among the labels sent
+    along its in-edges, ties to the HIGHEST label (Gelly's documented
+    tie-break), vertices with no in-edges keep their label. Runs a
+    fixed ``n_iter`` rounds (Gelly's maxIterations bulk iteration).
+    Fully deterministic, so a DuckDB oracle replays the rounds
+    unrolled. Returns (id, label).
+
+    Scale shape (the pagerank discipline): the edge relation is
+    hash-partitioned on src and persisted ONCE; a round is one
+    co-partitioned labels⋈edges join plus one groupBy(dst, label)
+    count and one max_by per dst — O(E) shuffled longs per round,
+    payload-free; labels localCheckpoint per round (lineage
+    truncation)."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    adj = (
+        edges.select(F.col(src).alias("__sid"), F.col(dst).alias("id"))
+        .repartition(F.col("__sid"))
+        .persist()
+    )
+    labels = nodes.select("id", F.col("id").cast("long").alias("label"))
+    for _ in range(n_iter):
+        counts = (
+            adj.join(
+                labels.select(F.col("id").alias("__sid"), "label"), "__sid"
+            )
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # winner = arg-max over (count, label): most frequent, ties to
+        # the highest label — one partial-aggregating max per vertex
+        winners = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), F.col("label")))["label"].alias(
+                "__new"
+            )
+        )
+        labels = (
+            labels.join(winners, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    adj.unpersist()
+    return labels

@@ -195,6 +195,38 @@ def lookup_join_async(
     return probe.mapInPandas(fn, out_schema)
 
 
+def dim_snapshot_client(
+    dim: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    max_rows: int = 100_000,
+) -> Callable[[list], Mapping]:
+    """TEST-FIXTURE stand-in for an external point-lookup client: snap
+    a SMALL dimension to a driver dict and return a thread-safe
+    ``lookup_fn(keys) -> {key: row_dict}`` for
+    :func:`lookup_join_batched` / :func:`lookup_join_async`.
+
+    This is NOT the production plan — in production ``lookup_fn``
+    wraps a real external store client (JDBC / KV / REST; the
+    reference's AsyncFunction contract), and nothing is collected to
+    the driver. The ``max_rows`` guard refuses dimensions that do not
+    plausibly fit a snapshot (and past the broadcast threshold you
+    want :func:`lookup_join`, not a dict, anyway): exceeding it raises
+    instead of silently shipping a huge dict to every task."""
+    rows = dim.select(key_col, *value_cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"dimension exceeds the snapshot fixture bound ({max_rows} "
+            "rows) — wire a real external client, or use lookup_join"
+        )
+    snap = {r[key_col]: {c: r[c] for c in value_cols} for r in rows}
+
+    def lookup_fn(keys: list) -> dict:
+        return {k: snap[k] for k in keys if k in snap}
+
+    return lookup_fn
+
+
 def _parse_type(ddl: str):
     from pyspark.sql.types import _parse_datatype_string
 

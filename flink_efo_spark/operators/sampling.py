@@ -11,10 +11,10 @@ map whose predicate fuses into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_sample"]
+__all__ = ["mixture_sample", "token_budget_sample"]
 
 
 def _hash16(id_col: str) -> Column:
@@ -53,31 +53,84 @@ def token_budget_sample(
     group_col: str,
     token_col: str,
     budgets: dict[str, int],
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Budgeted mixture: per group, draw documents in the stable hash
     order until the group's TOKEN budget is reached (training mixes
     are specified in tokens, not document counts). A document that
     crosses the boundary is included — every group reaches at least
     its budget when it has the tokens. Groups without a budget are
-    dropped. One shuffle per the group window (cumulative sum), then
-    a filter; the hash order makes the draw reproducible and
-    engine-replayable."""
-    from pyspark.sql import Window
+    dropped. The hash order makes the draw reproducible and
+    engine-replayable.
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    Scale design (100 TB): training mixes have ~5-20 groups, so a
+    cumulative sum over ``Window.partitionBy(group)`` would sort an
+    ENTIRE group in one task — terabytes per task. Instead the
+    per-group prefix sum is computed hierarchically, the same
+    decomposition as :func:`flink_efo_spark.operators.packing.
+    pack_shards`:
+
+    1. bucket = leading hex byte(s) of the md5 order key, so buckets
+       split each group's hash order into contiguous ranges;
+    2. within-(group, bucket) cumulative sums — a window whose
+       partition count is ``n_groups * n_buckets`` tasks, each over
+       ~1/n_buckets of a group;
+    3. per-(group, bucket) totals → bucket offsets via a window
+       partitioned BY GROUP over ≤ ``n_buckets`` tiny rows per group;
+    4. broadcast-join offsets back; group-cumsum = offset + local.
+
+    The order key (md5, id) is unchanged, so the admitted set is
+    IDENTICAL to the naive single-window formulation — only the
+    prefix-sum computation splits.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    for g, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0: {b}")
+    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(n_buckets)
+    if hex_chars is None:
+        raise ValueError("n_buckets must be one of 16, 256, 4096, 65536")
+
     budget = F.lit(None).cast("long")
     for g, b in budgets.items():
         budget = F.when(F.col(group_col) == g, int(b)).otherwise(budget)
+
+    keyed = (
+        df.withColumn("__budget", budget)
+        .where(F.col("__budget").isNotNull())
+        .withColumn("__okey", F.md5(F.col(id_col).cast("string")))
+        .withColumn("__bucket", F.substring("__okey", 1, hex_chars))
+    )
+
+    w_in = (
+        Window.partitionBy(group_col, "__bucket")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = keyed.withColumn(
+        "__cum_in", F.sum(F.col(token_col).cast("long")).over(w_in)
+    )
+
+    totals = keyed.groupBy(group_col, "__bucket").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__tot")
+    )
+    # per-group window over <= n_buckets tiny total rows — bounded by
+    # construction, never the data itself
+    w_b = (
+        Window.partitionBy(group_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__offset"),
+    )
+
     return (
-        df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
-        .withColumn("__budget", budget)
-        .where(
-            F.col("__budget").isNotNull()
-            & (F.col("__cum") - F.col(token_col) < F.col("__budget"))
-        )
-        .drop("__cum", "__budget")
+        local.join(F.broadcast(offsets), [group_col, "__bucket"])
+        .withColumn("__cum", F.col("__offset") + F.col("__cum_in"))
+        .where(F.col("__cum") - F.col(token_col) < F.col("__budget"))
+        .select(*df.columns)
     )

@@ -819,6 +819,14 @@ def pq_train(
     :func:`kmeans_train` on the sliced vector column (floor-quantize
     commutes with slicing), so determinism and the bounded-shuffle
     iteration shape carry over unchanged."""
+    if scale > 1_000_000:
+        # kmeans_train rounds cent_val to 6 decimals, so reconstructing
+        # the integer codeword via round(cent_val * scale) is exact only
+        # up to scale 1e6 — beyond that the codebooks silently corrupt
+        raise ValueError(
+            f"scale must be <= 1_000_000 (kmeans_train emits centroids "
+            f"rounded to 6 decimals): {scale}"
+        )
     assert dim % n_sub == 0
     d_sub = dim // n_sub
     books: list[list[list[int]]] = []

@@ -1930,6 +1930,55 @@ def q_ddl_view(t: _T) -> DataFrame:
 
 
 @_q(
+    "ddl_like",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * 2), 2) AS sum_x2,
+           round(sum(value * 3), 2) AS sum_x3
+    FROM events GROUP BY event_type
+    """,
+)
+def q_ddl_like(t: _T) -> DataFrame:
+    """CREATE TABLE ... LIKE as SQL TEXT (reference parser
+    ddl/SqlTableLike.java, merge semantics MergeTableLikeUtil →
+    ddl_sql.execute_create_table_like): declare a base table with a
+    computed column, derive a second table via LIKE that inherits it
+    and adds another (default INCLUDING ALL OVERWRITING OPTIONS),
+    then query through the derived table so both the inherited and
+    the new computed column must resolve."""
+    from flink_efo_spark.catalog import table_path
+    from flink_efo_spark.session import EfoSession
+
+    env = EfoSession(t.spark)
+    env.sql(
+        f"""
+        CREATE TABLE __efo_like_base (
+          event_id BIGINT, user_id BIGINT, event_type STRING,
+          value DOUBLE, ts TIMESTAMP(3),
+          value_x2 AS value * 2,
+          PRIMARY KEY (event_id) NOT ENFORCED
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{table_path(t.sf_dir, "events")}',
+          'format' = 'parquet'
+        )
+        """
+    )
+    env.sql(
+        "CREATE TABLE __efo_like_derived (value_x3 AS value * 3) "
+        "LIKE __efo_like_base"
+    )
+    return env.sql(
+        """
+        SELECT event_type, count(*) AS n,
+               round(sum(value_x2), 2) AS sum_x2,
+               round(sum(value_x3), 2) AS sum_x3
+        FROM __efo_like_derived GROUP BY event_type
+        """
+    )
+
+
+@_q(
     "datagen_sequence_agg",
     """
     SELECT id % 10 AS bucket, CAST(sum(id) AS BIGINT) AS s,
@@ -2064,23 +2113,20 @@ def q_async_lookup_join(t: _T) -> DataFrame:
     """ASYNC lookup join (AsyncLookupJoinRunner.java:52 +
     AsyncWaitOperator ORDERED mode — operators/lookup.py
     lookup_join_async): up to `capacity` concurrent lookup chunks in
-    flight per task against an external-store stand-in (a broadcast
-    dict snapshot of customer). Results must equal the plain left
-    join — ORDERED mode preserves row identity."""
-    from flink_efo_spark.operators.lookup import lookup_join_async
+    flight per task against an external-store STAND-IN built through
+    lookup.py's documented fixture seam (dim_snapshot_client — a
+    bounded driver-dict snapshot of customer; production passes a
+    real external client there, nothing is collected). Results must
+    equal the plain left join — ORDERED mode preserves row
+    identity."""
+    from flink_efo_spark.operators.lookup import (
+        dim_snapshot_client,
+        lookup_join_async,
+    )
 
-    dim = {
-        int(r["c_custkey"]): {
-            "c_name": r["c_name"],
-            "c_mktsegment": r["c_mktsegment"],
-        }
-        for r in t.customer.select(
-            "c_custkey", "c_name", "c_mktsegment"
-        ).collect()
-    }
-
-    def lookup_fn(keys):
-        return {k: dim[k] for k in keys if k in dim}
+    lookup_fn = dim_snapshot_client(
+        t.customer, "c_custkey", ["c_name", "c_mktsegment"]
+    )
 
     probe = t.orders.where(F.col("o_totalprice") > 400000).select(
         "o_orderkey", "o_custkey"
@@ -7208,6 +7254,69 @@ def q_pagerank_topn(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "label_propagation",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM e0
+              UNION ALL SELECT s, c FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM nodes),
+    m1 AS (SELECT e.dst AS id, p.label, count(*) AS cnt
+           FROM edges e JOIN l0 p ON p.id = e.src GROUP BY e.dst, p.label),
+    w1 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
+             FROM m1) WHERE rn = 1),
+    l1 AS (SELECT n.id, coalesce(w.label, n.label) AS label
+           FROM l0 n LEFT JOIN w1 w ON w.id = n.id),
+    m2 AS (SELECT e.dst AS id, p.label, count(*) AS cnt
+           FROM edges e JOIN l1 p ON p.id = e.src GROUP BY e.dst, p.label),
+    w2 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
+             FROM m2) WHERE rn = 1),
+    l2 AS (SELECT n.id, coalesce(w.label, n.label) AS label
+           FROM l1 n LEFT JOIN w2 w ON w.id = n.id)
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20
+    """,
+)
+def q_label_propagation(t: _T) -> DataFrame:
+    """Gelly label propagation (flink-gelly library/
+    LabelPropagation.java via operators/iterate.py label_propagation)
+    over the bidirectional co-purchase graph: 2 synchronous rounds,
+    labels seeded with the vertex id, most-frequent-neighbor-label
+    adoption with ties to the highest label — fully deterministic, so
+    the DuckDB oracle replays both rounds unrolled. Top-20 communities
+    by size."""
+    from flink_efo_spark.operators.iterate import label_propagation
+
+    orders, lineitem = t.orders, t.lineitem
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, "src", "dst", n_iter=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # flink-cep Pattern API (flink-libraries/flink-cep) — the library
 # surface MATCH_RECOGNIZE cannot express: negative patterns
@@ -7915,8 +8024,11 @@ def q_token_budget_sample(t: _T) -> DataFrame:
     token_budget_sample): per-language TOKEN budgets (char proxy)
     drawn in stable hash order — training mixes are specified in
     tokens, and the draw must replay identically across runs and
-    engines. One keyed window cumsum + filter; groups without a
-    budget drop."""
+    engines. The per-group prefix sum runs as a two-level
+    (group, hex-bucket) decomposition — n_groups × 256 tasks, never
+    one task per group — with the identical admitted set (the oracle
+    replays the naive single-window SQL); groups without a budget
+    drop."""
     from flink_efo_spark.operators.sampling import token_budget_sample
 
     return token_budget_sample(

@@ -159,6 +159,12 @@ class EfoSession:
 
         from flink_efo_spark import ddl_sql
 
+        like_src = ddl_sql.create_table_like_source(query)
+        if like_src is not None and like_src in self._specs:
+            # CREATE TABLE ... LIKE <engine table> (SqlTableLike.java);
+            # LIKE over plain Spark catalog tables passes through below
+            ddl_sql.execute_create_table_like(self, query)
+            return self.spark.sql("SELECT 'OK' AS result")
         if ddl_sql.is_flink_create_table(query):
             # Flink DDL (WITH-options CREATE TABLE incl. WATERMARK /
             # computed columns / PRIMARY KEY) → the engine catalog;

@@ -2593,6 +2593,11 @@ def stream_token_budget_sample(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    for g, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0: {b}")
     out_schema = StructType([src.schema[c] for c in src.columns])
     state_schema = StructType([StructField("__used", LongType())])
     cols = list(src.columns)

@@ -126,3 +126,40 @@ def test_pagerank_repartition_invariant(spark):
     a = sorted(map(tuple, pagerank(df, n_iter=2).collect()))
     b = sorted(map(tuple, pagerank(df.repartition(17), n_iter=2).collect()))
     assert a == b
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Gelly LabelPropagation semantics on a fixed digraph: per round
+    every vertex adopts the most frequent in-neighbor label, ties to
+    the HIGHEST label; no in-edges => keep the current label."""
+    from flink_efo_spark.operators.iterate import label_propagation
+
+    raw = [(1, 2), (3, 2), (3, 4), (2, 4), (4, 1), (5, 1), (6, 6)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(df, n_iter=3).collect()}
+
+    nodes = {n for e in raw for n in e}
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        freq: dict = {}
+        for s, d in raw:
+            freq.setdefault(d, {}).setdefault(lab[s], 0)
+            freq[d][lab[s]] += 1
+        nxt = dict(lab)
+        for d, fl in freq.items():
+            # most frequent, ties to the highest label
+            nxt[d] = max(fl.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        lab = nxt
+    assert got == lab
+
+
+def test_label_propagation_repartition_invariant(spark):
+    from flink_efo_spark.operators.iterate import label_propagation
+
+    raw = [((i * 5) % 19, (i * 13) % 19) for i in range(50)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, n_iter=2).collect()))
+    b = sorted(
+        map(tuple, label_propagation(df.repartition(13), n_iter=2).collect())
+    )
+    assert a == b

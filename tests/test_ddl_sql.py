@@ -247,3 +247,122 @@ def test_create_view_and_alter_table(spark, tmp_path):
     # which raises ITS not-found error
     with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
         env.sql("DROP VIEW __vddl_v")
+
+
+def test_create_table_like_sql(spark, tmp_path):
+    """SqlTableLike.java surface: defaults (INCLUDING ALL OVERWRITING
+    OPTIONS), EXCLUDING toggles, INCLUDING-conflict errors."""
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    env.sql(
+        f"""
+        CREATE TABLE __like_src (
+          id BIGINT, et STRING, v DOUBLE,
+          v2 AS v * 10,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) PARTITIONED BY (et) WITH (
+          'connector' = 'filesystem', 'path' = '{path}',
+          'format' = 'parquet', 'scan.tag' = 'base'
+        )
+        """
+    )
+
+    # bare LIKE: full clone (default INCLUDING ALL OVERWRITING OPTIONS)
+    env.sql("CREATE TABLE __like_a LIKE __like_src")
+    a = env._specs["__like_a"]
+    assert a.path == path and a.format == "parquet"
+    assert a.computed_columns == {"v2": "v * 10"}
+    assert a.options["primary_key"] == "id"
+    assert a.options["partitioned_by"] == "et"
+    assert a.options["scan.tag"] == "base"
+    got = env.sql("SELECT sum(v2) AS s FROM __like_a").collect()[0].s
+    assert got == 90.0
+
+    # default OVERWRITING OPTIONS: the new WITH wins on conflicts
+    env.sql(
+        "CREATE TABLE __like_b WITH ('scan.tag' = 'override') "
+        "LIKE __like_src"
+    )
+    assert env._specs["__like_b"].options["scan.tag"] == "override"
+
+    # new computed column merges alongside inherited ones
+    env.sql("CREATE TABLE __like_c (v3 AS v + 1) LIKE __like_src")
+    assert env._specs["__like_c"].computed_columns == {
+        "v2": "v * 10", "v3": "v + 1"
+    }
+
+    # EXCLUDING toggles drop the inherited features
+    env.sql(
+        "CREATE TABLE __like_d LIKE __like_src "
+        "(EXCLUDING CONSTRAINTS EXCLUDING PARTITIONS EXCLUDING GENERATED)"
+    )
+    d = env._specs["__like_d"]
+    assert not d.computed_columns
+    assert "primary_key" not in d.options
+    assert "partitioned_by" not in d.options
+
+    # INCLUDING OPTIONS: same-key different-value conflicts error
+    with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
+        env.sql(
+            "CREATE TABLE __like_e WITH ('scan.tag' = 'x') "
+            "LIKE __like_src (INCLUDING OPTIONS)"
+        )
+    # INCLUDING GENERATED: redefining an inherited computed col errors
+    with pytest.raises(ValueError, match="OVERWRITING GENERATED"):
+        env.sql("CREATE TABLE __like_f (v2 AS v * 99) LIKE __like_src")
+    # OVERWRITING GENERATED: the new definition wins
+    env.sql(
+        "CREATE TABLE __like_g (v2 AS v * 100) LIKE __like_src "
+        "(OVERWRITING GENERATED)"
+    )
+    assert env._specs["__like_g"].computed_columns["v2"] == "v * 100"
+
+    # EXCLUDING ALL: nothing inherited — the WITH clause must re-supply
+    # the connector surface
+    with pytest.raises(ValueError, match="path"):
+        env.sql("CREATE TABLE __like_h LIKE __like_src (EXCLUDING ALL)")
+    env.sql(
+        f"CREATE TABLE __like_h WITH ('connector'='filesystem', "
+        f"'path'='{path}') LIKE __like_src (EXCLUDING ALL)"
+    )
+    h = env._specs["__like_h"]
+    assert h.watermark is None and not h.computed_columns
+
+    # grammar guards
+    with pytest.raises(ValueError, match="OVERWRITING ALL"):
+        env.sql("CREATE TABLE __like_i LIKE __like_src (OVERWRITING ALL)")
+    with pytest.raises(ValueError, match="OVERWRITING CONSTRAINTS"):
+        env.sql(
+            "CREATE TABLE __like_j LIKE __like_src (OVERWRITING CONSTRAINTS)"
+        )
+
+    # watermark inheritance + OVERWRITING WATERMARKS
+    tpath = str(tmp_path / "ts.parquet")
+    spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval"
+        "(0,0,0,0,0,0,id) AS ts FROM range(5)"
+    ).write.mode("overwrite").parquet(tpath)
+    env.sql(
+        f"""
+        CREATE TABLE __like_wm_src (
+          id BIGINT, ts TIMESTAMP,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{tpath}')
+        """
+    )
+    env.sql("CREATE TABLE __like_wm1 LIKE __like_wm_src")
+    assert env._specs["__like_wm1"].watermark == ("ts", "5 seconds")
+    with pytest.raises(ValueError, match="watermark"):
+        env.sql(
+            "CREATE TABLE __like_wm2 (WATERMARK FOR ts AS ts) "
+            "LIKE __like_wm_src"
+        )
+    env.sql(
+        "CREATE TABLE __like_wm2 (WATERMARK FOR ts AS ts) "
+        "LIKE __like_wm_src (OVERWRITING WATERMARKS)"
+    )
+    assert env._specs["__like_wm2"].watermark == ("ts", "0 seconds")
+    env.sql(
+        "CREATE TABLE __like_wm3 LIKE __like_wm_src (EXCLUDING WATERMARKS)"
+    )
+    assert env._specs["__like_wm3"].watermark is None

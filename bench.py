@@ -192,9 +192,12 @@ BENCH_QUERIES = [
     # round 6k: deterministic mixture samplers
     "mixture_sample",
     "token_budget_sample",
-    # round 7: Gelly label propagation (bulk-iteration community
-    # detection — a distinct plan family from pagerank's contrib sum)
+    # round 7: the Gelly library tail — label propagation (bulk
+    # community detection), weighted SSSP (min-merge delta iteration),
+    # and degree-oriented triangle enumeration (bounded 2-path join)
     "label_propagation",
+    "sssp_distances",
+    "triangle_enum",
 ]
 
 

@@ -17,6 +17,8 @@ from flink_efo_spark.operators.iterate import (
     delta_iterate,
     label_propagation,
     pagerank,
+    sssp_distances,
+    triangle_enumerate,
 )
 from flink_efo_spark.operators.joins import asof_join, interval_join
 from flink_efo_spark.operators.lookup import (
@@ -74,6 +76,8 @@ __all__ = [
     "bfs_distances",
     "pagerank",
     "label_propagation",
+    "sssp_distances",
+    "triangle_enumerate",
     "decode_image",
     "frame_sample",
     "media_metadata",

@@ -206,6 +206,139 @@ def pagerank(
     return ranks
 
 
+def sssp_distances(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    source: int,
+    max_rounds: int,
+) -> DataFrame:
+    """Single-source shortest paths over a weighted directed edge
+    relation — the Gelly library algorithm (flink-gelly/.../library/
+    SingleSourceShortestPaths.java, a scatter-gather iteration):
+    Bellman-Ford with a frontier workset, so after ``max_rounds``
+    rounds the solution holds the exact min distance over paths of
+    ≤ ``max_rounds`` edges (a DuckDB oracle replays the rounds
+    unrolled; with integer weights every round is exact). Returns
+    (node, dist) for reached nodes.
+
+    Unlike BFS, an improvement can revisit a settled node, so the
+    solution is re-built per round (min-merge) and checkpointed
+    (``checkpoint_solution`` — the lineage grows in depth here).
+    Scale shape: adjacency hash-partitioned on src and persisted
+    once; a round shuffles only the (shrinking) improvement frontier
+    plus one groupBy(node) min."""
+    adj = (
+        edges.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .groupBy("__src", "__dst")
+        .agg(F.min("__w").alias("__w"))
+        .repartition("__src")
+        .persist()
+    )
+    spark = edges.sparkSession
+    init = spark.createDataFrame(
+        [(int(source), 0)], "node BIGINT, dist BIGINT"
+    )
+
+    def step(sol: DataFrame, ws: DataFrame):
+        cand = (
+            adj.join(F.broadcast(ws), F.col("__src") == F.col("node"))
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # improvement test: strictly better than the settled distance
+        # (or an unreached node) — Bellman-Ford's relaxation
+        improved = (
+            cand.join(
+                sol.select("node", F.col("dist").alias("__old")),
+                "node",
+                "left",
+            )
+            .where(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            sol.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        return merged, improved
+
+    result = delta_iterate(
+        init, init, step, max_rounds=max_rounds, checkpoint_solution=True
+    )
+    adj.unpersist()
+    return result
+
+
+def triangle_enumerate(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate each triangle of the UNDIRECTED graph exactly once —
+    the Gelly library algorithm (flink-gelly/.../library/
+    TriangleEnumerator.java, whose flatMaps implement the same
+    degree-ordered 'compact-forward' scheme). Returns (a, b, c) with
+    a < b < c.
+
+    Scale shape: edges are canonicalized + deduped, then ORIENTED
+    from the lower-(degree, id) endpoint to the higher — so a node's
+    out-degree is O(sqrt(E)) and the 2-path self-join (the only
+    quadratic step) is bounded per pivot; the closing-edge check is a
+    plain equi-join against the canonical edge set. Every step is a
+    hash shuffle on a key — no cross joins, no driver state."""
+    u, v = F.col("__u"), F.col("__v")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("__u"),
+            F.greatest(F.col(src), F.col(dst)).alias("__v"),
+        )
+        .where(u < v)  # drops self-loops
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(u.alias("__n"))
+        .unionAll(canon.select(v.alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("__n", "__u"), "__u")
+        .withColumnRenamed("__d", "__du")
+        .join(deg.withColumnRenamed("__n", "__v"), "__v")
+        .withColumnRenamed("__d", "__dv")
+    )
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (u < v)
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, u).otherwise(v).alias("__x"),
+        F.when(lower_first, v).otherwise(u).alias("__y"),
+    )
+    o1 = oriented.select(F.col("__x"), F.col("__y").alias("__y1"))
+    o2 = oriented.select(F.col("__x"), F.col("__y").alias("__y2"))
+    paths = o1.join(o2, "__x").where(F.col("__y1") < F.col("__y2"))
+    tri = paths.join(
+        canon,
+        (F.col("__y1") == u) & (F.col("__y2") == v),
+    )
+    abc = F.array_sort(F.array("__x", "__y1", "__y2"))
+    out = tri.select(
+        abc[0].alias("a"), abc[1].alias("b"), abc[2].alias("c")
+    )
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

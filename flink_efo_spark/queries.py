@@ -7317,6 +7317,121 @@ def q_label_propagation(t: _T) -> DataFrame:
     )
 
 
+@_q(
+    "sssp_distances",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst, (c + s) % 7 + 1 AS w FROM e0
+      UNION ALL SELECT s, c, (c + s) % 7 + 1 FROM e0),
+    d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+    d1 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.dst, d.dist + e.w FROM edges e
+             JOIN d0 d ON d.node = e.src) GROUP BY node),
+    d2 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.dst, d.dist + e.w FROM edges e
+             JOIN d1 d ON d.node = e.src) GROUP BY node),
+    d3 AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.dst, d.dist + e.w FROM edges e
+             JOIN d2 d ON d.node = e.src) GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d3
+    """,
+)
+def q_sssp_distances(t: _T) -> DataFrame:
+    """Gelly single-source shortest paths (flink-gelly library/
+    SingleSourceShortestPaths.java via operators/iterate.py
+    sssp_distances): frontier-driven Bellman-Ford, 3 rounds from
+    customer 1 over the weighted bidirectional co-purchase graph
+    (integer weights (c+s)%7+1 — every round exact, so the DuckDB
+    oracle replays the relaxations unrolled)."""
+    from flink_efo_spark.operators.iterate import sssp_distances
+
+    orders, lineitem = t.orders, t.lineitem
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    w = (F.col("c") + F.col("s")) % 7 + 1
+    edges = e0.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), w.alias("w")
+    ).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"), w.alias("w"))
+    )
+    return sssp_distances(edges, "src", "dst", "w", source=1, max_rounds=3)
+
+
+@_q(
+    "triangle_enum",
+    """
+    WITH q AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+               WHERE l_quantity > 45),
+    e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          FROM q a JOIN q b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_suppkey < b.l_suppkey),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM e ab JOIN e bc ON bc.u = ab.v
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c,
+           CAST(count(*) OVER () AS BIGINT) AS n_triangles
+    FROM tri ORDER BY a, b, c LIMIT 50
+    """,
+)
+def q_triangle_enum(t: _T) -> DataFrame:
+    """Gelly triangle enumeration (flink-gelly library/
+    TriangleEnumerator.java via operators/iterate.py
+    triangle_enumerate — the degree-ordered compact-forward scheme,
+    each triangle exactly once) over the supplier co-occurrence graph
+    (suppliers sharing an order on high-quantity lines). First 50
+    triangles lexicographically + the global count; the oracle
+    enumerates naively — cheap at oracle scale, while the operator's
+    degree orientation bounds the 2-path join at 100 TB."""
+    from flink_efo_spark.operators.iterate import triangle_enumerate
+
+    q = (
+        t.lineitem.where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = q.alias("a"), q.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    tri = triangle_enumerate(edges, "src", "dst")
+    from pyspark.sql import Window
+
+    return (
+        tri.select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).cast("long").alias("n_triangles"),
+        )
+        .orderBy("a", "b", "c")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # flink-cep Pattern API (flink-libraries/flink-cep) — the library
 # surface MATCH_RECOGNIZE cannot express: negative patterns

@@ -163,3 +163,62 @@ def test_label_propagation_repartition_invariant(spark):
         map(tuple, label_propagation(df.repartition(13), n_iter=2).collect())
     )
     assert a == b
+
+
+def test_sssp_matches_bellman_ford(spark):
+    """Gelly SingleSourceShortestPaths semantics: frontier-driven
+    Bellman-Ford; after k rounds = exact min dist over <= k edges."""
+    from flink_efo_spark.operators.iterate import sssp_distances
+
+    # weighted digraph with a longer-but-later-improving path:
+    # 1->2 (10), 1->3 (1), 3->2 (2)  => dist(2) improves 10 -> 3
+    raw = [(1, 2, 10), (1, 3, 1), (3, 2, 2), (2, 4, 1), (5, 1, 7),
+           (1, 2, 99)]  # parallel edge: min weight wins
+    df = spark.createDataFrame(raw, "src long, dst long, w long")
+
+    def bf(k):
+        dist = {1: 0}
+        for _ in range(k):
+            nxt = dict(dist)
+            for s, d, w in raw:
+                if s in dist and dist[s] + w < nxt.get(d, 1 << 60):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        return dist
+
+    for k in (1, 2, 3, 4):
+        got = {
+            r.node: r.dist
+            for r in sssp_distances(df, "src", "dst", "w", 1, k).collect()
+        }
+        assert got == bf(k), f"round {k}"
+
+
+def test_triangle_enumerate_fixed_graph(spark):
+    """Each triangle exactly once as (a < b < c); reversed/duplicate
+    edges and self-loops are canonicalized away."""
+    from flink_efo_spark.operators.iterate import triangle_enumerate
+
+    # triangles: (1,2,3), (2,3,4); plus a dangling edge and noise
+    raw = [(1, 2), (2, 3), (3, 1), (2, 4), (3, 4), (4, 5),
+           (2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in triangle_enumerate(df, "src", "dst").collect()
+    )
+    assert got == [(1, 2, 3), (2, 3, 4)]
+
+
+def test_triangle_enumerate_complete_graph(spark):
+    """K5 has C(5,3)=10 triangles — the degree-tie path (all degrees
+    equal) must still emit each exactly once."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import triangle_enumerate
+
+    raw = [(a, b) for a, b in combinations(range(1, 6), 2)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in triangle_enumerate(df, "src", "dst").collect()
+    )
+    assert got == sorted(combinations(range(1, 6), 3))

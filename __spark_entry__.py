@@ -157,6 +157,14 @@ def _driver_order() -> list[str]:
         # a new operator's first driver row is worth more than the
         # 36th backlog row arriving one round later.
         "kmeans_embeddings",
+        # round-7: the four new queries (LIKE DDL + the Gelly tail).
+        # The round otherwise adds nothing, so the 50-row sample still
+        # drains 46 of the 100-query never-checked backlog; these four
+        # earn their first row immediately per the kmeans precedent.
+        "ddl_like",
+        "label_propagation",
+        "sssp_distances",
+        "triangle_enum",
     }
 
     def key(n: str):
@@ -164,12 +172,20 @@ def _driver_order() -> list[str]:
             return (0, 0, idx[n])
         if n not in green:
             # never driver-checked: named (this round's new operators)
-            # first, then the TPC-H backlog, then the rest; queries
-            # that already earned a green row fall through to the
-            # rotation group so the sample spends its slots on new
+            # first, then the TPC-H backlog, then OPERATOR queries,
+            # then never-checked TPC-DS LAST — a new operator family's
+            # first row is worth more than another star-schema variant
+            # whose plan family is already green (r6 verdict ranks the
+            # round-6 operator surface above the 71 TPC-DS shapes).
+            # Queries that already earned a green row fall through to
+            # the rotation group so the sample spends its slots on new
             # information (round-4 verdict: the old `or n in named`
             # kept 40 greens ahead of the 47 never-checked)
-            sub = 0 if n in named else (1 if n.startswith("tpch_") else 2)
+            sub = (
+                0 if n in named
+                else (1 if n.startswith("tpch_")
+                      else (3 if n.startswith("tpcds_") else 2))
+            )
             return (1, sub, idx[n])
         return (2, round_of[n], idx[n])
 

@@ -165,6 +165,17 @@ class EfoSession:
             # LIKE over plain Spark catalog tables passes through below
             ddl_sql.execute_create_table_like(self, query)
             return self.spark.sql("SELECT 'OK' AS result")
+        if like_src is not None and ddl_sql._WITH_RE.search(query):
+            # Flink-style DDL (WITH options) whose LIKE source is not
+            # an engine table: the plain CREATE TABLE parser would
+            # silently drop the LIKE clause — refuse instead. Plain
+            # Spark LIKE DDL has no WITH (...) clause and passes
+            # through to spark.sql untouched.
+            raise ValueError(
+                f"CREATE TABLE ... LIKE source {like_src!r} is not an "
+                "engine table (register it with CREATE TABLE ... WITH "
+                "(...) or EfoSession.create_table first)"
+            )
         if ddl_sql.is_flink_create_table(query):
             # Flink DDL (WITH-options CREATE TABLE incl. WATERMARK /
             # computed columns / PRIMARY KEY) → the engine catalog;

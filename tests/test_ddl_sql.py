@@ -366,3 +366,17 @@ def test_create_table_like_sql(spark, tmp_path):
         "CREATE TABLE __like_wm3 LIKE __like_wm_src (EXCLUDING WATERMARKS)"
     )
     assert env._specs["__like_wm3"].watermark is None
+
+
+def test_create_table_like_unknown_source_refused(spark, tmp_path):
+    """A Flink-style CREATE TABLE ... WITH (...) LIKE over a source
+    that is not an engine table must error, not silently drop the
+    LIKE clause; plain Spark LIKE DDL (no WITH) still passes through
+    to spark.sql."""
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    with pytest.raises(ValueError, match="not an\\s+engine table"):
+        env.sql(
+            f"CREATE TABLE __like_x WITH ('connector'='filesystem', "
+            f"'path'='{path}') LIKE __no_such_table"
+        )

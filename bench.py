@@ -276,6 +276,12 @@ def main() -> None:
     if errors:
         detail["errors"] = errors
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    try:
+        rnd = int(rnd) if rnd is not None else None
+    except ValueError:
+        print(f"# ignoring non-numeric SPARK_GRAFT_ROUND={rnd!r}",
+              file=sys.stderr)
+        rnd = None
     if rnd is None:
         import glob as _glob
         import re as _re
@@ -285,8 +291,8 @@ def main() -> None:
             m = _re.search(r"_r(\d+)\.json$", p)
             if m:
                 seen.append(int(m.group(1)))
-        rnd = str(max(seen) + 1)
-    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+        rnd = max(seen) + 1
+    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{rnd:02d}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

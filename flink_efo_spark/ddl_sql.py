@@ -417,7 +417,7 @@ def execute_alter_table(env, sql: str) -> None:
 
 _CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"([A-Za-z_][\w.]*)",
+    r"(`[^`]+`|[A-Za-z_][\w.]*)",
     re.IGNORECASE,
 )
 _LIKE_FEATURES = (
@@ -467,8 +467,8 @@ def create_table_like_source(sql: str) -> str | None:
     pos = _find_top_level_like(s)
     if pos < 0:
         return None
-    m = re.match(r"^([A-Za-z_][\w.]*)", s[pos + 4 :].strip())
-    return m.group(1) if m else None
+    m = re.match(r"^(`[^`]+`|[A-Za-z_][\w.]*)", s[pos + 4 :].strip())
+    return m.group(1).strip("`") if m else None
 
 
 def execute_create_table_like(env, sql: str):
@@ -481,14 +481,16 @@ def execute_create_table_like(env, sql: str):
     ``INCLUDING ALL OVERWRITING OPTIONS``."""
     s = sql.rstrip().rstrip(";")
     hm = _CREATE_HEAD_RE.match(s)
-    name = hm.group(1)
+    name = hm.group(1).strip("`")
     pos = _find_top_level_like(s)
     head, tail = s[hm.end() : pos], s[pos + 4 :].strip()
 
-    tm = re.match(r"^([A-Za-z_][\w.]*)\s*(\(.*\))?\s*$", tail, re.DOTALL)
+    tm = re.match(
+        r"^(`[^`]+`|[A-Za-z_][\w.]*)\s*(\(.*\))?\s*$", tail, re.DOTALL
+    )
     if not tm:
         raise ValueError(f"malformed LIKE clause: {tail!r}")
-    source, like_block = tm.group(1), tm.group(2)
+    source, like_block = tm.group(1).strip("`"), tm.group(2)
 
     src = env._specs.get(source)
     if src is None:

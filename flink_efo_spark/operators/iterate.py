@@ -297,6 +297,11 @@ def triangle_enumerate(
     plain equi-join against the canonical edge set. Every step is a
     hash shuffle on a key — no cross joins, no driver state."""
     u, v = F.col("__u"), F.col("__v")
+    # localCheckpoint (not persist): the canonical edge set feeds three
+    # consumers in the LAZY result plan, so a persist could never be
+    # safely unpersisted before the caller's action — checkpointing
+    # materializes it once and lets GC reclaim the blocks when the
+    # result goes out of scope (the module's sibling discipline)
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("__u"),
@@ -304,7 +309,7 @@ def triangle_enumerate(
         )
         .where(u < v)  # drops self-loops
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(u.alias("__n"))

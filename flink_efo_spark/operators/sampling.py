@@ -96,10 +96,16 @@ def token_budget_sample(
     for g, b in budgets.items():
         budget = F.when(F.col(group_col) == g, int(b)).otherwise(budget)
 
+    # NULL ids get the empty order key: they sort FIRST (deterministic)
+    # and share bucket '' — a NULL md5 would otherwise fall out of the
+    # equi-join on (group, bucket) and be silently dropped
     keyed = (
         df.withColumn("__budget", budget)
         .where(F.col("__budget").isNotNull())
-        .withColumn("__okey", F.md5(F.col(id_col).cast("string")))
+        .withColumn(
+            "__okey",
+            F.coalesce(F.md5(F.col(id_col).cast("string")), F.lit("")),
+        )
         .withColumn("__bucket", F.substring("__okey", 1, hex_chars))
     )
 

@@ -2124,8 +2124,13 @@ def q_async_lookup_join(t: _T) -> DataFrame:
         lookup_join_async,
     )
 
+    # fixture bound sized for the full TPC-H range this corpus can
+    # meet (customer = 150k rows/SF; sf10 = 1.5M): the guard still
+    # refuses absurd snapshots without turning the query red at
+    # driver/bench scale factors
     lookup_fn = dim_snapshot_client(
-        t.customer, "c_custkey", ["c_name", "c_mktsegment"]
+        t.customer, "c_custkey", ["c_name", "c_mktsegment"],
+        max_rows=2_000_000,
     )
 
     probe = t.orders.where(F.col("o_totalprice") > 400000).select(
@@ -7187,6 +7192,29 @@ def q_dialect_lateral(t: _T) -> DataFrame:
     )
 
 
+def _co_purchase_edges(t: _T, weighted: bool = False) -> DataFrame:
+    """Bidirectional customer<->supplier co-purchase graph shared by
+    the graph-library queries (suppliers offset by 1e6 to disjoint
+    the id spaces; optional deterministic integer weight (c+s)%7+1).
+    Each query's embedded oracle derives the same graph in SQL."""
+    orders, lineitem = t.orders, t.lineitem
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = [F.col("c").alias("src"), F.col("s").alias("dst")]
+    rev = [F.col("s").alias("src"), F.col("c").alias("dst")]
+    if weighted:
+        w = (F.col("c") + F.col("s")) % 7 + 1
+        fwd.append(w.alias("w"))
+        rev.append(w.alias("w"))
+    return e0.select(*fwd).union(e0.select(*rev))
+
+
 @_q(
     "pagerank_topn",
     """
@@ -7234,19 +7262,7 @@ def q_pagerank_topn(t: _T) -> DataFrame:
     Top-20 hubs with node-id tie-break."""
     from flink_efo_spark.operators.iterate import pagerank
 
-    orders, lineitem = t.orders, t.lineitem
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
-        )
-        .distinct()
-    )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    ranks = pagerank(edges, "src", "dst", n_iter=3)
+    ranks = pagerank(_co_purchase_edges(t), "src", "dst", n_iter=3)
     return (
         ranks.select(F.col("id").alias("node_id"), F.col("r").alias("rank_e6"))
         .orderBy(F.col("rank_e6").desc(), "node_id")
@@ -7296,19 +7312,7 @@ def q_label_propagation(t: _T) -> DataFrame:
     by size."""
     from flink_efo_spark.operators.iterate import label_propagation
 
-    orders, lineitem = t.orders, t.lineitem
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
-        )
-        .distinct()
-    )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    labels = label_propagation(edges, "src", "dst", n_iter=2)
+    labels = label_propagation(_co_purchase_edges(t), "src", "dst", n_iter=2)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -7355,22 +7359,10 @@ def q_sssp_distances(t: _T) -> DataFrame:
     oracle replays the relaxations unrolled)."""
     from flink_efo_spark.operators.iterate import sssp_distances
 
-    orders, lineitem = t.orders, t.lineitem
-    e0 = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
-        )
-        .distinct()
+    return sssp_distances(
+        _co_purchase_edges(t, weighted=True),
+        "src", "dst", "w", source=1, max_rounds=3,
     )
-    w = (F.col("c") + F.col("s")) % 7 + 1
-    edges = e0.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), w.alias("w")
-    ).union(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"), w.alias("w"))
-    )
-    return sssp_distances(edges, "src", "dst", "w", source=1, max_rounds=3)
 
 
 @_q(

@@ -380,3 +380,19 @@ def test_create_table_like_unknown_source_refused(spark, tmp_path):
             f"CREATE TABLE __like_x WITH ('connector'='filesystem', "
             f"'path'='{path}') LIKE __no_such_table"
         )
+
+
+def test_create_table_like_backquoted_source(spark, tmp_path):
+    """Backquoted identifiers must resolve to the engine spec instead
+    of bypassing the LIKE route (and silently dropping inheritance)."""
+    env = _env(spark)
+    path = _write_events(spark, tmp_path)
+    env.sql(
+        f"""
+        CREATE TABLE __like_bq_src (v2 AS v * 2) WITH (
+          'connector' = 'filesystem', 'path' = '{path}'
+        )
+        """
+    )
+    env.sql("CREATE TABLE `__like_bq_t` LIKE `__like_bq_src`")
+    assert env._specs["__like_bq_t"].computed_columns == {"v2": "v * 2"}

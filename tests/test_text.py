@@ -249,3 +249,20 @@ def test_token_budget_sample_bucketed_plan_and_naive_parity(spark):
         token_budget_sample(df, "doc_id", "lang", "toks", {})
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_sample(df, "doc_id", "lang", "toks", {"en": -1})
+
+
+def test_token_budget_sample_null_id_retained(spark):
+    """A NULL id must not silently fall out of the (group, bucket)
+    equi-join: it gets the empty order key (sorts first) and counts
+    against its group's budget."""
+    from flink_efo_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(None, "en", 5), (1, "en", 5), (2, "en", 5)],
+        "doc_id int, lang string, toks long",
+    )
+    out = token_budget_sample(df, "doc_id", "lang", "toks", {"en": 8})
+    rows = sorted((r.doc_id is None, r.doc_id) for r in out.collect())
+    # budget 8: the NULL-id doc (key '') is drawn first, then ONE of
+    # the hashed ids crosses the boundary
+    assert len(rows) == 2 and rows[1][0] is True

@@ -188,3 +188,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS __bkt_orders")
         spark.sql("DROP TABLE IF EXISTS __bkt_lineitem")
+
+
+def test_dim_snapshot_client_bound_and_lookup(spark):
+    """The fixture seam: snapshots a small dim into a thread-safe
+    lookup_fn; refuses dims over max_rows instead of silently
+    shipping a huge dict."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.lookup import dim_snapshot_client
+
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    fn = dim_snapshot_client(dim, "k", ["v"], max_rows=100)
+    assert fn([3, 7, 999]) == {3: {"v": 6}, 7: {"v": 14}}
+    with pytest.raises(ValueError, match="snapshot fixture bound"):
+        dim_snapshot_client(dim, "k", ["v"], max_rows=99)

@@ -394,3 +394,103 @@ def test_bfs_distances_matches_reference(spark, edges, depth):
         for r in bfs_distances(df, "src", "dst", [start], depth).collect()
     }
     assert got == set(expected.items())
+
+
+weighted_edge_lists = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 9)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=weighted_edge_lists, rounds=st.integers(1, 4))
+def test_sssp_matches_reference(spark, edges, rounds):
+    """sssp_distances (frontier Bellman-Ford) agrees with a plain
+    driver-side Bellman-Ford at every round cap on random weighted
+    digraphs (parallel edges + self-loops included)."""
+    from flink_efo_spark.operators.iterate import sssp_distances
+
+    start = edges[0][0]
+    dist = {start: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, 1 << 60):
+                nxt[d] = dist[s] + w
+        dist = nxt
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w BIGINT")
+    got = {
+        (r.node, r.dist)
+        for r in sssp_distances(df, "src", "dst", "w", start, rounds).collect()
+    }
+    assert got == set(dist.items())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists, rounds=st.integers(1, 3))
+def test_label_propagation_matches_reference(spark, edges, rounds):
+    """label_propagation agrees with a driver-side synchronous sweep
+    (most frequent in-neighbor label, ties to the HIGHEST label) on
+    random digraphs."""
+    from flink_efo_spark.operators.iterate import label_propagation
+
+    nodes = {n for e in edges for n in e}
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        freq: dict = {}
+        for s, d in edges:
+            freq.setdefault(d, {}).setdefault(lab[s], 0)
+            freq[d][lab[s]] += 1
+        lab = {
+            n: (
+                max(freq[n].items(), key=lambda kv: (kv[1], kv[0]))[0]
+                if n in freq
+                else lab[n]
+            )
+            for n in nodes
+        }
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        (r.id, r.label)
+        for r in label_propagation(df, "src", "dst", rounds).collect()
+    }
+    assert got == set(lab.items())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_triangle_enumerate_matches_bruteforce(spark, edges):
+    """triangle_enumerate emits exactly the brute-force canonical
+    triangle set (degree ties, parallel/reversed edges, self-loops)."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import triangle_enumerate
+
+    eset = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nodes = sorted({n for e in eset for n in e})
+    expected = {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        tuple(r) for r in triangle_enumerate(df, "src", "dst").collect()
+    }
+    assert got == expected

@@ -37,14 +37,16 @@ from pyspark.sql import functions as F
 
 def grid_cell(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Coarse grid cell of an integral column over [lo, hi): an
-    integer in [0, 2^bits), out-of-domain values clamped into the
-    edge cells (hist_sketch's binning with bins = 2^bits)."""
-    cells = 1 << bits
-    raw = F.floor((col.cast("long") - F.lit(lo)) * F.lit(cells) / F.lit(hi - lo))
-    return F.least(
-        F.lit(cells - 1).cast("long"),
-        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
-    )
+    integer in [0, 2^bits) — literally hist_sketch's binning
+    (sketches._bin_expr) with bins = 2^bits, so the write-side cell
+    assignment, the histogram family, and the driver-side box
+    enumeration all share ONE clamp-then-bin formula (a value clamped
+    AFTER the multiply could overflow to the wrong edge cell and
+    diverge from zorder_cells_for_box's exact Python ints)."""
+    from flink_efo_spark.operators.sketches import _bin_expr, _check_domain
+
+    _check_domain(lo, hi, 1 << bits)
+    return _bin_expr(col, lo, hi, 1 << bits)
 
 
 def zorder_key(cells: list[Column], bits: int) -> Column:
@@ -107,8 +109,13 @@ def zorder_cells_for_box(
     ranges = []
     for (_, lo, hi), (q_lo, q_hi) in zip(specs, box):
         width = hi - lo
-        c_lo = max(0, min(cells - 1, int((q_lo - lo) * cells / width)))
-        c_hi = max(0, min(cells - 1, int((q_hi - lo) * cells / width)))
+        # EXACTLY grid_cell's clamp-then-bin formula in Python ints
+        # (floor division) — any drift between the write-side cell and
+        # this enumeration silently drops rows from a pruned scan
+        b_lo = (min(hi, max(lo, q_lo)) - lo) * cells // width
+        b_hi = (min(hi, max(lo, q_hi)) - lo) * cells // width
+        c_lo = max(0, min(cells - 1, b_lo))
+        c_hi = max(0, min(cells - 1, b_hi))
         ranges.append(range(c_lo, c_hi + 1))
 
     out: list[int] = []
@@ -190,4 +197,9 @@ def bucketed_join(
         lt = lt.hint(hint)
     rt = spark.table(right_table).withColumnRenamed(key, f"__r_{key}")
     out = lt.join(rt, lt[key] == rt[f"__r_{key}"], how)
-    return out.drop(f"__r_{key}")
+    # right/full outer: unmatched right rows have a NULL left key —
+    # coalesce the two key columns before dropping the renamed one so
+    # every output row keeps its join key
+    return out.withColumn(
+        key, F.coalesce(lt[key], rt[f"__r_{key}"])
+    ).drop(f"__r_{key}")

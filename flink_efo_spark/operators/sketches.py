@@ -42,8 +42,13 @@ B = (1, 5, 9, 15, 21, 27, 33, 39)
 
 
 def _h64(col: Column) -> Column:
-    """Portable string->int hash (dedup.py's md5 idiom)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % P
+    """Portable string->int hash (dedup.py's md5 idiom). Casts to
+    string internally — md5 only auto-casts StringType, so a BIGINT
+    key would otherwise fail analysis."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long") % P
+    )
 
 
 def _cell(h: Column, j: int, width: int) -> Column:
@@ -132,29 +137,50 @@ def cms_estimate(
 # single-partition windows below see only sketch rows, never data).
 
 
+def _check_domain(lo: int, hi: int, bins: int) -> None:
+    """The exactness contract: the clamped product (hi-lo)*bins must
+    stay under 2^53 so the single IEEE division's floor is exact
+    (operands exactly representable; a true quotient just below an
+    integer sits >= 1/(hi-lo) away while the division error is
+    ~quotient * 2^-53). Wider domains must coarsen the grid."""
+    if hi <= lo or bins < 1:
+        raise ValueError(f"bad histogram domain: [{lo}, {hi}) x {bins}")
+    if (hi - lo) * bins >= 1 << 53:
+        raise ValueError(
+            f"(hi - lo) * bins = {(hi - lo) * bins} >= 2^53 breaks the "
+            "exact-binning contract — use fewer bins or a coarser grid"
+        )
+
+
+def _bin_expr(value: str | Column, lo: int, hi: int, bins: int) -> Column:
+    """bin = floor((clamp(v) - lo) * bins / (hi - lo)) clamped to
+    [0, bins-1]. The value is clamped into [lo, hi] BEFORE the
+    multiply so out-of-domain extremes land in the edge bins without
+    overflowing the BIGINT product (the overflow would clamp them to
+    the WRONG edge); _check_domain bounds the clamped product. The
+    single binning formula shared by the histogram family and
+    layout.grid_cell."""
+    col = F.col(value) if isinstance(value, str) else value
+    v = F.least(
+        F.lit(hi).cast("long"),
+        F.greatest(F.lit(lo).cast("long"), col.cast("long")),
+    )
+    raw = F.floor((v - F.lit(lo)) * F.lit(bins) / F.lit(hi - lo))
+    return F.least(
+        F.lit(bins - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
+    )
+
+
 def hist_sketch(
     df: DataFrame, value_col: str, lo: int, hi: int, bins: int
 ) -> DataFrame:
     """Build the histogram: (bin, cnt) with absent bins zero. The
     value column must be integral (snap doubles to a fixed-point
     BIGINT grid first — see queries.py _cents). Out-of-domain values
-    clamp into the edge bins, so totals are preserved.
-
-    bin = clamp(floor((v - lo) * bins / (hi - lo)), 0, bins - 1) with
-    the product exact in BIGINT and one IEEE division — floor is safe
-    because a true quotient just below an integer sits >= 1/(hi-lo)
-    away while the division error is ~quotient * 2^-53."""
-    v = F.col(value_col).cast("long")
-    raw = F.floor((v - F.lit(lo)) * F.lit(bins) / F.lit(hi - lo))
-    b = F.least(
-        F.lit(bins - 1).cast("long"),
-        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
-    )
-    return (
-        df.select(b.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    clamp into the edge bins, so totals are preserved. The ungrouped
+    form of :func:`hist_sketch_by`."""
+    return hist_sketch_by(df, [], value_col, lo, hi, bins)
 
 
 def hist_quantiles(
@@ -171,35 +197,7 @@ def hist_quantiles(
     windows below are deliberate (sketch rows, not data rows), and the
     quantile list is a literal array exploded onto the sketch — no
     join, no BroadcastNestedLoopJoin."""
-    from pyspark.sql import Window
-
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy()
-    qarr = F.array(*[F.lit(int(q)).cast("long") for q in q_permille])
-    cum = (
-        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
-        .withColumn("n", F.sum("cnt").over(w_tot))
-        .select(F.explode(qarr).alias("q_permille"), "bin", "cum", "n")
-    )
-    rank = F.floor((F.col("q_permille") * F.col("n") + F.lit(999)) / F.lit(1000))
-    hit = (
-        cum.where(F.col("cum") >= rank)
-        .groupBy("q_permille")
-        .agg(F.min("bin").alias("bin"))
-    )
-    width = hi - lo
-    est_lo = (F.lit(lo) + F.floor(F.col("bin") * F.lit(width) / F.lit(bins))).cast(
-        "long"
-    )
-    est_hi = (
-        F.lit(lo) + F.floor((F.col("bin") + 1) * F.lit(width) / F.lit(bins))
-    ).cast("long")
-    return hit.select(
-        "q_permille",
-        "bin",
-        est_lo.alias("est_lo"),
-        est_hi.alias("est_hi"),
-    )
+    return hist_quantiles_by(sketch, [], q_permille, lo, hi, bins)
 
 
 def hist_sketch_by(
@@ -214,12 +212,8 @@ def hist_sketch_by(
     group key in the same single pass (the groupBy key just widens
     to include bin). Each group's sketch merges/reads back
     independently; this is the per-day / per-shard rollup shape."""
-    v = F.col(value_col).cast("long")
-    raw = F.floor((v - F.lit(lo)) * F.lit(bins) / F.lit(hi - lo))
-    b = F.least(
-        F.lit(bins - 1).cast("long"),
-        F.greatest(F.lit(0).cast("long"), raw.cast("long")),
-    )
+    _check_domain(lo, hi, bins)
+    b = _bin_expr(value_col, lo, hi, bins)
     return (
         df.select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
@@ -237,9 +231,16 @@ def hist_quantiles_by(
 ) -> DataFrame:
     """Per-group quantile read-back: :func:`hist_quantiles` with every
     window PARTITIONED BY the group key — no single-partition stage
-    at any group count; each partition still holds <= bins rows."""
+    at any group count; each partition still holds <= bins rows.
+    est_hi is the CEILING division lo + ceil((bin+1)*width / bins), so
+    the half-open [est_lo, est_hi) interval always contains the bin's
+    whole value range even when bins does not divide the width."""
     from pyspark.sql import Window
 
+    _check_domain(lo, hi, bins)
+    for q in q_permille:
+        if not (1 <= int(q) <= 1000):
+            raise ValueError(f"q_permille out of [1, 1000]: {q}")
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("bin")
@@ -254,18 +255,20 @@ def hist_quantiles_by(
             *group_cols, F.explode(qarr).alias("q_permille"), "bin", "cum", "n"
         )
     )
-    rank = F.floor((F.col("q_permille") * F.col("n") + F.lit(999)) / F.lit(1000))
+    # rank = ceil(q * n / 1000) in EXACT integer arithmetic (BIGINT
+    # div) — the IEEE form loses exactness past 2^53 total rows
+    rank = F.expr("(q_permille * n + 999) div 1000")
     hit = (
         cum.where(F.col("cum") >= rank)
         .groupBy(*group_cols, "q_permille")
         .agg(F.min("bin").alias("bin"))
     )
     width = hi - lo
-    est_lo = (F.lit(lo) + F.floor(F.col("bin") * F.lit(width) / F.lit(bins))).cast(
-        "long"
-    )
+    est_lo = (
+        F.lit(lo) + F.expr(f"(bin * {width}) div {bins}")
+    ).cast("long")
     est_hi = (
-        F.lit(lo) + F.floor((F.col("bin") + 1) * F.lit(width) / F.lit(bins))
+        F.lit(lo) + F.expr(f"((bin + 1) * {width} + {bins - 1}) div {bins}")
     ).cast("long")
     return hit.select(
         *group_cols,
@@ -300,7 +303,7 @@ def bloom_bits(
     pos < m — at most k*m rows regardless of dim size, built with one
     map-side-combined distinct."""
     assert 1 <= k <= len(A)
-    h = _h64(F.col(key_col).cast("string"))
+    h = _h64(F.col(key_col))
     cells = F.explode(
         F.array(
             *[
@@ -326,12 +329,19 @@ def bloom_prefilter(
     broadcast LEFT SEMI joins against the tiny bit relation — each is
     a BroadcastHashJoin probe, the fact never shuffles, and rows are
     never duplicated (semi join, not inner)."""
+    assert 1 <= k <= len(A)
     out = fact
     for j in range(k):
-        h = _h64(F.col(key_col).cast("string"))
-        pos_j = bits.where(F.col("j") == j).select("pos")
+        h = _h64(F.col(key_col))
+        # reserved name: an unqualified "pos" would be ambiguous (or
+        # silently wrong) when the fact itself has a pos column
+        pos_j = bits.where(F.col("j") == j).select(
+            F.col("pos").alias("__bloom_pos")
+        )
         out = out.join(
-            F.broadcast(pos_j), _cell(h, j, m) == F.col("pos"), "left_semi"
+            F.broadcast(pos_j),
+            _cell(h, j, m) == pos_j["__bloom_pos"],
+            "left_semi",
         )
     return out
 

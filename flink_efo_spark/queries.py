@@ -6681,11 +6681,11 @@ def q_cms_heavy_hitters(t: _T) -> DataFrame:
     hit AS (
       SELECT q_permille, MIN(bin) AS bin
       FROM cum CROSS JOIN q
-      WHERE cum >= CAST(floor((q_permille * n + 999) / 1000) AS BIGINT)
+      WHERE cum >= (q_permille * n + 999) // 1000
       GROUP BY q_permille)
     SELECT q_permille, bin,
-           CAST(90000 + floor(bin * 10500000 / 220) AS BIGINT) AS est_lo,
-           CAST(90000 + floor((bin + 1) * 10500000 / 220) AS BIGINT) AS est_hi
+           CAST(90000 + (bin * 10500000) // 220 AS BIGINT) AS est_lo,
+           CAST(90000 + ((bin + 1) * 10500000 + 219) // 220 AS BIGINT) AS est_hi
     FROM hit
     """,
 )
@@ -6735,11 +6735,11 @@ def q_hist_quantiles(t: _T) -> DataFrame:
     hit AS (
       SELECT l_returnflag, q_permille, MIN(bin) AS bin
       FROM cum CROSS JOIN q
-      WHERE cum >= CAST(floor((q_permille * n + 999) / 1000) AS BIGINT)
+      WHERE cum >= (q_permille * n + 999) // 1000
       GROUP BY l_returnflag, q_permille)
     SELECT l_returnflag, q_permille, bin,
-           CAST(90000 + floor(bin * 10500000 / 220) AS BIGINT) AS est_lo,
-           CAST(90000 + floor((bin + 1) * 10500000 / 220) AS BIGINT) AS est_hi
+           CAST(90000 + (bin * 10500000) // 220 AS BIGINT) AS est_lo,
+           CAST(90000 + ((bin + 1) * 10500000 + 219) // 220 AS BIGINT) AS est_hi
     FROM hit
     """,
 )

@@ -182,3 +182,86 @@ def test_bloom_join_rejects_fact_outer_hows(spark):
     for how in ("left", "full", "left_anti"):
         with pytest.raises(ValueError, match="prefilter drops"):
             bloom_prefilter_join(fact, dim, "k", "dk", how=how)
+
+
+def test_hist_quantile_interval_contains_true_nondivisible(spark):
+    """bins NOT dividing the width (the corpus's own 10500000/220
+    shape): est_hi must be the CEILING division so the half-open
+    [est_lo, est_hi) interval still contains the bin's whole value
+    range — the floor form excluded a bin's max value."""
+    import math
+
+    from flink_efo_spark.operators.sketches import hist_quantiles, hist_sketch
+
+    lo, hi, bins = 0, 1000, 7  # width 1000/7 = 142.857...
+    vals = [(v,) for v in range(0, 1000, 3)]
+    df = spark.createDataFrame(vals, "v long")
+    sk = hist_sketch(df, "v", lo, hi, bins)
+    svals = sorted(v for (v,) in vals)
+    for r in hist_quantiles(sk, [1, 500, 999], lo, hi, bins).collect():
+        n = len(svals)
+        true = svals[math.ceil(r.q_permille * n / 1000) - 1]
+        assert r.est_lo <= true < r.est_hi, (r, true)
+        # interval covers the whole bin even with a fractional width
+        assert r.est_hi - r.est_lo >= (hi - lo) // bins
+
+
+def test_hist_rejects_bad_domain_and_quantile(spark):
+    import pytest
+
+    from flink_efo_spark.operators.sketches import hist_quantiles, hist_sketch
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="2\\^53"):
+        hist_sketch(df, "v", 0, 1 << 40, 1 << 20)
+    with pytest.raises(ValueError, match="bad histogram domain"):
+        hist_sketch(df, "v", 10, 10, 4)
+    sk = hist_sketch(df, "v", 0, 10, 2)
+    with pytest.raises(ValueError, match="q_permille"):
+        hist_quantiles(sk, [0], 0, 10, 2)
+    with pytest.raises(ValueError, match="q_permille"):
+        hist_quantiles(sk, [1001], 0, 10, 2)
+
+
+def test_cms_accepts_integer_keys(spark):
+    """_h64 casts internally: a BIGINT key column must build and read
+    back without the caller pre-casting (parity with bloom_bits)."""
+    from flink_efo_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.range(0, 300).select((F.col("id") % 7).alias("k"))
+    sk = cms_sketch(df, "k", depth=4, width=64)
+    est = {
+        r.k: r.est_cnt
+        for r in cms_estimate(sk, df.select("k").distinct(), "k", 4, 64).collect()
+    }
+    for k in range(7):
+        assert est[k] >= 300 // 7
+
+
+def test_bloom_prefilter_fact_with_pos_column(spark):
+    """A fact table carrying its own 'pos' column must not collide
+    with the broadcast bit relation's position column."""
+    from flink_efo_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    fact = spark.range(0, 200).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("pos")
+    )
+    bits = bloom_bits(dim, "k")
+    out = bloom_prefilter(fact, bits, "k")
+    kept = {r.k for r in out.collect()}
+    assert set(range(50)) <= kept  # no false negatives
+
+
+def test_bucketed_join_right_outer_keeps_key(spark, tmp_path):
+    """Unmatched right rows must keep their join key (coalesced from
+    the renamed right column) instead of a NULL key."""
+    from flink_efo_spark.operators.layout import bucketed_join, write_bucketed
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    r = spark.createDataFrame([(2, "x"), (99, "y")], "k long, rv string")
+    write_bucketed(l, "__bj_l", str(tmp_path / "l"), "k", 4)
+    write_bucketed(r, "__bj_r", str(tmp_path / "r"), "k", 4)
+    out = bucketed_join(spark, "__bj_l", "__bj_r", "k", how="right")
+    got = {(r.k, r.lv, r.rv) for r in out.collect()}
+    assert got == {(2, "b", "x"), (99, None, "y")}

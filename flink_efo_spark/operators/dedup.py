@@ -207,6 +207,13 @@ def minhash_near_duplicates(
     smaller buckets; default None = exact LSH recall, right for
     oracle-checked runs).
     """
+    if bands < 1 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm "
+            f"({num_perm} % {bands} != 0) — a remainder silently "
+            "drops signature rows from the banding, and "
+            "rows_per_band = 0 degenerates every band to one bucket"
+        )
     rows_per_band = num_perm // bands
     # persist + eager count: the hashed-shingle pipeline feeds the
     # bucket self-join (2 consumers) AND the verify join (2 more);
@@ -358,12 +365,23 @@ def simhash_signatures(
     chunks: int = 4,
     chunk_bits: int = 16,
 ) -> DataFrame:
-    """64-bit SimHash, emitted as ``chunks`` × ``chunk_bits`` integer
-    chunks (chunked form doubles as the LSH banding key: hamming ≤
-    chunks-1 pairs must share ≥1 chunk).
+    """SimHash over the portable 60-bit shingle hash, emitted as
+    ``chunks`` × ``chunk_bits`` integer chunks (chunked form doubles
+    as the LSH banding key: hamming ≤ chunks-1 pairs must share ≥1
+    chunk).
 
     bit_b = sign of sum over shingles of (2*((h >> b) & 1) - 1).
-    """
+
+    Effective width is **60 bits**, not chunks*chunk_bits: the
+    md5-prefix hash (_hash64_expr, 15 hex chars) is < 2^60, so bits
+    60..63 are 0 for every shingle, their majority sums are negative,
+    and the top 4 bits of the last chunk are constant 0. Hamming
+    distances are therefore true 60-bit distances (the constant bits
+    cancel), and the last chunk carries chunk_bits-4 informative bits
+    — its bucket collides up to 16× more often than a full-width
+    chunk would, which costs candidate-verify work, never recall.
+    Deterministic and oracle-replayed as-is; widening the hash would
+    break the portable-hash convention every oracle shares."""
     narrow = ensure_min_parallelism(df.select(id_col, text_col))
     shingled = shingle_sets(narrow, id_col, text_col, shingle_size)
     h = _hash64_expr("s")
@@ -460,7 +478,14 @@ def dedup_incremental(
     for the next increment.
     """
     cols = new_df.columns
-    batch = ensure_min_parallelism(new_df).withColumn(sig_col, fingerprint)
+    # NULL fingerprints coalesce to a sentinel: groupBy collapses NULL
+    # keys within a batch but a left_anti join never matches NULL
+    # against the store, so without this a NULL-sig document would
+    # survive (and re-append) EVERY batch — the dedup result would
+    # depend on batch boundaries, breaking incremental == sequential
+    batch = ensure_min_parallelism(new_df).withColumn(
+        sig_col, F.coalesce(fingerprint, F.lit("__null_fingerprint__"))
+    )
     survivors = (
         batch.groupBy(sig_col)
         .agg(
@@ -545,8 +570,15 @@ def dedup_incremental_near(
         id_col, text_col, shingle_size,
     )
     sigs = minhash_signatures(sh, num_perm)
-    keys = band_keys(sigs, id_col, bands, num_perm).persist()
-    keys.count()  # eager: feeds three joins below
+    # eager localCheckpoint, NOT persist: the returned survivors /
+    # new_bands frames depend on `keys` lazily, so a persist could
+    # never be unpersisted by this function — and per-micro-batch
+    # callers (stream_incremental_near_dedup's foreachBatch) would
+    # leak one pinned cache entry per trigger. Checkpoint blocks are
+    # GC-reclaimed when the results go out of scope.
+    keys = band_keys(sigs, id_col, bands, num_perm).localCheckpoint(
+        eager=True
+    )  # materialized once: feeds three joins below
     on = ["band_idx", "band_hash"]
     dropped_store = (
         keys.join(band_store.select(*on), on, "left_semi")

@@ -19,10 +19,17 @@ Two paths:
   re-scoring of candidates only. Linear map-side cost; the shuffle
   carries (id, bucket) pairs and candidate pairs only.
 
-All math is built-in Catalyst expressions (``zip_with`` +
+All SCORING math is built-in Catalyst expressions (``zip_with`` +
 ``aggregate`` — sequential left-to-right folds, so scores are
 bit-reproducible against a DuckDB oracle evaluating in the same
-order). No Python UDFs.
+order). One scoped exception: :func:`lsh_signature` computes sign
+bits in an Arrow-batched pandas UDF (a matmul against the literal
+hyperplanes); its BLAS summation order differs from a sequential
+fold, so a projection landing within rounding distance of 0 could in
+principle flip a sign bit across engines — the oracle replays the
+same hyperplanes and has matched bit-for-bit at every tested SF, but
+the reproducibility GUARANTEE covers the scoring folds, not the
+signature matmul.
 """
 
 from __future__ import annotations
@@ -88,7 +95,7 @@ def cosine_topk(
     scored = pairs.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("score"),
+        F.try_divide(_dot("__qv", "__cv"), F.col("__qn") * F.col("__cn")).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -124,7 +131,11 @@ def embedding_near_duplicates(
 
     ``exhaustive=True`` switches the candidate generator to the
     all-pairs cross join — the oracle/verify path, quadratic by
-    design (same contract as ``ngram_jaccard_pairs``).
+    design (same contract as ``ngram_jaccard_pairs``). It BROADCASTS
+    the full input as the build side, so it is only legal at
+    verify/sample scale (a corpus beyond executor memory must use the
+    LSH path; the broadcast hint would OOM before the quadratic
+    compute even starts).
     """
     base = ensure_min_parallelism(df.select(id_col, vec_col))
     if exhaustive:
@@ -148,7 +159,7 @@ def embedding_near_duplicates(
             pairs.select(
                 "id_a",
                 "id_b",
-                (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                F.try_divide(_dot("__qv", "__cv"), F.col("__qn") * F.col("__cn")).alias(
                     "score"
                 ),
             )
@@ -157,6 +168,13 @@ def embedding_near_duplicates(
     # LSH path: reuse the top-k machinery with k unbounded by using
     # the threshold as the filter — candidates from band buckets,
     # exact cosine on candidates only.
+    if bands < 1 or num_planes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_planes "
+            f"({num_planes} % {bands} != 0) — a remainder silently "
+            "drops signature rows from the banding, and "
+            "rows_per_band = 0 degenerates every band to one bucket"
+        )
     rows_per_band = num_planes // bands
     sigs = (
         lsh_signature(base, vec_col, dim, num_planes, seed)
@@ -207,7 +225,7 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+            F.try_divide(_dot("__qv", "__cv"), F.col("__qn") * F.col("__cn")).alias(
                 "score"
             ),
         )
@@ -263,9 +281,9 @@ def _cell_scores(vec_col: str) -> Column:
     driver) so both engines derive it with the identical op sequence."""
     return F.expr(
         f"transform(__cents, c -> struct("
-        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> cast(x as double) * y), "
-        f"cast(0.0 as double), (acc, v) -> acc + v) "
-        f"/ (__n * sqrt(aggregate(c.cv, cast(0.0 as double), "
+        f"try_divide(aggregate(zip_with({vec_col}, c.cv, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v), "
+        f"__n * sqrt(aggregate(c.cv, cast(0.0 as double), "
         f"(acc, v) -> acc + v * v))) as s, "
         f"-c.cid as ncid))"
     )
@@ -350,7 +368,7 @@ def ivf_cosine_topk(
     scored = pairs.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("score"),
+        F.try_divide(_dot("__qv", "__cv"), F.col("__qn") * F.col("__cn")).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -421,6 +439,13 @@ def lsh_cosine_topk(
     degenerates to near-all-pairs candidates; the 32/4 default gives
     8-bit bands (256 buckets), balancing recall vs candidate volume.
     """
+    if bands < 1 or num_planes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_planes "
+            f"({num_planes} % {bands} != 0) — a remainder silently "
+            "drops signature rows from the banding, and "
+            "rows_per_band = 0 degenerates every band to one bucket"
+        )
     rows_per_band = num_planes // bands
     # persisted + eager: bucket self-join + two re-score joins reuse
     # the signature/norm computation; the eager count stops concurrent
@@ -478,7 +503,7 @@ def lsh_cosine_topk(
         .select(
             F.col("__qid").alias(id_col),
             "neighbor_id",
-            (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+            F.try_divide(_dot("__qv", "__cv"), F.col("__qn") * F.col("__cn")).alias(
                 "score"
             ),
         )
@@ -517,30 +542,52 @@ def quantize_embeddings(
     shuffle, no Python.
     """
     qmax = (1 << (bits - 1)) - 1
-    e = f"transform({vec_col}, x -> cast(x as double))"
-    scale = f"(array_max(transform({e}, x -> abs(x))) / {qmax}.0)"
-    # all-zero vectors have scale 0: codes are all zero and the cosine
-    # is undefined (NULL) — guarded so ANSI division never fires
-    codes = (
-        f"case when {scale} = 0.0 then transform({e}, x -> 0) "
-        f"else transform({e}, x -> cast(floor(x / {scale} + 0.5) as int)) end"
-    )
-    recon = f"transform({codes}, v -> v * {scale})"
-    dot = (
-        f"aggregate(zip_with({e}, {recon}, (a, b) -> a * b), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    # each stage binds to a REAL column before the next references it:
+    # inlining the scale/codes expressions inside later lambdas would
+    # re-evaluate an O(d) array scan per element — the O(d^2)
+    # lambda-inlining trap dedup._shingles_expr documents (identical
+    # math, so outputs are unchanged)
     nrm = (
         "sqrt(aggregate(transform({v}, x -> x * x), "
         "cast(0.0 as double), (acc, y) -> acc + y))"
     )
-    cos = f"({dot} / ({nrm.format(v=e)} * {nrm.format(v=recon)}))"
-    return df.select(
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(
+                "__e"
+            ),
+        )
+        .withColumn(
+            "__scale",
+            F.expr(f"array_max(transform(__e, x -> abs(x))) / {qmax}.0"),
+        )
+        # all-zero vectors have scale 0: codes are all zero and the
+        # cosine is undefined (NULL) — guarded so ANSI division never
+        # fires
+        .withColumn(
+            "__codes",
+            F.expr(
+                "case when __scale = 0.0 then transform(__e, x -> 0) "
+                "else transform(__e, x -> cast(floor(x / __scale + 0.5)"
+                " as int)) end"
+            ),
+        )
+        .withColumn(
+            "__recon", F.expr("transform(__codes, v -> v * __scale)")
+        )
+    )
+    dot = (
+        "aggregate(zip_with(__e, __recon, (a, b) -> a * b), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cos = f"({dot} / ({nrm.format(v='__e')} * {nrm.format(v='__recon')}))"
+    return staged.select(
         F.col(id_col),
-        F.round(F.expr(scale), 8).alias("scale"),
-        F.expr(codes).alias("codes"),
+        F.round(F.col("__scale"), 8).alias("scale"),
+        F.col("__codes").alias("codes"),
         F.expr(
-            f"case when {scale} = 0.0 then cast(null as double) "
+            f"case when __scale = 0.0 then cast(null as double) "
             f"else round(1.0 - {cos}, 8) end"
         ).alias("cos_error"),
     )
@@ -642,7 +689,7 @@ def ivf_query_index(
     scored = pairs.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        (_dot("__qv", "vec") / (F.col("__qn") * F.col("norm"))).alias("score"),
+        F.try_divide(_dot("__qv", "vec"), F.col("__qn") * F.col("norm")).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

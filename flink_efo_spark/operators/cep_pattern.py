@@ -1077,14 +1077,7 @@ def stream_cep_pattern_select(
         ]
     )
 
-    def _caster(dt):
-        if isinstance(dt, (ByteType, ShortType, IntegerType, _Long)):
-            return lambda x: None if pd.isna(x) else int(x)
-        if isinstance(dt, _Bool):
-            return lambda x: None if pd.isna(x) else bool(x)
-        if isinstance(dt, (FloatType, DoubleType)):
-            return lambda x: None if pd.isna(x) else float(x)
-        return lambda x: None if (x is None or x is pd.NaT) else x
+    from flink_efo_spark.pandas_compat import state_caster as _caster
 
     casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
     stage_list = stages

@@ -7837,12 +7837,19 @@ def q_stream_coprocess_rules(t: _T) -> DataFrame:
     )
 
     max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    # the sentinels must PASS each branch's event_type filter (the
+    # filter pushes below the watermark node, so a '__wm__'-typed row
+    # would never advance this operator's watermark and held rows at
+    # the last real timestamps could never release); user_id=-1 keeps
+    # them out of the result via the final user_id >= 0 filter
     src = stream_table_split(
         t.spark, t.sf_dir, "events", 4, "ts",
         watermark=("ts", "10 minutes"),
         sentinel_rows=[
-            {"event_id": -1, "user_id": -1, "event_type": "__wm__",
-             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0}
+            {"event_id": -1, "user_id": -1, "event_type": "click",
+             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0},
+            {"event_id": -2, "user_id": -1, "event_type": "signup",
+             "ts": max_ts + datetime.timedelta(hours=2), "value": 0.0},
         ],
     )
     out = stream_keyed_coprocess(

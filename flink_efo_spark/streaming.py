@@ -135,9 +135,25 @@ def stream_table_split(
 
     ensure_session_confs(spark)
     path = table_path(data_dir, name)
+    # the cache key covers the SOURCE FILES' identity (size + mtime),
+    # not just the path: the split dir lives in the shared tempdir and
+    # survives processes, and the driver regenerates the testdata at
+    # the same path each round — a path-only key would silently replay
+    # last round's data
+    if os.path.isdir(path):
+        src_state = sorted(
+            (f, os.stat(os.path.join(path, f)).st_size,
+             os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    else:
+        st = os.stat(path)
+        src_state = [(os.path.basename(path), st.st_size, st.st_mtime_ns)]
     key = (
         f"{os.path.abspath(path)}:{n_batches}:{order_col}"
         f":{[sorted(r.items()) for r in (sentinel_rows or [])]}"
+        f":{src_state}"
     ).encode()
     tag = hashlib.md5(key).hexdigest()[:12]
     split_dir = os.path.join(
@@ -803,6 +819,14 @@ def stream_delta_window(
                         ]
                         wv = [wv[i] for i in keep]
                         wd = [wd[i] for i in keep]
+                    if not wv:
+                        # an evict_threshold <= delta(tail, tail) = 0
+                        # evicts EVERYTHING incl. the tail (the
+                        # reference evicts on >=) — an empty window
+                        # fires nothing instead of crashing min()
+                        if purge:
+                            buf_v, buf_d = [], []
+                        continue
                     seq += 1
                     rec = {k: key[i] for i, k in enumerate(keys)}
                     rec.update(
@@ -1315,14 +1339,7 @@ def stream_over_bounded(
     )
     sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
 
-    def _caster(dt):
-        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-            return lambda x: None if pd.isna(x) else int(x)
-        if isinstance(dt, BooleanType):
-            return lambda x: None if pd.isna(x) else bool(x)
-        if isinstance(dt, (FloatType, DoubleType)):
-            return lambda x: None if pd.isna(x) else float(x)
-        return lambda x: None if (x is None or x is pd.NaT) else x
+    from flink_efo_spark.pandas_compat import state_caster as _caster
 
     casters = {c: _caster(df.schema[c].dataType) for c in data_cols}
 
@@ -1416,13 +1433,26 @@ def stream_over_bounded(
             tail = pd.DataFrame({c: [] for c in data_cols})
 
         if flush_on_timeout and state.hasTimedOut:
-            # watermark passed every buffered timestamp: emit the held
-            # rows (context rows in state supply their frames)
+            # the timer fires on ANY batch that advances the watermark
+            # while this key is idle. Held rows (all carrying the
+            # buffer's newest timestamp) release only once the
+            # watermark passes that timestamp — and the retention
+            # context must SURVIVE the flush: a state.remove() here
+            # would make the key's next rows compute frames from an
+            # empty tail (undercounted ROWS/RANGE frames after one
+            # idle batch). At end-of-input the MAX_WATERMARK releases
+            # everything and the re-armed timer never fires again.
             if n_pending:
-                allr = tail.sort_values(sort_cols, kind="mergesort")
-                out = _frames(allr.reset_index(drop=True))
-                yield out.iloc[len(out) - n_pending :]
-            state.remove()
+                allr = tail.sort_values(sort_cols, kind="mergesort").reset_index(
+                    drop=True
+                )
+                ts_us = _epoch_us(allr[ts_col])
+                wm_us = state.getCurrentWatermarkMs() * 1000
+                if ts_us[-1] <= wm_us:  # pending rows share the max ts
+                    out = _frames(allr)
+                    yield out.iloc[len(out) - n_pending :]
+                    n_pending = 0
+            _save(state, tail, n_pending)
             return
 
         frames_in = [p[data_cols] for p in pdfs if len(p)]
@@ -1993,8 +2023,14 @@ def compact_upsert(spark: SparkSession, out_dir: str, keys: list[str]) -> None:
     snap.write.mode("overwrite").parquet(os.path.join(tmp, "__batch_id=0"))
     import shutil
 
-    shutil.rmtree(out_dir)
+    # write-then-swap, never delete-then-move: a crash between an
+    # rmtree and the move would lose the whole table; here the worst
+    # case is an orphan .old/.compact dir beside an intact log
+    old = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(out_dir, old)
     shutil.move(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2116,7 +2152,13 @@ def process_timer_sessions(
             )
             return
         pdf = pd.concat(list(pdfs)).sort_values(ts_col)
-        ms = (pdf[ts_col].astype("int64") // 10**6).to_numpy()
+        # unit-safe epoch-ms: Arrow may deliver the ts column as
+        # datetime64[ns] OR [us] (the _epoch_us gotcha) — a bare
+        # astype('int64') would be off by 1000x in the [us] case
+        ms = (
+            pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            // 1000
+        )
         bounds = np.flatnonzero(np.diff(ms) > gap_ms) + 1
         # interval merge of the batch's gap-segments with the stored
         # session: late events within the watermark delay may sort
@@ -2145,7 +2187,7 @@ def process_timer_sessions(
         if out:
             yield pd.DataFrame(out, columns=cols)
 
-    return (
+    out = (
         df.select(key_col, ts_col)
         .groupBy(key_col)
         .applyInPandasWithState(
@@ -2156,6 +2198,11 @@ def process_timer_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+    # without this, infer_output_mode maps the FlatMapGroupsInPandas
+    # plan to "update" and run_stream_to_table(mode=None) starts the
+    # query in an output mode Spark rejects for this operator
+    out._efo_output_mode = "append"
+    return out
 
 
 def stream_incremental_dedup(
@@ -2379,28 +2426,7 @@ def stream_keyed_coprocess(
 
     n_buf = len(buf_cols)
 
-    # pandas concat against an (object-dtype) empty tail upcasts ints
-    # and bools to float, which the typed state encoder then silently
-    # NULLs — cast values back to their Spark-declared python type
-    # before they enter state (same guard as the CEP/MATCH harnesses)
-    def _caster(dt):
-        from pyspark.sql.types import (
-            BooleanType as _B,
-            ByteType,
-            DoubleType,
-            FloatType,
-            IntegerType as _I,
-            LongType as _L,
-            ShortType,
-        )
-
-        if isinstance(dt, (ByteType, ShortType, _I, _L)):
-            return lambda x: None if pd.isna(x) else int(x)
-        if isinstance(dt, _B):
-            return lambda x: None if pd.isna(x) else bool(x)
-        if isinstance(dt, (FloatType, DoubleType)):
-            return lambda x: None if pd.isna(x) else float(x)
-        return lambda x: None if (x is None or x is pd.NaT) else x
+    from flink_efo_spark.pandas_compat import state_caster as _caster
 
     casters = {c: _caster(unioned.schema[c].dataType) for c in buf_cols}
     rule_casters = {c: _caster(control.schema[c].dataType) for c in rule_cols}
@@ -2431,10 +2457,19 @@ def stream_keyed_coprocess(
         n_in_seg[seg == 0] += n_since
         out["n_since_rule"] = n_in_seg
         rows = out[is_data]
-        # advance the carried rule/counter
+        # advance the carried rule/counter. Per COLUMN, the carried
+        # value is the last non-null across this batch's control rows
+        # (falling back to the previous carry) — mirroring the
+        # ffill+fillna used to stamp rows above: a control row that
+        # sets only rule y must not wipe the carried rule x, or the
+        # NEXT batch's rows would see NULL where this batch's saw 5
+        # (output would depend on micro-batch cadence)
         if len(ctrl_pos):
             last = ctrl_pos[-1]
-            cur_rule = {c: em[f"__r_{c}"].iloc[last] for c in rule_cols}
+            for c in rule_cols:
+                nn = em[f"__r_{c}"].iloc[ctrl_pos].dropna()
+                if len(nn):
+                    cur_rule[c] = nn.iloc[-1]
             has_rule = True
             n_since = int(data_cum[-1] - data_cum[last])
         else:
@@ -2466,15 +2501,34 @@ def stream_keyed_coprocess(
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
         if flush_on_timeout and state.hasTimedOut:
+            # the timer fires on ANY batch that advances the watermark
+            # while this key is idle — not only at end-of-input. Emit
+            # only the watermark-CLEARED prefix and keep the rest (and
+            # the installed rules!) in state: a state.remove() here
+            # would prematurely emit above-watermark rows and erase
+            # cur_rule, so keys seen again later would lose their
+            # broadcast rules (the BroadcastState guarantee). At true
+            # end-of-input the MAX_WATERMARK clears everything and the
+            # re-armed timer simply never fires again.
             rows = None
+            hold = tail
             if len(tail):
                 buf = tail.sort_values(
                     ["__ts", "__side", "__tb"], kind="mergesort"
                 ).reset_index(drop=True)
-                rows, cur_rule, has_rule, n_since = _emit(
-                    keyvals, buf, cur_rule, has_rule, n_since
+                wm_us = state.getCurrentWatermarkMs() * 1000
+                ts_us = (
+                    buf["__ts"].to_numpy().astype("datetime64[us]")
+                    .astype("int64")
                 )
-            state.remove()
+                cleared = ts_us <= wm_us
+                em, hold = buf[cleared], buf[~cleared]
+                if len(em):
+                    rows, cur_rule, has_rule, n_since = _emit(
+                        keyvals, em.reset_index(drop=True), cur_rule,
+                        has_rule, n_since,
+                    )
+            save(hold)
             if rows is not None and len(rows):
                 yield rows[out_cols]
             return
@@ -2603,11 +2657,15 @@ def stream_token_budget_sample(
     cols = list(src.columns)
     bmap = {g: int(b) for g, b in budgets.items()}
 
-    filtered = src.where(F.col(group_col).isin(*bmap.keys()))
+    # the stable tie-break hash is computed JVM-side before the
+    # stateful op (it rides into the worker as an extra input column,
+    # absent from out_schema) — a per-row Python hashlib map in the
+    # admission hot path would serialize ingest at scale
+    filtered = src.where(F.col(group_col).isin(*bmap.keys())).withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
+    )
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
         used = int(state.get[0]) if state.exists else 0
         budget = bmap[key[0]]
         # Arrow may deliver one group as several chunks — the hash
@@ -2615,9 +2673,6 @@ def stream_token_budget_sample(
         frames = [p for p in pdfs if len(p)]
         if frames and used < budget:
             pdf = pd.concat(frames, ignore_index=True)
-            pdf["__h"] = pdf[id_col].astype(str).map(
-                lambda v: hashlib.md5(v.encode()).hexdigest()
-            )
             pdf = pdf.sort_values(["__h", id_col], kind="mergesort")
             cum = used + pdf[token_col].astype("int64").cumsum()
             keep = (cum - pdf[token_col].astype("int64")) < budget

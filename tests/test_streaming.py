@@ -1817,3 +1817,63 @@ def test_stream_token_budget_ledger_across_batches(spark, tmp_path):
             used += toks[d]
     assert sorted(de) == sorted(want_de)
     assert all(g != "fr" for g, _ in got)
+
+
+def test_coprocess_idle_key_keeps_rule_and_context(spark, tmp_path):
+    """A key idle for a whole micro-batch (while other keys advance
+    the watermark and fire its flush timer) must KEEP its installed
+    rule and held rows: the timed-out path releases only
+    watermark-cleared rows and preserves state — a state.remove()
+    there would stamp the key's later rows with a NULL rule."""
+    import datetime as dt
+
+    from flink_efo_spark.streaming import (
+        run_stream_to_table,
+        stream_keyed_coprocess,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id int, rid int, side int, ts timestamp, value double"
+    batches = [
+        # b0: key 1 installs a rule; key 2 chatters
+        [(1, 1, 0, 0, 100.0), (2, 1, 1, 5, 0.0)],
+        # b1: key 1 IDLE; key 2 advances the watermark far ahead
+        [(2, 2, 1, 600, 0.0)],
+        # b2: key 1's first data rows — must carry rule 100.0
+        [(1, 2, 1, 700, 0.0), (1, 3, 1, 710, 0.0), (2, 3, 1, 720, 0.0)],
+        # sentinel: far-future data row for both sides' watermark
+        [(-1, -1, 1, 9_000_000, 0.0), (-1, -2, 0, 9_000_000, 0.0)],
+    ]
+    src_dir = str(tmp_path / "copro_idle")
+    for i, part in enumerate(batches):
+        rows = [
+            (u, i2, s, t0 + dt.timedelta(seconds=sec), v)
+            for (u, i2, s, sec, v) in part
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream_keyed_coprocess(
+        src.where(F.col("side") == 1).select("user_id", "rid", "ts", "value"),
+        src.where(F.col("side") == 0).select("user_id", "ts", "value"),
+        ["user_id"], "ts", "ts",
+        rule_cols=["value"], data_cols=["rid"], tiebreak="rid",
+        flush_on_timeout=True,
+    )
+    got = sorted(
+        (r.user_id, r.rid, r.rule_value, r.n_since_rule)
+        for r in run_stream_to_table(out).collect()
+        if r.user_id >= 0
+    )
+    assert got == [
+        (1, 2, 100.0, 1), (1, 3, 100.0, 2),
+        (2, 1, None, 1), (2, 2, None, 2), (2, 3, None, 3),
+    ], got

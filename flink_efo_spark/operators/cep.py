@@ -472,11 +472,16 @@ def _min_completion_bound(leaves) -> int:
     return len(leaves)
 
 
-def _ast_probe(ast, leaves, start, n, leaf_flags, ts=None, within=None):
+def _ast_probe(ast, leaves, start, n, leaf_flags, ts=None, within=None,
+               future_ts=None):
     """Preference-order match at ``start`` over the buffer EXTENDED
     with hypothetical rows on which every leaf DEFINE holds, stamped
-    with the earliest possible future event time (the last buffered
-    row's). Returns (probe_result_or_None, consumed_future: bool).
+    with the earliest possible future event time — the last buffered
+    row's, floored by ``future_ts`` (the current watermark in the
+    order column's scaled domain) when given: rows at or below the
+    watermark are dropped by the stateful operator, so no future row
+    can carry an earlier time. Returns
+    (probe_result_or_None, consumed_future: bool).
 
     Because existing rows' flags are fixed, the probe answers both
     streaming-emission questions exactly (NFA.java pending-state
@@ -490,27 +495,30 @@ def _ast_probe(ast, leaves, start, n, leaf_flags, ts=None, within=None):
 
     k = _min_completion_bound(leaves) + 1
     ext = [np.append(fl, [True] * k) for fl in leaf_flags]
-    ts_ext = (
-        np.append(ts, [ts[n - 1]] * k) if ts is not None else None
-    )
+    if ts is not None:
+        stamp = ts[n - 1] if future_ts is None else max(ts[n - 1], future_ts)
+        ts_ext = np.append(ts, [stamp] * k)
+    else:
+        ts_ext = None
     res = _match_at(ast, start, n + k, ext, ts_ext, within)
     if res is None:
         return None, False
     return res, any(ix >= n for _, lst in res[1] for ix in lst)
 
 
-def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None):
+def _ast_extendable(ast, leaves, start, n, leaf_flags, ts=None, within=None,
+                    future_ts=None):
     """Could FUTURE rows extend a match anchored at ``start``? (See
     :func:`_ast_probe` — this is its consumed-future bit.)"""
     _, consumed_future = _ast_probe(
-        ast, leaves, start, n, leaf_flags, ts, within
+        ast, leaves, start, n, leaf_flags, ts, within, future_ts
     )
     return consumed_future
 
 
 def _frontier_scan(
     ast, leaves, leaf_flags, n, ts, win,
-    after_match, skip_var, var_flags, finalize,
+    after_match, skip_var, var_flags, finalize, future_ts=None,
 ):
     """One streaming pass of the overlap-capable skip modes: walk
     start positions with the batch skip semantics; classify each
@@ -523,7 +531,9 @@ def _frontier_scan(
     while i < n:
         cur = _match_at(ast, i, n, leaf_flags, ts, win)
         if not finalize:
-            probe, fut = _ast_probe(ast, leaves, i, n, leaf_flags, ts, win)
+            probe, fut = _ast_probe(
+                ast, leaves, i, n, leaf_flags, ts, win, future_ts
+            )
             if (cur is None and probe is not None) or (
                 cur is not None and fut
             ):
@@ -956,6 +966,20 @@ def match_recognize(
     )
 
 
+def _eoi_epoch_ms(x) -> int:
+    """Epoch-ms of an ``end_of_input_ts`` marker: a datetime (naive =
+    session-UTC, matching spark.sql.session.timeZone) or a number of
+    epoch seconds (the ``timestamp_seconds`` convention)."""
+    import calendar
+    import datetime
+
+    if isinstance(x, datetime.datetime):
+        if x.tzinfo is not None:
+            return int(x.timestamp() * 1000)
+        return calendar.timegm(x.timetuple()) * 1000 + x.microsecond // 1000
+    return int(float(x) * 1000)
+
+
 def stream_match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -968,6 +992,7 @@ def stream_match_recognize(
     within: float | None = None,
     flush_on_timeout: bool = False,
     after_match: str = "past_last_row",
+    end_of_input_ts=None,
 ) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE with cross-batch partial-match state
     (the reference's NFA + SharedBuffer.java:54 on
@@ -1012,16 +1037,29 @@ def stream_match_recognize(
     by construction. This turns unbounded no-match state into bounded
     state without ``max_tail`` heuristics.
 
-    flush_on_timeout: end-of-input finalization (the reference emits
-    Watermark.MAX_WATERMARK when a bounded source finishes, which
-    closes every held NFA computation; a plain Spark bounded replay
-    never does). When True, each key arms an event-time timeout just
-    above the current watermark; once the watermark passes a key's
-    last data (e.g. driven by a far-future sentinel batch —
-    ``stream_table_split(sentinel_rows=...)``), the key times out and
-    its held still-extendable match is finalized and emitted, making
-    the bounded replay equal batch ``match_recognize``. REQUIRES the
-    input to carry ``withWatermark`` (event-time timeouts need one).
+    flush_on_timeout: watermark-driven finalization of held matches
+    (the reference NFA keeps partial matches alive indefinitely —
+    SharedBuffer.java — and finalizes them only when the window
+    expires on watermark advance, or when the bounded source's
+    Watermark.MAX_WATERMARK closes every computation). When True,
+    keys holding tail state arm an event-time timeout; a timeout
+    firing MID-STREAM (the watermark moved while the key idled one
+    micro-batch) emits ONLY what that watermark finalizes — the
+    extendability probe runs with "future rows carry event time >=
+    watermark", so a held match whose ``within`` window the watermark
+    has closed emits, and everything else (including the key's
+    partial-match tail) STAYS in state; a key with rows in batches 1
+    and 3 but none in batch 2 keeps its cross-gap matches.
+    ``end_of_input_ts`` is the MAX_WATERMARK analog: once the
+    watermark reaches it (e.g. driven by a far-future sentinel batch
+    — ``stream_table_split(sentinel_rows=...)``), held matches are
+    finalized exactly like batch ``match_recognize`` and state drops.
+    Patterns without ``within`` arm their timer directly at
+    ``end_of_input_ts`` (a mid-stream watermark can never finalize
+    them, so idle keys cost zero Python invocations per batch);
+    without BOTH ``within`` and ``end_of_input_ts`` a held match is
+    never finalized (the documented reference semantics). REQUIRES
+    the input to carry ``withWatermark`` (event-time timeouts).
 
     PREV() support: DEFINEs referencing ``prev_<col>`` are deferred to
     the worker — the event-time-sorted previous row only exists in the
@@ -1109,13 +1147,28 @@ def stream_match_recognize(
 
     casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
 
-    def _match_pass(key, allr, seq, finalize):
+    def _match_pass(key, allr, seq, finalize, wm_ms=None):
         """One matcher run over (tail + batch) rows. ``finalize``
         emits even a still-extendable match that ends at the data end
-        (end-of-input semantics); otherwise it is held in the tail."""
+        (end-of-input semantics); otherwise it is held in the tail.
+        ``wm_ms`` (mid-stream timeout flush): the current watermark —
+        future rows must carry event time at or above it, so a held
+        match whose ``within`` window the watermark closed is final
+        and emits; everything still reachable stays held."""
+        import numpy as np
+
         allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
             drop=True
         )
+        fut = None
+        if (
+            wm_ms is not None
+            and within is not None
+            and len(allr)
+            and np.issubdtype(allr[order_by].to_numpy().dtype, np.datetime64)
+        ):
+            # _ts_and_window scales datetime order columns to int64 ns
+            fut = wm_ms * 1_000_000
         if deferred and len(allr):
             for c in prev_needed:
                 allr[f"prev_{c}"] = allr[c].shift(1)
@@ -1174,7 +1227,7 @@ def stream_match_recognize(
                 leaf_flags.append(fl)
             emissions, frontier = _frontier_scan(
                 ast, leaves, leaf_flags, n, ts, win,
-                after_match, skip_var, var_flags, finalize,
+                after_match, skip_var, var_flags, finalize, fut,
             )
             for _assign, var_rows in emissions:
                 emit(var_rows)
@@ -1222,7 +1275,7 @@ def stream_match_recognize(
                 # only on the flat-step fast path below, where the
                 # greedy scan never backtracks past the buffer end.
                 held = not finalize and _ast_extendable(
-                    ast, leaves, _start, n, leaf_flags, ts, win
+                    ast, leaves, _start, n, leaf_flags, ts, win, fut
                 )
                 var_rows = _attribute_assign(m, leaves, var_flags)
             else:
@@ -1231,6 +1284,10 @@ def stream_match_recognize(
                     not finalize
                     and end == n - 1
                     and _match_extendable(m, steps)
+                    # extension rows must fall inside the within
+                    # window from the match start; a watermark past
+                    # the window's end makes the match final
+                    and (fut is None or fut <= ts[_start] + win)
                 )
                 var_rows = _attribute(m, steps, var_flags)
             if held:
@@ -1240,9 +1297,11 @@ def stream_match_recognize(
         new_tail = allr.iloc[consumed_through + 1 :]
         if within is not None and len(new_tail):
             # NFA window cleanup: rows that can no longer share a
-            # within-window with any future (>= max seen ts) row
+            # within-window with any future row (future rows carry
+            # ts >= max(max seen ts, watermark))
+            ref = ts[n - 1] if fut is None else max(ts[n - 1], fut)
             tail_ts = ts[consumed_through + 1 :]
-            new_tail = new_tail[tail_ts >= ts[n - 1] - win]
+            new_tail = new_tail[tail_ts >= ref - win]
         if deferred and consumed_through >= 0:
             # carry the last consumed row as the PREV context for the
             # next batch's first tail row
@@ -1252,6 +1311,34 @@ def stream_match_recognize(
         if len(new_tail) > max_tail:
             new_tail = new_tail.iloc[-max_tail:]
         return rows, seq, new_tail
+
+    eoi_ms = (
+        None if end_of_input_ts is None else _eoi_epoch_ms(end_of_input_ts)
+    )
+
+    def _save_tail(state, seq, new_tail) -> None:
+        """Persist the tail and arm the flush timer ONLY when rows are
+        actually held — an idle key without state costs zero Python
+        invocations per micro-batch. ``within`` patterns re-arm at
+        watermark+1 (windows close as the watermark moves); patterns
+        without a window arm directly at ``end_of_input_ts`` (nothing
+        mid-stream can ever finalize them)."""
+        state.update(
+            (
+                int(seq),
+                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
+            )
+        )
+        if not flush_on_timeout or not len(new_tail):
+            return
+        wm = state.getCurrentWatermarkMs()
+        if within is not None:
+            state.setTimeoutTimestamp(wm + 1)
+        elif eoi_ms is not None:
+            state.setTimeoutTimestamp(max(wm + 1, eoi_ms))
+        # else: no window and no end-of-input marker — held matches
+        # stay in state forever (the reference NFA keeps partial
+        # matches alive until within expiry or MAX_WATERMARK)
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         if state.exists:
@@ -1265,13 +1352,30 @@ def stream_match_recognize(
             tail = pd.DataFrame({c: [] for c in data_cols})
 
         if flush_on_timeout and state.hasTimedOut:
-            # MAX_WATERMARK finalization: no more rows can arrive for
-            # this key below the watermark — emit the held match and
-            # drop the state
+            wm_ms = state.getCurrentWatermarkMs()
+            if eoi_ms is not None and wm_ms >= eoi_ms:
+                # MAX_WATERMARK finalization: no more rows can ever
+                # arrive — emit held matches and drop the state
+                rows = []
+                if len(tail):
+                    rows, _, _ = _match_pass(key, tail, seq, finalize=True)
+                state.remove()
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+                return
+            # mid-stream idle-batch timeout: the watermark moved while
+            # this key had no rows. Emit ONLY what the watermark
+            # finalizes (probe with "future rows carry ts >= wm") and
+            # PRESERVE the rest of the tail — a key with rows in
+            # batches 1 and 3 but none in 2 must keep its cross-gap
+            # partial matches (the b039442 fix, ported)
             rows = []
+            new_tail = tail
             if len(tail):
-                rows, _, _ = _match_pass(key, tail, seq, finalize=True)
-            state.remove()
+                rows, seq, new_tail = _match_pass(
+                    key, tail, seq, finalize=False, wm_ms=wm_ms
+                )
+            _save_tail(state, seq, new_tail)
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
             return
@@ -1279,21 +1383,10 @@ def stream_match_recognize(
         frames = [p[data_cols] for p in pdfs if len(p)]
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
-            if flush_on_timeout:
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
             return
         allr = pd.concat([tail] + frames, ignore_index=True)
         rows, seq, new_tail = _match_pass(key, allr, seq, finalize=False)
-        state.update(
-            (
-                int(seq),
-                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
-            )
-        )
-        if flush_on_timeout:
-            # fire as soon as the watermark moves past this batch —
-            # re-armed on every batch that brings the key data
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        _save_tail(state, seq, new_tail)
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 

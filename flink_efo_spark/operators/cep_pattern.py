@@ -732,15 +732,18 @@ def _prefilter_expr(stages, specs, flag_cols, until_cols):
     return out
 
 
-def _probe_arrays(n, ts, flags, untils, stages):
+def _probe_arrays(n, ts, flags, untils, stages, future_ts=None):
     """Buffer extended with hypothetical all-matching future rows
     (flags True, untils False, event time = the last real row's — the
-    earliest any future row can carry). If enumeration over the
-    extension produces a different match set for a start than the real
-    buffer does, future rows can still change that start's output:
-    open branches complete through the probe rows, greedy loops
-    extend into them, and a notNext holding beyond the buffer end gets
-    killed by them — each difference is exactly a reason to hold."""
+    earliest any future row can carry, floored by ``future_ts`` when
+    given: the stateful operator drops rows below the watermark, so no
+    future row can carry an earlier event time). If enumeration over
+    the extension produces a different match set for a start than the
+    real buffer does, future rows can still change that start's
+    output: open branches complete through the probe rows, greedy
+    loops extend into them, and a notNext holding beyond the buffer
+    end gets killed by them — each difference is exactly a reason to
+    hold."""
     import numpy as np
 
     k = _min_rows(stages) + 1
@@ -748,7 +751,11 @@ def _probe_arrays(n, ts, flags, untils, stages):
     untils_ext = [
         np.append(u, [False] * k) if u is not None else None for u in untils
     ]
-    ts_ext = np.append(ts, [ts[n - 1]] * k) if n else ts
+    if n:
+        stamp = ts[n - 1] if future_ts is None else max(ts[n - 1], future_ts)
+        ts_ext = np.append(ts, [stamp] * k)
+    else:
+        ts_ext = ts
     return n + k, ts_ext, flags_ext, untils_ext
 
 
@@ -958,6 +965,7 @@ def stream_cep_pattern_select(
     emit_timeouts: bool = False,
     flush_on_timeout: bool = False,
     max_tail: int = 10_000,
+    end_of_input_ts=None,
 ) -> DataFrame:
     """STREAMING Pattern API — the CEP library's native habitat
     (operator/CepOperator.java keeps per-key NFA state and fires
@@ -978,10 +986,20 @@ def stream_cep_pattern_select(
     at/after themselves, so earlier rows are droppable). With
     ``within``, held anchors expire as newer batches arrive — their
     partials emit timed-out and the tail drains; ``max_tail`` is the
-    state-TTL backstop. ``flush_on_timeout`` is the MAX_WATERMARK
-    finalization (arm an event-time timer just past the watermark;
-    drive it with a far-future sentinel batch) — after the flush the
-    bounded replay equals :func:`cep_pattern_select` row-for-row.
+    state-TTL backstop. ``flush_on_timeout`` arms an event-time timer
+    for keys HOLDING state; a timeout firing mid-stream (watermark
+    moved while the key idled a micro-batch) re-runs the frontier with
+    "future rows carry event time >= watermark" — anchors whose
+    ``within`` window that watermark closed resolve (matches and
+    timed-out partials emit), everything else STAYS in state, so a key
+    with rows in batches 1 and 3 but none in 2 keeps its cross-gap
+    matches. ``end_of_input_ts`` is the MAX_WATERMARK finalization
+    (drive it with a far-future sentinel batch): once the watermark
+    reaches it, held anchors finalize and the bounded replay equals
+    :func:`cep_pattern_select` row-for-row. Windowless patterns arm
+    their timer directly at ``end_of_input_ts`` (mid-stream watermarks
+    can never resolve them — idle held keys cost zero Python
+    invocations per batch).
 
     after_match: ``no_skip`` and ``skip_to_next`` (both anchor-local).
     The cross-anchor strategies (skip_past_last_event / to_first /
@@ -1094,7 +1112,9 @@ def stream_cep_pattern_select(
             row["timed_out"] = timed_out
         return row
 
-    def _pass(key, allr, seq, finalize):
+    def _pass(key, allr, seq, finalize, wm_ms=None):
+        import numpy as np
+
         from flink_efo_spark.operators.cep import _ts_and_window
 
         allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
@@ -1107,6 +1127,15 @@ def stream_cep_pattern_select(
             if win is not None
             else (allr[order_by].to_numpy(), None)
         )
+        fut = None
+        if (
+            wm_ms is not None
+            and win is not None
+            and n
+            and np.issubdtype(allr[order_by].to_numpy().dtype, np.datetime64)
+        ):
+            # _ts_and_window scales datetime order columns to int64 ns
+            fut = wm_ms * 1_000_000
         flags = [
             allr[fc].fillna(False).astype(bool).to_numpy() for fc in flag_cols
         ]
@@ -1124,7 +1153,7 @@ def stream_cep_pattern_select(
                            emit_timeouts, matches, touts, dyns)
         else:
             pn, pts, pflags, puntils = (
-                _probe_arrays(n, ts, flags, untils, stage_list) if n else
+                _probe_arrays(n, ts, flags, untils, stage_list, fut) if n else
                 (0, ts, flags, untils)
             )
             for s0 in range(n):
@@ -1170,6 +1199,34 @@ def stream_cep_pattern_select(
             new_tail = new_tail.iloc[-max_tail:]
         return rows, seq, new_tail
 
+    from flink_efo_spark.operators.cep import _eoi_epoch_ms
+
+    eoi_ms = (
+        None if end_of_input_ts is None else _eoi_epoch_ms(end_of_input_ts)
+    )
+
+    def _save_tail(state, seq, new_tail) -> None:
+        """Persist the tail; arm the flush timer ONLY when rows are
+        actually held (idle keys without state cost zero Python
+        invocations per batch). ``within`` patterns re-arm at
+        watermark+1; windowless ones arm directly at the end-of-input
+        marker."""
+        state.update(
+            (
+                int(seq),
+                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
+            )
+        )
+        if not flush_on_timeout or not len(new_tail):
+            return
+        wm = state.getCurrentWatermarkMs()
+        if win is not None:
+            state.setTimeoutTimestamp(wm + 1)
+        elif eoi_ms is not None:
+            state.setTimeoutTimestamp(max(wm + 1, eoi_ms))
+        # else: no window and no end-of-input marker — held anchors
+        # stay in state forever (reference NFA semantics)
+
     def fn(key, pdfs, state):
         if state.exists:
             st = state.get
@@ -1182,10 +1239,27 @@ def stream_cep_pattern_select(
             tail = pd.DataFrame({c: [] for c in data_cols})
 
         if flush_on_timeout and state.hasTimedOut:
+            wm_ms = state.getCurrentWatermarkMs()
+            if eoi_ms is not None and wm_ms >= eoi_ms:
+                # MAX_WATERMARK finalization — emit and drop state
+                rows = []
+                if len(tail):
+                    rows, _, _ = _pass(key, tail, seq, finalize=True)
+                state.remove()
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+                return
+            # mid-stream idle-batch timeout: resolve only the anchors
+            # this watermark finalizes and PRESERVE the rest — a key
+            # with rows in batches 1 and 3 but none in 2 must keep its
+            # cross-gap partial matches (the b039442 fix, ported)
             rows = []
+            new_tail = tail
             if len(tail):
-                rows, _, _ = _pass(key, tail, seq, finalize=True)
-            state.remove()
+                rows, seq, new_tail = _pass(
+                    key, tail, seq, finalize=False, wm_ms=wm_ms
+                )
+            _save_tail(state, seq, new_tail)
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
             return
@@ -1193,19 +1267,10 @@ def stream_cep_pattern_select(
         frames = [p[data_cols] for p in pdfs if len(p)]
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
-            if flush_on_timeout:
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
             return
         allr = pd.concat([tail] + frames, ignore_index=True)
         rows, seq, new_tail = _pass(key, allr, seq, finalize=False)
-        state.update(
-            (
-                int(seq),
-                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
-            )
-        )
-        if flush_on_timeout:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        _save_tail(state, seq, new_tail)
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 

@@ -4358,6 +4358,10 @@ def q_stream_prev_vpattern(t: _T) -> DataFrame:
         },
         tiebreak="event_id",
         flush_on_timeout=True,
+        # MAX_WATERMARK analog: the sentinel batch (max_ts+30min, 10min
+        # delay => final watermark max_ts+20min) is the only thing past
+        # this marker; mid-stream watermarks stay below max_ts
+        end_of_input_ts=max_ts + datetime.timedelta(minutes=1),
     )
     return run_stream_to_table(out).select(
         "user_id", "match_seq", "n_down", "n_up"
@@ -4419,6 +4423,10 @@ def q_stream_match_flush(t: _T) -> DataFrame:
         },
         tiebreak="event_id",
         flush_on_timeout=True,
+        # no within() on this pattern, so held greedy matches finalize
+        # ONLY at the MAX_WATERMARK marker (timer arms directly at it —
+        # idle keys cost nothing per batch)
+        end_of_input_ts=max_ts + datetime.timedelta(minutes=1),
     )
     return (
         run_stream_to_table(out)
@@ -7738,6 +7746,10 @@ def q_stream_cep_pattern(t: _T) -> DataFrame:
         tiebreak="event_id",
         emit_timeouts=True,
         flush_on_timeout=True,
+        # MAX_WATERMARK analog (sentinel at max_ts+2h, 10min delay);
+        # mid-stream idle timeouts resolve only watermark-closed
+        # 15-minute windows and preserve every open anchor
+        end_of_input_ts=max_ts + datetime.timedelta(minutes=1),
     )
     return (
         run_stream_to_table(out)

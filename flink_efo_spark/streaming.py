@@ -1416,7 +1416,15 @@ def stream_over_bounded(
                 *([casters[c](x) for x in tail[c]] for c in data_cols),
             )
         )
-        if flush_on_timeout:
+        # arm the flush timer ONLY while rows are actually pending:
+        # an unconditional re-arm would deserialize, sort and re-save
+        # EVERY key ever seen on EVERY micro-batch (O(total keys), a
+        # scale-killer at millions of keys) — retention-context rows
+        # need no timer, they are read when the key's next data
+        # arrives. A previously armed timer may still fire once with
+        # n_pending == 0; that pass saves without re-arming, so the
+        # key then goes permanently quiet.
+        if flush_on_timeout and n_pending:
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
@@ -2497,7 +2505,13 @@ def stream_keyed_coprocess(
                 *[rule_casters[c](cur_rule[c]) for c in rule_cols],
                 bool(has_rule), int(n_since), 0,
             ))
-            if flush_on_timeout:
+            # arm the flush timer ONLY while rows are actually held:
+            # an unconditional re-arm costs one Python invocation per
+            # key EVER seen per micro-batch (O(total keys) at scale).
+            # Installed rules stay in state without a timer and are
+            # read when the key's next data arrives; a stale timer
+            # fires at most once more (empty hold -> no re-arm).
+            if flush_on_timeout and len(new_tail):
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
         if flush_on_timeout and state.hasTimedOut:

@@ -360,6 +360,9 @@ def test_flush_on_timeout_finalizes_held_match(spark, tmp_path):
             },
             tiebreak="eid",
             flush_on_timeout=flush,
+            # MAX_WATERMARK marker: below the sentinel (ts=10000),
+            # above all real data (ts<=3)
+            end_of_input_ts=100.0,
         )
         return {
             (r.k, r.start_id, r.n_b)
@@ -368,6 +371,72 @@ def test_flush_on_timeout_finalizes_held_match(spark, tmp_path):
 
     assert run(False) == set()  # held forever — the documented gap
     assert run(True) == {("u1", 1, 2)}  # finalized at MAX_WATERMARK
+
+
+def test_stream_match_idle_key_keeps_partial_tail(spark, tmp_path):
+    """A key idle for a whole micro-batch (other keys advance the
+    watermark and fire its flush timer) must KEEP its partial-match
+    tail: the timed-out path finalizes only matches whose within
+    window the watermark closed and preserves the rest — a
+    state.remove() there would lose matches spanning the gap (key
+    with rows in batches 1 and 3, none in batch 2)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k string, eid long, et string, ts timestamp"
+    batches = [
+        # b0: u1 starts a match (A alone); u3 holds a greedy A B(1)
+        [("u1", 1, "click", 100), ("u3", 10, "click", 100),
+         ("u3", 11, "purchase", 105), ("u2", 90, "x", 105)],
+        # b1: u1/u3 IDLE; u2 advances the watermark -> timers fire
+        [("u2", 91, "x", 115)],
+        # b2: the gap-spanning rows — u1 completes, u3 extends to B(2)
+        [("u1", 2, "purchase", 110), ("u3", 12, "purchase", 110)],
+        # b3: far-future sentinel pushes the watermark past EOI
+        [("zz", -1, "x", 10_000)],
+    ]
+    src_dir = str(tmp_path / "cep_idle")
+    for i, part in enumerate(batches):
+        rows = [
+            (k, e, et, t0 + dt.timedelta(seconds=sec))
+            for (k, e, et, sec) in part
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = stream_match_recognize(
+        src, ["k"], "ts",
+        pattern="A B+",
+        defines={"A": "et = 'click'", "B": "et = 'purchase'"},
+        measures={
+            "start_id": ("A", "first", "eid"),
+            "n_b": ("B", "count", "eid"),
+        },
+        tiebreak="eid",
+        within=60,
+        flush_on_timeout=True,
+        end_of_input_ts=t0 + dt.timedelta(seconds=1000),
+    )
+    got = sorted(
+        (r.k, r.start_id, r.n_b)
+        for r in run_stream_to_table(out).collect()
+        if not r.k.startswith(("u2", "zz"))
+    )
+    # the old remove-on-timeout path loses u1 entirely and truncates
+    # u3 to n_b=1 (its held match was finalized at the idle batch)
+    assert got == [("u1", 1, 1), ("u3", 10, 2)], got
 
 
 def test_after_match_skip_to_next_row(spark):
@@ -566,6 +635,7 @@ def test_stream_prev_define_with_context_row(spark, tmp_path):
         defines=defines,
         measures=measures,
         flush_on_timeout=True,
+        end_of_input_ts=100.0,  # below the ts=1000 sentinel, above data
     )
     got = sorted(
         (r.k, r.n_d, r.n_u, r.last_u)

@@ -303,6 +303,70 @@ def _stream_batch_parity(spark, tmp_path, rows, pat, measures, cuts, tag,
         assert got == want, f"{tag} split {cut}: {got} != {want}"
 
 
+def test_stream_pattern_idle_key_keeps_partial_tail(spark, tmp_path):
+    """A key idle for a whole micro-batch (other keys advance the
+    watermark and fire its flush timer) must KEEP its partial-match
+    anchors: the timed-out path resolves only anchors whose within
+    window the watermark closed — a state.remove() there would lose
+    a match spanning the gap (rows in batches 1 and 3, none in 2)."""
+    import datetime as dt
+
+    from flink_efo_spark.operators.cep_pattern import (
+        CepPattern,
+        stream_cep_pattern_select,
+    )
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id int, event_id int, event_type string, ts timestamp"
+    batches = [
+        # b0: key 1 anchors a view; key 2 chatters
+        [(1, 1, V, 100), (2, 90, E, 105)],
+        # b1: key 1 IDLE; key 2 advances the watermark -> timer fires
+        [(2, 91, E, 115)],
+        # b2: the gap-spanning purchase completes key 1's match
+        [(1, 2, P, 110)],
+        # b3: far-future sentinel pushes the watermark past EOI
+        [(-1, -9, E, 10_000)],
+    ]
+    src_dir = str(tmp_path / "cep_pat_idle")
+    for i, part in enumerate(batches):
+        rows = [
+            (u, e, et, t0 + dt.timedelta(seconds=s))
+            for (u, e, et, s) in part
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 seconds")
+    )
+    pat = (CepPattern.begin("a").where(f"event_type = '{V}'")
+           .followed_by("b").where(f"event_type = '{P}'")
+           .within(60))
+    out = stream_cep_pattern_select(
+        src, pat, ["user_id"], "ts",
+        {"view_id": ("a", "first", "event_id"),
+         "purchase_id": ("b", "first", "event_id")},
+        tiebreak="event_id",
+        flush_on_timeout=True,
+        end_of_input_ts=t0 + dt.timedelta(seconds=1000),
+    )
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in run_stream_to_table(out).collect()
+        if r.user_id == 1
+    )
+    # the old remove-on-timeout path dropped key 1's anchored view at
+    # the idle batch, so the cross-gap match never emitted
+    assert got == [(1, 1, 2)], got
+
+
 def test_stream_pattern_notfollowed_cross_batch(spark, tmp_path):
     rows = [
         (1, 1, V, 0), (1, 2, E, 100), (1, 3, C, 200),       # match

@@ -1877,3 +1877,72 @@ def test_coprocess_idle_key_keeps_rule_and_context(spark, tmp_path):
         (1, 2, 100.0, 1), (1, 3, 100.0, 2),
         (2, 1, None, 1), (2, 2, None, 2), (2, 3, None, 3),
     ], got
+
+
+def test_flush_timer_not_rearmed_for_drained_key(spark, tmp_path):
+    """A key whose pending rows have all been released must NOT keep a
+    flush timer armed: an unconditional re-arm would re-invoke (and
+    re-save) every key ever seen on every watermark-advancing batch —
+    O(total keys) per micro-batch at scale. Pinned via the per-batch
+    ``numRowsUpdated`` state metric: once key A drains, a batch where
+    only key B has data updates exactly ONE state row (B), not two."""
+    import datetime as dt
+    import json
+    import tempfile
+
+    from flink_efo_spark.streaming import stream_over_bounded
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k string, seq int, ts timestamp, v double"
+    batches = [
+        # b0: key A — seq 2 (max ts) is held pending, timer armed
+        [("A", 1, 100, 1.0), ("A", 2, 110, 2.0)],
+        # b1: watermark -> 110; A's timer fires, releases seq 2,
+        # drains to n_pending=0 and must NOT re-arm
+        [("B", 3, 200, 3.0)],
+        # b2: only B has data — the old unconditional re-arm would
+        # re-invoke A here (2 state updates instead of 1)
+        [("B", 4, 300, 4.0)],
+        # b3: far-future sentinel releases B's pending row
+        [("zz", 9, 10_000, 0.0)],
+    ]
+    src_dir = str(tmp_path / "ovb_rearm")
+    for i, part in enumerate(batches):
+        rows = [
+            (k, s, t0 + dt.timedelta(seconds=sec), v)
+            for (k, s, sec, v) in part
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream_over_bounded(
+        src, ["k"], "ts", "v",
+        rows_preceding=1, tiebreak="seq", flush_on_timeout=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ovb_rearm_t")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="efo-rearm-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    per_batch = [
+        (p["numInputRows"], p["stateOperators"][0]["numRowsUpdated"])
+        for p in prog
+    ]
+    # batch 2 (index 2): B's single data row is the only state update —
+    # drained key A is not re-entered by a watermark-only timeout
+    assert per_batch[2] == (1, 1), per_batch

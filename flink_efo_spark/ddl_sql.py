@@ -431,11 +431,12 @@ _LIKE_OPT_RE = re.compile(
 )
 
 
-def _find_top_level_like(sql: str) -> int:
-    """Index of the LIKE keyword at paren-depth 0 (outside quotes), or
-    -1. A LIKE inside the column block or an option string never
-    matches — only the table-level clause does."""
-    depth, i, n = 0, 0, len(sql)
+def _find_top_level_kw(sql: str, word: str) -> int:
+    """Index of ``word`` as a keyword at paren-depth 0 (outside
+    quotes), or -1. A hit inside the column block or an option string
+    never matches — only table-level clauses do."""
+    depth, i, n, w = 0, 0, len(sql), len(word)
+    up = word.upper()
     while i < n:
         c = sql[i]
         if c in ("'", '"', "`"):
@@ -447,13 +448,29 @@ def _find_top_level_like(sql: str) -> int:
             depth -= 1
         elif (
             depth == 0
-            and sql[i : i + 4].upper() == "LIKE"
+            and sql[i : i + w].upper() == up
             and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
-            and (i + 4 >= n or not (sql[i + 4].isalnum() or sql[i + 4] == "_"))
+            and (i + w >= n or not (sql[i + w].isalnum() or sql[i + w] == "_"))
         ):
             return i
         i += 1
     return -1
+
+
+def _find_top_level_like(sql: str) -> int:
+    """Index of the table-level LIKE clause, or -1. A top-level AS
+    BEFORE the LIKE means the statement is CTAS (``CREATE TABLE t AS
+    SELECT ... WHERE a LIKE b``) — the LIKE there is a row predicate
+    whose identifier operand would otherwise parse as a source-table
+    name (SqlTableLike has no AS form, so this cannot reject real
+    LIKE-DDL)."""
+    pos = _find_top_level_kw(sql, "LIKE")
+    if pos < 0:
+        return -1
+    as_pos = _find_top_level_kw(sql, "AS")
+    if 0 <= as_pos < pos:
+        return -1
+    return pos
 
 
 def create_table_like_source(sql: str) -> str | None:

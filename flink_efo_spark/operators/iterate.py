@@ -227,8 +227,13 @@ def sssp_distances(
     solution is re-built per round (min-merge) and checkpointed
     (``checkpoint_solution`` — the lineage grows in depth here).
     Scale shape: adjacency hash-partitioned on src and persisted
-    once; a round shuffles only the (shrinking) improvement frontier
-    plus one groupBy(node) min."""
+    once; a round shuffles only the improvement frontier plus one
+    groupBy(node) min. Unlike BFS (where each node enters the
+    frontier at most once, so the frontier shrinks monotonically),
+    Bellman-Ford's improvement frontier can approach O(V) in middle
+    rounds and nodes re-enter it — so the frontier join carries NO
+    broadcast hint: AQE sizes each round's localCheckpointed frontier
+    at runtime and picks broadcast only when it actually fits."""
     adj = (
         edges.select(
             F.col(src_col).alias("__src"),
@@ -247,7 +252,12 @@ def sssp_distances(
 
     def step(sol: DataFrame, ws: DataFrame):
         cand = (
-            adj.join(F.broadcast(ws), F.col("__src") == F.col("node"))
+            # no F.broadcast (unlike BFS): the mid-round Bellman-Ford
+            # frontier is not small-bounded — it can cover much of the
+            # graph and nodes re-enter it; the hint would bypass AQE's
+            # size check and OOM the driver at scale. AQE re-plans
+            # from the frontier's true (checkpointed) size each round.
+            adj.join(ws, F.col("__src") == F.col("node"))
             .select(
                 F.col("__dst").alias("node"),
                 (F.col("dist") + F.col("__w")).alias("dist"),
@@ -352,20 +362,32 @@ def label_propagation(
 ) -> DataFrame:
     """Community detection by label propagation — the Gelly library
     algorithm (flink-libraries/flink-gelly/.../library/
-    LabelPropagation.java): labels start as the vertex id; each round
-    every vertex adopts the label MOST FREQUENT among the labels sent
-    along its in-edges, ties to the HIGHEST label (Gelly's documented
-    tie-break), vertices with no in-edges keep their label. Runs a
-    fixed ``n_iter`` rounds (Gelly's maxIterations bulk iteration).
-    Fully deterministic, so a DuckDB oracle replays the rounds
-    unrolled. Returns (id, label).
+    LabelPropagation.java), replayed exactly:
+
+    * labels start as the vertex id;
+    * UpdateVertexLabel seeds the frequency contest with the vertex's
+      OWN current label at frequency 1 — a lone in-neighbor label
+      (count 1) displaces it only if strictly GREATER, while any
+      label with count >= 2 always wins; frequency ties go to the
+      highest label. All of that collapses to one arg-max over
+      (count, label) on the in-neighbor counts UNIONed with a
+      per-vertex (own label, 1) incumbent row;
+    * scatter-gather activation: ``updateVertex`` runs (and always
+      calls ``setNewVertexValue``) only for vertices that RECEIVED a
+      message, so round k+1's senders are exactly the vertices with
+      >= 1 in-message in round k (round 1: everyone). A vertex with
+      no in-edges sends its label once and then goes quiet.
+
+    Runs a fixed ``n_iter`` rounds (Gelly's maxIterations). Fully
+    deterministic, so a DuckDB oracle replays the rounds unrolled.
+    Returns (id, label).
 
     Scale shape (the pagerank discipline): the edge relation is
     hash-partitioned on src and persisted ONCE; a round is one
     co-partitioned labels⋈edges join plus one groupBy(dst, label)
-    count and one max_by per dst — O(E) shuffled longs per round,
-    payload-free; labels localCheckpoint per round (lineage
-    truncation)."""
+    count and one arg-max per dst over counts + O(V) incumbent rows —
+    O(E + V) shuffled longs per round, payload-free; labels
+    localCheckpoint per round (lineage truncation)."""
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -377,30 +399,40 @@ def label_propagation(
         .repartition(F.col("__sid"))
         .persist()
     )
-    labels = nodes.select("id", F.col("id").cast("long").alias("label"))
+    labels = nodes.select(
+        "id", F.col("id").cast("long").alias("label")
+    ).withColumn("__act", F.lit(True))
     for _ in range(n_iter):
+        senders = labels.where(F.col("__act")).select(
+            F.col("id").alias("__sid"), "label"
+        )
         counts = (
-            adj.join(
-                labels.select(F.col("id").alias("__sid"), "label"), "__sid"
-            )
+            adj.join(senders, "__sid")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__m", F.lit(True))
         )
-        # winner = arg-max over (count, label): most frequent, ties to
-        # the highest label — one partial-aggregating max per vertex
-        winners = counts.groupBy("id").agg(
-            F.max(F.struct(F.col("c"), F.col("label")))["label"].alias(
-                "__new"
-            )
+        # the incumbent row: the vertex's own label at frequency 1
+        # (UpdateVertexLabel's mostFrequentLabel/maxFrequency seed).
+        # Vertices receiving no messages keep their label through it
+        # and deactivate (max(__m) = false)
+        incumbent = labels.select(
+            "id",
+            "label",
+            F.lit(1).cast("long").alias("c"),
+            F.lit(False).alias("__m"),
         )
         labels = (
-            labels.join(winners, "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            counts.unionByName(incumbent)
+            .groupBy("id")
+            .agg(
+                F.max(F.struct(F.col("c"), F.col("label")))["label"].alias(
+                    "label"
+                ),
+                F.max(F.col("__m")).alias("__act"),
             )
             .localCheckpoint(eager=True)
         )
     nodes.unpersist()
     adj.unpersist()
-    return labels
+    return labels.select("id", "label")

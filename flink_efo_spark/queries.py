@@ -7291,20 +7291,20 @@ def q_pagerank_topn(t: _T) -> DataFrame:
     l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM nodes),
     m1 AS (SELECT e.dst AS id, p.label, count(*) AS cnt
            FROM edges e JOIN l0 p ON p.id = e.src GROUP BY e.dst, p.label),
-    w1 AS (SELECT id, label FROM (
+    u1 AS (SELECT id, label, cnt FROM m1
+           UNION ALL SELECT id, label, 1 AS cnt FROM l0),
+    l1 AS (SELECT id, label FROM (
              SELECT id, label, row_number() OVER (
                PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
-             FROM m1) WHERE rn = 1),
-    l1 AS (SELECT n.id, coalesce(w.label, n.label) AS label
-           FROM l0 n LEFT JOIN w1 w ON w.id = n.id),
+             FROM u1) WHERE rn = 1),
     m2 AS (SELECT e.dst AS id, p.label, count(*) AS cnt
            FROM edges e JOIN l1 p ON p.id = e.src GROUP BY e.dst, p.label),
-    w2 AS (SELECT id, label FROM (
+    u2 AS (SELECT id, label, cnt FROM m2
+           UNION ALL SELECT id, label, 1 AS cnt FROM l1),
+    l2 AS (SELECT id, label FROM (
              SELECT id, label, row_number() OVER (
                PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
-             FROM m2) WHERE rn = 1),
-    l2 AS (SELECT n.id, coalesce(w.label, n.label) AS label
-           FROM l1 n LEFT JOIN w2 w ON w.id = n.id)
+             FROM u2) WHERE rn = 1)
     SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
     FROM l2 GROUP BY label
     ORDER BY n_members DESC, community LIMIT 20
@@ -7314,10 +7314,15 @@ def q_label_propagation(t: _T) -> DataFrame:
     """Gelly label propagation (flink-gelly library/
     LabelPropagation.java via operators/iterate.py label_propagation)
     over the bidirectional co-purchase graph: 2 synchronous rounds,
-    labels seeded with the vertex id, most-frequent-neighbor-label
-    adoption with ties to the highest label — fully deterministic, so
-    the DuckDB oracle replays both rounds unrolled. Top-20 communities
-    by size."""
+    labels seeded with the vertex id, each vertex arg-maxing
+    (count, label) over its in-neighbor labels UNIONed with its own
+    label at frequency 1 (UpdateVertexLabel's incumbent seed — a lone
+    smaller neighbor label cannot displace the vertex's own). The
+    oracle replays both rounds unrolled with the same incumbent union.
+    Gelly's scatter activation (only message-receivers send next
+    round) is vacuous here: the bidirectional edge set gives every
+    vertex in-degree >= 1, so all vertices stay active. Top-20
+    communities by size."""
     from flink_efo_spark.operators.iterate import label_propagation
 
     labels = label_propagation(_co_purchase_edges(t), "src", "dst", n_iter=2)

@@ -129,28 +129,44 @@ def test_pagerank_repartition_invariant(spark):
 
 
 def test_label_propagation_matches_python_reference(spark):
-    """Gelly LabelPropagation semantics on a fixed digraph: per round
-    every vertex adopts the most frequent in-neighbor label, ties to
-    the HIGHEST label; no in-edges => keep the current label."""
+    """Gelly LabelPropagation semantics on a fixed digraph, replayed
+    by a driver-side reference: per round a vertex arg-maxes
+    (count, label) over its in-neighbor labels UNIONed with its OWN
+    label at frequency 1 (UpdateVertexLabel's incumbent — a lone
+    SMALLER in-neighbor label cannot displace it: node 7 below), and
+    only vertices that received a message send next round (node 8
+    has no in-edges — its label reaches node 4 in round 1 only)."""
     from flink_efo_spark.operators.iterate import label_propagation
 
-    raw = [(1, 2), (3, 2), (3, 4), (2, 4), (4, 1), (5, 1), (6, 6)]
+    raw = [(1, 2), (3, 2), (3, 4), (2, 4), (4, 1), (5, 1), (6, 6),
+           (1, 7), (8, 4)]
     df = spark.createDataFrame(raw, "src long, dst long")
     got = {r.id: r.label for r in label_propagation(df, n_iter=3).collect()}
 
     nodes = {n for e in raw for n in e}
     lab = {n: n for n in nodes}
+    active = set(nodes)
     for _ in range(3):
         freq: dict = {}
         for s, d in raw:
-            freq.setdefault(d, {}).setdefault(lab[s], 0)
-            freq[d][lab[s]] += 1
+            if s in active:
+                freq.setdefault(d, {}).setdefault(lab[s], 0)
+                freq[d][lab[s]] += 1
         nxt = dict(lab)
         for d, fl in freq.items():
-            # most frequent, ties to the highest label
+            # incumbent: the vertex's own label seeds the contest at
+            # frequency 1; winner = most frequent, ties to highest
+            fl = dict(fl)
+            fl[lab[d]] = max(fl.get(lab[d], 0), 1)
             nxt[d] = max(fl.items(), key=lambda kv: (kv[1], kv[0]))[0]
         lab = nxt
+        active = set(freq)  # only message-receivers scatter next round
     assert got == lab
+    # the incumbent case concretely (round 1, before greater labels
+    # cascade): 7's lone in-neighbor label (1) is smaller, so 7 keeps
+    # its own label — the old arg-max-over-messages variant adopted 1
+    got1 = {r.id: r.label for r in label_propagation(df, n_iter=1).collect()}
+    assert got1[7] == 7
 
 
 def test_label_propagation_repartition_invariant(spark):

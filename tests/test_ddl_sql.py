@@ -249,6 +249,27 @@ def test_create_view_and_alter_table(spark, tmp_path):
         env.sql("DROP VIEW __vddl_v")
 
 
+def test_create_table_like_ignores_ctas_predicate():
+    """A CTAS whose SELECT carries a WHERE ... LIKE at paren depth 0
+    must not parse as LIKE-DDL: the LIKE operand there is a column (or
+    pattern literal), not a source table — the old check matched the
+    identifier and either mis-executed or raised on the WITH clause."""
+    from flink_efo_spark.ddl_sql import create_table_like_source
+
+    assert create_table_like_source(
+        "CREATE TABLE t AS SELECT * FROM src WHERE a LIKE b"
+    ) is None
+    assert create_table_like_source(
+        "CREATE TABLE t AS SELECT * FROM src WHERE a LIKE 'x%'"
+    ) is None
+    # real LIKE-DDL still parses (incl. a column block whose computed
+    # column uses AS inside the parens)
+    assert create_table_like_source("CREATE TABLE t LIKE s") == "s"
+    assert create_table_like_source(
+        "CREATE TABLE t (v2 AS v + 1) LIKE s (INCLUDING ALL)"
+    ) == "s"
+
+
 def test_create_table_like_sql(spark, tmp_path):
     """SqlTableLike.java surface: defaults (INCLUDING ALL OVERWRITING
     OPTIONS), EXCLUDING toggles, INCLUDING-conflict errors."""

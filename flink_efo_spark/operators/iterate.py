@@ -436,3 +436,117 @@ def label_propagation(
     nodes.unpersist()
     adj.unpersist()
     return labels.select("id", "label")
+
+
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical (u < v) deduped edge set of an undirected simple
+    graph — self-loops dropped (the Gelly similarity algorithms
+    require a simple undirected input). localCheckpoint: the set feeds
+    multiple consumers in the lazy result plan (triangle_enumerate's
+    discipline)."""
+    u, v = F.col("__u"), F.col("__v")
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("__u"),
+            F.greatest(F.col(src), F.col(dst)).alias("__v"),
+        )
+        .where(u < v)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def jaccard_index(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Jaccard similarity of vertex NEIGHBORHOODS — the Gelly library
+    algorithm (flink-gelly/.../library/similarity/JaccardIndex.java):
+    for every vertex pair with at least one shared neighbor, emit
+    ``shared`` = |N(a) ∩ N(b)| and ``distinct`` = |N(a) ∪ N(b)| =
+    deg(a) + deg(b) - shared; the index is shared/distinct in (0, 1].
+    Input is treated as a simple undirected graph (edges are
+    canonicalized, deduped, self-loops dropped). Returns
+    (v0, v1, shared_count, distinct_count, jaccard) with v0 < v1 —
+    exactly the non-zero coefficients, like the reference.
+
+    Scale shape: pair generation is the 2-path fan-out — each vertex w
+    emits its neighbor pairs, Σ deg(w)² rows total, the same bound the
+    reference pays (its ``groupSize`` chunking only balances tasks;
+    here the pivot shuffle is AQE-skew-splittable). Everything after
+    is one groupBy(pair) count plus two co-keyed degree joins — no
+    cross join, no driver state, doubles only in the final ratio."""
+    canon = _canonical_undirected(edges, src, dst)
+    u, v = F.col("__u"), F.col("__v")
+    # symmetric neighbor relation: pivot w -> neighbor n
+    nbrs = canon.select(u.alias("__w"), v.alias("__n")).unionAll(
+        canon.select(v.alias("__w"), u.alias("__n"))
+    )
+    deg = nbrs.groupBy("__w").agg(F.count(F.lit(1)).alias("__d"))
+    a = nbrs.select("__w", F.col("__n").alias("__a"))
+    b = nbrs.select("__w", F.col("__n").alias("__b"))
+    shared = (
+        a.join(b, "__w")
+        .where(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("shared_count"))
+    )
+    return (
+        shared.join(deg.withColumnRenamed("__w", "__a"), "__a")
+        .withColumnRenamed("__d", "__da")
+        .join(deg.withColumnRenamed("__w", "__b"), "__b")
+        .withColumnRenamed("__d", "__db")
+        .select(
+            F.col("__a").alias("v0"),
+            F.col("__b").alias("v1"),
+            "shared_count",
+            (F.col("__da") + F.col("__db") - F.col("shared_count")).alias(
+                "distinct_count"
+            ),
+            F.try_divide(
+                F.col("shared_count").cast("double"),
+                (F.col("__da") + F.col("__db") - F.col("shared_count"))
+                .cast("double"),
+            ).alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Adamic-Adar link-prediction score — the Gelly library algorithm
+    (flink-gelly/.../library/similarity/AdamicAdar.java): for every
+    vertex pair with at least one shared neighbor w, score =
+    Σ_w 1/ln(deg(w)) (high-degree shared neighbors count less).
+    Simple undirected input, same canonicalization as
+    :func:`jaccard_index`. Returns (v0, v1, score) with v0 < v1.
+
+    Scale shape: identical 2-path fan-out as Jaccard, but each pivot's
+    weight 1/ln(deg) is joined BEFORE the pair fan-out (one narrow
+    column rides the Σ deg² rows) and the pair aggregation is a plain
+    double sum — one shuffle on the pair key. Degree-1 pivots
+    (ln(1)=0) cannot produce pairs, so the weight is never infinite."""
+    canon = _canonical_undirected(edges, src, dst)
+    u, v = F.col("__u"), F.col("__v")
+    nbrs = canon.select(u.alias("__w"), v.alias("__n")).unionAll(
+        canon.select(v.alias("__w"), u.alias("__n"))
+    )
+    deg = nbrs.groupBy("__w").agg(F.count(F.lit(1)).alias("__d"))
+    weighted = nbrs.join(deg, "__w").select(
+        "__w",
+        "__n",
+        F.try_divide(F.lit(1.0), F.log(F.col("__d").cast("double"))).alias(
+            "__iw"
+        ),
+    )
+    a = weighted.select("__w", F.col("__n").alias("__a"), "__iw")
+    b = weighted.select("__w", F.col("__n").alias("__b"))
+    return (
+        a.join(b, "__w")
+        .where(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.sum("__iw").alias("score"))
+        .select(
+            F.col("__a").alias("v0"), F.col("__b").alias("v1"), "score"
+        )
+    )

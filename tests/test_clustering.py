@@ -238,3 +238,79 @@ def test_triangle_enumerate_complete_graph(spark):
         tuple(r) for r in triangle_enumerate(df, "src", "dst").collect()
     )
     assert got == sorted(combinations(range(1, 6), 3))
+
+
+def test_jaccard_index_matches_python_reference(spark):
+    """Gelly JaccardIndex semantics (library/similarity/
+    JaccardIndex.java) on a fixed undirected graph: every pair with a
+    shared neighbor, shared = |N(a) ∩ N(b)|, distinct = |N(a) ∪ N(b)|;
+    duplicate edges / self-loops in the input are canonicalized away."""
+    from flink_efo_spark.operators.iterate import jaccard_index
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 1), (4, 4), (2, 4)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        (r.v0, r.v1): (r.shared_count, r.distinct_count, round(r.jaccard, 9))
+        for r in jaccard_index(df).collect()
+    }
+
+    nbr: dict = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    want = {}
+    ns = sorted(nbr)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            sh = len(nbr[a] & nbr[b])
+            if sh:
+                di = len(nbr[a] | nbr[b])
+                want[(a, b)] = (sh, di, round(sh / di, 9))
+    assert got == want
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    """Gelly AdamicAdar semantics (library/similarity/AdamicAdar.java):
+    score(a, b) = sum over shared neighbors w of 1/ln(deg(w))."""
+    import math
+
+    from flink_efo_spark.operators.iterate import adamic_adar
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (4, 5), (1, 5)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        (r.v0, r.v1): round(r.score, 9) for r in adamic_adar(df).collect()
+    }
+
+    nbr: dict = {}
+    for s, d in raw:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    want = {}
+    ns = sorted(nbr)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            shared = nbr[a] & nbr[b]
+            if shared:
+                want[(a, b)] = round(
+                    sum(1.0 / math.log(len(nbr[w])) for w in shared), 9
+                )
+    assert got == want
+
+
+def test_graph_similarity_repartition_invariant(spark):
+    from flink_efo_spark.operators.iterate import adamic_adar, jaccard_index
+
+    raw = [((i * 7) % 17, (i * 5 + 1) % 17) for i in range(40)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    a = sorted(map(tuple, jaccard_index(df).collect()))
+    b = sorted(map(tuple, jaccard_index(df.repartition(11)).collect()))
+    assert a == b
+    c = sorted((r.v0, r.v1, round(r.score, 9)) for r in adamic_adar(df).collect())
+    d = sorted(
+        (r.v0, r.v1, round(r.score, 9))
+        for r in adamic_adar(df.repartition(11)).collect()
+    )
+    assert c == d

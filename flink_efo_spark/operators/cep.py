@@ -1340,6 +1340,26 @@ def stream_match_recognize(
         # stay in state forever (the reference NFA keeps partial
         # matches alive until within expiry or MAX_WATERMARK)
 
+    def _drop_late(pdf, state):
+        """The reference CEP operator DROPS late events (CepOperator's
+        ``timestamp > lastWatermark`` guard on processElement) —
+        Spark's applyInPandasWithState does NOT filter its input by
+        the watermark (verified on 4.1.2), so the harness enforces it.
+        The boundary follows Spark's late rule (late = ts < watermark,
+        equality survives), matching the probe's 'future rows carry
+        ts >= watermark' floor exactly: nothing the probe ruled out
+        can ever be delivered."""
+        import numpy as np
+
+        arr = pdf[order_by].to_numpy()
+        if not np.issubdtype(arr.dtype, np.datetime64):
+            return pdf
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us <= 0:
+            return pdf
+        keep = arr.astype("datetime64[us]").astype("int64") >= wm_us
+        return pdf if keep.all() else pdf[keep]
+
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         if state.exists:
             st = state.get
@@ -1381,6 +1401,9 @@ def stream_match_recognize(
             return
 
         frames = [p[data_cols] for p in pdfs if len(p)]
+        if flush_on_timeout:
+            frames = [f for f in (_drop_late(p, state) for p in frames)
+                      if len(f)]
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
             return

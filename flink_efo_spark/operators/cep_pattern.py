@@ -1227,6 +1227,24 @@ def stream_cep_pattern_select(
         # else: no window and no end-of-input marker — held anchors
         # stay in state forever (reference NFA semantics)
 
+    def _drop_late(pdf, state):
+        """CepOperator.java drops late events (its ``timestamp >
+        lastWatermark`` processElement guard); Spark's
+        applyInPandasWithState does NOT filter its input by the
+        watermark (verified on 4.1.2), so the harness enforces it.
+        Late = ts < watermark (Spark's rule; equality survives) —
+        the probe's 'future rows >= watermark' floor exactly."""
+        import numpy as np
+
+        arr = pdf[order_by].to_numpy()
+        if not np.issubdtype(arr.dtype, np.datetime64):
+            return pdf
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us <= 0:
+            return pdf
+        keep = arr.astype("datetime64[us]").astype("int64") >= wm_us
+        return pdf if keep.all() else pdf[keep]
+
     def fn(key, pdfs, state):
         if state.exists:
             st = state.get
@@ -1265,6 +1283,9 @@ def stream_cep_pattern_select(
             return
 
         frames = [p[data_cols] for p in pdfs if len(p)]
+        if flush_on_timeout:
+            frames = [f for f in (_drop_late(p, state) for p in frames)
+                      if len(f)]
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
             return

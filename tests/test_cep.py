@@ -373,6 +373,59 @@ def test_flush_on_timeout_finalizes_held_match(spark, tmp_path):
     assert run(True) == {("u1", 1, 2)}  # finalized at MAX_WATERMARK
 
 
+def test_stream_match_drops_late_events(spark, tmp_path):
+    """The reference CEP operator drops events at or below the last
+    watermark (CepOperator.java's processElement guard); Spark's
+    applyInPandasWithState delivers them, so the harness must filter —
+    a late B (its ts is below the watermark another key advanced) must
+    not complete a match the watermark-aware flush already treats as
+    unreachable."""
+    import datetime as dt
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "k string, eid long, et string, ts timestamp"
+    batches = [
+        # b0: u1 anchors A; u2 pushes the watermark to 190
+        [("u1", 1, "click", 100), ("u2", 90, "x", 200)],
+        # b1: u1's B at ts=110 arrives LATE (watermark is 190) — the
+        # reference drops it, so no match may ever emit
+        [("u1", 2, "purchase", 110)],
+        [("zz", -1, "x", 10_000)],
+    ]
+    src_dir = str(tmp_path / "cep_late")
+    for i, part in enumerate(batches):
+        rows = [
+            (k, e, et, t0 + dt.timedelta(seconds=sec))
+            for (k, e, et, sec) in part
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src_dir}/b{i}.parquet"
+        )
+    src = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{src_dir}/b0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = stream_match_recognize(
+        src, ["k"], "ts",
+        pattern="A B",
+        defines={"A": "et = 'click'", "B": "et = 'purchase'"},
+        measures={"start_id": ("A", "first", "eid")},
+        tiebreak="eid",
+        within=60,
+        flush_on_timeout=True,
+        end_of_input_ts=t0 + dt.timedelta(seconds=1000),
+    )
+    got = [r for r in run_stream_to_table(out).collect() if r.k == "u1"]
+    assert got == [], got
+
+
 def test_stream_match_idle_key_keeps_partial_tail(spark, tmp_path):
     """A key idle for a whole micro-batch (other keys advance the
     watermark and fire its flush timer) must KEEP its partial-match

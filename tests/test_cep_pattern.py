@@ -252,7 +252,14 @@ def _stream_batch_parity(spark, tmp_path, rows, pat, measures, cuts, tag,
     """Replay ``rows`` split at each cut (plus a far-future sentinel
     batch firing the MAX_WATERMARK flush) and assert the streaming
     output equals the batch operator row-for-row (match_seq excluded —
-    per-key emission order differs when timeouts interleave)."""
+    per-key emission order differs when timeouts interleave).
+
+    Parity target: the streaming harness drops late events exactly like
+    the reference CepOperator (``timestamp > lastWatermark`` guard), so
+    a cut that puts a row BELOW the prior batch's max event time (0 s
+    watermark delay) removes that row from the expected set too — the
+    batch oracle runs per cut on the watermark-surviving subset (late =
+    ts < watermark; equality survives, Spark's rule)."""
     import datetime as dt
 
     from flink_efo_spark.operators.cep_pattern import (
@@ -266,18 +273,22 @@ def _stream_batch_parity(spark, tmp_path, rows, pat, measures, cuts, tag,
         (u, i, et, t0 + dt.timedelta(seconds=s)) for (u, i, et, s) in rows
     ]
     schema = "user_id int, event_id int, event_type string, ts timestamp"
-    bdf = spark.createDataFrame(data, schema)
     out_cols = [c for c in ["user_id"] + list(measures)
                 + (["timed_out"] if emit_timeouts else [])]
-    want = sorted(
-        tuple(r[c] for c in out_cols)
-        for r in cep_pattern_select(
-            bdf, pat, ["user_id"], "ts", measures, tiebreak="event_id",
-            emit_timeouts=emit_timeouts,
-        ).collect()
-    )
     sentinel = [(-1, -1, "__wm__", t0 + dt.timedelta(days=9))]
     for cut in cuts:
+        wm = max((r[3] for r in data[:cut]), default=None)
+        survivors = data[:cut] + [
+            r for r in data[cut:] if wm is None or r[3] >= wm
+        ]
+        want = sorted(
+            tuple(r[c] for c in out_cols)
+            for r in cep_pattern_select(
+                spark.createDataFrame(survivors, schema), pat, ["user_id"],
+                "ts", measures, tiebreak="event_id",
+                emit_timeouts=emit_timeouts,
+            ).collect()
+        )
         src_dir = str(tmp_path / f"cep_{tag}_{cut}")
         for i, part in enumerate([data[:cut], data[cut:], sentinel]):
             spark.createDataFrame(part, schema).coalesce(1).write.parquet(
@@ -556,15 +567,19 @@ def test_stream_iterative_condition_cross_batch(spark, tmp_path):
            .within(900))
     measures = {"view_id": ("a", "first", "event_id"),
                 "purchase_id": ("b", "first", "event_id")}
-    want = sorted(
-        (r.user_id, r.view_id, r.purchase_id, r.timed_out)
-        for r in cep_pattern_select(
-            spark.createDataFrame(data, schema), pat, ["user_id"], "ts",
-            measures, tiebreak="event_id", emit_timeouts=True,
-        ).collect()
-    )
     sentinel = [(-1, -1, "__wm__", t0 + dt.timedelta(days=9), 0.0)]
     for cut in (2, 3):
+        # the batch oracle runs on the watermark-surviving subset — the
+        # harness drops late rows exactly like the reference CepOperator
+        wm = max(r[3] for r in data[:cut])
+        survivors = data[:cut] + [r for r in data[cut:] if r[3] >= wm]
+        want = sorted(
+            (r.user_id, r.view_id, r.purchase_id, r.timed_out)
+            for r in cep_pattern_select(
+                spark.createDataFrame(survivors, schema), pat, ["user_id"],
+                "ts", measures, tiebreak="event_id", emit_timeouts=True,
+            ).collect()
+        )
         src_dir = str(tmp_path / f"cep_iter_{cut}")
         for i, part in enumerate([data[:cut], data[cut:], sentinel]):
             spark.createDataFrame(part, schema).coalesce(1).write.parquet(

@@ -56,6 +56,18 @@ from pyspark.sql.types import (
 
 _QUANTS = {"?": (0, 1), "*": (0, None), "+": (1, None), "": (1, 1)}
 
+
+def _bool_col(series) -> "object":
+    """NA→False bool ndarray, avoiding pandas' ``fillna`` object-dtype
+    downcasting path (deprecated in 2.2, behavior flips in 3.0)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = series.to_numpy()
+    if arr.dtype == bool:
+        return arr
+    return np.where(pd.isna(arr), False, arr).astype(bool)
+
 # flat step: (member variables, lo, hi, lazy) — lazy = non-greedy
 Step = tuple[list[str], int, "int | None", bool]
 
@@ -907,7 +919,7 @@ def match_recognize(
     def match_one_key(pdf: "pd.DataFrame") -> list[dict]:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         var_flags = {
-            v: pdf[f].fillna(False).to_numpy() for v, f in flag_names.items()
+            v: _bool_col(pdf[f]) for v, f in flag_names.items()
         }
         leaf_flags = []
         for _, variables, *_ in leaves:
@@ -1190,12 +1202,12 @@ def stream_match_recognize(
                 allr[f"__m_{var}"] = fdf[f"__m_{var}"].to_numpy()
             allr = allr.drop(columns=["__ri"])
         var_flags = {
-            v: allr[f].fillna(False).astype(bool).to_numpy()
+            v: _bool_col(allr[f])
             for v, f in flag_names.items()
         }
         if deferred and "__ctx" in allr.columns:
             # context rows exist only as PREV sources — never matchable
-            ctx_mask = allr["__ctx"].fillna(False).astype(bool).to_numpy()
+            ctx_mask = _bool_col(allr["__ctx"])
             var_flags = {v: fl & ~ctx_mask for v, fl in var_flags.items()}
         n = len(allr)
         data = {c: allr[c].to_numpy() for c in meas_cols}
@@ -1407,7 +1419,8 @@ def stream_match_recognize(
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
             return
-        allr = pd.concat([tail] + frames, ignore_index=True)
+        parts = ([tail] if len(tail) else []) + frames
+        allr = pd.concat(parts, ignore_index=True)
         rows, seq, new_tail = _match_pass(key, allr, seq, finalize=False)
         _save_tail(state, seq, new_tail)
         if rows:

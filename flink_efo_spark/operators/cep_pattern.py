@@ -72,6 +72,18 @@ from pyspark.sql.types import LongType, StructField, StructType, BooleanType
 
 __all__ = ["CepPattern", "cep_pattern_select", "stream_cep_pattern_select"]
 
+
+def _bool_col(series) -> "object":
+    """NA→False bool ndarray, avoiding pandas' ``fillna`` object-dtype
+    downcasting path (deprecated in 2.2, behavior flips in 3.0)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = series.to_numpy()
+    if arr.dtype == bool:
+        return arr
+    return np.where(pd.isna(arr), False, arr).astype(bool)
+
 # consuming strategies (pattern/Quantifier.java ConsumingStrategy)
 _STRICT = "strict"            # next()
 _RELAXED = "skip_till_next"   # followedBy()
@@ -1137,10 +1149,10 @@ def stream_cep_pattern_select(
             # _ts_and_window scales datetime order columns to int64 ns
             fut = wm_ms * 1_000_000
         flags = [
-            allr[fc].fillna(False).astype(bool).to_numpy() for fc in flag_cols
+            _bool_col(allr[fc]) for fc in flag_cols
         ]
         untils = [
-            allr[uc].fillna(False).astype(bool).to_numpy()
+            _bool_col(allr[uc])
             for uc in until_cols
         ]
         matches: list = []
@@ -1289,7 +1301,8 @@ def stream_cep_pattern_select(
         if not frames and not len(tail):
             state.update((int(seq), *([] for _ in data_cols)))
             return
-        allr = pd.concat([tail] + frames, ignore_index=True)
+        parts = ([tail] if len(tail) else []) + frames
+        allr = pd.concat(parts, ignore_index=True)
         rows, seq, new_tail = _pass(key, allr, seq, finalize=False)
         _save_tail(state, seq, new_tail)
         if rows:

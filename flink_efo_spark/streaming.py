@@ -1468,7 +1468,9 @@ def stream_over_bounded(
             _save(state, tail, n_pending)
             return
         n_ctx = len(tail) - n_pending
-        allr = pd.concat([tail] + frames_in, ignore_index=True)
+        allr = pd.concat(
+            ([tail] if len(tail) else []) + frames_in, ignore_index=True
+        )
         allr = allr.sort_values(sort_cols, kind="mergesort").reset_index(
             drop=True
         )
@@ -2551,7 +2553,9 @@ def stream_keyed_coprocess(
         if not frames and not len(tail):
             save(tail)
             return
-        buf = pd.concat([tail] + frames, ignore_index=True)
+        buf = pd.concat(
+            ([tail] if len(tail) else []) + frames, ignore_index=True
+        )
         buf = buf.sort_values(
             ["__ts", "__side", "__tb"], kind="mergesort"
         ).reset_index(drop=True)

@@ -314,3 +314,102 @@ def test_graph_similarity_repartition_invariant(spark):
         for r in adamic_adar(df.repartition(11)).collect()
     )
     assert c == d
+
+
+def test_hits_matches_python_reference(spark):
+    """Gelly HITS semantics (library/linkanalysis/HITS.java), replayed
+    exactly: initial authority = in-degree (hub 0, non-normalized);
+    per round hub(u) = sum auth over out-edge targets, auth(v) = sum
+    of the still-un-normalized hub over in-edge sources, then a joint
+    L2 normalization (missing side of the full outer join = 0)."""
+    import math
+
+    from flink_efo_spark.operators.iterate import hits
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (5, 4)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    def reference(edges, n_iter):
+        auth = {}
+        for _, d in edges:
+            auth[d] = auth.get(d, 0.0) + 1.0
+        hub: dict = {}
+        for _ in range(n_iter):
+            hub = {}
+            for s, d in edges:
+                if d in auth:
+                    hub[s] = hub.get(s, 0.0) + auth[d]
+            auth = {}
+            for s, d in edges:
+                if s in hub:
+                    auth[d] = auth.get(d, 0.0) + hub[s]
+            nh = math.sqrt(sum(x * x for x in hub.values()))
+            na = math.sqrt(sum(x * x for x in auth.values()))
+            ids = set(hub) | set(auth)
+            hub = {i: hub.get(i, 0.0) / nh for i in ids}
+            auth = {i: auth.get(i, 0.0) / na for i in ids}
+        return {i: (round(hub[i], 9), round(auth[i], 9)) for i in ids}
+
+    for n_iter in (1, 3):
+        got = {
+            r.id: (round(r.hub, 9), round(r.authority, 9))
+            for r in hits(df, n_iter=n_iter).collect()
+        }
+        assert got == reference(raw, n_iter), f"n_iter={n_iter}"
+
+
+def test_hits_repartition_invariant(spark):
+    from flink_efo_spark.operators.iterate import hits
+
+    raw = [((i * 7) % 13, (i * 5 + 1) % 13) for i in range(30)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    a = sorted(
+        (r.id, round(r.hub, 6), round(r.authority, 6))
+        for r in hits(df, n_iter=2).collect()
+    )
+    b = sorted(
+        (r.id, round(r.hub, 6), round(r.authority, 6))
+        for r in hits(df.repartition(7), n_iter=2).collect()
+    )
+    assert a == b
+
+
+def test_local_clustering_coefficient_matches_python_reference(spark):
+    """Gelly undirected LocalClusteringCoefficient semantics: per
+    vertex (degree, #triangles containing it); score = triangles /
+    C(degree, 2), NULL for degree <= 1 (the reference's NaN). K4 plus
+    a pendant: the attachment vertex 4 has degree 4 but only the 3
+    K4-internal neighbor edges -> 3/6, the pendant 5 has degree 1 ->
+    NULL; everything checked against a brute-force reference below;
+    duplicate/reversed edges and self-loops canonicalize away."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import local_clustering_coefficient
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+           (2, 1), (5, 5)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r.id: (
+            r.degree,
+            r.triangle_count,
+            None if r.coefficient is None else round(r.coefficient, 9),
+        )
+        for r in local_clustering_coefficient(df).collect()
+    }
+
+    nbr: dict = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    want = {}
+    for v, ns in nbr.items():
+        tri = sum(
+            1 for a, b in combinations(sorted(ns), 2) if b in nbr.get(a, ())
+        )
+        deg = len(ns)
+        pairs = deg * (deg - 1) // 2
+        want[v] = (deg, tri, round(tri / pairs, 9) if pairs else None)
+    assert got == want

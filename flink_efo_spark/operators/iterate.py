@@ -680,3 +680,226 @@ def local_clustering_coefficient(
             (F.col("degree") * (F.col("degree") - 1) / 2).cast("double"),
         ).alias("coefficient"),
     )
+
+
+def community_detection(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: "str | None" = None,
+    n_iter: int = 3,
+    delta: float = 0.5,
+    labels: "DataFrame | None" = None,
+) -> DataFrame:
+    """Community detection with hop attenuation — the Gelly library
+    algorithm (flink-gelly/.../library/CommunityDetection.java, the
+    Leung et al. real-time community detection paper), replayed
+    exactly on the UNDIRECTED weighted multigraph (``getUndirected``
+    duplicates every directed edge reversed, no dedup):
+
+    * state = (label, score), initial label = the vertex id (or the
+      optional ``labels`` (id, label) relation — the reference takes
+      the vertex value), initial score 1.0;
+    * every active vertex sends (label, score * edge weight) along
+      each incident edge; a vertex that received >= 1 message adopts
+      the received label with the highest SUMMED score — equal sums go
+      to the LOWEST label (``VertexLabelUpdater`` scans a ``TreeMap``
+      ascending with a strict ``>``) — and re-scores it to that
+      label's highest SINGLE message score, minus ``delta/superstep``
+      when the label changed;
+    * scatter-gather activation, exactly :func:`label_propagation`'s:
+      round k+1's senders are the vertices that received a message in
+      round k (round 1: everyone); message-less vertices keep their
+      state and go quiet.
+
+    Runs fixed ``n_iter`` rounds (the reference's maxIterations cap;
+    its no-vertex-updated convergence stop is a subset). Labels must
+    be numeric (the reference's are longs). Returns (id, label).
+
+    Scale shape: identical to :func:`label_propagation` — one
+    co-keyed edges⋈senders join, one groupBy(id, label) sum/max, one
+    arg-min-struct per id, one left join back to O(V) state rows;
+    O(E) doubles per round, state localCheckpointed per round."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    adj = (
+        edges.select(
+            F.col(src).alias("__sid"),
+            F.col(dst).alias("id"),
+            w.cast("double").alias("__w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("__sid"),
+                F.col(src).alias("id"),
+                w.cast("double").alias("__w"),
+            )
+        )
+        .repartition(F.col("__sid"))
+        .persist()
+    )
+    if labels is not None:
+        state = labels.select(
+            "id", F.col("label").cast("long").alias("label")
+        )
+    else:
+        state = (
+            adj.select(F.col("id"))
+            .distinct()
+            .select("id", F.col("id").cast("long").alias("label"))
+        )
+    state = state.select(
+        "id", "label", F.lit(1.0).alias("score"), F.lit(True).alias("__act")
+    )
+    for k in range(1, n_iter + 1):
+        senders = state.where(F.col("__act")).select(
+            F.col("id").alias("__sid"), "label", "score"
+        )
+        per_label = (
+            adj.join(senders, "__sid")
+            .select("id", "label", (F.col("score") * F.col("__w")).alias("__s"))
+            .groupBy("id", "label")
+            .agg(F.sum("__s").alias("__c"), F.max("__s").alias("__m"))
+        )
+        win = (
+            per_label.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                        F.col("__m").alias("m"),
+                    )
+                ).alias("__w")
+            )
+            .select(
+                "id",
+                F.col("__w.l").alias("__nl"),
+                F.col("__w.m").alias("__nm"),
+            )
+        )
+        state = (
+            state.join(win, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__nl"), F.col("label")).alias("label"),
+                F.when(
+                    F.col("__nl").isNull(), F.col("score")
+                ).otherwise(
+                    F.col("__nm")
+                    - F.when(
+                        F.col("__nl") != F.col("label"), F.lit(delta / k)
+                    ).otherwise(F.lit(0.0))
+                ).alias("score"),
+                F.col("__nl").isNotNull().alias("__act"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return state.select("id", "label")
+
+
+def summarize_graph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    value_col: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+    edge_value: "str | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Graph summarization — the Gelly library algorithm
+    (flink-gelly/.../library/Summarization.java): vertices sharing a
+    value collapse into one summary vertex (count attached); edges
+    collapse per (source group, target group, edge value) with counts
+    (a group's self-edge aggregates its internal edges). The
+    reference picks an arbitrary group member as the representative
+    id ('guaranteed ... one of the represented vertex identifiers');
+    this picks the MINIMUM member id, a deterministic member. Returns
+    ``(summary_vertices, summary_edges)`` =
+    ((id, value, count), (src, dst[, edge value], count)).
+
+    Scale shape: one groupBy(value) min+count, one broadcast-eligible
+    rep map joined twice onto edges (co-keyed on vertex id), one
+    groupBy on the summary-edge key — three shuffles total, no
+    iteration, no driver state."""
+    groups = vertices.groupBy(F.col(value_col)).agg(
+        F.min(F.col(id_col)).alias("__rep"),
+        F.count(F.lit(1)).alias("count"),
+    )
+    sum_vertices = groups.select(
+        F.col("__rep").alias(id_col), value_col, "count"
+    )
+    rep_map = vertices.join(
+        groups.select(value_col, "__rep"), value_col
+    ).select(F.col(id_col).alias("__vid"), "__rep")
+    ev = [F.col(edge_value)] if edge_value else []
+    mapped = (
+        edges.join(rep_map.withColumnRenamed("__vid", src), src)
+        .withColumnRenamed("__rep", "__rs")
+        .join(rep_map.withColumnRenamed("__vid", dst), dst)
+        .withColumnRenamed("__rep", "__rd")
+    )
+    sum_edges = (
+        mapped.groupBy(
+            F.col("__rs").alias(src), F.col("__rd").alias(dst), *ev
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return sum_vertices, sum_edges
+
+
+def global_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global clustering coefficient of the undirected simple graph —
+    the Gelly library algorithm (flink-gelly/.../library/clustering/
+    undirected/GlobalClusteringCoefficient.java): triplets =
+    Σ_v C(deg(v), 2), score = (3 * triangle listing count) / triplets
+    (each triangle closes three triplets); NULL when the graph has no
+    triplets (the reference's NaN). Returns one row
+    (triplet_count, triangle_count, coefficient)."""
+    canon = _canonical_undirected(edges, src, dst)
+    deg = (
+        canon.select(F.col("__u").alias("id"))
+        .unionAll(canon.select(F.col("__v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    triplets = deg.agg(
+        F.coalesce(
+            F.sum(F.col("__d") * (F.col("__d") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("triplet_count")
+    )
+    tris = triangle_enumerate(canon, "__u", "__v").agg(
+        F.count(F.lit(1)).alias("triangle_count")
+    )
+    return triplets.crossJoin(tris).select(
+        "triplet_count",
+        "triangle_count",
+        F.try_divide(
+            (3 * F.col("triangle_count")).cast("double"),
+            F.col("triplet_count").cast("double"),
+        ).alias("coefficient"),
+    )
+
+
+def average_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Average clustering coefficient — the Gelly library algorithm
+    (flink-gelly/.../library/clustering/undirected/
+    AverageClusteringCoefficient.java): the local coefficient summed
+    over vertices with degree > 1 (degree-1 scores are undefined and
+    contribute 0), divided by the count of ALL vertices. Returns one
+    row (vertex_count, average_coefficient)."""
+    local = local_clustering_coefficient(edges, src, dst)
+    return local.agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        F.try_divide(
+            F.coalesce(
+                F.sum(F.when(F.col("degree") > 1, F.col("coefficient"))),
+                F.lit(0.0),
+            ),
+            F.count(F.lit(1)).cast("double"),
+        ).alias("average_coefficient"),
+    )

@@ -413,3 +413,122 @@ def test_local_clustering_coefficient_matches_python_reference(spark):
         pairs = deg * (deg - 1) // 2
         want[v] = (deg, tri, round(tri / pairs, 9) if pairs else None)
     assert got == want
+
+
+def test_community_detection_matches_python_reference(spark):
+    """Gelly CommunityDetection semantics (library/
+    CommunityDetection.java): undirected weighted messages
+    (label, score*w); winner = highest summed score, ties to the
+    LOWEST label (TreeMap ascending + strict >); new score = winner's
+    highest single message score, minus delta/superstep on a label
+    change; scatter-gather activation (senders = last round's
+    receivers)."""
+    from flink_efo_spark.operators.iterate import community_detection
+
+    raw = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (4, 5, 3.0),
+           (5, 1, 1.0), (2, 4, 0.5), (6, 7, 1.0)]
+    df = spark.createDataFrame(raw, "src long, dst long, w double")
+
+    def reference(n_iter, delta):
+        adj = []
+        for s, d, w in raw:
+            adj.append((s, d, w))
+            adj.append((d, s, w))
+        vs = sorted({v for s, d, _ in raw for v in (s, d)})
+        state = {v: (v, 1.0) for v in vs}
+        act = set(vs)
+        for k in range(1, n_iter + 1):
+            msgs: dict = {}
+            for s, d, w in adj:
+                if s in act:
+                    lbl, sc = state[s]
+                    msgs.setdefault(d, []).append((lbl, sc * w))
+            new_state = dict(state)
+            new_act = set()
+            for v, ms in msgs.items():
+                sums: dict = {}
+                maxs: dict = {}
+                for lbl, s in ms:
+                    sums[lbl] = sums.get(lbl, 0.0) + s
+                    maxs[lbl] = max(maxs.get(lbl, float("-inf")), s)
+                win = min(sums, key=lambda lb: (-sums[lb], lb))
+                hs = maxs[win]
+                if win != state[v][0]:
+                    hs -= delta / k
+                new_state[v] = (win, hs)
+                new_act.add(v)
+            state, act = new_state, new_act
+        return {v: lbl for v, (lbl, _) in state.items()}
+
+    for n_iter in (1, 3):
+        got = {
+            r.id: r.label
+            for r in community_detection(
+                df, weight="w", n_iter=n_iter
+            ).collect()
+        }
+        assert got == reference(n_iter, 0.5), f"n_iter={n_iter}"
+
+
+def test_summarize_graph_matches_reference_example(spark):
+    """Summarization.java's own javadoc example, with the documented
+    'any member' representative pinned to the minimum member id."""
+    from flink_efo_spark.operators.iterate import summarize_graph
+
+    vs = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "B"), (3, "B")], "id long, value string"
+    )
+    es = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)],
+        "src long, dst long",
+    )
+    sv, se = summarize_graph(vs, es)
+    assert {(r.id, r.value, r["count"]) for r in sv.collect()} == {
+        (0, "A", 2), (2, "B", 2)
+    }
+    assert {(r.src, r.dst, r["count"]) for r in se.collect()} == {
+        (0, 0, 2), (2, 2, 2), (0, 2, 1), (2, 0, 1)
+    }
+
+
+def test_global_and_average_clustering_coefficient(spark):
+    """GlobalClusteringCoefficient: 3*triangles / sum-of-C(deg,2)
+    triplets; AverageClusteringCoefficient: local scores of deg>1
+    vertices summed over ALL vertices. Brute-forced on K4+pendant."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import (
+        average_clustering_coefficient,
+        global_clustering_coefficient,
+    )
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    nbr: dict = {}
+    for s, d in raw:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    tri_total = sum(
+        1
+        for a, b, c in combinations(sorted(nbr), 3)
+        if b in nbr[a] and c in nbr[a] and c in nbr[b]
+    )
+    triplets = sum(len(ns) * (len(ns) - 1) // 2 for ns in nbr.values())
+
+    g = global_clustering_coefficient(df).collect()[0]
+    assert (g.triplet_count, g.triangle_count) == (triplets, tri_total)
+    assert round(g.coefficient, 9) == round(3 * tri_total / triplets, 9)
+
+    local_sum = 0.0
+    for v, ns in nbr.items():
+        deg = len(ns)
+        if deg > 1:
+            t = sum(
+                1
+                for a, b in combinations(sorted(ns), 2)
+                if b in nbr.get(a, ())
+            )
+            local_sum += t / (deg * (deg - 1) / 2)
+    a = average_clustering_coefficient(df).collect()[0]
+    assert a.vertex_count == len(nbr)
+    assert round(a.average_coefficient, 9) == round(local_sum / len(nbr), 9)

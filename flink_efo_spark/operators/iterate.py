@@ -903,3 +903,63 @@ def average_clustering_coefficient(
             F.count(F.lit(1)).cast("double"),
         ).alias("average_coefficient"),
     )
+
+
+def triadic_census(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triadic census of the undirected simple graph — the Gelly
+    analytic (flink-gelly/.../library/clustering/undirected/
+    TriadicCensus.java): counts of vertex triples connected by 0, 1,
+    2, or 3 edges, in the reference's exact closed form over four
+    scalar metrics (it uses BigInteger; DECIMAL(38,0) here, since
+    C(V,3) = V(V-1)(V-2)/6 exceeds 2^63 once V > ~3.8e6 — any web
+    graph blows a BIGINT immediately):
+
+        t3 = triangles
+        t2 = triplets - 3*t3
+        t1 = E*(V-2) - 2*t2 - 3*t3
+        t0 = C(V,3) - t1 - t2 - t3
+
+    Vertices are edge-induced (isolated vertices can't exist here;
+    the reference's VertexMetrics counts them from the vertex set).
+    Returns one row (t0, t1, t2, t3) as DECIMAL(38,0).
+
+    Scale shape: one canonical edge set feeding three O(E) aggregates
+    plus the triangle listing; the census itself is arithmetic over
+    four 1-row relations cross-joined (broadcast, never collected)."""
+    canon = _canonical_undirected(edges, src, dst)
+    deg = (
+        canon.select(F.col("__u").alias("id"))
+        .unionAll(canon.select(F.col("__v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    dec = "decimal(38,0)"
+    vm = deg.agg(
+        F.count(F.lit(1)).cast(dec).alias("__v"),
+        F.coalesce(
+            F.sum((F.col("__d") * (F.col("__d") - 1) / 2).cast("long")),
+            F.lit(0),
+        ).cast(dec).alias("__triplets"),
+    )
+    em = canon.agg(F.count(F.lit(1)).cast(dec).alias("__e"))
+    tm = triangle_enumerate(canon, "__u", "__v").agg(
+        F.count(F.lit(1)).cast(dec).alias("__t")
+    )
+    t3 = F.col("__t")
+    t2 = F.col("__triplets") - 3 * t3
+    t1 = F.col("__e") * (F.col("__v") - 2) - 2 * t2 - 3 * t3
+    t0 = (
+        F.col("__v") * (F.col("__v") - 1) * (F.col("__v") - 2) / 6
+    ).cast(dec) - t1 - t2 - t3
+    return (
+        vm.crossJoin(em)
+        .crossJoin(tm)
+        .select(
+            t0.cast(dec).alias("t0"),
+            t1.cast(dec).alias("t1"),
+            t2.cast(dec).alias("t2"),
+            t3.cast(dec).alias("t3"),
+        )
+    )

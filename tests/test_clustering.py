@@ -532,3 +532,25 @@ def test_global_and_average_clustering_coefficient(spark):
     a = average_clustering_coefficient(df).collect()[0]
     assert a.vertex_count == len(nbr)
     assert round(a.average_coefficient, 9) == round(local_sum / len(nbr), 9)
+
+
+def test_triadic_census_matches_brute_force(spark):
+    """TriadicCensus.java's closed form == brute-force enumeration of
+    all vertex triples on K4+pendant plus an extra disjoint edge."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import triadic_census
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+           (6, 7)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    es = {tuple(sorted(e)) for e in raw}
+    vs = sorted({v for e in raw for v in e})
+    want = [0, 0, 0, 0]
+    for t in combinations(vs, 3):
+        k = sum(
+            1 for a, b in combinations(t, 2) if (a, b) in es
+        )
+        want[k] += 1
+    r = triadic_census(df).collect()[0]
+    assert [int(r.t0), int(r.t1), int(r.t2), int(r.t3)] == want

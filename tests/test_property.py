@@ -440,25 +440,28 @@ def test_sssp_matches_reference(spark, edges, rounds):
 @given(edges=edge_lists, rounds=st.integers(1, 3))
 def test_label_propagation_matches_reference(spark, edges, rounds):
     """label_propagation agrees with a driver-side synchronous sweep
-    (most frequent in-neighbor label, ties to the HIGHEST label) on
+    of the Gelly-exact semantics (most frequent in-neighbor label
+    seeded by the vertex's OWN label at frequency 1, ties to the
+    HIGHEST label; only message-receivers scatter next round) on
     random digraphs."""
     from flink_efo_spark.operators.iterate import label_propagation
 
     nodes = {n for e in edges for n in e}
     lab = {n: n for n in nodes}
+    active = set(nodes)
     for _ in range(rounds):
         freq: dict = {}
         for s, d in edges:
-            freq.setdefault(d, {}).setdefault(lab[s], 0)
-            freq[d][lab[s]] += 1
-        lab = {
-            n: (
-                max(freq[n].items(), key=lambda kv: (kv[1], kv[0]))[0]
-                if n in freq
-                else lab[n]
-            )
-            for n in nodes
-        }
+            if s in active:
+                freq.setdefault(d, {}).setdefault(lab[s], 0)
+                freq[d][lab[s]] += 1
+        nxt = dict(lab)
+        for d, fl in freq.items():
+            fl = dict(fl)
+            fl[lab[d]] = max(fl.get(lab[d], 0), 1)
+            nxt[d] = max(fl.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        lab = nxt
+        active = set(freq)
 
     df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
     got = {

@@ -13,11 +13,20 @@ from flink_efo_spark.operators.cep_pattern import (
     stream_cep_pattern_select,
 )
 from flink_efo_spark.operators.iterate import (
+    adamic_adar,
+    average_clustering_coefficient,
     bfs_distances,
+    community_detection,
     delta_iterate,
+    global_clustering_coefficient,
+    hits,
+    jaccard_index,
     label_propagation,
+    local_clustering_coefficient,
     pagerank,
     sssp_distances,
+    summarize_graph,
+    triadic_census,
     triangle_enumerate,
 )
 from flink_efo_spark.operators.joins import asof_join, interval_join
@@ -78,6 +87,15 @@ __all__ = [
     "label_propagation",
     "sssp_distances",
     "triangle_enumerate",
+    "jaccard_index",
+    "adamic_adar",
+    "hits",
+    "community_detection",
+    "summarize_graph",
+    "local_clustering_coefficient",
+    "global_clustering_coefficient",
+    "average_clustering_coefficient",
+    "triadic_census",
     "decode_image",
     "frame_sample",
     "media_metadata",

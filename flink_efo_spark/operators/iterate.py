@@ -593,17 +593,23 @@ def hits(
         F.count(F.lit(1)).cast("double").alias("authority")
     )
     for _ in range(n_iter):
+        # hub feeds three consumers (authority, its norm, the final
+        # join) and authority two — materialize each once per round or
+        # the hub subtree re-executes up to 4x (localCheckpoint, the
+        # module discipline; measured 20.8 s -> 7.6 s at the 10x graph)
         hub = (
             e.join(
                 scores.select(F.col("id").alias("__d"), "authority"), "__d"
             )
             .groupBy(F.col("__s").alias("id"))
             .agg(F.sum("authority").alias("hub"))
+            .localCheckpoint(eager=True)
         )
         auth = (
             e.join(hub.select(F.col("id").alias("__s"), "hub"), "__s")
             .groupBy(F.col("__d").alias("id"))
             .agg(F.sum("hub").alias("authority"))
+            .localCheckpoint(eager=True)
         )
         norms = hub.agg(
             F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("__nh")

@@ -969,3 +969,84 @@ def triadic_census(
             t3.cast(dec).alias("t3"),
         )
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    top: str = "top",
+    bottom: str = "bottom",
+    edge_value: "str | None" = None,
+    side: str = "top",
+    full: bool = False,
+) -> DataFrame:
+    """Bipartite graph projection — the Gelly bipartite API
+    (flink-gelly/.../bipartite/BipartiteGraph.java
+    projectionTopSimple/Full, projectionBottomSimple/Full): project
+    onto the ``side`` vertex set by self-joining the edge list on the
+    OTHER side; every pair of distinct ``side`` vertices sharing a
+    counterpart yields one projected edge PER shared counterpart (a
+    multigraph, both directions — the reference's flat join emits
+    (first, second) and (second, first)). ``simple`` carries the two
+    incident edge values (ev0, ev1) when ``edge_value`` is given;
+    ``full=True`` additionally carries the connecting intermediate
+    vertex id (the reference's Projection also packs the three vertex
+    VALUES — value columns ride along the same join if the caller
+    pre-joins them). Returns (src, dst[, link][, ev0, ev1]).
+
+    Scale shape: one self-equi-join on the counterpart key —
+    Σ deg(counterpart)² output rows, the reference's own bound; a
+    popular counterpart is a skewed join key that AQE skew-splits. No
+    cross join; nothing on the driver."""
+    if side not in ("top", "bottom"):
+        raise ValueError(f"side must be 'top' or 'bottom', got {side!r}")
+    keep, other = (top, bottom) if side == "top" else (bottom, top)
+    ev = [F.col(edge_value)] if edge_value else []
+    a = edges.select(
+        F.col(other).alias("__k"),
+        F.col(keep).alias("__a"),
+        *[c.alias("ev0") for c in ev],
+    )
+    b = edges.select(
+        F.col(other).alias("__k"),
+        F.col(keep).alias("__b"),
+        *[c.alias("ev1") for c in ev],
+    )
+    out_cols = [F.col("__a").alias("src"), F.col("__b").alias("dst")]
+    if full:
+        out_cols.append(F.col("__k").alias("link"))
+    if edge_value:
+        out_cols += [F.col("ev0"), F.col("ev1")]
+    return (
+        a.join(b, "__k")
+        .where(F.col("__a") != F.col("__b"))
+        .select(*out_cols)
+    )
+
+
+def vertex_metrics(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected graph metrics — the Gelly analytic
+    (flink-gelly/.../library/metric/undirected/VertexMetrics.java) on
+    the canonical simple graph: vertex count, edge count, triplet
+    count (Σ C(deg, 2)), maximum degree, and maximum per-vertex
+    triplet count. Vertices are edge-induced (the reference counts
+    isolated vertices from its vertex set). One row.
+
+    Scale shape: one canonical edge set, one degree aggregation, five
+    scalar aggregates — two shuffles, nothing iterative."""
+    canon = _canonical_undirected(edges, src, dst)
+    deg = (
+        canon.select(F.col("__u").alias("id"))
+        .unionAll(canon.select(F.col("__v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    tpl = (F.col("__d") * (F.col("__d") - 1) / 2).cast("long")
+    return deg.agg(
+        F.count(F.lit(1)).alias("vertex_count"),
+        (F.sum("__d") / 2).cast("long").alias("edge_count"),
+        F.coalesce(F.sum(tpl), F.lit(0)).alias("triplet_count"),
+        F.coalesce(F.max("__d"), F.lit(0)).alias("maximum_degree"),
+        F.coalesce(F.max(tpl), F.lit(0)).alias("maximum_triplets"),
+    )

@@ -554,3 +554,59 @@ def test_triadic_census_matches_brute_force(spark):
         want[k] += 1
     r = triadic_census(df).collect()[0]
     assert [int(r.t0), int(r.t1), int(r.t2), int(r.t3)] == want
+
+
+def test_bipartite_projection_matches_reference_semantics(spark):
+    """BipartiteGraph.java projection semantics: one projected edge
+    per (ordered distinct pair, shared counterpart) — a multigraph in
+    both directions, with the two incident edge values (simple) and
+    the connecting vertex (full)."""
+    from flink_efo_spark.operators.iterate import bipartite_projection
+
+    raw = [(1, 10, "a"), (2, 10, "b"), (3, 10, "c"), (1, 20, "d"),
+           (2, 20, "e"), (4, 30, "f")]
+    df = spark.createDataFrame(raw, "top long, bottom long, ev string")
+
+    got = sorted(
+        (r.src, r.dst, r.link, r.ev0, r.ev1)
+        for r in bipartite_projection(
+            df, edge_value="ev", side="top", full=True
+        ).collect()
+    )
+    want = sorted(
+        (a, b, k, e1, e2)
+        for (a, k, e1) in [(t, bo, e) for t, bo, e in raw]
+        for (b, k2, e2) in [(t, bo, e) for t, bo, e in raw]
+        if k == k2 and a != b
+    )
+    assert got == want
+
+    # bottom projection, simple: 10-20 share tops 1 and 2 -> two
+    # parallel edges each direction; 30 shares nothing
+    bot = sorted(
+        (r.src, r.dst)
+        for r in bipartite_projection(df, side="bottom").collect()
+    )
+    assert bot == [(10, 20), (10, 20), (20, 10), (20, 10)]
+
+
+def test_vertex_metrics_matches_brute_force(spark):
+    from flink_efo_spark.operators.iterate import vertex_metrics
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (2, 1), (5, 5)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    nbr: dict = {}
+    for s, d in raw:
+        if s == d:
+            continue
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    degs = {v: len(ns) for v, ns in nbr.items()}
+    r = vertex_metrics(df).collect()[0]
+    assert r.vertex_count == len(nbr)
+    assert r.edge_count == sum(degs.values()) // 2
+    assert r.triplet_count == sum(d * (d - 1) // 2 for d in degs.values())
+    assert r.maximum_degree == max(degs.values())
+    assert r.maximum_triplets == max(
+        d * (d - 1) // 2 for d in degs.values()
+    )

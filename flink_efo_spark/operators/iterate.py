@@ -457,7 +457,10 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def jaccard_index(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: "int | None" = None,
 ) -> DataFrame:
     """Jaccard similarity of vertex NEIGHBORHOODS — the Gelly library
     algorithm (flink-gelly/.../library/similarity/JaccardIndex.java):
@@ -474,7 +477,17 @@ def jaccard_index(
     reference pays (its ``groupSize`` chunking only balances tasks;
     here the pivot shuffle is AQE-skew-splittable). Everything after
     is one groupBy(pair) count plus two co-keyed degree joins — no
-    cross join, no driver state, doubles only in the final ratio."""
+    cross join, no driver state, doubles only in the final ratio.
+
+    ``max_pivot_degree`` (default None = exact, the reference
+    semantics) EXCLUDES pivots with more than that many neighbors from
+    pair generation — the standard celebrity-node cut for quadratic
+    neighborhood ops: on a graph whose hubs approach O(V) degree the
+    exact fan-out is Θ(V²) and no engine survives it, so production
+    similarity prunes hubs. Shared counts become lower bounds, the
+    deg(a)+deg(b)-shared union term correspondingly an upper bound
+    (degrees stay exact), so the reported jaccard is a LOWER bound of
+    the true index."""
     canon = _canonical_undirected(edges, src, dst)
     u, v = F.col("__u"), F.col("__v")
     # symmetric neighbor relation: pivot w -> neighbor n
@@ -482,8 +495,14 @@ def jaccard_index(
         canon.select(v.alias("__w"), u.alias("__n"))
     )
     deg = nbrs.groupBy("__w").agg(F.count(F.lit(1)).alias("__d"))
-    a = nbrs.select("__w", F.col("__n").alias("__a"))
-    b = nbrs.select("__w", F.col("__n").alias("__b"))
+    fan = nbrs
+    if max_pivot_degree is not None:
+        fan = nbrs.join(
+            deg.where(F.col("__d") <= int(max_pivot_degree)).select("__w"),
+            "__w",
+        )
+    a = fan.select("__w", F.col("__n").alias("__a"))
+    b = fan.select("__w", F.col("__n").alias("__b"))
     shared = (
         a.join(b, "__w")
         .where(F.col("__a") < F.col("__b"))
@@ -512,7 +531,10 @@ def jaccard_index(
 
 
 def adamic_adar(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: "int | None" = None,
 ) -> DataFrame:
     """Adamic-Adar link-prediction score — the Gelly library algorithm
     (flink-gelly/.../library/similarity/AdamicAdar.java): for every
@@ -525,13 +547,21 @@ def adamic_adar(
     weight 1/ln(deg) is joined BEFORE the pair fan-out (one narrow
     column rides the Σ deg² rows) and the pair aggregation is a plain
     double sum — one shuffle on the pair key. Degree-1 pivots
-    (ln(1)=0) cannot produce pairs, so the weight is never infinite."""
+    (ln(1)=0) cannot produce pairs, so the weight is never infinite.
+
+    ``max_pivot_degree``: same opt-in celebrity-node cut as
+    :func:`jaccard_index` (default None = exact); Adamic-Adar is the
+    better candidate for it — a hub pivot's own weight 1/ln(deg) is
+    already near zero, so dropping hubs barely moves scores while
+    removing the Θ(hub-degree²) fan-out."""
     canon = _canonical_undirected(edges, src, dst)
     u, v = F.col("__u"), F.col("__v")
     nbrs = canon.select(u.alias("__w"), v.alias("__n")).unionAll(
         canon.select(v.alias("__w"), u.alias("__n"))
     )
     deg = nbrs.groupBy("__w").agg(F.count(F.lit(1)).alias("__d"))
+    if max_pivot_degree is not None:
+        deg = deg.where(F.col("__d") <= int(max_pivot_degree))
     weighted = nbrs.join(deg, "__w").select(
         "__w",
         "__n",

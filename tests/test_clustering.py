@@ -610,3 +610,38 @@ def test_vertex_metrics_matches_brute_force(spark):
     assert r.maximum_triplets == max(
         d * (d - 1) // 2 for d in degs.values()
     )
+
+
+def test_similarity_max_pivot_degree_cut(spark):
+    """max_pivot_degree excludes hub pivots from pair generation:
+    default None stays exact (reference semantics); with the cut, a
+    hub's pairs disappear while low-degree pivots still contribute,
+    and Jaccard's union denominator stays the exact degrees."""
+    from flink_efo_spark.operators.iterate import adamic_adar, jaccard_index
+
+    # hub 99 connects 1..4; besides, 1-2 share low-degree pivot 5
+    raw = [(99, 1), (99, 2), (99, 3), (99, 4), (5, 1), (5, 2)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    exact = {
+        (r.v0, r.v1): (r.shared_count, r.distinct_count)
+        for r in jaccard_index(df).collect()
+    }
+    assert exact[(1, 2)] == (2, 2)      # pivots 99 and 5; N(1)=N(2)={99,5}
+    assert (3, 4) in exact              # via hub only
+
+    cut = {
+        (r.v0, r.v1): (r.shared_count, r.distinct_count)
+        for r in jaccard_index(df, max_pivot_degree=2).collect()
+    }
+    assert (3, 4) not in cut            # hub fan-out removed
+    assert cut[(1, 2)] == (1, 3)        # shared drops to pivot 5 only;
+                                        # distinct = deg sum - shared
+                                        # overestimates the union, so
+                                        # jaccard is a lower bound
+
+    aa = {
+        (r.v0, r.v1)
+        for r in adamic_adar(df, max_pivot_degree=2).collect()
+    }
+    assert (3, 4) not in aa and (1, 2) in aa

@@ -15,7 +15,9 @@ from flink_efo_spark.operators.cep_pattern import (
 from flink_efo_spark.operators.iterate import (
     adamic_adar,
     average_clustering_coefficient,
+    average_clustering_coefficient_directed,
     bfs_distances,
+    bipartite_projection,
     community_detection,
     delta_iterate,
     global_clustering_coefficient,
@@ -23,11 +25,14 @@ from flink_efo_spark.operators.iterate import (
     jaccard_index,
     label_propagation,
     local_clustering_coefficient,
+    local_clustering_coefficient_directed,
     pagerank,
     sssp_distances,
     summarize_graph,
     triadic_census,
     triangle_enumerate,
+    vertex_metrics,
+    vertex_metrics_directed,
 )
 from flink_efo_spark.operators.joins import asof_join, interval_join
 from flink_efo_spark.operators.lookup import (
@@ -96,6 +101,11 @@ __all__ = [
     "global_clustering_coefficient",
     "average_clustering_coefficient",
     "triadic_census",
+    "bipartite_projection",
+    "vertex_metrics",
+    "local_clustering_coefficient_directed",
+    "average_clustering_coefficient_directed",
+    "vertex_metrics_directed",
     "decode_image",
     "frame_sample",
     "media_metadata",

@@ -645,3 +645,77 @@ def test_similarity_max_pivot_degree_cut(spark):
         for r in adamic_adar(df, max_pivot_degree=2).collect()
     }
     assert (3, 4) not in aa and (1, 2) in aa
+
+
+def test_directed_clustering_family_matches_brute_force(spark):
+    """Directed LCC (clustering/directed/LocalClusteringCoefficient:
+    directed edges between distinct neighbors over deg*(deg-1), the
+    bitmask-2-credit semantics), directed ACC, and directed
+    VertexMetrics (uni/bidirectional halved sums, distinct-neighbor
+    triplets) against brute force on a graph with one bidirectional
+    pair."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import (
+        average_clustering_coefficient_directed,
+        local_clustering_coefficient_directed,
+        vertex_metrics_directed,
+    )
+
+    raw = [(1, 2), (2, 1), (1, 3), (3, 2), (2, 4), (4, 5), (5, 4),
+           (1, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    ded = {(s, d) for s, d in raw if s != d}
+    nbr: dict = {}
+    for s, d in ded:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+
+    want_lcc = {}
+    for v, ns in nbr.items():
+        cnt = sum(
+            ((a, b) in ded) + ((b, a) in ded)
+            for a, b in combinations(sorted(ns), 2)
+        )
+        deg = len(ns)
+        want_lcc[v] = (
+            deg,
+            cnt,
+            round(cnt / (deg * (deg - 1)), 9) if deg > 1 else None,
+        )
+    got = {
+        r.id: (
+            r.degree,
+            r.directed_edge_count,
+            None if r.coefficient is None else round(r.coefficient, 9),
+        )
+        for r in local_clustering_coefficient_directed(df).collect()
+    }
+    assert got == want_lcc
+
+    acc = average_clustering_coefficient_directed(df).collect()[0]
+    want_sum = sum(c for _, _, c in want_lcc.values() if c is not None)
+    assert acc.vertex_count == len(nbr)
+    assert round(acc.average_coefficient, 9) == round(
+        want_sum / len(nbr), 9
+    )
+
+    m = vertex_metrics_directed(df).collect()[0]
+    outs = {v: {d for s, d in ded if s == v} for v in nbr}
+    ins = {v: {s for s, d in ded if d == v} for v in nbr}
+    bidir_pairs = {
+        (min(s, d), max(s, d)) for s, d in ded if (d, s) in ded
+    }
+    und = {(min(s, d), max(s, d)) for s, d in ded}
+    assert m.vertex_count == len(nbr)
+    assert m.bidirectional_edge_count == len(bidir_pairs)
+    assert m.unidirectional_edge_count == len(und) - len(bidir_pairs)
+    assert m.triplet_count == sum(
+        len(ns) * (len(ns) - 1) // 2 for ns in nbr.values()
+    )
+    assert m.maximum_degree == max(len(ns) for ns in nbr.values())
+    assert m.maximum_out_degree == max(len(outs[v]) for v in nbr)
+    assert m.maximum_in_degree == max(len(ins[v]) for v in nbr)
+    assert m.maximum_triplets == max(
+        len(ns) * (len(ns) - 1) // 2 for ns in nbr.values()
+    )

@@ -20,6 +20,7 @@ from flink_efo_spark.operators.iterate import (
     bipartite_projection,
     community_detection,
     delta_iterate,
+    edge_metrics,
     global_clustering_coefficient,
     hits,
     jaccard_index,
@@ -106,6 +107,7 @@ __all__ = [
     "local_clustering_coefficient_directed",
     "average_clustering_coefficient_directed",
     "vertex_metrics_directed",
+    "edge_metrics",
     "decode_image",
     "frame_sample",
     "media_metadata",

@@ -1240,3 +1240,67 @@ def vertex_metrics_directed(
         F.coalesce(F.max("__in"), F.lit(0)).alias("maximum_in_degree"),
         F.coalesce(F.max("__tpl"), F.lit(0)).alias("maximum_triplets"),
     )
+
+
+def edge_metrics(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected edge metrics — the Gelly analytic
+    (flink-gelly/.../library/metric/undirected/EdgeMetrics.java): per
+    vertex, ``low`` = its incident edges where it is the LOWER
+    (degree, id)-ordered endpoint (exactly the compact-forward
+    orientation :func:`triangle_enumerate` uses), then
+    triangle triplets = C(low, 2) and rectangle triplets =
+    C(low, 2) + low*high, summed and maxed globally. One row
+    (triangle_triplet_count, rectangle_triplet_count,
+    maximum_triangle_triplets, maximum_rectangle_triplets).
+
+    This IS the cost predictor for the triangle listing: the sum of
+    triangle triplets is the exact row count of its 2-path self-join,
+    and the maximum is the worst pivot — run it before a 100 TB
+    triangle/similarity job to size (or cap) the quadratic stage."""
+    canon = _canonical_undirected(edges, src, dst)
+    u, v = F.col("__u"), F.col("__v")
+    deg = (
+        canon.select(u.alias("id"))
+        .unionAll(canon.select(v.alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("id", "__u"), "__u")
+        .withColumnRenamed("__d", "__du")
+        .join(deg.withColumnRenamed("id", "__v"), "__v")
+        .withColumnRenamed("__d", "__dv")
+    )
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (u < v)
+    )
+    low = (
+        with_deg.select(
+            F.when(lower_first, u).otherwise(v).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__low"))
+    )
+    per_v = deg.join(low, "id", "left").select(
+        "id",
+        "__d",
+        F.coalesce(F.col("__low"), F.lit(0)).alias("__low"),
+    )
+    tri_t = (F.col("__low") * (F.col("__low") - 1) / 2).cast("long")
+    rect_t = (
+        tri_t + F.col("__low") * (F.col("__d") - F.col("__low"))
+    ).cast("long")
+    return per_v.agg(
+        F.coalesce(F.sum(tri_t), F.lit(0)).alias("triangle_triplet_count"),
+        F.coalesce(F.sum(rect_t), F.lit(0)).alias(
+            "rectangle_triplet_count"
+        ),
+        F.coalesce(F.max(tri_t), F.lit(0)).alias(
+            "maximum_triangle_triplets"
+        ),
+        F.coalesce(F.max(rect_t), F.lit(0)).alias(
+            "maximum_rectangle_triplets"
+        ),
+    )

@@ -719,3 +719,32 @@ def test_directed_clustering_family_matches_brute_force(spark):
     assert m.maximum_triplets == max(
         len(ns) * (len(ns) - 1) // 2 for ns in nbr.values()
     )
+
+
+def test_edge_metrics_matches_brute_force(spark):
+    """EdgeMetrics.java: per vertex, low = incident edges where it is
+    the lower-(degree, id) endpoint; triangle triplets = C(low, 2),
+    rectangle triplets = C(low, 2) + low*high; global sums and maxes.
+    The triangle-triplet sum must equal the actual 2-path fan-out of
+    the compact-forward orientation."""
+    from flink_efo_spark.operators.iterate import edge_metrics
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+           (2, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    es = {(min(s, d), max(s, d)) for s, d in raw if s != d}
+    deg: dict = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    low = {v: 0 for v in deg}
+    for a, b in es:
+        lo = a if (deg[a], a) < (deg[b], b) else b
+        low[lo] += 1
+    tri = {v: low[v] * (low[v] - 1) // 2 for v in deg}
+    rect = {v: tri[v] + low[v] * (deg[v] - low[v]) for v in deg}
+    r = edge_metrics(df).collect()[0]
+    assert r.triangle_triplet_count == sum(tri.values())
+    assert r.rectangle_triplet_count == sum(rect.values())
+    assert r.maximum_triangle_triplets == max(tri.values())
+    assert r.maximum_rectangle_triplets == max(rect.values())

@@ -31,6 +31,7 @@ from flink_efo_spark.operators.iterate import (
     sssp_distances,
     summarize_graph,
     triadic_census,
+    triadic_census_directed,
     triangle_enumerate,
     vertex_metrics,
     vertex_metrics_directed,
@@ -102,6 +103,7 @@ __all__ = [
     "global_clustering_coefficient",
     "average_clustering_coefficient",
     "triadic_census",
+    "triadic_census_directed",
     "bipartite_projection",
     "vertex_metrics",
     "local_clustering_coefficient_directed",

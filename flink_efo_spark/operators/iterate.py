@@ -1304,3 +1304,205 @@ def edge_metrics(
             "maximum_rectangle_triplets"
         ),
     )
+
+
+# Batagelj-Mrvar labeled-triad type table (public literature; the
+# reference cites it at clustering/directed/TriadicCensus.java:202):
+# index = 6-bit mask (f0f1|f0f2|f1f2 pair groups, 2 bits each,
+# 0b10 = lower->higher positional edge, 0b01 = reverse), value = triad
+# class 1..16.
+_TRIAD_TYPE_TABLE = [
+    1, 2, 2, 3, 2, 4, 6, 8,
+    2, 6, 5, 7, 3, 8, 7, 11,
+    2, 6, 4, 8, 5, 9, 9, 13,
+    6, 10, 9, 14, 7, 14, 12, 15,
+    2, 5, 6, 7, 6, 9, 10, 14,
+    4, 9, 9, 12, 8, 13, 14, 15,
+    3, 7, 8, 11, 7, 12, 14, 15,
+    8, 14, 13, 15, 11, 15, 15, 16,
+]
+# triangle classes (all three pairs connected): class -> result label
+_TRIANGLE_CLASSES = {9: "030t", 10: "030c", 12: "120d", 13: "120u",
+                     14: "120c", 15: "210", 16: "300"}
+
+
+def triadic_census_directed(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """DIRECTED triadic census — the Gelly analytic
+    (flink-gelly/.../library/clustering/directed/TriadicCensus.java):
+    the 16 Batagelj-Mrvar triad classes, computed the reference's way —
+    per-vertex degree combinatorics give the open-triplet classes
+    (021d/u/c from unidirectional out/in splits, 111d/u and 201 from
+    the bidirectional overlap), the degree-oriented triangle listing
+    plus per-pair direction flags classifies the closed triads
+    through the labeled-triad type table, and the single-edge /
+    empty classes fall out arithmetically in DECIMAL(38,0) (the
+    reference uses BigInteger — C(V,3) overflows BIGINT past ~3.8M
+    vertices). One row, the reference's Result order:
+    (t003, t012, t102, t021d, t021u, t021c, t111d, t111u, t030t,
+    t030c, t201, t120d, t120u, t120c, t210, t300).
+
+    Scale shape: one deduped directed edge relation feeding a degree
+    aggregation (O(E)), the triangle listing (its quadratic step
+    degree-bounded), three co-keyed pair-flag joins on the triangles,
+    and 1-row cross joins for the closed-form arithmetic — no step
+    beyond the machinery triangle_enumerate already pays for."""
+    dec = "decimal(38,0)"
+    ded = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s") != F.col("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outd = ded.groupBy(F.col("__s").alias("id")).agg(
+        F.count(F.lit(1)).alias("__out")
+    )
+    ind = ded.groupBy(F.col("__d").alias("id")).agg(
+        F.count(F.lit(1)).alias("__in")
+    )
+    canon = _canonical_undirected(ded, "__s", "__d")
+    deg = (
+        canon.select(F.col("__u").alias("id"))
+        .unionAll(canon.select(F.col("__v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    per_v = (
+        deg.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            (F.col("__deg") - F.coalesce(F.col("__in"), F.lit(0))).alias(
+                "__uas"
+            ),
+            (F.col("__deg") - F.coalesce(F.col("__out"), F.lit(0))).alias(
+                "__uat"
+            ),
+            (
+                F.coalesce(F.col("__in"), F.lit(0))
+                + F.coalesce(F.col("__out"), F.lit(0))
+                - F.col("__deg")
+            ).alias("__bid"),
+        )
+    )
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    vm = per_v.agg(
+        F.count(F.lit(1)).cast(dec).alias("__v"),
+        (F.sum(F.col("__uas") + F.col("__uat")) / 2).cast(dec).alias("__uec"),
+        (F.sum("__bid") / 2).cast(dec).alias("__bec"),
+        F.coalesce(F.sum(c2("__uas")), F.lit(0)).cast(dec).alias("__t021d"),
+        F.coalesce(F.sum(c2("__uat")), F.lit(0)).cast(dec).alias("__t021u"),
+        F.coalesce(F.sum(F.col("__uas") * F.col("__uat")), F.lit(0))
+        .cast(dec).alias("__t021c"),
+        F.coalesce(F.sum(F.col("__uat") * F.col("__bid")), F.lit(0))
+        .cast(dec).alias("__t111d"),
+        F.coalesce(F.sum(F.col("__uas") * F.col("__bid")), F.lit(0))
+        .cast(dec).alias("__t111u"),
+        F.coalesce(F.sum(c2("__bid")), F.lit(0)).cast(dec).alias("__t201"),
+    )
+    # per canonical pair: 2-bit direction group (0b10 fwd, 0b01 rev)
+    dirs = (
+        ded.select(
+            F.least("__s", "__d").alias("__pu"),
+            F.greatest("__s", "__d").alias("__pv"),
+            (F.col("__s") < F.col("__d")).alias("__isf"),
+        )
+        .groupBy("__pu", "__pv")
+        .agg(
+            (
+                F.max(F.col("__isf").cast("int")) * 2
+                + F.max((~F.col("__isf")).cast("int"))
+            ).alias("__m")
+        )
+    )
+    tri = triangle_enumerate(canon, "__u", "__v")
+    with_mask = (
+        tri.join(
+            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("b"),
+                        F.col("__m").alias("__mab")),
+            ["a", "b"],
+        )
+        .join(
+            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("c"),
+                        F.col("__m").alias("__mac")),
+            ["a", "c"],
+        )
+        .join(
+            dirs.select(F.col("__pu").alias("b"), F.col("__pv").alias("c"),
+                        F.col("__m").alias("__mbc")),
+            ["b", "c"],
+        )
+        .select(
+            (
+                F.col("__mab") * 16 + F.col("__mac") * 4 + F.col("__mbc")
+            ).alias("__mask")
+        )
+    )
+    label_expr = F.lit("?")
+    for mask, cls in enumerate(_TRIAD_TYPE_TABLE):
+        if cls in _TRIANGLE_CLASSES:
+            label_expr = F.when(
+                F.col("__mask") == mask, F.lit(_TRIANGLE_CLASSES[cls])
+            ).otherwise(label_expr)
+    tcounts = with_mask.select(label_expr.alias("__lbl")).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("__lbl") == lbl, 1)), F.lit(0)
+            ).cast(dec).alias(f"__tri{lbl}")
+            for lbl in ("030t", "030c", "120d", "120u", "120c", "210", "300")
+        ]
+    )
+    j = vm.crossJoin(F.broadcast(tcounts))
+    # open triplets, triangle-deducted (the reference's exact order)
+    t201 = F.col("__t201") - 3 * F.col("__tri300") - F.col("__tri210")
+    t111d = (
+        F.col("__t111d") - F.col("__tri210") - F.col("__tri120c")
+        - 2 * F.col("__tri120d")
+    )
+    t111u = (
+        F.col("__t111u") - F.col("__tri210") - F.col("__tri120c")
+        - 2 * F.col("__tri120u")
+    )
+    t021c = (
+        F.col("__t021c") - F.col("__tri120c") - 3 * F.col("__tri030c")
+        - F.col("__tri030t")
+    )
+    t021u = F.col("__t021u") - F.col("__tri120u") - F.col("__tri030t")
+    t021d = F.col("__t021d") - F.col("__tri120d") - F.col("__tri030t")
+    e102 = (
+        F.col("__bec") * (F.col("__v") - 2) - t111d - t111u - 2 * t201
+        - F.col("__tri120d") - F.col("__tri120u") - F.col("__tri120c")
+        - 2 * F.col("__tri210") - 3 * F.col("__tri300")
+    )
+    e012 = (
+        F.col("__uec") * (F.col("__v") - 2)
+        - 2 * (t021d + t021u + t021c) - t111d - t111u
+        - 3 * F.col("__tri030t") - 3 * F.col("__tri030c")
+        - 2 * (F.col("__tri120d") + F.col("__tri120u") + F.col("__tri120c"))
+        - F.col("__tri210")
+    )
+    t003 = (
+        (F.col("__v") * (F.col("__v") - 1) * (F.col("__v") - 2) / 6).cast(dec)
+        - e012 - e102 - t021d - t021u - t021c - t111d - t111u
+        - F.col("__tri030t") - F.col("__tri030c") - t201
+        - F.col("__tri120d") - F.col("__tri120u") - F.col("__tri120c")
+        - F.col("__tri210") - F.col("__tri300")
+    )
+    return j.select(
+        t003.cast(dec).alias("t003"),
+        e012.cast(dec).alias("t012"),
+        e102.cast(dec).alias("t102"),
+        t021d.cast(dec).alias("t021d"),
+        t021u.cast(dec).alias("t021u"),
+        t021c.cast(dec).alias("t021c"),
+        t111d.cast(dec).alias("t111d"),
+        t111u.cast(dec).alias("t111u"),
+        F.col("__tri030t").alias("t030t"),
+        F.col("__tri030c").alias("t030c"),
+        t201.cast(dec).alias("t201"),
+        F.col("__tri120d").alias("t120d"),
+        F.col("__tri120u").alias("t120u"),
+        F.col("__tri120c").alias("t120c"),
+        F.col("__tri210").alias("t210"),
+        F.col("__tri300").alias("t300"),
+    )

@@ -748,3 +748,41 @@ def test_edge_metrics_matches_brute_force(spark):
     assert r.rectangle_triplet_count == sum(rect.values())
     assert r.maximum_triangle_triplets == max(tri.values())
     assert r.maximum_rectangle_triplets == max(rect.values())
+
+
+def test_directed_triadic_census_matches_brute_force(spark):
+    """Directed TriadicCensus.java: the 16 Batagelj-Mrvar classes.
+    Ground truth enumerates ALL vertex triples and classifies each
+    through the labeled-triad type table (the public table the
+    reference cites); the operator under test derives 9 of the 16
+    classes ARITHMETICALLY from degrees and edge counts, so agreement
+    checks that closed form, not just the table."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import (
+        _TRIAD_TYPE_TABLE,
+        triadic_census_directed,
+    )
+
+    raw = [(1, 2), (2, 1), (1, 3), (3, 2), (2, 4), (4, 5), (5, 4),
+           (5, 1), (3, 4), (6, 7), (1, 4), (4, 1), (2, 3), (7, 8),
+           (8, 6), (5, 3)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    ded = {(s, d) for s, d in raw if s != d}
+    vs = sorted({v for e in ded for v in e})
+
+    def group(x, y):
+        return 2 * ((x, y) in ded) + ((y, x) in ded)
+
+    counts = [0] * 17
+    for a, b, c in combinations(vs, 3):
+        mask = group(a, b) * 16 + group(a, c) * 4 + group(b, c)
+        counts[_TRIAD_TYPE_TABLE[mask]] += 1
+
+    labels = ["t003", "t012", "t102", "t021d", "t021u", "t021c",
+              "t111d", "t111u", "t030t", "t030c", "t201", "t120d",
+              "t120u", "t120c", "t210", "t300"]
+    r = triadic_census_directed(df).collect()[0]
+    got = [int(r[lbl]) for lbl in labels]
+    assert got == counts[1:], dict(zip(labels, zip(got, counts[1:])))
+    assert sum(got) == len(vs) * (len(vs) - 1) * (len(vs) - 2) // 6

@@ -1258,7 +1258,13 @@ def edge_metrics(
     This IS the cost predictor for the triangle listing: the sum of
     triangle triplets is the exact row count of its 2-path self-join,
     and the maximum is the worst pivot — run it before a 100 TB
-    triangle/similarity job to size (or cap) the quadratic stage."""
+    triangle/similarity job to size (or cap) the quadratic stage.
+
+    (The reference's DIRECTED EdgeMetrics computes the same two
+    formulas over distinct-neighbor degrees and the same
+    lower-(degree, id) orientation, which is exactly this function on
+    the directed graph's undirected support — one implementation
+    serves both, like the directed global clustering coefficient.)"""
     canon = _canonical_undirected(edges, src, dst)
     u, v = F.col("__u"), F.col("__v")
     deg = (

@@ -488,3 +488,229 @@ def q_bipartite_projection_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_links").desc(), "src", "dst")
         .limit(200)
     )
+
+
+@_q(
+    "lcc_topn",
+    f"""
+    WITH {_COOC_SQL},
+    nbrs AS (SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY w),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM e ab JOIN e bc ON bc.u = ab.v
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+    pertri AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+    tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+           FROM pertri GROUP BY id)
+    SELECT CAST(deg.w AS BIGINT) AS id, deg.d AS degree,
+           coalesce(tc.t, 0) AS triangle_count,
+           CASE WHEN deg.d > 1 THEN
+             CAST(coalesce(tc.t, 0) AS DOUBLE) / (deg.d*(deg.d-1)/2.0)
+           END AS coefficient
+    FROM deg LEFT JOIN tc ON tc.id = deg.w
+    ORDER BY coalesce(tc.t, 0) DESC, deg.d ASC, id
+    LIMIT 100
+    """,
+)
+def q_lcc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly undirected LocalClusteringCoefficient (clustering/
+    undirected/LocalClusteringCoefficient.java via operators/
+    iterate.local_clustering_coefficient): top 100 by exact-integer
+    keys (triangle count desc, degree asc, id)."""
+    from flink_efo_spark.operators.iterate import (
+        local_clustering_coefficient,
+    )
+
+    out = local_clustering_coefficient(_cooc_edges(spark, sf_dir))
+    return (
+        out.orderBy(
+            F.col("triangle_count").desc(), F.col("degree").asc(), "id"
+        )
+        .limit(100)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "degree",
+            "triangle_count",
+            "coefficient",
+        )
+    )
+
+
+def _census_case() -> str:
+    """CASE expression mapping a 6-bit labeled-triad mask to its
+    triangle class label, generated from the same public
+    Batagelj-Mrvar table the operator uses."""
+    from flink_efo_spark.operators.iterate import (
+        _TRIAD_TYPE_TABLE,
+        _TRIANGLE_CLASSES,
+    )
+
+    whens = "\n".join(
+        f"        WHEN {mask} THEN '{_TRIANGLE_CLASSES[cls]}'"
+        for mask, cls in enumerate(_TRIAD_TYPE_TABLE)
+        if cls in _TRIANGLE_CLASSES
+    )
+    return f"CASE mask\n{whens}\n        END"
+
+
+_DIRECTED_CENSUS_SQL = f"""
+    WITH {_MIXED_SQL},
+    ded AS (SELECT DISTINCT s, d FROM de WHERE s <> d),
+    ce AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM ded),
+    outd AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS o
+             FROM ded GROUP BY s),
+    ind AS (SELECT d AS id, CAST(count(*) AS BIGINT) AS i
+            FROM ded GROUP BY d),
+    nb AS (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM nb GROUP BY id),
+    pv AS (SELECT deg.dg - coalesce(ind.i, 0) AS uas,
+                  deg.dg - coalesce(outd.o, 0) AS uat,
+                  coalesce(ind.i, 0) + coalesce(outd.o, 0) - deg.dg AS bid
+           FROM deg LEFT JOIN outd ON outd.id = deg.id
+                    LEFT JOIN ind ON ind.id = deg.id),
+    vm AS (SELECT CAST(count(*) AS BIGINT) AS vc,
+                  CAST(sum(uas + uat)/2 AS BIGINT) AS uec,
+                  CAST(sum(bid)/2 AS BIGINT) AS bec,
+                  CAST(sum(uas*(uas-1)/2) AS BIGINT) AS p021d,
+                  CAST(sum(uat*(uat-1)/2) AS BIGINT) AS p021u,
+                  CAST(sum(uas*uat) AS BIGINT) AS p021c,
+                  CAST(sum(uat*bid) AS BIGINT) AS p111d,
+                  CAST(sum(uas*bid) AS BIGINT) AS p111u,
+                  CAST(sum(bid*(bid-1)/2) AS BIGINT) AS p201
+           FROM pv),
+    dirs AS (SELECT least(s, d) AS pu, greatest(s, d) AS pv,
+                    max(CASE WHEN s < d THEN 1 ELSE 0 END)*2
+                    + max(CASE WHEN s > d THEN 1 ELSE 0 END) AS m
+             FROM ded GROUP BY least(s, d), greatest(s, d)),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM ce ab JOIN ce bc ON bc.u = ab.v
+                       JOIN ce ac ON ac.u = ab.u AND ac.v = bc.v),
+    masks AS (SELECT dab.m*16 + dac.m*4 + dbc.m AS mask
+              FROM tri JOIN dirs dab ON dab.pu = tri.a AND dab.pv = tri.b
+                       JOIN dirs dac ON dac.pu = tri.a AND dac.pv = tri.c
+                       JOIN dirs dbc ON dbc.pu = tri.b AND dbc.pv = tri.c),
+    lbls AS (SELECT {{census_case}} AS lbl FROM masks),
+    tc AS (SELECT
+             CAST(coalesce(sum(CASE WHEN lbl='030t' THEN 1 END),0) AS BIGINT) AS c030t,
+             CAST(coalesce(sum(CASE WHEN lbl='030c' THEN 1 END),0) AS BIGINT) AS c030c,
+             CAST(coalesce(sum(CASE WHEN lbl='120d' THEN 1 END),0) AS BIGINT) AS c120d,
+             CAST(coalesce(sum(CASE WHEN lbl='120u' THEN 1 END),0) AS BIGINT) AS c120u,
+             CAST(coalesce(sum(CASE WHEN lbl='120c' THEN 1 END),0) AS BIGINT) AS c120c,
+             CAST(coalesce(sum(CASE WHEN lbl='210' THEN 1 END),0) AS BIGINT) AS c210,
+             CAST(coalesce(sum(CASE WHEN lbl='300' THEN 1 END),0) AS BIGINT) AS c300
+           FROM lbls),
+    adj AS (SELECT vc, uec, bec,
+                   p201 - 3*c300 - c210 AS t201,
+                   p111d - c210 - c120c - 2*c120d AS t111d,
+                   p111u - c210 - c120c - 2*c120u AS t111u,
+                   p021c - c120c - 3*c030c - c030t AS t021c,
+                   p021u - c120u - c030t AS t021u,
+                   p021d - c120d - c030t AS t021d,
+                   c030t, c030c, c120d, c120u, c120c, c210, c300
+            FROM vm, tc),
+    fin AS (SELECT *,
+                   bec*(vc-2) - t111d - t111u - 2*t201
+                     - c120d - c120u - c120c - 2*c210 - 3*c300 AS e102,
+                   uec*(vc-2) - 2*(t021d + t021u + t021c)
+                     - t111d - t111u - 3*c030t - 3*c030c
+                     - 2*(c120d + c120u + c120c) - c210 AS e012
+            FROM adj)
+    SELECT CAST(vc*(vc-1)*(vc-2)/6 - e012 - e102
+                - t021d - t021u - t021c - t111d - t111u
+                - c030t - c030c - t201 - c120d - c120u - c120c
+                - c210 - c300 AS BIGINT) AS t003,
+           CAST(e012 AS BIGINT) AS t012, CAST(e102 AS BIGINT) AS t102,
+           CAST(t021d AS BIGINT) AS t021d, CAST(t021u AS BIGINT) AS t021u,
+           CAST(t021c AS BIGINT) AS t021c, CAST(t111d AS BIGINT) AS t111d,
+           CAST(t111u AS BIGINT) AS t111u, c030t AS t030t, c030c AS t030c,
+           CAST(t201 AS BIGINT) AS t201, c120d AS t120d, c120u AS t120u,
+           c120c AS t120c, c210 AS t210, c300 AS t300
+    FROM fin
+"""
+
+
+@_q(
+    "directed_census_row",
+    _DIRECTED_CENSUS_SQL.format(census_case=_census_case()),
+)
+def q_directed_census_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed TriadicCensus (clustering/directed/
+    TriadicCensus.java via operators/iterate.triadic_census_directed)
+    on the mixed directed graph; all 16 classes as BIGINT (they fit
+    at corpus scale; the operator keeps DECIMAL(38,0))."""
+    from flink_efo_spark.operators.iterate import triadic_census_directed
+
+    out = triadic_census_directed(_mixed_edges(spark, sf_dir))
+    return out.select(
+        *[F.col(c).cast("long").alias(c) for c in out.columns]
+    )
+
+
+@_q(
+    "directed_clustering_row",
+    f"""
+    WITH {_MIXED_SQL},
+    ded AS (SELECT DISTINCT s, d FROM de WHERE s <> d),
+    ce AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM ded),
+    outd AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS o
+             FROM ded GROUP BY s),
+    ind AS (SELECT d AS id, CAST(count(*) AS BIGINT) AS i
+            FROM ded GROUP BY d),
+    nb AS (SELECT u AS id FROM ce UNION ALL SELECT v FROM ce),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM nb GROUP BY id),
+    dc AS (SELECT least(s, d) AS pu, greatest(s, d) AS pv,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM ded GROUP BY least(s, d), greatest(s, d)),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM ce ab JOIN ce bc ON bc.u = ab.v
+                       JOIN ce ac ON ac.u = ab.u AND ac.v = bc.v),
+    sides AS (SELECT a AS id, b AS pu, c AS pv FROM tri
+              UNION ALL SELECT b, a, c FROM tri
+              UNION ALL SELECT c, a, b FROM tri),
+    cnt AS (SELECT sides.id, CAST(sum(dc.c) AS BIGINT) AS t
+            FROM sides JOIN dc ON dc.pu = sides.pu AND dc.pv = sides.pv
+            GROUP BY sides.id),
+    lcc AS (SELECT deg.id, deg.dg, coalesce(cnt.t, 0) AS t
+            FROM deg LEFT JOIN cnt ON cnt.id = deg.id),
+    acc AS (SELECT CAST(count(*) AS BIGINT) AS vc,
+                   sum(CASE WHEN dg > 1
+                       THEN CAST(t AS DOUBLE)/(dg*(dg-1)) END)
+                     / count(*) AS avg_coeff
+            FROM lcc),
+    pv AS (SELECT deg.dg, coalesce(outd.o, 0) AS o, coalesce(ind.i, 0) AS i
+           FROM deg LEFT JOIN outd ON outd.id = deg.id
+                    LEFT JOIN ind ON ind.id = deg.id),
+    vm AS (SELECT CAST(sum(dg - (i + o - dg))/2 AS BIGINT) AS uni_edges,
+                  CAST(sum(i + o - dg)/2 AS BIGINT) AS bidir_edges,
+                  CAST(max(o) AS BIGINT) AS max_out,
+                  CAST(max(i) AS BIGINT) AS max_in
+           FROM pv)
+    SELECT acc.vc AS vertex_count, acc.avg_coeff AS average_coefficient,
+           vm.uni_edges AS unidirectional_edge_count,
+           vm.bidir_edges AS bidirectional_edge_count,
+           vm.max_out AS maximum_out_degree, vm.max_in AS maximum_in_degree
+    FROM acc, vm
+    """,
+)
+def q_directed_clustering_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly directed AverageClusteringCoefficient + directed
+    VertexMetrics in one row (clustering/directed/ and
+    metric/directed/ via operators/iterate) on the mixed graph."""
+    from flink_efo_spark.operators.iterate import (
+        average_clustering_coefficient_directed,
+        vertex_metrics_directed,
+    )
+
+    e = _mixed_edges(spark, sf_dir)
+    a = average_clustering_coefficient_directed(e).select(
+        "vertex_count",
+        F.col("average_coefficient"),
+    )
+    m = vertex_metrics_directed(e).select(
+        "unidirectional_edge_count",
+        "bidirectional_edge_count",
+        "maximum_out_degree",
+        "maximum_in_degree",
+    )
+    return a.crossJoin(m)

@@ -165,6 +165,22 @@ def _driver_order() -> list[str]:
         "label_propagation",
         "sssp_distances",
         "triangle_enum",
+        # round-9: the Gelly graph corpus (staged r8, registered r9).
+        # They are the only never-checked entries, so they drain in
+        # one 50-row sample with or without naming; named for the
+        # same first-row-now precedent as kmeans/ddl_like.
+        "jaccard_pairs",
+        "adamic_adar_pairs",
+        "hits_scores",
+        "community_labels",
+        "clustering_metrics",
+        "edge_metrics_row",
+        "summary_graph_edges",
+        "triadic_census_undirected",
+        "bipartite_projection_top",
+        "lcc_topn",
+        "directed_census_row",
+        "directed_clustering_row",
     }
 
     def key(n: str):

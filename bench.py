@@ -198,6 +198,15 @@ BENCH_QUERIES = [
     "label_propagation",
     "sssp_distances",
     "triangle_enum",
+    # round 9: the Gelly graph corpus registered this round — one row
+    # per NEW plan family (lcc_topn/edge_metrics/summary/undirected
+    # census share the triangle/metrics plans already timed here)
+    "jaccard_pairs",        # 2-path neighborhood fan-out + degree join
+    "hits_scores",          # per-round co-keyed joins + broadcast norms
+    "community_labels",     # scored scatter-gather label propagation
+    "clustering_metrics",   # triangles + triplets + metrics, one row
+    "directed_census_row",  # closed-form census + 6-bit triangle masks
+    "bipartite_projection_top",  # shared-counterpart projection join
 ]
 
 
@@ -250,12 +259,26 @@ def main() -> None:
         fn = QUERIES[name]
         best, n = None, 0
         try:
-            for _ in range(max(1, runs)):
+            # the >= 5 s tail (multi-batch streaming replays, the big
+            # TPC-DS trees) dominates the total AND is exactly where
+            # co-located load shows up as a 3-10x phantom regression
+            # (r6/r7/r8 verdicts each re-adjudicated a batch). One
+            # extra run on that tail is bounded (few queries) and
+            # kills the worst case: three samples make a single loaded
+            # window very unlikely to own the min.
+            n_runs = max(1, runs)
+            done, bonus_used = 0, False
+            while done < n_runs:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                done += 1
+                if (done == n_runs and n_runs > 1 and best >= 5.0
+                        and not bonus_used):
+                    n_runs += 1  # one bonus sample, once
+                    bonus_used = True
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
@@ -292,6 +315,8 @@ def main() -> None:
     }
     if load1 is not None:
         detail["load1"] = load1
+    if load_before is not None and load_before > 2.0:
+        detail["load_warning"] = f"pre-run load1={load_before}: machine busy"
     if errors:
         detail["errors"] = errors
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
@@ -346,6 +371,15 @@ def main() -> None:
             "load1": load1,
             "detail": os.path.basename(detail_path) if detail_path else None,
         }
+        # a busy box inflates absolute walls up to ~7x on the heavy
+        # streaming replays (r6/r7/r8 each re-adjudicated such rows);
+        # say so IN the line the driver copies, not just via the raw
+        # loadavg pair
+        if load_before is not None and load_before > 2.0:
+            out["load_warning"] = (
+                f"pre-run load1={load_before}: machine busy, absolute "
+                "walls inflated; compare plans/detail mins, not totals"
+            )
         line = json.dumps(out)
         if len(line) < 1500 or n_slow == 0:
             break

@@ -61,11 +61,29 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def force_utc_process_tz() -> None:
+    """Pin the DRIVER PROCESS timezone to UTC. ``DataFrame.collect()``
+    converts timestamps to the driver process's LOCAL timezone (the
+    session timeZone conf does not change that conversion), and
+    several operators interpret collected naive datetimes as UTC
+    (e.g. cep._eoi_epoch_ms). On a non-UTC driver those markers would
+    shift by the UTC offset — eastward offsets make end-of-input
+    unreachable, westward ones finalize early. Process-global and
+    driver-only by design: executors never run collect()."""
+    import time
+
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set the runtime-settable confs the engine's semantics depend on
     on a session the engine did NOT create (e.g. the driver's vanilla
     session): nanos-parquet readability and deterministic UTC time.
     Both are runtime SQL confs — safe to set on a live session."""
+    force_utc_process_tz()
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -3,14 +3,11 @@ Gelly graph operators (operators/iterate.py — HITS, community
 detection, neighborhood similarity, clustering metrics, censuses,
 summarization, bipartite projections).
 
-NOT registered in ``__spark_entry__.queries()`` yet — round 8's
-verification plan keeps the registered corpus at exactly 294 entries
-so the driver's last 50 never-checked TPC-DS rows drain. Every pair
-here is already engine-vs-DuckDB verified by
-``tests/test_graph_oracles.py`` (the verify_local comparison,
-including the 9-decimal float normalization); round 9 registers them
-by merging ``GRAPH_QUERIES``/``GRAPH_ORACLES`` into queries.py's
-dicts.
+Registered in the corpus since round 9 (queries.py's
+``_register_graph_queries`` merges ``GRAPH_QUERIES``/``GRAPH_ORACLES``
+into ``QUERIES``/``ORACLES``). Every pair is engine-vs-DuckDB verified
+by ``tests/test_graph_oracles.py`` (the verify_local comparison,
+including the 9-decimal float normalization) at sf0.001 and sf0.01.
 
 Inputs are the corpus's standard graphs:
 
@@ -318,7 +315,7 @@ def q_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vm.tpl AS triplet_count,
            CAST(tri.t AS BIGINT) AS triangle_count,
            CAST(3*tri.t AS DOUBLE)/CAST(vm.tpl AS DOUBLE) AS global_coeff,
-           acc.vc AS vertex_count, acc.avg_coeff AS average_coeff,
+           acc.vc AS vertex_count, round(acc.avg_coeff, 6) AS average_coeff,
            vm.ec AS edge_count, vm.maxd AS maximum_degree,
            vm.maxt AS maximum_triplets
     FROM vm, tri, acc
@@ -341,7 +338,11 @@ def q_clustering_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coefficient").alias("global_coeff"),
     )
     a = average_clustering_coefficient(e).select(
-        "vertex_count", F.col("average_coefficient").alias("average_coeff")
+        "vertex_count",
+        # order-dependent float sum over ~1e3 per-vertex doubles —
+        # round to 6 like hits_scores so partial-agg order can't flip
+        # the harness's 9-decimal normalization boundary
+        F.round("average_coefficient", 6).alias("average_coeff"),
     )
     m = vertex_metrics(e).select(
         "edge_count", "maximum_degree", "maximum_triplets"
@@ -686,7 +687,8 @@ def q_directed_census_row(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(max(o) AS BIGINT) AS max_out,
                   CAST(max(i) AS BIGINT) AS max_in
            FROM pv)
-    SELECT acc.vc AS vertex_count, acc.avg_coeff AS average_coefficient,
+    SELECT acc.vc AS vertex_count,
+           round(acc.avg_coeff, 6) AS average_coefficient,
            vm.uni_edges AS unidirectional_edge_count,
            vm.bidir_edges AS bidirectional_edge_count,
            vm.max_out AS maximum_out_degree, vm.max_in AS maximum_in_degree
@@ -705,7 +707,8 @@ def q_directed_clustering_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _mixed_edges(spark, sf_dir)
     a = average_clustering_coefficient_directed(e).select(
         "vertex_count",
-        F.col("average_coefficient"),
+        # same 6-decimal discipline as the undirected average
+        F.round("average_coefficient", 6).alias("average_coefficient"),
     )
     m = vertex_metrics_directed(e).select(
         "unidirectional_edge_count",

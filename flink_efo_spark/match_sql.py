@@ -21,8 +21,15 @@ the outer query to select from it — so the surrounding SQL (joins,
 filters, ORDER BY) still runs through Spark SQL untouched.
 
 Supported measure expressions: ``FIRST(V.col)`` / ``LAST(V.col)`` /
-``COUNT(V.col | V.*)`` / bare ``V.col`` (the matched row's value —
-``last`` semantics, one-row-per-match) / ``MATCH_NUMBER()``. DEFINE
+``COUNT(V.col | V.*)`` / the running folds ``SUM/MIN/MAX/AVG(V.col)``
+/ bare ``V.col`` (the matched row's value — ``last`` semantics,
+one-row-per-match) / ``MATCH_NUMBER()`` — plus
+arbitrary SCALAR EXPRESSIONS over those atoms (``LAST(B.v) -
+FIRST(A.v)``, ``COALESCE(LAST(B.v), A.v)``, CASE, any Spark scalar
+function): the atoms come out of the matcher as hidden measures and
+the expression runs as one Catalyst projection, so unmatched optional
+variables surface as NULLs exactly like the reference's generated
+measure code (MatchCodeGenerator.scala). DEFINE
 conditions are Spark SQL boolean expressions over the row; variable
 prefixes (``A.price``) are stripped (every variable sees the current
 row, the reference's running semantics for non-aggregate refs), and
@@ -123,18 +130,47 @@ def _sections(body: str) -> dict[str, str]:
 
 
 _MEAS_FN_RE = re.compile(
-    r"^(FIRST|LAST|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*"
-    r"(?:,\s*\d+\s*)?\)$",
+    r"^(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
+    r"([A-Za-z_]\w*|\*)\s*(?:,\s*(\d+)\s*)?\)$",
     re.IGNORECASE,
 )
 _MEAS_BARE_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)$")
 _MATCH_NUM_RE = re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.IGNORECASE)
 
 
-def _parse_measures(text: str):
-    """-> (measures dict for the API, match_number output name|None)."""
+def _parse_measures(text: str, variables: set[str] | None = None):
+    """-> (measures dict for the API, match_number output name|None,
+    post_exprs: ordered {out name: Spark SQL expr} | None).
+
+    Simple items (one FIRST/LAST/COUNT(V.col), bare V.col,
+    MATCH_NUMBER()) map directly onto engine measures. COMPOUND scalar
+    expressions over those atoms — ``LAST(B.v) - FIRST(A.v)``,
+    ``COALESCE(LAST(B.v), A.v)``, arithmetic with MATCH_NUMBER(),
+    CASE, any Spark scalar function — are supported the Spark-first
+    way: each navigation atom becomes a HIDDEN engine measure
+    (``__mr_e<k>``) and the surrounding expression runs as one
+    Catalyst ``selectExpr`` over the match output (whole-stage
+    codegen; the Python matcher only ever emits atoms). Unmatched
+    optional variables surface as NULL atoms (COUNT as 0), so the
+    expressions see exactly the reference's semantics
+    (MatchCodeGenerator.scala generates the same null-propagating
+    expression code over its measure fields). ``post_exprs`` is None
+    when every item is simple — the zero-plan-change fast path."""
+    variables = variables or set()
     measures: dict[str, tuple[str, str, str]] = {}
     match_num = None
+    post_exprs: dict[str, str] = {}
+    atom_ids: dict[tuple[str, str, str], str] = {}
+    compound_seen = False
+
+    def _atom(var: str, fn: str, col: str) -> str:
+        key = (var, fn, col)
+        if key not in atom_ids:
+            hid = f"__mr_e{len(atom_ids)}"
+            atom_ids[key] = hid
+            measures[hid] = key
+        return atom_ids[key]
+
     for item in _split_top(text):
         m = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)$", item, re.IGNORECASE | re.DOTALL)
         if not m:
@@ -146,23 +182,103 @@ def _parse_measures(text: str):
         fm = _MEAS_FN_RE.match(expr)
         if fm:
             fn, var, col = fm.group(1).lower(), fm.group(2), fm.group(3)
+            if fm.group(4) is not None and (
+                fn not in ("first", "last") or int(fm.group(4)) != 0
+            ):
+                # FIRST(V.col, n)'s n-th-row navigation is not wired —
+                # refuse rather than silently answer FIRST(V.col)
+                raise ValueError(
+                    f"{fn.upper()} offset {fm.group(4)} is not "
+                    f"supported in MEASURES: {item!r}"
+                )
             if col == "*":
                 if fn != "count":
                     raise ValueError(f"{fn.upper()}(V.*) is not a measure: {item!r}")
                 col = var  # count ignores the column
             measures[name] = (var, fn, col)
+            post_exprs[name] = name
             continue
         bm = _MEAS_BARE_RE.match(expr)
         if bm:
             # one-row-per-match: V.col is the value on V's matched row
             # (last row of the variable, the reference's final semantics)
             measures[name] = (bm.group(1), "last", bm.group(2))
+            post_exprs[name] = name
             continue
-        raise ValueError(
-            f"unsupported MEASURES expression: {item!r} "
-            "(supported: FIRST/LAST/COUNT(V.col), V.col, MATCH_NUMBER())"
+        # compound expression: swap each atom for a hidden measure and
+        # keep the rest for Catalyst
+        rewritten = re.sub(
+            r"\bMATCH_NUMBER\s*\(\s*\)", "match_seq", expr,
+            flags=re.IGNORECASE,
         )
-    return measures, match_num
+
+        def _sub_fn(mm: "re.Match") -> str:
+            fn, var, col = (
+                mm.group(1).lower(), mm.group(2), mm.group(3)
+            )
+            if var not in variables:
+                return mm.group(0)
+            if mm.group(4) is not None and (
+                fn not in ("first", "last") or int(mm.group(4)) != 0
+            ):
+                raise ValueError(
+                    f"{fn.upper()} offset {mm.group(4)} is not "
+                    f"supported in MEASURES: {item!r}"
+                )
+            if col == "*":
+                if fn != "count":
+                    raise ValueError(
+                        f"{fn.upper()}({var}.*) is not a measure: {item!r}"
+                    )
+                col = var
+            return _atom(var, fn, col)
+
+        rewritten = re.sub(
+            r"\b(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+            r"([A-Za-z_]\w*)\s*\.\s*"
+            r"([A-Za-z_]\w*|\*)\s*(?:,\s*(\d+)\s*)?\)",
+            _sub_fn,
+            rewritten,
+            flags=re.IGNORECASE,
+        )
+        for v in sorted(variables, key=len, reverse=True):
+            rewritten = re.sub(
+                rf"\b{re.escape(v)}\s*\.\s*([A-Za-z_]\w*)",
+                lambda mm, _v=v: _atom(_v, "last", mm.group(1)),
+                rewritten,
+            )
+        leftover = re.search(
+            r"\b(" + "|".join(re.escape(v) for v in variables) + r")\s*\."
+            if variables
+            else r"$^",
+            rewritten,
+        )
+        if leftover:
+            raise ValueError(
+                f"unsupported MEASURES expression: {item!r} "
+                "(unresolvable pattern-variable reference "
+                f"{leftover.group(0)!r})"
+            )
+        # a running aggregate that did NOT collapse to an atom (e.g.
+        # STDDEV(A.v), SUM(A.v + 1)) would reach Spark as an aggregate
+        # inside a projection — refuse here with the real reason
+        agg_left = re.search(
+            r"\b(SUM|AVG|MIN|MAX|COUNT|FIRST|LAST|STDDEV\w*|VARIANCE"
+            r"|VAR_POP|VAR_SAMP|COLLECT_LIST|COLLECT_SET|ARRAY_AGG"
+            r"|LISTAGG|PERCENTILE\w*)\s*\(",
+            rewritten,
+            flags=re.IGNORECASE,
+        )
+        if agg_left:
+            raise ValueError(
+                f"unsupported MEASURES expression: {item!r} "
+                f"({agg_left.group(1).upper()} over a non-atom argument "
+                "— running aggregates support only "
+                "FIRST/LAST/COUNT/SUM/MIN/MAX/AVG(V.col))"
+            )
+        post_exprs[name] = rewritten
+        compound_seen = True
+    return measures, match_num, (post_exprs if compound_seen else None)
 
 
 def _parse_defines(text: str, variables: set[str]) -> dict[str, str]:
@@ -259,8 +375,10 @@ def execute_match_recognize(spark, sql: str, translate_fn):
     order_by = order_cols[0]
     tiebreak = order_cols[1] if len(order_cols) == 2 else None
 
-    measures, match_num = (
-        _parse_measures(sec["MEASURES"]) if "MEASURES" in sec else ({}, None)
+    measures, match_num, post_exprs = (
+        _parse_measures(sec["MEASURES"], variables)
+        if "MEASURES" in sec
+        else ({}, None, None)
     )
     defines = _parse_defines(sec["DEFINE"], variables)
     after = _parse_skip(sec["AFTER MATCH"]) if "AFTER MATCH" in sec else "past_last_row"
@@ -279,6 +397,15 @@ def execute_match_recognize(spark, sql: str, translate_fn):
         within=within,
         after_match=after,
     )
+    if post_exprs is not None:
+        # compound measures: the hidden navigation atoms came out of
+        # the matcher; the expressions themselves run as ONE Catalyst
+        # projection (whole-stage codegen), then the atoms drop
+        out = out.selectExpr(
+            *partition_by,
+            "match_seq",
+            *[f"{e} AS {n}" for n, e in post_exprs.items()],
+        )
     if match_num is not None:
         out = out.withColumnRenamed("match_seq", match_num)
 
@@ -291,6 +418,7 @@ def execute_match_recognize(spark, sql: str, translate_fn):
         pattern,
         tuple(sorted(defines.items())),
         tuple(sorted(measures.items())),
+        tuple(sorted(post_exprs.items())) if post_exprs else None,
         after,
         order_by,
         tiebreak,

@@ -606,6 +606,10 @@ def _attribute(m, steps: list[Step], var_flags) -> dict[str, list[int]]:
 
 
 def _measure_record(var_rows, meas_items, data):
+    """first|last positional, count, and the numeric folds
+    sum|min|max|avg over a variable's matched rows (the
+    cep_pattern._measure_value contract); unmatched variable: NULL
+    (count -> 0)."""
     rec = {}
     for out_col, (var, fn, col) in meas_items:
         idxs = var_rows.get(var, [])
@@ -617,6 +621,16 @@ def _measure_record(var_rows, meas_items, data):
             rec[out_col] = data[col][idxs[0]]
         elif fn == "last":
             rec[out_col] = data[col][idxs[-1]]
+        elif fn in ("sum", "min", "max", "avg"):
+            vals = [data[col][i] for i in idxs]
+            if fn == "sum":
+                rec[out_col] = sum(vals)
+            elif fn == "min":
+                rec[out_col] = min(vals)
+            elif fn == "max":
+                rec[out_col] = max(vals)
+            else:
+                rec[out_col] = sum(vals) / len(vals)
         else:
             raise ValueError(f"unsupported measure fn: {fn}")
     return rec
@@ -829,6 +843,10 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     for out_col, (var, fn, col) in measures.items():
         if fn == "count":
             out_fields.append(StructField(out_col, LongType()))
+        elif fn == "avg":
+            from pyspark.sql.types import DoubleType
+
+            out_fields.append(StructField(out_col, DoubleType()))
         else:
             out_fields.append(StructField(out_col, slim.schema[col].dataType))
     out_schema = StructType(out_fields)
@@ -875,9 +893,10 @@ def match_recognize(
     defines: var → Spark SQL boolean expression over the row's
     columns; ``prev_<col>`` pseudo-columns give PREV() access.
 
-    measures: out_col → (var, fn, col) with fn ∈ first|last|count
-    (count ignores col). The output carries the partition keys, a
-    per-partition ``match_seq``, and the measures.
+    measures: out_col → (var, fn, col) with fn ∈ first|last|count|
+    sum|min|max|avg (count ignores col; avg emits DOUBLE). The output
+    carries the partition keys, a per-partition ``match_seq``, and
+    the measures.
 
     within: max seconds from a match's first to last row — the
     reference's ``Pattern.within()`` (flink-cep NFA.java windowTime);
@@ -1327,6 +1346,16 @@ def stream_match_recognize(
     eoi_ms = (
         None if end_of_input_ts is None else _eoi_epoch_ms(end_of_input_ts)
     )
+    if flush_on_timeout and within is None and eoi_ms is None:
+        # Nothing can ever finalize a held match for a windowless
+        # pattern with no end-of-input marker, so the flag would never
+        # fire — surface the dead contract instead of silently holding
+        # the caller's final matches in state forever.
+        raise ValueError(
+            "flush_on_timeout=True requires `within` or "
+            "`end_of_input_ts`; a windowless pattern with no "
+            "end-of-input marker can never finalize held matches"
+        )
 
     def _save_tail(state, seq, new_tail) -> None:
         """Persist the tail and arm the flush timer ONLY when rows are

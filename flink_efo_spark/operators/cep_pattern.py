@@ -1216,6 +1216,15 @@ def stream_cep_pattern_select(
     eoi_ms = (
         None if end_of_input_ts is None else _eoi_epoch_ms(end_of_input_ts)
     )
+    if flush_on_timeout and win is None and eoi_ms is None:
+        # Same dead-contract guard as cep.stream_match_recognize: with
+        # neither a within window nor an end-of-input marker the flush
+        # timer never arms, so the flag can never fire.
+        raise ValueError(
+            "flush_on_timeout=True requires a within() window or "
+            "`end_of_input_ts`; otherwise held matches can never "
+            "finalize"
+        )
 
     def _save_tail(state, seq, new_tail) -> None:
         """Persist the tail; arm the flush timer ONLY when rows are

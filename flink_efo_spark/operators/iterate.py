@@ -129,6 +129,142 @@ def bfs_distances(
     return result
 
 
+def vertex_centric(
+    vertices: DataFrame,
+    edges: DataFrame,
+    send_msg,
+    combine_msg: Callable,
+    apply_fn: Callable,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The vertex-centric (Pregel) programming model as a declarative
+    harness over :func:`delta_iterate` — the reference's
+    flink-gelly/.../pregel/VertexCentricIteration.java (ComputeFunction
+    + MessageCombiner), with the scatter-gather and gather-sum-apply
+    models (spargel/ScatterGatherIteration.java,
+    gsa/GatherSumApplyIteration.java) expressible through the same
+    three hooks; :func:`gather_sum_apply` is the GSA-named alias.
+
+    Spark-first contract — the hooks are Catalyst Column expressions,
+    not per-row functions, so every superstep stays in whole-stage
+    codegen (no Python in the loop):
+
+    * ``vertices``: (id, value) — the solution set;
+    * ``edges``: (src, dst, [edge-value columns]) — messages flow
+      along out-edges;
+    * ``send_msg``: Column over the (active-source ⋈ edge) frame —
+      sees the source's ``value`` plus every edge column; its result
+      is the message delivered to ``dst`` (ScatterFunction /
+      ComputeFunction.sendMessageTo along getEdges());
+    * ``combine_msg``: aggregate fn (e.g. ``F.min``) reducing a
+      target's inbox to one combined message (MessageCombiner — with
+      Column algebra a combiner always exists, which is why the inbox
+      iterator never materializes);
+    * ``apply_fn``: ``(current_value, combined_msg) -> Column`` — the
+      new vertex value (GatherFunction.updateVertex / ApplyFunction).
+
+    Superstep semantics match the reference's convergence rule for
+    value-driven algorithms (GSAConnectedComponents /
+    GSASingleSourceShortestPaths, whose compute functions send only
+    on improvement): round 1 every vertex is active; a vertex that
+    receives messages re-runs apply; it is active in round k+1 —
+    i.e. re-sends along its out-edges — iff its value CHANGED in
+    round k. Termination: no active vertices (the empty-workset test)
+    or ``max_rounds`` (the reference's maxIterations).
+
+    Scale shape (the delta_iterate discipline): the edge relation is
+    hash-partitioned on src and persisted ONCE; a superstep shuffles
+    the (small, shrinking) active set into the co-partitioned join,
+    one groupBy(dst) combine, one join against the solution on id —
+    O(E_active + V) payload-free rows; the changed-delta
+    localCheckpoints per round (lineage truncation) and the solution
+    overwrite checkpoints via ``checkpoint_solution=True`` (label-
+    overwrite lineage grows in depth, per delta_iterate's contract).
+
+    Returns the final (id, value) solution set.
+    """
+    edge_cols = [c for c in edges.columns if c not in (src, dst)]
+    adj = (
+        edges.select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__vcdst"),
+            *edge_cols,
+        )
+        .repartition("__src")
+        .persist()
+    )
+    init = vertices.select(F.col("id"), F.col("value"))
+
+    def step(sol: DataFrame, ws: DataFrame):
+        msgs = (
+            adj.join(
+                ws.select(F.col("id").alias("__src"), "value"), "__src"
+            )
+            .select(F.col("__vcdst").alias("id"), send_msg.alias("__msg"))
+            .groupBy("id")
+            .agg(combine_msg(F.col("__msg")).alias("__msg"))
+        )
+        # only message recipients run apply (the Pregel activation
+        # rule); the null-safe inequality keeps null-valued vertices
+        # from re-activating forever
+        delta = (
+            sol.join(msgs, "id")
+            .select(
+                "id",
+                F.col("value").alias("__old"),
+                apply_fn(F.col("value"), F.col("__msg")).alias("value"),
+            )
+            .where(~F.col("value").eqNullSafe(F.col("__old")))
+            .select("id", "value")
+            .localCheckpoint(eager=True)
+        )
+        new_sol = (
+            sol.join(
+                delta.select("id", F.col("value").alias("__new")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("value")).alias("value"),
+            )
+        )
+        return new_sol, delta
+
+    result = delta_iterate(
+        init, init, step, max_rounds=max_rounds, checkpoint_solution=True
+    )
+    adj.unpersist()
+    return result
+
+
+def gather_sum_apply(
+    vertices: DataFrame,
+    edges: DataFrame,
+    gather,
+    sum_fn: Callable,
+    apply_fn: Callable,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Gather-sum-apply naming for :func:`vertex_centric` — the
+    reference's Graph.runGatherSumApplyIteration (flink-gelly/.../gsa/
+    GatherSumApplyIteration.java; library twins
+    GSAConnectedComponents.java / GSASingleSourceShortestPaths.java).
+    ``gather`` is the per-neighbor Column (GatherFunction), ``sum_fn``
+    the pairwise reduction as an aggregate (SumFunction — Column
+    aggregates are its associative closure), ``apply_fn`` the vertex
+    update (ApplyFunction). GSA gathers over IN-neighbors of each
+    vertex, which is the message flow along out-edges — the identical
+    dataflow, so this is a pure rename."""
+    return vertex_centric(
+        vertices, edges, gather, sum_fn, apply_fn, max_rounds, src, dst
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -165,6 +301,28 @@ def pagerank(
         .distinct()
         .persist()
     )
+    ranks = nodes.select("id", F.lit(scale).cast("long").alias("r"))
+    ranks = _pr_rounds(
+        nodes, edges, src, dst, ranks, n_iter, scale, damp_num, damp_den
+    )
+    nodes.unpersist()
+    return ranks
+
+
+def _pr_rounds(
+    nodes: DataFrame,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    ranks: DataFrame,
+    n_iter: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+) -> DataFrame:
+    """The exact-integer PageRank round loop shared by :func:`pagerank`
+    (cold start = ``scale`` everywhere) and :func:`pagerank_warm`
+    (snapshot start). ``ranks`` is (id, r BIGINT) covering every node."""
     outd = edges.groupBy(src).agg(F.count(F.lit(1)).alias("od"))
     adj = (
         edges.join(outd, src)
@@ -173,7 +331,6 @@ def pagerank(
         .persist()
     )
     base = scale * (damp_den - damp_num) // damp_den
-    ranks = nodes.select("id", F.lit(scale).cast("long").alias("r"))
     for _ in range(n_iter):
         contrib = (
             adj.join(
@@ -201,8 +358,58 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    nodes.unpersist()
     adj.unpersist()
+    return ranks
+
+
+def pagerank_warm(
+    edges: DataFrame,
+    init_ranks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """:func:`pagerank`'s exact-integer rounds WARM-STARTED from a
+    prior snapshot ``init_ranks`` (id, r) — the incremental-graph
+    recurrence: vertices of ``edges`` absent from the snapshot start
+    at ``scale`` (the cold-start value), snapshot rows for vertices no
+    longer in the graph drop out. Runs exactly ``n_iter`` rounds, so
+    the evolving-graph sequence snapshot_i = pagerank_warm(E_i,
+    snapshot_{i-1}) is fully deterministic and oracle-replayable —
+    the streaming operator's contract
+    (streaming.stream_incremental_pagerank).
+
+    Scale shape: identical to pagerank (one co-partitioned join + one
+    groupBy(dst) of longs per round); the warm start is what makes
+    per-batch refresh affordable — a handful of rounds over the grown
+    graph instead of a from-scratch recomputation whose round count
+    must cover the full mixing time."""
+    if n_iter < 1:
+        raise ValueError("pagerank_warm requires n_iter >= 1")
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    ranks = (
+        nodes.join(
+            init_ranks.select("id", F.col("r").alias("__r0")), "id", "left"
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("__r0"), F.lit(scale))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    ranks = _pr_rounds(
+        nodes, edges, src, dst, ranks, n_iter, scale, damp_num, damp_den
+    )
+    nodes.unpersist()
     return ranks
 
 
@@ -616,6 +823,11 @@ def hits(
     outer join on id; scores localCheckpoint per round (lineage
     truncation). No driver state, no cross join wider than 1 row.
     """
+    if n_iter < 1:
+        # reference parity: HITS.java's Preconditions.checkArgument
+        # (iterations > 0). With 0 rounds the initial frame has no hub
+        # column and the final select would raise AnalysisException.
+        raise ValueError("hits requires n_iter >= 1")
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).persist()
@@ -1332,6 +1544,100 @@ _TRIANGLE_CLASSES = {9: "030t", 10: "030c", 12: "120d", 13: "120u",
                      14: "120c", 15: "210", 16: "300"}
 
 
+def _directed_triangle_masks(ded: DataFrame, canon: DataFrame) -> DataFrame:
+    """Per-triangle 6-bit direction masks over the deduped directed
+    edge set ``ded`` (columns __s, __d) and its canonical undirected
+    support ``canon`` (columns __u, __v): returns (a, b, c, __mask)
+    with a < b < c by ID and ``__mask = m_ab*16 + m_ac*4 + m_bc``,
+    where each 2-bit pair group is 0b10 if the low→high directed edge
+    exists and 0b01 if the high→low edge exists — the reference's
+    EdgeOrder.FORWARD/REVERSE encoding (flink-gelly/.../library/
+    clustering/directed/TriangleListing.java's bitmask, its
+    OrderByID flattening). Shared by triangle_listing (which emits
+    the rows) and triadic_census_directed (which classifies the
+    masks through the Batagelj-Mrvar type table)."""
+    dirs = (
+        ded.select(
+            F.least("__s", "__d").alias("__pu"),
+            F.greatest("__s", "__d").alias("__pv"),
+            (F.col("__s") < F.col("__d")).alias("__isf"),
+        )
+        .groupBy("__pu", "__pv")
+        .agg(
+            (
+                F.max(F.col("__isf").cast("int")) * 2
+                + F.max((~F.col("__isf")).cast("int"))
+            ).alias("__m")
+        )
+    )
+    tri = triangle_enumerate(canon, "__u", "__v")
+    return (
+        tri.join(
+            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("b"),
+                        F.col("__m").alias("__mab")),
+            ["a", "b"],
+        )
+        .join(
+            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("c"),
+                        F.col("__m").alias("__mac")),
+            ["a", "c"],
+        )
+        .join(
+            dirs.select(F.col("__pu").alias("b"), F.col("__pv").alias("c"),
+                        F.col("__m").alias("__mbc")),
+            ["b", "c"],
+        )
+        .select(
+            "a",
+            "b",
+            "c",
+            (
+                F.col("__mab") * 16 + F.col("__mac") * 4 + F.col("__mbc")
+            ).alias("__mask"),
+        )
+    )
+
+
+def triangle_listing(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """DIRECTED triangle listing — the Gelly library algorithm
+    (flink-gelly/.../library/clustering/directed/TriangleListing.java):
+    one row per distinct triangle of the undirected support with the
+    6-bit bitmask of the six potential directed edges connecting the
+    three vertices. Duplicate edges and self-loops are deduped/dropped
+    first (the reference requires a simple input; this normalizes).
+
+    Returns (vertex_id_0, vertex_id_1, vertex_id_2, bitmask) with
+    vertex_id_0 < vertex_id_1 < vertex_id_2 by ID and
+    ``bitmask = m01 << 4 | m02 << 2 | m12``; each 2-bit group is
+    0b10 when the low→high edge exists and 0b01 when the high→low
+    edge exists (EdgeOrder.FORWARD/REVERSE). Deliberate normalization
+    vs the reference: its Result orders the vertices by DEGREE (an
+    artifact of the skew-minimizing triplet generation, with
+    setPermuteResults to emit all 6 orderings); ID-canonical order is
+    deterministic and self-describing, and any permutation is a
+    column swap + the reference's own bit rotation.
+
+    Scale shape: triangle_enumerate's degree-oriented listing (the
+    only quadratic step bounded per pivot) plus three co-keyed joins
+    against the per-pair direction flags — O(#triangles) rows out,
+    no step beyond what triadic_census_directed already pays for."""
+    ded = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s") != F.col("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    canon = _canonical_undirected(ded, "__s", "__d")
+    return _directed_triangle_masks(ded, canon).select(
+        F.col("a").alias("vertex_id_0"),
+        F.col("b").alias("vertex_id_1"),
+        F.col("c").alias("vertex_id_2"),
+        F.col("__mask").cast("int").alias("bitmask"),
+    )
+
+
 def triadic_census_directed(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -1406,44 +1712,7 @@ def triadic_census_directed(
         .cast(dec).alias("__t111u"),
         F.coalesce(F.sum(c2("__bid")), F.lit(0)).cast(dec).alias("__t201"),
     )
-    # per canonical pair: 2-bit direction group (0b10 fwd, 0b01 rev)
-    dirs = (
-        ded.select(
-            F.least("__s", "__d").alias("__pu"),
-            F.greatest("__s", "__d").alias("__pv"),
-            (F.col("__s") < F.col("__d")).alias("__isf"),
-        )
-        .groupBy("__pu", "__pv")
-        .agg(
-            (
-                F.max(F.col("__isf").cast("int")) * 2
-                + F.max((~F.col("__isf")).cast("int"))
-            ).alias("__m")
-        )
-    )
-    tri = triangle_enumerate(canon, "__u", "__v")
-    with_mask = (
-        tri.join(
-            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("b"),
-                        F.col("__m").alias("__mab")),
-            ["a", "b"],
-        )
-        .join(
-            dirs.select(F.col("__pu").alias("a"), F.col("__pv").alias("c"),
-                        F.col("__m").alias("__mac")),
-            ["a", "c"],
-        )
-        .join(
-            dirs.select(F.col("__pu").alias("b"), F.col("__pv").alias("c"),
-                        F.col("__m").alias("__mbc")),
-            ["b", "c"],
-        )
-        .select(
-            (
-                F.col("__mab") * 16 + F.col("__mac") * 4 + F.col("__mbc")
-            ).alias("__mask")
-        )
-    )
+    with_mask = _directed_triangle_masks(ded, canon).select("__mask")
     label_expr = F.lit("?")
     for mask, cls in enumerate(_TRIAD_TYPE_TABLE):
         if cls in _TRIANGLE_CLASSES:

@@ -8265,3 +8265,31 @@ def q_stream_token_budget(t: _T) -> DataFrame:
         {"en": 20000, "de": 8000, "zh": 5000},
     )
     return run_stream_to_table(out).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Gelly graph-operator corpus (round-8 staging -> registered round 9):
+# the 12 (engine, DuckDB-oracle) pairs for the iterate.py library tail
+# — similarity, HITS, community detection, clustering metrics and
+# censuses (both directions), summarization, bipartite projections,
+# vertex/edge metrics. Each pair was verified against DuckDB at
+# sf0.001 AND sf0.01 under the driver's comparison rules by
+# tests/test_graph_oracles.py before registration.
+
+
+def _register_graph_queries() -> None:
+    from flink_efo_spark.catalog import ensure_session_confs
+    from flink_efo_spark.graph_queries import GRAPH_ORACLES, GRAPH_QUERIES
+
+    for name, fn in GRAPH_QUERIES.items():
+        def wrapped(
+            spark: SparkSession, sf_dir: str, _fn=fn
+        ) -> DataFrame:
+            ensure_session_confs(spark)
+            return _fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        ORACLES[name] = GRAPH_ORACLES[name]
+
+
+_register_graph_queries()

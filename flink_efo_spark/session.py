@@ -83,6 +83,9 @@ def get_spark(
     must be chosen at JVM startup — it cannot be toggled on an
     existing session.
     """
+    from flink_efo_spark.catalog import force_utc_process_tz
+
+    force_utc_process_tz()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     merged = dict(_DEFAULT_CONFS)

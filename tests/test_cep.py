@@ -1139,3 +1139,44 @@ def test_define_navigation_first_last(spark):
             defines={"A": "TRUE", "B": "v > first_A_v"},
             measures={"n": ("B", "count", "seq")},
         )
+
+
+def test_flush_on_timeout_requires_window_or_eoi(spark):
+    """ADVICE r8: flush_on_timeout on a windowless pattern with no
+    end_of_input_ts can never fire (the conditional-arming fix means
+    no timer is ever set) — the dead contract must raise loudly, not
+    silently hold the caller's final matches forever."""
+    import pytest
+
+    from flink_efo_spark.operators.cep import stream_match_recognize
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("'k' AS k", "CAST(value AS INT) AS seq",
+                    "'x' AS et", "CAST(value AS DOUBLE) AS v")
+    )
+    with pytest.raises(ValueError, match="flush_on_timeout"):
+        stream_match_recognize(
+            src, ["k"], "seq",
+            pattern="A B",
+            defines={"A": "TRUE", "B": "TRUE"},
+            measures={"n": ("B", "count", "seq")},
+            flush_on_timeout=True,
+        )
+    # either finalization path re-legitimizes the flag
+    stream_match_recognize(
+        src, ["k"], "seq",
+        pattern="A B",
+        defines={"A": "TRUE", "B": "TRUE"},
+        measures={"n": ("B", "count", "seq")},
+        flush_on_timeout=True,
+        within=10.0,
+    )
+    stream_match_recognize(
+        src, ["k"], "seq",
+        pattern="A B",
+        defines={"A": "TRUE", "B": "TRUE"},
+        measures={"n": ("B", "count", "seq")},
+        flush_on_timeout=True,
+        end_of_input_ts=1e9,
+    )

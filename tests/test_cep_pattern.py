@@ -305,6 +305,11 @@ def _stream_batch_parity(spark, tmp_path, rows, pat, measures, cuts, tag,
         out = stream_cep_pattern_select(
             src, pat, ["user_id"], "ts", measures, tiebreak="event_id",
             emit_timeouts=emit_timeouts, flush_on_timeout=True,
+            # r9: a windowless pattern + flush_on_timeout now REQUIRES
+            # an explicit end-of-input marker (the dead-contract guard)
+            # — day 8 sits above every real event and below the
+            # sentinel's day-9 watermark that fires the timer
+            end_of_input_ts=t0 + dt.timedelta(days=8),
         )
         got = sorted(
             tuple(r[c] for c in out_cols)
@@ -740,3 +745,32 @@ def test_group_optional_and_until(spark):
     # the loop stops at error 4 (until), d takes it; the post-error
     # pair never joins the first signup's chain
     assert sorted((r[2], r[3]) for r in got2) == [(1, 4)]
+
+
+def test_stream_flush_on_timeout_requires_window_or_eoi(spark):
+    """Same dead-contract guard as cep.stream_match_recognize: a
+    windowless CepPattern + flush_on_timeout + no end_of_input_ts can
+    never finalize, so the call raises."""
+    from flink_efo_spark.operators.cep_pattern import (
+        stream_cep_pattern_select,
+    )
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("1 AS user_id", "CAST(value AS INT) AS event_id",
+                    "'view' AS event_type", "CAST(value AS DOUBLE) AS ts")
+    )
+    pat = (CepPattern.begin("a").where("event_type = 'view'")
+           .followed_by("c").where("event_type = 'click'"))
+    with pytest.raises(ValueError, match="flush_on_timeout"):
+        stream_cep_pattern_select(
+            src, pat, ["user_id"], "ts",
+            {"a": ("a", "first", "event_id")},
+            flush_on_timeout=True,
+        )
+    # a within() window re-legitimizes the flag
+    stream_cep_pattern_select(
+        src, pat.within(100.0), ["user_id"], "ts",
+        {"a": ("a", "first", "event_id")},
+        flush_on_timeout=True,
+    )

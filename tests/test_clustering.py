@@ -786,3 +786,136 @@ def test_directed_triadic_census_matches_brute_force(spark):
     got = [int(r[lbl]) for lbl in labels]
     assert got == counts[1:], dict(zip(labels, zip(got, counts[1:])))
     assert sum(got) == len(vs) * (len(vs) - 1) * (len(vs) - 2) // 6
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """Reference parity (HITS.java Preconditions.checkArgument
+    iterations > 0): n_iter < 1 raises ValueError instead of an
+    AnalysisException on the missing hub column."""
+    import pytest
+
+    from flink_efo_spark.operators.iterate import hits
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)
+
+
+def test_vertex_centric_reproduces_gsa_connected_components(spark):
+    """The pregel/VertexCentricIteration.java programming model via
+    iterate.vertex_centric reproduces GSAConnectedComponents.java:
+    gather = neighbor value, sum = min, apply = min(current, gathered)
+    on the symmetrized edge set; converges to the min vertex id per
+    weakly-connected component."""
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.iterate import vertex_centric
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} via
+    # self-loop-free isolation is impossible (edge list), so {20,21}
+    raw = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)]
+    e = spark.createDataFrame(raw, "src long, dst long")
+    und = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    v = (und.select(F.col("src").alias("id"))
+         .union(und.select(F.col("dst").alias("id")))
+         .distinct()
+         .select("id", F.col("id").alias("value")))
+    out = vertex_centric(
+        v, und,
+        send_msg=F.col("value"),
+        combine_msg=F.min,
+        apply_fn=F.least,
+        max_rounds=10,
+    )
+    got = {r.id: r.value for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_gather_sum_apply_sssp_matches_reference(spark):
+    """GSASingleSourceShortestPaths.java via iterate.gather_sum_apply:
+    gather = source distance + edge weight, sum = min, apply =
+    min(current, candidate); unreachable vertices keep Infinity (the
+    reference's InitVerticesMapper seed)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.iterate import gather_sum_apply
+
+    raw = [(1, 2, 1.0), (1, 3, 4.0), (2, 3, 1.5), (3, 4, 1.0),
+           (4, 2, 0.25), (5, 6, 1.0)]  # 5,6 unreachable from 1
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    v = (e.select(F.col("src").alias("id"))
+         .union(e.select(F.col("dst").alias("id")))
+         .distinct()
+         .select(
+             "id",
+             F.when(F.col("id") == 1, F.lit(0.0))
+             .otherwise(F.lit(float("inf"))).alias("value")))
+    out = gather_sum_apply(
+        v, e,
+        gather=F.col("value") + F.col("w"),
+        sum_fn=F.min,
+        apply_fn=F.least,
+        max_rounds=10,
+    )
+    got = {r.id: r.value for r in out.collect()}
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 2.5
+    assert got[4] == 3.5
+    assert math.isinf(got[5]) and math.isinf(got[6])
+
+
+def test_triangle_listing_bitmask_matches_brute_force(spark):
+    """Directed TriangleListing (clustering/directed/
+    TriangleListing.java): per-triangle 6-bit masks vs a brute-force
+    enumeration, and the mask histogram classified through the
+    Batagelj-Mrvar table equals triadic_census_directed's closed-triad
+    row on the same graph."""
+    from itertools import combinations
+
+    from flink_efo_spark.operators.iterate import (
+        _TRIAD_TYPE_TABLE,
+        _TRIANGLE_CLASSES,
+        triadic_census_directed,
+        triangle_listing,
+    )
+
+    # all direction flavors: uni fwd, uni rev, mutual; plus a dupe and
+    # a self-loop that must be normalized away
+    raw = [(1, 2), (2, 3), (1, 3), (3, 1),          # tri 1-2-3, mixed
+           (4, 5), (5, 4), (5, 6), (6, 4),          # tri 4-5-6
+           (7, 8), (8, 9), (9, 7),                  # 3-cycle 7-8-9
+           (1, 2), (4, 4)]                          # dupe + self-loop
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    edges = {(s, d) for s, d in raw if s != d}
+
+    def group(u, v):  # 2-bit group for ID-ordered pair (u < v)
+        return ((u, v) in edges) * 2 + ((v, u) in edges)
+
+    verts = sorted({x for e in edges for x in e})
+    expected = {}
+    for a, b, c in combinations(verts, 3):
+        if group(a, b) and group(a, c) and group(b, c):
+            expected[(a, b, c)] = (
+                group(a, b) * 16 + group(a, c) * 4 + group(b, c)
+            )
+
+    rows = triangle_listing(df).collect()
+    got = {
+        (r.vertex_id_0, r.vertex_id_1, r.vertex_id_2): r.bitmask
+        for r in rows
+    }
+    assert got == expected
+    assert len(rows) == len(got)  # one row per triangle, no permutes
+
+    # census cross-check on the closed classes
+    hist: dict = {}
+    for mask in got.values():
+        lbl = _TRIANGLE_CLASSES[_TRIAD_TYPE_TABLE[mask]]
+        hist[lbl] = hist.get(lbl, 0) + 1
+    census = triadic_census_directed(df).collect()[0]
+    for lbl in ("030t", "030c", "120d", "120u", "120c", "210", "300"):
+        assert int(census[f"t{lbl}"]) == hist.get(lbl, 0), lbl

@@ -1,7 +1,8 @@
-"""Round-9 staging gate: every graph_queries.py (engine, oracle) pair
-must already hash-match DuckDB at sf0.001 under the verify_local
-comparison rules (columns sorted by name, rows sorted, floats rounded
-to 9 decimals) BEFORE round 9 registers them in the driver corpus."""
+"""Graph-corpus oracle gate (the round-9 staging gate, kept as a
+regression suite): every graph_queries.py (engine, oracle) pair must
+hash-match DuckDB under the verify_local comparison rules (columns
+sorted by name, rows sorted, floats rounded to 9 decimals). Run with
+SPARK_GRAFT_SF_DIR_SMALL=/root/testdata/sf0.01 for the driver's SF."""
 
 from __future__ import annotations
 

@@ -120,10 +120,18 @@ def test_sql_match_recognize_errors(spark):
             "SELECT * FROM __mr_t MATCH_RECOGNIZE (ORDER BY seq "
             "PATTERN (A) DEFINE A AS A.et = 'a')"
         )
+    # round-9: SUM(A.v) became a supported running fold; STDDEV and
+    # aggregates over non-atom arguments stay refused with the reason
     with pytest.raises(ValueError, match="unsupported MEASURES"):
         env.sql(
             "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
-            "ORDER BY seq MEASURES SUM(A.v) AS s PATTERN (A) "
+            "ORDER BY seq MEASURES STDDEV(A.v) AS s PATTERN (A) "
+            "DEFINE A AS A.et = 'a')"
+        )
+    with pytest.raises(ValueError, match="unsupported MEASURES"):
+        env.sql(
+            "SELECT * FROM __mr_t MATCH_RECOGNIZE (PARTITION BY k "
+            "ORDER BY seq MEASURES SUM(A.v + 1) AS s PATTERN (A) "
             "DEFINE A AS A.et = 'a')"
         )
 
@@ -190,3 +198,122 @@ def test_sql_first_last_in_define(spark):
         """
     )
     assert [(r.k, r.n_b, r.last_b) for r in out.collect()] == [("u1", 2, 3)]
+
+
+def test_sql_measures_compound_expressions(spark):
+    """Round-9: MEASURES scalar expressions over navigation atoms —
+    arithmetic across variables, COALESCE over an UNMATCHED optional
+    variable (NULL atom, the reference's generated-code semantics),
+    CASE, MATCH_NUMBER() arithmetic. Atoms come out of the matcher;
+    the expressions run as one Catalyst projection."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 2.0),
+            ("u1", 3, "b", 3.0),
+            ("u1", 4, "c", 9.0),
+            ("u1", 5, "a", 1.0),
+            ("u1", 6, "c", 2.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, delta, b_or_a, kind, m2
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES LAST(C.v) - FIRST(A.v) AS delta,
+                   COALESCE(LAST(B.v), A.v) AS b_or_a,
+                   CASE WHEN COUNT(B.seq) > 0 THEN 'with_b'
+                        ELSE 'no_b' END AS kind,
+                   MATCH_NUMBER() * 10 AS m2
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b',
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    # match 1: A=seq1(10.0) B=2,3(last 3.0) C=seq4(9.0)
+    # match 2: A=seq5(1.0) B unmatched -> COALESCE falls to A.v, C=seq6
+    assert got == [
+        ("u1", -1.0, 3.0, "with_b", 10),
+        ("u1", 1.0, 1.0, "no_b", 20),
+    ]
+    # hidden atom columns must not leak into the output schema
+    assert not [c for c in out.columns if c.startswith("__mr_e")]
+
+
+def test_sql_measures_mixed_simple_and_compound(spark):
+    """Simple atoms keep their direct engine mapping when a compound
+    item is present; output column order follows the MEASURES list."""
+    _mk(spark, [("u1", 1, "a", 4.0), ("u1", 2, "c", 6.0)])
+    out = _env(spark).sql(
+        """
+        SELECT * FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES FIRST(A.v) AS a_v,
+                   (LAST(C.v) + FIRST(A.v)) / 2 AS mid
+          PATTERN (A C)
+          DEFINE A AS A.et = 'a', C AS C.et = 'c'
+        )
+        """
+    )
+    rows = out.collect()
+    assert out.columns == ["k", "match_seq", "a_v", "mid"]
+    assert [(r.a_v, r.mid) for r in rows] == [(4.0, 5.0)]
+
+
+def test_sql_measures_first_offset_rejected(spark):
+    """FIRST(V.col, n>0) navigation is refused loudly (it would
+    silently answer FIRST(V.col) otherwise), simple and compound."""
+    _mk(spark, [("u1", 1, "a", 4.0), ("u1", 2, "c", 6.0)])
+    for meas in ("FIRST(A.v, 1) AS x", "FIRST(A.v, 2) + 1 AS x"):
+        with pytest.raises(ValueError, match="offset"):
+            _env(spark).sql(
+                f"""
+                SELECT * FROM __mr_t MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY seq
+                  MEASURES {meas}
+                  PATTERN (A C)
+                  DEFINE A AS A.et = 'a', C AS C.et = 'c'
+                )
+                """
+            )
+
+
+def test_sql_measures_running_folds(spark):
+    """Round-9: SUM/MIN/MAX/AVG(V.col) running folds — simple form
+    and inside compound expressions (the reference's running
+    aggregates over a quantified variable's rows)."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 2.0),
+            ("u1", 3, "b", 4.0),
+            ("u1", 4, "c", 9.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, s, lo, hi, mean, share
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES SUM(B.v) AS s,
+                   MIN(B.v) AS lo,
+                   MAX(B.v) AS hi,
+                   AVG(B.v) AS mean,
+                   SUM(B.v) / (FIRST(A.v) + LAST(C.v)) AS share
+          PATTERN (A B+ C)
+          DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        )
+        """
+    )
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("u1", 6.0, 2.0, 4.0, 3.0, 6.0 / 19.0)]

@@ -50,6 +50,14 @@ INTENTIONAL_NLJ = {
     "tpcds_q24b",
     # corpus-average sale threshold: the same 1-row avg broadcast
     "tpcds_q14b",
+    # graph metric rows: crossJoins of 1-ROW aggregate relations
+    # (global/average coefficient, census class counts, vertex
+    # metrics) — every build side is a single row by construction,
+    # the constant-size-build reasoning above
+    "clustering_metrics",
+    "triadic_census_undirected",
+    "directed_census_row",
+    "directed_clustering_row",
 }
 # streaming queries execute eagerly; plan text is the batch result's
 STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}

@@ -20,7 +20,8 @@ engine's matcher, registers the result as a temp view, and rewrites
 the outer query to select from it — so the surrounding SQL (joins,
 filters, ORDER BY) still runs through Spark SQL untouched.
 
-Supported measure expressions: ``FIRST(V.col)`` / ``LAST(V.col)`` /
+Supported measure expressions: ``FIRST(V.col [, n])`` /
+``LAST(V.col [, n])`` (logical n-th-row offsets, NULL out of range) /
 ``COUNT(V.col | V.*)`` / the running folds ``SUM/MIN/MAX/AVG(V.col)``
 / bare ``V.col`` (the matched row's value — ``last`` semantics,
 one-row-per-match) / ``MATCH_NUMBER()`` — plus
@@ -32,10 +33,12 @@ variables surface as NULLs exactly like the reference's generated
 measure code (MatchCodeGenerator.scala). DEFINE
 conditions are Spark SQL boolean expressions over the row; variable
 prefixes (``A.price``) are stripped (every variable sees the current
-row, the reference's running semantics for non-aggregate refs), and
-``PREV(V.col [, 1])`` maps to the engine's ``prev_col`` pseudo-columns.
-``FIRST``/``LAST`` aggregates inside DEFINE are not supported — the
-parser raises rather than mis-executing.
+row, the reference's running semantics for non-aggregate refs),
+``PREV(V.col [, 1])`` maps to the engine's ``prev_col`` pseudo-columns,
+and ``FIRST/LAST/SUM/COUNT/AVG/MIN/MAX(V.col)`` over a bound variable
+map to the matcher's binding-time navigation/fold pseudo-references
+(the reference's aggregate-in-DEFINE paths, e.g.
+``B AS SUM(B.price) < 100``).
 
 Scale: identical to the API path — the clause is sugar; the matcher
 runs as the same bucketed ``applyInPandas`` plan.
@@ -182,15 +185,17 @@ def _parse_measures(text: str, variables: set[str] | None = None):
         fm = _MEAS_FN_RE.match(expr)
         if fm:
             fn, var, col = fm.group(1).lower(), fm.group(2), fm.group(3)
-            if fm.group(4) is not None and (
-                fn not in ("first", "last") or int(fm.group(4)) != 0
-            ):
-                # FIRST(V.col, n)'s n-th-row navigation is not wired —
-                # refuse rather than silently answer FIRST(V.col)
-                raise ValueError(
-                    f"{fn.upper()} offset {fm.group(4)} is not "
-                    f"supported in MEASURES: {item!r}"
-                )
+            if fm.group(4) is not None:
+                n = int(fm.group(4))
+                if fn not in ("first", "last"):
+                    raise ValueError(
+                        f"{fn.upper()} takes no offset in MEASURES: "
+                        f"{item!r}"
+                    )
+                if n > 0:
+                    # FIRST(V.col, n): n-th-row logical navigation —
+                    # the engine encodes the offset in the fn slot
+                    fn = f"{fn}:{n}"
             if col == "*":
                 if fn != "count":
                     raise ValueError(f"{fn.upper()}(V.*) is not a measure: {item!r}")
@@ -218,13 +223,15 @@ def _parse_measures(text: str, variables: set[str] | None = None):
             )
             if var not in variables:
                 return mm.group(0)
-            if mm.group(4) is not None and (
-                fn not in ("first", "last") or int(mm.group(4)) != 0
-            ):
-                raise ValueError(
-                    f"{fn.upper()} offset {mm.group(4)} is not "
-                    f"supported in MEASURES: {item!r}"
-                )
+            if mm.group(4) is not None:
+                n = int(mm.group(4))
+                if fn not in ("first", "last"):
+                    raise ValueError(
+                        f"{fn.upper()} takes no offset in MEASURES: "
+                        f"{item!r}"
+                    )
+                if n > 0:
+                    fn = f"{fn}:{n}"
             if col == "*":
                 if fn != "count":
                     raise ValueError(
@@ -290,13 +297,15 @@ def _parse_defines(text: str, variables: set[str]) -> dict[str, str]:
         if not m:
             raise ValueError(f"DEFINE item needs 'VAR AS cond': {item!r}")
         var, cond = m.group(1), m.group(2).strip()
-        # FIRST(V.col)/LAST(V.col) navigation in DEFINE -> the
-        # engine's first_V_col/last_V_col pseudo-references, resolved
-        # against the in-progress binding by the batch matcher
-        # (MatchCodeGenerator.scala navigation, MatchRecognizeITCase)
+        # FIRST/LAST navigation AND the running folds
+        # SUM/COUNT/AVG/MIN/MAX over V's in-progress binding in
+        # DEFINE -> the engine's fn_V_col pseudo-references, resolved
+        # against the binding by the batch matcher
+        # (MatchCodeGenerator.scala navigation + aggregate paths,
+        # MatchRecognizeITCase)
         cond = re.sub(
-            r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)"
-            r"\s*\)",
+            r"\b(FIRST|LAST|SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+            r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)",
             lambda mm: f"{mm.group(1).lower()}_{mm.group(2)}_{mm.group(3)}",
             cond,
             flags=re.IGNORECASE,

@@ -606,8 +606,10 @@ def _attribute(m, steps: list[Step], var_flags) -> dict[str, list[int]]:
 
 
 def _measure_record(var_rows, meas_items, data):
-    """first|last positional, count, and the numeric folds
-    sum|min|max|avg over a variable's matched rows (the
+    """first|last positional (with an optional logical offset encoded
+    as ``first:n`` / ``last:n`` — the reference's FIRST(A.col, n)
+    n-th-row navigation, NULL when out of range), count, and the
+    numeric folds sum|min|max|avg over a variable's matched rows (the
     cep_pattern._measure_value contract); unmatched variable: NULL
     (count -> 0)."""
     rec = {}
@@ -621,6 +623,14 @@ def _measure_record(var_rows, meas_items, data):
             rec[out_col] = data[col][idxs[0]]
         elif fn == "last":
             rec[out_col] = data[col][idxs[-1]]
+        elif fn.startswith(("first:", "last:")):
+            base, off = fn.split(":")
+            n = int(off)
+            if n >= len(idxs):
+                rec[out_col] = None
+            else:
+                ix = idxs[n] if base == "first" else idxs[-1 - n]
+                rec[out_col] = data[col][ix]
         elif fn in ("sum", "min", "max", "avg"):
             vals = [data[col][i] for i in idxs]
             if fn == "sum":
@@ -655,22 +665,28 @@ def _nav_token_re(step_vars: list[str]) -> "re.Pattern":
     alts = "|".join(
         re.escape(v) for v in sorted(step_vars, key=len, reverse=True)
     )
-    return re.compile(rf"\b(first|last)_({alts})_(\w+)\b")
+    return re.compile(
+        rf"\b(first|last|sum|count|avg|min|max)_({alts})_(\w+)\b"
+    )
 
 
 class _NavCtx:
-    """DEFINE-time FIRST/LAST navigation (the reference's
-    MatchCodeGenerator.scala navigation in DEFINE, exercised by
-    MatchRecognizeITCase): a pattern variable's condition may compare
-    the current row against the first/last row already bound to a
-    variable in the IN-PROGRESS match. Evaluated per candidate row in
+    """DEFINE-time FIRST/LAST navigation AND running aggregates
+    (SUM/COUNT/AVG/MIN/MAX over the in-progress binding — the
+    reference's MatchCodeGenerator.scala aggregate code paths,
+    exercised by MatchRecognizeITCase's `SUM(A.price) < 30` cases): a
+    pattern variable's condition may compare the current row against
+    the first/last row, or a running fold, of a variable already
+    bound in the IN-PROGRESS match. Evaluated per candidate row in
     the matcher (the binding is only known there) — the static,
     navigation-free DEFINEs stay JVM-side booleans as before.
 
     SQL running semantics: the current row is tentatively bound to
     the variable under test, so LAST(X.col) inside X's own DEFINE is
-    the current row and FIRST(X.col) the start of its run; navigation
-    to a variable with no bound rows yet is NULL -> condition false.
+    the current row, FIRST(X.col) the start of its run, and
+    SUM(X.col) includes the current row; navigation/folds over a
+    variable with no bound rows yet are NULL -> condition false
+    (COUNT over nothing is 0, the SQL rule).
     """
 
     def __init__(self, nav_bodies, leaves, pdf, leaf_var):
@@ -698,9 +714,25 @@ class _NavCtx:
             ]
             if nav_var == variables[0]:
                 rows += list(range(pos, p + 1))  # tentative run + current
+            if kind == "count":
+                env[name] = len(rows)  # COUNT over nothing is 0
+                continue
             if not rows:
-                return False  # navigation over nothing is NULL
-            env[name] = data[nav_col][rows[0] if kind == "first" else rows[-1]]
+                return False  # navigation/fold over nothing is NULL
+            if kind == "first":
+                env[name] = data[nav_col][rows[0]]
+            elif kind == "last":
+                env[name] = data[nav_col][rows[-1]]
+            else:
+                vals = [data[nav_col][ix] for ix in rows]
+                if kind == "sum":
+                    env[name] = sum(vals)
+                elif kind == "min":
+                    env[name] = min(vals)
+                elif kind == "max":
+                    env[name] = max(vals)
+                else:  # avg
+                    env[name] = sum(vals) / len(vals)
         try:
             return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
         except TypeError:  # NULL operand in a comparison

@@ -699,6 +699,13 @@ def _measure_value(fn, rows_of, col_series):
         return col_series.iloc[rows_of[0]]
     if fn == "last":
         return col_series.iloc[rows_of[-1]]
+    if fn.startswith(("first:", "last:")):
+        # logical offset (FIRST(A.col, n)); NULL when out of range
+        base, off = fn.split(":")
+        n = int(off)
+        if n >= len(rows_of):
+            return None
+        return col_series.iloc[rows_of[n] if base == "first" else rows_of[-1 - n]]
     vals = [col_series.iloc[ix] for ix in rows_of]
     if fn == "sum":
         return sum(vals)

@@ -774,3 +774,22 @@ def test_stream_flush_on_timeout_requires_window_or_eoi(spark):
         {"a": ("a", "first", "event_id")},
         flush_on_timeout=True,
     )
+
+
+def test_measure_offsets_pattern_api(spark):
+    """first:n / last:n logical-offset measures (FIRST(A.col, n)) on
+    the Pattern API path: n-th row from either end, NULL out of
+    range."""
+    rows = [(1, 1, C, 1.0), (1, 2, C, 2.0), (1, 3, C, 3.0),
+            (1, 4, P, 4.0)]
+    pat = (CepPattern.begin("c").where(f"event_type = '{C}'")
+           .one_or_more().greedy().consecutive()
+           .followed_by("p").where(f"event_type = '{P}'"))
+    got = _run(spark, rows, pat,
+               {"c_second": ("c", "first:1", "event_id"),
+                "c_penult": ("c", "last:1", "event_id"),
+                "c_far": ("c", "first:9", "event_id"),
+                "n": ("c", "count", "event_id")})
+    full = [r for r in got if r[-1] == 3]
+    # row = (user_id, match_seq, c_second, c_penult, c_far, n)
+    assert [(r[2], r[3], r[4]) for r in full] == [(2, 2, None)]

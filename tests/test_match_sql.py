@@ -268,22 +268,130 @@ def test_sql_measures_mixed_simple_and_compound(spark):
     assert [(r.a_v, r.mid) for r in rows] == [(4.0, 5.0)]
 
 
-def test_sql_measures_first_offset_rejected(spark):
-    """FIRST(V.col, n>0) navigation is refused loudly (it would
-    silently answer FIRST(V.col) otherwise), simple and compound."""
-    _mk(spark, [("u1", 1, "a", 4.0), ("u1", 2, "c", 6.0)])
-    for meas in ("FIRST(A.v, 1) AS x", "FIRST(A.v, 2) + 1 AS x"):
-        with pytest.raises(ValueError, match="offset"):
-            _env(spark).sql(
-                f"""
-                SELECT * FROM __mr_t MATCH_RECOGNIZE (
-                  PARTITION BY k ORDER BY seq
-                  MEASURES {meas}
-                  PATTERN (A C)
-                  DEFINE A AS A.et = 'a', C AS C.et = 'c'
-                )
-                """
+def test_sql_measures_first_last_offsets(spark):
+    """FIRST(V.col, n) / LAST(V.col, n) logical row offsets (the
+    reference's n-th-row navigation): in-range offsets pick the n-th
+    row from either end, out-of-range yields NULL, and offsets on
+    non-navigation functions are refused."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 4.0),
+            ("u1", 2, "b", 10.0),
+            ("u1", 3, "b", 20.0),
+            ("u1", 4, "b", 30.0),
+            ("u1", 5, "c", 6.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, b1, bl1, b9, span
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(B.v, 1) AS b1,
+                   LAST(B.v, 1) AS bl1,
+                   FIRST(B.v, 9) AS b9,
+                   LAST(B.v, 1) - FIRST(B.v, 1) AS span
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        )
+        """
+    )
+    got = [tuple(r) for r in out.collect()]
+    # B rows are v=10,20,30: first offset 1 -> 20, last offset 1 -> 20,
+    # offset 9 out of range -> NULL
+    assert got == [("u1", 20.0, 20.0, None, 0.0)]
+    with pytest.raises(ValueError, match="offset"):
+        _env(spark).sql(
+            """
+            SELECT * FROM __mr_t MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY seq
+              MEASURES SUM(B.v, 1) AS x
+              PATTERN (A B* C)
+              DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
             )
+            """
+        )
+
+
+def test_sql_define_running_aggregates(spark):
+    """Running aggregates over the in-progress binding inside DEFINE
+    (the reference's `B AS SUM(B.price) < 30` MatchRecognizeITCase
+    family): the loop admits rows only while the running sum stays
+    within bound; COUNT caps run length."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 0.0),
+            ("u1", 2, "b", 10.0),
+            ("u1", 3, "b", 15.0),
+            ("u1", 4, "b", 99.0),   # would push SUM over 30 -> stops B
+            ("u1", 5, "c", 1.0),
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, n_b, s_b
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(B.seq) AS n_b, SUM(B.v) AS s_b
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b' AND SUM(B.v) <= 30,
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    # B admits v=10 (sum 10) and v=15 (sum 25); v=99 would make 124.
+    # With B* reluctant-free greedy semantics the match still needs C,
+    # and row 4 fails B's define, so the b-run is rows 2,3 only --
+    # but then row 4 ('b') must match C ('c') which it does not, so
+    # the anchor resolves with B = rows 2,3 only if C can follow later
+    got = [tuple(r) for r in out.collect()]
+    assert got == []  # row 4 blocks A..C contiguity: no match
+
+    # drop the blocker: now the capped run matches through to C
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 0.0),
+            ("u1", 2, "b", 10.0),
+            ("u1", 3, "b", 15.0),
+            ("u1", 4, "c", 1.0),
+        ],
+    )
+    out2 = _env(spark).sql(
+        """
+        SELECT k, n_b, s_b
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(B.seq) AS n_b, SUM(B.v) AS s_b
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b' AND SUM(B.v) <= 20,
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    # SUM cap 20 admits only v=10 (sum 10; adding 15 -> 25 > 20), so
+    # the b-run is row 2 alone -- but row 3 is 'b', breaking strict
+    # contiguity to C: no match either. Cap 30 admits both:
+    got2 = [tuple(r) for r in out2.collect()]
+    assert got2 == []
+    out3 = _env(spark).sql(
+        """
+        SELECT k, n_b, s_b
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(B.seq) AS n_b, SUM(B.v) AS s_b
+          PATTERN (A B* C)
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b' AND SUM(B.v) <= 30,
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    assert [tuple(r) for r in out3.collect()] == [("u1", 2, 25.0)]
 
 
 def test_sql_measures_running_folds(spark):

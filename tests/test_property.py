@@ -497,3 +497,63 @@ def test_triangle_enumerate_matches_bruteforce(spark, edges):
         tuple(r) for r in triangle_enumerate(df, "src", "dst").collect()
     }
     assert got == expected
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_vertex_centric_cc_matches_union_find(spark, edges):
+    """The Pregel harness (iterate.vertex_centric) with the
+    GSAConnectedComponents hooks equals a python union-find on random
+    graphs — including self-loops, duplicate edges and multi-component
+    shapes (max_rounds = vertex count bounds any diameter)."""
+    from flink_efo_spark.operators.iterate import vertex_centric
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in parent}
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = (
+        und.select(F.col("src").alias("id"))
+        .union(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("value"))
+    )
+    out = vertex_centric(
+        verts,
+        und,
+        send_msg=F.col("value"),
+        combine_msg=F.min,
+        apply_fn=F.least,
+        max_rounds=len(want) + 1,
+    )
+    got = {r.id: r.value for r in out.collect()}
+    assert got == want

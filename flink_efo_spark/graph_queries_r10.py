@@ -1,8 +1,9 @@
 """Round-10 staging: corpus queries + DuckDB oracles for the round-9
 depth operators — directed triangle_listing, the
 vertex_centric/gather_sum_apply programming model
-(operators/iterate.py), and the store-backed evolving-graph PageRank
-(streaming.stream_incremental_pagerank + iterate.pagerank_warm).
+(operators/iterate.py), the store-backed evolving-graph PageRank
+(streaming.stream_incremental_pagerank + iterate.pagerank_warm), and
+the Gelly graph generators (operators/generators.py).
 
 NOT registered in ``__spark_entry__.queries()`` yet — the round-9
 verification plan keeps the registered corpus at 306 so the 12
@@ -227,4 +228,81 @@ def q_stream_evolving_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_e6").desc(), "node_id")
         .limit(50)
+    )
+
+
+@_q(
+    "gen_circulant_components",
+    """
+    WITH v AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 48))
+    SELECT id, CAST(id % 2 AS BIGINT) AS component FROM v
+    """,
+)
+def q_gen_circulant_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gelly generator x iteration-model composition: a circulant
+    graph (generator/CirculantGraph.java via
+    operators/generators.circulant_graph, n=48, offsets {2, 4, 6} —
+    all even, so the even and odd vertices form two weakly-connected
+    components a few hops wide) run through the vertex_centric Pregel
+    harness with the GSAConnectedComponents hooks. Oracle:
+    component = parity (min even id 0, min odd id 1). Input tables
+    unused by design — generators are self-contained."""
+    from flink_efo_spark.operators.generators import circulant_graph
+    from flink_efo_spark.operators.iterate import vertex_centric
+
+    verts, edges = circulant_graph(
+        spark, 48, [(2, 1), (4, 1), (6, 1)]
+    )
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = vertex_centric(
+        verts.select("id", F.col("id").alias("value")),
+        und,
+        send_msg=F.col("value"),
+        combine_msg=F.min,
+        apply_fn=F.least,
+        max_rounds=20,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("value").cast("long").alias("component"),
+    )
+
+
+@_q(
+    "gen_grid_edges",
+    """
+    WITH v AS (SELECT CAST(range AS BIGINT) AS id FROM range(0, 30)),
+    -- dims [(6, wrap), (5, no wrap)]: increments 5 and 1
+    -- (// is DuckDB integer division; / would be float)
+    d1m AS (SELECT id AS src, id - 5 AS dst FROM v WHERE id // 5 > 0),
+    d1mw AS (SELECT id, id + 25 FROM v WHERE id // 5 = 0),
+    d1p AS (SELECT id, id + 5 FROM v WHERE id // 5 < 5),
+    d1pw AS (SELECT id, id - 25 FROM v WHERE id // 5 = 5),
+    d2m AS (SELECT id, id - 1 FROM v WHERE id % 5 > 0),
+    d2p AS (SELECT id, id + 1 FROM v WHERE id % 5 < 4),
+    uni AS (SELECT * FROM d1m UNION ALL SELECT * FROM d1mw
+            UNION ALL SELECT * FROM d1p UNION ALL SELECT * FROM d1pw
+            UNION ALL SELECT * FROM d2m UNION ALL SELECT * FROM d2p)
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(count(*) AS BIGINT) AS n
+    FROM uni GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def q_gen_grid_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gelly GridGraph (generator/GridGraph.java via
+    operators/generators.grid_graph): the 6(wrapped)x5 lattice's edge
+    multiset grouped to (src, dst, multiplicity) — the oracle
+    replays the per-dimension +/- increment arithmetic in SQL."""
+    from flink_efo_spark.operators.generators import grid_graph
+
+    _, edges = grid_graph(spark, [(6, True), (5, False)])
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src", "dst")
     )

@@ -36,6 +36,26 @@ from flink_efo_spark.operators.iterate import (
     vertex_metrics,
     vertex_metrics_directed,
 )
+from flink_efo_spark.operators.generators import (
+    circulant_graph,
+    complete_graph,
+    cycle_graph,
+    echo_graph,
+    empty_graph,
+    grid_graph,
+    hypercube_graph,
+    path_graph,
+    rmat_graph,
+    singleton_edge_graph,
+    star_graph,
+)
+from flink_efo_spark.operators.graph import Graph
+from flink_efo_spark.operators.iterate import (
+    gather_sum_apply,
+    pagerank_warm,
+    triangle_listing,
+    vertex_centric,
+)
 from flink_efo_spark.operators.joins import asof_join, interval_join
 from flink_efo_spark.operators.lookup import (
     dim_snapshot_client,
@@ -77,6 +97,22 @@ from flink_efo_spark.operators.text import (
 
 __all__ = [
     "CepPattern",
+    "Graph",
+    "circulant_graph",
+    "complete_graph",
+    "cycle_graph",
+    "echo_graph",
+    "empty_graph",
+    "gather_sum_apply",
+    "grid_graph",
+    "hypercube_graph",
+    "pagerank_warm",
+    "path_graph",
+    "rmat_graph",
+    "singleton_edge_graph",
+    "star_graph",
+    "triangle_listing",
+    "vertex_centric",
     "cep_pattern_select",
     "stream_cep_pattern_select",
     "asof_join",

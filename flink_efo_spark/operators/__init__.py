@@ -53,6 +53,7 @@ from flink_efo_spark.operators.graph import Graph
 from flink_efo_spark.operators.iterate import (
     gather_sum_apply,
     pagerank_warm,
+    scatter_gather,
     triangle_listing,
     vertex_centric,
 )
@@ -109,6 +110,7 @@ __all__ = [
     "pagerank_warm",
     "path_graph",
     "rmat_graph",
+    "scatter_gather",
     "singleton_edge_graph",
     "star_graph",
     "triangle_listing",

@@ -265,6 +265,31 @@ def gather_sum_apply(
     )
 
 
+def scatter_gather(
+    vertices: DataFrame,
+    edges: DataFrame,
+    scatter,
+    combine_msg: Callable,
+    gather_fn: Callable,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Scatter-gather naming for :func:`vertex_centric` — the
+    reference's spargel model (flink-gelly/.../spargel/
+    ScatterGatherIteration.java: ScatterFunction sends messages along
+    the updated vertices' out-edges, GatherFunction folds the inbox
+    into the new vertex value). ``scatter`` is the per-edge message
+    Column (ScatterFunction.sendMessages), ``combine_msg`` the inbox
+    reduction, ``gather_fn`` the (value, combined) update
+    (GatherFunction.updateVertex). Identical dataflow to the pregel
+    and GSA forms — one implementation, three reference names."""
+    return vertex_centric(
+        vertices, edges, scatter, combine_msg, gather_fn, max_rounds,
+        src, dst,
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -919,3 +919,27 @@ def test_triangle_listing_bitmask_matches_brute_force(spark):
     census = triadic_census_directed(df).collect()[0]
     for lbl in ("030t", "030c", "120d", "120u", "120c", "210", "300"):
         assert int(census[f"t{lbl}"]) == hist.get(lbl, 0), lbl
+
+
+def test_scatter_gather_alias_sssp(spark):
+    """The spargel naming (ScatterGatherIteration.java) runs the same
+    dataflow: SSSP via scatter_gather equals the GSA run."""
+    from pyspark.sql import functions as F
+
+    from flink_efo_spark.operators.iterate import (
+        gather_sum_apply,
+        scatter_gather,
+    )
+
+    raw = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 5.0)]
+    e = spark.createDataFrame(raw, "src long, dst long, w double")
+    v = (e.select(F.col("src").alias("id"))
+         .union(e.select(F.col("dst").alias("id")))
+         .distinct()
+         .select("id", F.when(F.col("id") == 1, 0.0)
+                 .otherwise(float("inf")).alias("value")))
+    a = {r.id: r.value for r in scatter_gather(
+        v, e, F.col("value") + F.col("w"), F.min, F.least, 5).collect()}
+    b = {r.id: r.value for r in gather_sum_apply(
+        v, e, F.col("value") + F.col("w"), F.min, F.least, 5).collect()}
+    assert a == b == {1: 0.0, 2: 1.0, 3: 3.0}

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_sample", "token_budget_sample"]
+__all__ = [
+    "mixture_sample",
+    "token_budget_sample",
+    "dsir_log_ratios",
+    "dsir_importance",
+    "dsir_sample",
+]
 
 
 def _hash16(id_col: str) -> Column:
@@ -140,3 +146,168 @@ def token_budget_sample(
         .where(F.col("__cum") - F.col(token_col) < F.col("__budget"))
         .select(*df.columns)
     )
+
+
+def _ngrams_expr(text_col: str) -> Column:
+    """Unigrams + bigrams of ``lower(trim(text))`` split on ' ' — the
+    DSIR featurizer (hashed n-gram bag). The token array is bound via
+    ``transform(array(...), __t -> ...)`` so CollapseProject cannot
+    inline the split() per reference (the 16x pitfall documented at
+    dedup._shingles_expr)."""
+    body = (
+        "concat(__t, case when size(__t) >= 2 then "
+        "zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1), "
+        "(a, b) -> concat(a, ' ', b)) "
+        "else cast(array() as array<string>) end)"
+    )
+    return F.expr(
+        f"element_at(transform(array(split(trim(lower({text_col})), ' ')), "
+        f"__t -> {body}), 1)"
+    )
+
+
+def _bucket_expr(gram_col: str, num_buckets: int) -> Column:
+    """Portable n-gram -> bucket: md5-hash64 (the dedup-family
+    convention, engine-replayable) mod num_buckets."""
+    return F.expr(
+        f"cast(conv(substr(md5({gram_col}), 1, 15), 16, 10) as bigint)"
+        f" % {num_buckets}"
+    ).cast("int")
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance-ratio table (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit hashed-n-gram multinomials over the TARGET corpus (the
+    distribution you want more of) and the RAW corpus (what you have),
+    and emit the per-bucket log ratio ``ln p_target(b) - ln p_raw(b)``
+    with Laplace smoothing ``alpha``.
+
+    Returns one row per bucket 0..num_buckets-1 (a complete spine, so
+    scoring is a plain inner join): (bucket int, micro_log_ratio
+    bigint). Ratios are quantized to MICRO-NATS (x 1e6, rounded to
+    integer) so document weights are EXACT INTEGER sums — immune to
+    the float-addition-order nondeterminism an order-dependent double
+    sum would have across engines and partitionings.
+
+    Scale shape: two n-gram count aggregations (map-side partial
+    combine into <= num_buckets groups), two 1-row totals broadcast
+    back, one spine of num_buckets literal rows. The output is
+    KB-sized metadata — broadcast it at scoring time.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be > 0 (Laplace smoothing): {alpha}")
+    spark = raw.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        grams = df.select(F.explode(_ngrams_expr(text_col)).alias("__g"))
+        return (
+            grams.select(_bucket_expr("__g", num_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc = counts(raw, "__cr")
+    tc = counts(target, "__ct")
+    spine = spark.range(num_buckets).select(F.col("id").cast("int").alias("bucket"))
+    # localCheckpoint is load-bearing: `joined` feeds BOTH the totals
+    # and the final select, and without it Spark re-executes the whole
+    # n-gram counting lineage (the corpus scans — the dominant cost at
+    # 100 TB) once per consumer. The checkpoint pins num_buckets rows.
+    joined = (
+        spine.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = joined.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    b_alpha = float(alpha) * num_buckets
+    ratio = F.log(
+        (F.col("__ct") + F.lit(float(alpha))) / (F.col("__tt") + F.lit(b_alpha))
+    ) - F.log(
+        (F.col("__cr") + F.lit(float(alpha))) / (F.col("__tr") + F.lit(b_alpha))
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(ratio * 1_000_000, 0).cast("long").alias("micro_log_ratio"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    log_ratios: DataFrame,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Score every document with its DSIR importance weight: the sum
+    over the document's hashed n-grams of the bucket's micro-nat log
+    ratio (``log_ratios`` from :func:`dsir_log_ratios`; num_buckets
+    must match). Documents whose text yields no n-grams keep weight 0.
+
+    Returns (id, weight_micro bigint, weight double = micro / 1e6).
+    weight_micro is the EXACT integer — order by it, not the double.
+
+    Scale shape: explode -> broadcast-join the KB ratio table ->
+    per-document integer sum with map-side partial aggregation. No
+    window, no driver action.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(_ngrams_expr(text_col)).alias("__g")
+    ).select(F.col(id_col), _bucket_expr("__g", num_buckets).alias("bucket"))
+    sums = (
+        grams.join(F.broadcast(log_ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("micro_log_ratio").alias("weight_micro"))
+    )
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+            (F.coalesce("weight_micro", F.lit(0)) / 1_000_000.0).alias("weight"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    n: int,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """End-to-end DSIR selection: fit ratios on (raw, target), score
+    raw, keep the n documents with the highest importance weight
+    (ties to the lower id) — the deterministic top-n variant of the
+    paper's Gumbel-noised resampling, chosen because a training
+    pipeline wants the SAME n documents on every engine and retry
+    (the corpus's reproducibility discipline; add hash-seeded Gumbel
+    noise upstream if sampling WITHOUT replacement of the softmax is
+    required). Returns (id, weight_micro, weight).
+
+    The top-n is orderBy+limit — Spark's TakeOrderedAndProject, a
+    per-partition heap then a driver merge of n rows, no global sort.
+    """
+    ratios = dsir_log_ratios(raw, target, text_col, num_buckets, alpha)
+    scored = dsir_importance(raw, id_col, text_col, ratios, num_buckets)
+    return scored.orderBy(
+        F.col("weight_micro").desc(), F.col(id_col).asc()
+    ).limit(n)

@@ -966,3 +966,186 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(topk)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    keep: str = "max_centroid_sim",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates by pairwise cosine WITHIN each cluster only.
+
+    The clustering is what makes semantic dedup tractable — the
+    pairwise pass costs sum(|c_i|^2) instead of n^2, so the knob that
+    holds at 100 TB is ``n_clusters``: pick it so the expected cluster
+    size (n / n_clusters) keeps per-cluster pair counts bounded (the
+    paper runs ~100k clusters over LAION for exactly this reason).
+    Within a cluster, members get a TOTAL order by the ``keep``
+    policy and a row is dropped iff some EARLIER row is within
+    ``threshold`` cosine — so each near-duplicate chain keeps exactly
+    its first element under the policy order:
+
+    * ``max_centroid_sim`` — keep the most central member,
+    * ``min_centroid_sim`` — keep the least central member (the
+      paper's best-performing variant: it biases kept data away from
+      cluster cores, i.e. toward diversity),
+    * ``min_id`` — keep the lowest id (pure determinism, no policy).
+
+    ``centroids`` defaults to the deterministic md5-ordered sample of
+    :func:`ivf_centroids` (engine-replayable, hence oracle-checkable);
+    pass :func:`kmeans_centroids` output to dedup against trained
+    clusters. Ties everywhere break by id.
+
+    Returns survivors: (id, cluster, centroid_sim), centroid_sim
+    rounded to 6 decimals (the corpus float discipline).
+
+    Scale shape: assignment is a narrow map against literal centroids
+    (no shuffle, same as :func:`ivf_cosine_topk`); the policy rank is
+    one window per cluster (a cluster sorts in one task — the
+    n_clusters knob again); the prune is a self-join co-partitioned
+    on cluster. Nothing touches the driver but the k x d centroid
+    literals.
+    """
+    if keep not in ("max_centroid_sim", "min_centroid_sim", "min_id"):
+        raise ValueError(
+            f"keep must be max_centroid_sim | min_centroid_sim | min_id,"
+            f" got {keep!r}"
+        )
+    cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
+    carr = _centroid_array(cents)
+
+    scored = (
+        ensure_min_parallelism(df.select(id_col, vec_col))
+        .withColumn("__n", _norm(vec_col))
+        .withColumn("__cents", carr)
+        .withColumn("__best", F.array_max(_cell_scores(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.col("__n"),
+            (-F.col("__best.ncid")).alias("cluster"),
+            F.col("__best.s").alias("centroid_sim"),
+        )
+    )
+    if keep == "max_centroid_sim":
+        order = [F.col("centroid_sim").desc(), F.col(id_col).asc()]
+    elif keep == "min_centroid_sim":
+        order = [F.col("centroid_sim").asc(), F.col(id_col).asc()]
+    else:
+        order = [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    ranked = scored.withColumn("__rk", F.row_number().over(w))
+
+    a = ranked.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col("__rk").alias("__rka"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = ranked.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__rk").alias("__rkb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("__rkb") < F.col("__rka"))
+        .where(
+            F.try_divide(_dot("__va", "__vb"), F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    threshold: float = 0.95,
+    keep: str = "max_centroid_sim",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental :func:`semantic_dedup`: dedup ``batch`` within
+    itself (the paper's within-cluster rule) AND against a persistent
+    SURVIVOR store from prior ingests — the semantic member of the
+    incremental-dedup family (``dedup_incremental`` is the exact one,
+    ``dedup_incremental_near`` the LSH one).
+
+    ``store`` holds prior survivors as (cluster int, vec) rows —
+    vectors must be kept (unlike the near-dup band keys) because
+    semantic equality is a distance, not a key; the store is still
+    survivor-sized, not corpus-sized, and the batch-vs-store join is
+    co-partitioned on cluster so each batch compares only against its
+    own cells. ``centroids`` MUST be the same fixed set across every
+    ingest (train once at bootstrap — :func:`ivf_centroids` or
+    :func:`kmeans_centroids`); a drifting quantizer would re-cluster
+    history and break the incremental contract.
+
+    Returns ``(fresh, store_rows)``: survivors of this batch
+    (id, cluster, centroid_sim), and their (cluster, vec) rows to
+    append to the store.
+    """
+    if centroids is None:
+        raise ValueError(
+            "semantic_dedup_incremental requires fixed centroids — "
+            "train once at bootstrap; per-batch re-sampling would "
+            "re-cluster history"
+        )
+    surv = semantic_dedup(
+        batch, id_col, vec_col,
+        n_clusters=len(centroids), threshold=threshold, keep=keep,
+        centroids=centroids,
+    )
+    vecs = batch.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    surv_v = surv.join(vecs, id_col).withColumn(
+        "__n",
+        F.expr(
+            f"sqrt(aggregate(__v, cast(0.0 as double), "
+            f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ),
+    )
+    st = store.select(
+        F.col("cluster"),
+        F.col("vec").alias("__sv"),
+    ).withColumn(
+        "__sn",
+        F.expr(
+            "sqrt(aggregate(__sv, cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ),
+    )
+    dup_vs_store = (
+        surv_v.join(st, "cluster")
+        .where(
+            F.try_divide(_dot("__v", "__sv"), F.col("__n") * F.col("__sn"))
+            >= threshold
+        )
+        .select(F.col(id_col))
+        .distinct()
+    )
+    fresh = surv_v.join(dup_vs_store, id_col, "left_anti")
+    out = fresh.select(id_col, "cluster", "centroid_sim")
+    store_rows = fresh.select(
+        F.col("cluster"), F.col("__v").alias("vec")
+    )
+    return out, store_rows

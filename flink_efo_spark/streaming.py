@@ -2333,6 +2333,70 @@ def stream_incremental_near_dedup(
     )
 
 
+def stream_semantic_dedup(
+    src,
+    id_col: str,
+    vec_col: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list,
+    threshold: float = 0.95,
+    keep: str = "max_centroid_sim",
+):
+    """Continuous-ingest SEMANTIC dedup backed by a persistent
+    survivor-vector store (the streaming form of
+    :func:`flink_efo_spark.operators.similarity.
+    semantic_dedup_incremental` — completing the dedup matrix's third
+    row: exact/near/SEMANTIC x batch/incremental/streaming). Identical
+    epoch-dir idempotent-upsert protocol to
+    :func:`stream_incremental_dedup`: batch N's survivors and their
+    (cluster, vec) store rows land in epoch-addressed dirs with
+    overwrite and the store read EXCLUDES the current epoch, so a
+    crash-replayed batch recomputes the identical result.
+
+    ``centroids`` is the FIXED coarse quantizer (train once at
+    bootstrap); per-batch cost is the batch's own cluster-local
+    pairwise pass plus a batch-vs-store join co-partitioned on
+    cluster.
+
+    Returns the started streaming query (availableNow trigger).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from flink_efo_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_dir).where(
+                F.col("epoch") != F.lit(int(batch_id))
+            )
+        except AnalysisException:  # first batch: store not created yet
+            store = spark.createDataFrame(
+                [], "cluster INT, vec ARRAY<FLOAT>"
+            )
+        fresh, rows = semantic_dedup_incremental(
+            batch_df, store, id_col, vec_col,
+            centroids=centroids, threshold=threshold, keep=keep,
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={int(batch_id)}")
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"epoch={int(batch_id)}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_incremental_pagerank(
     src: DataFrame,
     src_col: str,

@@ -392,3 +392,70 @@ def test_pq_train_repartition_invariant(spark):
         emb.repartition(13), "vec_id", "embedding", 64, n_sub=4, k=4, n_iter=1
     )
     assert b1 == b2
+
+
+def test_semantic_dedup_bruteforce_parity(spark):
+    """semantic_dedup vs a literal numpy replay of SemDeDup on real
+    data: md5-ordered seed centroids, argmax assignment (ties to the
+    lower cid), policy order, and the paper's drop rule (drop x iff
+    ANY earlier-sorted y — kept or dropped — has cos >= tau). Exact
+    row-set equality, all three keep policies."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import semantic_dedup
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") < 120)
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(rows)
+    k, tau = 4, 0.3
+
+    seeds = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cents = [rows[s] for s in seeds]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assign, csim = {}, {}
+    for i in ids:
+        scores = [(cos(rows[i], c), -cid) for cid, c in enumerate(cents)]
+        s, ncid = max(scores)
+        assign[i], csim[i] = -ncid, s
+
+    for keep, keyf in [
+        ("max_centroid_sim", lambda i: (-csim[i], i)),
+        ("min_centroid_sim", lambda i: (csim[i], i)),
+        ("min_id", lambda i: i),
+    ]:
+        expected = set()
+        for c in range(k):
+            members = sorted((i for i in ids if assign[i] == c), key=keyf)
+            for pos, x in enumerate(members):
+                if not any(cos(rows[x], rows[y]) >= tau
+                           for y in members[:pos]):
+                    expected.add(x)
+        out = semantic_dedup(emb, "vec_id", n_clusters=k, threshold=tau, keep=keep)
+        got = {r.vec_id for r in out.collect()}
+        assert got == expected, (keep, got ^ expected)
+
+
+def test_semantic_dedup_repartition_invariant_and_guard(spark):
+    import pytest
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import semantic_dedup
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = semantic_dedup(emb, "vec_id", n_clusters=8, threshold=0.3)
+    b = semantic_dedup(
+        emb.repartition(7, "vec_id"), "vec_id", n_clusters=8, threshold=0.3
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    with pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(emb, "vec_id", keep="newest")

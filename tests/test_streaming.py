@@ -2038,3 +2038,80 @@ def test_stream_incremental_pagerank_recurrence(spark, tmp_path):
     # the stored final slice is deduped and self-loop-free
     final_slice = store_df.where(F.col("epoch") == max(epochs))
     assert final_slice.where(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_stream_semantic_dedup_replay_idempotent(spark, tmp_path):
+    """Store-backed SEMANTIC dedup ingest: a 3-batch replay emits the
+    same survivors as applying semantic_dedup_incremental sequentially
+    per batch over the same fixed centroids; recomputing the last
+    batch against the epoch-excluding store reproduces its output
+    (the crash-replay contract shared with the exact/near twins)."""
+    from flink_efo_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup_incremental,
+    )
+    from flink_efo_spark.streaming import (
+        stream_semantic_dedup,
+        stream_table_split,
+    )
+
+    emb_tbl = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(emb_tbl, "vec_id", "embedding", 6)
+
+    src = stream_table_split(
+        spark, SF_DIR, "embeddings", n_batches=3, order_col="vec_id"
+    ).select("vec_id", "embedding")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_semantic_dedup(
+        src, "vec_id", "embedding", store, out, ckpt,
+        centroids=cents, threshold=0.3,
+    )
+    q.awaitTermination()
+    got = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+
+    rows = emb_tbl.select("vec_id", "embedding").orderBy("vec_id").collect()
+    k = (len(rows) + 2) // 3
+    st = spark.createDataFrame([], "cluster INT, vec ARRAY<FLOAT>")
+    want = []
+    for b in range(3):
+        part = spark.createDataFrame(
+            [(r.vec_id, r.embedding) for r in rows[b * k:(b + 1) * k]],
+            "vec_id long, embedding array<float>",
+        )
+        fresh, srows = semantic_dedup_incremental(
+            part, st, "vec_id", "embedding",
+            centroids=cents, threshold=0.3,
+        )
+        want += [r.vec_id for r in fresh.collect()]
+        st = st.union(srows)
+    assert got == sorted(want)
+    assert 0 < len(got) < len(rows)  # something dropped, something kept
+
+    # crash-replay: last batch vs the store EXCLUDING its own epoch
+    part2 = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rows[2 * k:]],
+        "vec_id long, embedding array<float>",
+    )
+    st_replay = (
+        spark.read.parquet(store)
+        .where(F.col("epoch") != 2)
+        .select("cluster", "vec")
+    )
+    fresh2, _ = semantic_dedup_incremental(
+        part2, st_replay, "vec_id", "embedding",
+        centroids=cents, threshold=0.3,
+    )
+    replayed = sorted(r.vec_id for r in fresh2.collect())
+    emitted2 = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{out}/__batch_id=2").collect()
+    )
+    assert replayed == emitted2
+
+    # the guard: centroids are mandatory
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fixed centroids"):
+        semantic_dedup_incremental(part2, st_replay, "vec_id", "embedding")

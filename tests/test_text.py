@@ -266,3 +266,100 @@ def test_token_budget_sample_null_id_retained(spark):
     # budget 8: the NULL-id doc (key '') is drawn first, then ONE of
     # the hashed ids crosses the boundary
     assert len(rows) == 2 and rows[1][0] is True
+
+
+def test_dsir_weights_exact_bruteforce(spark):
+    """dsir_importance vs a literal Python replay: md5-hash64 buckets
+    over unigrams+bigrams of lower(trim(text)), Laplace-smoothed
+    micro-nat log ratios, exact integer sums. weight_micro must match
+    EXACTLY (the integer-quantization design's whole point), and be
+    invariant under repartitioning."""
+    import hashlib
+    import math
+
+    from flink_efo_spark.operators.sampling import (
+        dsir_importance,
+        dsir_log_ratios,
+    )
+
+    raw_rows = [
+        (1, "the cat sat"),
+        (2, "the dog ran far"),
+        (3, "stocks fell hard today"),
+        (4, "the cat ran"),
+        (5, "bonds fell"),
+    ]
+    tgt_rows = [(10, "the cat ran fast"), (11, "a cat sat")]
+    B, alpha = 64, 1.0
+    raw = spark.createDataFrame(raw_rows, "doc_id int, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id int, text string")
+
+    def grams(text):
+        t = text.strip().lower().split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    cr, ct = [0] * B, [0] * B
+    for _, tx in raw_rows:
+        for g in grams(tx):
+            cr[bucket(g)] += 1
+    for _, tx in tgt_rows:
+        for g in grams(tx):
+            ct[bucket(g)] += 1
+    tr, tt = sum(cr), sum(ct)
+    micro = [
+        round(
+            (math.log((ct[b] + alpha) / (tt + alpha * B))
+             - math.log((cr[b] + alpha) / (tr + alpha * B))) * 1e6
+        )
+        for b in range(B)
+    ]
+    expected = {
+        did: sum(micro[bucket(g)] for g in grams(tx))
+        for did, tx in raw_rows
+    }
+
+    ratios = dsir_log_ratios(raw, tgt, "text", num_buckets=B, alpha=alpha)
+    out = dsir_importance(raw, "doc_id", "text", ratios, num_buckets=B)
+    got = {r.doc_id: r.weight_micro for r in out.collect()}
+    assert got == expected
+
+    out2 = dsir_importance(
+        raw.repartition(5, "doc_id"), "doc_id", "text", ratios, num_buckets=B
+    )
+    assert {r.doc_id: r.weight_micro for r in out2.collect()} == expected
+
+    # target-like docs must outrank off-target docs
+    assert got[1] > got[3] and got[4] > got[5]
+
+
+def test_dsir_sample_topn_and_guards(spark):
+    import pytest
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tgt = docs.where("lang = 'en'")
+    out = dsir_sample(docs, "doc_id", "text", tgt, n=20, num_buckets=256)
+    rows = out.collect()
+    assert len(rows) == 20
+    # descending weight, ties broken by id
+    key = [(-r.weight_micro, r.doc_id) for r in rows]
+    assert key == sorted(key)
+    # the selected set skews toward the target distribution
+    en = {r.doc_id for r in docs.where("lang = 'en'").select("doc_id").collect()}
+    frac_sel = sum(r.doc_id in en for r in rows) / len(rows)
+    frac_all = docs.where("lang = 'en'").count() / docs.count()
+    assert frac_sel > frac_all
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_log_ratios(docs, tgt, "text", num_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_log_ratios(docs, tgt, "text", alpha=0.0)

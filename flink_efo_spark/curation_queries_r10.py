@@ -245,3 +245,69 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2, s1, "vec_id", "embedding", centroids=cents, threshold=0.3
     )
     return f1.unionAll(f2)
+
+
+_SPAN_CTE = """
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 6
+        THEN [array_to_string(t[i:i+5], ' ') for i in range(1, len(t) - 4)]
+        ELSE [] END)) AS s
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents)),
+    fp AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                    AS fingerprint
+           FROM sh)
+"""
+
+
+@_q(
+    "duplicate_spans",
+    f"""
+    WITH {_SPAN_CTE}
+    SELECT fingerprint,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM fp GROUP BY fingerprint
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication (Lee et al. 2021):
+    6-token span fingerprints occurring in >= 2 distinct documents.
+    EXACTLY oracle-checked — the md5-hash64 fingerprint and the
+    distinct-shingle expression translate verbatim to DuckDB."""
+    from flink_efo_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", window=6, min_docs=2)
+
+
+@_q(
+    "span_dup_stats",
+    f"""
+    WITH {_SPAN_CTE},
+    nd AS (SELECT fingerprint, count(DISTINCT doc_id) AS ndocs
+           FROM fp GROUP BY fingerprint),
+    st AS (SELECT f.doc_id, count(*) AS n_windows,
+                  sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS dup_windows
+           FROM fp f JOIN nd USING (fingerprint) GROUP BY f.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+           CASE WHEN coalesce(n_windows, 0) = 0 THEN NULL
+                ELSE CAST(coalesce(dup_windows, 0) AS DOUBLE) / n_windows
+           END AS dup_fraction
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+)
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span filter signal: the fraction of a
+    doc's distinct 6-token spans that also appear in another doc.
+    dup_fraction is one exact-integer division — engine-reproducible
+    without rounding."""
+    from flink_efo_spark.operators.dedup import span_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs, "doc_id", "text", window=6)

@@ -598,3 +598,98 @@ def dedup_incremental_near(
     dropped = dropped_store.union(dropped_batch).distinct()
     survivors = new_df.join(dropped, id_col, "left_anti")
     return survivors, keys.select(*on).distinct()
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT-substring duplication (the signal behind
+    suffix-array dedup, Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better" — done Spark-shaped): fingerprint
+    every ``window``-token span of every document and report the
+    spans that occur in at least ``min_docs`` DISTINCT documents.
+    Complements the doc-level families: MinHash approximates
+    whole-document similarity; this finds verbatim shared passages
+    (boilerplate, licenses, templated text) regardless of how
+    different the surrounding documents are.
+
+    Returns (fingerprint bigint, n_docs, n_occurrences) — occurrences
+    count distinct (doc, span) pairs (per-doc repeats collapse; a
+    doc's INTERNAL repetition is text.repetition_stats' job).
+
+    Scale: spans are O(total tokens) rows; the only shuffle is the
+    groupBy fingerprint with map-side partial aggregation — no
+    pairwise anything, which is the whole advantage over a suffix
+    array at 100 TB (the fingerprint multiset is linear and
+    embarrassingly partitionable; the suffix array is a global sort
+    of every position).
+    """
+    sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
+    ex = sh.select(
+        F.col(id_col), F.explode("shingles").alias("__s")
+    ).select(
+        F.col(id_col), F.expr(_hash64_expr("__s")).alias("fingerprint")
+    )
+    return (
+        ex.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-span profile: of a document's distinct
+    ``window``-token spans, how many also appear in ANOTHER document —
+    the per-doc filter signal derived from :func:`duplicate_spans`
+    (a training pipeline drops or down-weights documents whose
+    dup_fraction says they are mostly boilerplate).
+
+    Returns (id, n_windows, dup_windows, dup_fraction) for EVERY
+    input row — documents shorter than ``window`` tokens keep zeros
+    with a NULL fraction. dup_fraction is one exact-integer division,
+    so it is engine-reproducible without rounding.
+    """
+    sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
+    ex = sh.select(
+        F.col(id_col), F.explode("shingles").alias("__s")
+    ).select(
+        F.col(id_col), F.expr(_hash64_expr("__s")).alias("fp")
+    )
+    docs_per_fp = ex.groupBy("fp").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    stats = (
+        ex.join(docs_per_fp, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.try_divide(
+                F.coalesce("dup_windows", F.lit(0)),
+                F.coalesce("n_windows", F.lit(0)),
+            ).alias("dup_fraction"),
+        )
+    )

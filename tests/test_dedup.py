@@ -137,3 +137,41 @@ def test_incremental_near_dedup_band_store(spark):
     assert sorted(r.doc_id for r in surv1.collect()) == [3, 7]
     # keys of ALL batch docs (incl. dropped) feed the next increment
     assert keys1.count() >= 3
+
+
+def test_duplicate_spans_and_stats(spark):
+    """Hand-built boilerplate case: docs 1 and 2 share a verbatim
+    6-token passage, doc 3 is unique, doc 4 is too short for any
+    window. duplicate_spans finds exactly the shared spans;
+    span_dup_stats profiles every doc (zeros + NULL fraction for the
+    short one)."""
+    from flink_efo_spark.operators.dedup import (
+        duplicate_spans,
+        span_dup_stats,
+    )
+
+    shared = "all rights reserved see license for details"  # 7 tokens
+    rows = [
+        (1, f"alpha beta {shared}"),
+        (2, f"{shared} gamma delta"),
+        (3, "completely unrelated text with no overlap at all here"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    dup = duplicate_spans(df, "doc_id", "text", window=6, min_docs=2)
+    got = {(r.fingerprint, r.n_docs, r.n_occurrences) for r in dup.collect()}
+    # the 7-token shared passage contributes its two 6-token windows,
+    # each present once in each doc
+    assert len(got) == 2
+    assert all(nd == 2 and nocc == 2 for _, nd, nocc in got)
+
+    st = {r.doc_id: r for r in span_dup_stats(df, "doc_id", "text",
+                                              window=6).collect()}
+    assert len(st) == 4
+    # doc1: 9 tokens -> 4 windows, 2 of them shared
+    assert (st[1].n_windows, st[1].dup_windows) == (4, 2)
+    assert abs(st[1].dup_fraction - 0.5) < 1e-12
+    assert (st[2].n_windows, st[2].dup_windows) == (4, 2)
+    assert st[3].dup_windows == 0
+    assert st[4].n_windows == 0 and st[4].dup_fraction is None

@@ -58,9 +58,28 @@ INTENTIONAL_NLJ = {
     "triadic_census_undirected",
     "directed_census_row",
     "directed_clustering_row",
+    # DSIR ratio-table totals: crossJoin(broadcast(<1-row sum agg>))
+    # over the num_buckets-row checkpointed counts — constant-size
+    # build (arXiv:2302.03169 fit step)
+    "dsir_topn",
 }
+
+
+def _all_queries() -> dict:
+    """Registered corpus + staged-for-next-round modules, so staged
+    pairs meet the same plan bar BEFORE registration."""
+    qs = dict(entrymod.queries())
+    for mod in ("graph_queries_r10", "curation_queries_r10"):
+        try:
+            m = __import__(f"flink_efo_spark.{mod}", fromlist=["*"])
+        except ImportError:
+            continue
+        qs.update(m.STAGED_QUERIES)
+    return qs
+
+
 # streaming queries execute eagerly; plan text is the batch result's
-STREAMING = {q for q in entrymod.queries() if q.startswith(("stream_", "efo_"))}
+STREAMING = {q for q in _all_queries() if q.startswith(("stream_", "efo_"))}
 
 
 def main() -> None:
@@ -68,7 +87,7 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     flags = 0
-    for name, fn in sorted(entrymod.queries().items()):
+    for name, fn in sorted(_all_queries().items()):
         if name in STREAMING:
             continue
         try:

@@ -557,3 +557,73 @@ def test_vertex_centric_cc_matches_union_find(spark, edges):
     )
     got = {r.id: r.value for r in out.collect()}
     assert got == want
+
+
+# --- round-9c curation operators -----------------------------------
+
+_vec_sets = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3).map(float),
+        min_size=4, max_size=4,
+    ).filter(lambda v: any(x != 0.0 for x in v)),
+    min_size=4, max_size=24,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vec_sets)
+def test_semantic_dedup_survivors_independent(spark, vecs):
+    """For ANY input, two survivors of the same cluster are never
+    within the threshold of each other (the later one would have been
+    dropped against the earlier one — the SemDeDup drop rule's
+    defining invariant), and every input id comes out exactly once
+    across survivors+dropped."""
+    import math
+
+    from flink_efo_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    tau = 0.9
+    out = semantic_dedup(df, "vec_id", n_clusters=3, threshold=tau)
+    got = [(r.vec_id, r.cluster) for r in out.collect()]
+    assert len({i for i, _ in got}) == len(got) <= len(rows)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    by_cluster = {}
+    for i, c in got:
+        by_cluster.setdefault(c, []).append(i)
+    for members in by_cluster.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    assert cos(vecs[a], vecs[b]) < tau, (a, b)
+
+
+def test_dsir_identity_target_is_zero(spark):
+    """target == raw ⇒ every bucket's log ratio is EXACTLY zero (the
+    two ln() arguments are identical expressions over identical
+    counts), hence every document weight is exactly 0 — the
+    integer-quantized design makes this an equality, not a
+    tolerance."""
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.sampling import (
+        dsir_importance,
+        dsir_log_ratios,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ratios = dsir_log_ratios(docs, docs, "text", num_buckets=128)
+    assert ratios.where(F.col("micro_log_ratio") != 0).count() == 0
+    w = dsir_importance(docs, "doc_id", "text", ratios, num_buckets=128)
+    assert w.where(F.col("weight_micro") != 0).count() == 0

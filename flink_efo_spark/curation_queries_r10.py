@@ -311,3 +311,81 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dup_stats(docs, "doc_id", "text", window=6)
+
+
+@_q(
+    "curation_pipeline_v2",
+    f"""
+    WITH {_SPAN_CTE},
+    nd AS (SELECT fingerprint, count(DISTINCT doc_id) AS ndocs
+           FROM fp GROUP BY fingerprint),
+    st AS (SELECT f.doc_id, count(*) AS n_windows,
+                  sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)
+                    AS dup_windows
+           FROM fp f JOIN nd USING (fingerprint) GROUP BY f.doc_id),
+    sel AS (SELECT d.doc_id, d.text, d.lang,
+                   CASE WHEN coalesce(st.n_windows, 0) = 0 THEN NULL
+                        ELSE CAST(st.dup_windows AS DOUBLE) / st.n_windows
+                   END AS dup_fraction
+            FROM documents d LEFT JOIN st USING (doc_id)),
+    fdocs AS (SELECT * FROM sel
+              WHERE dup_fraction IS NULL OR dup_fraction < 0.5),
+    toks2 AS (SELECT doc_id, lang,
+                     string_split(trim(lower(text)), ' ') AS t
+              FROM fdocs),
+    grams2 AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(t, CASE WHEN len(t) >= 2
+               THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+               ELSE [] END)) AS g
+      FROM toks2),
+    bux2 AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512
+                  AS INT) AS bucket
+      FROM grams2),
+    rawc AS (SELECT bucket, count(*) AS cr FROM bux2 GROUP BY bucket),
+    tgtc AS (SELECT bucket, count(*) AS ct FROM bux2
+             WHERE lang = 'en' GROUP BY bucket),
+    spine AS (SELECT CAST(range AS INT) AS bucket FROM range(512)),
+    j AS (SELECT s.bucket, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+          FROM spine s LEFT JOIN rawc USING (bucket)
+                       LEFT JOIN tgtc USING (bucket)),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM j),
+    lr AS (SELECT bucket,
+                  CAST(round((ln((ct + 1.0) / (tt + 512.0))
+                            - ln((cr + 1.0) / (tr + 512.0))) * 1000000)
+                       AS BIGINT) AS m
+           FROM j CROSS JOIN tot),
+    w AS (SELECT b.doc_id, sum(m) AS weight_micro
+          FROM bux2 b JOIN lr USING (bucket) GROUP BY b.doc_id)
+    SELECT w.doc_id, CAST(w.weight_micro AS BIGINT) AS weight_micro,
+           w.weight_micro / 1000000.0 AS weight, f.dup_fraction
+    FROM w JOIN fdocs f USING (doc_id)
+    ORDER BY w.weight_micro DESC, w.doc_id
+    LIMIT 30
+    """,
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: exact-substring boilerplate filter
+    (drop docs with >= 50% duplicated 6-token spans) feeding DSIR
+    selection (top 30 toward the English target) — the two staged
+    families fused into ONE declarative plan, the corpus_pipeline
+    precedent. Both stages' determinism arguments carry over
+    unchanged (integer-division fraction, integer micro-nat sums)."""
+    from flink_efo_spark.operators.dedup import span_dup_stats
+    from flink_efo_spark.operators.sampling import dsir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = span_dup_stats(docs, "doc_id", "text", window=6)
+    keep = stats.where(
+        F.col("dup_fraction").isNull() | (F.col("dup_fraction") < 0.5)
+    ).select("doc_id", "dup_fraction")
+    fdocs = docs.join(keep, "doc_id")
+    sel = dsir_sample(
+        fdocs, "doc_id", "text", fdocs.where(F.col("lang") == "en"),
+        n=30, num_buckets=512,
+    )
+    return sel.join(keep, "doc_id").select(
+        "doc_id", "weight_micro", "weight", "dup_fraction"
+    )

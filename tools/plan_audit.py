@@ -62,6 +62,7 @@ INTENTIONAL_NLJ = {
     # over the num_buckets-row checkpointed counts — constant-size
     # build (arXiv:2302.03169 fit step)
     "dsir_topn",
+    "curation_pipeline_v2",
 }
 
 

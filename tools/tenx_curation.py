@@ -1,0 +1,95 @@
+"""10x scale gate for the round-9 curation operators (the
+tools/tenx_directed.py pattern): build 10 disjoint-id copies of the
+sf0.1 documents (5k -> 50k docs) and embeddings (2k -> 20k vectors),
+then time semantic_dedup, dsir_sample, duplicate_spans, and
+span_dup_stats at sf0.1 vs 10x (min-of-2). Linear data paths should
+show sublinear wall growth (job-fixed costs amortize); a quadratic
+regression would show up as ~100x on the pairwise members.
+
+Usage: python tools/tenx_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_efo_spark.catalog import load_table  # noqa: E402
+from flink_efo_spark.operators.dedup import (  # noqa: E402
+    duplicate_spans,
+    span_dup_stats,
+)
+from flink_efo_spark.operators.sampling import dsir_sample  # noqa: E402
+from flink_efo_spark.operators.similarity import semantic_dedup  # noqa: E402
+from flink_efo_spark.session import get_spark  # noqa: E402
+
+COPIES = 10
+
+
+def _copies(df, id_col):
+    """10 disjoint-id copies: copy c shifts ids by c * 10^7 (far above
+    any fixture id), so dedup/join keys never collide across copies."""
+    return df.sparkSession.range(COPIES).crossJoin(df).select(
+        (F.col(id_col) + F.col("id") * 10_000_000).alias(id_col),
+        *[c for c in df.columns if c != id_col],
+    )
+
+
+def _time(fn) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("tenx-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"load1_before {os.getloadavg()[0]:.1f}")
+
+    docs1 = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    emb1 = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    docs10 = _copies(docs1, "doc_id").localCheckpoint(eager=True)
+    emb10 = _copies(emb1, "vec_id").localCheckpoint(eager=True)
+    print(f"docs {docs1.count()} -> {docs10.count()}, "
+          f"emb {emb1.count()} -> {emb10.count()}")
+
+    # (name, fn(docs, emb, k)) — k is the semantic-dedup cluster count,
+    # scaled with the corpus (the operator's documented 100 TB knob:
+    # constant EXPECTED cluster size keeps the per-cluster pairwise
+    # pass linear in total rows). The fixed-k row is kept as the
+    # honest contrast: 10x rows in the same clusters = 100x pairs.
+    cases = [
+        ("semantic_dedup (k scaled 8->80)", lambda d, e, k: semantic_dedup(
+            e, "vec_id", n_clusters=k, threshold=0.3).count()),
+        ("semantic_dedup (k FIXED 8)", lambda d, e, k: semantic_dedup(
+            e, "vec_id", n_clusters=8, threshold=0.3).count()),
+        ("dsir_sample", lambda d, e, k: dsir_sample(
+            d, "doc_id", "text", d.where(F.col("lang") == "en"),
+            n=50, num_buckets=512).count()),
+        ("duplicate_spans", lambda d, e, k: duplicate_spans(
+            d, "doc_id", "text", window=6).count()),
+        # filter before count so the per-doc join cannot be eliminated
+        # by the left-join cardinality rule — forces the real compute
+        ("span_dup_stats", lambda d, e, k: span_dup_stats(
+            d, "doc_id", "text", window=6)
+            .where(F.col("dup_windows") > 0).count()),
+    ]
+    for name, fn in cases:
+        t1 = _time(lambda: fn(docs1, emb1, 8))
+        t10 = _time(lambda: fn(docs10, emb10, 80))
+        print(f"{name}: {t1:.2f}s -> {t10:.2f}s ({t10 / t1:.2f}x)")
+    print(f"load1_after {os.getloadavg()[0]:.1f}")
+
+
+if __name__ == "__main__":
+    main()

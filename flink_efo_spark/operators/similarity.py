@@ -972,10 +972,11 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.95,
     keep: str = "max_centroid_sim",
     centroids: list[tuple[int, list[float]]] | None = None,
+    target_cluster_size: int = 256,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -986,6 +987,10 @@ def semantic_dedup(
     holds at 100 TB is ``n_clusters``: pick it so the expected cluster
     size (n / n_clusters) keeps per-cluster pair counts bounded (the
     paper runs ~100k clusters over LAION for exactly this reason).
+    ``n_clusters=None`` derives it as ceil(n / target_cluster_size) —
+    the discipline encoded (tools/tenx_curation.py measures the
+    contrast: k scaled with the corpus stays linear at 10x rows, k
+    held fixed goes 34x) — at the cost of one metadata-sized count().
     Within a cluster, members get a TOTAL order by the ``keep``
     policy and a row is dropped iff some EARLIER row is within
     ``threshold`` cosine — so each near-duplicate chain keeps exactly
@@ -1017,6 +1022,12 @@ def semantic_dedup(
             f"keep must be max_centroid_sim | min_centroid_sim | min_id,"
             f" got {keep!r}"
         )
+    if centroids is None and n_clusters is None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1: {target_cluster_size}"
+            )
+        n_clusters = max(1, -(-df.count() // target_cluster_size))
     cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
     carr = _centroid_array(cents)
 

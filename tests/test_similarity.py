@@ -459,3 +459,29 @@ def test_semantic_dedup_repartition_invariant_and_guard(spark):
 
     with pytest.raises(ValueError, match="keep must be"):
         semantic_dedup(emb, "vec_id", keep="newest")
+
+
+def test_semantic_dedup_auto_k(spark):
+    """n_clusters=None derives k = ceil(n / target_cluster_size) —
+    the scale discipline encoded. Equivalent to passing the derived k
+    explicitly; guard rejects a nonsensical target."""
+    import pytest
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.similarity import semantic_dedup
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()  # 500 -> k = 4 at target 125
+    auto = semantic_dedup(
+        emb, "vec_id", n_clusters=None, threshold=0.3,
+        target_cluster_size=125,
+    )
+    explicit = semantic_dedup(emb, "vec_id", n_clusters=-(-n // 125),
+                              threshold=0.3)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        semantic_dedup(emb, "vec_id", n_clusters=None,
+                       target_cluster_size=0)

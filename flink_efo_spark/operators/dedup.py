@@ -628,6 +628,10 @@ def duplicate_spans(
     embarrassingly partitionable; the suffix array is a global sort
     of every position).
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
     sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
     ex = sh.select(
         F.col(id_col), F.explode("shingles").alias("__s")
@@ -661,6 +665,8 @@ def span_dup_stats(
     with a NULL fraction. dup_fraction is one exact-integer division,
     so it is engine-reproducible without rounding.
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
     sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
     ex = sh.select(
         F.col(id_col), F.explode("shingles").alias("__s")

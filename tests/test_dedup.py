@@ -175,3 +175,20 @@ def test_duplicate_spans_and_stats(spark):
     assert (st[2].n_windows, st[2].dup_windows) == (4, 2)
     assert st[3].dup_windows == 0
     assert st[4].n_windows == 0 and st[4].dup_fraction is None
+
+
+def test_span_ops_guards(spark):
+    import pytest
+
+    from flink_efo_spark.operators.dedup import (
+        duplicate_spans,
+        span_dup_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="window"):
+        duplicate_spans(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_spans(df, "doc_id", "text", min_docs=0)
+    with pytest.raises(ValueError, match="window"):
+        span_dup_stats(df, "doc_id", "text", window=0)

@@ -256,8 +256,15 @@ def dsir_importance(
 ) -> DataFrame:
     """Score every document with its DSIR importance weight: the sum
     over the document's hashed n-grams of the bucket's micro-nat log
-    ratio (``log_ratios`` from :func:`dsir_log_ratios`; num_buckets
-    must match). Documents whose text yields no n-grams keep weight 0.
+    ratio (``log_ratios`` from :func:`dsir_log_ratios`). The contract
+    that ``num_buckets`` matches the fit is VALIDATED, not assumed:
+    the ratio table is a complete spine of exactly num_buckets rows,
+    so one KB-sized count() catches a mismatch that would otherwise
+    silently drop grams hashing past the table's spine. NULL-text
+    documents are excluded from the output (they have no n-grams to
+    score — and the DuckDB oracles, which build weights from the
+    gram CTE, agree on that set by construction); any non-NULL text
+    yields at least one gram, so every other document is scored.
 
     Returns (id, weight_micro bigint, weight double = micro / 1e6).
     weight_micro is the EXACT integer — order by it, not the double.
@@ -266,7 +273,15 @@ def dsir_importance(
     per-document integer sum with map-side partial aggregation. No
     window, no driver action.
     """
-    grams = df.select(
+    n_ratio_rows = log_ratios.count()
+    if n_ratio_rows != num_buckets:
+        raise ValueError(
+            f"num_buckets={num_buckets} does not match the fitted ratio "
+            f"table ({n_ratio_rows} spine rows) — pass the num_buckets "
+            f"used in dsir_log_ratios"
+        )
+    docs = df.where(F.col(text_col).isNotNull())
+    grams = docs.select(
         F.col(id_col), F.explode(_ngrams_expr(text_col)).alias("__g")
     ).select(F.col(id_col), _bucket_expr("__g", num_buckets).alias("bucket"))
     sums = (
@@ -275,7 +290,7 @@ def dsir_importance(
         .agg(F.sum("micro_log_ratio").alias("weight_micro"))
     )
     return (
-        df.select(id_col)
+        docs.select(id_col)
         .join(sums, id_col, "left")
         .select(
             F.col(id_col),

@@ -1028,7 +1028,14 @@ def semantic_dedup(
                 f"target_cluster_size must be >= 1: {target_cluster_size}"
             )
         n_clusters = max(1, -(-df.count() // target_cluster_size))
-    cents = centroids or ivf_centroids(df, id_col, vec_col, n_clusters)
+    if centroids is not None:
+        if not centroids:
+            raise ValueError("centroids must be non-empty when passed")
+        cents = centroids
+    else:
+        if n_clusters < 1:
+            raise ValueError(f"n_clusters must be >= 1: {n_clusters}")
+        cents = ivf_centroids(df, id_col, vec_col, n_clusters)
     carr = _centroid_array(cents)
 
     scored = (

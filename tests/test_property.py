@@ -627,3 +627,32 @@ def test_dsir_identity_target_is_zero(spark):
     assert ratios.where(F.col("micro_log_ratio") != 0).count() == 0
     w = dsir_importance(docs, "doc_id", "text", ratios, num_buckets=128)
     assert w.where(F.col("weight_micro") != 0).count() == 0
+
+
+def test_dsir_contract_guards(spark):
+    """The fit/score num_buckets contract is validated (a mismatch
+    would silently drop grams hashing past the ratio spine), and
+    NULL-text docs are excluded from the scored output — the same set
+    the gram-CTE-based DuckDB oracles produce."""
+    import pytest
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.sampling import (
+        dsir_importance,
+        dsir_log_ratios,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ratios = dsir_log_ratios(docs, docs, "text", num_buckets=64)
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_importance(docs, "doc_id", "text", ratios, num_buckets=128)
+
+    aug = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(-1, None)], schema=docs.select("doc_id", "text").schema
+        )
+    )
+    w = dsir_importance(aug, "doc_id", "text", ratios, num_buckets=64)
+    assert w.where(F.col("doc_id") == -1).count() == 0
+    assert w.count() == docs.count()

@@ -459,6 +459,10 @@ def test_semantic_dedup_repartition_invariant_and_guard(spark):
 
     with pytest.raises(ValueError, match="keep must be"):
         semantic_dedup(emb, "vec_id", keep="newest")
+    with pytest.raises(ValueError, match="non-empty"):
+        semantic_dedup(emb, "vec_id", centroids=[])
+    with pytest.raises(ValueError, match="n_clusters must be"):
+        semantic_dedup(emb, "vec_id", n_clusters=0)
 
 
 def test_semantic_dedup_auto_k(spark):

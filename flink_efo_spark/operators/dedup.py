@@ -699,3 +699,162 @@ def span_dup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def _positional_spans_expr(text_col: str, k: int) -> Column:
+    """ALL ``k``-token spans of lower(text) WITH their 1-indexed token
+    position: array<struct<pos:int, s:string>>. The positional sibling
+    of :func:`_shingles_expr` — no array_distinct (a passage repeated
+    inside one document occupies two positions, and remediation must
+    cut both), same split/guard/transform-binding shapes (incl. the
+    CollapseProject 16x pitfall)."""
+    parts = ", ".join(f"element_at(__t, i + {j})" for j in range(k))
+    body = (
+        f"case when size(__t) >= {k} then "
+        f"transform(sequence(1, size(__t) - {k - 1}),"
+        f" i -> named_struct('pos', i, 's', concat_ws(' ', {parts}))) "
+        f"else cast(array() as array<struct<pos:int, s:string>>) end"
+    )
+    return F.expr(
+        f"element_at(transform(array(split(trim(lower({text_col})), ' ')), "
+        f"__t -> {body}), 1)"
+    ).alias("pspans")
+
+
+def _positional_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, __pos int, fp bigint): one row per ``window``-token span
+    position. O(total tokens) rows, pure Catalyst."""
+    return (
+        df.select(F.col(id_col), _positional_spans_expr(text_col, window))
+        .select(F.col(id_col), F.explode("pspans").alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.pos").alias("__pos"),
+            F.expr(_hash64_expr("__p.s")).alias("fp"),
+        )
+    )
+
+
+def duplicate_span_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """WHERE the cross-document duplicate passages sit — the
+    remediation half of Lee et al. 2021 (suffix-array dedup CUTS the
+    duplicated substrings, it doesn't just drop documents).
+    :func:`duplicate_spans` reports the shared fingerprints; this
+    emits, per document, the merged TOKEN-COORDINATE intervals
+    [token_start, token_end] (1-indexed, inclusive) covered by spans
+    whose fingerprint occurs in >= ``min_docs`` distinct documents.
+    Overlapping and adjacent spans are merged into maximal intervals,
+    so the output is a canonical interval set — independent of scan
+    or partition order (the oracle-determinism discipline).
+
+    Returns (id, token_start long, token_end long).
+
+    Scale shape: positional fingerprints are O(total tokens) rows; the
+    dup-fingerprint set comes from one groupBy(fp) with map-side
+    partial aggregation; matching positions is a fp-keyed
+    shuffle join (both sides co-partitioned on fp); the interval
+    merge is one window per document (a document's positions sort in
+    one task — bounded by document length, not corpus size). Nothing
+    is pairwise, nothing touches the driver.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    ex = _positional_fingerprints(
+        ensure_min_parallelism(df.select(id_col, text_col)),
+        id_col, text_col, window,
+    )
+    dup_fps = (
+        ex.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("fp")
+    )
+    hits = ex.join(dup_fps, "fp").select(F.col(id_col), F.col("__pos"))
+    w_ord = Window.partitionBy(id_col).orderBy("__pos")
+    lag_pos = F.lag("__pos").over(w_ord)
+    # same merged interval iff this span starts before or exactly at
+    # the previous span's end + 1 (span at p covers [p, p+window-1])
+    brk = F.when(
+        lag_pos.isNull() | (F.col("__pos") > lag_pos + window), 1
+    ).otherwise(0)
+    island = F.sum(brk).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").cast("long").alias("token_start"),
+            (F.max("__pos") + window - 1).cast("long").alias("token_end"),
+        )
+        .select(F.col(id_col), "token_start", "token_end")
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply the remediation: re-emit every document with its
+    cross-document duplicate passages REMOVED (the Lee et al. 2021
+    ExactSubstr transform as a DataFrame op). Tokens covered by any
+    :func:`duplicate_span_positions` interval are dropped; survivors
+    rejoin with single spaces in original order. Tokenization is the
+    family's lower/trim/split-on-space, so ``clean_text`` is the
+    cleaned LOWERCASED token stream — the downstream-training
+    representation, not a byte-faithful edit of the original.
+
+    Returns (id, clean_text string, n_tokens long, removed_tokens
+    long) for EVERY input document — docs with no duplicate spans
+    (or with NULL text) keep removed_tokens = 0 (clean_text NULL when
+    text is NULL).
+
+    Scale shape: intervals per doc are aggregated to one array row
+    (collect_list after the interval merge — bounded by tokens/window
+    per doc, not corpus size), then one fp-free broadcast-less join
+    back to the documents and a single Catalyst filter/transform over
+    the token array. No Python in the loop.
+    """
+    spans = duplicate_span_positions(df, id_col, text_col, window, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("token_start", "token_end")).alias("__iv")
+    )
+    toks = F.expr(f"split(trim(lower({text_col})), ' ')")
+    kept = F.expr(
+        "filter(transform(__toks, (t, i) -> named_struct('t', t, 'p', i + 1)),"
+        " x -> __iv is null or not exists(__iv,"
+        " iv -> x.p between iv.token_start and iv.token_end))"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(per_doc, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.expr("concat_ws(' ', transform(__kept, x -> x.t))")
+            ).alias("clean_text"),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.expr("size(__toks)"))
+            .cast("long").alias("n_tokens"),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.expr("size(__toks) - size(__kept)"))
+            .cast("long").alias("removed_tokens"),
+        )
+    )

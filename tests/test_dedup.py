@@ -177,10 +177,59 @@ def test_duplicate_spans_and_stats(spark):
     assert st[4].n_windows == 0 and st[4].dup_fraction is None
 
 
+def test_duplicate_span_positions_and_cut(spark):
+    """The remediation half (Lee et al. 2021): positions are merged
+    maximal token intervals, and cut_duplicate_spans removes exactly
+    the covered tokens — including BOTH occurrences of a passage
+    repeated inside one document (the no-array_distinct property)."""
+    from flink_efo_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_span_positions,
+    )
+
+    shared = "all rights reserved see license for details"  # 7 tokens
+    rows = [
+        (1, f"alpha beta {shared}"),
+        (2, f"{shared} gamma delta"),
+        (3, "completely unrelated text with no overlap at all here"),
+        (4, "too short"),
+        (5, f"{shared} zz {shared}"),  # internal repeat: cut both
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pos = duplicate_span_positions(df, "doc_id", "text", window=6, min_docs=2)
+    got = sorted((r.doc_id, r.token_start, r.token_end) for r in pos.collect())
+    assert got == [(1, 3, 9), (2, 1, 7), (5, 1, 7), (5, 9, 15)]
+
+    # merge invariance under partitioning
+    pos2 = duplicate_span_positions(
+        df.repartition(5, "doc_id"), "doc_id", "text", window=6, min_docs=2
+    )
+    assert sorted(
+        (r.doc_id, r.token_start, r.token_end) for r in pos2.collect()
+    ) == got
+
+    cut = {r.doc_id: r for r in cut_duplicate_spans(
+        df, "doc_id", "text", window=6, min_docs=2).collect()}
+    assert len(cut) == 6
+    assert (cut[1].clean_text, cut[1].n_tokens, cut[1].removed_tokens) == (
+        "alpha beta", 9, 7)
+    assert (cut[2].clean_text, cut[2].removed_tokens) == ("gamma delta", 7)
+    assert cut[3].removed_tokens == 0
+    assert cut[3].clean_text == rows[2][1]
+    assert (cut[4].clean_text, cut[4].n_tokens) == ("too short", 2)
+    assert (cut[5].clean_text, cut[5].n_tokens, cut[5].removed_tokens) == (
+        "zz", 15, 14)
+    assert cut[6].clean_text is None and cut[6].n_tokens == 0
+    assert cut[6].removed_tokens == 0
+
+
 def test_span_ops_guards(spark):
     import pytest
 
     from flink_efo_spark.operators.dedup import (
+        duplicate_span_positions,
         duplicate_spans,
         span_dup_stats,
     )
@@ -192,3 +241,7 @@ def test_span_ops_guards(spark):
         duplicate_spans(df, "doc_id", "text", min_docs=0)
     with pytest.raises(ValueError, match="window"):
         span_dup_stats(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="window"):
+        duplicate_span_positions(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_span_positions(df, "doc_id", "text", min_docs=0)

@@ -70,7 +70,11 @@ def _all_queries() -> dict:
     """Registered corpus + staged-for-next-round modules, so staged
     pairs meet the same plan bar BEFORE registration."""
     qs = dict(entrymod.queries())
-    for mod in ("graph_queries_r10", "curation_queries_r10"):
+    for mod in (
+        "graph_queries_r10",
+        "curation_queries_r10",
+        "curation_queries_r11",
+    ):
         try:
             m = __import__(f"flink_efo_spark.{mod}", fromlist=["*"])
         except ImportError:

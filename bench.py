@@ -207,6 +207,18 @@ BENCH_QUERIES = [
     "clustering_metrics",   # triangles + triplets + metrics, one row
     "directed_census_row",  # closed-form census + 6-bit triangle masks
     "bipartite_projection_top",  # shared-counterpart projection join
+    # round 10: the 12 rows registered this round — one per NEW plan
+    # family (gen_grid_edges is pure range arithmetic and shares
+    # gen_circulant's generator plan; semantic_dedup_diverse/
+    # incremental and duplicate_spans share plans with the rows below)
+    "gen_circulant_components",  # generator arithmetic + Pregel CC
+    "triangle_listing_masks",    # directed triangle enumeration + masks
+    "vertex_centric_components", # vertex-centric harness fixpoint
+    "stream_evolving_pagerank",  # epoch-store warm-started PR replay
+    "semantic_dedup_central",    # cluster assign + within-cluster prune
+    "dsir_topn",                 # n-gram fit + broadcast score + top-n
+    "span_dup_stats",            # positional fingerprints + join-back
+    "curation_pipeline_v2",      # fused span-filter -> DSIR selection
 ]
 
 

@@ -4,13 +4,11 @@ curation-depth operators — SemDeDup-style semantic deduplication
 arXiv:2303.09540) and DSIR hashed-n-gram importance resampling
 (operators/sampling.dsir_*, Xie et al. 2023, arXiv:2302.03169).
 
-NOT registered in ``__spark_entry__.queries()`` yet — same plan as
-``graph_queries_r10``: the round-9 corpus stays at 306 so this
-round's 12 graph rows drain as first-time greens; round 10 merges
-``STAGED_QUERIES``/``STAGED_ORACLES`` (from BOTH staging modules)
-into queries.py's dicts. Every pair here is engine-vs-DuckDB
-verified by ``tests/test_curation_oracles_r10.py`` (the verify_local
-comparison) at sf0.001 and sf0.01.
+REGISTERED in ``__spark_entry__.queries()`` since round 10
+(queries.py ``_register_staged_r10``), after a staging round at the
+two-scale gate: every pair here is engine-vs-DuckDB verified by
+``tests/test_curation_oracles_r10.py`` (the verify_local comparison)
+at sf0.001 and sf0.01.
 
 Determinism notes:
 

@@ -5,13 +5,11 @@ vertex_centric/gather_sum_apply programming model
 (streaming.stream_incremental_pagerank + iterate.pagerank_warm), and
 the Gelly graph generators (operators/generators.py).
 
-NOT registered in ``__spark_entry__.queries()`` yet — the round-9
-verification plan keeps the registered corpus at 306 so the 12
-graph-query rows drain as first-time greens; round 10 registers these
-by merging ``STAGED_QUERIES``/``STAGED_ORACLES`` into queries.py's
-dicts (the graph_queries.py precedent). Every pair here is already
-engine-vs-DuckDB verified by ``tests/test_graph_oracles_r10.py``
-(the verify_local comparison) at sf0.001 and sf0.01.
+REGISTERED in ``__spark_entry__.queries()`` since round 10
+(queries.py ``_register_staged_r10``), after a staging round at the
+two-scale gate: every pair here is engine-vs-DuckDB verified by
+``tests/test_graph_oracles_r10.py`` (the verify_local comparison)
+at sf0.001 and sf0.01.
 
 Determinism: every query orders/limits on exact-integer keys only
 (ranks are exact micro-rank integers, masks/ids exact ints).

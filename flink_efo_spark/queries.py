@@ -8293,3 +8293,36 @@ def _register_graph_queries() -> None:
 
 
 _register_graph_queries()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 registration of the round-9 staging modules: 5 graph rows
+# (generators, masked triangle listing, the Pregel vertex-centric
+# harness, evolving-graph streaming PageRank) from graph_queries_r10
+# and 7 curation rows (SemDeDup semantic dedup x3, DSIR importance
+# resampling, exact-substring span dedup x2, the composed
+# boilerplate-filter -> DSIR pipeline) from curation_queries_r10.
+# Each pair was verified against DuckDB at sf0.001 AND sf0.01 under
+# the driver's comparison rules (tests/test_graph_oracles_r10.py,
+# tests/test_curation_oracles_r10.py) before this merge.
+
+
+def _register_staged_r10() -> None:
+    from flink_efo_spark.catalog import ensure_session_confs
+
+    for modname in ("graph_queries_r10", "curation_queries_r10"):
+        mod = __import__(
+            f"flink_efo_spark.{modname}", fromlist=["STAGED_QUERIES"]
+        )
+        for name, fn in mod.STAGED_QUERIES.items():
+            def wrapped(
+                spark: SparkSession, sf_dir: str, _fn=fn
+            ) -> DataFrame:
+                ensure_session_confs(spark)
+                return _fn(spark, sf_dir)
+
+            QUERIES[name] = wrapped
+            ORACLES[name] = mod.STAGED_ORACLES[name]
+
+
+_register_staged_r10()

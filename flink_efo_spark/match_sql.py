@@ -139,6 +139,7 @@ _MEAS_FN_RE = re.compile(
 )
 _MEAS_BARE_RE = re.compile(r"^([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)$")
 _MATCH_NUM_RE = re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.IGNORECASE)
+_CLASSIFIER_RE = re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.IGNORECASE)
 
 
 def _parse_measures(text: str, variables: set[str] | None = None):
@@ -182,6 +183,14 @@ def _parse_measures(text: str, variables: set[str] | None = None):
         if _MATCH_NUM_RE.match(expr):
             match_num = name
             continue
+        if _CLASSIFIER_RE.match(expr):
+            # CLASSIFIER() (FlinkSqlOperatorTable.java:995): under the
+            # engine's one-row-per-match output this is the name of
+            # the variable that matched the final row — a dedicated
+            # measure fn; var/col slots are unused.
+            measures[name] = ("", "classifier", "")
+            post_exprs[name] = name
+            continue
         fm = _MEAS_FN_RE.match(expr)
         if fm:
             fn, var, col = fm.group(1).lower(), fm.group(2), fm.group(3)
@@ -194,7 +203,10 @@ def _parse_measures(text: str, variables: set[str] | None = None):
                     )
                 if n > 0:
                     # FIRST(V.col, n): n-th-row logical navigation —
-                    # the engine encodes the offset in the fn slot
+                    # the engine encodes the offset in the fn slot.
+                    # n == 0 falls through on purpose: SQL:2016 defines
+                    # offset 0 as the navigated row itself, i.e.
+                    # FIRST(V.col, 0) === FIRST(V.col).
                     fn = f"{fn}:{n}"
             if col == "*":
                 if fn != "count":
@@ -214,6 +226,12 @@ def _parse_measures(text: str, variables: set[str] | None = None):
         # keep the rest for Catalyst
         rewritten = re.sub(
             r"\bMATCH_NUMBER\s*\(\s*\)", "match_seq", expr,
+            flags=re.IGNORECASE,
+        )
+        rewritten = re.sub(
+            r"\bCLASSIFIER\s*\(\s*\)",
+            lambda _mm: _atom("", "classifier", ""),
+            rewritten,
             flags=re.IGNORECASE,
         )
 

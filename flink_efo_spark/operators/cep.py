@@ -614,6 +614,15 @@ def _measure_record(var_rows, meas_items, data):
     (count -> 0)."""
     rec = {}
     for out_col, (var, fn, col) in meas_items:
+        if fn == "classifier":
+            # CLASSIFIER() under one-row-per-match FINAL semantics
+            # (FlinkSqlOperatorTable.java:995 re-exports the SQL:2016
+            # operator): the name of the variable that matched the
+            # LAST row of the match. NULL only for an all-optional
+            # empty match.
+            last = [(idxs[-1], v) for v, idxs in var_rows.items() if idxs]
+            rec[out_col] = max(last)[1] if last else None
+            continue
         idxs = var_rows.get(var, [])
         if fn == "count":
             rec[out_col] = len(idxs)
@@ -849,7 +858,13 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
         elif var not in deferred:
             enriched = enriched.withColumn(flag, F.expr(body))
 
-    meas_cols = sorted({col for _, fn, col in measures.values() if fn != "count"})
+    meas_cols = sorted(
+        {
+            col
+            for _, fn, col in measures.values()
+            if fn not in ("count", "classifier")
+        }
+    )
     nav_cols = sorted(
         {c for _, plain, refs in nav_bodies.values()
          for c in plain | {r[3] for r in refs}}
@@ -875,6 +890,10 @@ def _prepare(df, partition_by, order_by, pattern, defines, measures, tiebreak,
     for out_col, (var, fn, col) in measures.items():
         if fn == "count":
             out_fields.append(StructField(out_col, LongType()))
+        elif fn == "classifier":
+            from pyspark.sql.types import StringType
+
+            out_fields.append(StructField(out_col, StringType()))
         elif fn == "avg":
             from pyspark.sql.types import DoubleType
 
@@ -926,7 +945,10 @@ def match_recognize(
     columns; ``prev_<col>`` pseudo-columns give PREV() access.
 
     measures: out_col → (var, fn, col) with fn ∈ first|last|count|
-    sum|min|max|avg (count ignores col; avg emits DOUBLE). The output
+    sum|min|max|avg|classifier (count ignores col; avg emits DOUBLE;
+    classifier ignores var AND col — it emits the name of the
+    variable that matched the final row, SQL:2016 CLASSIFIER() under
+    one-row-per-match FINAL semantics). The output
     carries the partition keys, a per-partition ``match_seq``, and
     the measures.
 

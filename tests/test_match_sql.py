@@ -425,3 +425,75 @@ def test_sql_measures_running_folds(spark):
     )
     got = [tuple(r) for r in out.collect()]
     assert got == [("u1", 6.0, 2.0, 4.0, 3.0, 6.0 / 19.0)]
+
+
+def test_sql_measures_classifier(spark):
+    """CLASSIFIER() (FlinkSqlOperatorTable.java:995): the name of the
+    variable matching the final row. The alternation-tail pattern
+    makes it differ per match; the compound case routes through a
+    hidden atom + Catalyst projection."""
+    _mk(
+        spark,
+        [
+            ("u1", 1, "a", 10.0),
+            ("u1", 2, "b", 2.0),   # match 1 ends on B
+            ("u1", 3, "a", 1.0),
+            ("u1", 4, "c", 9.0),   # match 2 ends on C
+            ("u2", 1, "a", 5.0),
+            ("u2", 2, "b", 6.0),   # ends on B
+        ],
+    )
+    out = _env(spark).sql(
+        """
+        SELECT k, m, who, tagged
+        FROM __mr_t MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY seq
+          MEASURES MATCH_NUMBER() AS m,
+                   CLASSIFIER() AS who,
+                   concat(CLASSIFIER(), ':', cast(FIRST(A.seq) as string))
+                     AS tagged
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A (B|C))
+          DEFINE A AS A.et = 'a',
+                 B AS B.et = 'b',
+                 C AS C.et = 'c'
+        )
+        """
+    )
+    got = sorted((r.k, r.m, r.who, r.tagged) for r in out.collect())
+    assert got == [
+        ("u1", 1, "B", "B:1"),
+        ("u1", 2, "C", "C:3"),
+        ("u2", 1, "B", "B:1"),
+    ]
+    assert dict(out.dtypes)["who"] == "string"
+
+
+def test_api_measures_classifier(spark):
+    """Engine-level classifier measure: quantified tail — the last
+    matched row belongs to the quantified variable."""
+    from flink_efo_spark.operators.cep import match_recognize
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, "a", 1.0),
+            ("u1", 2, "b", 2.0),
+            ("u1", 3, "b", 3.0),
+            ("u1", 4, "a", 4.0),   # second match: bare A (B*)
+        ],
+        "k string, seq int, et string, v double",
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by="seq",
+        pattern="A B*",
+        defines={"A": "et = 'a'", "B": "et = 'b'"},
+        measures={
+            "who": ("", "classifier", ""),
+            "a_seq": ("A", "first", "seq"),
+        },
+    )
+    got = sorted((r.who, r.a_seq) for r in out.collect())
+    assert got == [("A", 4), ("B", 1)]

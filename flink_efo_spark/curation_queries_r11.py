@@ -1,9 +1,11 @@
 """Round-11 staging: corpus queries + DuckDB oracles for the round-10
-remediation operators — duplicate-span POSITIONS and the span-cut
-text transform (operators/dedup.duplicate_span_positions /
-cut_duplicate_spans; Lee et al. 2021, arXiv:2107.06499 "Deduplicating
-Training Data Makes Language Models Better" — the ExactSubstr
-remediation: CUT the duplicated passages, don't just score them).
+additions — duplicate-span POSITIONS and the span-cut text transform
+(operators/dedup.duplicate_span_positions / cut_duplicate_spans; Lee
+et al. 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
+Language Models Better" — the ExactSubstr remediation: CUT the
+duplicated passages, don't just score them), plus the corpus row for
+streaming.stream_semantic_dedup (the epoch-store streaming member of
+the semantic dedup family).
 
 NOT registered in ``__spark_entry__.queries()`` yet — the round-10
 corpus stays at 318 so the 12 round-10 rows drain as first-time
@@ -30,6 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_efo_spark.catalog import load_table
+from flink_efo_spark.curation_queries_r10 import _SEMDEDUP_BASE
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -142,3 +145,88 @@ def q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cut_duplicate_spans(docs, "doc_id", "text", window=6, min_docs=2)
+
+
+def _semdedup_epoch(n: int, batch_pred: str, prior: list[str]) -> str:
+    """One epoch of the semantic-dedup recurrence as DuckDB CTEs:
+    rank batch ``n`` within clusters, drop within-batch near-dups,
+    then drop survivors within threshold of ANY prior epoch's
+    survivor (the store comparison)."""
+    rank = (
+        f"r{n} AS (SELECT *, row_number() OVER (PARTITION BY cluster"
+        f" ORDER BY centroid_sim DESC, vec_id) AS rk"
+        f" FROM bt WHERE {batch_pred})"
+    )
+    within = (
+        f"d{n} AS (SELECT DISTINCT a.vec_id"
+        f" FROM r{n} a JOIN r{n} b ON a.cluster = b.cluster AND b.rk < a.rk"
+        f" WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.3)"
+    )
+    selfkept = (
+        f"s{n}a AS (SELECT r.* FROM r{n} r"
+        f" ANTI JOIN d{n} d ON r.vec_id = d.vec_id)"
+    )
+    if not prior:
+        return f"{rank}, {within}, {selfkept}, s{n} AS (SELECT * FROM s{n}a)"
+    store = " UNION ALL ".join(f"SELECT cluster, e, n FROM {p}" for p in prior)
+    vs_store = (
+        f"dv{n} AS (SELECT DISTINCT a.vec_id"
+        f" FROM s{n}a a JOIN ({store}) s ON a.cluster = s.cluster"
+        f" WHERE list_dot_product(a.e, s.e) / (a.n * s.n) >= 0.3)"
+    )
+    kept = (
+        f"s{n} AS (SELECT r.* FROM s{n}a r"
+        f" ANTI JOIN dv{n} d ON r.vec_id = d.vec_id)"
+    )
+    return f"{rank}, {within}, {selfkept}, {vs_store}, {kept}"
+
+
+@_q(
+    "stream_semantic_dedup",
+    f"""
+    WITH {_SEMDEDUP_BASE},
+    bt AS (SELECT *, ntile(3) OVER (ORDER BY vec_id) AS b FROM assign),
+    {_semdedup_epoch(1, "b = 1", [])},
+    {_semdedup_epoch(2, "b = 2", ["s1"])},
+    {_semdedup_epoch(3, "b = 3", ["s1", "s2"])}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           round(centroid_sim, 6) AS centroid_sim
+    FROM (SELECT vec_id, cluster, centroid_sim FROM s1
+          UNION ALL SELECT vec_id, cluster, centroid_sim FROM s2
+          UNION ALL SELECT vec_id, cluster, centroid_sim FROM s3)
+    """,
+)
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest SEMANTIC dedup through the epoch-dir store
+    harness (streaming.stream_semantic_dedup — the third member of
+    the streaming dedup family after exact and near): the embeddings
+    table replayed as 3 vec_id-ordered micro-batches (ntile split,
+    replayed in DuckDB verbatim), each deduped within itself and
+    against the persistent survivor-vector store appended by prior
+    batches, fixed md5-sampled centroids from the FULL table. The
+    oracle chains the 3-epoch recurrence as CTEs; every drop decision
+    compares exact doubles, so the union matches bit-for-bit."""
+    import tempfile
+
+    from flink_efo_spark.operators.similarity import ivf_centroids
+    from flink_efo_spark.streaming import (
+        stream_semantic_dedup,
+        stream_table_split,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    src = stream_table_split(
+        spark, sf_dir, "embeddings", n_batches=3, order_col="vec_id"
+    ).select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="efo_sem_dedup_")
+    q = stream_semantic_dedup(
+        src, "vec_id", "embedding",
+        store_dir=f"{base}/store", out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        centroids=cents, threshold=0.3,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        "vec_id", "cluster", "centroid_sim"
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_efo_spark.catalog import load_table
 from flink_efo_spark.curation_queries_r10 import _SEMDEDUP_BASE
@@ -229,4 +230,210 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out").select(
         "vec_id", "cluster", "centroid_sim"
+    )
+
+
+# DuckDB mirror of text._bpe_estimate_expr: same RE2-safe GPT-2
+# pre-tokenizer, same per-class integer costs (core length excludes
+# the absorbed leading space; '' doubles the apostrophe in SQL).
+_BPE_CORE_DD = "(length(p) - CASE WHEN substr(p, 1, 1) = ' ' THEN 1 ELSE 0 END)"
+_BPE_HEAD_DD = (
+    "substr(p, CASE WHEN substr(p, 1, 1) = ' ' THEN 2 ELSE 1 END, 1)"
+)
+_BPE_PIECES_DD = (
+    "regexp_extract_all(text,"
+    " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')"
+)
+_BPE_COST_DD = f"""CASE
+      WHEN regexp_matches(p, '^''(?:s|t|re|ve|m|ll|d)$') THEN 1
+      WHEN regexp_matches({_BPE_HEAD_DD}, '^\\s') THEN 1
+      WHEN regexp_matches({_BPE_HEAD_DD}, '^\\p{{L}}')
+        THEN greatest(1, ({_BPE_CORE_DD} + 3) // 4 - 1)
+      WHEN regexp_matches({_BPE_HEAD_DD}, '^\\p{{N}}')
+        THEN ({_BPE_CORE_DD} + 2) // 3
+      ELSE ({_BPE_CORE_DD} + 1) // 2
+    END"""
+_TOKS_DD = "list_filter(string_split_regex(trim(lower(text)), ' +'), t -> t != '')"
+
+
+@_q(
+    "bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform({_BPE_PIECES_DD},
+                p -> {_BPE_COST_DD})) AS BIGINT) AS bpe_est_tokens,
+           CAST(len({_BPE_PIECES_DD}) AS BIGINT) AS n_pieces,
+           CAST(len({_TOKS_DD}) AS BIGINT) AS ws_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token counting (GPT-2 pre-tokenizer +
+    per-class integer costs approximating cl100k-family behavior) —
+    the budget signal a trainer actually bills by, vs the whitespace
+    count that under-charges code/punct/numbers. Exact-integer
+    arithmetic, RE2-safe regex: the oracle replays both verbatim."""
+    from flink_efo_spark.operators.text import bpe_token_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_estimate(docs, "doc_id", "text")
+
+
+@_q(
+    "pack_shards_bpe",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_pos,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 4000.0) AS BIGINT)
+             AS shard_id
+    FROM (SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform({_BPE_PIECES_DD},
+                      p -> {_BPE_COST_DD})), 0) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS okey
+          FROM documents)
+    WINDOW w AS (ORDER BY okey, doc_id)
+    """,
+)
+def q_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_shards under the BPE-estimate counter: shard budgets track
+    the trainer's tokenizer instead of whitespace. Same bucketed
+    prefix-sum decomposition; the oracle's global window is what the
+    operator decomposes into."""
+    from flink_efo_spark.operators.packing import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(
+        docs, "doc_id", "text", shard_tokens=4000, counter="bpe_estimate"
+    )
+
+
+# DuckDB mirror of text.logistic_probe_scores' fixed-order float
+# pipeline: exact-integer sufficient statistics -> CAST AS DOUBLE ->
+# the SAME cofactor expansions (with the symmetric entries d=b, g=c,
+# h=f substituted by value) -> per-doc dot product, rounded to 6.
+_PROBE_FEAT_DD = f"""
+    feat AS (
+      SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        round(CAST(len(list_filter({_TOKS_DD},
+          t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t)))
+          AS DOUBLE) / greatest(len({_TOKS_DD}), 1), 4) AS f1,
+        round(0.4 * least(CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'), t -> t != '')) AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * least((CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), ' +'), t -> t != ''),
+                t -> list_contains(['the','and','of','to','a','in','is','that','for','it'], t)))
+                AS DOUBLE) / greatest(len(list_filter(string_split_regex(trim(lower(text)), ' +'), t -> t != '')), 1)) * 5, 1.0)
+            + 0.3 * (1.0 - least((CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))
+                AS DOUBLE) / greatest(length(text), 1)) * 10, 1.0)), 4) AS f2
+      FROM documents),
+    qz AS (
+      SELECT doc_id, 2 * y - 1 AS s,
+             CAST(10000 AS BIGINT) AS x0,
+             CAST(round(f1 * 10000, 0) AS BIGINT) AS x1,
+             CAST(round(f2 * 10000, 0) AS BIGINT) AS x2
+      FROM feat),
+    st AS (
+      SELECT CAST(sum(x0*x0) AS DOUBLE) AS a, CAST(sum(x0*x1) AS DOUBLE) AS b,
+             CAST(sum(x0*x2) AS DOUBLE) AS c, CAST(sum(x1*x1) AS DOUBLE) AS e,
+             CAST(sum(x1*x2) AS DOUBLE) AS f, CAST(sum(x2*x2) AS DOUBLE) AS i,
+             CAST(sum(x0*s) AS DOUBLE) AS g0, CAST(sum(x1*s) AS DOUBLE) AS g1,
+             CAST(sum(x2*s) AS DOUBLE) AS g2
+      FROM qz),
+    w AS (
+      SELECT
+        (g0*(e*i - f*f) - b*(g1*i - f*g2) + c*(g1*f - e*g2))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS u0,
+        (a*(g1*i - f*g2) - g0*(b*i - f*c) + c*(b*g2 - g1*c))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS u1,
+        (a*(e*g2 - g1*f) - b*(b*g2 - g1*c) + g0*(b*f - e*c))
+          / (a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c)) AS u2
+      FROM st)
+"""
+
+
+@_q(
+    "quality_logistic_probe",
+    f"""
+    WITH {_PROBE_FEAT_DD}
+    SELECT qz.doc_id,
+           round((qz.x0 * w.u0 + qz.x1 * w.u1 + qz.x2 * w.u2) * 2, 6)
+             AS logit
+    FROM qz CROSS JOIN w
+    """,
+)
+def q_quality_logistic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration: one-step-Newton logistic probe
+    from (stopword_ratio, quality_score) to the is-English label —
+    exact-integer sufficient statistics, fixed-order Cramer solve,
+    per-doc calibrated logit rounded to 6 decimals."""
+    from flink_efo_spark.operators.text import (
+        logistic_probe_scores,
+        quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_stats(docs, "doc_id", "text")
+    labeled = qs.join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    return logistic_probe_scores(
+        labeled, "doc_id", "y", ("stopword_ratio", "quality_score")
+    )
+
+
+@_q(
+    "curation_pipeline_v3",
+    f"""
+    WITH {_SPAN_POS_CTE},
+    tp AS (
+      SELECT doc_id, u.p AS p, u.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest([{{'p': i, 'tok': t[i]}}
+                           for i in range(1, len(t) + 1)]) AS u
+            FROM toks)),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = tp.doc_id
+          AND tp.p BETWEEN iv.token_start AND iv.token_end)),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id),
+    cleaned AS (
+      SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE coalesce(a.clean_text, '') END AS text
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_pos,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 4000.0) AS BIGINT)
+             AS shard_id
+    FROM (SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform({_BPE_PIECES_DD},
+                      p -> {_BPE_COST_DD})), 0) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS okey
+          FROM cleaned)
+    WINDOW w AS (ORDER BY okey, doc_id)
+    """,
+)
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end remediation + budgeting as ONE declarative plan:
+    cut the cross-document duplicate passages out of every document
+    (cut_duplicate_spans), then lay the CLEANED corpus into
+    BPE-estimate-budgeted training shards (pack_shards,
+    counter="bpe_estimate"). Both stages' determinism carries — exact
+    intervals, exact integer token costs, md5 corpus order."""
+    from flink_efo_spark.operators.dedup import cut_duplicate_spans
+    from flink_efo_spark.operators.packing import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = cut_duplicate_spans(
+        docs, "doc_id", "text", window=6, min_docs=2
+    ).select("doc_id", F.col("clean_text"))
+    return pack_shards(
+        cleaned, "doc_id", "clean_text",
+        shard_tokens=4000, counter="bpe_estimate",
     )

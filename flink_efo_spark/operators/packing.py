@@ -39,6 +39,7 @@ def pack_shards(
     text_col: str,
     shard_tokens: int,
     n_buckets: int = 256,
+    counter: str = "whitespace",
 ) -> DataFrame:
     """Deterministic token-budget shard assignment.
 
@@ -49,6 +50,11 @@ def pack_shards(
     bounded by ``shard_tokens`` + one document's overflow (documents
     are not split).
 
+    ``counter`` picks what a "token" is: ``"whitespace"`` (the split
+    count) or ``"bpe_estimate"`` (text._bpe_estimate_expr — the GPT-2
+    pre-tokenizer + per-class costs, so budgets track what a real BPE
+    tokenizer will produce; NULL text counts 0).
+
     ``n_buckets`` must be a power of 16 divisor of the hex keyspace:
     it is realized as a hex-prefix of the md5 key (1 char = 16
     buckets, 2 = 256, 3 = 4096). Raise for very large corpora so
@@ -57,10 +63,20 @@ def pack_shards(
     hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(n_buckets)
     if hex_chars is None:
         raise ValueError("n_buckets must be one of 16, 256, 4096, 65536")
+    if counter == "whitespace":
+        n_tok = F.expr(f"size({_tokens(text_col)})")
+    elif counter == "bpe_estimate":
+        from flink_efo_spark.operators.text import _bpe_estimate_expr
+
+        n_tok = F.coalesce(_bpe_estimate_expr(text_col), F.lit(0))
+    else:
+        raise ValueError(
+            f"counter must be whitespace | bpe_estimate, got {counter!r}"
+        )
 
     keyed = df.select(
         F.col(id_col),
-        F.expr(f"size({_tokens(text_col)})").cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("__okey"),
     ).withColumn("__bucket", F.substring("__okey", 1, hex_chars))
 

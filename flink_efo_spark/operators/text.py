@@ -37,6 +37,114 @@ def _tokens(text_col: str) -> str:
     return f"filter(split(trim(lower({text_col})), ' +'), t -> t != '')"
 
 
+# GPT-2-family byte-BPE pre-tokenizer (the tiktoken/GPT-2 split
+# regex, minus its whitespace-lookahead branches — RE2, hence DuckDB,
+# has no lookahead; the trailing \s+ branch absorbs what they would
+# have split, which only affects how WHITESPACE runs are grouped, not
+# the letter/digit/punct pieces): contractions, optionally
+# space-prefixed letter runs, digit runs, punctuation runs, leftover
+# whitespace runs. Identical in Java regex and RE2.
+_BPE_PRETOKEN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+"
+)
+
+
+def _bpe_estimate_expr(text_col: str) -> Column:
+    """Estimated byte-BPE token count of ``text_col`` as one Catalyst
+    expression (bigint; NULL for NULL text): split with the GPT-2
+    pre-tokenizer, then charge each piece a per-class integer cost.
+
+    The per-class costs approximate cl100k-family English behavior
+    (~4 chars/token overall; digit groups of <= 3; most punct runs 1-2
+    chars/token) and are the CALIBRATION KNOBS — fit them offline
+    against your real tokenizer on a corpus sample and adjust here:
+
+    * contraction piece ('s 't 're 've 'm 'll 'd) ... 1
+    * letter run of core length c .... max(1, ceil(c/4) - 1)
+    * digit run of core length c ..... ceil(c/3)
+    * other/punct run of core length c ... ceil(c/2)
+    * whitespace run ................. 1
+
+    (core length excludes the absorbed leading space.) All arithmetic
+    is exact-integer, so the count is engine-reproducible — the DuckDB
+    oracle replays the same regex (RE2) and the same CASE arithmetic.
+    """
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(_BPE_PRETOKEN), F.lit(0)
+    )
+
+    def cost(p: Column) -> Column:
+        core = F.when(
+            F.substring(p, 1, 1) == " ", F.length(p) - 1
+        ).otherwise(F.length(p))
+        head = F.when(
+            F.substring(p, 1, 1) == " ", F.substring(p, 2, 1)
+        ).otherwise(F.substring(p, 1, 1))
+        return (
+            F.when(p.rlike("^'(?:s|t|re|ve|m|ll|d)$"), F.lit(1))
+            .when(head.rlike("^\\s"), F.lit(1))
+            .when(
+                head.rlike("^\\p{L}"),
+                F.greatest(F.lit(1), F.floor((core + 3) / 4) - 1),
+            )
+            .when(head.rlike("^\\p{N}"), F.floor((core + 2) / 3))
+            .otherwise(F.floor((core + 1) / 2))
+            .cast("long")
+        )
+
+    return F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.aggregate(
+            F.transform(pieces, cost),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def bpe_token_estimate(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Tokenizer-faithful token counting for budget planning: the
+    whitespace count under-charges code/punct/numbers and a real BPE
+    run is not available engine-side, so estimate with the GPT-2
+    pre-tokenizer + per-class costs (:func:`_bpe_estimate_expr` —
+    constants are offline-calibration knobs). Feeds
+    :func:`flink_efo_spark.operators.packing.pack_shards`
+    (``counter="bpe_estimate"``) so shard budgets track what the
+    trainer's tokenizer will actually produce.
+
+    Returns (id, bpe_est_tokens bigint, n_pieces bigint, ws_tokens
+    bigint) — ws_tokens is the whitespace count for drift comparison.
+
+    Scale shape: one regex split + one array fold per row — a narrow
+    map, whole-stage codegen, no shuffle.
+    """
+    toks = _tokens(text_col)
+    null_long = F.lit(None).cast("long")
+    is_null = F.col(text_col).isNull()
+    return df.select(
+        F.col(id_col),
+        _bpe_estimate_expr(text_col).alias("bpe_est_tokens"),
+        F.when(is_null, null_long)
+        .otherwise(
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_BPE_PRETOKEN), F.lit(0)
+                )
+            ).cast("long")
+        ).alias("n_pieces"),
+        F.when(is_null, null_long)
+        .otherwise(F.expr(f"size({toks})").cast("long"))
+        .alias("ws_tokens"),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token/char statistics.
 
@@ -128,6 +236,91 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
     )
+
+
+def logistic_probe_scores(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    feature_cols: tuple[str, str],
+    quant: int = 10_000,
+) -> DataFrame:
+    """Quality-classifier calibration as a ONE-STEP-NEWTON logistic
+    probe (Newton/IRLS from w = 0, where the step has the closed form
+    ``w = 2 (X'X)^{-1} X'(2y-1)``): fit a logistic map from two
+    bounded quality features (+ intercept) to a held-out binary
+    label, and emit every document's calibrated LOGIT (monotone in
+    the probability, so thresholding/ranking-equivalent — sigmoid is
+    deliberately not applied: exp() is libm-dependent and would break
+    cross-engine hashing).
+
+    Determinism design (the corpus discipline): features are
+    quantized to ``quant`` units so every sufficient statistic
+    (the six X'X entries and three X'(2y-1) entries) is an EXACT
+    integer sum — no float-addition-order dependence; the 3x3 Cramer
+    solve and the per-doc dot product are short FIXED-ORDER float
+    expressions over those integers that an oracle replays verbatim;
+    the logit is rounded to 6 decimals.
+
+    Bounds: with |feature| <= 1 the X'X sums are <= quant^2 * n —
+    int64-safe to n ~ 9e10 docs at the default quant; lower quant at
+    extreme scale.
+
+    Scale shape: one partial-combine aggregation into a SINGLE
+    9-number row (the 1-row driver collect is KB metadata, the
+    centroid-literal precedent), then a narrow scoring map. Two
+    corpus scans, no shuffle beyond the agg.
+    """
+    if quant < 1:
+        raise ValueError(f"quant must be >= 1: {quant}")
+    f1, f2 = feature_cols
+    base = df.select(
+        F.col(id_col),
+        (F.lit(2) * F.col(label_col).cast("long") - 1).alias("__s"),
+        F.lit(int(quant)).cast("long").alias("__x0"),
+        F.round(F.col(f1) * quant, 0).cast("long").alias("__x1"),
+        F.round(F.col(f2) * quant, 0).cast("long").alias("__x2"),
+    )
+    r = base.agg(
+        F.sum(F.col("__x0") * F.col("__x0")).alias("s00"),
+        F.sum(F.col("__x0") * F.col("__x1")).alias("s01"),
+        F.sum(F.col("__x0") * F.col("__x2")).alias("s02"),
+        F.sum(F.col("__x1") * F.col("__x1")).alias("s11"),
+        F.sum(F.col("__x1") * F.col("__x2")).alias("s12"),
+        F.sum(F.col("__x2") * F.col("__x2")).alias("s22"),
+        F.sum(F.col("__x0") * F.col("__s")).alias("g0"),
+        F.sum(F.col("__x1") * F.col("__s")).alias("g1"),
+        F.sum(F.col("__x2") * F.col("__s")).alias("g2"),
+    ).collect()[0]
+    if r.s00 is None:
+        raise ValueError("logistic_probe_scores: empty input")
+    # fixed-order cofactor expansion — the oracle mirrors this exact
+    # expression over the same exact-integer sums
+    a, b, c = float(r.s00), float(r.s01), float(r.s02)
+    d, e, f = float(r.s01), float(r.s11), float(r.s12)
+    g, h, i = float(r.s02), float(r.s12), float(r.s22)
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    if det == 0.0:
+        raise ValueError(
+            "logistic_probe_scores: singular X'X (a feature is "
+            "constant or collinear) — pick independent features"
+        )
+    g0, g1, g2 = float(r.g0), float(r.g1), float(r.g2)
+    u0 = (
+        g0 * (e * i - f * h) - b * (g1 * i - f * g2) + c * (g1 * h - e * g2)
+    ) / det
+    u1 = (
+        a * (g1 * i - f * g2) - g0 * (d * i - f * g) + c * (d * g2 - g1 * g)
+    ) / det
+    u2 = (
+        a * (e * g2 - g1 * h) - b * (d * g2 - g1 * g) + g0 * (d * h - e * g)
+    ) / det
+    z = (
+        F.col("__x0") * F.lit(u0)
+        + F.col("__x1") * F.lit(u1)
+        + F.col("__x2") * F.lit(u2)
+    ) * 2
+    return base.select(F.col(id_col), F.round(z, 6).alias("logit"))
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -363,3 +363,102 @@ def test_dsir_sample_topn_and_guards(spark):
         dsir_log_ratios(docs, tgt, "text", num_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_log_ratios(docs, tgt, "text", alpha=0.0)
+
+
+def test_bpe_token_estimate_hand_cases(spark):
+    """Per-class costs on hand pieces: letters ~len/4 with 1-token
+    floor, digit groups of 3, punct runs of 2, contractions 1,
+    NULL-safe. The whitespace counter under-charges code/punct — the
+    estimator's reason to exist."""
+    from flink_efo_spark.operators.text import bpe_token_estimate
+
+    rows = [
+        (1, "Hello world"),            # 2 letter pieces -> 1 + 1
+        (2, "I don't know"),           # I, don, 't, know -> 4
+        (3, "12345678"),               # 8 digits -> ceil(8/3) = 3
+        (4, "internationalization"),   # 20 letters -> 23//4 - 1 = 4
+        (5, "... !!!"),                # two 3-char punct runs -> 2 + 2
+        (6, "x=1;"),                   # 4 pieces -> 4 (ws count: 1)
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in bpe_token_estimate(
+        df, "doc_id", "text").collect()}
+    assert got[1].bpe_est_tokens == 2
+    assert got[2].bpe_est_tokens == 4
+    assert got[3].bpe_est_tokens == 3
+    assert got[4].bpe_est_tokens == 4
+    assert got[5].bpe_est_tokens == 4
+    assert got[6].bpe_est_tokens == 4 and got[6].ws_tokens == 1
+    assert got[7].bpe_est_tokens is None and got[7].n_pieces is None
+
+
+def test_pack_shards_bpe_counter(spark):
+    """counter='bpe_estimate' swaps the token metric; layout
+    invariants (contiguous start_pos, shard budget bound) hold; bad
+    counter rejected."""
+    import pytest
+
+    from flink_efo_spark.catalog import load_table
+    from flink_efo_spark.operators.packing import pack_shards
+    from flink_efo_spark.operators.text import bpe_token_estimate
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_shards(
+        docs, "doc_id", "text", shard_tokens=4000, counter="bpe_estimate"
+    ).collect()
+    est = {
+        r.doc_id: r.bpe_est_tokens
+        for r in bpe_token_estimate(docs, "doc_id", "text").collect()
+    }
+    assert {r.doc_id: r.n_tokens for r in out} == {
+        k: (v or 0) for k, v in est.items()
+    }
+    laid = sorted(out, key=lambda r: r.start_pos)
+    pos = 0
+    for r in laid:
+        assert r.start_pos == pos
+        assert r.shard_id == r.start_pos // 4000
+        pos += r.n_tokens
+
+    with pytest.raises(ValueError, match="counter"):
+        pack_shards(docs, "doc_id", "text", 4000, counter="words")
+
+
+def test_logistic_probe_scores(spark):
+    """One-step-Newton probe: separable labels get higher logits for
+    the positive class; exact-integer sufficient statistics make the
+    output partitioning-invariant bit-for-bit; degenerate inputs
+    raise."""
+    import pytest
+
+    from flink_efo_spark.operators.text import logistic_probe_scores
+
+    rows = [
+        (i, 1, 0.8 + (i % 3) * 0.01, 0.1 + (i % 2) * 0.01)
+        for i in range(20)
+    ] + [
+        (100 + i, 0, 0.1 + (i % 3) * 0.01, 0.8 + (i % 2) * 0.01)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, y int, f1 double, f2 double")
+    got = {r.doc_id: r.logit for r in logistic_probe_scores(
+        df, "doc_id", "y", ("f1", "f2")).collect()}
+    pos = [got[i] for i in range(20)]
+    neg = [got[100 + i] for i in range(20)]
+    assert min(pos) > max(neg)
+
+    got2 = {r.doc_id: r.logit for r in logistic_probe_scores(
+        df.repartition(7, "doc_id"), "doc_id", "y", ("f1", "f2")
+    ).collect()}
+    assert got == got2  # exact equality, not approx
+
+    const = spark.createDataFrame(
+        [(1, 1, 0.5, 0.5), (2, 0, 0.5, 0.5)],
+        "doc_id int, y int, f1 double, f2 double",
+    )
+    with pytest.raises(ValueError, match="singular"):
+        logistic_probe_scores(const, "doc_id", "y", ("f1", "f2"))
+    with pytest.raises(ValueError, match="quant"):
+        logistic_probe_scores(df, "doc_id", "y", ("f1", "f2"), quant=0)

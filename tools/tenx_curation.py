@@ -50,6 +50,40 @@ def _time(fn) -> float:
     return best
 
 
+def _r10():
+    import flink_efo_spark.operators.dedup as m
+
+    return m
+
+
+def _r10t():
+    import flink_efo_spark.operators.text as m
+
+    return m
+
+
+def _r10p():
+    import flink_efo_spark.operators.packing as m
+
+    return m
+
+
+def _probe(d):
+    from flink_efo_spark.operators.text import (
+        logistic_probe_scores,
+        quality_stats,
+    )
+
+    qs = quality_stats(d, "doc_id", "text")
+    labeled = qs.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    return logistic_probe_scores(
+        labeled, "doc_id", "y", ("stopword_ratio", "quality_score")
+    ).agg(F.sum("logit")).collect()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("tenx-curation")
@@ -83,6 +117,21 @@ def main() -> None:
         ("span_dup_stats", lambda d, e, k: span_dup_stats(
             d, "doc_id", "text", window=6)
             .where(F.col("dup_windows") > 0).count()),
+        # round-10 additions: span remediation + token budgeting +
+        # calibration (aggregates force the full compute past pruning)
+        ("duplicate_span_positions", lambda d, e, k: _r10()
+            .duplicate_span_positions(d, "doc_id", "text", window=6)
+            .where(F.col("token_end") > 0).count()),
+        ("cut_duplicate_spans", lambda d, e, k: _r10()
+            .cut_duplicate_spans(d, "doc_id", "text", window=6)
+            .agg(F.sum("removed_tokens")).collect()),
+        ("bpe_token_estimate", lambda d, e, k: _r10t()
+            .bpe_token_estimate(d, "doc_id", "text")
+            .agg(F.sum("bpe_est_tokens")).collect()),
+        ("pack_shards_bpe", lambda d, e, k: _r10p()
+            .pack_shards(d, "doc_id", "text", 4000, counter="bpe_estimate")
+            .agg(F.max("shard_id")).collect()),
+        ("quality_logistic_probe", lambda d, e, k: _probe(d)),
     ]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))

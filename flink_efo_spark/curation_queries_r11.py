@@ -437,3 +437,75 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned, "doc_id", "clean_text",
         shard_tokens=4000, counter="bpe_estimate",
     )
+
+
+@_q(
+    "ngram_lm_perplexity",
+    """
+    WITH tt AS (
+      SELECT string_split(trim(lower(text)), ' ') AS t
+      FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+    tb AS (
+      SELECT CAST(CAST(('0x' || substr(md5(u.a), 1, 15)) AS BIGINT) % 256
+               AS INT) AS b1,
+             CAST(CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 256
+               AS INT) AS b2
+      FROM (SELECT unnest([{'a': t[i], 'b': t[i+1]}
+                           for i in range(1, len(t))]) AS u
+            FROM tt)),
+    cnt AS (SELECT b1, b2, count(*) AS c FROM tb GROUP BY b1, b2),
+    ctx AS (SELECT b1, sum(c) AS cc FROM cnt GROUP BY b1),
+    spine AS (
+      SELECT CAST(t1.range AS INT) AS b1, CAST(t2.range AS INT) AS b2
+      FROM range(256) t1, range(256) t2),
+    lm AS (
+      SELECT s.b1, s.b2,
+             CAST(round(ln((coalesce(c, 0) + 1.0)
+                           / (coalesce(cc, 0) + 256.0)) * 1000000, 0)
+               AS BIGINT) AS micro_logp
+      FROM spine s
+      LEFT JOIN cnt USING (b1, b2)
+      LEFT JOIN ctx USING (b1)),
+    dt AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    db AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(u.a), 1, 15)) AS BIGINT) % 256
+               AS INT) AS b1,
+             CAST(CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 256
+               AS INT) AS b2
+      FROM (SELECT doc_id, unnest([{'a': t[i], 'b': t[i+1]}
+                                   for i in range(1, len(t))]) AS u
+            FROM dt)),
+    sc AS (
+      SELECT doc_id, count(*) AS n, sum(micro_logp) AS sm
+      FROM db JOIN lm USING (b1, b2) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sm, 0) AS BIGINT) AS sum_micro_logp,
+           round(CASE WHEN coalesce(n, 0) = 0 THEN NULL
+                      ELSE -coalesce(sm, 0) / 1000000.0 / n END, 6)
+             AS cross_entropy
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering (Wenzek et al. 2020,
+    arXiv:1911.00359): fit a hashed Laplace-smoothed conditional
+    bigram model on the ENGLISH slice, score every document's
+    cross-entropy under it (low = target-like, high = junk). Bigram
+    log-probs are micro-nat integers on a complete 256^2 spine, so
+    per-doc sums are exact and the oracle replays the model
+    bit-for-bit."""
+    from flink_efo_spark.operators.sampling import (
+        ngram_lm_fit,
+        ngram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_fit(
+        docs.where(F.col("lang") == "en"), "text", num_buckets=256
+    )
+    return ngram_lm_score(docs, "doc_id", "text", lm, num_buckets=256)

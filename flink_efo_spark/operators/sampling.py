@@ -20,6 +20,8 @@ __all__ = [
     "dsir_log_ratios",
     "dsir_importance",
     "dsir_sample",
+    "ngram_lm_fit",
+    "ngram_lm_score",
 ]
 
 
@@ -326,3 +328,148 @@ def dsir_sample(
     return scored.orderBy(
         F.col("weight_micro").desc(), F.col(id_col).asc()
     ).limit(n)
+
+
+def _bigrams_expr(text_col: str) -> Column:
+    """(context, next) word-bigram pairs of ``lower(trim(text))``
+    split on ' ' as array<struct<a:string, b:string>> (empty for
+    docs with < 2 tokens). Same transform-binding shape as
+    :func:`_ngrams_expr` (the CollapseProject 16x pitfall)."""
+    body = (
+        "case when size(__t) >= 2 then "
+        "zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1), "
+        "(a, b) -> named_struct('a', a, 'b', b)) "
+        "else cast(array() as array<struct<a:string, b:string>>) end"
+    )
+    return F.expr(
+        f"element_at(transform(array(split(trim(lower({text_col})), ' ')), "
+        f"__t -> {body}), 1)"
+    )
+
+
+def ngram_lm_fit(
+    target: DataFrame,
+    text_col: str,
+    num_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hashed BIGRAM language model over the TARGET corpus — the
+    Spark-shaped stand-in for CCNet's KenLM perplexity filter (Wenzek
+    et al. 2020, arXiv:1911.00359: score every document by its LM
+    cross-entropy under a clean-corpus model, filter/bucket on it).
+    Token buckets are md5-hash64 mod ``num_buckets`` (the portable
+    hash), and the model is the Laplace-smoothed conditional
+    ``p(b2 | b1) = (c(b1,b2) + alpha) / (c(b1) + alpha*num_buckets)``
+    emitted as MICRO-NAT integers over the COMPLETE num_buckets^2
+    spine — so scoring is a plain inner join and unseen bigrams get
+    the smoothed floor, exactly as in both engines.
+
+    Returns (b1 int, b2 int, micro_logp bigint): num_buckets^2 rows —
+    keep num_buckets modest (256 -> 65,536 rows, a broadcastable
+    model; the hashing IS the model compression).
+
+    Scale shape: one bigram-count aggregation with map-side partial
+    combine into <= num_buckets^2 groups, a context-marginal
+    re-aggregation of THOSE counts (never a second corpus scan), and
+    the spine join — all metadata-sized after the single scan.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be > 0 (Laplace smoothing): {alpha}")
+    spark = target.sparkSession
+    pairs = target.select(
+        F.explode(_bigrams_expr(text_col)).alias("__p")
+    ).select(
+        _bucket_expr("__p.a", num_buckets).alias("b1"),
+        _bucket_expr("__p.b", num_buckets).alias("b2"),
+    )
+    counts = pairs.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("__c"))
+    ctx = counts.groupBy("b1").agg(F.sum("__c").alias("__cc"))
+    # one range, no cross join: id = b1 * num_buckets + b2 (a 256^2
+    # crossJoin would plan as a BroadcastNestedLoopJoin — avoidable)
+    spine = spark.range(num_buckets * num_buckets).select(
+        F.floor(F.col("id") / num_buckets).cast("int").alias("b1"),
+        (F.col("id") % num_buckets).cast("int").alias("b2"),
+    )
+    b_alpha = float(alpha) * num_buckets
+    logp = F.log(
+        (F.coalesce("__c", F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce("__cc", F.lit(0)) + F.lit(b_alpha))
+    )
+    return (
+        spine.join(counts, ["b1", "b2"], "left")
+        .join(ctx, "b1", "left")
+        .select(
+            "b1",
+            "b2",
+            F.round(logp * 1_000_000, 0).cast("long").alias("micro_logp"),
+        )
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-document cross-entropy under a :func:`ngram_lm_fit` model
+    (the CCNet filter signal: LOW cross-entropy = target-like text,
+    HIGH = junk): sum the micro-nat log-probs of the document's
+    hashed bigrams — an EXACT integer — and emit the per-bigram mean
+    as ``cross_entropy`` (nats, rounded to 6 decimals; NULL for docs
+    with < 2 tokens). NULL-text documents are excluded (the
+    dsir_importance convention — the gram-CTE-based oracles agree on
+    that set by construction). The num_buckets contract is validated
+    against the model's complete-spine row count (KB-sized check).
+
+    Returns (id, n_bigrams bigint, sum_micro_logp bigint,
+    cross_entropy double).
+
+    Scale shape: explode -> broadcast-join the model -> per-document
+    integer sum with map-side partial aggregation; one narrow
+    division at the end. No window, no driver action.
+    """
+    n_lm_rows = lm.count()
+    if n_lm_rows != num_buckets * num_buckets:
+        raise ValueError(
+            f"num_buckets={num_buckets} does not match the fitted model "
+            f"({n_lm_rows} spine rows) — pass the num_buckets used in "
+            f"ngram_lm_fit"
+        )
+    docs = df.where(F.col(text_col).isNotNull())
+    grams = docs.select(
+        F.col(id_col), F.explode(_bigrams_expr(text_col)).alias("__p")
+    ).select(
+        F.col(id_col),
+        _bucket_expr("__p.a", num_buckets).alias("b1"),
+        _bucket_expr("__p.b", num_buckets).alias("b2"),
+    )
+    sums = (
+        grams.join(F.broadcast(lm), ["b1", "b2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micro_logp").alias("sum_micro_logp"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(sums, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_micro_logp", F.lit(0))
+            .cast("long")
+            .alias("sum_micro_logp"),
+            F.round(
+                F.try_divide(
+                    -F.coalesce("sum_micro_logp", F.lit(0)) / 1_000_000.0,
+                    F.coalesce("n_bigrams", F.lit(0)),
+                ),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )

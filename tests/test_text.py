@@ -462,3 +462,84 @@ def test_logistic_probe_scores(spark):
         logistic_probe_scores(const, "doc_id", "y", ("f1", "f2"))
     with pytest.raises(ValueError, match="quant"):
         logistic_probe_scores(df, "doc_id", "y", ("f1", "f2"), quant=0)
+
+
+def test_ngram_lm_exact_bruteforce(spark):
+    """ngram_lm_fit / ngram_lm_score vs a literal Python replay:
+    md5-hash64 buckets, Laplace-smoothed conditional bigram counts,
+    micro-nat quantization, exact integer per-doc sums. Also the
+    guards: spine-size contract, degenerate smoothing."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from flink_efo_spark.operators.sampling import (
+        ngram_lm_fit,
+        ngram_lm_score,
+    )
+
+    B, alpha = 16, 1.0
+    target_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+    ]
+    score_rows = target_rows + [
+        (4, "zebra quagga xylophone"),
+        (5, "single"),          # < 2 tokens -> no bigrams
+        (6, None),              # excluded
+    ]
+    tgt = spark.createDataFrame(target_rows, "doc_id int, text string")
+    docs = spark.createDataFrame(score_rows, "doc_id int, text string")
+
+    lm = ngram_lm_fit(tgt, "text", num_buckets=B, alpha=alpha)
+    got_lm = {(r.b1, r.b2): r.micro_logp for r in lm.collect()}
+    assert len(got_lm) == B * B
+
+    def bk(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % B
+
+    def bigrams(t):
+        toks = t.strip().lower().split(" ")
+        return list(zip(toks, toks[1:]))
+
+    counts: dict = {}
+    for _, t in target_rows:
+        for a, b in bigrams(t):
+            counts[(bk(a), bk(b))] = counts.get((bk(a), bk(b)), 0) + 1
+    ctx: dict = {}
+    for (b1, _), c in counts.items():
+        ctx[b1] = ctx.get(b1, 0) + c
+    for b1 in range(B):
+        for b2 in range(B):
+            c = counts.get((b1, b2), 0)
+            cc = ctx.get(b1, 0)
+            want = round(
+                math.log((c + alpha) / (cc + alpha * B)) * 1_000_000
+            )
+            assert got_lm[(b1, b2)] == want, (b1, b2)
+
+    got = {r.doc_id: r for r in ngram_lm_score(
+        docs, "doc_id", "text", lm, num_buckets=B).collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]  # NULL text excluded
+    for did, t in score_rows[:5]:
+        if t is None:
+            continue
+        bgs = bigrams(t)
+        want_sum = sum(got_lm[(bk(a), bk(b))] for a, b in bgs)
+        assert got[did].n_bigrams == len(bgs)
+        assert got[did].sum_micro_logp == (want_sum if bgs else 0)
+        if bgs:
+            assert got[did].cross_entropy == round(
+                -want_sum / 1_000_000.0 / len(bgs), 6
+            )
+        else:
+            assert got[did].cross_entropy is None
+    # junk text scores worse (higher cross-entropy) than target text
+    assert got[4].cross_entropy > got[1].cross_entropy
+
+    with pytest.raises(ValueError, match="num_buckets"):
+        ngram_lm_score(docs, "doc_id", "text", lm, num_buckets=32)
+    with pytest.raises(ValueError, match="alpha"):
+        ngram_lm_fit(tgt, "text", num_buckets=B, alpha=0.0)

@@ -68,6 +68,18 @@ def _r10p():
     return m
 
 
+def _lm(d):
+    from flink_efo_spark.operators.sampling import (
+        ngram_lm_fit,
+        ngram_lm_score,
+    )
+
+    lm = ngram_lm_fit(d.where(F.col("lang") == "en"), "text",
+                      num_buckets=256)
+    return ngram_lm_score(d, "doc_id", "text", lm, num_buckets=256).agg(
+        F.sum("sum_micro_logp")).collect()
+
+
 def _probe(d):
     from flink_efo_spark.operators.text import (
         logistic_probe_scores,
@@ -132,6 +144,7 @@ def main() -> None:
             .pack_shards(d, "doc_id", "text", 4000, counter="bpe_estimate")
             .agg(F.max("shard_id")).collect()),
         ("quality_logistic_probe", lambda d, e, k: _probe(d)),
+        ("ngram_lm_score", lambda d, e, k: _lm(d)),
     ]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))

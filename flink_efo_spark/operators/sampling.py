@@ -384,7 +384,16 @@ def ngram_lm_fit(
         _bucket_expr("__p.a", num_buckets).alias("b1"),
         _bucket_expr("__p.b", num_buckets).alias("b2"),
     )
-    counts = pairs.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("__c"))
+    # localCheckpoint is load-bearing (the dsir_log_ratios lesson):
+    # `counts` feeds BOTH the context marginal and the spine join, and
+    # without it the corpus-scan counting lineage executes twice
+    # (verified: 2 parquet scans, no exchange reuse). The checkpoint
+    # pins <= num_buckets^2 metadata-sized rows.
+    counts = (
+        pairs.groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     ctx = counts.groupBy("b1").agg(F.sum("__c").alias("__cc"))
     # one range, no cross join: id = b1 * num_buckets + b2 (a 256^2
     # crossJoin would plan as a BroadcastNestedLoopJoin — avoidable)

@@ -1180,3 +1180,43 @@ def test_flush_on_timeout_requires_window_or_eoi(spark):
         flush_on_timeout=True,
         end_of_input_ts=1e9,
     )
+
+
+def test_stream_match_classifier(spark, tmp_path):
+    """CLASSIFIER() through the STREAMING matcher: the measure rides
+    _measure_record there too, and the alternation tail makes it
+    differ per match across micro-batches."""
+    from flink_efo_spark.operators.cep import stream_match_recognize
+    from flink_efo_spark.streaming import run_stream_to_table
+
+    src_dir = str(tmp_path / "cep_cls")
+    spark.createDataFrame(
+        [("u1", 1, "a", 1.0), ("u1", 2, "b", 2.0)],
+        "k string, seq int, et string, v double",
+    ).coalesce(1).write.parquet(src_dir + "/f1.parquet")
+    spark.createDataFrame(
+        [("u1", 3, "a", 3.0), ("u1", 4, "c", 4.0)],
+        "k string, seq int, et string, v double",
+    ).coalesce(1).write.parquet(src_dir + "/f2.parquet")
+
+    schema = spark.read.parquet(src_dir + "/f1.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    out = stream_match_recognize(
+        src,
+        ["k"], "seq",
+        pattern="A (B|C)",
+        defines={"A": "et = 'a'", "B": "et = 'b'", "C": "et = 'c'"},
+        measures={
+            "who": ("", "classifier", ""),
+            "a_seq": ("A", "first", "seq"),
+        },
+    )
+    got = sorted(
+        (r.who, r.a_seq) for r in run_stream_to_table(out).collect()
+    )
+    assert got == [("B", 1), ("C", 3)]

@@ -509,3 +509,62 @@ def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") == "en"), "text", num_buckets=256
     )
     return ngram_lm_score(docs, "doc_id", "text", lm, num_buckets=256)
+
+
+@_q(
+    "gopher_quality_flags",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(text, '\s+'), w -> w != '') AS W,
+        string_split_regex(text, '\n') AS L,
+        coalesce(list_sum(list_transform(
+          list_filter(string_split_regex(text, '\s+'), w -> w != ''),
+          w -> length(w))), 0) AS sum_len
+      FROM documents),
+    fl AS (
+      SELECT doc_id,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE len(W) END AS BIGINT)
+          AS n_words,
+        coalesce(text IS NOT NULL
+          AND len(W) BETWEEN 50 AND 100000, FALSE) AS ok_word_count,
+        coalesce(text IS NOT NULL AND len(W) > 0
+          AND 3 * len(W) <= sum_len AND sum_len <= 10 * len(W), FALSE)
+          AS ok_mean_word_len,
+        coalesce(text IS NOT NULL
+          AND 10 * len(regexp_extract_all(text, '#|\.\.\.|…')) <= len(W),
+          FALSE) AS ok_symbol_ratio,
+        coalesce(text IS NOT NULL
+          AND 10 * len(list_filter(L,
+                l -> regexp_matches(l, '^\s*[-*•]'))) <= 9 * len(L),
+          FALSE) AS ok_bullet_lines,
+        coalesce(text IS NOT NULL
+          AND 10 * len(list_filter(L,
+                l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) <= 3 * len(L),
+          FALSE) AS ok_ellipsis_lines,
+        coalesce(text IS NOT NULL
+          AND 10 * len(list_filter(W,
+                w -> regexp_matches(w, '\p{L}'))) >= 8 * len(W),
+          FALSE) AS ok_alpha_words,
+        coalesce(text IS NOT NULL
+          AND len(list_intersect(list_distinct(
+                list_transform(W, w -> lower(w))),
+                ['the','be','to','of','and','that','have','with'])) >= 2,
+          FALSE) AS ok_stopwords
+      FROM base)
+    SELECT *,
+      (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+       AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+       AND ok_stopwords) AS keep
+    FROM fl
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb quality ruleset (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) over every document: per-rule booleans +
+    the combined keep flag, all thresholds as cross-multiplied exact
+    integers — no float anywhere, engine-exact."""
+    from flink_efo_spark.operators.text import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text")

@@ -238,6 +238,75 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher/MassiveWeb quality-filter ruleset (Rae et al. 2021,
+    arXiv:2112.11446, Appendix A1.1 — the canonical pretraining
+    heuristics later reused by Falcon/FineWeb pipelines) as ONE
+    Catalyst projection of per-rule booleans:
+
+    * ok_word_count ........ 50 <= words <= 100,000
+    * ok_mean_word_len ..... mean word length in [3, 10]
+    * ok_symbol_ratio ...... ('#' or ellipsis) / words <= 0.1
+    * ok_bullet_lines ...... NOT (> 90% of lines start with a bullet)
+    * ok_ellipsis_lines .... NOT (> 30% of lines end with an ellipsis)
+    * ok_alpha_words ....... >= 80% of words contain a letter
+    * ok_stopwords ......... >= 2 distinct of the paper's 8 stop words
+                             (the be to of and that have with)
+    * keep ................. all of the above
+
+    Every threshold compares CROSS-MULTIPLIED integers (3n <= Σlen,
+    bullets*10 <= 9*lines, ...) — no float anywhere, so the flags are
+    engine-exact and the DuckDB oracle replays them verbatim. NULL
+    text fails every rule (keep = false).
+
+    Scale shape: one split + a handful of array folds per row — a
+    narrow map inside whole-stage codegen, no shuffle.
+    """
+    words = f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+    lines = f"split({text_col}, '\\n')"
+    nw = f"size({words})"
+    nl = f"size({lines})"
+    sum_len = (
+        f"aggregate({words}, cast(0 as bigint), (a, w) -> a + length(w))"
+    )
+    symbols = f"size(regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.|…', 0))"
+    bullets = f"size(filter({lines}, l -> l rlike '^\\\\s*[-*•]'))"
+    ellipsis = (
+        f"size(filter({lines}, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))"
+    )
+    alpha = f"size(filter({words}, w -> w rlike '\\\\p{{L}}'))"
+    stops = (
+        f"size(array_intersect("
+        f"transform({words}, w -> lower(w)), "
+        f"array('the','be','to','of','and','that','have','with')))"
+    )
+    nn = F.col(text_col).isNotNull()
+    out = df.select(
+        F.col(id_col),
+        F.when(nn, F.expr(nw)).otherwise(F.lit(0))
+        .cast("long").alias("n_words"),
+        (nn & F.expr(f"{nw} between 50 and 100000"))
+        .alias("ok_word_count"),
+        (nn & F.expr(
+            f"{nw} > 0 and 3 * {nw} <= {sum_len} and {sum_len} <= 10 * {nw}"
+        )).alias("ok_mean_word_len"),
+        (nn & F.expr(f"10 * {symbols} <= {nw}")).alias("ok_symbol_ratio"),
+        (nn & F.expr(f"10 * {bullets} <= 9 * {nl}")).alias("ok_bullet_lines"),
+        (nn & F.expr(f"10 * {ellipsis} <= 3 * {nl}"))
+        .alias("ok_ellipsis_lines"),
+        (nn & F.expr(f"10 * {alpha} >= 8 * {nw}")).alias("ok_alpha_words"),
+        (nn & F.expr(f"{stops} >= 2")).alias("ok_stopwords"),
+    )
+    rule_cols = [c for c in out.columns if c.startswith("ok_")]
+    keep = rule_cols[0]
+    acc = F.col(keep)
+    for c in rule_cols[1:]:
+        acc = acc & F.col(c)
+    return out.withColumn("keep", acc)
+
+
 def logistic_probe_scores(
     df: DataFrame,
     id_col: str,

@@ -543,3 +543,43 @@ def test_ngram_lm_exact_bruteforce(spark):
         ngram_lm_score(docs, "doc_id", "text", lm, num_buckets=32)
     with pytest.raises(ValueError, match="alpha"):
         ngram_lm_fit(tgt, "text", num_buckets=B, alpha=0.0)
+
+
+def test_gopher_quality_flags(spark):
+    """Hand-built violations, one per rule; exact-integer thresholds.
+    The good doc passes everything; each bad doc fails exactly the
+    targeted rule (plus any it also genuinely violates)."""
+    from flink_efo_spark.operators.text import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "that same fox decided to have another run with friends "
+            "over the hill because it was a fine day to be outside "
+            "running and playing games with all of the other animals "
+            "in the field near the old barn by the river bank today")
+    rows = [
+        (1, good),                                  # passes all
+        (2, "too short to have fifty words"),       # word count
+        (3, " ".join(["supercalifragilistic"] * 60)),  # mean len > 10
+        (4, good + " " + "#" * 1 + " #### ### ## # # # # # # # # # "
+            "# # # # # # # # # # # # # #"),         # symbol ratio
+        (5, "\n".join(["- bullet item " + str(i) for i in range(10)])),
+        (6, good.replace(" today", "") + "\n" +
+            "\n".join([f"line {i} trails off..." for i in range(9)])),
+        (7, " ".join(["12345"] * 60)),              # alpha + stopwords
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(
+        df, "doc_id", "text").collect()}
+
+    assert got[1].keep and all(
+        got[1][c] for c in got[1].asDict() if c.startswith("ok_"))
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_mean_word_len and not got[3].keep
+    assert not got[4].ok_symbol_ratio and not got[4].keep
+    assert not got[5].ok_bullet_lines and not got[5].keep
+    assert not got[6].ok_ellipsis_lines and not got[6].keep
+    assert not got[7].ok_alpha_words and not got[7].ok_stopwords
+    assert got[8].n_words == 0 and not got[8].keep
+    assert not any(got[8][c] for c in got[8].asDict()
+                   if c.startswith("ok_"))

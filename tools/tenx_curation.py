@@ -145,6 +145,9 @@ def main() -> None:
             .agg(F.max("shard_id")).collect()),
         ("quality_logistic_probe", lambda d, e, k: _probe(d)),
         ("ngram_lm_score", lambda d, e, k: _lm(d)),
+        ("gopher_quality_flags", lambda d, e, k: _r10t()
+            .gopher_quality_flags(d, "doc_id", "text")
+            .where(F.col("keep")).count()),
     ]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))

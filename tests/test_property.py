@@ -656,3 +656,84 @@ def test_dsir_contract_guards(spark):
     w = dsir_importance(aug, "doc_id", "text", ratios, num_buckets=64)
     assert w.where(F.col("doc_id") == -1).count() == 0
     assert w.count() == docs.count()
+
+
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        min_size=1, max_size=12,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(docs=_span_docs)
+def test_span_positions_and_cut_bruteforce(spark, docs):
+    """duplicate_span_positions / cut_duplicate_spans vs a literal
+    python replay (windows, >=2-distinct-doc spans, positions, the
+    adjacent/overlap interval merge, and the token cut) — the
+    gaps-and-islands boundary cases a hand test can miss."""
+    from flink_efo_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_span_positions,
+    )
+
+    W = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    spans: dict = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - W + 1):
+            spans.setdefault(" ".join(toks[i:i + W]), set()).add(did)
+    dup = {s for s, ds in spans.items() if len(ds) >= 2}
+
+    want_iv = []
+    want_cut = {}
+    for did, toks in enumerate(docs):
+        pos = [
+            i + 1
+            for i in range(len(toks) - W + 1)
+            if " ".join(toks[i:i + W]) in dup
+        ]
+        ivs = []
+        cur = None
+        for p in pos:
+            if cur is not None and p <= cur[1] + W:
+                cur[1] = p
+            else:
+                if cur is not None:
+                    ivs.append((cur[0], cur[1] + W - 1))
+                cur = [p, p]
+        if cur is not None:
+            ivs.append((cur[0], cur[1] + W - 1))
+        want_iv += [(did, a, b) for a, b in ivs]
+        covered = set()
+        for a, b in ivs:
+            covered.update(range(a, b + 1))
+        kept = [t for i, t in enumerate(toks, 1) if i not in covered]
+        want_cut[did] = (" ".join(kept), len(toks), len(covered))
+
+    got_iv = sorted(
+        (r.doc_id, r.token_start, r.token_end)
+        for r in duplicate_span_positions(
+            df, "doc_id", "text", window=W, min_docs=2
+        ).collect()
+    )
+    assert got_iv == sorted(want_iv)
+
+    got_cut = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+        for r in cut_duplicate_spans(
+            df, "doc_id", "text", window=W, min_docs=2
+        ).collect()
+    }
+    assert got_cut == want_cut

@@ -568,3 +568,52 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_quality_flags(docs, "doc_id", "text")
+
+
+@_q(
+    "c4_clean",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(text, '\n') AS L
+      FROM documents),
+    k AS (
+      SELECT doc_id, text, len(L) AS nl,
+        list_filter(L, l -> regexp_matches(l, '[.!?]["’”]?\s*$')
+          AND len(list_filter(string_split_regex(l, '\s+'),
+                              w -> w != '')) >= 5
+          AND NOT regexp_matches(lower(l), 'javascript')) AS KL
+      FROM base),
+    c AS (
+      SELECT doc_id, text, nl, len(KL) AS kl,
+        -- array_to_string([]) is NULL in DuckDB; Spark concat_ws
+        -- over an empty array is '' — align on ''
+        coalesce(array_to_string(KL, chr(10)), '') AS clean
+      FROM k)
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE clean END AS clean_text,
+      CAST(CASE WHEN text IS NULL THEN 0 ELSE nl END AS BIGINT) AS n_lines,
+      CAST(CASE WHEN text IS NULL THEN 0 ELSE kl END AS BIGINT)
+        AS kept_lines,
+      CAST(CASE WHEN text IS NULL THEN 0
+           ELSE len(regexp_extract_all(clean, '[.!?]')) END AS BIGINT)
+        AS n_sentences,
+      coalesce(text IS NOT NULL AND contains(text, '{'), FALSE)
+        AS has_brace,
+      coalesce(text IS NOT NULL AND contains(lower(text), 'lorem ipsum'),
+               FALSE) AS has_lorem,
+      coalesce(text IS NOT NULL AND NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND len(regexp_extract_all(clean, '[.!?]')) >= 3, FALSE) AS keep
+    FROM c
+    """,
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2):
+    line filter (terminal punctuation, >= 5 words, no javascript) +
+    page flags (curly brace, lorem ipsum, >= 3 surviving sentences) —
+    the line-level remediation sibling of gopher_quality_flags, all
+    order-preserving and engine-exact."""
+    from flink_efo_spark.operators.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_clean(docs, "doc_id", "text")

@@ -307,6 +307,65 @@ def gopher_quality_flags(
     return out.withColumn("keep", acc)
 
 
+def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 line/page cleaning rules (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — the canonical heuristic set behind C4,
+    reused by Pile/RedPajama derivatives), as one shuffle-free
+    Catalyst projection. LINE rules (a line survives iff ALL hold):
+
+    * ends with terminal punctuation (. ! ? or a closing quote),
+    * has at least 5 words,
+    * does not contain the word "javascript" (case-insensitive).
+
+    PAGE rules (flags; a page is kept iff all hold AND it retains at
+    least 3 surviving sentences):
+
+    * no curly brace '{' anywhere (code),
+    * no "lorem ipsum" (case-insensitive).
+
+    Returns (id, clean_text, n_lines, kept_lines, n_sentences,
+    has_brace, has_lorem, keep) — clean_text is the surviving lines
+    re-joined with newlines (NULL for NULL text), n_sentences counts
+    terminal-punctuation marks in the surviving text (the cheap
+    sentence proxy, documented). All counts exact integers; the line
+    filter preserves order in both engines, so clean_text compares
+    exactly.
+
+    Scale shape: one line split + per-line regex predicates + one
+    rejoin per row — a narrow map, whole-stage codegen, no shuffle.
+    """
+    lines = f"split({text_col}, '\\n')"
+    keep_line = (
+        "l -> l rlike '[.!?][\"’”]?\\\\s*$'"
+        " and size(filter(split(l, '\\\\s+'), w -> w != '')) >= 5"
+        " and not lower(l) rlike 'javascript'"
+    )
+    kept = f"filter({lines}, {keep_line})"
+    clean = f"concat_ws('\\n', {kept})"
+    nn = F.col(text_col).isNotNull()
+    n_sent = f"size(regexp_extract_all({clean}, '[.!?]', 0))"
+    has_brace = F.expr(f"contains({text_col}, '{{')")
+    has_lorem = F.expr(f"contains(lower({text_col}), 'lorem ipsum')")
+    return df.select(
+        F.col(id_col),
+        F.when(nn, F.expr(clean)).alias("clean_text"),
+        F.when(nn, F.expr(f"size({lines})")).otherwise(F.lit(0))
+        .cast("long").alias("n_lines"),
+        F.when(nn, F.expr(f"size({kept})")).otherwise(F.lit(0))
+        .cast("long").alias("kept_lines"),
+        F.when(nn, F.expr(n_sent)).otherwise(F.lit(0))
+        .cast("long").alias("n_sentences"),
+        (nn & has_brace).alias("has_brace"),
+        (nn & has_lorem).alias("has_lorem"),
+        (
+            nn
+            & ~has_brace
+            & ~has_lorem
+            & F.expr(f"{n_sent} >= 3")
+        ).alias("keep"),
+    )
+
+
 def logistic_probe_scores(
     df: DataFrame,
     id_col: str,

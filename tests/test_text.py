@@ -583,3 +583,39 @@ def test_gopher_quality_flags(spark):
     assert got[8].n_words == 0 and not got[8].keep
     assert not any(got[8][c] for c in got[8].asDict()
                    if c.startswith("ok_"))
+
+
+def test_c4_clean(spark):
+    """C4 line/page rules on hand-built pages: surviving lines keep
+    order and rejoin exactly; page flags and the 3-sentence floor
+    gate keep."""
+    from flink_efo_spark.operators.text import c4_clean
+
+    good_line = "this line has plenty of words and ends properly."
+    rows = [
+        (1, "\n".join([good_line, "short line.",            # < 5 words
+                       "no terminal punctuation here at all",
+                       "enable javascript to view this page.",
+                       "another proper sentence with enough words!",
+                       "a third full sentence to pass the floor?"])),
+        (2, good_line + " { code }"),                        # brace
+        (3, "Lorem Ipsum dolor sit amet filler text here."), # lorem
+        (4, good_line),                                      # 1 sentence
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in c4_clean(df, "doc_id", "text").collect()}
+
+    assert got[1].clean_text == "\n".join(
+        [good_line,
+         "another proper sentence with enough words!",
+         "a third full sentence to pass the floor?"])
+    assert (got[1].n_lines, got[1].kept_lines, got[1].n_sentences) == (6, 3, 3)
+    assert got[1].keep and not got[1].has_brace and not got[1].has_lorem
+
+    assert got[2].has_brace and not got[2].keep
+    assert got[3].has_lorem and not got[3].keep
+    assert got[4].kept_lines == 1 and got[4].n_sentences == 1
+    assert not got[4].keep                                   # < 3 sentences
+    assert got[5].clean_text is None and got[5].n_lines == 0
+    assert not got[5].keep

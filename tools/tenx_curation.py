@@ -148,6 +148,9 @@ def main() -> None:
         ("gopher_quality_flags", lambda d, e, k: _r10t()
             .gopher_quality_flags(d, "doc_id", "text")
             .where(F.col("keep")).count()),
+        ("c4_clean", lambda d, e, k: _r10t()
+            .c4_clean(d, "doc_id", "text")
+            .agg(F.sum("kept_lines")).collect()),
     ]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))

@@ -81,3 +81,17 @@ def test_lookup_join_async_concurrent(spark):
         if s2 < e1
     )
     assert overlaps >= 4  # concurrent in-flight lookups, not serial
+
+
+def test_registry_count_and_staging_isolation():
+    """The registered corpus is pinned at 318 (round 10) and the
+    round-11 staging pairs are NOT yet registered — the staging
+    cadence that keeps the driver's never-checked sample draining
+    cleanly. Bump the pin in the round that merges a staging module."""
+    from flink_efo_spark.curation_queries_r11 import STAGED_QUERIES
+    from flink_efo_spark.queries import ORACLES, QUERIES
+
+    assert len(QUERIES) == 318
+    assert set(ORACLES) == set(QUERIES)
+    leaked = set(STAGED_QUERIES) & set(QUERIES)
+    assert not leaked, f"staged names already registered: {leaked}"

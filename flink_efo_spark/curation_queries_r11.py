@@ -617,3 +617,303 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return c4_clean(docs, "doc_id", "text")
+
+
+def _dd_dup_gram(n: int) -> str:
+    """DuckDB dup-n-gram char sum via the total-minus-distinct
+    identity (mirrors text.gopher_repetition_flags' narrow fold)."""
+    g = (
+        f"[array_to_string(W[i:i+{n - 1}], ' ')"
+        f" for i in range(1, len(W) - {n - 2})]"
+    )
+    return (
+        f"coalesce(list_sum(list_transform({g}, x -> length(x))), 0)"
+        f" - coalesce(list_sum(list_transform(list_distinct({g}),"
+        f" x -> length(x))), 0)"
+    )
+
+
+_REP_TOP = [(2, 20), (3, 18), (4, 16)]
+_REP_DUP = [(5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)]
+
+_REP_GRAMS_UNION = " || ".join(
+    f"[{{'n': {n}, 'g': array_to_string(W[i:i+{n - 1}], ' ')}}"
+    f" for i in range(1, len(W) - {n - 2})]"
+    for n, _ in _REP_TOP
+)
+
+_REP_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS W,
+        string_split(text, chr(10)) AS L,
+        string_split(text, chr(10) || chr(10)) AS P
+      FROM documents),
+    nar AS (
+      SELECT doc_id, text IS NOT NULL AS nn,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE length(text) END
+          AS BIGINT) AS n_chars,
+        CAST(coalesce(len(L), 0) AS BIGINT) AS n_lines,
+        CAST(coalesce(len(L) - len(list_distinct(L)), 0) AS BIGINT)
+          AS dup_lines,
+        CAST(coalesce(list_sum(list_transform(L, x -> length(x))), 0)
+          AS BIGINT) AS line_chars,
+        CAST(coalesce(list_sum(list_transform(L, x -> length(x))), 0)
+          - coalesce(list_sum(list_transform(list_distinct(L),
+              x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        CAST(coalesce(len(P), 0) AS BIGINT) AS n_paras,
+        CAST(coalesce(len(P) - len(list_distinct(P)), 0) AS BIGINT)
+          AS dup_paras,
+        CAST(coalesce(list_sum(list_transform(P, x -> length(x))), 0)
+          AS BIGINT) AS para_chars,
+        CAST(coalesce(list_sum(list_transform(P, x -> length(x))), 0)
+          - coalesce(list_sum(list_transform(list_distinct(P),
+              x -> length(x))), 0) AS BIGINT) AS dup_para_chars,
+        {", ".join(f"CAST({_dd_dup_gram(n)} AS BIGINT) AS dup{n}_chars"
+                   for n, _ in _REP_DUP)}
+      FROM base),
+    grams AS (
+      SELECT doc_id, u.n AS n, u.g AS g
+      FROM (SELECT doc_id, unnest({_REP_GRAMS_UNION}) AS u FROM base)),
+    gc AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS fp,
+             count(*) AS c, max(length(g)) AS glen
+      FROM grams GROUP BY doc_id, n, fp),
+    cov AS (
+      SELECT doc_id,
+        {", ".join(
+            f"CAST(coalesce(max(CASE WHEN n = {n} AND c >= 2"
+            f" THEN c * glen END), 0) AS BIGINT) AS top{n}_cover"
+            for n, _ in _REP_TOP)}
+      FROM gc GROUP BY doc_id)
+    SELECT nar.* EXCLUDE (nn),
+      {", ".join(f"CAST(coalesce(cov.top{n}_cover, 0) AS BIGINT)"
+                 f" AS top{n}_cover" for n, _ in _REP_TOP)},
+      coalesce(nn AND 10 * dup_lines <= 3 * n_lines, FALSE)
+        AS ok_dup_lines,
+      coalesce(nn AND 10 * dup_paras <= 3 * n_paras, FALSE)
+        AS ok_dup_paras,
+      coalesce(nn AND 10 * dup_line_chars <= 2 * line_chars, FALSE)
+        AS ok_dup_line_chars,
+      coalesce(nn AND 10 * dup_para_chars <= 2 * para_chars, FALSE)
+        AS ok_dup_para_chars,
+      {", ".join(
+          f"coalesce(nn AND 100 * coalesce(cov.top{n}_cover, 0)"
+          f" <= {pct} * n_chars, FALSE) AS ok_top{n}_gram"
+          for n, pct in _REP_TOP)},
+      {", ".join(
+          f"coalesce(nn AND 100 * dup{n}_chars <= {pct} * n_chars, FALSE)"
+          f" AS ok_dup{n}_gram" for n, pct in _REP_DUP)},
+      coalesce(nn AND 10 * dup_lines <= 3 * n_lines
+        AND 10 * dup_paras <= 3 * n_paras
+        AND 10 * dup_line_chars <= 2 * line_chars
+        AND 10 * dup_para_chars <= 2 * para_chars
+        AND {" AND ".join(
+            f"100 * coalesce(cov.top{n}_cover, 0) <= {pct} * n_chars"
+            for n, pct in _REP_TOP)}
+        AND {" AND ".join(
+            f"100 * dup{n}_chars <= {pct} * n_chars"
+            for n, pct in _REP_DUP)}, FALSE) AS keep
+    FROM nar LEFT JOIN cov USING (doc_id)
+"""
+
+
+@_q("gopher_repetition_flags", _REP_ORACLE)
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb REPETITION ruleset (Rae et al. 2021
+    A1.1 Table A1) over every document: duplicate line/paragraph
+    fractions (count- and char-weighted), top-{2,3,4}-gram char
+    coverage, duplicated-{5..10}-gram char fractions — 13 per-rule
+    booleans + keep, all thresholds cross-multiplied exact integers.
+    The companion of gopher_quality_flags; together they are the full
+    Gopher filter."""
+    from flink_efo_spark.operators.text import gopher_repetition_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_flags(docs, "doc_id", "text")
+
+
+# Shared mixture targets for the domain-reweighting pair: a genuine
+# down-sample (src0/src3), a near-natural rate (src7), a saturated
+# group whose target exceeds its natural share (src11, rate pins at
+# 65536), and everything unnamed dropped at rate 0.
+_MIX_TARGETS = {"src0": 0.02, "src3": 0.03, "src5": 0.04,
+                "src7": 0.05, "src11": 0.25}
+_MIX_TPPM_CASE = "CASE source " + " ".join(
+    f"WHEN '{g}' THEN {int(round(w * 1_000_000))}"
+    for g, w in sorted(_MIX_TARGETS.items())
+) + " ELSE 0 END"
+
+_MIX_PLAN_CTE = f"""
+    tok AS (
+      SELECT doc_id, source,
+        coalesce(len(list_filter(string_split_regex(trim(lower(text)),
+          ' +'), t -> t != '')), 0) AS nt
+      FROM documents),
+    cnt AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(greatest(nt, 0)) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS total_tokens FROM cnt),
+    plan AS (
+      SELECT source, n_docs, n_tokens,
+        CAST(CAST(1000000 AS HUGEINT) * n_tokens
+          // greatest(total_tokens, 1) AS BIGINT) AS natural_ppm,
+        CAST({_MIX_TPPM_CASE} AS BIGINT) AS target_ppm,
+        CAST(CASE WHEN n_tokens <= 0 THEN 0
+          ELSE least(65536,
+            CAST(65536 AS HUGEINT) * ({_MIX_TPPM_CASE}) * total_tokens
+            // (CAST(1000000 AS HUGEINT) * n_tokens)) END AS BIGINT)
+          AS rate_64k
+      FROM cnt CROSS JOIN tot)
+"""
+
+
+@_q(
+    "domain_mixture_plan",
+    f"""
+    WITH {_MIX_PLAN_CTE}
+    SELECT source, n_docs, n_tokens, natural_ppm, target_ppm, rate_64k,
+      CAST(CAST(n_tokens AS HUGEINT) * rate_64k // 65536 AS BIGINT)
+        AS projected_tokens
+    FROM plan
+    """,
+)
+def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting plan over the corpus's source column:
+    exact-integer natural token shares (ppm) and the /65536-quantized
+    sampling rates that move the mixture to the target weights —
+    DECIMAL(38,0) floor arithmetic, HUGEINT-replayed."""
+    from flink_efo_spark.operators.sampling import domain_mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mixture_plan(docs, "source", "text", _MIX_TARGETS)
+
+
+@_q(
+    "domain_mixture_resample",
+    f"""
+    WITH {_MIX_PLAN_CTE}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan p USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+      AS BIGINT) < p.rate_64k
+    """,
+)
+def q_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan applied: deterministic hash16 Bernoulli draw per
+    document at its group's planned rate — the fused
+    plan-then-sample pipeline a mixture rebalance actually runs."""
+    from flink_efo_spark.operators.sampling import (
+        apply_mixture_plan,
+        domain_mixture_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = domain_mixture_plan(docs, "source", "text", _MIX_TARGETS)
+    return apply_mixture_plan(
+        docs.select("doc_id", "source"), "doc_id", "source", plan
+    )
+
+
+@_q(
+    "pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+        CAST(coalesce(len({_TOKS_DD}), 0) AS BIGINT) AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY okey, doc_id) - n_tokens AS start_pos
+      FROM tok),
+    seg AS (
+      SELECT doc_id, n_tokens, start_pos, u.w AS seq_id
+      FROM (SELECT doc_id, n_tokens, start_pos,
+                   unnest([{{'w': w}} for w in range(
+                     CAST(start_pos // 64 AS BIGINT),
+                     CAST((start_pos + n_tokens - 1) // 64 + 1 AS BIGINT))]) AS u
+            FROM pos WHERE n_tokens > 0))
+    SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+      CAST(greatest(start_pos, seq_id * 64) - start_pos AS BIGINT)
+        AS doc_offset,
+      CAST(greatest(start_pos, seq_id * 64) - seq_id * 64 AS BIGINT)
+        AS seq_offset,
+      CAST(least(start_pos + n_tokens, seq_id * 64 + 64)
+        - greatest(start_pos, seq_id * 64) AS BIGINT) AS seg_len
+    FROM seg
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing: cut the md5-ordered
+    corpus token stream into 64-token windows and emit the
+    doc→sequence segment map (seq_id, doc_offset, seq_offset,
+    seg_len) a data loader joins against — sequences cut THROUGH
+    documents, unlike pack_shards. The oracle's global window is
+    the spec the hierarchical prefix sum decomposes."""
+    from flink_efo_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", seq_len=64)
+
+
+@_q(
+    "curation_funnel_report",
+    f"""
+    WITH rep AS ({_REP_ORACLE}),
+    f AS (
+      SELECT d.doc_id,
+        coalesce(len(list_filter(string_split_regex(trim(lower(d.text)),
+          ' +'), t -> t != '')), 0) AS nt,
+        md5(trim(lower(d.text))) AS norm,
+        d.text IS NOT NULL AS s1,
+        coalesce(d.text IS NOT NULL
+          AND len(list_filter(string_split_regex(d.text, '\\s+'),
+                w -> w != '')) BETWEEN 50 AND 100000, FALSE) AS s2
+      FROM documents d),
+    s AS (
+      SELECT f.doc_id, f.nt, f.norm, f.s1, f.s2,
+             f.s2 AND rep.keep AS s3
+      FROM f JOIN rep USING (doc_id)),
+    rk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rk
+      FROM s WHERE s3),
+    fl AS (
+      SELECT s.*, coalesce(s.s3 AND rk.rk = 1, FALSE) AS s4
+      FROM s LEFT JOIN rk USING (doc_id)),
+    agg AS (
+      SELECT count(*) AS d0,
+        count(*) FILTER (WHERE s1) AS d1,
+        count(*) FILTER (WHERE s2) AS d2,
+        count(*) FILTER (WHERE s3) AS d3,
+        count(*) FILTER (WHERE s4) AS d4,
+        coalesce(sum(nt) FILTER (WHERE s1), 0) AS t1,
+        coalesce(sum(nt) FILTER (WHERE s2), 0) AS t2,
+        coalesce(sum(nt) FILTER (WHERE s3), 0) AS t3,
+        coalesce(sum(nt) FILTER (WHERE s4), 0) AS t4
+      FROM fl)
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(tokens_out AS BIGINT) AS tokens_out
+    FROM (
+      SELECT 1 AS stage_idx, 'text_present' AS stage,
+             d0 AS docs_in, d1 AS docs_out, t1 AS tokens_out FROM agg
+      UNION ALL SELECT 2, 'word_count', d1, d2, t2 FROM agg
+      UNION ALL SELECT 3, 'gopher_repetition', d2, d3, t3 FROM agg
+      UNION ALL SELECT 4, 'exact_dedup', d3, d4, t4 FROM agg)
+    """,
+)
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage drop accounting for a minimal curation chain
+    (presence → Gopher word-count gate → full Gopher repetition
+    ruleset → exact normalized dedup), each stage applied to the
+    previous stage's survivors — the report a curator reads before
+    committing a pipeline. One fused plan; always exactly 4 rows."""
+    from flink_efo_spark.operators.text import curation_funnel_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel_report(docs, "doc_id", "text")

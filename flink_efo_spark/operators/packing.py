@@ -60,6 +60,24 @@ def pack_shards(
     buckets, 2 = 256, 3 = 4096). Raise for very large corpora so
     per-bucket sorts stay small.
     """
+    return _global_token_layout(
+        df, id_col, text_col, n_buckets, counter
+    ).withColumn(
+        "shard_id", F.floor(F.col("start_pos") / F.lit(shard_tokens))
+    ).select(id_col, "n_tokens", "start_pos", "shard_id")
+
+
+def _global_token_layout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    counter: str,
+) -> DataFrame:
+    """(id, n_tokens, start_pos): every document's exact global token
+    offset in the deterministic (md5(id), id) corpus order, via the
+    hierarchical bucketed prefix sum described in the module
+    docstring. Shared by pack_shards and pack_sequences."""
     hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(n_buckets)
     if hex_chars is None:
         raise ValueError("n_buckets must be one of 16, 256, 4096, 65536")
@@ -100,11 +118,77 @@ def pack_shards(
 
     return (
         local.join(F.broadcast(offsets), "__bucket")
-        .withColumn("start_pos", F.col("__offset") + F.col("__cum_in") - F.col("n_tokens"))
         .withColumn(
-            "shard_id", F.floor(F.col("start_pos") / F.lit(shard_tokens))
+            "start_pos",
+            F.col("__offset") + F.col("__cum_in") - F.col("n_tokens"),
         )
-        .select(id_col, "n_tokens", "start_pos", "shard_id")
+        .select(id_col, "n_tokens", "start_pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    n_buckets: int = 256,
+    counter: str = "whitespace",
+) -> DataFrame:
+    """Fixed-length training-sequence packing: the doc→sequence
+    SEGMENT MAP a trainer's data loader consumes. The corpus is laid
+    out in the deterministic (md5(id), id) order (same layout as
+    :func:`pack_shards`), the concatenated token stream is cut into
+    fixed windows of ``seq_len`` tokens, and every document emits one
+    row per training sequence it overlaps:
+
+    * seq_id ....... floor(position / seq_len) of the window
+    * doc_offset ... first token of this segment, 0-based within the doc
+    * seq_offset ... where that token lands, 0-based within the sequence
+    * seg_len ...... tokens of this doc inside this sequence (>= 1)
+
+    Unlike pack_shards (documents never split), sequences cut THROUGH
+    documents — exactly what next-token training wants; the map is
+    the join index for building input tensors. Documents with 0
+    tokens (empty or NULL text) occupy no positions and emit no rows.
+    Output size = n_docs + total_tokens/seq_len segment rows (each
+    doc adds at most its window crossings + 1).
+
+    Exact integer arithmetic end to end: positions come from the
+    hierarchical prefix sum, window ids are floor divisions, and the
+    per-window explode is ``sequence(first_win, last_win)`` — a
+    narrow generator whose fan-out is bounded by ceil(n_tokens /
+    seq_len) + 1 per document. No new shuffle beyond the layout's.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    pos = _global_token_layout(df, id_col, text_col, n_buckets, counter)
+    L = F.lit(int(seq_len)).cast("bigint")
+    end = F.col("start_pos") + F.col("n_tokens")  # exclusive
+    segs = (
+        pos.where(F.col("n_tokens") > 0)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_pos div {int(seq_len)}"),
+                    F.expr(
+                        f"(start_pos + n_tokens - 1) div {int(seq_len)}"
+                    ),
+                )
+            ),
+        )
+        .withColumn("__wstart", F.col("seq_id") * L)
+    )
+    seg_first = F.greatest(F.col("start_pos"), F.col("__wstart"))
+    return segs.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("seq_id").cast("long"),
+        (seg_first - F.col("start_pos")).cast("long").alias("doc_offset"),
+        (seg_first - F.col("__wstart")).cast("long").alias("seq_offset"),
+        (
+            F.least(end, F.col("__wstart") + L) - seg_first
+        ).cast("long").alias("seg_len"),
     )
 
 

@@ -150,6 +150,132 @@ def token_budget_sample(
     )
 
 
+def domain_mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    targets: dict[str, float],
+    counter: str = "whitespace",
+) -> DataFrame:
+    """Training-mixture planning: given TARGET domain weights, derive
+    the per-domain deterministic sampling rates that rebalance the
+    corpus toward them (the DoReMi/Pile-style "domain reweighting"
+    step, computed from data instead of guessed).
+
+    Returns one tiny row per group present in ``df``:
+
+    * n_docs, n_tokens ..... exact counts (``counter`` as in
+      pack_shards: "whitespace" | "bpe_estimate")
+    * natural_ppm .......... the group's organic token share, in
+      exact integer parts-per-million (floor division)
+    * target_ppm ........... the requested share (weights quantized
+      to ppm on the driver; groups not named get 0)
+    * rate_64k ............. keep-probability quantized to /65536 —
+      ``min(65536, floor(target_share * total_tokens / n_tokens *
+      65536))`` — directly consumable by hash16-based samplers
+      (:func:`mixture_sample`, :func:`apply_mixture_plan`)
+    * projected_tokens ..... ``n_tokens * rate_64k // 65536``
+
+    All arithmetic is integer: the only divisions are floor divisions
+    in DECIMAL(38,0) (products up to target_ppm * 65536 * total_tokens
+    ~ 1e24 at 100 TB — far inside 38 digits), so the plan is
+    engine-exact with a HUGEINT DuckDB replay. Down-sampling only: a
+    group whose natural share is below target saturates at rate 1
+    (rate_64k = 65536); callers wanting up-sampling repeat epochs.
+
+    Scale shape: one partial-aggregating groupBy(group) — map-side
+    combine collapses the corpus to one row per domain per task —
+    then a single-partition window over the ≤ thousands of group
+    rows (bounded by construction, never the data)."""
+    if not targets:
+        raise ValueError("targets must name at least one group")
+    ppm: dict[str, int] = {}
+    for g, w in targets.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"target weight for {g!r} out of [0,1]: {w}")
+        ppm[g] = int(round(w * 1_000_000))
+    if sum(ppm.values()) > 1_000_000:
+        raise ValueError(
+            f"target weights sum to {sum(ppm.values())} ppm > 1"
+        )
+    if counter == "whitespace":
+        from flink_efo_spark.operators.text import _tokens
+
+        n_tok = F.expr(f"size({_tokens(text_col)})")
+    elif counter == "bpe_estimate":
+        from flink_efo_spark.operators.text import _bpe_estimate_expr
+
+        n_tok = F.coalesce(_bpe_estimate_expr(text_col), F.lit(0))
+    else:
+        raise ValueError(
+            f"counter must be whitespace | bpe_estimate, got {counter!r}"
+        )
+
+    target = F.lit(0)
+    for g, p in ppm.items():
+        target = F.when(F.col(group_col) == g, p).otherwise(target)
+
+    counts = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.greatest(n_tok.cast("long"), F.lit(0))).alias("n_tokens"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    planned = (
+        counts.withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("__tppm", target.cast("long"))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"cast(cast(1000000 as {dec}) * n_tokens as {dec})"
+                f" div cast(greatest(total_tokens, 1) as {dec})"
+            ).cast("long").alias("natural_ppm"),
+            F.col("__tppm").alias("target_ppm"),
+            F.when(F.col("n_tokens") <= 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(65536),
+                    F.expr(
+                        f"cast(cast(65536 as {dec}) * __tppm"
+                        f" * total_tokens as {dec})"
+                        f" div cast(cast(1000000 as {dec})"
+                        f" * n_tokens as {dec})"
+                    ).cast("long"),
+                )
+            )
+            .alias("rate_64k"),
+        )
+    )
+    return planned.withColumn(
+        "projected_tokens",
+        F.expr(
+            f"cast(cast(n_tokens as {dec}) * rate_64k as {dec})"
+            f" div cast(65536 as {dec})"
+        ).cast("long"),
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame, id_col: str, group_col: str, plan: DataFrame
+) -> DataFrame:
+    """Apply a :func:`domain_mixture_plan`: keep a row iff
+    ``hash16(id) < rate_64k`` of its group. Same deterministic draw
+    as :func:`mixture_sample`, with the rates coming from a plan
+    DataFrame instead of a literal dict. Groups missing from the
+    plan are dropped (inner join). The plan is one row per domain —
+    broadcast, zero shuffle on the corpus side."""
+    rates = plan.select(group_col, "rate_64k")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(_hash16(id_col) < F.col("rate_64k"))
+        .select(*df.columns)
+    )
+
+
 def _ngrams_expr(text_col: str) -> Column:
     """Unigrams + bigrams of ``lower(trim(text))`` split on ' ' — the
     DSIR featurizer (hashed n-gram bag). The token array is bound via

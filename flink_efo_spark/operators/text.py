@@ -307,6 +307,207 @@ def gopher_quality_flags(
     return out.withColumn("keep", acc)
 
 
+def _chars_fold(arr: str) -> str:
+    """Total character count of a string array, as one aggregate fold."""
+    return f"aggregate({arr}, cast(0 as bigint), (a, x) -> a + length(x))"
+
+
+# (n-gram size, max char-fraction * 100) — Gopher A1.1 Table A1.
+_GOPHER_TOP_NGRAM = [(2, 20), (3, 18), (4, 16)]
+_GOPHER_DUP_NGRAM = [(5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)]
+
+
+def _word_grams(words_var: str, n: int) -> str:
+    """Space-joined word n-grams of a bound token-array lambda var."""
+    return (
+        f"case when size({words_var}) >= {n} then "
+        f"transform(sequence(1, size({words_var}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_var}, i, {n}))) "
+        f"else cast(array() as array<string>) end"
+    )
+
+
+def gopher_repetition_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher/MassiveWeb REPETITION-filter ruleset (Rae et al.
+    2021, arXiv:2112.11446, Appendix A1.1 Table A1 — the companion of
+    :func:`gopher_quality_flags`, reused by Falcon/FineWeb/Dolma
+    pipelines): per-document duplicate-content signals + per-rule
+    booleans + the combined keep flag.
+
+    * ok_dup_lines ......... duplicate-line fraction <= 0.30
+    * ok_dup_paras ......... duplicate-paragraph fraction <= 0.30
+    * ok_dup_line_chars .... chars in duplicate lines / line chars <= 0.20
+    * ok_dup_para_chars .... chars in duplicate paragraphs <= 0.20
+    * ok_top{2,3,4}_gram ... chars covered by the highest-coverage
+                             repeated word n-gram / chars <= .20/.18/.16
+    * ok_dup{5..10}_gram ... chars in repeated-n-gram occurrences
+                             beyond the first / chars <= .15/.14/.13/.12/.11/.10
+
+    Deviations from the paper's (unpublished) exact procedure, chosen
+    so both engines replay bit-for-bit:
+
+    * "duplicate" metrics use the set identity — occurrences beyond
+      the first = total - distinct, char-weighted as
+      ``sum(len(all)) - sum(len(distinct))`` — instead of a greedy
+      left-to-right scan (the paper does not pin one);
+    * "top n-gram" coverage is ``max(count * chars)`` over n-grams
+      with count >= 2 (deterministic; ``most_common(1)`` tie-breaks
+      are engine-ordering-dependent), 0 when nothing repeats;
+    * lines split on '\\n', paragraphs on '\\n\\n', words on
+      whitespace (raw text, no lowering); gram-fraction denominators
+      use ``length(text)``, line/para-fraction denominators use the
+      summed piece lengths.
+
+    Every threshold compares CROSS-MULTIPLIED integers (10*dup <=
+    3*n, 100*cover <= 16*chars, ...) — no float anywhere. NULL text
+    fails every rule (keep = false), matching gopher_quality_flags.
+
+    Scale shape: the line/para/dup-gram metrics are narrow per-row
+    folds (token arrays bound once via the transform(array(..))
+    binder — the CollapseProject pitfall at dedup._shingles_expr).
+    The top-gram mode is the one metric that genuinely needs exact
+    per-key counts, so it is computed distributed: explode (doc, n,
+    md5-60bit-fingerprint, len) for n=2,3,4 → partial-aggregating
+    groupBy → per-doc conditional max → one co-keyed left join back.
+    Linear in corpus size; shuffle rows = word count * 3 pre-combine,
+    with fixed-width integer keys, never gram strings.
+    """
+    words = f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+    lines = f"split({text_col}, '\n')"
+    paras = f"split({text_col}, '\n\n')"
+
+    def bind(arr: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({arr}), {var} -> {body}), 1)"
+
+    def dup_count(arr: str) -> str:
+        return f"size({arr}) - size(array_distinct({arr}))"
+
+    def dup_chars(var: str) -> str:
+        return f"{_chars_fold(var)} - {_chars_fold(f'array_distinct({var})')}"
+
+    nn = F.col(text_col).isNotNull()
+
+    def cnt(expr: str) -> Column:
+        return (
+            F.when(nn, F.expr(expr)).otherwise(F.lit(0)).cast("long")
+        )
+
+    counted = df.select(
+        F.col(id_col),
+        nn.alias("__nn"),
+        F.when(nn, F.length(text_col)).otherwise(F.lit(0))
+        .cast("long").alias("n_chars"),
+        cnt(f"size({lines})").alias("n_lines"),
+        cnt(bind(lines, "__l", dup_count("__l"))).alias("dup_lines"),
+        cnt(bind(lines, "__l", _chars_fold("__l"))).alias("line_chars"),
+        cnt(bind(lines, "__l", dup_chars("__l"))).alias("dup_line_chars"),
+        cnt(f"size({paras})").alias("n_paras"),
+        cnt(bind(paras, "__p", dup_count("__p"))).alias("dup_paras"),
+        cnt(bind(paras, "__p", _chars_fold("__p"))).alias("para_chars"),
+        cnt(bind(paras, "__p", dup_chars("__p"))).alias("dup_para_chars"),
+        *[
+            cnt(
+                bind(
+                    words,
+                    "__w",
+                    bind(_word_grams("__w", n), "__g", dup_chars("__g")),
+                )
+            ).alias(f"dup{n}_chars")
+            for n, _ in _GOPHER_DUP_NGRAM
+        ],
+    )
+
+    # distributed exact mode for the top-{2,3,4}-gram coverage
+    fp = "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)"
+    gram_structs = ", ".join(
+        f"transform({_word_grams('__w', n)}, "
+        f"g -> named_struct('n', {n}, 'fp', {fp}, "
+        f"'len', length(g)))"
+        for n, _ in _GOPHER_TOP_NGRAM
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"element_at(transform(array({words}), "
+                f"__w -> flatten(array({gram_structs}))), 1)"
+            )
+        ).alias("__g"),
+    )
+    covers = (
+        exploded.groupBy(id_col, "__g.n", "__g.fp")
+        .agg(F.count("*").alias("__c"), F.max("__g.len").alias("__len"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("n") == n) & (F.col("__c") >= 2),
+                        F.col("__c") * F.col("__len"),
+                    )
+                ).cast("long").alias(f"top{n}_cover")
+                for n, _ in _GOPHER_TOP_NGRAM
+            ]
+        )
+    )
+    full = counted.join(covers, id_col, "left").select(
+        *[F.col(c) for c in counted.columns],
+        *[
+            F.coalesce(F.col(f"top{n}_cover"), F.lit(0))
+            .cast("long").alias(f"top{n}_cover")
+            for n, _ in _GOPHER_TOP_NGRAM
+        ],
+    )
+
+    flags: list[tuple[str, Column]] = [
+        (
+            "ok_dup_lines",
+            F.lit(10) * F.col("dup_lines") <= F.lit(3) * F.col("n_lines"),
+        ),
+        (
+            "ok_dup_paras",
+            F.lit(10) * F.col("dup_paras") <= F.lit(3) * F.col("n_paras"),
+        ),
+        (
+            "ok_dup_line_chars",
+            F.lit(10) * F.col("dup_line_chars")
+            <= F.lit(2) * F.col("line_chars"),
+        ),
+        (
+            "ok_dup_para_chars",
+            F.lit(10) * F.col("dup_para_chars")
+            <= F.lit(2) * F.col("para_chars"),
+        ),
+        *[
+            (
+                f"ok_top{n}_gram",
+                F.lit(100) * F.col(f"top{n}_cover")
+                <= F.lit(pct) * F.col("n_chars"),
+            )
+            for n, pct in _GOPHER_TOP_NGRAM
+        ],
+        *[
+            (
+                f"ok_dup{n}_gram",
+                F.lit(100) * F.col(f"dup{n}_chars")
+                <= F.lit(pct) * F.col("n_chars"),
+            )
+            for n, pct in _GOPHER_DUP_NGRAM
+        ],
+    ]
+    out = full.select(
+        *[F.col(c) for c in full.columns if c != "__nn"],
+        *[(F.col("__nn") & f).alias(name) for name, f in flags],
+    )
+    rule_cols = [c for c in out.columns if c.startswith("ok_")]
+    acc = F.col(rule_cols[0])
+    for c in rule_cols[1:]:
+        acc = acc & F.col(c)
+    return out.withColumn("keep", acc)
+
+
 def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The C4 line/page cleaning rules (Raffel et al. 2020,
     arXiv:1910.10683 §2.2 — the canonical heuristic set behind C4,
@@ -710,4 +911,111 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
             (F.col("chunk_id") * F.lit(stride)).cast("bigint").alias("tok_start"),
         )
+    )
+
+
+def curation_funnel_report(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The filter-funnel accounting a data curator actually reads:
+    run a minimal curation chain — presence, the Gopher word-count
+    gate (50 <= words <= 100,000), the full Gopher REPETITION ruleset
+    (:func:`gopher_repetition_flags`), then exact normalized dedup
+    (keep the min-id doc per ``md5(trim(lower(text)))``) — each stage
+    applied to the SURVIVORS of the previous one, and report per
+    stage:
+
+    (stage_idx, stage, docs_in, docs_out, tokens_out)
+
+    with whitespace token counts. Four rows total: 1 text_present,
+    2 word_count, 3 gopher_repetition, 4 exact_dedup. (The C4 page
+    rules and the Gopher QUALITY ruleset are deliberately not in the
+    default chain: both key on punctuation/stopword structure and are
+    separate registered operators — compose them the same way when
+    the corpus is real web text.)
+
+    Because the first three rules are doc-local, "applied to
+    survivors" is just the conjunction of keep flags — one fused
+    plan, no sequential materialization. The dedup stage is the only
+    cross-doc step: a row_number over the norm-hash among stage-3
+    survivors.
+
+    Scale shape: one co-keyed join on the id (the repetition
+    operator's internal gram aggregation is the heavy part), one
+    window over norm-hash groups (partition size = duplicate group
+    size, bounded), then a single 1-row aggregate unpivoted with
+    stack() — output is always exactly 4 rows.
+    """
+    words = f"filter(split({text_col}, \'\\\\s+\'), w -> w != \'\')"
+    rep = gopher_repetition_flags(df, id_col, text_col).select(
+        F.col(id_col), F.col("keep").alias("__r")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("__s1"),
+        F.coalesce(
+            F.expr(f"size({words})").cast("long"), F.lit(0)
+        ).alias("__nw"),
+        F.coalesce(
+            F.expr(f"size({_tokens(text_col)})").cast("long"), F.lit(0)
+        ).alias("__nt"),
+        F.md5(F.expr(f"trim(lower({text_col}))")).alias("__norm"),
+    )
+    staged = base.join(rep, id_col).select(
+        F.col(id_col),
+        "__nt",
+        "__norm",
+        "__s1",
+        (
+            F.col("__s1") & F.col("__nw").between(50, 100000)
+        ).alias("__s2"),
+        (
+            F.col("__s1")
+            & F.col("__nw").between(50, 100000)
+            & F.col("__r")
+        ).alias("__s3"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__norm").orderBy(id_col)
+    ranked = (
+        staged.where("__s3")
+        .withColumn("__rk", F.row_number().over(w))
+        .select(F.col(id_col), (F.col("__rk") == 1).alias("__s4"))
+    )
+    flags = staged.join(ranked, id_col, "left").withColumn(
+        "__s4", F.coalesce(F.col("__s4"), F.lit(False))
+    )
+    one = flags.agg(
+        F.count("*").alias("d0"),
+        *[
+            F.count(F.when(F.col(f"__s{k}"), True)).alias(f"d{k}")
+            for k in range(1, 5)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(f"__s{k}"), F.col("__nt"))), F.lit(0)
+            ).alias(f"t{k}")
+            for k in range(1, 5)
+        ],
+    )
+    stages = [
+        "text_present",
+        "word_count",
+        "gopher_repetition",
+        "exact_dedup",
+    ]
+    cells = ", ".join(
+        f"{k}, \'{stages[k - 1]}\', d{k - 1}, d{k}, t{k}"
+        for k in range(1, 5)
+    )
+    return one.selectExpr(
+        f"stack(4, {cells}) as "
+        "(stage_idx, stage, docs_in, docs_out, tokens_out)"
+    ).select(
+        F.col("stage_idx").cast("int"),
+        "stage",
+        F.col("docs_in").cast("long"),
+        F.col("docs_out").cast("long"),
+        F.col("tokens_out").cast("long"),
     )

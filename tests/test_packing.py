@@ -75,3 +75,59 @@ def test_bucketing_invariant_to_n_buckets(spark):
         for r in pack_shards(docs, "doc_id", "text", 2000, n_buckets=256).collect()
     }
     assert a == b
+
+
+def test_pack_sequences_tiling(spark):
+    """Segment map invariants: every sequence is tiled to exactly
+    seq_len tokens (except the tail), every doc's segments cover
+    [0, n_tokens) contiguously, zero-token docs emit nothing, and
+    the layout order matches pack_shards' (same global positions)."""
+    import collections
+
+    from flink_efo_spark.operators.packing import (
+        pack_sequences,
+        pack_shards,
+    )
+
+    rows = [(i, "tok " * n) for i, n in enumerate([3, 10, 0, 7, 25, 1])]
+    rows.append((9, None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    segs = pack_sequences(df, "doc_id", "text", seq_len=8).collect()
+
+    assert {s.doc_id for s in segs} == {0, 1, 3, 4, 5}
+    total = sum(s.seg_len for s in segs)
+    assert total == 3 + 10 + 7 + 25 + 1
+    per_seq = collections.Counter()
+    for s in segs:
+        per_seq[s.seq_id] += s.seg_len
+    last = max(per_seq)
+    for k, v in per_seq.items():
+        assert v == 8 or (k == last and v == total - 8 * last)
+    per_doc = collections.defaultdict(list)
+    for s in segs:
+        per_doc[s.doc_id].append((s.doc_offset, s.seg_len, s.seq_id,
+                                  s.seq_offset))
+    for d, ivs in sorted(per_doc.items()):
+        ivs.sort()
+        p = 0
+        for o, l, q, qo in ivs:
+            assert o == p
+            assert 0 <= qo and qo + l <= 8
+            p = o + l
+        assert p == dict((r[0], len((r[1] or "").split())) for r in rows)[d]
+
+    # same global layout as pack_shards: doc start positions agree
+    starts = {
+        r.doc_id: r.start_pos
+        for r in pack_shards(df, "doc_id", "text", shard_tokens=8).collect()
+        if r.n_tokens and r.n_tokens > 0
+    }
+    firsts = {
+        d: min(s.seq_id * 8 + s.seq_offset for s in segs if s.doc_id == d)
+        for d in per_doc
+    }
+    assert firsts == starts
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "text", seq_len=0)

@@ -619,3 +619,139 @@ def test_c4_clean(spark):
     assert not got[4].keep                                   # < 3 sentences
     assert got[5].clean_text is None and got[5].n_lines == 0
     assert not got[5].keep
+
+
+def test_gopher_repetition_flags(spark):
+    """Hand-built repetition shapes, one per rule family; exact
+    integer metrics hand-checked (dup chars via the total-minus-
+    distinct identity, top-gram cover = max count*chars over repeated
+    grams)."""
+    from flink_efo_spark.operators.text import gopher_repetition_flags
+
+    rows = [
+        (1, "a clean doc with several distinct lines\n"
+            "another unique line here\nand a third one"),
+        (2, "same line\nsame line\nsame line\nsame line"),
+        (3, "para one\n\npara one\n\npara one"),
+        (4, "spam spam spam spam spam spam spam spam"),
+        (5, "one two three four five six " * 5),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_repetition_flags(
+        df, "doc_id", "text").collect()}
+
+    assert got[1].keep and all(
+        got[1][c] for c in got[1].asDict() if c.startswith("ok_"))
+
+    # 3 of 4 lines are repeats; 27 of 36 line chars sit in them
+    assert (got[2].dup_lines, got[2].dup_line_chars) == (3, 27)
+    assert not got[2].ok_dup_lines and not got[2].ok_dup_line_chars
+    assert not got[2].keep
+
+    assert (got[3].dup_paras, got[3].dup_para_chars) == (2, 16)
+    assert not got[3].ok_dup_paras and not got[3].ok_dup_para_chars
+
+    # "spam spam" x7 covers 63 chars of a 39-char doc
+    assert got[4].top2_cover == 63
+    assert not got[4].ok_top2_gram and got[4].ok_dup_lines
+
+    # "three four" x5 is the widest bigram: 10 chars * 5
+    assert got[5].top2_cover == 50
+    assert got[5].dup6_chars > 0 and not got[5].ok_dup10_gram
+
+    assert got[6].n_chars == 0 and not got[6].keep
+    assert not any(got[6][c] for c in got[6].asDict()
+                   if c.startswith("ok_"))
+    # empty text has nothing repeated: passes the repetition rules
+    assert got[7].keep
+
+
+def test_domain_mixture_plan_and_apply(spark):
+    """Plan arithmetic vs a python brute force (exact integer ppm /
+    rate_64k), saturation at rate 1, zero-target drop, and the
+    hash16 draw matching mixture_sample's."""
+    from flink_efo_spark.operators.sampling import (
+        apply_mixture_plan,
+        domain_mixture_plan,
+        mixture_sample,
+    )
+
+    rows = [
+        (i, g, "tok " * (i % 7 + 1))
+        for i, g in enumerate(
+            ["a"] * 40 + ["b"] * 30 + ["c"] * 20 + ["d"] * 10
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    targets = {"a": 0.1, "b": 0.5, "c": 0.2}
+    plan = domain_mixture_plan(df, "source", "text", targets)
+    got = {r.source: r for r in plan.collect()}
+
+    toks = {}
+    for _, g, t in rows:
+        toks[g] = toks.get(g, 0) + len(t.split())
+    total = sum(toks.values())
+    ppm = {"a": 100000, "b": 500000, "c": 200000, "d": 0}
+    for g, r in got.items():
+        assert r.n_tokens == toks[g]
+        assert r.natural_ppm == 1_000_000 * toks[g] // total
+        assert r.target_ppm == ppm[g]
+        want_rate = min(65536, 65536 * ppm[g] * total // (1_000_000 * toks[g]))
+        assert r.rate_64k == want_rate, g
+        assert r.projected_tokens == toks[g] * want_rate // 65536
+    assert got["b"].rate_64k == 65536          # saturates (up-capped)
+    assert 0 < got["a"].rate_64k < 65536       # genuine down-sample
+    assert got["d"].rate_64k == 0              # unnamed -> dropped
+
+    kept = apply_mixture_plan(df, "doc_id", "source", plan)
+    rates = {g: got[g].rate_64k / 65536 for g in got}
+    same = mixture_sample(df, "doc_id", "source", rates)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in same.collect()
+    )
+    assert kept.where(F.col("source") == "d").count() == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="targets"):
+        domain_mixture_plan(df, "source", "text", {})
+    with _pt.raises(ValueError, match="out of"):
+        domain_mixture_plan(df, "source", "text", {"a": 1.5})
+    with _pt.raises(ValueError, match="sum"):
+        domain_mixture_plan(df, "source", "text", {"a": 0.9, "b": 0.9})
+    with _pt.raises(ValueError, match="counter"):
+        domain_mixture_plan(df, "source", "text", {"a": 0.5}, counter="x")
+
+
+def test_curation_funnel_report(spark):
+    """Crafted corpus where every stage drops something: a NULL doc,
+    a short doc, a degenerate-repetition doc (long enough to pass
+    word_count), and an exact duplicate pair. Counts checked exactly
+    stage by stage."""
+    from flink_efo_spark.operators.text import curation_funnel_report
+
+    good = " ".join(f"w{i}" for i in range(60))        # 60 distinct words
+    repet = "badger " * 60                              # fails repetition
+    rows = [
+        (1, good),
+        (2, good),                                      # exact dup of 1
+        (3, "too short"),
+        (4, repet),
+        (5, None),
+        (6, " ".join(f"x{i}" for i in range(55))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.stage_idx: r for r in curation_funnel_report(
+        df, "doc_id", "text").collect()}
+
+    assert [got[k].stage for k in range(1, 5)] == [
+        "text_present", "word_count", "gopher_repetition", "exact_dedup"]
+    assert (got[1].docs_in, got[1].docs_out) == (6, 5)   # NULL dropped
+    assert (got[2].docs_in, got[2].docs_out) == (5, 4)   # short dropped
+    assert (got[3].docs_in, got[3].docs_out) == (4, 3)   # repetition
+    assert (got[4].docs_in, got[4].docs_out) == (3, 2)   # dup dropped
+    assert got[4].tokens_out == 60 + 55
+    # chain invariant: docs_in of stage k+1 == docs_out of stage k
+    for k in range(1, 4):
+        assert got[k + 1].docs_in == got[k].docs_out

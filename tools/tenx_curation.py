@@ -96,6 +96,17 @@ def _probe(d):
     ).agg(F.sum("logit")).collect()
 
 
+def _mix(d):
+    from flink_efo_spark.operators.sampling import (
+        apply_mixture_plan,
+        domain_mixture_plan,
+    )
+
+    targets = {f"src{i}": 0.03 for i in range(0, 20, 2)}
+    plan = domain_mixture_plan(d, "source", "text", targets)
+    return apply_mixture_plan(d, "doc_id", "source", plan).count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("tenx-curation")
@@ -151,6 +162,17 @@ def main() -> None:
         ("c4_clean", lambda d, e, k: _r10t()
             .c4_clean(d, "doc_id", "text")
             .agg(F.sum("kept_lines")).collect()),
+        # round-10b additions: the Gopher repetition half, domain
+        # reweighting, sequence packing, and the funnel report
+        ("gopher_repetition_flags", lambda d, e, k: _r10t()
+            .gopher_repetition_flags(d, "doc_id", "text")
+            .where(F.col("keep")).count()),
+        ("domain_mixture_plan+apply", lambda d, e, k: _mix(d)),
+        ("pack_sequences", lambda d, e, k: _r10p()
+            .pack_sequences(d, "doc_id", "text", seq_len=64)
+            .agg(F.sum("seg_len")).collect()),
+        ("curation_funnel_report", lambda d, e, k: _r10t()
+            .curation_funnel_report(d, "doc_id", "text").collect()),
     ]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))

@@ -917,3 +917,94 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation_funnel_report(docs, "doc_id", "text")
+
+
+# 6-token distinct-per-doc spans (the duplicate_spans family's
+# shingle definition) — shared by the boilerplate census oracle.
+_SPAN6_SH_CTE = """
+    sh6 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 6
+               THEN [array_to_string(t[i:i+5], ' ')
+                     for i in range(1, len(t) - 4)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents))
+"""
+
+
+@_q(
+    "boilerplate_topk",
+    f"""
+    WITH {_SPAN6_SH_CTE},
+    f AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS fingerprint
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh6)),
+    c AS (
+      SELECT fingerprint,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM f GROUP BY fingerprint
+      HAVING count(DISTINCT doc_id) >= 2),
+    top AS (
+      SELECT * FROM c
+      ORDER BY n_docs DESC, n_occurrences DESC, fingerprint
+      LIMIT 50),
+    ex AS (
+      SELECT f.fingerprint, min(f.s) AS example_span
+      FROM f JOIN (SELECT fingerprint FROM top) tf USING (fingerprint)
+      GROUP BY f.fingerprint)
+    SELECT top.fingerprint, n_docs, n_occurrences, example_span
+    FROM top JOIN ex USING (fingerprint)
+    """,
+)
+def q_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate census: top-50 most widely shared 6-token
+    spans (by distinct-doc count, then occurrences, then
+    fingerprint — a total order, deterministic cut line) with a
+    min() example surface form. Integer-only first pass; strings
+    only shuffle for the broadcast top-k lookup."""
+    from flink_efo_spark.operators.dedup import boilerplate_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_topk(docs, "doc_id", "text", window=6, k=50)
+
+
+@_q(
+    "decontaminate",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents)),
+    ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+           WHERE doc_id % 97 = 0),
+    co AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+           WHERE doc_id % 97 != 0),
+    hits AS (SELECT co.doc_id, count(*) AS h FROM co
+             JOIN ev USING (shingle) GROUP BY co.doc_id)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % 97 != 0 AND coalesce(h, 0) <= 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a transform: every 97th doc
+    stands in for the eval suite (the ngram_contamination
+    convention); the rest of the corpus is re-emitted minus any
+    document sharing a word 3-gram with it."""
+    from flink_efo_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, ev, "doc_id", "text").select(
+        "doc_id", "source"
+    )

@@ -858,3 +858,70 @@ def cut_duplicate_spans(
             .cast("long").alias("removed_tokens"),
         )
     )
+
+
+def boilerplate_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    k: int = 100,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The boilerplate CENSUS a curator eyeballs before committing a
+    span-dedup pass: the ``k`` most widely shared ``window``-token
+    spans across the corpus, with an example surface form. Returns
+    (fingerprint, n_docs, n_occurrences, example_span), the top-k by
+    (n_docs desc, n_occurrences desc, fingerprint asc) — a total
+    order, so the cut line is deterministic.
+
+    Two passes over the corpus, both linear:
+
+    1. integer-only counting — explode span fingerprints, one
+       partial-aggregating groupBy(fingerprint), then a global top-k
+       (TakeOrderedAndProject: per-partition heaps, never a full
+       sort). No strings ever shuffle in this pass.
+    2. example lookup — re-explode spans, hash-join against the
+       BROADCAST k-row top list, and take min(span) per fingerprint
+       (min rather than first: deterministic under md5-collisions and
+       partitioning). Only spans matching the top-k shuffle, and
+       min() partial-aggregates map-side, so the exchange is k-row
+       sized.
+
+    The span definition (lowercased ``window``-token shingles,
+    distinct per doc) matches :func:`duplicate_spans` — this operator
+    is its human-readable head."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    spans = df.select(
+        F.col(id_col), _shingles_expr(text_col, window)
+    ).select(F.col(id_col), F.explode("shingles").alias("__s"))
+    fps = spans.select(
+        F.col(id_col),
+        F.col("__s"),
+        F.expr(_hash64_expr("__s")).alias("fingerprint"),
+    )
+    top = (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("fingerprint")
+        )
+        .limit(k)
+    )
+    examples = (
+        fps.join(F.broadcast(top.select("fingerprint")), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(F.min("__s").alias("example_span"))
+    )
+    return top.join(examples, "fingerprint").select(
+        "fingerprint", "n_docs", "n_occurrences", "example_span"
+    )

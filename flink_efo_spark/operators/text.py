@@ -1019,3 +1019,37 @@ def curation_funnel_report(
         F.col("docs_out").cast("long"),
         F.col("tokens_out").cast("long"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination as a TRANSFORM: drop corpus
+    documents sharing more than ``max_hits`` distinct word
+    ``shingle_size``-grams with the evaluation set (the GPT-3/PaLM
+    pre-training hygiene step; default ``max_hits=0`` removes any
+    collision). :func:`ngram_contamination` is the report; this is
+    the remediation — it returns the surviving corpus rows with their
+    original columns.
+
+    Scale shape inherits the report's: the eval side collapses to a
+    broadcast DISTINCT shingle set, the corpus explodes against it
+    locally, and the per-doc hit counts (contaminated docs only — a
+    small fraction by construction) left-join back co-keyed on the
+    id. One corpus shuffle of (id, count) pairs; the final filter is
+    a narrow predicate."""
+    if max_hits < 0:
+        raise ValueError(f"max_hits must be >= 0: {max_hits}")
+    hits = ngram_contamination(
+        corpus, eval_df, id_col, text_col, shingle_size
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .where(F.coalesce(F.col("hit_ngrams"), F.lit(0)) <= max_hits)
+        .select(*corpus.columns)
+    )

@@ -245,3 +245,48 @@ def test_span_ops_guards(spark):
         duplicate_span_positions(df, "doc_id", "text", window=0)
     with pytest.raises(ValueError, match="min_docs"):
         duplicate_span_positions(df, "doc_id", "text", min_docs=0)
+
+
+def test_boilerplate_topk(spark):
+    """Hand-built boilerplate: a license span shared by 3 docs ranks
+    above a 2-doc span; unique text never appears; ordering and the
+    cut line are deterministic; example_span is the min surface
+    form."""
+    from flink_efo_spark.operators.dedup import boilerplate_topk
+
+    lic = "all rights reserved by the example corp"
+    pair = "this span appears in exactly two docs"
+    rows = [
+        (1, f"alpha beta {lic} gamma"),
+        (2, f"{lic} delta epsilon"),
+        (3, f"zeta {lic} eta"),
+        (4, f"unique text one with no repeats at all here {pair}"),
+        (5, f"totally different words again and again okay {pair}"),
+        (6, "nothing shared in this document whatsoever right now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = boilerplate_topk(df, "doc_id", "text", window=7, k=10).collect()
+
+    assert got, "expected shared spans"
+    by_span = {r.example_span: r for r in got}
+    assert lic in by_span and by_span[lic].n_docs == 3
+    assert pair in by_span and by_span[pair].n_docs == 2
+    assert all(r.n_docs >= 2 for r in got)
+    # the cut keeps the globally best rows (row order itself is not
+    # part of the contract — consumers sort)
+    k2 = boilerplate_topk(df, "doc_id", "text", window=7, k=2).collect()
+    best = sorted(
+        ((-r.n_docs, -r.n_occurrences, r.fingerprint) for r in got)
+    )[:2]
+    assert sorted(
+        (-r.n_docs, -r.n_occurrences, r.fingerprint) for r in k2
+    ) == best
+
+    top1 = boilerplate_topk(df, "doc_id", "text", window=7, k=1).collect()
+    assert len(top1) == 1 and top1[0].n_docs == 3
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        boilerplate_topk(df, "doc_id", "text", window=0)
+    with _pt.raises(ValueError, match="k must"):
+        boilerplate_topk(df, "doc_id", "text", k=0)

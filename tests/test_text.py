@@ -755,3 +755,38 @@ def test_curation_funnel_report(spark):
     # chain invariant: docs_in of stage k+1 == docs_out of stage k
     for k in range(1, 4):
         assert got[k + 1].docs_in == got[k].docs_out
+
+
+def test_decontaminate(spark):
+    """The transform drops exactly the docs ngram_contamination
+    flags above max_hits, keeps original columns, and max_hits
+    loosens the cut."""
+    from flink_efo_spark.operators.text import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id int, text string")
+    rows = [
+        (1, "the secret benchmark answer is forty two plus context"),
+        (2, "a single overlap the secret benchmark here only"),
+        (3, "completely clean document with no overlap at all"),
+        (4, None),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+
+    kept0 = decontaminate(corpus, ev, "doc_id", "text").collect()
+    assert sorted(r.doc_id for r in kept0) == [3, 4]
+    assert {c for r in kept0 for c in r.asDict()} == {"doc_id", "text"}
+
+    hits = {r.doc_id: r.hit_ngrams for r in ngram_contamination(
+        corpus, ev, "doc_id", "text").collect()}
+    loose = decontaminate(
+        corpus, ev, "doc_id", "text", max_hits=hits[2]).collect()
+    assert sorted(r.doc_id for r in loose) == [2, 3, 4]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_hits"):
+        decontaminate(corpus, ev, "doc_id", "text", max_hits=-1)

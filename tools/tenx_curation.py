@@ -173,7 +173,17 @@ def main() -> None:
             .agg(F.sum("seg_len")).collect()),
         ("curation_funnel_report", lambda d, e, k: _r10t()
             .curation_funnel_report(d, "doc_id", "text").collect()),
+        ("boilerplate_topk", lambda d, e, k: _r10()
+            .boilerplate_topk(d, "doc_id", "text", window=6, k=50)
+            .agg(F.sum("n_occurrences")).collect()),
+        ("decontaminate", lambda d, e, k: _r10t().decontaminate(
+            d.where(F.col("doc_id") % 97 != 0),
+            d.where(F.col("doc_id") % 97 == 0),
+            "doc_id", "text").count()),
     ]
+    only = [a for a in sys.argv[2:]]
+    if only:
+        cases = [c for c in cases if any(s in c[0] for s in only)]
     for name, fn in cases:
         t1 = _time(lambda: fn(docs1, emb1, 8))
         t10 = _time(lambda: fn(docs10, emb10, 80))

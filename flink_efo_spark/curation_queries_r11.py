@@ -1008,3 +1008,127 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, ev, "doc_id", "text").select(
         "doc_id", "source"
     )
+
+
+@_q(
+    "stream_curation_gate",
+    f"""
+    WITH rep AS ({_REP_ORACLE}),
+    bt AS (
+      SELECT doc_id, text,
+             CAST(ntile(3) OVER (ORDER BY doc_id) AS INT) AS b
+      FROM documents),
+    f AS (
+      SELECT bt.doc_id, bt.b,
+        coalesce(len(list_filter(string_split_regex(trim(lower(bt.text)),
+          ' +'), t -> t != '')), 0) AS nt,
+        md5(trim(lower(bt.text))) AS norm,
+        bt.text IS NOT NULL AS s1,
+        coalesce(bt.text IS NOT NULL
+          AND len(list_filter(string_split_regex(bt.text, '\\s+'),
+                w -> w != '')) BETWEEN 50 AND 100000, FALSE) AS s2
+      FROM bt),
+    s AS (
+      SELECT f.doc_id, f.b, f.nt, f.norm, f.s1, f.s2,
+             f.s2 AND rep.keep AS s3
+      FROM f JOIN rep USING (doc_id)),
+    rk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY b, norm ORDER BY doc_id)
+               AS rk
+      FROM s WHERE s3),
+    fl AS (
+      SELECT s.*, coalesce(s.s3 AND rk.rk = 1, FALSE) AS s4
+      FROM s LEFT JOIN rk USING (doc_id)),
+    agg AS (
+      SELECT b, count(*) AS d0,
+        count(*) FILTER (WHERE s1) AS d1,
+        count(*) FILTER (WHERE s2) AS d2,
+        count(*) FILTER (WHERE s3) AS d3,
+        count(*) FILTER (WHERE s4) AS d4,
+        coalesce(sum(nt) FILTER (WHERE s1), 0) AS t1,
+        coalesce(sum(nt) FILTER (WHERE s2), 0) AS t2,
+        coalesce(sum(nt) FILTER (WHERE s3), 0) AS t3,
+        coalesce(sum(nt) FILTER (WHERE s4), 0) AS t4
+      FROM fl GROUP BY b)
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(tokens_out AS BIGINT) AS tokens_out,
+           CAST(b - 1 AS INT) AS epoch
+    FROM (
+      SELECT b, 1 AS stage_idx, 'text_present' AS stage,
+             d0 AS docs_in, d1 AS docs_out, t1 AS tokens_out FROM agg
+      UNION ALL SELECT b, 2, 'word_count', d1, d2, t2 FROM agg
+      UNION ALL SELECT b, 3, 'gopher_repetition', d2, d3, t3 FROM agg
+      UNION ALL SELECT b, 4, 'exact_dedup', d3, d4, t4 FROM agg)
+    """,
+)
+def q_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest curation gate: the documents table replayed
+    as 3 doc_id-ordered micro-batches (ntile split, replayed in
+    DuckDB verbatim), each batch filtered through the minimal
+    curation chain with its 4-row funnel report landed in an
+    epoch-addressed stats dir (idempotent overwrite = exactly-once
+    accounting on crash replay). All stage flags are doc-local and
+    the in-batch dedup is a total order, so the 12 stats rows replay
+    bit-for-bit."""
+    import tempfile
+
+    from flink_efo_spark.streaming import (
+        stream_curation_gate,
+        stream_table_split,
+    )
+
+    src = stream_table_split(
+        spark, sf_dir, "documents", n_batches=3, order_col="doc_id"
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="efo_curation_gate_")
+    q = stream_curation_gate(
+        src, "doc_id", "text",
+        f"{base}/out", f"{base}/stats", f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/stats").select(
+        "stage_idx", "stage", "docs_in", "docs_out", "tokens_out",
+        F.col("epoch").cast("int").alias("epoch"),
+    )
+
+
+@_q(
+    "ccnet_lm_buckets",
+    f"""
+    WITH sc0 AS ({STAGED_ORACLES["ngram_lm_perplexity"]}),
+    cuts AS (
+      SELECT round(quantile_cont(cross_entropy, {1 / 3!r}), 6) AS c1,
+             round(quantile_cont(cross_entropy, {2 / 3!r}), 6) AS c2
+      FROM sc0 WHERE cross_entropy IS NOT NULL)
+    SELECT doc_id, cross_entropy,
+      CASE WHEN cross_entropy IS NULL THEN 'tail'
+           WHEN cross_entropy <= c1 THEN 'head'
+           WHEN cross_entropy <= c2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM sc0 CROSS JOIN cuts
+    """,
+)
+def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020 §4.3):
+    fit the hashed bigram LM on the English slice, score every
+    document's cross-entropy, cut at the exact 1/3 and 2/3
+    percentiles (rounded to 6dp in both engines — the
+    token_quantiles interpolation-parity precedent) and label each
+    doc. Low perplexity = head = the slice CCNet trains on."""
+    from flink_efo_spark.operators.sampling import (
+        ngram_lm_fit,
+        ngram_lm_score,
+        score_terciles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_fit(
+        docs.where(F.col("lang") == "en"), "text", num_buckets=256
+    )
+    scores = ngram_lm_score(
+        docs, "doc_id", "text", lm, num_buckets=256
+    ).select("doc_id", "cross_entropy")
+    return score_terciles(scores, "doc_id", "cross_entropy")

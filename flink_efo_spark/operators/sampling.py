@@ -17,11 +17,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "mixture_sample",
     "token_budget_sample",
+    "domain_mixture_plan",
+    "apply_mixture_plan",
     "dsir_log_ratios",
     "dsir_importance",
     "dsir_sample",
     "ngram_lm_fit",
     "ngram_lm_score",
+    "score_terciles",
 ]
 
 
@@ -607,4 +610,50 @@ def ngram_lm_score(
                 6,
             ).alias("cross_entropy"),
         )
+    )
+
+
+def score_terciles(
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style value-tercile bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3: split the corpus into head/middle/tail by
+    LM perplexity and train on the head): the 1/3 and 2/3 EXACT
+    percentile cuts of ``score_col`` (NULLs excluded), then every row
+    labeled by ``score <= cut`` comparisons — low scores get
+    ``labels[0]``. NULL scores (e.g. a doc with no bigrams) fall to
+    ``labels[2]``, documented worst-bucket behavior.
+
+    Returns the input columns + ``bucket``. Cut values are rounded to
+    6 decimals IN BOTH ENGINES before comparison (the token_quantiles
+    precedent: Spark ``percentile`` and DuckDB ``quantile_cont`` use
+    the same continuous interpolation; rounding buries last-ulp
+    expression-order noise, and a row can only sit exactly ON a cut
+    when the cut is one of the 6dp score values itself, where both
+    engines agree bitwise).
+
+    Scale shape: one exact-percentile aggregate to a single 2-number
+    row (exact percentile shuffles the score column to one reducer —
+    at 100 TB swap in percentile_approx's t-digest, map-side
+    mergeable, same plan shape), broadcast back as a 1-row build
+    (the DSIR-totals allowlist pattern), then a narrow CASE."""
+    p1, p2 = 1 / 3, 2 / 3
+    cuts = scores.agg(
+        F.round(F.percentile(score_col, F.lit(p1)), 6).alias("__c1"),
+        F.round(F.percentile(score_col, F.lit(p2)), 6).alias("__c2"),
+    )
+    s = F.col(score_col)
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(s.isNull(), F.lit(labels[2]))
+            .when(s <= F.col("__c1"), F.lit(labels[0]))
+            .when(s <= F.col("__c2"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])),
+        )
+        .drop("__c1", "__c2")
     )

@@ -914,39 +914,16 @@ def chunk_documents(
     )
 
 
-def curation_funnel_report(
+def _curation_stage_flags(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """The filter-funnel accounting a data curator actually reads:
-    run a minimal curation chain — presence, the Gopher word-count
-    gate (50 <= words <= 100,000), the full Gopher REPETITION ruleset
-    (:func:`gopher_repetition_flags`), then exact normalized dedup
-    (keep the min-id doc per ``md5(trim(lower(text)))``) — each stage
-    applied to the SURVIVORS of the previous one, and report per
-    stage:
-
-    (stage_idx, stage, docs_in, docs_out, tokens_out)
-
-    with whitespace token counts. Four rows total: 1 text_present,
-    2 word_count, 3 gopher_repetition, 4 exact_dedup. (The C4 page
-    rules and the Gopher QUALITY ruleset are deliberately not in the
-    default chain: both key on punctuation/stopword structure and are
-    separate registered operators — compose them the same way when
-    the corpus is real web text.)
-
-    Because the first three rules are doc-local, "applied to
-    survivors" is just the conjunction of keep flags — one fused
-    plan, no sequential materialization. The dedup stage is the only
-    cross-doc step: a row_number over the norm-hash among stage-3
-    survivors.
-
-    Scale shape: one co-keyed join on the id (the repetition
-    operator's internal gram aggregation is the heavy part), one
-    window over norm-hash groups (partition size = duplicate group
-    size, bounded), then a single 1-row aggregate unpivoted with
-    stack() — output is always exactly 4 rows.
-    """
-    words = f"filter(split({text_col}, \'\\\\s+\'), w -> w != \'\')"
+    """Per-document cumulative survival flags for the minimal
+    curation chain — (id, __nt whitespace tokens, __norm text hash,
+    __s1 presence, __s2 +word-count, __s3 +Gopher repetition,
+    __s4 +exact normalized dedup). Shared by
+    :func:`curation_funnel_report` (batch accounting) and
+    ``streaming.stream_curation_gate`` (continuous filtering)."""
+    words = f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
     rep = gopher_repetition_flags(df, id_col, text_col).select(
         F.col(id_col), F.col("keep").alias("__r")
     )
@@ -983,9 +960,44 @@ def curation_funnel_report(
         .withColumn("__rk", F.row_number().over(w))
         .select(F.col(id_col), (F.col("__rk") == 1).alias("__s4"))
     )
-    flags = staged.join(ranked, id_col, "left").withColumn(
+    return staged.join(ranked, id_col, "left").withColumn(
         "__s4", F.coalesce(F.col("__s4"), F.lit(False))
     )
+
+
+def curation_funnel_report(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The filter-funnel accounting a data curator actually reads:
+    run a minimal curation chain — presence, the Gopher word-count
+    gate (50 <= words <= 100,000), the full Gopher REPETITION ruleset
+    (:func:`gopher_repetition_flags`), then exact normalized dedup
+    (keep the min-id doc per ``md5(trim(lower(text)))``) — each stage
+    applied to the SURVIVORS of the previous one, and report per
+    stage:
+
+    (stage_idx, stage, docs_in, docs_out, tokens_out)
+
+    with whitespace token counts. Four rows total: 1 text_present,
+    2 word_count, 3 gopher_repetition, 4 exact_dedup. (The C4 page
+    rules and the Gopher QUALITY ruleset are deliberately not in the
+    default chain: both key on punctuation/stopword structure and are
+    separate registered operators — compose them the same way when
+    the corpus is real web text.)
+
+    Because the first three rules are doc-local, "applied to
+    survivors" is just the conjunction of keep flags — one fused
+    plan, no sequential materialization. The dedup stage is the only
+    cross-doc step: a row_number over the norm-hash among stage-3
+    survivors.
+
+    Scale shape: one co-keyed join on the id (the repetition
+    operator's internal gram aggregation is the heavy part), one
+    window over norm-hash groups (partition size = duplicate group
+    size, bounded), then a single 1-row aggregate unpivoted with
+    stack() — output is always exactly 4 rows.
+    """
+    flags = _curation_stage_flags(df, id_col, text_col)
     one = flags.agg(
         F.count("*").alias("d0"),
         *[

@@ -2869,3 +2869,63 @@ def stream_token_budget_sample(
     )
     out._efo_output_mode = "append"
     return out
+
+
+def stream_curation_gate(
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous-ingest curation gate — the streaming form of
+    :func:`flink_efo_spark.operators.text.curation_funnel_report`:
+    every micro-batch of documents runs the minimal curation chain
+    (presence → Gopher word-count gate → full Gopher repetition
+    ruleset → exact normalized dedup WITHIN the batch); surviving
+    documents land in ``out_dir`` and the batch's 4-row funnel report
+    lands in ``stats_dir`` — both epoch-addressed with overwrite, so
+    a crash-replayed batch recomputes the identical output instead of
+    double-counting (the stream_incremental_dedup epoch-dir
+    exactly-once protocol). Cross-batch dedup is deliberately NOT
+    this operator's job — compose with
+    :func:`stream_incremental_dedup` downstream for the store-backed
+    guarantee.
+
+    Determinism: every stage flag is doc-local except the in-batch
+    dedup (min-id per norm-hash, a total order), so batch N's outputs
+    are a pure function of batch N's rows — an ntile replay of the
+    same table yields identical stats and survivors in any engine.
+
+    Scale: per-batch cost is the repetition ruleset's (one gram
+    explode + partial-agg groupBy + co-keyed join) plus a norm-hash
+    window bounded by duplicate-group size; the funnel aggregate is
+    1 row unpivoted to 4. Returns the started query (availableNow).
+    """
+    from flink_efo_spark.operators.text import (
+        _curation_stage_flags,
+        curation_funnel_report,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        epoch = int(batch_id)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        flags = _curation_stage_flags(batch_df, id_col, text_col)
+        kept = batch_df.join(
+            flags.where("__s4").select(id_col), id_col
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"__batch_id={epoch}")
+        )
+        report = curation_funnel_report(batch_df, id_col, text_col)
+        report.write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"epoch={epoch}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2115,3 +2115,62 @@ def test_stream_semantic_dedup_replay_idempotent(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fixed centroids"):
         semantic_dedup_incremental(part2, st_replay, "vec_id", "embedding")
+
+
+def test_stream_curation_gate_batch_parity_and_idempotence(spark, tmp_path):
+    """The streaming gate's per-epoch funnel equals the batch
+    curation_funnel_report computed on each ntile slice, the kept
+    docs are exactly the per-batch stage-4 survivors, and a second
+    run over the same split (fresh checkpoint, same dirs) overwrites
+    to the identical outputs — the epoch-dir idempotence the
+    crash-replay protocol relies on."""
+    from flink_efo_spark.operators.text import curation_funnel_report
+    from flink_efo_spark.streaming import (
+        stream_curation_gate,
+        stream_table_split,
+    )
+
+    def run(tag: str):
+        src = stream_table_split(
+            spark, SF_DIR, "documents", n_batches=3, order_col="doc_id"
+        ).select("doc_id", "text")
+        q = stream_curation_gate(
+            src, "doc_id", "text",
+            str(tmp_path / "out"), str(tmp_path / "stats"),
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+        stats = sorted(
+            (r.epoch, r.stage_idx, r.stage, r.docs_in, r.docs_out,
+             r.tokens_out)
+            for r in spark.read.parquet(str(tmp_path / "stats")).collect()
+        )
+        kept = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        return stats, kept
+
+    stats1, kept1 = run("a")
+
+    # per-epoch parity with the batch operator over the same slices
+    from pyspark.sql import Window
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sliced = docs.withColumn(
+        "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    expect = []
+    for b in (1, 2, 3):
+        part = sliced.where(F.col("__b") == b).drop("__b")
+        for r in curation_funnel_report(part, "doc_id", "text").collect():
+            expect.append((b - 1, r.stage_idx, r.stage, r.docs_in,
+                           r.docs_out, r.tokens_out))
+    assert stats1 == sorted(expect)
+
+    # stage-4 totals match the kept output
+    total_kept = sum(d for (_, s, _, _, d, _) in stats1 if s == 4)
+    assert len(kept1) == total_kept
+
+    # idempotent overwrite: a replayed run reproduces identical files
+    stats2, kept2 = run("b")
+    assert stats2 == stats1 and kept2 == kept1

@@ -790,3 +790,26 @@ def test_decontaminate(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_hits"):
         decontaminate(corpus, ev, "doc_id", "text", max_hits=-1)
+
+
+def test_score_terciles(spark):
+    """Value-tercile bucketing: known scores land in the right
+    buckets, NULLs fall to tail, equal thirds on a uniform ladder,
+    and the <= cut semantics keep boundary rows in the lower
+    bucket."""
+    from flink_efo_spark.operators.sampling import score_terciles
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id int, score double")
+    got = {r.doc_id: r.bucket for r in score_terciles(
+        df, "doc_id", "score").collect()}
+
+    # cuts for 1..9: p1/3 at pos 8/3 -> 3.667, p2/3 at 6.333 (rounded
+    # 6dp) — <= keeps 1,2,3 in head; 4,5,6 in middle; 7,8,9 in tail
+    assert [got[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    assert got[99] == "tail"
+
+    custom = score_terciles(
+        df, "doc_id", "score", labels=("a", "b", "c")).collect()
+    assert {r.bucket for r in custom} == {"a", "b", "c"}

@@ -63,6 +63,9 @@ INTENTIONAL_NLJ = {
     # build (arXiv:2302.03169 fit step)
     "dsir_topn",
     "curation_pipeline_v2",
+    # tercile cuts: crossJoin(broadcast(<1-row 2-percentile agg>)) —
+    # constant-size build (the CCNet head/middle/tail split)
+    "ccnet_lm_buckets",
 }
 
 

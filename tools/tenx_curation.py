@@ -107,6 +107,22 @@ def _mix(d):
     return apply_mixture_plan(d, "doc_id", "source", plan).count()
 
 
+def _terciles(d):
+    from flink_efo_spark.operators.sampling import (
+        ngram_lm_fit,
+        ngram_lm_score,
+        score_terciles,
+    )
+
+    lm = ngram_lm_fit(d.where(F.col("lang") == "en"), "text",
+                      num_buckets=256)
+    scores = ngram_lm_score(d, "doc_id", "text", lm, num_buckets=256)
+    return score_terciles(
+        scores.select("doc_id", "cross_entropy"), "doc_id",
+        "cross_entropy",
+    ).groupBy("bucket").count().collect()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("tenx-curation")
@@ -180,6 +196,8 @@ def main() -> None:
             d.where(F.col("doc_id") % 97 != 0),
             d.where(F.col("doc_id") % 97 == 0),
             "doc_id", "text").count()),
+        ("ccnet_lm_buckets (fit+score+terciles)",
+         lambda d, e, k: _terciles(d)),
     ]
     only = [a for a in sys.argv[2:]]
     if only:

@@ -1132,3 +1132,169 @@ def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", lm, num_buckets=256
     ).select("doc_id", "cross_entropy")
     return score_terciles(scores, "doc_id", "cross_entropy")
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS_DD}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tk GROUP BY doc_id, term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS dfx
+            FROM tf GROUP BY term),
+    idf AS (SELECT term,
+              CAST(round(ln((n + 1.0) / (dfx + 1.0)) * 1000000, 0)
+                AS BIGINT) AS idf_micro
+            FROM dfq CROSS JOIN nd),
+    sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                  CAST(tf.tf * idf_micro AS BIGINT) AS score_micro
+           FROM tf JOIN idf USING (term)),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term) AS rnk FROM sc)
+    SELECT doc_id, term, tf, score_micro, CAST(rnk AS INT) AS rank
+    FROM rk WHERE rnk <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by tf-idf with
+    the idf quantized to integer micro-nats (the ngram_lm convention
+    — one ln per TERM, micro-rounded, so scores are exact integers
+    both engines agree on; ties break by term)."""
+    from flink_efo_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@_q(
+    "vocab_stats",
+    f"""
+    WITH tk AS (SELECT source, unnest({_TOKS_DD}) AS term FROM documents),
+    c AS (SELECT source, term, count(*) AS c
+          FROM tk GROUP BY source, term),
+    m AS (SELECT source, term,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, term) AS r
+          FROM c),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_terms,
+             CAST(max(c) AS BIGINT) AS top_term_count
+      FROM c GROUP BY source)
+    SELECT agg.source, n_tokens, vocab_size, hapax_terms,
+           m.term AS top_term, top_term_count
+    FROM agg JOIN m ON agg.source = m.source AND m.r = 1
+    """,
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics: token totals, vocab size,
+    hapax counts (OCR-noise / templating signals), and the
+    deterministic mode term (max count, least term on ties)."""
+    from flink_efo_spark.operators.text import vocab_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, "source", "text")
+
+
+@_q(
+    "curation_pipeline_v4",
+    f"""
+    WITH rep AS ({_REP_ORACLE}),
+    shc AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents)),
+    evx AS (SELECT DISTINCT unnest(shingles) AS shingle FROM shc
+            WHERE doc_id % 97 = 0),
+    cox AS (SELECT doc_id, unnest(shingles) AS shingle FROM shc
+            WHERE doc_id % 97 != 0),
+    hits AS (SELECT cox.doc_id, count(*) AS h FROM cox
+             JOIN evx USING (shingle) GROUP BY cox.doc_id),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d LEFT JOIN hits USING (doc_id)
+      WHERE d.doc_id % 97 != 0 AND coalesce(h, 0) <= 0),
+    filt AS (
+      SELECT s.* FROM surv s JOIN rep ON s.doc_id = rep.doc_id
+      WHERE rep.keep),
+    ftok AS (
+      SELECT doc_id, source, text,
+        coalesce(len({_TOKS_DD}), 0) AS nt
+      FROM filt),
+    cnt AS (
+      SELECT source, CAST(sum(greatest(nt, 0)) AS BIGINT) AS n_tokens
+      FROM ftok GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS total_tokens FROM cnt),
+    plan AS (
+      SELECT source,
+        CAST(CASE WHEN n_tokens <= 0 THEN 0
+          ELSE least(65536,
+            CAST(65536 AS HUGEINT) * ({_MIX_TPPM_CASE}) * total_tokens
+            // (CAST(1000000 AS HUGEINT) * n_tokens)) END AS BIGINT)
+          AS rate_64k
+      FROM cnt CROSS JOIN tot),
+    bal AS (
+      SELECT f.doc_id, f.nt FROM ftok f JOIN plan p USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4))
+        AS BIGINT) < p.rate_64k),
+    pos AS (
+      SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        sum(nt) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          - nt AS start_pos
+      FROM bal),
+    seg AS (
+      SELECT doc_id, n_tokens, start_pos, u.w AS seq_id
+      FROM (SELECT doc_id, n_tokens, start_pos,
+                   unnest([{{'w': w}} for w in range(
+                     CAST(start_pos // 64 AS BIGINT),
+                     CAST((start_pos + n_tokens - 1) // 64 + 1 AS BIGINT))]) AS u
+            FROM pos WHERE n_tokens > 0))
+    SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+      CAST(greatest(start_pos, seq_id * 64) - start_pos AS BIGINT)
+        AS doc_offset,
+      CAST(greatest(start_pos, seq_id * 64) - seq_id * 64 AS BIGINT)
+        AS seq_offset,
+      CAST(least(start_pos + n_tokens, seq_id * 64 + 64)
+        - greatest(start_pos, seq_id * 64) AS BIGINT) AS seg_len
+    FROM seg
+    """,
+)
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hygiene → filter → rebalance → layout as ONE
+    declarative plan: decontaminate against the eval split, keep
+    Gopher-repetition survivors, rebalance domains to the mixture
+    targets (plan computed on the FILTERED corpus), and lay the
+    result into 64-token training sequences. Every stage's
+    determinism carries (broadcast eval shingles, doc-local flags,
+    HUGEINT rate arithmetic, exact-integer layout), so the final
+    segment map replays bit-for-bit."""
+    from flink_efo_spark.operators.packing import pack_sequences
+    from flink_efo_spark.operators.sampling import (
+        apply_mixture_plan,
+        domain_mixture_plan,
+    )
+    from flink_efo_spark.operators.text import (
+        decontaminate,
+        gopher_repetition_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(corpus, ev, "doc_id", "text")
+    keep = gopher_repetition_flags(clean, "doc_id", "text").where(
+        "keep"
+    ).select("doc_id")
+    filtered = clean.join(keep, "doc_id")
+    plan = domain_mixture_plan(filtered, "source", "text", _MIX_TARGETS)
+    balanced = apply_mixture_plan(filtered, "doc_id", "source", plan)
+    return pack_sequences(balanced, "doc_id", "text", seq_len=64)

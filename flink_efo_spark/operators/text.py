@@ -1065,3 +1065,110 @@ def decontaminate(
         .where(F.coalesce(F.col("hit_ngrams"), F.lit(0)) <= max_hits)
         .select(*corpus.columns)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest tf-idf
+    terms of every document. Complements :func:`bm25_scores` (query
+    retrieval) with the corpus-analysis view (what is this document
+    about / what should a topic sampler key on).
+
+    ``score_micro = tf * round(ln((N+1)/(df+1)) * 1e6)`` — tf and df
+    are exact integers and the idf is quantized to integer micro-nats
+    (the ngram_lm convention: one libm ln per TERM, micro-rounded so
+    last-ulp differences between engines vanish), making the score an
+    exact integer both engines agree on. Ties break by term asc; rank
+    is dense over (score desc, term asc) — a total order per doc.
+
+    Returns (id, term, tf, score_micro, rank), rank <= k.
+
+    Scale shape: explode terms → one partial-aggregating
+    groupBy(id, term) for tf → groupBy(term) for df (both co-keyed,
+    integer-only) → broadcast N (1-row) is avoided by folding N into
+    the idf via a cross-joined literal-free window-less design: df
+    counts are corpus-wide but the df table is vocabulary-sized —
+    joined back BROADCAST when the vocabulary fits (hashed to 64-bit
+    terms it usually does; for open-web scale swap to a shuffle join,
+    same plan shape). The top-k per doc is a row_number window
+    partitioned by doc — bounded by per-doc vocabulary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    toks = _tokens(text_col)
+    terms = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("__n") + 1) / (F.col("__df") + 1))
+                * F.lit(1_000_000)
+            ).cast("long").alias("__idf_micro"),
+        )
+    )
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        (F.col("tf") * F.col("__idf_micro")).cast("long")
+        .alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score_micro",
+                F.col("rank").cast("int"))
+    )
+
+
+def vocab_stats(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group vocabulary diagnostics — the corpus health numbers a
+    curator compares across sources: total token count, distinct
+    vocabulary size, hapax count (terms occurring exactly once: a
+    high hapax fraction signals OCR noise / mojibake; a low one
+    signals templated text), and the most frequent term with its
+    count (mode by (count desc, term asc) — deterministic).
+
+    Returns (group, n_tokens, vocab_size, hapax_terms, top_term,
+    top_term_count), all exact integers / exact strings.
+
+    Scale shape: explode → one partial-aggregating
+    groupBy(group, term) → one groupBy(group) with max_by on a total
+    order. Both shuffles are integer-or-term keyed with map-side
+    combine; output is one row per group."""
+    toks = _tokens(text_col)
+    terms = df.select(
+        F.col(group_col), F.explode(F.expr(toks)).alias("term")
+    )
+    counts = terms.groupBy(group_col, "term").agg(
+        F.count("*").alias("__c")
+    )
+    return counts.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("__c") == 1, True)).cast("long")
+        .alias("hapax_terms"),
+        # mode with deterministic ties: max count, then LEAST term —
+        # min_by over the (-count, term) total order
+        F.min_by(
+            "term",
+            F.struct((-F.col("__c")).alias("nc"), F.col("term").alias("t")),
+        ).alias("top_term"),
+        F.max("__c").cast("long").alias("top_term_count"),
+    )

@@ -813,3 +813,64 @@ def test_score_terciles(spark):
     custom = score_terciles(
         df, "doc_id", "score", labels=("a", "b", "c")).collect()
     assert {r.bucket for r in custom} == {"a", "b", "c"}
+
+
+def test_tfidf_top_terms(spark):
+    """tf-idf vs a python brute force with the same micro-nat idf
+    quantization; rank order and the <= k cut; ties break by term."""
+    import math
+
+    from flink_efo_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana banana banana date"),
+        (3, "cherry date egg egg egg fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = {}
+    for i, toks in docs.items():
+        scored = sorted(
+            (
+                -toks.count(t)
+                * round(math.log((n + 1) / (dfreq[t] + 1)) * 1_000_000),
+                t,
+            )
+            for t in set(toks)
+        )[:2]
+        expect[i] = [(t, -s) for s, t in scored]
+    for r in got:
+        t, s = expect[r.doc_id][r.rank - 1]
+        assert (r.term, r.score_micro) == (t, s), r
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        tfidf_top_terms(df, "doc_id", "text", k=0)
+
+
+def test_vocab_stats(spark):
+    """Exact vocabulary numbers on a hand corpus: token totals,
+    vocab size, hapax count, and the deterministic mode (max count,
+    least term on ties)."""
+    from flink_efo_spark.operators.text import vocab_stats
+
+    rows = [
+        ("a", "x x y z"),
+        ("a", "x w"),
+        ("b", "p q p q"),   # tie p/q -> least term p wins
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in vocab_stats(df, "source", "text").collect()}
+
+    assert (got["a"].n_tokens, got["a"].vocab_size,
+            got["a"].hapax_terms) == (6, 4, 3)  # x:3, y/z/w hapax
+    assert (got["a"].top_term, got["a"].top_term_count) == ("x", 3)
+    assert (got["b"].top_term, got["b"].top_term_count) == ("p", 2)

@@ -66,6 +66,9 @@ INTENTIONAL_NLJ = {
     # tercile cuts: crossJoin(broadcast(<1-row 2-percentile agg>)) —
     # constant-size build (the CCNet head/middle/tail split)
     "ccnet_lm_buckets",
+    # idf denominator: crossJoin(broadcast(<1-row countDistinct agg>))
+    # — constant-size build
+    "tfidf_top_terms",
 }
 
 

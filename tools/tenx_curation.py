@@ -107,6 +107,31 @@ def _mix(d):
     return apply_mixture_plan(d, "doc_id", "source", plan).count()
 
 
+def _v4(d):
+    from flink_efo_spark.operators.packing import pack_sequences
+    from flink_efo_spark.operators.sampling import (
+        apply_mixture_plan,
+        domain_mixture_plan,
+    )
+    from flink_efo_spark.operators.text import (
+        decontaminate,
+        gopher_repetition_flags,
+    )
+
+    targets = {f"src{i}": 0.03 for i in range(0, 20, 2)}
+    corpus = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(corpus, ev, "doc_id", "text")
+    keep = gopher_repetition_flags(clean, "doc_id", "text").where(
+        "keep").select("doc_id")
+    filtered = clean.join(keep, "doc_id")
+    plan = domain_mixture_plan(filtered, "source", "text", targets)
+    balanced = apply_mixture_plan(filtered, "doc_id", "source", plan)
+    return pack_sequences(balanced, "doc_id", "text", seq_len=64).agg(
+        F.sum("seg_len")).collect()
+
+
 def _terciles(d):
     from flink_efo_spark.operators.sampling import (
         ngram_lm_fit,
@@ -198,6 +223,12 @@ def main() -> None:
             "doc_id", "text").count()),
         ("ccnet_lm_buckets (fit+score+terciles)",
          lambda d, e, k: _terciles(d)),
+        ("tfidf_top_terms", lambda d, e, k: _r10t()
+            .tfidf_top_terms(d, "doc_id", "text", k=5)
+            .agg(F.sum("score_micro")).collect()),
+        ("vocab_stats", lambda d, e, k: _r10t()
+            .vocab_stats(d, "source", "text").collect()),
+        ("curation_pipeline_v4", lambda d, e, k: _v4(d)),
     ]
     only = [a for a in sys.argv[2:]]
     if only:

@@ -737,3 +737,98 @@ def test_span_positions_and_cut_bruteforce(spark, docs):
         ).collect()
     }
     assert got_cut == want_cut
+
+
+# --- round-10b curation operators vs python brute force ---
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "longword"]),
+    min_size=0,
+    max_size=24,
+)
+_docsets = st.lists(_words, min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docsets, seq_len=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_matches_bruteforce(spark, docs, seq_len):
+    """pack_sequences' segment map equals a python replay of the
+    spec: md5-ordered concat, fixed windows, per-doc segments."""
+    import hashlib
+
+    from flink_efo_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.seq_id, r.doc_offset, r.seq_offset, r.seg_len)
+        for r in pack_sequences(
+            df, "doc_id", "text", seq_len=seq_len
+        ).collect()
+    )
+
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i)
+        for i, _ in rows
+    )
+    ntok = {i: len(ws) for (i, _), ws in zip(rows, docs)}
+    expect, pos = [], 0
+    for _, i in order:
+        n = ntok[i]
+        if n == 0:
+            continue
+        start, end = pos, pos + n
+        for w in range(start // seq_len, (end - 1) // seq_len + 1):
+            lo = max(start, w * seq_len)
+            hi = min(end, (w + 1) * seq_len)
+            expect.append((i, w, lo - start, lo - w * seq_len, hi - lo))
+        pos = end
+    assert got == sorted(expect)
+
+
+_rep_text = st.lists(
+    st.sampled_from(["x", "y", "zz", "www"]),
+    min_size=0,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_rep_text, min_size=1, max_size=4))
+def test_gopher_repetition_metrics_match_bruteforce(spark, docs):
+    """The dup-n-gram char sums (total-minus-distinct identity) and
+    top-n-gram coverage (max count*chars over repeated grams) equal
+    a python replay."""
+    from flink_efo_spark.operators.text import gopher_repetition_flags
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in gopher_repetition_flags(
+        df, "doc_id", "text").collect()}
+
+    for (i, text), ws in zip(rows, docs):
+        words = [w for w in text.split() if w]
+        for n in (5, 10):
+            grams = [" ".join(words[j:j + n])
+                     for j in range(len(words) - n + 1)]
+            dup = sum(len(g) for g in grams) - sum(
+                len(g) for g in set(grams))
+            assert got[i][f"dup{n}_chars"] == dup, (i, n)
+        for n in (2, 4):
+            grams = [" ".join(words[j:j + n])
+                     for j in range(len(words) - n + 1)]
+            from collections import Counter
+            cnt = Counter(grams)
+            cover = max(
+                (c * len(g) for g, c in cnt.items() if c >= 2),
+                default=0,
+            )
+            assert got[i][f"top{n}_cover"] == cover, (i, n)

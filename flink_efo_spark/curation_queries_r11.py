@@ -1,11 +1,24 @@
 """Round-11 staging: corpus queries + DuckDB oracles for the round-10
-additions — duplicate-span POSITIONS and the span-cut text transform
-(operators/dedup.duplicate_span_positions / cut_duplicate_spans; Lee
-et al. 2021, arXiv:2107.06499 "Deduplicating Training Data Makes
-Language Models Better" — the ExactSubstr remediation: CUT the
-duplicated passages, don't just score them), plus the corpus row for
-streaming.stream_semantic_dedup (the epoch-store streaming member of
-the semantic dedup family).
+additions. The staged set (22 pairs) covers:
+
+* span remediation — duplicate_span_positions / cut_duplicate_spans
+  (Lee et al. 2021, arXiv:2107.06499: the ExactSubstr CUT) + the
+  fused curation_pipeline_v3 (cut -> BPE-budgeted pack);
+* streaming — stream_semantic_dedup (epoch-store semantic member of
+  the streaming dedup family) and stream_curation_gate (per-batch
+  funnel filtering with exactly-once accounting);
+* token budgeting — bpe_token_estimate, pack_shards_bpe,
+  pack_sequences (fixed-length training-sequence segment map);
+* filter rulesets — gopher_quality_flags, gopher_repetition_flags
+  (Rae et al. 2021 A1.1), c4_clean (Raffel et al. 2020 §2.2),
+  curation_funnel_report;
+* scoring — quality_logistic_probe, ngram_lm_perplexity (CCNet,
+  arXiv:1911.00359), ccnet_lm_buckets (head/middle/tail terciles),
+  tfidf_top_terms, vocab_stats;
+* corpus surgery — domain_mixture_plan / domain_mixture_resample
+  (DoReMi-style reweighting), decontaminate, boilerplate_topk, and
+  the end-to-end curation_pipeline_v4 (decontaminate -> repetition
+  filter -> rebalance -> sequence packing, one plan).
 
 NOT registered in ``__spark_entry__.queries()`` yet — the round-10
 corpus stays at 318 so the 12 round-10 rows drain as first-time

@@ -1311,3 +1311,49 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = domain_mixture_plan(filtered, "source", "text", _MIX_TARGETS)
     balanced = apply_mixture_plan(filtered, "doc_id", "source", plan)
     return pack_sequences(balanced, "doc_id", "text", seq_len=64)
+
+
+@_q(
+    "sequence_manifest",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+        CAST(coalesce(len({_TOKS_DD}), 0) AS BIGINT) AS n_tokens,
+        md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (ORDER BY okey, doc_id) - n_tokens AS start_pos
+      FROM tok),
+    seg AS (
+      SELECT doc_id, n_tokens, start_pos, u.w AS seq_id
+      FROM (SELECT doc_id, n_tokens, start_pos,
+                   unnest([{{'w': w}} for w in range(
+                     CAST(start_pos // 64 AS BIGINT),
+                     CAST((start_pos + n_tokens - 1) // 64 + 1 AS BIGINT))]) AS u
+            FROM pos WHERE n_tokens > 0)),
+    sl AS (
+      SELECT seq_id,
+        CAST(least(start_pos + n_tokens, seq_id * 64 + 64)
+          - greatest(start_pos, seq_id * 64) AS BIGINT) AS seg_len
+      FROM seg)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(seg_len) AS BIGINT) AS filled_tokens,
+           sum(seg_len) = 64 AS is_full
+    FROM sl GROUP BY seq_id
+    """,
+)
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence integrity manifest over the pack_sequences
+    segment map: doc counts, filled token totals, and the
+    every-window-full-except-the-tail invariant a data loader checks
+    before training."""
+    from flink_efo_spark.operators.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = pack_sequences(docs, "doc_id", "text", seq_len=64)
+    return sequence_manifest(segs, 64)

@@ -203,3 +203,22 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
         F.min("start_pos").alias("first_pos"),
         F.max(F.col("start_pos") + F.col("n_tokens")).alias("end_pos"),
     )
+
+
+def sequence_manifest(segments: DataFrame, seq_len: int) -> DataFrame:
+    """Per-sequence manifest from :func:`pack_sequences` output — the
+    integrity view a data loader checks before training: how many
+    documents contribute to each sequence, the filled token count,
+    and whether the window is exactly full (every sequence must be,
+    except the single tail). Returns (seq_id, n_docs, filled_tokens,
+    is_full), one row per sequence.
+
+    Pure hash aggregate on seq_id with map-side partial combine; the
+    fill check is ``filled_tokens = seq_len`` — exact integers."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    return segments.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("seg_len").cast("long").alias("filled_tokens"),
+        (F.sum("seg_len") == F.lit(int(seq_len))).alias("is_full"),
+    )

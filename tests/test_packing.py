@@ -131,3 +131,29 @@ def test_pack_sequences_tiling(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="seq_len"):
         pack_sequences(df, "doc_id", "text", seq_len=0)
+
+
+def test_sequence_manifest(spark):
+    """Every sequence is full except exactly the last one (unless the
+    total is a multiple of seq_len); doc counts match the segment
+    map."""
+    from flink_efo_spark.operators.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    rows = [(i, "tok " * n) for i, n in enumerate([3, 10, 7, 25, 1])]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    segs = pack_sequences(df, "doc_id", "text", seq_len=8)
+    man = {r.seq_id: r for r in sequence_manifest(segs, 8).collect()}
+
+    total = 3 + 10 + 7 + 25 + 1  # 46
+    assert sum(r.filled_tokens for r in man.values()) == total
+    last = max(man)
+    for sid, r in man.items():
+        assert r.is_full == (sid != last or total % 8 == 0)
+        assert r.filled_tokens == (8 if sid != last else total - 8 * last)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="seq_len"):
+        sequence_manifest(segs, 0)

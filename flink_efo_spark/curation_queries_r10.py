@@ -178,8 +178,11 @@ def q_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_efo_spark.operators.sampling import dsir_sample
 
     docs = load_table(spark, sf_dir, "documents")
+    # target as a PREDICATE: the fit runs as one fused corpus pass
+    # (conditional aggregation) instead of separate raw/target scans —
+    # identical counts, identical ratios (sampling.dsir_log_ratios)
     return dsir_sample(
-        docs, "doc_id", "text", docs.where(F.col("lang") == "en"),
+        docs, "doc_id", "text", F.col("lang") == "en",
         n=50, num_buckets=512,
     )
 
@@ -376,12 +379,22 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     stats = span_dup_stats(docs, "doc_id", "text", window=6)
-    keep = stats.where(
-        F.col("dup_fraction").isNull() | (F.col("dup_fraction") < 0.5)
-    ).select("doc_id", "dup_fraction")
-    fdocs = docs.join(keep, "doc_id")
+    # localCheckpoint is load-bearing (the dsir_log_ratios spine
+    # precedent): `keep` is O(#docs) rows of (id, fraction) — the
+    # lightweight decision table of guide-§8 shape — and feeds the
+    # DSIR fit, the scoring pass AND the final join. Without it each
+    # consumer re-executes the whole span-fingerprint pass (the
+    # dominant cost); with it the span pass runs ONCE.
+    keep = (
+        stats.where(
+            F.col("dup_fraction").isNull() | (F.col("dup_fraction") < 0.5)
+        )
+        .select("doc_id", "dup_fraction")
+        .localCheckpoint(eager=True)
+    )
+    fdocs = docs.join(keep.select("doc_id"), "doc_id")
     sel = dsir_sample(
-        fdocs, "doc_id", "text", fdocs.where(F.col("lang") == "en"),
+        fdocs, "doc_id", "text", F.col("lang") == "en",
         n=30, num_buckets=512,
     )
     return sel.join(keep, "doc_id").select(

@@ -632,7 +632,9 @@ def duplicate_spans(
         raise ValueError(f"window must be >= 1: {window}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1: {min_docs}")
-    sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
+    sh = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), _shingles_expr(text_col, window)
+    )
     ex = sh.select(
         F.col(id_col), F.explode("shingles").alias("__s")
     ).select(
@@ -664,26 +666,36 @@ def span_dup_stats(
     input row — documents shorter than ``window`` tokens keep zeros
     with a NULL fraction. dup_fraction is one exact-integer division,
     so it is engine-reproducible without rounding.
+
+    Plan shape (r11): ONE tokenize+explode pass. The fingerprint rows
+    collapse to (fp, id) pair counts first (map-side partial agg), the
+    per-fp distinct-doc count is a window over the PAIR rows (each
+    pair row IS one distinct doc of its fp — no second scan, no
+    countDistinct expansion, no join back to the O(tokens) explode),
+    then one groupBy(id). The previous shape computed the explode
+    lineage twice (once for docs-per-fp, once for the join back).
     """
     if window < 1:
         raise ValueError(f"window must be >= 1: {window}")
-    sh = df.select(F.col(id_col), _shingles_expr(text_col, window))
+    sh = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), _shingles_expr(text_col, window)
+    )
     ex = sh.select(
         F.col(id_col), F.explode("shingles").alias("__s")
     ).select(
         F.col(id_col), F.expr(_hash64_expr("__s")).alias("fp")
     )
-    docs_per_fp = ex.groupBy("fp").agg(
-        F.countDistinct(id_col).alias("__nd")
-    )
+    per_pair = ex.groupBy("fp", id_col).agg(F.count(F.lit(1)).alias("__c"))
     stats = (
-        ex.join(docs_per_fp, "fp")
+        per_pair.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0)).alias(
-                "dup_windows"
-            ),
+            F.sum("__c").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.col("__c")).otherwise(F.lit(0))
+            ).alias("dup_windows"),
         )
     )
     return (

@@ -308,7 +308,7 @@ def _bucket_expr(gram_col: str, num_buckets: int) -> Column:
 
 def dsir_log_ratios(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     text_col: str,
     num_buckets: int = 4096,
     alpha: float = 1.0,
@@ -331,6 +331,15 @@ def dsir_log_ratios(
     combine into <= num_buckets groups), two 1-row totals broadcast
     back, one spine of num_buckets literal rows. The output is
     KB-sized metadata — broadcast it at scoring time.
+
+    ``target`` may also be a boolean Column PREDICATE over ``raw``
+    (the common "target is a labelled slice of the corpus" case, e.g.
+    ``F.col("lang") == "en"``): the raw and target multinomials are
+    then fitted in ONE corpus pass with conditional aggregation
+    (count(*) vs count(CASE WHEN pred)) instead of two scans — the
+    counts are identical to the two-scan fit over
+    ``raw.where(pred)`` because count(CASE WHEN pred THEN 1 END)
+    skips exactly the rows where() drops (false or NULL).
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
@@ -338,25 +347,57 @@ def dsir_log_ratios(
         raise ValueError(f"alpha must be > 0 (Laplace smoothing): {alpha}")
     spark = raw.sparkSession
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        grams = df.select(F.explode(_ngrams_expr(text_col)).alias("__g"))
-        return (
-            grams.select(_bucket_expr("__g", num_buckets).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
+    from flink_efo_spark.catalog import ensure_min_parallelism
 
-    rc = counts(raw, "__cr")
-    tc = counts(target, "__ct")
+    if isinstance(target, Column):
+        # fused single-pass fit: one explode, both counts. Project to
+        # (pred, text) BEFORE the parallelism floor so the widening
+        # shuffle moves only the columns the pass reads (guide-§2.3
+        # discipline); the floor itself is a no-op at scale (a 100 TB
+        # scan already has >= default-parallelism splits) but keeps a
+        # single-row-group local file from running the md5 pass on
+        # one core.
+        grams = ensure_min_parallelism(
+            raw.select(target.alias("__is_t"), F.col(text_col))
+        ).select(
+            "__is_t",
+            F.explode(_ngrams_expr(text_col)).alias("__g"),
+        )
+        both = (
+            grams.select(
+                "__is_t", _bucket_expr("__g", num_buckets).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__cr"),
+                F.count(F.when(F.col("__is_t"), F.lit(1))).alias("__ct"),
+            )
+        )
+        rc, tc = both, None
+    else:
+
+        def counts(df: DataFrame, name: str) -> DataFrame:
+            grams = ensure_min_parallelism(df.select(F.col(text_col))).select(
+                F.explode(_ngrams_expr(text_col)).alias("__g")
+            )
+            return (
+                grams.select(_bucket_expr("__g", num_buckets).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(name))
+            )
+
+        rc = counts(raw, "__cr")
+        tc = counts(target, "__ct")
     spine = spark.range(num_buckets).select(F.col("id").cast("int").alias("bucket"))
     # localCheckpoint is load-bearing: `joined` feeds BOTH the totals
     # and the final select, and without it Spark re-executes the whole
     # n-gram counting lineage (the corpus scans — the dominant cost at
     # 100 TB) once per consumer. The checkpoint pins num_buckets rows.
+    joined = spine.join(rc, "bucket", "left")
+    if tc is not None:
+        joined = joined.join(tc, "bucket", "left")
     joined = (
-        spine.join(rc, "bucket", "left")
-        .join(tc, "bucket", "left")
-        .select(
+        joined.select(
             "bucket",
             F.coalesce("__cr", F.lit(0)).alias("__cr"),
             F.coalesce("__ct", F.lit(0)).alias("__ct"),
@@ -411,8 +452,15 @@ def dsir_importance(
             f"table ({n_ratio_rows} spine rows) — pass the num_buckets "
             f"used in dsir_log_ratios"
         )
+    from flink_efo_spark.catalog import ensure_min_parallelism
+
     docs = df.where(F.col(text_col).isNotNull())
-    grams = docs.select(
+    # (id, text) projection + parallelism floor before the md5 gram
+    # pass — same reasoning as the fit (no-op at scale, unsticks the
+    # single-row-group local scan)
+    grams = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), F.explode(_ngrams_expr(text_col)).alias("__g")
     ).select(F.col(id_col), _bucket_expr("__g", num_buckets).alias("bucket"))
     sums = (
@@ -435,7 +483,7 @@ def dsir_sample(
     raw: DataFrame,
     id_col: str,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | Column,
     n: int,
     num_buckets: int = 4096,
     alpha: float = 1.0,
@@ -451,6 +499,9 @@ def dsir_sample(
 
     The top-n is orderBy+limit — Spark's TakeOrderedAndProject, a
     per-partition heap then a driver merge of n rows, no global sort.
+
+    ``target`` as a boolean Column predicate over ``raw`` selects the
+    fused single-pass fit (see :func:`dsir_log_ratios`).
     """
     ratios = dsir_log_ratios(raw, target, text_col, num_buckets, alpha)
     scored = dsir_importance(raw, id_col, text_col, ratios, num_buckets)

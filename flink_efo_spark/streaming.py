@@ -41,6 +41,8 @@ import tempfile
 import uuid
 from collections.abc import Callable, Iterator
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
@@ -51,6 +53,111 @@ from flink_efo_spark.catalog import (
     ensure_session_confs,
     table_path,
 )
+
+
+# ---------------------------------------------------------------------------
+# numpy row-buffer encoding for applyInPandasWithState bodies
+# ---------------------------------------------------------------------------
+# The per-group fn runs once per key per micro-batch — O(keys) Python
+# calls per trigger. A pandas-frame body costs ~5 ms/call in fixed
+# overhead (frame construction, sort_values, concat: ~30 tiny-frame
+# ops), which at 1.5k keys x 6 batches is tens of seconds of worker
+# CPU per query. The helpers below keep buffered rows as bare numpy
+# arrays instead: timestamps as int64 epoch-micros, numeric columns as
+# float64 with NaN as the null marker (Arrow's from_pandas turns NaN
+# back into SQL NULL on output), anything else as object arrays.
+#
+# State transport: the pickled state tuple is reconstructed JVM-side
+# (Pyrolite) into an UnsafeRow of the declared state schema, so values
+# must be plain Python objects — but `list.tolist()` on an int64/
+# float64 array is one C loop, and NaN is a valid DOUBLE that encodes
+# NULL-ness for us, so the old per-element NaN-checking casters are
+# only needed for object-encoded columns.
+
+
+def _np_kind(dt) -> str:
+    """Buffer-encoding class for a Spark type: ``ts`` (int64
+    epoch-micros), ``num`` (float64, NaN = NULL) or ``obj``
+    (object-array passthrough)."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampType):
+        return "ts"
+    if isinstance(
+        dt, (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    ):
+        return "num"
+    return "obj"
+
+
+def _np_empty(kind: str) -> "np.ndarray":
+    return np.empty(
+        0,
+        dtype=(
+            np.int64 if kind == "ts" else np.float64 if kind == "num" else object
+        ),
+    )
+
+
+def _np_series(ser, kind: str) -> "np.ndarray":
+    """Arrow-delivered pandas Series -> buffer-encoded numpy array.
+    One astype at most; NULLs become NaN on the ``num`` path (ints with
+    nulls already arrive as float64 from Arrow)."""
+    if kind == "ts":
+        return ser.to_numpy().astype("datetime64[us]").astype(np.int64)
+    if kind == "num":
+        return ser.to_numpy(dtype=np.float64, na_value=np.nan)
+    return ser.to_numpy(dtype=object)
+
+
+def _np_state_list(arr: "np.ndarray", kind: str, caster) -> list:
+    """Buffer array -> plain-Python list for the state encoder. The
+    ``num``/``ts`` paths are a single C-level tolist(); only object
+    columns pay the per-element caster."""
+    if kind == "obj":
+        return [caster(v) for v in arr]
+    return arr.tolist()
+
+
+def _np_from_state(val, kind: str) -> "np.ndarray":
+    """State-decoded sequence -> buffer-encoded numpy array."""
+    return np.asarray(
+        val,
+        dtype=(
+            np.int64 if kind == "ts" else np.float64 if kind == "num" else object
+        ),
+    )
+
+
+def _np_ffill(v: "np.ndarray", n: int) -> "np.ndarray":
+    """Forward-fill NaNs in a float64 array (leading NaNs stay NaN)."""
+    mask = ~np.isnan(v)
+    idx = np.where(mask, np.arange(n), 0)
+    np.maximum.accumulate(idx, out=idx)
+    return v[idx]
+
+
+def _np_sortn(arrs: list) -> "np.ndarray":
+    """Stable sort permutation by the given key arrays (major key
+    first). numpy lexsort unless a key is an object array (then
+    None/NaT comparisons need pandas' na_position handling — cold
+    path, one pandas op)."""
+    if any(a.dtype == object for a in arrs):
+        import pandas as pd
+
+        frame = pd.DataFrame(dict(enumerate(arrs)))
+        return (
+            frame.sort_values(list(frame.columns), kind="mergesort")
+            .index.to_numpy()
+        )
+    return np.lexsort(tuple(reversed(arrs)))
 
 
 # ---------------------------------------------------------------------------
@@ -1330,10 +1437,18 @@ def stream_over_bounded(
             StructField("frame_max", DoubleType()),
         ]
     )
+    # buffers live in state as plain lists in the numpy row-buffer
+    # encoding (module header): int64 epoch-us for timestamps, double
+    # with NaN-as-NULL for numerics, the original type for the rest
+    enc = {c: _np_kind(df.schema[c].dataType) for c in data_cols}
     state_schema = StructType(
         [StructField("__pend", LongType())]
         + [
-            StructField(f"__t_{c}", ArrayType(df.schema[c].dataType))
+            StructField(
+                f"__t_{c}",
+                ArrayType(LongType()) if enc[c] == "ts"
+                else ArrayType(DoubleType()) if enc[c] == "num"
+                else ArrayType(df.schema[c].dataType))
             for c in data_cols
         ]
     )
@@ -1341,47 +1456,68 @@ def stream_over_bounded(
 
     from flink_efo_spark.pandas_compat import state_caster as _caster
 
-    casters = {c: _caster(df.schema[c].dataType) for c in data_cols}
+    obj_casters = {
+        c: _caster(df.schema[c].dataType)
+        for c in data_cols if enc[c] == "obj"
+    }
+    _empty = {c: _np_empty(enc[c]) for c in data_cols}
 
-    def _epoch_us(series) -> "pd.Series":
-        # unit-safe epoch-us: Arrow may hand ts as datetime64[ns] OR
-        # [us] depending on the source
-        import numpy as np
+    # Arrow->pandas conversion runs per GROUP per column in the
+    # serializer, and a tz-aware timestamp column costs ~5x any other
+    # type (per-group tz localization). Feed the operator int64
+    # epoch-us instead — _np_series' 'ts' path handles either
+    # representation, and the output converts back to datetime64[us].
+    # Only possible WITHOUT flush_on_timeout: EventTimeTimeout
+    # requires the watermarked attribute to survive into the stateful
+    # operator's child plan (analyzer-enforced).
+    src = df
+    if not flush_on_timeout:
+        from pyspark.sql.types import TimestampType as _Ts
 
-        return (
-            pd.to_datetime(series)
-            .to_numpy()
-            .astype("datetime64[us]")
-            .astype("int64")
-        )
+        src = df.select(*[
+            F.unix_micros(F.col(c)).alias(c)
+            if isinstance(df.schema[c].dataType, _Ts) else F.col(c)
+            for c in df.columns
+        ])
 
-    def _frames(allr: "pd.DataFrame") -> "pd.DataFrame":
-        """Append frame_sum/cnt/min/max over the SORTED rows."""
-        import numpy as np
-
-        n = len(allr)
-        v = allr[value_col].astype(float).to_numpy()
-        out = allr.copy()
+    def _frames(ts_us: "np.ndarray", v: "np.ndarray", n: int):
+        """frame_sum/cnt/min/max arrays over the SORTED rows."""
         if rows_preceding is not None:
+            # ROWS frame: prefix sums over NaN-zeroed values replicate
+            # pandas rolling(min_periods=1) semantics — NaNs are
+            # skipped, the count is of non-NaN values, an all-NaN
+            # frame yields NaN
             w = rows_preceding + 1
-            s = pd.Series(v)
-            out["frame_sum"] = s.rolling(w, min_periods=1).sum().to_numpy()
-            out["frame_cnt"] = (
-                s.rolling(w, min_periods=1).count().astype("int64").to_numpy()
-            )
-            out["frame_min"] = s.rolling(w, min_periods=1).min().to_numpy()
-            out["frame_max"] = s.rolling(w, min_periods=1).max().to_numpy()
-            return out
-        ts_us = _epoch_us(allr[ts_col])
-        # frame [ts - range, ts], peer-inclusive: lo/hi are both
+            ok = ~np.isnan(v)
+            psum = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+            pcnt = np.concatenate([[0], np.cumsum(ok)])
+            hi = np.arange(1, n + 1)
+            lo = np.maximum(0, hi - w)
+            fcnt = pcnt[hi] - pcnt[lo]
+            fsum = psum[hi] - psum[lo]
+            pad_mn = np.concatenate([np.full(w - 1, np.inf),
+                                     np.where(ok, v, np.inf)])
+            pad_mx = np.concatenate([np.full(w - 1, -np.inf),
+                                     np.where(ok, v, -np.inf)])
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            fmin = sliding_window_view(pad_mn, w).min(axis=1)
+            fmax = sliding_window_view(pad_mx, w).max(axis=1)
+            empty = fcnt == 0
+            if empty.any():
+                fsum = np.where(empty, np.nan, fsum)
+                fmin = np.where(empty, np.nan, fmin)
+                fmax = np.where(empty, np.nan, fmax)
+            return fsum, fcnt, fmin, fmax
+        # RANGE frame [ts - range, ts], peer-inclusive: lo/hi are both
         # non-decreasing over the sorted rows, so sum/cnt ride prefix
         # sums (vectorized searchsorted) and min/max a monotonic
         # deque — one O(n) pass.
         lo = np.searchsorted(ts_us, ts_us - range_us, side="left")
         hi = np.searchsorted(ts_us, ts_us, side="right")
         psum = np.concatenate([[0.0], np.cumsum(v)])
-        out["frame_sum"] = psum[hi] - psum[lo]
-        out["frame_cnt"] = (hi - lo).astype("int64")
+        fsum = psum[hi] - psum[lo]
+        fcnt = (hi - lo).astype("int64")
         from collections import deque
 
         mins = np.empty(n)
@@ -1405,15 +1541,30 @@ def stream_over_bounded(
                 dq_mx.popleft()
             mins[i] = v[dq_mn[0]]
             maxs[i] = v[dq_mx[0]]
-        out["frame_min"] = mins
-        out["frame_max"] = maxs
-        return out
+        return fsum, fcnt, mins, maxs
 
-    def _save(state, tail: "pd.DataFrame", n_pending: int) -> None:
+    def _out_pdf(cols: dict, frames: tuple, sel) -> "pd.DataFrame":
+        """One output DataFrame in out_schema order; timestamps are
+        converted back from epoch-us on the way out."""
+        fsum, fcnt, fmin, fmax = frames
+        out = {}
+        for c in data_cols:
+            a = cols[c][sel]
+            out[c] = a.astype("datetime64[us]") if enc[c] == "ts" else a
+        out["frame_sum"] = fsum[sel]
+        out["frame_cnt"] = fcnt[sel]
+        out["frame_min"] = fmin[sel]
+        out["frame_max"] = fmax[sel]
+        return pd.DataFrame(out, copy=False)
+
+    def _save(state, tail: dict, n_pending: int) -> None:
         state.update(
             (
                 int(n_pending),
-                *([casters[c](x) for x in tail[c]] for c in data_cols),
+                *[
+                    _np_state_list(tail[c], enc[c], obj_casters.get(c))
+                    for c in data_cols
+                ],
             )
         )
         # arm the flush timer ONLY while rows are actually pending:
@@ -1428,17 +1579,18 @@ def stream_over_bounded(
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-
         if state.exists:
             st = state.get
             n_pending = int(st[0])
-            tail = pd.DataFrame(
-                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
-            )
+            tail = {
+                c: _np_from_state(st[1 + i], enc[c])
+                for i, c in enumerate(data_cols)
+            }
+            n_tail = len(tail[ts_col])
         else:
             n_pending = 0
-            tail = pd.DataFrame({c: [] for c in data_cols})
+            tail = _empty
+            n_tail = 0
 
         if flush_on_timeout and state.hasTimedOut:
             # the timer fires on ANY batch that advances the watermark
@@ -1450,33 +1602,42 @@ def stream_over_bounded(
             # empty tail (undercounted ROWS/RANGE frames after one
             # idle batch). At end-of-input the MAX_WATERMARK releases
             # everything and the re-armed timer never fires again.
+            #
+            # The stored tail is ALWAYS (ts, tiebreak)-sorted (the
+            # save sites only ever store a sorted-row subset), so no
+            # sort is needed here.
             if n_pending:
-                allr = tail.sort_values(sort_cols, kind="mergesort").reset_index(
-                    drop=True
-                )
-                ts_us = _epoch_us(allr[ts_col])
+                ts_us = tail[ts_col]
                 wm_us = state.getCurrentWatermarkMs() * 1000
                 if ts_us[-1] <= wm_us:  # pending rows share the max ts
-                    out = _frames(allr)
-                    yield out.iloc[len(out) - n_pending :]
+                    frames = _frames(ts_us, tail[value_col], n_tail)
+                    sel = np.zeros(n_tail, dtype=bool)
+                    sel[n_tail - n_pending:] = True
+                    yield _out_pdf(tail, frames, sel)
                     n_pending = 0
             _save(state, tail, n_pending)
             return
 
-        frames_in = [p[data_cols] for p in pdfs if len(p)]
-        if not frames_in:
+        news = []
+        for p in pdfs:
+            if len(p):
+                news.append({c: _np_series(p[c], enc[c]) for c in data_cols})
+        if not news:
             _save(state, tail, n_pending)
             return
-        n_ctx = len(tail) - n_pending
-        allr = pd.concat(
-            ([tail] if len(tail) else []) + frames_in, ignore_index=True
-        )
-        allr = allr.sort_values(sort_cols, kind="mergesort").reset_index(
-            drop=True
-        )
-        out = _frames(allr)
-        n = len(allr)
-        ts_us = _epoch_us(allr[ts_col])
+        n_ctx = n_tail - n_pending
+        parts = ([tail] if n_tail else []) + news
+        if len(parts) == 1:
+            allc = parts[0]
+        else:
+            allc = {
+                c: np.concatenate([d[c] for d in parts]) for c in data_cols
+            }
+        order = _np_sortn([allc[c] for c in sort_cols])
+        allc = {c: v[order] for c, v in allc.items()}
+        n = len(order)
+        ts_us = allc[ts_col]
+        frames = _frames(ts_us, allc[value_col], n)
         max_ts = ts_us[-1]
         hold = (
             ts_us == max_ts
@@ -1489,7 +1650,7 @@ def stream_over_bounded(
         emit = ~hold
         emit[:n_ctx] = False
         if emit.any():
-            yield out[emit]
+            yield _out_pdf(allc, frames, emit)
         if rows_preceding is not None:
             kept_idx = np.flatnonzero(~hold)[-rows_preceding:] if rows_preceding else np.array([], dtype=int)
             keep = np.zeros(n, dtype=bool)
@@ -1497,10 +1658,9 @@ def stream_over_bounded(
             keep |= hold
         else:
             keep = ts_us >= max_ts - range_us
-        tail_new = allr[keep]
-        _save(state, tail_new, int(hold.sum()))
+        _save(state, {c: v[keep] for c, v in allc.items()}, int(hold.sum()))
 
-    out = df.groupBy(*keys).applyInPandasWithState(
+    out = src.groupBy(*keys).applyInPandasWithState(
         fn,
         out_schema,
         state_schema,
@@ -2540,10 +2700,11 @@ def stream_keyed_coprocess(
     event-time column (pass streams already carrying one, or rely on
     the caller's withWatermark upstream).
     """
-    import pandas as pd
+    import pandas as pd  # noqa: F401 — pdfs frames in fn's signature
     from pyspark.sql.types import (
         ArrayType,
         BooleanType,
+        DoubleType,
         IntegerType,
         StructField,
         TimestampType,
@@ -2587,8 +2748,17 @@ def stream_keyed_coprocess(
         + [StructField("n_since_rule", LongType())]
     )
     out_cols = [f.name for f in out_schema.fields]
+    # buffers live in state as pickled numpy arrays (see the module
+    # header: binary-opaque to the JVM); the declared element types
+    # document the logical encoding — int64 epoch-us for 'ts', double
+    # with NaN-as-NULL for 'num', the original type for 'obj'
+    enc = {c: _np_kind(unioned.schema[c].dataType) for c in buf_cols}
     state_schema = StructType(
-        [StructField(f"__b_{c}", ArrayType(unioned.schema[c].dataType))
+        [StructField(
+            f"__b_{c}",
+            ArrayType(LongType()) if enc[c] == "ts"
+            else ArrayType(DoubleType()) if enc[c] == "num"
+            else ArrayType(unioned.schema[c].dataType))
          for c in buf_cols]
         + [StructField(f"__cur_{c}", control.schema[c].dataType)
            for c in rule_cols]
@@ -2601,72 +2771,106 @@ def stream_keyed_coprocess(
 
     from flink_efo_spark.pandas_compat import state_caster as _caster
 
-    casters = {c: _caster(unioned.schema[c].dataType) for c in buf_cols}
     rule_casters = {c: _caster(control.schema[c].dataType) for c in rule_cols}
+    obj_casters = {
+        c: _caster(unioned.schema[c].dataType)
+        for c in buf_cols if enc[c] == "obj"
+    }
+    _empty = {c: _np_empty(enc[c]) for c in buf_cols}
 
-    def _emit(keyvals, em: "pd.DataFrame", cur_rule, has_rule, n_since):
-        """Vectorized stamp of the watermark-cleared prefix; returns
-        (rows, new cur_rule, has_rule, n_since)."""
-        import numpy as np
-
-        is_ctrl = (em["__side"] == 0).to_numpy()
-        seg = np.cumsum(is_ctrl)  # 0 = the continuing pre-batch segment
-        out = pd.DataFrame({k: v for k, v in keyvals.items()}, index=em.index)
-        for c in d_cols:
-            out[c] = em[f"__d_{c}"]
-        for c in rule_cols:
-            filled = em[f"__r_{c}"].ffill()
-            if has_rule and cur_rule[c] is not None:
-                filled = filled.fillna(cur_rule[c])
-            out[f"rule_{c}"] = filled
+    def _emit(keyvals, em: dict, n: int, cur_rule, has_rule, n_since):
+        """Vectorized stamp of the watermark-cleared prefix (bare
+        numpy, one output DataFrame); returns (rows-or-None, cur_rule,
+        has_rule, n_since)."""
+        is_ctrl = em["__side"] == 0
         is_data = ~is_ctrl
-        # count of data rows within each segment, carrying segment 0 on
         data_cum = np.cumsum(is_data)
-        seg_base = np.zeros(len(em), dtype="int64")
-        ctrl_pos = np.flatnonzero(is_ctrl)
-        for p in ctrl_pos:  # O(#control rows), not O(#rows)
-            seg_base[p:] = data_cum[p]
+        filled_rules = {}
+        for c in rule_cols:
+            v = em[f"__r_{c}"]
+            if v.dtype == object:  # cold path: non-numeric rule column
+                import pandas as pd
+
+                filled = pd.Series(v).ffill().to_numpy(dtype=object)
+                if has_rule and cur_rule[c] is not None:
+                    nulls = np.array([x is None for x in filled], dtype=bool)
+                    filled[nulls] = cur_rule[c]
+            else:
+                filled = _np_ffill(v, n)
+                if has_rule and cur_rule[c] is not None:
+                    filled = np.where(
+                        np.isnan(filled), float(cur_rule[c]), filled
+                    )
+            filled_rules[c] = filled
+        # count of data rows within each rule segment, carrying
+        # segment 0 (rows before this prefix's first control row) on
+        # from the previous batches. data_cum is nondecreasing, so the
+        # running max of its value AT control positions is "data rows
+        # seen up to the latest control row at-or-before me".
+        seg_base = np.maximum.accumulate(np.where(is_ctrl, data_cum, 0))
         n_in_seg = data_cum - seg_base
-        n_in_seg[seg == 0] += n_since
-        out["n_since_rule"] = n_in_seg
-        rows = out[is_data]
+        n_in_seg[np.cumsum(is_ctrl) == 0] += n_since
         # advance the carried rule/counter. Per COLUMN, the carried
-        # value is the last non-null across this batch's control rows
+        # value is the last non-null across this prefix's control rows
         # (falling back to the previous carry) — mirroring the
-        # ffill+fillna used to stamp rows above: a control row that
+        # ffill+fill used to stamp rows above: a control row that
         # sets only rule y must not wipe the carried rule x, or the
         # NEXT batch's rows would see NULL where this batch's saw 5
         # (output would depend on micro-batch cadence)
-        if len(ctrl_pos):
-            last = ctrl_pos[-1]
+        if is_ctrl.any():
             for c in rule_cols:
-                nn = em[f"__r_{c}"].iloc[ctrl_pos].dropna()
-                if len(nn):
-                    cur_rule[c] = nn.iloc[-1]
+                v = em[f"__r_{c}"]
+                if v.dtype == object:
+                    nn = [x for x in v[is_ctrl] if x is not None]
+                    if nn:
+                        cur_rule[c] = nn[-1]
+                else:
+                    nn = v[~np.isnan(v)]  # rules ride only control rows
+                    if len(nn):
+                        cur_rule[c] = float(nn[-1])
             has_rule = True
+            last = n - 1 - int(np.argmax(is_ctrl[::-1]))
             n_since = int(data_cum[-1] - data_cum[last])
         else:
-            n_since = int(n_since + data_cum[-1]) if len(em) else n_since
-        return rows, cur_rule, has_rule, n_since
+            n_since = int(n_since + data_cum[-1]) if n else n_since
+        nd = int(data_cum[-1]) if n else 0
+        if not nd:
+            return None, cur_rule, has_rule, n_since
+        import pandas as pd
+
+        out = {k: np.full(nd, v) for k, v in keyvals.items()}
+        for c in d_cols:
+            out[c] = em[f"__d_{c}"][is_data]
+        for c in rule_cols:
+            out[f"rule_{c}"] = filled_rules[c][is_data]
+        out["n_since_rule"] = n_in_seg[is_data]
+        return pd.DataFrame(out, copy=False), cur_rule, has_rule, n_since
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         if state.exists:
             st = state.get
-            tail = pd.DataFrame(
-                {c: list(st[i]) for i, c in enumerate(buf_cols)}
-            )
+            tail = {
+                c: _np_from_state(st[i], enc[c])
+                for i, c in enumerate(buf_cols)
+            }
             cur_rule = {c: st[n_buf + i] for i, c in enumerate(rule_cols)}
             has_rule = bool(st[n_buf + len(rule_cols)])
             n_since = int(st[n_buf + len(rule_cols) + 1] or 0)
+            n_tail = len(tail["__ts"])
         else:
-            tail = pd.DataFrame({c: [] for c in buf_cols})
+            tail = _empty
             cur_rule = {c: None for c in rule_cols}
             has_rule, n_since = False, 0
+            n_tail = 0
         keyvals = {k: key[i] for i, k in enumerate(partition_by)}
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
-        def save(new_tail):
+        def save(hold, n_hold):
             state.update((
-                *([casters[c](v) for v in new_tail[c]] for c in buf_cols),
+                *[
+                    _np_state_list(hold[c], enc[c], obj_casters.get(c))
+                    for c in buf_cols
+                ],
                 *[rule_casters[c](cur_rule[c]) for c in rule_cols],
                 bool(has_rule), int(n_since), 0,
             ))
@@ -2676,7 +2880,7 @@ def stream_keyed_coprocess(
             # Installed rules stay in state without a timer and are
             # read when the key's next data arrives; a stale timer
             # fires at most once more (empty hold -> no re-arm).
-            if flush_on_timeout and len(new_tail):
+            if flush_on_timeout and n_hold:
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
         if flush_on_timeout and state.hasTimedOut:
@@ -2689,56 +2893,62 @@ def stream_keyed_coprocess(
             # broadcast rules (the BroadcastState guarantee). At true
             # end-of-input the MAX_WATERMARK clears everything and the
             # re-armed timer simply never fires again.
+            #
+            # The stored tail is ALWAYS (ts, side, tb)-sorted (the save
+            # sites below only ever store a sorted suffix), so the
+            # watermark split is a prefix slice — no sort, no copy.
             rows = None
-            hold = tail
-            if len(tail):
-                buf = tail.sort_values(
-                    ["__ts", "__side", "__tb"], kind="mergesort"
-                ).reset_index(drop=True)
-                wm_us = state.getCurrentWatermarkMs() * 1000
-                ts_us = (
-                    buf["__ts"].to_numpy().astype("datetime64[us]")
-                    .astype("int64")
+            k = (
+                int(np.searchsorted(tail["__ts"], wm_us, side="right"))
+                if n_tail else 0
+            )
+            if k:
+                em = {c: tail[c][:k] for c in buf_cols}
+                rows, cur_rule, has_rule, n_since = _emit(
+                    keyvals, em, k, cur_rule, has_rule, n_since,
                 )
-                cleared = ts_us <= wm_us
-                em, hold = buf[cleared], buf[~cleared]
-                if len(em):
-                    rows, cur_rule, has_rule, n_since = _emit(
-                        keyvals, em.reset_index(drop=True), cur_rule,
-                        has_rule, n_since,
-                    )
-            save(hold)
-            if rows is not None and len(rows):
-                yield rows[out_cols]
+            save({c: tail[c][k:] for c in buf_cols}, n_tail - k)
+            if rows is not None:
+                yield rows
             return
 
-        frames = [p[buf_cols] for p in pdfs if len(p)]
-        if not frames and not len(tail):
-            save(tail)
+        news = []
+        for p in pdfs:
+            if len(p):
+                news.append({c: _np_series(p[c], enc[c]) for c in buf_cols})
+        n_new = sum(len(d["__ts"]) for d in news)
+        if not n_new and not n_tail:
+            save(tail, 0)
             return
-        buf = pd.concat(
-            ([tail] if len(tail) else []) + frames, ignore_index=True
-        )
-        buf = buf.sort_values(
-            ["__ts", "__side", "__tb"], kind="mergesort"
-        ).reset_index(drop=True)
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        ts_us = (
-            buf["__ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        )
-        cleared = ts_us <= wm_us
-        em, hold = buf[cleared], buf[~cleared]
+        if news:
+            parts = ([tail] if n_tail else []) + news
+            if len(parts) == 1:
+                allc = parts[0]
+            else:
+                allc = {
+                    c: np.concatenate([d[c] for d in parts])
+                    for c in buf_cols
+                }
+            order = _np_sortn([allc["__ts"], allc["__side"], allc["__tb"]])
+            allc = {c: v[order] for c, v in allc.items()}
+        else:
+            allc = tail  # already sorted
+        n_all = n_tail + n_new
+        k = int(np.searchsorted(allc["__ts"], wm_us, side="right"))
         rows = None
-        if len(em):
+        if k:
+            em = {c: allc[c][:k] for c in buf_cols}
             rows, cur_rule, has_rule, n_since = _emit(
-                keyvals, em.reset_index(drop=True), cur_rule, has_rule,
-                n_since,
+                keyvals, em, k, cur_rule, has_rule, n_since,
             )
-        if len(hold) > max_buffer:
-            hold = hold.iloc[-max_buffer:]
-        save(hold)
-        if rows is not None and len(rows):
-            yield rows[out_cols]
+        hold = {c: allc[c][k:] for c in buf_cols}
+        n_hold = n_all - k
+        if n_hold > max_buffer:
+            hold = {c: v[-max_buffer:] for c, v in hold.items()}
+            n_hold = max_buffer
+        save(hold, n_hold)
+        if rows is not None:
+            yield rows
 
     out = unioned.groupBy(*partition_by).applyInPandasWithState(
         fn,

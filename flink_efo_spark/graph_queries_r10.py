@@ -190,9 +190,17 @@ def q_stream_evolving_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from flink_efo_spark.streaming import stream_incremental_pagerank
+    from flink_efo_spark.streaming import (
+        epoch_below,
+        stream_incremental_pagerank,
+    )
 
-    e = _mixed_edges(spark, sf_dir)
+    # localCheckpoint: the three slice writes each re-ran the whole
+    # co-occurrence join otherwise (3x the dominant setup cost); the
+    # pin computes it once and the slices filter 3x over the
+    # materialized rows. Sequential single-file writes stay — the
+    # file source replays in mtime order, which must be slice order.
+    e = _mixed_edges(spark, sf_dir).localCheckpoint(eager=True)
     base = tempfile.mkdtemp(prefix="efo_evopr_")
     src_dir = os.path.join(base, "src")
     for k in range(3):
@@ -216,10 +224,12 @@ def q_stream_evolving_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter_per_batch=1,
     )
     q.awaitTermination()
-    snaps = spark.read.parquet(os.path.join(base, "ranks"))
-    last = snaps.agg(F.max("epoch").alias("e")).collect()[0]["e"]
+    # last epoch from the partition-dir names (streaming.epoch_below)
+    # and a direct read of that one epoch dir — no discovery scan of
+    # every epoch, no max() job
+    last = epoch_below(os.path.join(base, "ranks"))
     return (
-        snaps.where(F.col("epoch") == F.lit(last))
+        spark.read.parquet(os.path.join(base, "ranks", f"epoch={last}"))
         .select(
             F.col("id").cast("long").alias("node_id"),
             F.col("r").alias("rank_e6"),

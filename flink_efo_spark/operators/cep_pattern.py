@@ -637,10 +637,13 @@ def _dynamic_specs(stages, df_columns):
 
 
 def _make_dyns(specs, pdf, n_real):
-    """Bind compiled iterative conditions to one key's column arrays.
-    Candidates at index >= n_real (the streaming hold probe's
-    hypothetical future rows) match unconditionally — the probe asks
-    whether ANY future row could continue the branch."""
+    """Bind compiled iterative conditions to one key's column arrays
+    (``pdf``: a pandas frame, or a dict of numpy arrays on the
+    streaming path). Candidates at index >= n_real (the streaming
+    hold probe's hypothetical future rows) match unconditionally —
+    the probe asks whether ANY future row could continue the branch."""
+    import numpy as np
+
     if not any(spec is not None for spec in specs):
         return None
     data: dict = {}
@@ -650,7 +653,10 @@ def _make_dyns(specs, pdf, n_real):
         _, plain, refs = spec
         for c in plain | {r[3] for r in refs if r[3] is not None}:
             if c not in data:
-                data[c] = pdf[c].to_numpy()
+                col = pdf[c]
+                data[c] = (
+                    col if isinstance(col, np.ndarray) else col.to_numpy()
+                )
     fns = []
     for spec in specs:
         if spec is None:
@@ -690,23 +696,31 @@ def _measure_value(fn, rows_of, col_series):
     """Measure over a stage's matched rows (PatternSelectFunction
     receives the full per-stage event list — Map<String, List<T>>):
     first|last positional, count, and the numeric folds sum|min|max|
-    avg. Absent stage: NULL (count -> 0)."""
+    avg. Absent stage: NULL (count -> 0). ``col_series`` may be a
+    pandas Series or a bare numpy array (streaming path)."""
+    import numpy as np
+
     if fn == "count":
         return len(rows_of)
     if not rows_of:
         return None
+    at = (
+        col_series.__getitem__
+        if isinstance(col_series, np.ndarray)
+        else col_series.iloc.__getitem__
+    )
     if fn == "first":
-        return col_series.iloc[rows_of[0]]
+        return at(rows_of[0])
     if fn == "last":
-        return col_series.iloc[rows_of[-1]]
+        return at(rows_of[-1])
     if fn.startswith(("first:", "last:")):
         # logical offset (FIRST(A.col, n)); NULL when out of range
         base, off = fn.split(":")
         n = int(off)
         if n >= len(rows_of):
             return None
-        return col_series.iloc[rows_of[n] if base == "first" else rows_of[-1 - n]]
-    vals = [col_series.iloc[ix] for ix in rows_of]
+        return at(rows_of[n] if base == "first" else rows_of[-1 - n])
+    vals = [at(ix) for ix in rows_of]
     if fn == "sum":
         return sum(vals)
     if fn == "min":
@@ -1025,6 +1039,7 @@ def stream_cep_pattern_select(
     to_last) suppress matches based on PREVIOUSLY EMITTED ones and are
     supported on the batch path only.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
@@ -1105,67 +1120,99 @@ def stream_cep_pattern_select(
     out_schema = StructType(out_fields)
     out_cols = [f.name for f in out_schema.fields]
 
+    from flink_efo_spark.streaming import (
+        _np_empty,
+        _np_from_state,
+        _np_kind,
+        _np_series,
+        _np_sortn,
+        _np_state_list,
+    )
+
     data_cols = [c for c in slim.columns if c not in partition_by]
+    # buffers ride keyed state in the numpy row-buffer encoding
+    # (streaming.py module header): int64 epoch-us timestamps, double
+    # with NaN-as-NULL numerics, original type otherwise
+    enc = {c: _np_kind(slim.schema[c].dataType) for c in data_cols}
+    for c in flag_cols + until_cols:
+        # DEFINE/UNTIL flags are consumed as NA-as-False booleans and
+        # never emitted — ride them as float64 (NaN = NULL) so the
+        # state round-trip and _bool_arr stay vectorized
+        enc[c] = "num"
     state_schema = StructType(
         [StructField("__seq", LongType())]
         + [
-            StructField(f"__t_{c}", ArrayType(slim.schema[c].dataType))
+            StructField(
+                f"__t_{c}",
+                ArrayType(_Long()) if enc[c] == "ts"
+                else ArrayType(DoubleType()) if enc[c] == "num"
+                else ArrayType(slim.schema[c].dataType))
             for c in data_cols
         ]
     )
 
     from flink_efo_spark.pandas_compat import state_caster as _caster
 
-    casters = {c: _caster(slim.schema[c].dataType) for c in data_cols}
+    obj_casters = {
+        c: _caster(slim.schema[c].dataType)
+        for c in data_cols if enc[c] == "obj"
+    }
+    _empty = {c: _np_empty(enc[c]) for c in data_cols}
     stage_list = stages
     flat_list = flat
     meas_items = list(measures.items())
 
-    def _measure_row(keyvals, seq, assign, pdf, timed_out=None):
+    def _measure_row(keyvals, seq, assign, cols, timed_out=None):
         row = dict(keyvals)
         row["match_seq"] = seq
         for out_col, (stage, fn, col) in meas_items:
             rows_of = assign.get(stage) or []
-            row[out_col] = _measure_value(fn, rows_of, pdf[col])
+            row[out_col] = _measure_value(fn, rows_of, cols[col])
         if timed_out is not None:
             row["timed_out"] = timed_out
         return row
 
-    def _pass(key, allr, seq, finalize, wm_ms=None):
+    def _bool_arr(arr):
+        """NA-as-False bool view of a buffer-encoded column (float64
+        with NaN nulls, or an object array)."""
         import numpy as np
 
-        from flink_efo_spark.operators.cep import _ts_and_window
+        if arr.dtype == bool:
+            return arr
+        if arr.dtype == object:
+            return np.array(
+                [bool(x) if x is not None else False for x in arr],
+                dtype=bool,
+            )
+        out = arr == 1.0  # NaN compares False — exactly NA-as-False
+        return out
 
-        allr = allr.sort_values(order_cols, kind="mergesort").reset_index(
-            drop=True
-        )
-        n = len(allr)
+    def _pass(key, allc, n, seq, finalize, wm_ms=None):
+        import numpy as np
+
+        if n > 1:
+            order = _np_sortn([allc[c] for c in order_cols])
+            allc = {c: v[order] for c, v in allc.items()}
         keyvals = {k: key[i] for i, k in enumerate(partition_by)}
-        ts, w = (
-            _ts_and_window(allr[order_by], win)
-            if win is not None
-            else (allr[order_by].to_numpy(), None)
-        )
+        # order/window domain: int64 epoch-us for timestamp order
+        # columns (the buffer encoding — the old path compared ns,
+        # same information at micros precision), raw values otherwise
+        # (``within`` then reads in the column's own units)
+        if enc[order_by] == "ts":
+            ts = allc[order_by]
+            w = int(win * 1_000_000) if win is not None else None
+        else:
+            ts = allc[order_by]
+            w = win
         fut = None
-        if (
-            wm_ms is not None
-            and win is not None
-            and n
-            and np.issubdtype(allr[order_by].to_numpy().dtype, np.datetime64)
-        ):
-            # _ts_and_window scales datetime order columns to int64 ns
-            fut = wm_ms * 1_000_000
-        flags = [
-            _bool_col(allr[fc]) for fc in flag_cols
-        ]
-        untils = [
-            _bool_col(allr[uc])
-            for uc in until_cols
-        ]
+        if wm_ms is not None and win is not None and n and enc[order_by] == "ts":
+            fut = wm_ms * 1000
+        flags = [_bool_arr(allc[fc]) for fc in flag_cols]
+        untils = [_bool_arr(allc[uc]) for uc in until_cols]
         matches: list = []
         touts: dict = {}
         frontier = n
-        dyns = _make_dyns(specs, allr, n)
+        dyns = _make_dyns(specs, allc, n)
         if finalize:
             for s0 in range(n):
                 _run_start(s0, n, ts, flags, untils, stage_list, w,
@@ -1203,7 +1250,7 @@ def stream_cep_pattern_select(
         for _, _, assign in matches:
             seq += 1
             rows.append(_measure_row(
-                keyvals, seq, assign, allr,
+                keyvals, seq, assign, allc,
                 False if emit_timeouts else None,
             ))
         if emit_timeouts:
@@ -1212,11 +1259,10 @@ def stream_cep_pattern_select(
                 if tkey in done or (not finalize and tkey[0] >= frontier):
                     continue
                 seq += 1
-                rows.append(_measure_row(keyvals, seq, assign, allr, True))
-        new_tail = allr.iloc[frontier:]
-        if len(new_tail) > max_tail:
-            new_tail = new_tail.iloc[-max_tail:]
-        return rows, seq, new_tail
+                rows.append(_measure_row(keyvals, seq, assign, allc, True))
+        start = max(frontier, n - max_tail)
+        new_tail = {c: v[start:] for c, v in allc.items()}
+        return rows, seq, new_tail, n - start
 
     from flink_efo_spark.operators.cep import _eoi_epoch_ms
 
@@ -1233,7 +1279,7 @@ def stream_cep_pattern_select(
             "finalize"
         )
 
-    def _save_tail(state, seq, new_tail) -> None:
+    def _save_tail(state, seq, new_tail, n_tail) -> None:
         """Persist the tail; arm the flush timer ONLY when rows are
         actually held (idle keys without state cost zero Python
         invocations per batch). ``within`` patterns re-arm at
@@ -1242,10 +1288,13 @@ def stream_cep_pattern_select(
         state.update(
             (
                 int(seq),
-                *([casters[c](v) for v in new_tail[c]] for c in data_cols),
+                *[
+                    _np_state_list(new_tail[c], enc[c], obj_casters.get(c))
+                    for c in data_cols
+                ],
             )
         )
-        if not flush_on_timeout or not len(new_tail):
+        if not flush_on_timeout or not n_tail:
             return
         wm = state.getCurrentWatermarkMs()
         if win is not None:
@@ -1255,42 +1304,46 @@ def stream_cep_pattern_select(
         # else: no window and no end-of-input marker — held anchors
         # stay in state forever (reference NFA semantics)
 
-    def _drop_late(pdf, state):
+    def _drop_late(cols, n, state):
         """CepOperator.java drops late events (its ``timestamp >
         lastWatermark`` processElement guard); Spark's
         applyInPandasWithState does NOT filter its input by the
         watermark (verified on 4.1.2), so the harness enforces it.
         Late = ts < watermark (Spark's rule; equality survives) —
         the probe's 'future rows >= watermark' floor exactly."""
-        import numpy as np
-
-        arr = pdf[order_by].to_numpy()
-        if not np.issubdtype(arr.dtype, np.datetime64):
-            return pdf
+        if enc[order_by] != "ts":
+            return cols, n
         wm_us = state.getCurrentWatermarkMs() * 1000
         if wm_us <= 0:
-            return pdf
-        keep = arr.astype("datetime64[us]").astype("int64") >= wm_us
-        return pdf if keep.all() else pdf[keep]
+            return cols, n
+        keep = cols[order_by] >= wm_us
+        if keep.all():
+            return cols, n
+        return {c: v[keep] for c, v in cols.items()}, int(keep.sum())
 
     def fn(key, pdfs, state):
         if state.exists:
             st = state.get
             seq = st[0]
-            tail = pd.DataFrame(
-                {c: list(st[1 + i]) for i, c in enumerate(data_cols)}
-            )
+            tail = {
+                c: _np_from_state(st[1 + i], enc[c])
+                for i, c in enumerate(data_cols)
+            }
+            n_tail = len(tail[order_by])
         else:
             seq = 0
-            tail = pd.DataFrame({c: [] for c in data_cols})
+            tail = _empty
+            n_tail = 0
 
         if flush_on_timeout and state.hasTimedOut:
             wm_ms = state.getCurrentWatermarkMs()
             if eoi_ms is not None and wm_ms >= eoi_ms:
                 # MAX_WATERMARK finalization — emit and drop state
                 rows = []
-                if len(tail):
-                    rows, _, _ = _pass(key, tail, seq, finalize=True)
+                if n_tail:
+                    rows, _, _, _ = _pass(
+                        key, tail, n_tail, seq, finalize=True
+                    )
                 state.remove()
                 if rows:
                     yield pd.DataFrame(rows, columns=out_cols)
@@ -1300,27 +1353,42 @@ def stream_cep_pattern_select(
             # with rows in batches 1 and 3 but none in 2 must keep its
             # cross-gap partial matches (the b039442 fix, ported)
             rows = []
-            new_tail = tail
-            if len(tail):
-                rows, seq, new_tail = _pass(
-                    key, tail, seq, finalize=False, wm_ms=wm_ms
+            new_tail, nt = tail, n_tail
+            if n_tail:
+                rows, seq, new_tail, nt = _pass(
+                    key, tail, n_tail, seq, finalize=False, wm_ms=wm_ms
                 )
-            _save_tail(state, seq, new_tail)
+            _save_tail(state, seq, new_tail, nt)
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
             return
 
-        frames = [p[data_cols] for p in pdfs if len(p)]
-        if flush_on_timeout:
-            frames = [f for f in (_drop_late(p, state) for p in frames)
-                      if len(f)]
-        if not frames and not len(tail):
+        news = []
+        n_new = 0
+        for p in pdfs:
+            if not len(p):
+                continue
+            cols = {c: _np_series(p[c], enc[c]) for c in data_cols}
+            nn = len(cols[order_by])
+            if flush_on_timeout:
+                cols, nn = _drop_late(cols, nn, state)
+            if nn:
+                news.append(cols)
+                n_new += nn
+        if not n_new and not n_tail:
             state.update((int(seq), *([] for _ in data_cols)))
             return
-        parts = ([tail] if len(tail) else []) + frames
-        allr = pd.concat(parts, ignore_index=True)
-        rows, seq, new_tail = _pass(key, allr, seq, finalize=False)
-        _save_tail(state, seq, new_tail)
+        parts = ([tail] if n_tail else []) + news
+        if len(parts) == 1:
+            allc = parts[0]
+        else:
+            allc = {
+                c: np.concatenate([d[c] for d in parts]) for c in data_cols
+            }
+        rows, seq, new_tail, nt = _pass(
+            key, allc, n_tail + n_new, seq, finalize=False
+        )
+        _save_tail(state, seq, new_tail, nt)
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 

@@ -87,26 +87,29 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def _label_sum(lab: DataFrame) -> int:
+        # min-label propagation only ever DECREASES labels, so the
+        # fixpoint test is "sum of labels unchanged" — one cheap agg
+        # over the checkpointed label table instead of a self-join +
+        # count per round
+        return lab.agg(F.sum("cluster_id")).collect()[0][0] or 0
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # propagate labels across each (directed) adjacency edge
         prop = adj.join(labels, "node").select(
             F.col("nbr").alias("node"), "cluster_id"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     adj.unpersist()
     return labels

@@ -62,14 +62,28 @@ def delta_iterate(
     grows in DEPTH per round (e.g. label overwrites) rather than
     breadth.
     """
-    workset = workset.localCheckpoint(eager=True)
+    def _materialized(df: DataFrame) -> bool:
+        # a step that already localCheckpointed its workset (every
+        # delta step in this repo does — the checkpoint must sit
+        # INSIDE the step so the returned solution union references
+        # the materialized delta) leaves a bare LogicalRDD scan;
+        # re-checkpointing that is one wasted full-scan job per round
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            return plan.getClass().getSimpleName() == "LogicalRDD"
+        except Exception:
+            return False
+
+    if not _materialized(workset):
+        workset = workset.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         if not workset.take(1):
             break
         solution, workset = step(solution, workset)
         if checkpoint_solution:
             solution = solution.localCheckpoint(eager=True)
-        workset = workset.localCheckpoint(eager=True)
+        if not _materialized(workset):
+            workset = workset.localCheckpoint(eager=True)
     return solution
 
 

@@ -2557,6 +2557,28 @@ def stream_semantic_dedup(
     )
 
 
+def epoch_below(store_dir: str, before: int | None = None) -> int | None:
+    """Largest ``epoch=N`` partition directory in an epoch-addressed
+    store (optionally restricted to ``N < before``), or None. The
+    directory layout IS the epoch index — reading it replaces a
+    parquet-scan + max() Spark job per micro-batch. Epochs >= the
+    running batch are excluded by the caller's ``before``, which keeps
+    the crash-replay contract: a half-finished attempt of the current
+    epoch is never read back."""
+    try:
+        names = os.listdir(store_dir)
+    except FileNotFoundError:
+        return None
+    epochs = [
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith("epoch=") and n.split("=", 1)[1].isdigit()
+    ]
+    if before is not None:
+        epochs = [e for e in epochs if e < before]
+    return max(epochs) if epochs else None
+
+
 def stream_incremental_pagerank(
     src: DataFrame,
     src_col: str,
@@ -2606,6 +2628,11 @@ def stream_incremental_pagerank(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch = int(batch_id)
+        # localCheckpoint is load-bearing both times: batch_edges
+        # feeds the union AND the end-of-batch store write, and
+        # all_edges is read by every pagerank_warm consumer (nodes,
+        # out-degrees, adjacency, rank init) — without the pins each
+        # consumer re-runs the store scan + two distinct shuffles.
         batch_edges = (
             batch_df.select(
                 F.col(src_col).cast("long").alias("src"),
@@ -2613,6 +2640,7 @@ def stream_incremental_pagerank(
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         try:
             prior = spark.read.parquet(store_dir).where(
@@ -2620,19 +2648,20 @@ def stream_incremental_pagerank(
             ).select("src", "dst")
         except AnalysisException:  # first batch: store not created yet
             prior = spark.createDataFrame([], "src LONG, dst LONG")
-        all_edges = prior.unionByName(batch_edges).distinct()
-        try:
-            snaps = spark.read.parquet(ranks_dir).where(
-                F.col("epoch") < F.lit(epoch)
-            )
-            last = snaps.agg(F.max("epoch").alias("e")).collect()[0]["e"]
-            init = (
-                snaps.where(F.col("epoch") == F.lit(last)).select("id", "r")
-                if last is not None
-                else spark.createDataFrame([], "id LONG, r LONG")
-            )
-        except AnalysisException:
-            init = spark.createDataFrame([], "id LONG, r LONG")
+        all_edges = (
+            prior.unionByName(batch_edges).distinct()
+            .localCheckpoint(eager=True)
+        )
+        # prior snapshot epoch from the epoch=N directory names — the
+        # store layout IS the epoch index, no parquet-scan job needed
+        last = epoch_below(ranks_dir, epoch)
+        init = (
+            spark.read.parquet(
+                os.path.join(ranks_dir, f"epoch={last}")
+            ).select("id", "r")
+            if last is not None
+            else spark.createDataFrame([], "id LONG, r LONG")
+        )
         ranks = pagerank_warm(
             all_edges,
             init,

@@ -88,6 +88,15 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_suppkey").cast("long").alias("dst"),
         )
         .distinct()
+        # Pin the derived edges: every consumer is a multi-pass graph
+        # algorithm (degrees + neighborhood joins + per-round
+        # frontiers), and without the pin the lineitem self-join +
+        # distinct lineage re-executes once per consumer (guide §5).
+        # O(E) key-only rows; coalesce bounds the pinned partition
+        # count to the core count (checkpoint materializes the
+        # pre-AQE fan-out — 256 near-empty partitions otherwise).
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -481,6 +490,12 @@ def q_bipartite_projection_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("long").alias("bottom"),
         )
         .distinct()
+        # pinned: the projection self-joins e0, and without the pin
+        # the orders⋈lineitem distinct lineage executes once per
+        # join side (guide §5); coalesce bounds the pinned partition
+        # count (checkpoint materializes the pre-AQE fan-out)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     proj = bipartite_projection(e0, side="top")
     return (

@@ -1113,7 +1113,16 @@ def semantic_dedup(
     else:
         order = [F.col(id_col).asc()]
     w = Window.partitionBy("cluster").orderBy(*order)
-    ranked = scored.withColumn("__rk", F.row_number().over(w))
+    # Pin the scored+ranked relation: it feeds BOTH sides of the
+    # within-cluster self-join AND the final anti-join, and without
+    # the pin the scan -> k·d-literal scoring map -> window lineage
+    # executes once per consumer (guide §5 — cut lineage; measured
+    # 3 scoring passes -> 1). One vector-width materialization.
+    ranked = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .coalesce(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
 
     a = ranked.select(
         F.col("cluster"),

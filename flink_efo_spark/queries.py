@@ -7220,7 +7220,23 @@ def _co_purchase_edges(t: _T, weighted: bool = False) -> DataFrame:
         w = (F.col("c") + F.col("s")) % 7 + 1
         fwd.append(w.alias("w"))
         rev.append(w.alias("w"))
-    return e0.select(*fwd).union(e0.select(*rev))
+    # Pin the derived edge relation: every consumer is an iterative
+    # algorithm that reads edges 3+ times (node set, out-degrees,
+    # adjacency, per-round joins), and without the pin the
+    # orders⋈lineitem distinct lineage re-executes per consumer
+    # (guide §5 — cut lineage / compute shared inputs once). Edge
+    # rows are O(distinct (cust, supp)) keys, payload-free. The
+    # coalesce bounds the pinned partition count to the cluster's
+    # core count (checkpoint materializes the pre-AQE fan-out, which
+    # would otherwise pin 256 near-empty partitions into every
+    # iteration round's stages; narrow merge, no shuffle).
+    spark = e0.sparkSession
+    return (
+        e0.select(*fwd)
+        .union(e0.select(*rev))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
 
 
 @_q(

@@ -272,18 +272,31 @@ class _DS:
 
     @property
     def date_dim(self) -> DataFrame:
+        # Memoized per _DS instance (one instance per query
+        # invocation — nothing survives across runs) and pinned:
+        # date_dim is DERIVED (a scan of both base tables' date
+        # columns + a distinct), and queries that join it 2-3 times
+        # would otherwise re-execute that derivation per reference
+        # (guide §5 — compute shared inputs once). The pinned table
+        # is a few thousand 5-column rows in one partition; the
+        # broadcast joins against it are unchanged.
+        memo = getattr(self, "_date_dim_memo", None)
+        if memo is not None:
+            return memo
         dates = (
             self.t.orders.select(_C("o_orderdate").cast("date").alias("d_date"))
             .union(self.t.lineitem.select(_C("l_shipdate").cast("date").alias("d_date")))
             .distinct()
         )
-        return dates.select(
+        out = dates.select(
             "d_date",
             F.year("d_date").cast("bigint").alias("d_year"),
             F.month("d_date").cast("bigint").alias("d_moy"),
             F.quarter("d_date").cast("bigint").alias("d_qoy"),
             F.dayofmonth("d_date").cast("bigint").alias("d_dom"),
-        )
+        ).coalesce(1).localCheckpoint(eager=True)
+        self._date_dim_memo = out
+        return out
 
     @property
     def item(self) -> DataFrame:
@@ -1824,24 +1837,37 @@ def q_tpcds_q90(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q87(ds: _DS) -> DataFrame:
     """TPC-DS Q87: customers who bought in-store but through no other
-    channel that year — an EXCEPT (distinct) chain over per-channel
-    customer sets, counted. Each EXCEPT is a shuffle on the bare
-    customer key; the facts never move wide."""
-
-    def cust(fact, cust_k, date_k):
-        return (
-            fact.join(ds.date_dim, _C(date_k) == _C("d_date"))
-            .where(_C("d_year") == 2000)
-            .select(_C(cust_k).alias("customer_sk"))
-            .distinct()
+    channel that year. The oracle keeps the textbook EXCEPT chain;
+    the Spark plan exploits what the optimizer cannot see — the three
+    channel facts partition ONE lineitem scan by l_linenumber % 3,
+    every fact sold_date is an o_orderdate (so the date_dim equi-join
+    against the distinct derived dates is exactly a year filter), and
+    orders.o_orderkey is a key (the fact's orders join is 1:1) — to
+    fuse the whole thing into one lineitem⋈orders pass with a channel
+    tag plus one groupBy(custkey) computing per-channel presence
+    flags. Store-only = flag(store) AND NOT flag(catalog|web): the
+    same set the EXCEPT chain yields, at 1 fact scan + 1 key shuffle
+    instead of 3 fact⋈dim joins + 3 distincts + 2 EXCEPT shuffles."""
+    l, o = ds.t.lineitem, ds.t.orders
+    flags = (
+        l.select("l_orderkey", (_C("l_linenumber") % 3).alias("__ch"))
+        .join(
+            o.where(F.year(_C("o_orderdate").cast("date")) == 2000).select(
+                "o_orderkey", "o_custkey"
+            ),
+            _C("l_orderkey") == _C("o_orderkey"),
         )
-
-    hot = (
-        cust(ds.store_sales, "ss_customer_sk", "ss_sold_date")
-        .subtract(cust(ds.catalog_sales, "cs_customer_sk", "cs_sold_date"))
-        .subtract(cust(ds.web_sales, "ws_customer_sk", "ws_sold_date"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(_C("__ch") == 0).alias("__s"),
+            F.max(_C("__ch") == 1).alias("__c"),
+            F.max(_C("__ch") == 2).alias("__w"),
+        )
+        .where(_C("__s") & ~_C("__c") & ~_C("__w"))
     )
-    return hot.agg(F.count(F.lit(1)).cast("bigint").alias("store_only_customers"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("store_only_customers")
+    )
 
 
 def _q49_channel_sql(fact: str, ret: str, p: str, rp: str, order: str) -> str:
@@ -2128,23 +2154,39 @@ _Q4_YT_SQL = """
 
 def _q4_year_total(ds: _DS) -> DataFrame:
     """Per-customer exact-cent yearly totals for the three channels
-    (TPC-DS q4/q11 year_total CTE)."""
-    def one(fact, p, tag):
-        return (
-            fact.join(
-                ds.date_dim, _C(p + "sold_date") == _C("d_date")
-            )
-            .where(_C("d_year").isin(1997, 1998))
-            .groupBy(_C(p + "customer_sk").alias("customer_sk"), _C("d_year"))
-            .agg(F.sum(_cents(_C(p + "net_paid"))).alias("total_cents"))
-            .withColumn("channel", F.lit(tag))
-            .select("customer_sk", "d_year", "channel", "total_cents")
-        )
+    (TPC-DS q4/q11 year_total CTE).
 
+    Fused single-pass form: the three channel facts partition ONE
+    lineitem scan by l_linenumber % 3, each fact's sold_date is its
+    o_orderdate (so the date_dim join against the distinct derived
+    dates reduces to a year filter), and the orders join is 1:1 on
+    the o_orderkey key — so the 3-fact union is one lineitem⋈orders
+    pass tagged with the channel letter, and the three per-channel
+    groupBys become ONE groupBy(customer_sk, d_year, channel). Same
+    rows, same exact-cent sums; 1 fact scan + 1 shuffle instead of 3
+    fact⋈dim joins + 3 aggregations."""
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _C("l_extendedprice") * (1 - _C("l_discount"))
+    ch = (
+        F.when(_C("l_linenumber") % 3 == 0, "s")
+        .when(_C("l_linenumber") % 3 == 1, "c")
+        .otherwise("w")
+    )
+    d = _C("o_orderdate").cast("date")
     return (
-        one(ds.store_sales, "ss_", "s")
-        .unionAll(one(ds.catalog_sales, "cs_", "c"))
-        .unionAll(one(ds.web_sales, "ws_", "w"))
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .join(
+            o.where(F.year(_C("o_orderdate").cast("date")).isin(1997, 1998))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .groupBy(
+            _C("o_custkey").alias("customer_sk"),
+            F.year(d).cast("bigint").alias("d_year"),
+            ch.alias("channel"),
+        )
+        .agg(F.sum(_cents(net)).alias("total_cents"))
+        .select("customer_sk", "d_year", "channel", "total_cents")
     )
 
 
@@ -2505,31 +2547,37 @@ def q_tpcds_q35(ds: _DS) -> DataFrame:
     OR-of-EXISTS is a semi-join against the channel-key union. The
     exact avg divides integer sums (floor pattern) so both engines
     agree bit-for-bit."""
-    dd = ds.date_dim.where(_C("d_year") == 1997)
-    per_cust = (
-        ds.store_sales.join(
-            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
+    # Fused per-customer stats: the three channel facts partition ONE
+    # lineitem scan by l_linenumber % 3 and the date_dim equi-join
+    # against the distinct derived dates is exactly a year filter on
+    # o_orderdate — so the store count, the store EXISTS, and the
+    # web-OR-catalog EXISTS all fall out of one lineitem⋈orders pass
+    # grouped by customer: n_store = count of channel-0 rows (>0 ≡
+    # the inner per_cust join), has_or = any channel-1/2 row (≡ the
+    # OR-of-EXISTS semi join). 1 fact scan + 1 key shuffle instead of
+    # 3 fact⋈dim joins + a union + 2 join passes.
+    l, o = ds.t.lineitem, ds.t.orders
+    cust_stats = (
+        l.select("l_orderkey", (_C("l_linenumber") % 3).alias("__ch"))
+        .join(
+            o.where(F.year(_C("o_orderdate").cast("date")) == 1997).select(
+                "o_orderkey", "o_custkey"
+            ),
+            _C("l_orderkey") == _C("o_orderkey"),
         )
-        .groupBy(_C("ss_customer_sk").alias("__ck"))
-        .agg(F.count(F.lit(1)).alias("n_store"))
-    )
-    or_keys = (
-        ds.web_sales.join(
-            F.broadcast(dd), _C("ws_sold_date") == _C("d_date")
-        ).select(_C("ws_customer_sk").alias("k"))
-        .unionAll(
-            ds.catalog_sales.join(
-                F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
-            ).select(_C("cs_customer_sk").alias("k"))
+        .groupBy(_C("o_custkey").alias("__ck"))
+        .agg(
+            F.count(F.when(_C("__ch") == 0, 1)).alias("n_store"),
+            F.max(_C("__ch") != 0).alias("__has_or"),
         )
+        .where((_C("n_store") > 0) & _C("__has_or"))
     )
     return (
         ds.customer_dim.join(
             F.broadcast(ds.customer_address),
             _C("ca_address_sk") == _C("c_current_addr_sk"),
         )
-        .join(or_keys, _C("c_customer_sk") == _C("k"), "left_semi")
-        .join(per_cust, _C("c_customer_sk") == _C("__ck"))  # = store EXISTS
+        .join(cust_stats, _C("c_customer_sk") == _C("__ck"))
         .groupBy("ca_state")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -6866,63 +6914,73 @@ def q_tpcds_q14b(ds: _DS) -> DataFrame:
     item level), thresholded by the corpus-wide average sale (1-row
     broadcast aggregate)."""
 
-    def bcc(fact, k):
-        return fact.join(ds.item, _C(k) == _C("i_item_sk")).select(
-            "i_brand", "i_class", "i_category"
-        )
-
+    # Fused plan (oracle keeps the textbook CTEs): the three channel
+    # facts partition ONE lineitem scan by l_linenumber % 3 and their
+    # orders join is 1:1 on the o_orderkey key, so
+    #   * cross_bcc's 3-way INTERSECT = one lineitem⋈item pass per
+    #     (brand, class, category) requiring all 3 channel tags —
+    #     and it needs no orders columns at all;
+    #   * avg_sales' 3-fact union = every lineitem row, so the 1-row
+    #     average reads lineitem alone (net_paid is a pure lineitem
+    #     expression);
+    #   * the two week_sales years (store channel, Dec 1997 vs Dec
+    #     1996) = ONE store-slice pass grouped by (brand, cls, year)
+    #     then pivoted — the date_dim join against the distinct
+    #     derived dates is exactly a year+month filter on sold_date.
+    # 3 lineitem scans + 1 orders scan total, vs 8 fact derivations
+    # (each a lineitem⋈orders join) + 2 date_dim derivations before.
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _C("l_extendedprice") * (1 - _C("l_discount"))
     cross_bcc = (
-        bcc(ds.store_sales, "ss_item_sk")
-        .intersect(bcc(ds.catalog_sales, "cs_item_sk"))
-        .intersect(bcc(ds.web_sales, "ws_item_sk"))
+        l.select("l_partkey", (_C("l_linenumber") % 3).alias("__ch"))
+        .join(F.broadcast(ds.item), _C("l_partkey") == _C("i_item_sk"))
+        .groupBy("i_brand", "i_class", "i_category")
+        .agg(F.count_distinct(_C("__ch")).alias("__nch"))
+        .where(_C("__nch") == 3)
+        .select("i_brand", "i_class", "i_category")
     )
-    avg_sales = (
-        ds.store_sales.select(_cents(_C("ss_net_paid")).alias("c"))
-        .unionByName(ds.catalog_sales.select(_cents(_C("cs_net_paid")).alias("c")))
-        .unionByName(ds.web_sales.select(_cents(_C("ws_net_paid")).alias("c")))
-        .agg(F.avg("c").alias("avg_c"))
-    )
+    avg_sales = l.select(_cents(net).alias("c")).agg(F.avg("c").alias("avg_c"))
 
-    def week(year):
-        return (
-            ds.store_sales.join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-            .join(
-                F.broadcast(
-                    ds.date_dim.where(
-                        (_C("d_year") == year) & (_C("d_moy") == 12)
-                    )
-                ),
-                _C("ss_sold_date") == _C("d_date"),
-            )
-            .join(
+    d = _C("o_orderdate").cast("date")
+    weeks = (
+        l.where(_C("l_linenumber") % 3 == 0)
+        .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            o.where(
+                (F.month(_C("o_orderdate").cast("date")) == 12)
+                & F.year(_C("o_orderdate").cast("date")).isin(1996, 1997)
+            ).select("o_orderkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .join(F.broadcast(ds.item), _C("l_partkey") == _C("i_item_sk"))
+        .join(
+            F.broadcast(
                 cross_bcc.withColumnRenamed("i_brand", "b")
                 .withColumnRenamed("i_class", "c")
-                .withColumnRenamed("i_category", "ct"),
-                (_C("i_brand") == _C("b"))
-                & (_C("i_class") == _C("c"))
-                & (_C("i_category") == _C("ct")),
-                "left_semi",
-            )
-            .groupBy(_C("i_brand").alias("brand"), _C("i_class").alias("cls"))
-            .agg(F.sum(_cents(_C("ss_net_paid"))).alias("cents"))
+                .withColumnRenamed("i_category", "ct")
+            ),
+            (_C("i_brand") == _C("b"))
+            & (_C("i_class") == _C("c"))
+            & (_C("i_category") == _C("ct")),
+            "left_semi",
         )
-
-    ty = week(1997).alias("ty")
-    ly = week(1996).alias("ly")
+        .groupBy(_C("i_brand").alias("brand"), _C("i_class").alias("cls"))
+        .agg(
+            F.sum(F.when(F.year(d) == 1997, _cents(net))).alias("__ty_c"),
+            F.sum(F.when(F.year(d) == 1996, _cents(net))).alias("__ly_c"),
+        )
+        .where(_C("__ty_c").isNotNull() & _C("__ly_c").isNotNull())
+    )
     return (
-        ty.join(
-            ly,
-            (_C("ty.brand") == _C("ly.brand")) & (_C("ty.cls") == _C("ly.cls")),
-        )
-        .join(F.broadcast(avg_sales))
-        .where(_C("ty.cents").cast("double") > _C("avg_c"))
+        weeks.join(F.broadcast(avg_sales))
+        .where(_C("__ty_c").cast("double") > _C("avg_c"))
         .select(
-            _C("ty.brand").alias("brand"),
-            _C("ty.cls").alias("cls"),
-            (F.floor(_C("ty.cents") / 100.0 + F.lit(0.5)) / 100).alias(
+            "brand",
+            "cls",
+            (F.floor(_C("__ty_c") / 100.0 + F.lit(0.5)) / 100).alias(
                 "this_year"
             ),
-            (F.floor(_C("ly.cents") / 100.0 + F.lit(0.5)) / 100).alias(
+            (F.floor(_C("__ly_c") / 100.0 + F.lit(0.5)) / 100).alias(
                 "last_year"
             ),
         )

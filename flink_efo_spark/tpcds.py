@@ -272,31 +272,25 @@ class _DS:
 
     @property
     def date_dim(self) -> DataFrame:
-        # Memoized per _DS instance (one instance per query
-        # invocation — nothing survives across runs) and pinned:
-        # date_dim is DERIVED (a scan of both base tables' date
-        # columns + a distinct), and queries that join it 2-3 times
-        # would otherwise re-execute that derivation per reference
-        # (guide §5 — compute shared inputs once). The pinned table
-        # is a few thousand 5-column rows in one partition; the
-        # broadcast joins against it are unchanged.
-        memo = getattr(self, "_date_dim_memo", None)
-        if memo is not None:
-            return memo
+        # Deliberately NOT memoized/checkpointed: the derivation stays
+        # inline in each consumer's plan so Catalyst pushes the
+        # query's d_year/d_moy/d_date predicates and column pruning
+        # THROUGH the distinct+union into the base scans. An eager
+        # pinned copy was measured 2x slower on the date-heavy
+        # queries (q64 5.6 -> 10.5 s) because every consumer then
+        # pays the full unpruned derivation up front.
         dates = (
             self.t.orders.select(_C("o_orderdate").cast("date").alias("d_date"))
             .union(self.t.lineitem.select(_C("l_shipdate").cast("date").alias("d_date")))
             .distinct()
         )
-        out = dates.select(
+        return dates.select(
             "d_date",
             F.year("d_date").cast("bigint").alias("d_year"),
             F.month("d_date").cast("bigint").alias("d_moy"),
             F.quarter("d_date").cast("bigint").alias("d_qoy"),
             F.dayofmonth("d_date").cast("bigint").alias("d_dom"),
-        ).coalesce(1).localCheckpoint(eager=True)
-        self._date_dim_memo = out
-        return out
+        )
 
     @property
     def item(self) -> DataFrame:

@@ -1708,48 +1708,60 @@ def q_tpcds_q75(ds: _DS) -> DataFrame:
     UNION ALL'd, aggregated, then self-joined on adjacent years. Net
     quantities and amounts are exact BIGINTs end to end."""
 
-    def chan(fact, ret, keys, date_k, item_k, qty, paid, rqty, ramt):
-        joined = fact.join(ret, keys, "left")
-        return joined.select(
-            _C(date_k).alias("sold_date"),
-            _C(item_k).alias("item_sk"),
-            F.round(_C(qty) - F.coalesce(_C(rqty), F.lit(0)), 0)
+    # Fused sales_detail (oracle keeps the textbook per-channel fact
+    # LEFT JOIN returns CTEs): each channel's returns table is the
+    # R-flagged subset of the same lineitem slice and the customer-
+    # key equality is implied by the order key, so the three
+    # fact⋈returns joins ARE one lineitem self-join on (channel,
+    # order, item) — the per-pair round((paid−amt)·1e4) is NOT linear
+    # in its operands, so the exact pair rows are kept (no
+    # pre-aggregation), but the six orders derivations collapse to a
+    # single year-lookup join on the pair rows. 2 lineitem scans +
+    # 1 orders scan vs 6 lineitem + 6 orders scans and 3 fan-out
+    # joins over 6-column derived facts.
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _C("l_extendedprice") * (1 - _C("l_discount"))
+    ch = _C("l_linenumber") % 3
+    sales = l.select(
+        ch.alias("__ch"),
+        _C("l_orderkey").alias("__ok"),
+        _C("l_partkey").alias("item_sk"),
+        _C("l_quantity").alias("__sq"),
+        net.alias("__spaid"),
+    )
+    rets = l.where(_C("l_returnflag") == "R").select(
+        ch.alias("__rch"),
+        _C("l_orderkey").alias("__rok"),
+        _C("l_partkey").alias("__rpk"),
+        _C("l_quantity").alias("__rq"),
+        net.alias("__ramt"),
+    )
+    sd = (
+        sales.join(
+            rets,
+            (_C("__ch") == _C("__rch"))
+            & (_C("__ok") == _C("__rok"))
+            & (_C("item_sk") == _C("__rpk")),
+            "left",
+        )
+        .select(
+            "__ok",
+            "item_sk",
+            F.round(_C("__sq") - F.coalesce(_C("__rq"), F.lit(0)), 0)
             .cast("bigint")
             .alias("qty"),
             F.round(
-                (_C(paid) - F.coalesce(_C(ramt), F.lit(0))) * 10000, 0
+                (_C("__spaid") - F.coalesce(_C("__ramt"), F.lit(0))) * 10000, 0
             ).cast("bigint").alias("cents"),
         )
-
-    sd = chan(
-        ds.store_sales, ds.store_returns,
-        (_C("ss_item_sk") == _C("sr_item_sk"))
-        & (_C("ss_ticket_number") == _C("sr_ticket_number"))
-        & (_C("ss_customer_sk") == _C("sr_customer_sk")),
-        "ss_sold_date", "ss_item_sk", "ss_quantity", "ss_net_paid",
-        "sr_return_quantity", "sr_return_amt",
-    ).unionAll(
-        chan(
-            ds.catalog_sales, ds.catalog_returns,
-            (_C("cs_item_sk") == _C("cr_item_sk"))
-            & (_C("cs_order_number") == _C("cr_order_number"))
-            & (_C("cs_customer_sk") == _C("cr_customer_sk")),
-            "cs_sold_date", "cs_item_sk", "cs_quantity", "cs_net_paid",
-            "cr_return_quantity", "cr_return_amt",
-        )
-    ).unionAll(
-        chan(
-            ds.web_sales, ds.web_returns,
-            (_C("ws_item_sk") == _C("wr_item_sk"))
-            & (_C("ws_order_number") == _C("wr_order_number"))
-            & (_C("ws_customer_sk") == _C("wr_customer_sk")),
-            "ws_sold_date", "ws_item_sk", "ws_quantity", "ws_net_paid",
-            "wr_return_quantity", "wr_return_amt",
-        )
+    )
+    years = o.select(
+        _C("o_orderkey").alias("__yok"),
+        F.year(_C("o_orderdate").cast("date")).cast("bigint").alias("d_year"),
     )
     all_sales = (
         sd.join(ds.item, _C("item_sk") == _C("i_item_sk"))
-        .join(ds.date_dim, _C("sold_date") == _C("d_date"))
+        .join(years, _C("__ok") == _C("__yok"))
         .groupBy("d_year", "i_brand")
         .agg(F.sum("qty").alias("sales_cnt"), F.sum("cents").alias("amt_cents"))
     )
@@ -1906,41 +1918,61 @@ def q_tpcds_q49(ds: _DS) -> DataFrame:
     """TPC-DS Q49: worst return ratios per channel — per-channel
     item-level returns/sales ratio (exact-cent BIGINTs, so the ratio
     and its rank order are bit-stable), ranked within each channel,
-    top 10 of the three channels UNION ALL'd."""
+    top 10 of the three channels UNION ALL'd.
 
-    def chan(fact, ret, tag, p, rp, order):
-        joined = fact.join(
-            ret,
-            (_C(p + "item_sk") == _C(rp + "item_sk"))
-            & (_C(p + order) == _C(rp + order))
-            & (_C(p + "customer_sk") == _C(rp + "customer_sk")),
-            "left",
-        )
-        return (
-            joined.groupBy(_C(p + "item_sk").alias("item_sk"))
-            .agg(
-                F.sum(
-                    _cents(F.coalesce(_C(rp + "return_amt"), F.lit(0)))
-                ).alias("__ret"),
-                F.sum(_cents(_C(p + "net_paid"))).alias("__sales"),
-            )
-            .where(_C("__ret") > 0)
-            .select(
-                F.lit(tag).alias("channel"),
-                "item_sk",
-                F.round(_C("__ret") / _C("__sales"), 6).alias("return_ratio"),
-            )
-        )
+    Fused plan (the oracle keeps the textbook per-channel fact LEFT
+    JOIN returns): each channel's returns table is the R-flagged
+    SUBSET of the same lineitem slice, the customer-key equality in
+    the join is implied by the order key (o_custkey is functionally
+    determined by o_orderkey), and no orders column survives into
+    the aggregates — so the three fact⋈returns joins collapse into
+    ONE lineitem scan with two stacked aggregations. Per join group
+    g = (channel, order, item) the pair-sum decomposes exactly
+    (cents() is applied per VALUE, so the sums are linear):
 
+        Σ_pairs cents(return_amt)  = n_rows(g) · Σ_{R rows} cents(net)
+        Σ_pairs cents(net_paid)    = max(n_ret(g), 1) · Σ_all cents(net)
+
+    (return_amt and net_paid are the same l_extendedprice·(1−l_disc)
+    expression in the derived schema). 1 scan + 2 key shuffles vs
+    6 fact/returns derivations (each a lineitem⋈orders join) + 3
+    channel joins; no orders scan at all."""
+    l = ds.t.lineitem
+    net_c = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    per_group = (
+        l.select(
+            (_C("l_linenumber") % 3).alias("__ch"),
+            _C("l_orderkey").alias("__ok"),
+            _C("l_partkey").alias("item_sk"),
+            net_c.alias("__net_c"),
+            (_C("l_returnflag") == "R").alias("__isr"),
+        )
+        .groupBy("__ch", "__ok", "item_sk")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(_C("__isr"), 1)).alias("__nr"),
+            F.sum("__net_c").alias("__net_sum"),
+            F.sum(F.when(_C("__isr"), _C("__net_c"))).alias("__ret_sum"),
+        )
+    )
     unioned = (
-        chan(ds.store_sales, ds.store_returns, "store", "ss_", "sr_", "ticket_number")
-        .unionAll(
-            chan(ds.catalog_sales, ds.catalog_returns, "catalog", "cs_", "cr_",
-                 "order_number")
+        per_group.groupBy("__ch", "item_sk")
+        .agg(
+            F.sum(
+                _C("__n") * F.coalesce(_C("__ret_sum"), F.lit(0))
+            ).alias("__ret"),
+            F.sum(
+                F.greatest(_C("__nr"), F.lit(1)) * _C("__net_sum")
+            ).alias("__sales"),
         )
-        .unionAll(
-            chan(ds.web_sales, ds.web_returns, "web", "ws_", "wr_",
-                 "order_number")
+        .where(_C("__ret") > 0)
+        .select(
+            F.element_at(
+                F.array(F.lit("store"), F.lit("catalog"), F.lit("web")),
+                (_C("__ch") + 1).cast("int"),
+            ).alias("channel"),
+            "item_sk",
+            F.round(_C("__ret") / _C("__sales"), 6).alias("return_ratio"),
         )
     )
     w = Window.partitionBy("channel").orderBy(
@@ -2005,19 +2037,42 @@ def q_tpcds_q64(ds: _DS) -> DataFrame:
     the CTE self-joined on adjacent years where repeat volume did not
     grow. Exercises Catalyst's join reordering across 8 relations +
     aggregate reuse across the self-join."""
-    cs_ui = (
-        ds.catalog_sales.join(
-            ds.catalog_returns,
-            (_C("cs_item_sk") == _C("cr_item_sk"))
-            & (_C("cs_order_number") == _C("cr_order_number"))
-            & (_C("cs_customer_sk") == _C("cr_customer_sk")),
-            "left",
+    # cs_ui fused to one lineitem pass (oracle keeps the textbook
+    # fact LEFT JOIN returns): catalog_returns is the R-flagged
+    # subset of the same catalog lineitem slice, the customer-key
+    # join equality is implied by the order key, and the HAVING sums
+    # are per-VALUE cents — so the join collapses into two stacked
+    # aggregations, exactly the q49 decomposition:
+    #   Σ_pairs cents(cs_net_paid)   = max(n_ret(g),1)·Σ_all cents(net)
+    #   Σ_pairs cents(cr_return_amt) = n_rows(g)·Σ_{R rows} cents(net)
+    # per join group g = (order, item). No orders scan, no fact-fact
+    # shuffle join.
+    l = ds.t.lineitem
+    net_c = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    cs_grp = (
+        l.where(_C("l_linenumber") % 3 == 1)
+        .select(
+            _C("l_orderkey").alias("__ok"),
+            _C("l_partkey").alias("ui_item_sk"),
+            net_c.alias("__net_c"),
+            (_C("l_returnflag") == "R").alias("__isr"),
         )
-        .groupBy(_C("cs_item_sk").alias("ui_item_sk"))
+        .groupBy("__ok", "ui_item_sk")
         .agg(
-            F.sum(_cents(_C("cs_net_paid"))).alias("__sale"),
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(_C("__isr"), 1)).alias("__nr"),
+            F.sum("__net_c").alias("__net_sum"),
+            F.sum(F.when(_C("__isr"), _C("__net_c"))).alias("__ret_sum"),
+        )
+    )
+    cs_ui = (
+        cs_grp.groupBy("ui_item_sk")
+        .agg(
             F.sum(
-                F.coalesce(_cents(_C("cr_return_amt")), F.lit(0))
+                F.greatest(_C("__nr"), F.lit(1)) * _C("__net_sum")
+            ).alias("__sale"),
+            F.sum(
+                _C("__n") * F.coalesce(_C("__ret_sum"), F.lit(0))
             ).alias("__refund"),
         )
         .where(_C("__sale") > 3 * _C("__refund"))
@@ -2043,6 +2098,17 @@ def q_tpcds_q64(ds: _DS) -> DataFrame:
                 F.floor(F.sum(_cents(_C("ss_net_paid"))) / 100 + F.lit(0.5)) / 100
             ).alias("s1"),
         )
+    )
+    # The adjacent-year self-join reads cross_sales twice; the join +
+    # WHERE restrict it to syear ∈ {1998, 1999} (cs1.syear = 1998,
+    # cs2.syear = cs1.syear + 1), so pin exactly that two-year slice
+    # once (guide §5 — the CTE is a small per-(item, store, state,
+    # year) decision table) instead of re-deriving the whole 8-way
+    # join tree per side.
+    cross_sales = (
+        cross_sales.where(_C("syear").isin(1998, 1999))
+        .coalesce(ds.t.spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     cs2 = cross_sales.select(
         _C("item_sk").alias("__i2"), _C("store_name").alias("__st2"),
@@ -6220,46 +6286,83 @@ def q_tpcds_q80(ds: _DS) -> DataFrame:
     lo, hi = "1995-03-01", "1995-03-31"
     pricey = ds.item.where(_C("i_current_price") > 905).select("i_item_sk")
 
-    def chan(label, fact, rets, p, rp, order_col, loc):
-        r = rets.select(
-            _C(rp + "item_sk").alias("r_item"),
-            _C(rp + order_col).alias("r_ord"),
-            _cents(_C(rp + "return_amt")).alias("ret_c0"),
+    # Fused plan (oracle keeps the textbook per-channel CTEs): each
+    # channel's returns table is the R-flagged subset of the same
+    # lineitem slice and the rollup only ever SUMS the per-pair
+    # columns, so the three fact⋈returns joins collapse to one
+    # lineitem pass LEFT-joined to a pre-aggregated returns summary
+    # keyed (channel, order, item) — per sales row s with n matching
+    # returns the pair-sums are
+    #     Σ sales_c = max(n,1)·cents(net_paid_s)
+    #     Σ ret_c   = Σ_{R rows in g} cents(return_amt)
+    #     Σ prof_c  = max(n,1)·cents(net_profit_s) − Σ ret_c
+    # (cents() per VALUE ⇒ linear). The returns side needs no orders
+    # or date filter, the sales side joins orders once (March-1995
+    # keys only): 2 lineitem scans + 1 orders scan + 1 narrow join
+    # vs 6 fact/returns derivations (6 lineitem + 6 orders scans) +
+    # 3 fan-out channel joins.
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _C("l_extendedprice") * (1 - _C("l_discount"))
+    prof = net - _C("l_extendedprice") * 0.8
+    ch = _C("l_linenumber") % 3
+    rg = (
+        l.where(_C("l_returnflag") == "R")
+        .select(
+            ch.alias("__rch"),
+            _C("l_orderkey").alias("__rok"),
+            _C("l_partkey").alias("__rpk"),
+            _cents(net).alias("__ret_c"),
         )
-        return (
-            fact.where(_C(p + "sold_date").between(lo, hi))
-            .join(
-                r,
-                (_C(p + "item_sk") == _C("r_item"))
-                & (_C(p + order_col) == _C("r_ord")),
-                "left",
-            )
-            .join(F.broadcast(ds.store), _C(p + loc) == _C("s_store_sk"))
-            .join(
-                F.broadcast(pricey), _C(p + "item_sk") == _C("i_item_sk")
-            )
-            .select(
-                F.lit(label).alias("channel"),
-                _C("s_store_name").alias("id"),
-                _cents(_C(p + "net_paid")).alias("sales_c"),
-                F.coalesce(_C("ret_c0"), F.lit(0)).alias("ret_c"),
-                (
-                    _cents(_C(p + "net_profit"))
-                    - F.coalesce(_C("ret_c0"), F.lit(0))
-                ).alias("prof_c"),
-            )
+        .groupBy("__rch", "__rok", "__rpk")
+        .agg(
+            F.count(F.lit(1)).alias("__nr"),
+            F.sum("__ret_c").alias("__ret_sum"),
         )
-
+    )
     unioned = (
-        chan("store channel", ds.store_sales, ds.store_returns, "ss_",
-             "sr_", "ticket_number", "store_sk")
-        .unionByName(
-            chan("catalog channel", ds.catalog_sales, ds.catalog_returns,
-                 "cs_", "cr_", "order_number", "warehouse_sk")
+        l.select(
+            ch.alias("__ch"),
+            "l_orderkey",
+            _C("l_partkey").alias("__pk"),
+            _C("l_suppkey").alias("__loc"),
+            _cents(net).alias("__paid_c"),
+            _cents(prof).alias("__prof_c"),
         )
-        .unionByName(
-            chan("web channel", ds.web_sales, ds.web_returns, "ws_",
-                 "wr_", "order_number", "warehouse_sk")
+        .join(
+            o.where(_C("o_orderdate").cast("date").between(lo, hi)).select(
+                "o_orderkey"
+            ),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .join(
+            rg,
+            (_C("__ch") == _C("__rch"))
+            & (_C("l_orderkey") == _C("__rok"))
+            & (_C("__pk") == _C("__rpk")),
+            "left",
+        )
+        .join(F.broadcast(ds.store), _C("__loc") == _C("s_store_sk"))
+        .join(F.broadcast(pricey), _C("__pk") == _C("i_item_sk"))
+        .select(
+            F.element_at(
+                F.array(
+                    F.lit("store channel"),
+                    F.lit("catalog channel"),
+                    F.lit("web channel"),
+                ),
+                (_C("__ch") + 1).cast("int"),
+            ).alias("channel"),
+            _C("s_store_name").alias("id"),
+            (
+                F.greatest(F.coalesce(_C("__nr"), F.lit(0)), F.lit(1))
+                * _C("__paid_c")
+            ).alias("sales_c"),
+            F.coalesce(_C("__ret_sum"), F.lit(0)).alias("ret_c"),
+            (
+                F.greatest(F.coalesce(_C("__nr"), F.lit(0)), F.lit(1))
+                * _C("__prof_c")
+                - F.coalesce(_C("__ret_sum"), F.lit(0))
+            ).alias("prof_c"),
         )
     )
     return unioned.rollup("channel", "id").agg(

@@ -246,6 +246,44 @@ class _DS:
             )
         )
 
+    def _returns_slim(self, channel: int, p: str, loc: str, order: str) -> DataFrame:
+        """``_returns`` minus the orders join: every returns column
+        except ``<p>customer_sk`` is a pure lineitem expression, and
+        the derivation's inner orders join is row-preserving (every
+        l_orderkey has exactly one order), so consumers that never
+        touch customer_sk get identical rows one join cheaper —
+        Catalyst cannot eliminate the unused inner join itself
+        because it does not know the FK (guide §2.4)."""
+        l = self.t.lineitem
+        return (
+            l.where(
+                (_C("l_linenumber") % 3 == channel)
+                & (_C("l_returnflag") == "R")
+            )
+            .select(
+                _C("l_shipdate").cast("date").alias(p + "returned_date"),
+                _C("l_partkey").alias(p + "item_sk"),
+                _C("l_suppkey").alias(p + loc),
+                _C("l_orderkey").alias(p + order),
+                _C("l_quantity").alias(p + "return_quantity"),
+                (_C("l_extendedprice") * (1 - _C("l_discount"))).alias(
+                    p + "return_amt"
+                ),
+            )
+        )
+
+    @property
+    def store_returns_slim(self) -> DataFrame:
+        return self._returns_slim(0, "sr_", "store_sk", "ticket_number")
+
+    @property
+    def catalog_returns_slim(self) -> DataFrame:
+        return self._returns_slim(1, "cr_", "warehouse_sk", "order_number")
+
+    @property
+    def web_returns_slim(self) -> DataFrame:
+        return self._returns_slim(2, "wr_", "warehouse_sk", "order_number")
+
     @property
     def store_sales(self) -> DataFrame:
         return self._fact(0, "ss_", "store_sk", "ticket_number")
@@ -1234,7 +1272,7 @@ def q_tpcds_q95(ds: _DS) -> DataFrame:
         .where(_C("d_year") == 2000)
         .join(multi_wh, _C("ws_order_number") == _C("order_number"), "left_semi")
         .join(
-            ds.web_returns.select("wr_order_number"),
+            ds.web_returns_slim.select("wr_order_number"),
             _C("ws_order_number") == _C("wr_order_number"),
             "left_anti",
         )
@@ -2504,7 +2542,7 @@ def q_tpcds_q16(ds: _DS) -> DataFrame:
         cs.join(F.broadcast(dd), _C("cs_ship_date") == _C("d_date"))
         .join(multi_wh, _C("cs_order_number") == _C("__ok"), "left_semi")
         .join(
-            ds.catalog_returns.select(
+            ds.catalog_returns_slim.select(
                 _C("cr_order_number").alias("__rk")
             ),
             _C("cs_order_number") == _C("__rk"),
@@ -2841,11 +2879,11 @@ def q_tpcds_q5(ds: _DS) -> DataFrame:
 
     x = (
         sales_leg(ds.store_sales, "ss_", "store")
-        .unionAll(ret_leg(ds.store_returns, "sr_", "store"))
+        .unionAll(ret_leg(ds.store_returns_slim, "sr_", "store"))
         .unionAll(sales_leg(ds.catalog_sales, "cs_", "catalog"))
-        .unionAll(ret_leg(ds.catalog_returns, "cr_", "catalog"))
+        .unionAll(ret_leg(ds.catalog_returns_slim, "cr_", "catalog"))
         .unionAll(sales_leg(ds.web_sales, "ws_", "web"))
-        .unionAll(ret_leg(ds.web_returns, "wr_", "web"))
+        .unionAll(ret_leg(ds.web_returns_slim, "wr_", "web"))
     )
     dd = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_moy") <= 6))
     return (
@@ -3083,7 +3121,7 @@ def q_tpcds_q78(ds: _DS) -> DataFrame:
     one IEEE division of identical operands)."""
     unret = (
         ds.store_sales.join(
-            ds.store_returns.select(
+            ds.store_returns_slim.select(
                 _C("sr_ticket_number").alias("__rt"),
                 _C("sr_item_sk").alias("__ri"),
             ),
@@ -3867,7 +3905,7 @@ def q_tpcds_q50(ds: _DS) -> DataFrame:
     bucketing in one agg pass."""
     return (
         ds.store_sales.join(
-            ds.store_returns,
+            ds.store_returns_slim,
             (_C("ss_ticket_number") == _C("sr_ticket_number"))
             & (_C("ss_item_sk") == _C("sr_item_sk")),
         )
@@ -4250,7 +4288,7 @@ def q_tpcds_q40(ds: _DS) -> DataFrame:
     )
     return (
         ds.catalog_sales.join(
-            ds.catalog_returns.select(
+            ds.catalog_returns_slim.select(
                 _C("cr_order_number"), _C("cr_item_sk"), _C("cr_return_amt")
             ),
             (_C("cs_order_number") == _C("cr_order_number"))
@@ -5544,7 +5582,7 @@ def q_tpcds_q72(ds: _DS) -> DataFrame:
         )
         .distinct()
     )
-    r = ds.catalog_returns.select("cr_item_sk", "cr_order_number").distinct()
+    r = ds.catalog_returns_slim.select("cr_item_sk", "cr_order_number").distinct()
     return (
         c.join(
             w,
@@ -6173,11 +6211,11 @@ def q_tpcds_q77(ds: _DS) -> DataFrame:
         )
 
     ss = sales_agg(ds.store_sales, "ss_", "store_sk")
-    sr = ret_agg(ds.store_returns, "sr_", "store_sk")
+    sr = ret_agg(ds.store_returns_slim, "sr_", "store_sk")
     cs = sales_agg(ds.catalog_sales, "cs_", "warehouse_sk")
-    cr = ret_agg(ds.catalog_returns, "cr_", "warehouse_sk")
+    cr = ret_agg(ds.catalog_returns_slim, "cr_", "warehouse_sk")
     ws = sales_agg(ds.web_sales, "ws_", "warehouse_sk")
-    wr = ret_agg(ds.web_returns, "wr_", "warehouse_sk")
+    wr = ret_agg(ds.web_returns_slim, "wr_", "warehouse_sk")
 
     store = ss.join(sr, _C("sk") == _C("rk"), "left").select(
         F.lit("store channel").alias("channel"),

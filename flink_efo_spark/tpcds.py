@@ -60,6 +60,19 @@ def _exact_avg_sql(x: str, scale: int) -> str:
     )
 
 
+def _year_range(c, y0: int, y1: int | None = None):
+    """year(c) ∈ [y0, y1] as a half-open range predicate on the date
+    column itself. Unlike ``year(c) == Y`` (opaque to the scan), the
+    range survives Catalyst's cast-unwrapping into the parquet scan's
+    PushedFilters (guide §6) — identical rows (the session TZ is
+    pinned UTC, so cast(ts as date) truncation and the range agree),
+    but at scale the scan prunes row groups instead of decoding every
+    date value."""
+    lo = F.lit(f"{y0}-01-01").cast("date")
+    hi = F.lit(f"{(y1 if y1 is not None else y0) + 1}-01-01").cast("date")
+    return (c >= lo) & (c < hi)
+
+
 def _cents(c, scale: int = 10000):
     """Exact BIGINT snap of a fixed-point double column (×scale).
 
@@ -694,35 +707,40 @@ def q_tpcds_q23(ds: _DS) -> DataFrame:
     ),
 )
 def q_tpcds_q25(ds: _DS) -> DataFrame:
-    """TPC-DS Q25: buy-in-store → return → re-buy-by-catalog. Two
-    fact-fact joins on (customer, item[, ticket]) plus date_dim
-    joined three times under different aliases — the classic
-    multi-fact chain the TPC-DS star generator stresses."""
-    d1 = ds.date_dim.select(_C("d_date").alias("d1_date"), _C("d_year").alias("d1_year"))
-    d2 = ds.date_dim.select(_C("d_date").alias("d2_date"), _C("d_year").alias("d2_year"))
-    d3 = ds.date_dim.select(_C("d_date").alias("d3_date"), _C("d_year").alias("d3_year"))
+    """TPC-DS Q25: buy-in-store → return → re-buy-by-catalog. The
+    oracle keeps the textbook multi-fact chain with date_dim joined
+    three times; the Spark plan exploits the derivation facts the
+    optimizer cannot see: every fact date is in date_dim by
+    construction and d_date is unique, so each date_dim alias join +
+    d_year filter is exactly a year() predicate pushed into the base
+    scan (no date_dim derivation at all); the ss⋈sr customer-key
+    equality is implied by the ticket key (same order ⇒ same
+    customer), so the returns side is the lineitem-only slim
+    derivation — one orders join fewer. 3 date_dim derivations
+    (each 2 scans + a distinct) + 1 orders join removed; the fact
+    aggregates are per-row pair sums, unchanged."""
+    ss = ds.store_sales.where(
+        _year_range(_C("ss_sold_date"), 1996, 2000)
+    )
+    sr = ds.store_returns_slim.where(
+        _year_range(_C("sr_returned_date"), 1996, 2000)
+    )
+    cs = ds.catalog_sales.where(
+        _year_range(_C("cs_sold_date"), 1996, 2000)
+    )
     return (
-        ds.store_sales.join(
-            ds.store_returns,
-            (_C("ss_customer_sk") == _C("sr_customer_sk"))
-            & (_C("ss_item_sk") == _C("sr_item_sk"))
+        ss.join(
+            sr,
+            (_C("ss_item_sk") == _C("sr_item_sk"))
             & (_C("ss_ticket_number") == _C("sr_ticket_number")),
         )
         .join(
-            ds.catalog_sales,
-            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            cs,
+            (_C("ss_customer_sk") == _C("cs_customer_sk"))
             & (_C("sr_item_sk") == _C("cs_item_sk")),
         )
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
-        .join(d1, _C("ss_sold_date") == _C("d1_date"))
-        .join(d2, _C("sr_returned_date") == _C("d2_date"))
-        .join(d3, _C("cs_sold_date") == _C("d3_date"))
-        .where(
-            _C("d1_year").between(1996, 2000)
-            & _C("d2_year").between(1996, 2000)
-            & _C("d3_year").between(1996, 2000)
-        )
         .groupBy("i_item_desc", "s_store_name")
         .agg(
             _exact_money_sum(_C("ss_net_profit")).alias("store_profit"),
@@ -1203,7 +1221,13 @@ def q_tpcds_q88(ds: _DS) -> DataFrame:
 def q_tpcds_q93(ds: _DS) -> DataFrame:
     """TPC-DS Q93: net revenue per customer after netting out
     returned quantity — fact LEFT JOIN its returns on the ticket
-    key, CASE on the null-extended side, reaggregate."""
+    key, CASE on the null-extended side, reaggregate. The returns
+    side is the lineitem-only slim derivation: the customer-key
+    equality in the join is implied by the ticket key (same order ⇒
+    same customer), so dropping it — and the orders join that
+    produced sr_customer_sk — matches exactly the same rows one
+    lineitem⋈orders join cheaper (the oracle keeps the textbook
+    3-key join)."""
     act = F.when(
         _C("sr_ticket_number").isNotNull(),
         (_C("ss_quantity") - _C("sr_return_quantity"))
@@ -1211,10 +1235,9 @@ def q_tpcds_q93(ds: _DS) -> DataFrame:
     ).otherwise(_C("ss_net_paid"))
     return (
         ds.store_sales.join(
-            ds.store_returns,
+            ds.store_returns_slim,
             (_C("ss_item_sk") == _C("sr_item_sk"))
-            & (_C("ss_ticket_number") == _C("sr_ticket_number"))
-            & (_C("ss_customer_sk") == _C("sr_customer_sk")),
+            & (_C("ss_ticket_number") == _C("sr_ticket_number")),
             "left",
         )
         .select(_C("ss_customer_sk").alias("customer_sk"), act.alias("act_sales"))
@@ -1896,7 +1919,7 @@ def q_tpcds_q87(ds: _DS) -> DataFrame:
     flags = (
         l.select("l_orderkey", (_C("l_linenumber") % 3).alias("__ch"))
         .join(
-            o.where(F.year(_C("o_orderdate").cast("date")) == 2000).select(
+            o.where(_year_range(_C("o_orderdate").cast("date"), 2000)).select(
                 "o_orderkey", "o_custkey"
             ),
             _C("l_orderkey") == _C("o_orderkey"),
@@ -2274,7 +2297,7 @@ def _q4_year_total(ds: _DS) -> DataFrame:
     return (
         l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
         .join(
-            o.where(F.year(_C("o_orderdate").cast("date")).isin(1997, 1998))
+            o.where(_year_range(_C("o_orderdate").cast("date"), 1997, 1998))
             .select("o_orderkey", "o_custkey", "o_orderdate"),
             _C("l_orderkey") == _C("o_orderkey"),
         )
@@ -2658,7 +2681,7 @@ def q_tpcds_q35(ds: _DS) -> DataFrame:
     cust_stats = (
         l.select("l_orderkey", (_C("l_linenumber") % 3).alias("__ch"))
         .join(
-            o.where(F.year(_C("o_orderdate").cast("date")) == 1997).select(
+            o.where(_year_range(_C("o_orderdate").cast("date"), 1997)).select(
                 "o_orderkey", "o_custkey"
             ),
             _C("l_orderkey") == _C("o_orderkey"),
@@ -2716,12 +2739,14 @@ def q_tpcds_q67(ds: _DS) -> DataFrame:
     partitions from the rollup rank among themselves, the original's
     semantics) keeping the top 3 per partition. rank() over the
     exact-cent sums ties identically on both engines. One
-    expand-shuffle for the rollup, one window shuffle on i_category."""
+    expand-shuffle for the rollup, one window shuffle on i_category.
+    The date_dim join reads no d_* column and every ss_sold_date is
+    in date_dim by construction (d_date unique), so it is replaced by
+    the equivalent year() predicate pushed into the orders scan — the
+    date_dim derivation (2 scans + a distinct) drops out of the plan
+    (the oracle keeps the textbook dim join)."""
     grid = (
-        ds.store_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("ss_sold_date") == _C("d_date"),
-        )
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1997))
         .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
         .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
         .rollup("i_category", "i_class", "i_brand", "s_store_name")
@@ -2766,47 +2791,44 @@ def q_tpcds_q67(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q97(ds: _DS) -> DataFrame:
     """TPC-DS Q97 (query97.sql): cross-channel (customer, item)
-    overlap — distinct pairs per channel FULL OUTER JOINed, counting
-    store-only / catalog-only / both. The distinct collapses the
-    facts BEFORE the join (two dedup shuffles + one co-partitioned
-    full-outer shuffle on the pair key); conditional counts in one
-    final single-row agg."""
-    dd = ds.date_dim.where(_C("d_year") == 1997)
-    ssci = (
-        ds.store_sales.join(
-            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
-        )
+    overlap — store-only / catalog-only / both counts. The oracle
+    keeps the textbook two-distinct + FULL OUTER JOIN; the Spark plan
+    exploits what the optimizer cannot see (the q87 fusion): the two
+    channel facts partition ONE lineitem scan by l_linenumber % 3,
+    every fact sold_date is an o_orderdate (the date_dim equi-join is
+    exactly a year filter pushed into the orders scan), and keys are
+    never NULL — so the overlap falls out of one lineitem⋈orders pass
+    grouped by (customer, item) with per-channel presence flags:
+    1 fact scan + 1 pair-key shuffle instead of 2 fact⋈dim joins +
+    2 distinct shuffles + a full-outer shuffle."""
+    l, o = ds.t.lineitem, ds.t.orders
+    flags = (
+        l.where(_C("l_linenumber") % 3 <= 1)
         .select(
-            _C("ss_customer_sk").alias("s_ck"), _C("ss_item_sk").alias("s_ik")
+            "l_orderkey", "l_partkey", (_C("l_linenumber") % 3).alias("__ch")
         )
-        .distinct()
-    )
-    csci = (
-        ds.catalog_sales.join(
-            F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
+        .join(
+            o.where(_year_range(_C("o_orderdate").cast("date"), 1997)).select(
+                "o_orderkey", "o_custkey"
+            ),
+            _C("l_orderkey") == _C("o_orderkey"),
         )
-        .select(
-            _C("cs_customer_sk").alias("c_ck"), _C("cs_item_sk").alias("c_ik")
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.max(_C("__ch") == 0).alias("__s"),
+            F.max(_C("__ch") == 1).alias("__c"),
         )
-        .distinct()
     )
-    both = ssci.join(
-        csci,
-        (_C("s_ck") == _C("c_ck")) & (_C("s_ik") == _C("c_ik")),
-        "full_outer",
-    )
-    return both.agg(
-        F.sum(
-            F.when(_C("s_ck").isNotNull() & _C("c_ck").isNull(), 1).otherwise(0)
-        ).alias("store_only"),
-        F.sum(
-            F.when(_C("s_ck").isNull() & _C("c_ck").isNotNull(), 1).otherwise(0)
-        ).alias("catalog_only"),
-        F.sum(
-            F.when(_C("s_ck").isNotNull() & _C("c_ck").isNotNull(), 1).otherwise(
-                0
-            )
-        ).alias("store_and_catalog"),
+    return flags.agg(
+        F.sum(F.when(_C("__s") & ~_C("__c"), 1).otherwise(0)).alias(
+            "store_only"
+        ),
+        F.sum(F.when(~_C("__s") & _C("__c"), 1).otherwise(0)).alias(
+            "catalog_only"
+        ),
+        F.sum(F.when(_C("__s") & _C("__c"), 1).otherwise(0)).alias(
+            "store_and_catalog"
+        ),
     )
 
 
@@ -5565,7 +5587,7 @@ def q_tpcds_q72(ds: _DS) -> DataFrame:
     rides the natural (item, week) key; dims broadcast."""
     c = (
         ds.catalog_sales.where(
-            (F.year("cs_sold_date") == 1997)
+            _year_range(_C("cs_sold_date"), 1997)
             & (_C("cs_ship_date") > F.date_add(_C("cs_sold_date"), 5))
         )
         .select(
@@ -5574,7 +5596,7 @@ def q_tpcds_q72(ds: _DS) -> DataFrame:
         )
     )
     w = (
-        ds.web_sales.where(F.year("ws_sold_date") == 1997)
+        ds.web_sales.where(_year_range(_C("ws_sold_date"), 1997))
         .select(
             "ws_item_sk",
             F.weekofyear("ws_sold_date").alias("wwk"),
@@ -6622,7 +6644,7 @@ def q_tpcds_q99(ds: _DS) -> DataFrame:
     ship-year slice; the warehouse and date dims broadcast."""
     lag = F.datediff(_C("ws_ship_date"), _C("ws_sold_date"))
     return (
-        ds.web_sales.where(F.year("ws_ship_date") == 1997)
+        ds.web_sales.where(_year_range(_C("ws_ship_date"), 1997))
         .select("ws_warehouse_sk", "ws_sold_date", lag.alias("lag"))
         .join(F.broadcast(ds.store), _C("ws_warehouse_sk") == _C("s_store_sk"))
         .join(F.broadcast(ds.date_dim), _C("ws_sold_date") == _C("d_date"))
@@ -7083,7 +7105,7 @@ def q_tpcds_q14b(ds: _DS) -> DataFrame:
         .join(
             o.where(
                 (F.month(_C("o_orderdate").cast("date")) == 12)
-                & F.year(_C("o_orderdate").cast("date")).isin(1996, 1997)
+                & _year_range(_C("o_orderdate").cast("date"), 1996, 1997)
             ).select("o_orderkey", "o_orderdate"),
             _C("l_orderkey") == _C("o_orderkey"),
         )

@@ -850,27 +850,34 @@ def q_tpcds_q36(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q56(ds: _DS) -> DataFrame:
     """TPC-DS Q56/Q33/Q60 family: per-brand revenue for one category
-    summed across all three channels — three independent star aggs
-    UNION ALL'd, then re-aggregated (partial aggs push below the
-    union)."""
-
-    def chan(fact: DataFrame, item_k: str, date_k: str, paid: str) -> DataFrame:
-        return (
-            fact.join(ds.item, _C(item_k) == _C("i_item_sk"))
-            .join(ds.date_dim, _C(date_k) == _C("d_date"))
-            .where((_C("i_category") == "PROMO") & (_C("d_year") == 2000))
-            .groupBy(_C("i_brand").alias("brand"))
-            .agg(F.sum(_cents(_C(paid))).alias("total_cents"))
+    summed across all three channels. The oracle keeps the textbook
+    three star aggs UNION ALL'd + re-agg; since the final agg SUMS the
+    per-channel sums, the channel split contributes nothing — the
+    three facts partition ONE lineitem scan, each fact's sold_date is
+    its o_orderdate (the date_dim join is a pushed year range), and
+    net_paid is the same lineitem expression in every channel. One
+    lineitem⋈orders pass + one groupBy(brand) instead of 3 fact⋈dim
+    star joins + a union + a re-agg shuffle; identical exact-cent
+    totals by associativity of the BIGINT sum."""
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    return (
+        l.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            o.where(
+                _year_range(_C("o_orderdate").cast("date"), 2000)
+            ).select("o_orderkey"),
+            _C("l_orderkey") == _C("o_orderkey"),
         )
-
-    unioned = (
-        chan(ds.store_sales, "ss_item_sk", "ss_sold_date", "ss_net_paid")
-        .unionAll(chan(ds.catalog_sales, "cs_item_sk", "cs_sold_date", "cs_net_paid"))
-        .unionAll(chan(ds.web_sales, "ws_item_sk", "ws_sold_date", "ws_net_paid"))
-    )
-    return unioned.groupBy("brand").agg(
-        (F.floor(F.sum("total_cents") / 100 + F.lit(0.5)) / 100).alias(
-            "total_sales"
+        .join(
+            F.broadcast(ds.item.where(_C("i_category") == "PROMO")),
+            _C("l_partkey") == _C("i_item_sk"),
+        )
+        .groupBy(_C("i_brand").alias("brand"))
+        .agg(
+            (F.floor(F.sum(net) / 100 + F.lit(0.5)) / 100).alias(
+                "total_sales"
+            )
         )
     )
 
@@ -903,8 +910,12 @@ def q_tpcds_q59(ds: _DS) -> DataFrame:
     """TPC-DS Q59 shape: period-over-period store revenue — one
     monthly-sales CTE self-joined on (store, month) across adjacent
     years. Spark reuses the aggregated exchange for both sides."""
+    # d_year/d_moy are functions of the 1:1-joined date — projected
     mss = (
-        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        ds.store_sales.withColumn(
+            "d_year", F.year(_C("ss_sold_date")).cast("bigint")
+        )
+        .withColumn("d_moy", F.month(_C("ss_sold_date")).cast("bigint"))
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
         .groupBy("s_store_name", "d_year", "d_moy")
         .agg(F.sum(_cents(_C("ss_net_paid"))).alias("sales"))
@@ -1011,9 +1022,10 @@ def q_tpcds_q73(ds: _DS) -> DataFrame:
     tickets fall in a size band. The HAVING-band agg keys on
     (customer, ticket) so the shuffle is on the fact's natural
     key; the customer join is a broadcast."""
+    # the date_dim join reads no d_* column beyond the year filter —
+    # replaced by the equivalent pushed date range
     dj = (
-        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
-        .where(_C("d_year").isin(1998, 1999))
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1998, 1999))
         .groupBy(
             _C("ss_customer_sk").alias("customer_sk"), _C("ss_ticket_number")
         )
@@ -1063,39 +1075,47 @@ def q_tpcds_q73(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q74(ds: _DS) -> DataFrame:
     """TPC-DS Q74/Q11: customers whose web spend grew faster than
-    their store spend year-over-year — the 4-way self-join of a
-    union'd per-channel yearly CTE. All four probes share one
-    shuffle key (customer_sk), so AQE coalesces to co-partitioned
-    joins."""
+    their store spend year-over-year. The oracle keeps the textbook
+    union'd year_total CTE 4-way self-joined on customer_sk; the
+    Spark plan uses the q87/q4 fusion facts (the channel facts
+    partition ONE lineitem scan; the date_dim join is a pushed year
+    range; the orders join is 1:1) to pivot all four probes out of a
+    single lineitem⋈orders pass grouped once by customer: each
+    (channel, year) quadrant becomes a conditional exact-cent sum,
+    and the inner 4-way join's presence requirement is the quadrant's
+    non-NULL sum (a customer row exists in the CTE iff it has ≥1 row
+    in that channel-year). 1 fact scan + 1 key shuffle instead of 2
+    fact⋈dim joins + a union + 4 join probes."""
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    ch = _C("l_linenumber") % 3
+    yr = F.year(_C("o_orderdate").cast("date"))
 
-    def chan(fact, cust, date_k, paid, tag):
-        return (
-            fact.join(ds.date_dim, _C(date_k) == _C("d_date"))
-            .where(_C("d_year").isin(1999, 2000))
-            .groupBy(_C(cust).alias("customer_sk"), _C("d_year").alias("yr"))
-            .agg(F.sum(_cents(_C(paid))).alias("year_total"))
-            .withColumn("sale_type", F.lit(tag))
-        )
+    def quadrant(c: int, y: int):
+        return F.sum(F.when((ch == c) & (yr == y), net))
 
-    yt = chan(ds.store_sales, "ss_customer_sk", "ss_sold_date", "ss_net_paid", "s").unionAll(
-        chan(ds.web_sales, "ws_customer_sk", "ws_sold_date", "ws_net_paid", "w")
-    )
-
-    def pick(tag, yr, a, b):
-        return yt.where((_C("sale_type") == tag) & (_C("yr") == yr)).select(
-            _C("customer_sk").alias(a), _C("year_total").alias(b)
-        )
-
-    ts1 = pick("s", 1999, "customer_sk", "__s1")
-    ts2 = pick("s", 2000, "__c2", "__s2")
-    tw1 = pick("w", 1999, "__c3", "__w1")
-    tw2 = pick("w", 2000, "__c4", "__w2")
     return (
-        ts1.join(ts2, _C("customer_sk") == _C("__c2"))
-        .join(tw1, _C("customer_sk") == _C("__c3"))
-        .join(tw2, _C("customer_sk") == _C("__c4"))
+        l.where(ch != 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .join(
+            o.where(
+                _year_range(_C("o_orderdate").cast("date"), 1999, 2000)
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .groupBy(_C("o_custkey").alias("customer_sk"))
+        .agg(
+            quadrant(0, 1999).alias("__s1"),
+            quadrant(0, 2000).alias("__s2"),
+            quadrant(2, 1999).alias("__w1"),
+            quadrant(2, 2000).alias("__w2"),
+        )
         .where(
-            (_C("__s1") > 0)
+            _C("__s1").isNotNull()
+            & _C("__s2").isNotNull()
+            & _C("__w1").isNotNull()
+            & _C("__w2").isNotNull()
+            & (_C("__s1") > 0)
             & (_C("__w1") > 0)
             & (_C("__w2") / _C("__w1") > _C("__s2") / _C("__s1"))
         )
@@ -1134,23 +1154,37 @@ def q_tpcds_q76(ds: _DS) -> DataFrame:
     before a shared dim join + (channel, category, year) agg — the
     dims join once against the unioned stream, not per channel."""
 
-    def chan(fact, tag, item_k, date_k, ext):
-        return fact.select(
-            F.lit(tag).alias("channel"),
-            _C(item_k).alias("item_sk"),
-            _C(date_k).alias("sold_date"),
-            _C(ext).alias("ext"),
-        )
-
-    unioned = (
-        chan(ds.store_sales, "store", "ss_item_sk", "ss_sold_date", "ss_ext_list_price")
-        .unionAll(chan(ds.web_sales, "web", "ws_item_sk", "ws_sold_date", "ws_ext_list_price"))
-        .unionAll(chan(ds.catalog_sales, "catalog", "cs_item_sk", "cs_sold_date", "cs_ext_list_price"))
+    # The three channel facts partition ONE lineitem scan by
+    # l_linenumber % 3 with no residual filter, so their UNION ALL is
+    # the WHOLE lineitem⋈orders relation tagged by channel; the
+    # date_dim join supplies only d_year = year(sold_date) (1:1 on a
+    # date that is in date_dim by construction). One pass + one
+    # groupBy shuffle instead of 3 fact derivations + a dim join
+    # (the oracle keeps the textbook union). ext_list_price is
+    # l_extendedprice verbatim, sold_date is o_orderdate.
+    l, o = ds.t.lineitem, ds.t.orders
+    channel = (
+        F.when(_C("l_linenumber") % 3 == 0, "store")
+        .when(_C("l_linenumber") % 3 == 1, "catalog")
+        .otherwise("web")
     )
     return (
-        unioned.join(ds.item, _C("item_sk") == _C("i_item_sk"))
-        .join(ds.date_dim, _C("sold_date") == _C("d_date"))
-        .groupBy("channel", "i_category", "d_year")
+        l.select(
+            "l_orderkey",
+            channel.alias("channel"),
+            _C("l_partkey").alias("item_sk"),
+            _C("l_extendedprice").alias("ext"),
+        )
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .join(ds.item, _C("item_sk") == _C("i_item_sk"))
+        .groupBy(
+            "channel",
+            "i_category",
+            F.year(_C("o_orderdate").cast("date")).cast("bigint").alias("d_year"),
+        )
         .agg(
             F.count(F.lit(1)).alias("sales_cnt"),
             _exact_money_sum(_C("ext")).alias("sales_amt"),
@@ -1416,19 +1450,31 @@ def q_tpcds_q42(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q14(ds: _DS) -> DataFrame:
     """TPC-DS Q14 (cross_items half): items sold through ALL three
-    channels via INTERSECT, gating a store-channel category rollup —
-    the set-op feeds a left-semi join (each INTERSECT is a
-    shuffle-dedup on item_sk only; the wide fact never moves)."""
+    channels via INTERSECT, gating a store-channel category rollup.
+    The oracle keeps the textbook INTERSECT chain; the Spark plan
+    exploits the derivation (the q87 fusion facts): each channel's
+    item set is just the l_partkey values of one l_linenumber % 3
+    slice — no orders join supplies anything — so the 3-way INTERSECT
+    is ONE lineitem scan grouped by partkey with per-channel presence
+    flags (1 scan + 1 shuffle instead of 3 lineitem⋈orders joins + 2
+    intersect shuffle-dedups). The fact leg's date_dim join reads no
+    d_* column and is replaced by the pushed year range."""
+    l = ds.t.lineitem
+    ch = _C("l_linenumber") % 3
     cross_items = (
-        ds.store_sales.select(_C("ss_item_sk"))
-        .intersect(ds.catalog_sales.select(_C("cs_item_sk").alias("ss_item_sk")))
-        .intersect(ds.web_sales.select(_C("ws_item_sk").alias("ss_item_sk")))
-        .select(_C("ss_item_sk").alias("item_sk"))
+        l.select(_C("l_partkey").alias("item_sk"), ch.alias("__ch"))
+        .groupBy("item_sk")
+        .agg(
+            F.max(_C("__ch") == 0).alias("__s"),
+            F.max(_C("__ch") == 1).alias("__c"),
+            F.max(_C("__ch") == 2).alias("__w"),
+        )
+        .where(_C("__s") & _C("__c") & _C("__w"))
+        .select("item_sk")
     )
     return (
-        ds.store_sales.join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
-        .where(_C("d_year") == 2000)
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 2000))
+        .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .join(cross_items, _C("ss_item_sk") == _C("item_sk"), "left_semi")
         .groupBy("i_category")
         .agg(
@@ -1478,38 +1524,52 @@ def q_tpcds_q14(ds: _DS) -> DataFrame:
 )
 def q_tpcds_q31(ds: _DS) -> DataFrame:
     """TPC-DS Q31 shape: states where web revenue grew faster than
-    store revenue quarter-over-quarter — two per-channel quarterly
-    CTEs probed twice each; exact-cent sums make the cross-channel
-    ratio comparison bit-stable."""
+    store revenue quarter-over-quarter. The oracle keeps the textbook
+    two per-channel quarterly CTEs probed twice each; the Spark plan
+    pivots all four probes out of ONE lineitem⋈orders pass (the q74
+    fusion: channels partition the lineitem scan; qoy 1-2 of 2000 is
+    a pushed Jan-Jun date range; quarter/state are functions of the
+    joined row): groupBy(state) with a conditional exact-cent sum per
+    (channel, quarter) quadrant, presence = non-NULL sum (a CTE row
+    exists iff the quadrant has ≥1 row). 1 fact scan + 1 key shuffle
+    instead of 2 fact⋈3-dim star joins + 4 join probes."""
+    l, o = ds.t.lineitem, ds.t.orders
+    net = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    ch = _C("l_linenumber") % 3
+    q = F.quarter(_C("o_orderdate").cast("date"))
 
-    def qagg(fact, cust, date_k, paid):
-        return (
-            fact.join(ds.customer_dim, _C(cust) == _C("c_customer_sk"))
-            .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
-            .join(ds.date_dim, _C(date_k) == _C("d_date"))
-            .where(_C("d_year") == 2000)
-            .groupBy(_C("ca_state").alias("state"), _C("d_qoy").alias("qoy"))
-            .agg(F.sum(_cents(_C(paid))).alias("cents"))
-        )
+    def quadrant(c: int, qoy: int):
+        return F.sum(F.when((ch == c) & (q == qoy), net))
 
-    ss_q = qagg(ds.store_sales, "ss_customer_sk", "ss_sold_date", "ss_net_paid")
-    ws_q = qagg(ds.web_sales, "ws_customer_sk", "ws_sold_date", "ws_net_paid")
-
-    def pick(df, qoy, st, c):
-        return df.where(_C("qoy") == qoy).select(
-            _C("state").alias(st), _C("cents").alias(c)
-        )
-
-    ss1 = pick(ss_q, 1, "state", "__ss1")
-    ss2 = pick(ss_q, 2, "__st2", "__ss2")
-    ws1 = pick(ws_q, 1, "__st3", "__ws1")
-    ws2 = pick(ws_q, 2, "__st4", "__ws2")
+    orders_h1 = o.where(
+        (_C("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (_C("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
     return (
-        ss1.join(ss2, _C("state") == _C("__st2"))
-        .join(ws1, _C("state") == _C("__st3"))
-        .join(ws2, _C("state") == _C("__st4"))
+        l.where(ch != 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .join(orders_h1, _C("l_orderkey") == _C("o_orderkey"))
+        .join(
+            F.broadcast(ds.customer_dim),
+            _C("o_custkey") == _C("c_customer_sk"),
+        )
+        .join(
+            F.broadcast(ds.customer_address),
+            _C("c_current_addr_sk") == _C("ca_address_sk"),
+        )
+        .groupBy(_C("ca_state").alias("state"))
+        .agg(
+            quadrant(0, 1).alias("__ss1"),
+            quadrant(0, 2).alias("__ss2"),
+            quadrant(2, 1).alias("__ws1"),
+            quadrant(2, 2).alias("__ws2"),
+        )
         .where(
-            (_C("__ss1") > 0)
+            _C("__ss1").isNotNull()
+            & _C("__ss2").isNotNull()
+            & _C("__ws1").isNotNull()
+            & _C("__ws2").isNotNull()
+            & (_C("__ss1") > 0)
             & (_C("__ws1") > 0)
             & (_C("__ws2") / _C("__ws1") > _C("__ss2") / _C("__ss1"))
         )
@@ -1564,8 +1624,13 @@ def q_tpcds_q47(ds: _DS) -> DataFrame:
     three window functions over two different partitionings. The
     yearly average is sum/count of exact-cent BIGINTs so the
     deviation predicate cannot flip between engines."""
+    # the date_dim join is 1:1 on a date present by construction and
+    # supplies only d_year/d_moy — projected directly instead
     v1 = (
-        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        ds.store_sales.withColumn(
+            "d_year", F.year(_C("ss_sold_date")).cast("bigint")
+        )
+        .withColumn("d_moy", F.month(_C("ss_sold_date")).cast("bigint"))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
         .groupBy("i_brand", "s_store_name", "d_year", "d_moy")
@@ -2219,29 +2284,36 @@ def q_tpcds_q2(ds: _DS) -> DataFrame:
     """TPC-DS Q2 shape (query2.sql): web+catalog union rolled up to
     calendar periods, then the period sums of one year self-joined
     against the NEXT year's same period for the growth ratio. The
-    union + one agg shuffle on (year, moy); the self-join is over the
-    tiny 12-row-per-year aggregate — broadcast, no fact re-shuffle."""
-    wscs = ds.web_sales.select(
-        _C("ws_sold_date").alias("sold_date"), _C("ws_net_paid").alias("net_paid")
-    ).unionAll(
-        ds.catalog_sales.select(
-            _C("cs_sold_date").alias("sold_date"),
-            _C("cs_net_paid").alias("net_paid"),
-        )
-    )
-    msums = (
-        wscs.join(ds.date_dim, _C("sold_date") == _C("d_date"))
-        .groupBy("d_year", "d_moy")
-        .agg(_exact_money_sum(_C("net_paid")).alias("s"))
-    )
-    a = msums.where(_C("d_year") == 1997).select(
-        _C("d_moy").alias("moy"), _C("s").alias("sum_y1")
-    )
-    b = msums.where(_C("d_year") == 1998).select(
-        _C("d_moy").alias("__moy2"), _C("s").alias("sum_y2")
-    )
+    oracle keeps the textbook union + self-join; the Spark plan uses
+    the fusion facts (web+catalog = the l_linenumber % 3 != 0 slice
+    of ONE lineitem scan; sold_date = o_orderdate, so the date_dim
+    join is a pushed two-year range and d_moy = month(o_orderdate))
+    to pivot both years out of one groupBy(moy): per-year exact money
+    sums as conditional aggregates, inner-join presence = non-NULL.
+    1 fact scan + 1 shuffle instead of 2 fact derivations + a union +
+    a dim join + a self-join."""
+    l, o = ds.t.lineitem, ds.t.orders
+    cents = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    yr = F.year(_C("o_orderdate").cast("date"))
+
+    def money(y: int):
+        c = F.sum(F.when(yr == y, cents))
+        return F.floor(c / 100 + F.lit(0.5)) / 100
+
     return (
-        a.join(F.broadcast(b), _C("moy") == _C("__moy2"))
+        l.where(_C("l_linenumber") % 3 != 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            o.where(
+                _year_range(_C("o_orderdate").cast("date"), 1997, 1998)
+            ).select("o_orderkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .groupBy(
+            F.month(_C("o_orderdate").cast("date")).cast("bigint").alias("moy")
+        )
+        .agg(money(1997).alias("sum_y1"), money(1998).alias("sum_y2"))
+        .where(_C("sum_y1").isNotNull() & _C("sum_y2").isNotNull())
         .select(
             "moy", "sum_y1", "sum_y2",
             F.round(_C("sum_y2") / _C("sum_y1"), 4).alias("ratio"),
@@ -4121,21 +4193,23 @@ def q_tpcds_q17(ds: _DS) -> DataFrame:
     joins ride natural keys ((ticket, item) then (customer, item));
     dims broadcast."""
     chained = (
-        ds.store_sales.join(
-            ds.store_returns,
+        # slim returns (customer key implied by the ticket: the cs
+        # join probes ss_customer_sk instead of the orders-derived
+        # sr_customer_sk) and the column-free date_dim join becomes
+        # the pushed year range — one orders join + one dim
+        # derivation fewer, identical rows
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1997))
+        .join(
+            ds.store_returns_slim,
             (_C("ss_ticket_number") == _C("sr_ticket_number"))
             & (_C("ss_item_sk") == _C("sr_item_sk")),
         )
         .join(
             ds.catalog_sales,
-            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            (_C("ss_customer_sk") == _C("cs_customer_sk"))
             & (_C("sr_item_sk") == _C("cs_item_sk")),
         )
         .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
-        .join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("ss_sold_date") == _C("d_date"),
-        )
         .select(
             "i_category",
             _C("ss_quantity").cast("bigint").alias("ss_q"),
@@ -5675,28 +5749,25 @@ def q_tpcds_q29(ds: _DS) -> DataFrame:
     (1995 sale, return within 2 years, repurchase within 3 years).
     Same natural-key fact-fact chain as q17; exact BIGINT quantity
     sums; all three date roles broadcast."""
-    d = ds.date_dim
-    d1 = d.where(_C("d_year") == 1995).select(_C("d_date").alias("d1_date"))
-    d2 = d.where(_C("d_year").isin(1995, 1996)).select(
-        _C("d_date").alias("d2_date")
-    )
-    d3 = d.where(_C("d_year").isin(1995, 1996, 1997)).select(
-        _C("d_date").alias("d3_date")
-    )
+    # the three date_dim roles read no d_* column — each is a pushed
+    # year range on its fact date; slim returns (customer key implied
+    # by the ticket, probed via ss_customer_sk)
     return (
-        ds.store_sales.join(
-            ds.store_returns,
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1995))
+        .join(
+            ds.store_returns_slim.where(
+                _year_range(_C("sr_returned_date"), 1995, 1996)
+            ),
             (_C("ss_ticket_number") == _C("sr_ticket_number"))
             & (_C("ss_item_sk") == _C("sr_item_sk")),
         )
         .join(
-            ds.catalog_sales,
-            (_C("sr_customer_sk") == _C("cs_customer_sk"))
+            ds.catalog_sales.where(
+                _year_range(_C("cs_sold_date"), 1995, 1997)
+            ),
+            (_C("ss_customer_sk") == _C("cs_customer_sk"))
             & (_C("sr_item_sk") == _C("cs_item_sk")),
         )
-        .join(F.broadcast(d1), _C("ss_sold_date") == _C("d1_date"))
-        .join(F.broadcast(d2), _C("sr_returned_date") == _C("d2_date"))
-        .join(F.broadcast(d3), _C("cs_sold_date") == _C("d3_date"))
         .join(F.broadcast(ds.item), _C("ss_item_sk") == _C("i_item_sk"))
         .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
         .groupBy("i_item_sk", "s_store_name")
@@ -6486,22 +6557,23 @@ def q_tpcds_q83(ds: _DS) -> DataFrame:
     (the reference's week_seq subquery maps to month periods), with
     each channel's share of the three-channel average. Three tiny
     per-item return aggs inner-joined on the item key."""
-    months = (
-        ds.date_dim.where(
-            _C("d_date").isin("1995-02-10", "1995-06-20", "1995-09-15")
-        )
-        .select("d_moy", "d_year")
-        .distinct()
-    )
-    dd = ds.date_dim.join(F.broadcast(months), ["d_moy", "d_year"]).select(
-        "d_date"
-    )
+    # the chosen dates are literals, so the months CTE is the
+    # constant set {(1995,2), (1995,6), (1995,9)} and the dd equi-join
+    # (1:1 on a date present by construction) is exactly a month-range
+    # predicate on the return date — both date_dim derivations drop
+    # out of the plan; slim returns (no customer column is read)
+    def in_months(c):
+        pred = None
+        for m in (2, 6, 9):
+            lo = F.lit(f"1995-{m:02d}-01").cast("date")
+            hi = F.lit(f"1995-{m + 1:02d}-01").cast("date")
+            leg = (c >= lo) & (c < hi)
+            pred = leg if pred is None else (pred | leg)
+        return pred
 
     def chan(rets, p, out):
         return (
-            rets.join(
-                F.broadcast(dd), _C(p + "returned_date") == _C("d_date")
-            )
+            rets.where(in_months(_C(p + "returned_date")))
             .groupBy(_C(p + "item_sk").alias("item_sk"))
             .agg(
                 F.sum(_C(p + "return_quantity").cast("bigint"))
@@ -6510,9 +6582,9 @@ def q_tpcds_q83(ds: _DS) -> DataFrame:
             )
         )
 
-    sr = chan(ds.store_returns, "sr_", "sr_qty")
-    cr = chan(ds.catalog_returns, "cr_", "cr_qty")
-    wr = chan(ds.web_returns, "wr_", "wr_qty")
+    sr = chan(ds.store_returns_slim, "sr_", "sr_qty")
+    cr = chan(ds.catalog_returns_slim, "cr_", "cr_qty")
+    wr = chan(ds.web_returns_slim, "wr_", "wr_qty")
     joined = sr.join(cr, "item_sk").join(wr, "item_sk")
     avg3 = (_C("sr_qty") + _C("cr_qty") + _C("wr_qty")) / 3.0
     return joined.select(
@@ -6769,7 +6841,8 @@ def q_tpcds_q24(ds: _DS) -> DataFrame:
     build (the same constant-size BNLJ shape as Q23)."""
     ssales = (
         ds.store_sales.join(
-            ds.store_returns,
+            # slim returns: only the (ticket, item) join keys are read
+            ds.store_returns_slim,
             (_C("ss_ticket_number") == _C("sr_ticket_number"))
             & (_C("ss_item_sk") == _C("sr_item_sk")),
         )
@@ -6791,6 +6864,12 @@ def q_tpcds_q24(ds: _DS) -> DataFrame:
         )
         .agg(F.sum(_cents(_C("ss_net_paid"))).alias("netpaid_c"))
     )
+    # ssales feeds both the scalar threshold and the main leg: pin the
+    # small per-(customer, store, size) decision table once (guide §5)
+    # instead of re-executing the 6-way join lineage per consumer
+    ssales = ssales.coalesce(
+        ds.t.spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     threshold = ssales.agg(
         (0.05 * F.avg(_C("netpaid_c").cast("double"))).alias("thr")
     )
@@ -7282,7 +7361,8 @@ def q_tpcds_q24b(ds: _DS) -> DataFrame:
     Same 1-row scalar-average broadcast threshold."""
     ssales = (
         ds.store_sales.join(
-            ds.store_returns,
+            # slim returns: only the (ticket, item) join keys are read
+            ds.store_returns_slim,
             (_C("ss_ticket_number") == _C("sr_ticket_number"))
             & (_C("ss_item_sk") == _C("sr_item_sk")),
         )
@@ -7304,6 +7384,12 @@ def q_tpcds_q24b(ds: _DS) -> DataFrame:
         )
         .agg(F.sum(_cents(_C("ss_net_paid"))).alias("netpaid_c"))
     )
+    # ssales feeds both the scalar threshold and the main leg: pin the
+    # small per-(customer, store, size) decision table once (guide §5)
+    # instead of re-executing the 6-way join lineage per consumer
+    ssales = ssales.coalesce(
+        ds.t.spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     threshold = ssales.agg(
         (0.05 * F.avg(_C("netpaid_c").cast("double"))).alias("thr")
     )

@@ -566,11 +566,12 @@ def q_tpcds_q15(ds: _DS) -> DataFrame:
             ds.customer_dim, _C("cs_customer_sk") == _C("c_customer_sk")
         )
         .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
-        .join(ds.date_dim, _C("cs_sold_date") == _C("d_date"))
         .where(
+            # the date_dim join read no d_* column beyond the quarter
+            # gate — pushed as the equivalent Q1-2000 date range
             ((_C("ca_country") == "EUROPE") | (_C("cs_net_paid") > 1500))
-            & (_C("d_qoy") == 1)
-            & (_C("d_year") == 2000)
+            & (_C("cs_sold_date") >= F.lit("2000-01-01").cast("date"))
+            & (_C("cs_sold_date") < F.lit("2000-04-01").cast("date"))
         )
         .groupBy("ca_state")
         .agg(_exact_money_sum(_C("cs_net_paid")).alias("sum_paid"))
@@ -604,16 +605,19 @@ def q_tpcds_q19(ds: _DS) -> DataFrame:
     their home state — a five-dim star with a cross-dimension
     inequality (ca_state <> s_state) that only binds after both
     address and store are joined."""
+    # the date_dim join reads no d_* column beyond the month gate —
+    # replaced by the equivalent pushed date range (November 1999)
     return (
-        ds.date_dim.join(ds.store_sales, _C("d_date") == _C("ss_sold_date"))
+        ds.store_sales.where(
+            (_C("ss_sold_date") >= F.lit("1999-11-01").cast("date"))
+            & (_C("ss_sold_date") < F.lit("1999-12-01").cast("date"))
+        )
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
         .join(ds.customer_dim, _C("ss_customer_sk") == _C("c_customer_sk"))
         .join(ds.customer_address, _C("c_current_addr_sk") == _C("ca_address_sk"))
         .join(ds.store, _C("ss_store_sk") == _C("s_store_sk"))
         .where(
             _C("i_manufact_id").between(10, 30)
-            & (_C("d_moy") == 11)
-            & (_C("d_year") == 1999)
             & (_C("ca_state") != _C("s_state"))
         )
         .groupBy("i_brand")
@@ -653,15 +657,20 @@ def q_tpcds_q23(ds: _DS) -> DataFrame:
     max(ssales) is a 1-row broadcast aggregate (no collect); both IN
     subqueries become left-semi joins."""
     ss = ds.store_sales
+    # the date_dim join reads no d_* column — pushed year range
     frequent = (
-        ss.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
-        .where(_C("d_year").isin(1998, 1999))
+        ss.where(_year_range(_C("ss_sold_date"), 1998, 1999))
         .groupBy("ss_item_sk")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .where(_C("__cnt") > 4)
         .select(_C("ss_item_sk").alias("item_sk"))
     )
-    best = ss.groupBy("ss_customer_sk").agg(F.sum("ss_net_paid").alias("ssales"))
+    # NOTE: pinning best (localCheckpoint) was measured SLOWER here
+    # (1.25->1.43 s): both consumers reuse the aggregate's exchange,
+    # so the pin only adds a materialization barrier — left unpinned
+    best = ss.groupBy("ss_customer_sk").agg(
+        F.sum("ss_net_paid").alias("ssales")
+    )
     max_sales = best.agg(F.max("ssales").alias("__max_ssales"))
     top_customers = (
         best.join(F.broadcast(max_sales))
@@ -2499,21 +2508,26 @@ def q_tpcds_q10(ds: _DS) -> DataFrame:
     channels' customer keys (set semantics make union-then-semi
     exactly OR-of-EXISTS); both semi-join builds are
     already-distinct key sets, far smaller than the facts."""
-    dd = ds.date_dim.where((_C("d_year") == 1997) & (_C("d_qoy") <= 2))
-    ss_keys = (
-        ds.store_sales.join(
-            F.broadcast(dd), _C("ss_sold_date") == _C("d_date")
-        ).select(_C("ss_customer_sk").alias("k"))
-    )
-    cw_keys = (
-        ds.catalog_sales.join(
-            F.broadcast(dd), _C("cs_sold_date") == _C("d_date")
-        ).select(_C("cs_customer_sk").alias("k"))
-        .unionAll(
-            ds.web_sales.join(
-                F.broadcast(dd), _C("ws_sold_date") == _C("d_date")
-            ).select(_C("ws_customer_sk").alias("k"))
+    # the q35 fusion: the three channel EXISTS probes fall out of ONE
+    # lineitem⋈orders pass grouped by customer (year 1997, qoy <= 2 is
+    # the pushed Jan-Jun range) — has_store = any channel-0 row,
+    # has_cw = any channel-1/2 row; 1 fact scan + 1 key shuffle
+    # instead of 3 fact⋈dim joins + a union + 2 semi-join builds
+    l, o = ds.t.lineitem, ds.t.orders
+    h1 = o.where(
+        (_C("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (_C("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    flags = (
+        l.select("l_orderkey", (_C("l_linenumber") % 3).alias("__ch"))
+        .join(h1, _C("l_orderkey") == _C("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(_C("__ch") == 0).alias("__s"),
+            F.max(_C("__ch") != 0).alias("__cw"),
         )
+        .where(_C("__s") & _C("__cw"))
+        .select("o_custkey")
     )
     return (
         ds.customer_dim.join(
@@ -2524,8 +2538,7 @@ def q_tpcds_q10(ds: _DS) -> DataFrame:
             ),
             _C("ca_address_sk") == _C("c_current_addr_sk"),
         )
-        .join(ss_keys, _C("c_customer_sk") == _C("k"), "left_semi")
-        .join(cw_keys, _C("c_customer_sk") == _C("k"), "left_semi")
+        .join(flags, _C("c_customer_sk") == _C("o_custkey"), "left_semi")
         .groupBy("c_segment", "c_preferred_flag")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -4330,21 +4343,32 @@ def q_tpcds_q38(ds: _DS) -> DataFrame:
     day) pairs that appear in ALL three channels, counted. Spark's
     intersect plans as distinct + semi-joins on the pair key; the
     distincts collapse the facts before any join."""
-    dd = ds.date_dim.where(_C("d_year") == 1997)
-
-    def pairs(fact, p):
-        return fact.join(
-            F.broadcast(dd), _C(p + "sold_date") == _C("d_date")
-        ).select(
-            _C(p + "customer_sk").alias("c"), _C(p + "sold_date").alias("d")
+    # the q87/q97 fusion: each channel's (customer, day) set is one
+    # l_linenumber % 3 slice of the SAME lineitem⋈orders relation and
+    # the date_dim join is a pushed year range — so the 3-way
+    # INTERSECT is one pass grouped by (customer, day) with
+    # per-channel presence flags (1 fact scan + 1 pair-key shuffle
+    # instead of 3 fact⋈dim joins + 2 intersect shuffle-dedups); the
+    # oracle keeps the textbook INTERSECT chain
+    l, o = ds.t.lineitem, ds.t.orders
+    ch = _C("l_linenumber") % 3
+    flags = (
+        l.select("l_orderkey", ch.alias("__ch"))
+        .join(
+            o.where(
+                _year_range(_C("o_orderdate").cast("date"), 1997)
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
         )
-
-    inter = (
-        pairs(ds.store_sales, "ss_")
-        .intersect(pairs(ds.catalog_sales, "cs_"))
-        .intersect(pairs(ds.web_sales, "ws_"))
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max(_C("__ch") == 0).alias("__s"),
+            F.max(_C("__ch") == 1).alias("__c"),
+            F.max(_C("__ch") == 2).alias("__w"),
+        )
+        .where(_C("__s") & _C("__c") & _C("__w"))
     )
-    return inter.agg(F.count(F.lit(1)).alias("hot_customers"))
+    return flags.agg(F.count(F.lit(1)).alias("hot_customers"))
 
 
 @_ds_q(
@@ -4391,10 +4415,7 @@ def q_tpcds_q40(ds: _DS) -> DataFrame:
             & (_C("cs_item_sk") == _C("cr_item_sk")),
             "left",
         )
-        .join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("cs_sold_date") == _C("d_date"),
-        )
+        .where(_year_range(_C("cs_sold_date"), 1997))
         .select(
             _C("cs_warehouse_sk").alias("warehouse_sk"),
             (_C("cs_sold_date") < F.lit("1997-07-01").cast("date")).alias(
@@ -5228,8 +5249,13 @@ def q_tpcds_q57(ds: _DS) -> DataFrame:
     to the supplier-derived warehouse dim). Same two-window shape
     over the aggregated relation; exact-cent sums keep the deviation
     predicate bit-stable."""
+    # the date_dim join is 1:1 on a date present by construction and
+    # supplies only d_year/d_moy — projected directly instead
     v1 = (
-        ds.catalog_sales.join(ds.date_dim, _C("cs_sold_date") == _C("d_date"))
+        ds.catalog_sales.withColumn(
+            "d_year", F.year(_C("cs_sold_date")).cast("bigint")
+        )
+        .withColumn("d_moy", F.month(_C("cs_sold_date")).cast("bigint"))
         .join(ds.item, _C("cs_item_sk") == _C("i_item_sk"))
         .join(ds.store, _C("cs_warehouse_sk") == _C("s_store_sk"))
         .groupBy("i_category", "i_brand", "s_store_name", "d_year", "d_moy")
@@ -6631,9 +6657,13 @@ def q_tpcds_q94(ds: _DS) -> DataFrame:
     (EXISTS a different-warehouse line -> distinct-count semi-join)
     and never returned (anti-join). count(DISTINCT order) plus
     exact-cent cost sums."""
+    # the multi-warehouse probe reads only lineitem columns (order =
+    # l_orderkey, warehouse = l_suppkey), so it skips the fact's
+    # orders join entirely
     multi_wh = (
-        ds.web_sales.groupBy("ws_order_number")
-        .agg(F.countDistinct("ws_warehouse_sk").alias("nw"))
+        ds.t.lineitem.where(_C("l_linenumber") % 3 == 2)
+        .groupBy(_C("l_orderkey").alias("ws_order_number"))
+        .agg(F.countDistinct("l_suppkey").alias("nw"))
         .where(_C("nw") > 1)
         .select("ws_order_number")
     )
@@ -6653,7 +6683,7 @@ def q_tpcds_q94(ds: _DS) -> DataFrame:
         )
         .join(multi_wh, "ws_order_number", "left_semi")
         .join(
-            ds.web_returns.select(
+            ds.web_returns_slim.select(
                 _C("wr_order_number").alias("ws_order_number")
             ),
             "ws_order_number",
@@ -7270,14 +7300,15 @@ def q_tpcds_q23b(ds: _DS) -> DataFrame:
     as Q23a plus the 1-row max broadcast; the channel union happens
     before the final customer agg."""
     ss = ds.store_sales
+    # the date_dim join reads no d_* column — pushed year range
     frequent = (
-        ss.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
-        .where(_C("d_year").isin(1998, 1999))
+        ss.where(_year_range(_C("ss_sold_date"), 1998, 1999))
         .groupBy("ss_item_sk")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .where(_C("__cnt") > 4)
         .select(_C("ss_item_sk").alias("item_sk"))
     )
+    # pinning best measured slower (see q23a) — left unpinned
     best = ss.groupBy("ss_customer_sk").agg(
         F.sum("ss_net_paid").alias("ssales")
     )

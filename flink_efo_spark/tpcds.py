@@ -437,9 +437,10 @@ def q_tpcds_q3(ds: _DS) -> DataFrame:
     deterministic top-n. AQE broadcasts date_dim and item, so the
     only shuffle is the (d_year, i_brand) aggregation."""
     return (
-        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        ds.store_sales.where(F.month(_C("ss_sold_date")) == 11)
+        .withColumn("d_year", F.year(_C("ss_sold_date")).cast("bigint"))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .where((_C("i_manufact_id") < 10) & (_C("d_moy") == 11))
+        .where(_C("i_manufact_id") < 10)
         .groupBy("d_year", "i_brand")
         .agg(_exact_money_sum(_C("ss_net_paid")).alias("sum_agg"))
         .orderBy(_C("d_year"), _C("sum_agg").desc(), _C("i_brand"))
@@ -486,10 +487,11 @@ def q_tpcds_q6(ds: _DS) -> DataFrame:
         ds.customer_address.join(
             ds.customer_dim, _C("ca_address_sk") == _C("c_current_addr_sk")
         )
-        .join(ds.store_sales, _C("c_customer_sk") == _C("ss_customer_sk"))
-        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        .join(
+            ds.store_sales.where(_year_range(_C("ss_sold_date"), 1998)),
+            _C("c_customer_sk") == _C("ss_customer_sk"),
+        )
         .join(pricey, _C("ss_item_sk") == _C("i_item_sk"))
-        .where(_C("d_year") == 1998)
         .groupBy("ca_state")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(_C("cnt") >= 2)
@@ -525,9 +527,11 @@ def q_tpcds_q7(ds: _DS) -> DataFrame:
         ds.store_sales.join(
             ds.customer_dim, _C("ss_customer_sk") == _C("c_customer_sk")
         )
-        .join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .where((_C("c_segment") == "BUILDING") & (_C("d_year") == 1999))
+        .where(
+            (_C("c_segment") == "BUILDING")
+            & _year_range(_C("ss_sold_date"), 1999)
+        )
         .groupBy("i_item_desc")
         .agg(
             _exact_avg(_C("ss_quantity"), 100).alias("agg1"),
@@ -794,9 +798,8 @@ def q_tpcds_q36(ds: _DS) -> DataFrame:
     rank() window partitioned by hierarchy level — Expand (grouping
     sets) feeding a window over the aggregated (tiny) result."""
     agg = (
-        ds.store_sales.join(ds.date_dim, _C("ss_sold_date") == _C("d_date"))
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 2000))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .where(_C("d_year") == 2000)
         .rollup("i_category", "i_class")
         .agg(
             F.grouping("i_category").cast("bigint").alias("g_cat"),
@@ -1382,8 +1385,7 @@ def q_tpcds_q1(ds: _DS) -> DataFrame:
     a correlated avg over a CTE, decorrelated into a per-store avg
     (10 rows → broadcast) joined back to the per-customer returns."""
     ctr = (
-        ds.store_returns.join(ds.date_dim, _C("sr_returned_date") == _C("d_date"))
-        .where(_C("d_year") == 2000)
+        ds.store_returns.where(_year_range(_C("sr_returned_date"), 2000))
         .groupBy(
             _C("sr_customer_sk").alias("ctr_customer_sk"),
             _C("sr_store_sk").alias("ctr_store_sk"),
@@ -1424,9 +1426,9 @@ def q_tpcds_q42(ds: _DS) -> DataFrame:
     years — the minimal star probe (scan + two broadcast dims + one
     agg shuffle) used to sanity-check plan shape."""
     return (
-        ds.date_dim.join(ds.store_sales, _C("d_date") == _C("ss_sold_date"))
+        ds.store_sales.where(F.month(_C("ss_sold_date")) == 12)
+        .withColumn("d_year", F.year(_C("ss_sold_date")).cast("bigint"))
         .join(ds.item, _C("ss_item_sk") == _C("i_item_sk"))
-        .where(_C("d_moy") == 12)
         .groupBy("d_year", "i_category")
         .agg(_exact_money_sum(_C("ss_net_paid")).alias("sum_sales"))
     )
@@ -1728,37 +1730,40 @@ def q_tpcds_q51(ds: _DS) -> DataFrame:
     All cumulative state is exact BIGINT cents, so the overtake
     predicate is bit-stable."""
 
-    def daily_cume(fact, item_k, date_k, paid):
-        d = (
-            fact.groupBy(
-                _C(item_k).alias("item_sk"), _C(date_k).alias("dt")
-            ).agg(F.sum(_cents(_C(paid))).alias("cents"))
-        )
-        w = (
-            Window.partitionBy("item_sk")
-            .orderBy("dt")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return d.select("item_sk", "dt", F.sum("cents").over(w).alias("cume"))
-
-    web_v = daily_cume(ds.web_sales, "ws_item_sk", "ws_sold_date", "ws_net_paid")
-    store_v = daily_cume(
-        ds.store_sales, "ss_item_sk", "ss_sold_date", "ss_net_paid"
-    ).select(
-        _C("item_sk").alias("__s_item"), _C("dt").alias("__s_dt"),
-        _C("cume").alias("__s_cume"),
-    )
-    x = (
-        web_v.join(
-            store_v,
-            (_C("item_sk") == _C("__s_item")) & (_C("dt") == _C("__s_dt")),
-            "full_outer",
-        )
+    # Fused single-pass form (the oracle keeps the textbook per-channel
+    # CTEs + FULL OUTER + running max). The two channels are the
+    # l_linenumber % 3 ∈ {0, 2} slices of ONE lineitem⋈orders relation,
+    # so the per-channel daily sums are conditional aggregates of one
+    # groupBy(item, day), whose row set IS the full-outer union of the
+    # channel day sets. The carry-forward running max equals a running
+    # sum that skips the other channel's days: daily cents are ≥ 0
+    # (net_paid = price·(1−disc) ≥ 0), so each channel's cumulative is
+    # nondecreasing and max-so-far = last non-NULL = sum-so-far
+    # (NULL while the channel has no day yet — both forms agree).
+    # 1 fact scan + 1 pair shuffle + 1 window instead of 2 fact
+    # derivations + 2 groupBys + 2 cume windows + a full-outer + 2
+    # max windows.
+    l, o = ds.t.lineitem, ds.t.orders
+    ch = _C("l_linenumber") % 3
+    cents = _cents(_C("l_extendedprice") * (1 - _C("l_discount")))
+    daily = (
+        l.where(ch != 1)
         .select(
-            F.coalesce(_C("item_sk"), _C("__s_item")).alias("item_sk"),
-            F.coalesce(_C("dt"), _C("__s_dt")).alias("dt"),
-            _C("cume").alias("web_cume"),
-            _C("__s_cume").alias("store_cume"),
+            "l_orderkey", "l_partkey",
+            F.when(ch == 2, cents).alias("__webc"),
+            F.when(ch == 0, cents).alias("__storec"),
+        )
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            _C("l_orderkey") == _C("o_orderkey"),
+        )
+        .groupBy(
+            _C("l_partkey").alias("item_sk"),
+            _C("o_orderdate").cast("date").alias("dt"),
+        )
+        .agg(
+            F.sum("__webc").alias("__web_d"),
+            F.sum("__storec").alias("__store_d"),
         )
     )
     w = (
@@ -1766,10 +1771,10 @@ def q_tpcds_q51(ds: _DS) -> DataFrame:
         .orderBy("dt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    y = x.select(
+    y = daily.select(
         "item_sk", "dt",
-        F.max("web_cume").over(w).alias("web_c"),
-        F.max("store_cume").over(w).alias("store_c"),
+        F.sum("__web_d").over(w).alias("web_c"),
+        F.sum("__store_d").over(w).alias("store_c"),
     )
     return y.where(_C("web_c") > _C("store_c")).select(
         "item_sk",
@@ -2691,10 +2696,7 @@ def q_tpcds_q27(ds: _DS) -> DataFrame:
     dims broadcast. Averages use the exact-integer avg so subtotal
     rows (bigger sums) stay bit-stable."""
     return (
-        ds.store_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("ss_sold_date") == _C("d_date"),
-        )
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1997))
         .join(
             F.broadcast(ds.item.where(_C("i_manufact_id") < 20)),
             _C("ss_item_sk") == _C("i_item_sk"),
@@ -4639,10 +4641,7 @@ def q_tpcds_q22(ds: _DS) -> DataFrame:
     Expand + single shuffle; the average is the exact-integer-sum
     formulation so every grouping level is bit-stable."""
     return (
-        ds.catalog_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1998)),
-            _C("cs_sold_date") == _C("d_date"),
-        )
+        ds.catalog_sales.where(_year_range(_C("cs_sold_date"), 1998))
         .join(F.broadcast(ds.item), _C("cs_item_sk") == _C("i_item_sk"))
         .rollup("i_item_desc", "i_brand", "i_class", "i_category")
         .agg(
@@ -4894,11 +4893,11 @@ def q_tpcds_q39(ds: _DS) -> DataFrame:
     q17) so the cov threshold cannot flip between engines; the
     month-1/month-2 self-join rides the tiny aggregated relation."""
     base = (
-        ds.catalog_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("cs_sold_date") == _C("d_date"),
+        ds.catalog_sales.where(_year_range(_C("cs_sold_date"), 1997))
+        .groupBy(
+            _C("cs_warehouse_sk").alias("w"),
+            F.month(_C("cs_sold_date")).cast("bigint").alias("moy"),
         )
-        .groupBy(_C("cs_warehouse_sk").alias("w"), _C("d_moy").alias("moy"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(_C("cs_quantity").cast("bigint")).alias("s"),
@@ -5135,11 +5134,15 @@ def _manufact_deviation_q(name, qnum, fact_name, prefix, period_col, year,
 
     @_ds_q(name, oracle)
     def q(ds: _DS) -> DataFrame:
+        # pushed year range; the period column is a function of the
+        # 1:1-joined date — projected instead of joined
+        period_fn = F.quarter if period_col == "d_qoy" else F.month
         per_period = (
             getattr(ds, fact_name)
-            .join(
-                F.broadcast(ds.date_dim.where(_C("d_year") == year)),
-                _C(prefix + "sold_date") == _C("d_date"),
+            .where(_year_range(_C(prefix + "sold_date"), year))
+            .withColumn(
+                period_col,
+                period_fn(_C(prefix + "sold_date")).cast("bigint"),
             )
             .join(
                 F.broadcast(ds.item.where(grid_col())),
@@ -7473,11 +7476,11 @@ def q_tpcds_q39b(ds: _DS) -> DataFrame:
     volatility gate (the reference's variants differ only in the
     added cov >= 1.5 filter on the first month)."""
     base = (
-        ds.catalog_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("cs_sold_date") == _C("d_date"),
+        ds.catalog_sales.where(_year_range(_C("cs_sold_date"), 1997))
+        .groupBy(
+            _C("cs_warehouse_sk").alias("w"),
+            F.month(_C("cs_sold_date")).cast("bigint").alias("moy"),
         )
-        .groupBy(_C("cs_warehouse_sk").alias("w"), _C("d_moy").alias("moy"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(_C("cs_quantity").cast("bigint")).alias("s"),

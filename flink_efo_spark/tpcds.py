@@ -5532,11 +5532,9 @@ def q_tpcds_q70(ds: _DS) -> DataFrame:
     grouping levels via grouping()-keyed window partitions. Both the
     semi-join input and the rollup ride one (state, store) shuffle;
     exact-cent profit keeps ranks stable."""
+    # the date_dim join reads no d_* column — pushed year range
     joined = (
-        ds.store_sales.join(
-            F.broadcast(ds.date_dim.where(_C("d_year") == 1997)),
-            _C("ss_sold_date") == _C("d_date"),
-        )
+        ds.store_sales.where(_year_range(_C("ss_sold_date"), 1997))
         .join(F.broadcast(ds.store), _C("ss_store_sk") == _C("s_store_sk"))
         .select(
             _cents(_C("ss_net_profit")).alias("net_c"),

@@ -101,14 +101,20 @@ def test_q27_q67_broadcast_and_expand(spark):
         assert "CartesianProduct" not in plan
 
 
-def test_q97_full_outer_copartitioned(spark):
-    """q97's FULL OUTER join of the two distinct pair-sets must ride
-    a co-partitioned shuffle join (FullOuter hash/sort-merge), never
-    a nested-loop."""
+def test_q97_fused_single_pass(spark):
+    """q97 is fused onto ONE lineitem pass with per-channel presence
+    flags (no FULL OUTER join of two distinct pair-sets): a single
+    pair-key aggregate over lineitem broadcast-joined to orders, and
+    never a nested-loop/cartesian shape."""
+    import re
+
     plan = _plan(spark, "tpcds_q97")
-    assert "FullOuter" in plan
+    assert "FullOuter" not in plan, "q97 regressed to the two-pass full outer"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans <= 2, f"q97: {scans} scans (single lineitem pass regressed)"
+    assert "BroadcastHashJoin" in plan, "q97: orders side must broadcast"
 
 
 @pytest.mark.parametrize("name", ["tpcds_q17", "tpcds_q29", "tpcds_q72"])

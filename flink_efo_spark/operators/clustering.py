@@ -80,6 +80,7 @@ def connected_components(
         .persist()
     )
 
+    n_adj = adj.count()  # materialization barrier + round sizing
     labels = (
         adj.select("node")
         .distinct()
@@ -94,22 +95,25 @@ def connected_components(
         # count per round
         return lab.agg(F.sum("cluster_id")).collect()[0][0] or 0
 
+    from flink_efo_spark.operators.iterate import round_shuffle_scope
+
     prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        # propagate labels across each (directed) adjacency edge
-        prop = adj.join(labels, "node").select(
-            F.col("nbr").alias("node"), "cluster_id"
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    with round_shuffle_scope(pairs.sparkSession, n_adj):
+        for _ in range(max_iter):
+            # propagate labels across each (directed) adjacency edge
+            prop = adj.join(labels, "node").select(
+                F.col("nbr").alias("node"), "cluster_id"
+            )
+            labels = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .localCheckpoint(eager=True)
+            )
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
 
     adj.unpersist()
     return labels

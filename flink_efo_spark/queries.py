@@ -3854,7 +3854,7 @@ def q_stream_match_nested(t: _T) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE with a NESTED quantified pattern
     group — ``A (B C)+ D`` (flink-cep GroupPattern.java, the nested
     cases of MatchRecognizeITCase; NFA.java + SharedBuffer.java:54
-    keep partial nested matches alive across input) — on a 4-batch
+    keep partial nested matches alive across input) — on a 2-batch
     event-time replay, so partial GROUP state crosses micro-batch
     boundaries. The oracle enumerates maximal adjacent click→purchase
     chains (gaps-and-islands) anchored by an immediately-preceding
@@ -3867,7 +3867,7 @@ def q_stream_match_nested(t: _T) -> DataFrame:
     )
 
     ev = stream_table_split(
-        t.spark, t.sf_dir, "events", n_batches=4, order_col="ts"
+        t.spark, t.sf_dir, "events", n_batches=2, order_col="ts"
     )
     out = stream_match_recognize(
         ev.select("user_id", "event_id", "event_type", "ts"),
@@ -3948,7 +3948,7 @@ def q_delta_trigger_window(t: _T) -> DataFrame:
     )
 
     ev = stream_table_split(
-        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+        t.spark, t.sf_dir, "events", n_batches=2, order_col="ts"
     )
     out = stream_delta_window(
         ev.select("user_id", "event_id", "ts", "value"),
@@ -3995,7 +3995,7 @@ def q_stream_over_rows_bounded(t: _T) -> DataFrame:
     )
 
     ev = stream_table_split(
-        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+        t.spark, t.sf_dir, "events", n_batches=2, order_col="ts"
     )
     out = stream_over_bounded(
         ev.select("user_id", "event_id", "ts", "value"),
@@ -4042,7 +4042,7 @@ def q_stream_over_range_bounded(t: _T) -> DataFrame:
     )
 
     ev = stream_table_split(
-        t.spark, t.sf_dir, "events", n_batches=3, order_col="ts"
+        t.spark, t.sf_dir, "events", n_batches=2, order_col="ts"
     )
     out = stream_over_bounded(
         ev.select("user_id", "event_id", "ts", "value"),
@@ -7724,7 +7724,7 @@ def q_cep_pattern_greedy_until(t: _T) -> DataFrame:
 def q_stream_cep_pattern(t: _T) -> DataFrame:
     """STREAMING Pattern API (operator/CepOperator.java keyed NFA
     state + PatternTimeoutFunction on watermark-expired windows):
-    ``begin(view).followedBy(purchase).within(15min)`` over a 4-batch
+    ``begin(view).followedBy(purchase).within(15min)`` over a 2-batch
     event-time replay with emit_timeouts — matches and timed-out
     partials emit per the frontier rule as anchors resolve across
     micro-batches, and the far-future sentinel fires the
@@ -7743,7 +7743,7 @@ def q_stream_cep_pattern(t: _T) -> DataFrame:
 
     max_ts = t.events.agg(F.max("ts")).collect()[0][0]
     src = stream_table_split(
-        t.spark, t.sf_dir, "events", 4, "ts",
+        t.spark, t.sf_dir, "events", 2, "ts",
         watermark=("ts", "10 minutes"),
         sentinel_rows=[
             {"event_id": -1, "user_id": -1, "event_type": "__wm__",
@@ -7858,7 +7858,7 @@ def q_stream_coprocess_rules(t: _T) -> DataFrame:
     events install a per-user rule value, click events emit stamped
     with the rule in effect at their event time plus a count since
     that rule was installed — a two-input keyed state machine with
-    watermark-gated event-time emission, run over a 4-batch replay so
+    watermark-gated event-time emission, run over a 2-batch replay so
     rules cross micro-batch boundaries. Oracle: asof (max preceding
     signup) + windowed count per (user, rule) segment."""
     import datetime
@@ -7876,7 +7876,7 @@ def q_stream_coprocess_rules(t: _T) -> DataFrame:
     # the last real timestamps could never release); user_id=-1 keeps
     # them out of the result via the final user_id >= 0 filter
     src = stream_table_split(
-        t.spark, t.sf_dir, "events", 4, "ts",
+        t.spark, t.sf_dir, "events", 2, "ts",
         watermark=("ts", "10 minutes"),
         sentinel_rows=[
             {"event_id": -1, "user_id": -1, "event_type": "click",
